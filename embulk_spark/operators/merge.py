@@ -1,0 +1,114 @@
+"""Change-set deduplication and MERGE (upsert/delete) application.
+
+Embulk has no joins or aggregations (its filters are per-page streaming
+wrappers, reference spi/util/FiltersInternal.java:46-56); the north rule
+adds exactly one join shape — MERGE INTO of a deduped change-set against
+the target keyed by ``url`` — and one aggregation — latest-event-per-key.
+Both are implemented scale-first:
+
+- ``dedup_latest``: hash aggregation with ``max_by(struct(payload),
+  struct(order))`` instead of a window sort. A hash agg gets map-side
+  partial combine, so a hot key (one url updated millions of times in a
+  batch) is reduced locally on every input partition before the shuffle —
+  the Spark-native generalization of the reference's ScatterExecutor
+  round-robin fan-out (exec/LocalExecutorPlugin.java:58-70,444-454), and
+  the reason no per-key salting is required for the agg itself.
+- ``merge_upsert``: full-outer join target-vs-changes on url; the winner is
+  whichever side has the larger (warc_ts, seq) — so late-arriving older
+  updates lose against an applied delete (tombstone), satisfying
+  "a delete stays deleted". Exact duplicate deliveries carry identical
+  (warc_ts, seq) and merge to a no-op.
+
+Deletes are retained as tombstones (is_deleted=true) so ordering survives
+across epochs; the published view filters them out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Target-table column order (north-rule input_hint shape + CDC bookkeeping).
+TARGET_COLUMNS = ["url", "warc_ts", "seq", "html", "text", "lang", "is_deleted"]
+
+ORDER_COLS = ("warc_ts", "seq")
+
+
+def bucket_of(url: Column, n_buckets: int) -> Column:
+    """Stable key→bucket assignment (hash-bucketed table layout, the
+    partition-pruning handle for MERGE at scale)."""
+    return F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int")
+
+
+def salted_repartition(
+    df: DataFrame, n_partitions: int, key: str = "bucket", spread: int = 8
+) -> DataFrame:
+    """Repartition by (key, salt) so a hot key's rows spread over ``spread``
+    tasks — defuses hot-domain skew in write/shuffle stages. Analogue of the
+    reference's scatter round-robin (exec/LocalExecutorPlugin.java:444-454),
+    but key-affine instead of global round-robin."""
+    salt = F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(spread))
+    return df.repartition(n_partitions, F.col(key), salt)
+
+
+def dedup_latest(batch: DataFrame, key: str = "url", order=ORDER_COLS) -> DataFrame:
+    """Latest event per key by (warc_ts, seq); exact duplicates collapse.
+
+    Hash-agg (partial combine, no sort) — deliberately NOT a window:
+    Window.partitionBy(url) would sort every partition and cannot partially
+    aggregate, which at 10^10 events is the difference between a reduce and
+    a full re-sort of the stream."""
+    payload = [c for c in batch.columns if c != key]
+    return (
+        batch.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(*[F.col(c) for c in order])
+            ).alias("_r")
+        )
+        .select(key, "_r.*")
+    )
+
+
+def changes_to_target_rows(batch_latest: DataFrame) -> DataFrame:
+    """Shape a deduped change-set into target-table rows: deletes become
+    tombstones (payload nulled, ordering columns kept)."""
+    is_del = F.col("op") == "D"
+    return batch_latest.select(
+        "url",
+        "warc_ts",
+        "seq",
+        F.when(is_del, F.lit(None).cast("binary")).otherwise(F.col("html")).alias("html"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(F.col("text")).alias("text"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(F.col("lang")).alias("lang"),
+        is_del.alias("is_deleted"),
+    )
+
+
+def merge_upsert(
+    target: DataFrame, changes: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """MERGE INTO semantics: full-outer join on url, larger (warc_ts, seq)
+    wins. Both sides must carry ``cols`` (defaults to TARGET_COLUMNS; may be
+    an evolved superset — schema evolution normalizes both sides first)."""
+    cols = cols or TARGET_COLUMNS
+    t = target.select(*cols).alias("t")
+    c = changes.select(*cols).alias("c")
+    joined = t.join(c, F.col("t.url") == F.col("c.url"), "full_outer")
+    take_change = F.col("t.url").isNull() | (
+        F.col("c.url").isNotNull()
+        & (
+            F.struct(F.col("c.warc_ts"), F.col("c.seq"))
+            > F.struct(F.col("t.warc_ts"), F.col("t.seq"))
+        )
+    )
+    out_cols = [
+        F.when(take_change, F.col(f"c.{col}")).otherwise(F.col(f"t.{col}")).alias(col)
+        for col in cols
+    ]
+    return joined.select(*out_cols)
+
+
+def published_view(target: DataFrame) -> DataFrame:
+    """The user-facing final state: non-deleted rows only."""
+    return target.filter(~F.col("is_deleted")).drop("is_deleted")

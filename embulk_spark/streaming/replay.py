@@ -1,0 +1,118 @@
+"""Change-stream replay: the binlog tail → MERGE loop.
+
+Two surfaces over the same commit protocol:
+
+- ``replay_batches``: deterministic epoch-by-epoch batch replay of a
+  change-event DataFrame. One epoch = one Embulk transaction
+  (reference exec/BulkLoader.java:512-582); already-committed epochs are
+  skipped, which IS resume (exec/BulkLoader.java:584-690: "re-runs only
+  tasks without committed reports") — killing the driver after epoch k and
+  calling replay again continues from k+1 with no state beyond the table.
+- ``stream_events``: Structured Streaming (``readStream`` over a parquet
+  event log → ``foreachBatch``) applying the identical merge; Spark's
+  checkpoint tracks source offsets while the table's committed-epoch set
+  makes the sink idempotent — together: exactly-once.
+
+Schema-change events (op='S', payload JSON
+``{"action": "add|rename|widen", ...}``) are applied as table DDL before
+the epoch's data events are merged — Embulk's re-guess → ConfigDiff →
+next-run-config loop (exec/GuessExecutor.java:142-195,
+EmbulkRunner.java:252-258) compressed into the stream itself.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lake import ParquetLakeTable
+
+
+def apply_schema_change(table: ParquetLakeTable, payload: str) -> None:
+    change = json.loads(payload)
+    action = change["action"]
+    if action == "add":
+        table.add_column(change["column"], change.get("type", "string"))
+    elif action == "rename":
+        table.rename_column(change["from"], change["to"])
+    elif action == "widen":
+        table.widen_column(change["column"], change["to"])
+    else:
+        raise ValueError(f"unknown schema_change action: {action}")
+
+
+def apply_epoch(table: ParquetLakeTable, epoch_df: DataFrame, epoch_id: int) -> dict:
+    """Apply one epoch: schema changes first (driver-side, tiny), then the
+    data events as one idempotent MERGE commit."""
+    if epoch_id in table.committed_epochs():
+        return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+    schema_events = (
+        epoch_df.filter(F.col("op") == "S")
+        .select("seq", "schema_change")
+        .collect()
+    )
+    for row in sorted(schema_events, key=lambda r: r["seq"]):
+        if row["schema_change"]:
+            apply_schema_change(table, row["schema_change"])
+    data = epoch_df.filter(F.col("op") != "S")
+    return table.merge_epoch(data, epoch_id)
+
+
+def replay_batches(
+    table: ParquetLakeTable,
+    events: DataFrame,
+    *,
+    max_epochs: int | None = None,
+) -> list[dict]:
+    """Replay all (remaining) epochs of ``events`` in epoch order."""
+    epochs = sorted(
+        r["epoch"] for r in events.select("epoch").distinct().collect()
+    )
+    done = table.committed_epochs()
+    out: list[dict] = []
+    n = 0
+    for e in epochs:
+        if e in done:
+            continue
+        if max_epochs is not None and n >= max_epochs:
+            break
+        out.append(apply_epoch(table, events.filter(F.col("epoch") == e), int(e)))
+        n += 1
+    return out
+
+
+def stream_events(
+    spark: SparkSession,
+    table: ParquetLakeTable,
+    events_path: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    schema_ddl: str | None = None,
+) -> None:
+    """Structured-Streaming surface: tail a parquet event-log directory and
+    apply each micro-batch through the same idempotent merge.
+
+    The sink key is Spark's ``batch_id`` (monotonic per checkpoint); on
+    restart, a re-delivered batch hits the committed-epoch set and no-ops —
+    the foreachBatch exactly-once pattern."""
+    from ..sources.events import EVENT_SCHEMA
+
+    reader = (
+        spark.readStream.schema(schema_ddl or EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_epoch(table, batch_df, int(batch_id))
+
+    q = (
+        reader.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
