@@ -1,0 +1,108 @@
+"""Benchmark harness: headline CDC-replay throughput + representative
+operator timings. Prints ONE JSON line.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] cores (default 32)
+  BENCH_EVENTS        change-stream length (default scaled by sf)
+  BENCH_EPOCHS        micro-batch count (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from embulk_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_events = int(os.environ.get("BENCH_EVENTS", str(max(20_000, int(2_000_000 * sf)))))
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
+    n_urls = max(2_000, n_events // 10)
+
+    # scratch on tmpfs when available: the sandbox's virtio disk has
+    # multi-second fsync stalls that would measure the disk, not the engine
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        "embulk_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf=(
+            {"spark.local.dir": os.path.join(scratch, "spark_local")} if scratch else {}
+        ),
+    )
+
+    import __spark_entry__ as entrymod
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: CDC replay (generate once to parquet, then replay) ----
+    workdir = tempfile.mkdtemp(prefix="embulk_spark_bench_", dir=scratch)
+    events_path = os.path.join(workdir, "events")
+    stream = change_stream(spark, n_events, n_urls, n_epochs, num_partitions=2 * cpus)
+    stream.write.mode("overwrite").parquet(events_path)
+    events = spark.read.parquet(events_path)
+    n_total = events.count()
+
+    table = ParquetLakeTable(spark, os.path.join(workdir, "table"), n_buckets=2 * cpus)
+    t0 = time.perf_counter()
+    replay_batches(table, events)
+    replay_sec = time.perf_counter() - t0
+    timings["cdc_replay"] = round(replay_sec, 3)
+    events_per_sec = n_total / replay_sec
+
+    # ---- operator queries on the sf tables ----
+    qs = entrymod.queries()
+    bench_queries = [
+        "cdc_latest_per_key",
+        "cdc_apply_upsert",
+        "agg_pricing_summary",
+        "join_revenue_topk",
+        "window_topk_per_group",
+        "dedup_exact",
+        "text_quality",
+        "minhash_near_dups",
+        "simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_replay_events": n_total,
+                "cdc_replay_events_per_sec": round(events_per_sec, 1),
+                "cpus": cpus,
+                "epochs": n_epochs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

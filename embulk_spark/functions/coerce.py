@@ -99,8 +99,10 @@ def string_to_long(c: Column) -> Column:
 
 
 def timestamp_to_long(c: Column) -> Column:
-    """Timestamp → epoch seconds (LongColumnSetter.java:62-70)."""
-    return F.floor(F.unix_micros(c) / F.lit(1_000_000)).cast("long")
+    """Timestamp → epoch seconds (LongColumnSetter.java:62-70).
+    Accepts TIMESTAMP_NTZ too (session tz is pinned UTC, so the cast is
+    instant-preserving)."""
+    return F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000)).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +123,7 @@ def string_to_double(c: Column) -> Column:
 def timestamp_to_double(c: Column) -> Column:
     """Epoch seconds + fractional nanos (DoubleColumnSetter.java:55-60);
     Spark carries µs so the fraction is µs-precision."""
-    return F.unix_micros(c).cast("double") / F.lit(1_000_000.0)
+    return F.unix_micros(c.cast("timestamp")).cast("double") / F.lit(1_000_000.0)
 
 
 # ---------------------------------------------------------------------------
@@ -154,6 +156,7 @@ def string_to_boolean(c: Column) -> Column:
 #: (embulk-core/src/main/java/org/embulk/spi/time/Instants.java:20-76):
 #: "yyyy-MM-dd HH:mm:ss[.fraction] UTC". We render µs when sub-second.
 def timestamp_to_string(c: Column) -> Column:
+    c = c.cast("timestamp")
     whole = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
     micros = F.unix_micros(c) % 1_000_000
     frac = F.when(

@@ -1,0 +1,267 @@
+"""Deduplication operators for web-corpus pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale notes (the point of each design):
+- exact: one hash-groupBy on md5(text) — map-side partial agg, no sort.
+- MinHash+LSH: shingle→minhash→band→bucket-join. Candidate generation is an
+  equi-join on (band_idx, band_hash) — a uniform-hash shuffle key, so no
+  all-pairs blowup; verification is per-candidate-pair signature agreement.
+- SimHash: 64-bit signature via an Arrow-batched pandas UDF (bit fiddling
+  is the one thing Column exprs do badly); near-dup = small hamming
+  distance within LSH-style bit-band buckets.
+- n-gram Jaccard: exact set similarity on candidate pairs only.
+
+All hashing is md5-based (identical bytes → identical hex in any engine),
+which is what makes the DuckDB oracles exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts: (md5, keeper_id, n_dups). Keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of whitespace-tokenized lowercase text."""
+    ws = F.split(F.trim(F.lower(text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda j: F.concat_ws(
+            " ", *[F.element_at(ws, (j + i).cast("int")) for i in range(n)]
+        ),
+    )
+    # guard: Spark sequence(1, x) with x < 1 DESCENDS — short texts get none
+    return F.array_distinct(
+        F.when(F.size(ws) >= n, grams).otherwise(
+            F.lit([]).cast("array<string>")
+        )
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash over md5('i|shingle'); lexicographic min of hex
+    digests ≡ min of the permuted hash — engine-portable and deterministic."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+def minhash_df(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_n)
+    return df.select(
+        F.col(id_col),
+        sh.alias("shingles"),
+    ).filter(F.size("shingles") > 0).withColumn(
+        "sig", minhash_signature(F.col("shingles"), k)
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_idx, band_hash); docs
+    agreeing on any full band become candidate pairs (id_a < id_b).
+
+    ``sigs`` should be persisted by the caller — the self-join would
+    otherwise recompute the full shingle→minhash expression tree for both
+    sides AND for every band."""
+    rows_per_band = k // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates whose signature-agreement
+    fraction (MinHash Jaccard estimate) ≥ threshold.
+
+    Signatures are computed ONCE (persisted) and joined back onto the
+    (small) candidate-pair set — never recomputed inside the self-join."""
+    sigs = minhash_df(df, text_col, id_col, k).persist()
+    pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
+    sig_only = sigs.select(F.col(id_col), F.col("sig"))
+    joined = (
+        pairs.join(
+            sig_only.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a"),
+            "id_a",
+        ).join(
+            sig_only.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b"),
+            "id_b",
+        )
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(k))
+    )
+    return (
+        joined.withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard on LSH-generated candidates only (never
+    all-pairs): |A∩B| / |A∪B| over distinct shingle sets."""
+    sigs = minhash_df(df, text_col, id_col, k, shingle_n).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    j = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF path; bit fiddling)
+# ---------------------------------------------------------------------------
+
+def _simhash64_py(text: str | None) -> int | None:
+    if text is None:
+        return None
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in set(text.lower().split()):
+        h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc += np.where(bits == 1, 1, -1)
+    sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # store as signed
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    return text.map(_simhash64_py)
+
+
+def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dups by simhash: band the 64 bits into n_bands 16-bit keys; a
+    pair within hamming ≤ n_bands-1 shares ≥1 exact band (pigeonhole), so
+    the bucket-join finds all of them without an all-pairs scan."""
+    sigs = simhash_df(df, text_col, id_col)
+    width = 64 // n_bands
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -51,30 +51,39 @@ def salted_repartition(
     return df.repartition(n_partitions, F.col(key), salt)
 
 
-def dedup_latest(batch: DataFrame, key: str = "url", order=ORDER_COLS) -> DataFrame:
+def dedup_latest(
+    batch: DataFrame,
+    key: str = "url",
+    order=ORDER_COLS,
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
     """Latest event per key by (warc_ts, seq); exact duplicates collapse.
 
     Hash-agg (partial combine, no sort) — deliberately NOT a window:
     Window.partitionBy(url) would sort every partition and cannot partially
     aggregate, which at 10^10 events is the difference between a reduce and
-    a full re-sort of the stream."""
+    a full re-sort of the stream.
+
+    ``extra_aggs`` lets callers piggyback metrics (e.g. per-key event
+    counts) on the same shuffle instead of paying a second pass."""
     payload = [c for c in batch.columns if c != key]
-    return (
-        batch.groupBy(key)
-        .agg(
-            F.max_by(
-                F.struct(*payload), F.struct(*[F.col(c) for c in order])
-            ).alias("_r")
-        )
-        .select(key, "_r.*")
+    aggs = [
+        F.max_by(F.struct(*payload), F.struct(*[F.col(c) for c in order])).alias("_r")
+    ] + [expr.alias(name) for name, expr in (extra_aggs or {}).items()]
+    return batch.groupBy(key).agg(*aggs).select(
+        key, "_r.*", *(extra_aggs or {})
     )
 
 
-def changes_to_target_rows(batch_latest: DataFrame) -> DataFrame:
+def changes_to_target_rows(
+    batch_latest: DataFrame, carry: list[str] | None = None
+) -> DataFrame:
     """Shape a deduped change-set into target-table rows: deletes become
-    tombstones (payload nulled, ordering columns kept)."""
+    tombstones (payload nulled, ordering columns kept). ``carry`` columns
+    (e.g. piggybacked metric counts) pass through unchanged."""
     is_del = F.col("op") == "D"
     return batch_latest.select(
+        *(carry or []),
         "url",
         "warc_ts",
         "seq",

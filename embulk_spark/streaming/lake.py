@@ -44,7 +44,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -222,10 +222,9 @@ class ParquetLakeTable:
 
         ev_cols = ["seq", "op", "url", "warc_ts", "html", "lang"]
         batch = batch_events.select(*ev_cols)
-        obs_in = Observation()
-        batch = batch.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
 
-        latest = dedup_latest(batch)
+        # piggyback per-key event counts on the dedup shuffle (no 2nd pass)
+        latest = dedup_latest(batch, extra_aggs={"_n_events": F.count(F.lit(1))})
         if extract:
             latest = latest.withColumn(
                 "text",
@@ -235,7 +234,7 @@ class ParquetLakeTable:
             )
         else:
             latest = latest.withColumn("text", F.lit(None).cast("string"))
-        changes = changes_to_target_rows(latest)
+        changes = changes_to_target_rows(latest, carry=["_n_events"])
         # normalize changes to the (possibly evolved) current schema
         for field in cur.fields:
             if field.name not in changes.columns:
@@ -243,47 +242,46 @@ class ParquetLakeTable:
                     field.name, F.lit(None).cast(field.dataType)
                 )
         changes = changes.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
-        )
-        obs_keys = Observation()
-        changes = changes.observe(
-            obs_keys,
-            F.count(F.lit(1)).alias("keys_in_batch"),
-            F.sum(F.col("is_deleted").cast("long")).alias("delete_keys"),
+            "_n_events",
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields],
         )
         changes = changes.withColumn("bkt", bucket_of(F.col("url"), self.n_buckets))
-        # The change-set is consumed twice (bucket discovery + merge join):
+        # The change-set is consumed twice (stats + merge join):
         # persist so dedup + extraction run once per epoch.
         changes = changes.persist()
 
-        # Partition pruning: which buckets does this batch touch?
-        changed = sorted(
-            r["bkt"] for r in changes.select("bkt").distinct().collect()
+        # ONE small job: per-bucket stats → bucket pruning set + batch metrics.
+        # (Observation/observe is avoided deliberately: listener-bus delivery
+        # adds erratic multi-second stalls per epoch.)
+        bstats = (
+            changes.groupBy("bkt")
+            .agg(
+                F.sum("_n_events").alias("rows_in"),
+                F.count(F.lit(1)).alias("keys"),
+                F.sum(F.col("is_deleted").cast("long")).alias("deletes"),
+                F.max("warc_ts").alias("max_ts"),
+            )
+            .collect()
         )
+        changed = sorted(r["bkt"] for r in bstats)
         if not changed:
             changes.unpersist()
             return self._commit(snap, epoch_id, snap["buckets"], {
                 "epoch_id": epoch_id, "rows_in": 0, "empty_batch": True,
             }, [])
+        rows_in = sum(r["rows_in"] for r in bstats)
+        keys_in_batch = sum(r["keys"] for r in bstats)
+        delete_keys = sum(r["deletes"] for r in bstats)
+        max_warc_ts = max(r["max_ts"] for r in bstats)
 
         target_subset = self._read_groups(snap, changed)
         merged = merge_upsert(target_subset, changes, cur_cols)
         merged = merged.withColumn("bkt", bucket_of(F.col("url"), self.n_buckets))
-        obs_out = Observation()
-        merged = merged.observe(
-            obs_out,
-            F.count(F.lit(1)).alias("rows_written"),
-            F.sum(F.col("is_deleted").cast("long")).alias("tombstones"),
-            F.max("warc_ts").alias("max_warc_ts"),
-        )
 
         new_version = snap["version"] + 1
         rel_dir = f"data/v{new_version:08d}"
         out_dir = os.path.join(self.path, rel_dir)
-        nparts = max(
-            self.spark.sparkContext.defaultParallelism,
-            len(changed) * write_spread,
-        )
+        nparts = max(self.spark.sparkContext.defaultParallelism, len(changed))
         merged = salted_repartition(merged, nparts, key="bkt", spread=write_spread)
         (
             merged.withColumn("bucket", F.col("bkt"))
@@ -311,17 +309,15 @@ class ParquetLakeTable:
             new_buckets[str(b)] = {"files": files, "schema_v": snap["schema_v"]}
             lineage.append({"bucket": b, "rows": rows, "files": len(files), "bytes": nbytes})
 
-        in_m, key_m, out_m = obs_in.get, obs_keys.get, obs_out.get
         metrics = {
             "epoch_id": epoch_id,
-            "rows_in": in_m["rows_in"],
-            "keys_in_batch": key_m["keys_in_batch"],
-            "dedup_count": in_m["rows_in"] - key_m["keys_in_batch"],
-            "delete_keys": key_m["delete_keys"],
-            "rows_written": out_m["rows_written"],
-            "tombstones": out_m["tombstones"],
+            "rows_in": rows_in,
+            "keys_in_batch": keys_in_batch,
+            "dedup_count": rows_in - keys_in_batch,
+            "delete_keys": delete_keys,
+            "rows_written": sum(e["rows"] for e in lineage),
             "buckets_rewritten": len(changed),
-            "max_warc_ts": str(out_m["max_warc_ts"]),
+            "max_warc_ts": str(max_warc_ts),
         }
         return self._commit(snap, epoch_id, new_buckets, metrics, lineage)
 
