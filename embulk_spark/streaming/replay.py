@@ -66,10 +66,26 @@ def replay_batches(
     *,
     max_epochs: int | None = None,
 ) -> list[dict]:
-    """Replay all (remaining) epochs of ``events`` in epoch order."""
-    epochs = sorted(
-        r["epoch"] for r in events.select("epoch").distinct().collect()
+    """Replay all (remaining) epochs of ``events`` in epoch order.
+
+    Schema-change events (rare by construction) are collected in ONE
+    upfront scan instead of a per-epoch filter job; each epoch then costs
+    exactly two Spark jobs (stats+dedup, merge+write)."""
+    has_schema_col = "schema_change" in events.columns
+    epoch_rows = (
+        events.groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("epoch")
+        .collect()
     )
+    epochs = sorted(r["epoch"] for r in epoch_rows)
+    schema_by_epoch: dict[int, list] = {}
+    if has_schema_col:
+        for row in events.filter(F.col("op") == "S").select(
+            "epoch", "seq", "schema_change"
+        ).collect():
+            schema_by_epoch.setdefault(int(row["epoch"]), []).append(row)
+
     done = table.committed_epochs()
     out: list[dict] = []
     n = 0
@@ -78,7 +94,11 @@ def replay_batches(
             continue
         if max_epochs is not None and n >= max_epochs:
             break
-        out.append(apply_epoch(table, events.filter(F.col("epoch") == e), int(e)))
+        for row in sorted(schema_by_epoch.get(int(e), []), key=lambda r: r["seq"]):
+            if row["schema_change"]:
+                apply_schema_change(table, row["schema_change"])
+        data = events.filter((F.col("epoch") == e) & (F.col("op") != "S"))
+        out.append(table.merge_epoch(data, int(e)))
         n += 1
     return out
 
