@@ -1,0 +1,448 @@
+"""Schema inference ("guess") — the engine's schema-evolution brain.
+
+Ports the reference's guess algorithms (driver-side, over a ≤32 KiB
+sample — matching the reference's sample budget,
+embulk-core/src/main/java/org/embulk/exec/GuessExecutor.java:308 and
+SamplingParserPlugin.java:131-138):
+
+- per-cell type guess + per-column merge lattice
+  (embulk-ruby/lib/embulk/guess/schema_guess.rb:37-128);
+- time-format guess: YMD/MDY/DMY with / - . delimiters, optional
+  time+fraction+zone, RFC 2822, Apache CLF, ANSI-C asctime, and the
+  "if DMY matches, MDY is likely a false match" merge rule
+  (embulk-ruby/lib/embulk/guess/time_format_guess.rb:171-313,152-160,331-408);
+- newline majority vote (embulk-ruby/lib/embulk/guess/newline.rb:10-25);
+- charset: UTF-8 (embulk-ruby/lib/embulk/guess/charset.rb:7-13);
+- compression sniffing by magic bytes (embulk-guess-gzip/-bzip2,
+  reference build.gradle:20,23) and JSON-vs-CSV detection in the default
+  chain order gzip→bzip2→json→csv (build.gradle:197);
+- fixed-point iteration of the guess chain, ≤10 rounds
+  (exec/GuessExecutor.java:142-195).
+
+The merged type lattice also drives the lake table's type-widening schema
+evolution (streaming/lake.py)."""
+
+from __future__ import annotations
+
+import bz2
+import csv as _csv
+import gzip
+import io
+import json
+import re
+from dataclasses import dataclass
+
+#: guess-side boolean string sets (schema_guess.rb:97-110)
+TRUE_STRINGS = frozenset(
+    "true True TRUE yes Yes YES t T y Y on On ON".split()
+)
+FALSE_STRINGS = frozenset(
+    "false False FALSE no No NO f F n N off Off OFF".split()
+)
+
+#: the widening lattice TYPE_COALESCE (schema_guess.rb:112-128)
+_TYPE_COALESCE = {
+    tuple(sorted(("long", "double"))): "double",
+    tuple(sorted(("boolean", "long"))): "long",
+    tuple(sorted(("timestamp", "long"))): "long",
+}
+
+#: Guava-derived double pattern, leading-zero floats rejected
+#: (schema_guess.rb:65-71)
+_DOUBLE_RE = re.compile(
+    r"^[+-]?(NaN|Infinity|([1-9]\d*|0)(\.\d+)([eE][+-]?\d+)?[fFdD]?)$"
+)
+_INT_RE = re.compile(r"^[+-]?\d+$")
+
+
+# ---------------------------------------------------------------------------
+# time-format guess
+# ---------------------------------------------------------------------------
+
+_YEAR = r"[1-4][0-9]{3}"
+_MONTH = r"(?:10|11|12|[0 ]?[0-9])"
+_MONTH_ND = r"(?:10|11|12|0[0-9])"
+_DAY = r"(?:31|30|[1-2][0-9]|[0 ]?[1-9])"
+_DAY_ND = r"(?:31|30|[1-2][0-9]|0[1-9])"
+_HOUR = r"(?:2[0-4]|1[0-9]|[0 ]?[0-9])"
+_HOUR_ND = r"(?:2[0-4]|1[0-9]|0[0-9])"
+_MINSEC = r"(?:60|[1-5][0-9]|[0 ]?[0-9])"
+_MINSEC_ND = r"(?:60|[1-5][0-9]|0[0-9])"
+_ZONE = r"(?P<zone_space> )?(?P<zone>Z|[+-]\d\d(?::?\d\d)?|[A-Z]{1,3})"
+_FRAC = r"(?:(?P<frac_delim>[.,])(?P<frac>[0-9]{1,9}))"
+_TIME = (
+    rf"(?P<hour>{_HOUR})(?:(?P<time_delim>[:\-])(?P<minute>{_MINSEC})"
+    rf"(?:(?P=time_delim)(?P<second>{_MINSEC}){_FRAC}?)?)?"
+)
+_TIME_ND = (
+    rf"(?P<hour>{_HOUR_ND})(?:(?P<minute>{_MINSEC_ND})"
+    rf"(?:(?P<second>{_MINSEC_ND}){_FRAC}?)?)?"
+)
+
+_DATE_PATTERNS: list[tuple[str, str]] = [
+    # (order, regex) — order in {"ymd", "mdy", "dmy"}
+    ("ymd", rf"(?P<year>{_YEAR})(?P<date_delim>[/\-.])(?P<month>{_MONTH})(?P=date_delim)(?P<day>{_DAY})"),
+    ("ymd_nd", rf"(?P<year>{_YEAR})(?P<month>{_MONTH_ND})(?P<day>{_DAY_ND})"),
+    ("mdy", rf"(?P<month>{_MONTH})(?P<date_delim>[/\-.])(?P<day>{_DAY})(?P=date_delim)(?P<year>{_YEAR})"),
+    ("dmy", rf"(?P<day>{_DAY})(?P<date_delim>[/\-.])(?P<month>{_MONTH})(?P=date_delim)(?P<year>{_YEAR})"),
+]
+
+_RFC2822_RE = re.compile(
+    r"^(?:(?P<weekday>Sun|Mon|Tue|Wed|Thu|Fri|Sat), )?"
+    r"(?P<day>\d\d?) (?P<month>Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) (?P<year>\d{4})"
+    r"(?: (?P<hour>\d\d):(?P<minute>\d\d)(?::(?P<second>\d\d))?"
+    r"(?: (?P<zone>[A-Z]{1,3}|[+-]\d{4}))?)?$"
+)
+_APACHE_CLF_RE = re.compile(
+    r"^\d\d/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/\d{4}"
+    r":\d\d:\d\d:\d\d [+-]\d{4}$"
+)
+_ANSI_C_RE = re.compile(
+    r"^(?:Sun|Mon|Tue|Wed|Thu|Fri|Sat) "
+    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) "
+    r"[ \d]\d \d\d:\d\d:\d\d (?:[A-Z]{1,3} )?\d{4}$"
+)
+
+
+@dataclass
+class _TimeMatch:
+    order: str          # ymd | ymd_nd | mdy | dmy | rfc2822 | apache | ansi_c
+    date_delim: str
+    dt_sep: str | None  # delimiter between date and time
+    time_delim: str | None
+    has_minute: bool
+    has_second: bool
+    frac_digits: int
+    frac_delim: str | None
+    zone: str | None    # None | "simple" | "extended" | "abb"
+    zone_space: str
+
+    def format(self) -> str:
+        if self.order == "rfc2822":
+            return "%a, %d %b %Y %H:%M:%S %z"
+        if self.order == "apache":
+            return "%d/%b/%Y:%H:%M:%S %z"
+        if self.order == "ansi_c":
+            return "%a %b %e %H:%M:%S %Y"
+        d = self.date_delim
+        if self.order in ("ymd", "ymd_nd"):
+            fmt = f"%Y{d}%m{d}%d"
+        elif self.order == "mdy":
+            fmt = f"%m{d}%d{d}%Y"
+        else:
+            fmt = f"%d{d}%m{d}%Y"
+        if self.dt_sep is not None:
+            t = self.time_delim or ""
+            fmt += f"{self.dt_sep}%H"
+            if self.has_minute:
+                fmt += f"{t}%M"
+                if self.has_second:
+                    fmt += f"{t}%S"
+                    if self.frac_digits:
+                        fmt += (self.frac_delim or ".") + (
+                            "%L" if self.frac_digits <= 3 else "%N"
+                        )
+        if self.zone:
+            fmt += self.zone_space
+            fmt += "%:z" if self.zone == "extended" else "%z"
+        return fmt
+
+
+#: date-time separators the reference accepts (time_format_guess.rb match
+#: of rest after the date part): space, T, ". ", "."; "" for nodelim forms.
+_DT_SEPS = (" ", "T", r"\. ", r"\.")
+
+
+def _match_one(text: str) -> _TimeMatch | None:
+    text = text.strip()
+    if not text:
+        return None
+    if _RFC2822_RE.match(text):
+        return _TimeMatch("rfc2822", "", " ", ":", True, True, 0, None, "simple", " ")
+    if _APACHE_CLF_RE.match(text):
+        return _TimeMatch("apache", "/", ":", ":", True, True, 0, None, "simple", " ")
+    if _ANSI_C_RE.match(text):
+        return _TimeMatch("ansi_c", " ", " ", ":", True, True, 0, None, None, " ")
+    for order, date_re in _DATE_PATTERNS:
+        nodelim = order.endswith("_nd")
+        time_re = _TIME_ND if nodelim else _TIME
+        seps = ("",) if nodelim else _DT_SEPS
+        for sep in seps:
+            sep_re = f"(?P<dt_sep>{sep})" if sep else "(?P<dt_sep>)"
+            pat = rf"^{date_re}(?:{sep_re}{time_re})?(?:{_ZONE})?$"
+            m = re.match(pat, text)
+            if not m:
+                continue
+            gd = m.groupdict()
+            zone = None
+            if gd.get("zone"):
+                z = gd["zone"]
+                if re.fullmatch(r"[+-]\d\d:\d\d", z):
+                    zone = "extended"
+                elif re.fullmatch(r"[A-Z]{1,3}", z) and z != "Z":
+                    zone = "abb"
+                else:
+                    zone = "simple"
+            has_time = gd.get("hour") is not None
+            if not has_time and gd.get("zone") and nodelim:
+                # bare digits + alpha tail: too ambiguous
+                return None
+            return _TimeMatch(
+                order=order,
+                date_delim=gd.get("date_delim") or "",
+                dt_sep=gd.get("dt_sep") if has_time else None,
+                time_delim=(gd.get("time_delim") or "") if has_time else None,
+                has_minute=gd.get("minute") is not None,
+                has_second=gd.get("second") is not None,
+                frac_digits=len(gd["frac"]) if gd.get("frac") else 0,
+                frac_delim=gd.get("frac_delim"),
+                zone=zone,
+                zone_space=gd.get("zone_space") or "",
+            )
+    return None
+
+
+def guess_time_format(texts) -> str | None:
+    """Format string (Ruby strptime dialect, as the reference emits) that
+    matches all non-empty samples, or None. Applies the reference's
+    'DMY beats MDY when both match' rule (time_format_guess.rb:152-160)."""
+    if isinstance(texts, str):
+        texts = [texts]
+    matches = [m for m in (_match_one(t) for t in texts if t and str(t).strip()) if m]
+    if not matches or len(matches) != len(
+        [t for t in texts if t and str(t).strip()]
+    ):
+        return None
+    # group by (order-normalized parts, delims); MDY merges into DMY
+    orders = {m.order for m in matches}
+    base = matches[0]
+    if "dmy" in orders and base.order == "mdy":
+        base.order = "dmy"
+    elif "dmy" in orders:
+        base.order = "dmy" if base.order in ("mdy", "dmy") else base.order
+    # widest time/frac across samples
+    for m in matches[1:]:
+        if m.order != base.order and {m.order, base.order} == {"mdy", "dmy"}:
+            base.order = "dmy"
+        elif m.order != base.order:
+            return None
+        base.has_minute = base.has_minute or m.has_minute
+        base.has_second = base.has_second or m.has_second
+        base.frac_digits = max(base.frac_digits, m.frac_digits)
+        base.frac_delim = base.frac_delim or m.frac_delim
+        base.zone = base.zone or m.zone
+        base.zone_space = base.zone_space or m.zone_space
+        if base.time_delim is None:
+            base.time_delim = m.time_delim
+        if base.dt_sep is None:
+            base.dt_sep = m.dt_sep
+    return base.format()
+
+
+# ---------------------------------------------------------------------------
+# type guess + lattice  (schema_guess.rb)
+# ---------------------------------------------------------------------------
+
+def guess_type(value) -> str | tuple[str, str] | None:
+    """Guess one cell's Embulk type; timestamps return ('timestamp', fmt);
+    empty → None (undecided)."""
+    if isinstance(value, (dict, list)):
+        return "json"
+    s = "" if value is None else str(value)
+    if s in TRUE_STRINGS or s in FALSE_STRINGS:
+        return "boolean"
+    fmt = guess_time_format([s]) if s.strip() else None
+    if fmt:
+        return ("timestamp", fmt)
+    if _INT_RE.match(s):
+        return "long"
+    if _DOUBLE_RE.match(s):
+        return "double"
+    if not s:
+        return None
+    try:
+        json.loads(s)
+        return "json"
+    except Exception:
+        pass
+    return "string"
+
+
+def merge_type(t1: str | None, t2: str | None) -> str | None:
+    """The widening lattice (schema_guess.rb:112-128)."""
+    if t1 == t2:
+        return t1
+    if t1 is None or t2 is None:
+        return t1 or t2
+    return _TYPE_COALESCE.get(tuple(sorted((t1, t2))), "string")
+
+
+def types_from_array_records(samples: list[list]) -> list[str | tuple[str, str]]:
+    """Per-column merged types over row-major samples
+    (schema_guess.rb:37-43, merge at :86-95)."""
+    ncols = max((len(r) for r in samples), default=0)
+    out: list[str | tuple[str, str]] = []
+    for i in range(ncols):
+        cell_types = [guess_type(r[i]) if i < len(r) else None for r in samples]
+        plain = [t[0] if isinstance(t, tuple) else t for t in cell_types]
+        merged: str | None = None
+        for t in plain:
+            merged = merge_type(merged, t)
+        merged = merged or "string"
+        if merged == "timestamp":
+            fmt = guess_time_format(
+                [str(r[i]) for r in samples if i < len(r) and r[i] not in (None, "")]
+            )
+            out.append(("timestamp", fmt or "%Y-%m-%d %H:%M:%S"))
+        else:
+            out.append(merged)
+    return out
+
+
+def schema_guess(
+    column_names: list[str], samples: list[list]
+) -> list[dict]:
+    """from_array_records (schema_guess.rb:26-35): ordered column specs
+    [{name, type[, format]}]."""
+    types = types_from_array_records(samples)
+    cols = []
+    for name, t in zip(column_names, types):
+        if isinstance(t, tuple):
+            cols.append({"name": name, "type": t[0], "format": t[1]})
+        else:
+            cols.append({"name": name, "type": t})
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# newline / charset / compression / format guesses
+# ---------------------------------------------------------------------------
+
+def guess_newline(sample: bytes) -> str:
+    """Majority vote CRLF vs LF vs CR (newline.rb:10-25)."""
+    crlf = sample.count(b"\r\n")
+    lf = sample.count(b"\n") - crlf
+    cr = sample.count(b"\r") - crlf
+    if crlf > lf / 2 and crlf > cr / 2:
+        return "CRLF"
+    return "LF" if lf >= cr else "CR"
+
+
+def guess_charset(sample: bytes) -> str:
+    """UTF-8, unconditionally (charset.rb:7-13)."""
+    return "UTF-8"
+
+
+def guess_compression(sample: bytes) -> str | None:
+    """Magic-byte sniff: gzip 1f 8b, bzip2 'BZh' (embulk-guess-gzip/-bzip2)."""
+    if sample[:2] == b"\x1f\x8b":
+        return "gzip"
+    if sample[:3] == b"BZh":
+        return "bzip2"
+    return None
+
+
+def _try_json(text: str) -> bool:
+    t = text.strip()
+    if not t:
+        return False
+    try:
+        json.loads(t)
+        return True
+    except Exception:
+        pass
+    # newline-delimited json
+    lines = [ln for ln in t.splitlines() if ln.strip()]
+    if not lines:
+        return False
+    try:
+        for ln in lines[:20]:
+            json.loads(ln)
+        return True
+    except Exception:
+        return False
+
+
+_DELIM_CANDIDATES = [",", "\t", ";", "|"]
+
+
+def guess_csv_dialect(text: str) -> dict:
+    """Delimiter by max consistent column count; header detection by
+    'first row all non-typed strings while body has typed columns'
+    (embulk-guess-csv semantics)."""
+    lines = [ln for ln in text.splitlines() if ln.strip()][:50]
+    best, best_score = ",", -1
+    for d in _DELIM_CANDIDATES:
+        counts = [len(next(_csv.reader([ln], delimiter=d))) for ln in lines]
+        if not counts:
+            continue
+        mode = max(set(counts), key=counts.count)
+        if mode < 2:
+            continue
+        score = counts.count(mode) * mode
+        if score > best_score:
+            best, best_score = d, score
+    rows = [next(_csv.reader([ln], delimiter=best)) for ln in lines]
+    header = False
+    if len(rows) >= 2:
+        head_types = [guess_type(v) for v in rows[0]]
+        body = types_from_array_records(rows[1:])
+        plain_head = [t[0] if isinstance(t, tuple) else t for t in head_types]
+        plain_body = [t[0] if isinstance(t, tuple) else t for t in body]
+        if all(t in ("string", None) for t in plain_head) and any(
+            t not in ("string", None) for t in plain_body
+        ):
+            header = True
+    data_rows = rows[1:] if header else rows
+    names = (
+        rows[0]
+        if header
+        else [f"c{i}" for i in range(max(len(r) for r in rows))]
+    )
+    return {
+        "delimiter": best,
+        "header_line": header,
+        "columns": schema_guess(names, data_rows),
+    }
+
+
+def guess_bytes(sample: bytes, config: dict | None = None) -> dict:
+    """The guess chain gzip→bzip2→json→csv (build.gradle:197), iterated to
+    a fixed point ≤10 times (GuessExecutor.java:142-195). Returns a config
+    diff: {decoders, charset, newline, parser:{type, ...}}."""
+    cfg = dict(config or {})
+    for _ in range(10):
+        before = json.dumps(cfg, sort_keys=True)
+        comp = guess_compression(sample)
+        if comp and not cfg.get("decoders"):
+            cfg["decoders"] = [{"type": comp}]
+            sample = (gzip if comp == "gzip" else bz2).decompress(sample)
+        if "charset" not in cfg:
+            cfg["charset"] = guess_charset(sample)
+        if "newline" not in cfg:
+            cfg["newline"] = guess_newline(sample)
+        if "parser" not in cfg:
+            text = sample.decode("utf-8", errors="replace")
+            if _try_json(text):
+                cfg["parser"] = {"type": "json"}
+            else:
+                cfg["parser"] = dict({"type": "csv"}, **guess_csv_dialect(text))
+        if json.dumps(cfg, sort_keys=True) == before:
+            break
+    return cfg
+
+
+#: reference sample budget (GuessExecutor.java:308, SamplingParserPlugin.java:138)
+SAMPLE_BUFFER_BYTES = 32 * 1024
+MIN_SAMPLE_BYTES = 40
+
+
+def guess_file(path: str, config: dict | None = None) -> dict:
+    """Guess from the head of a file (32 KiB sample, ≥40 bytes)."""
+    with open(path, "rb") as f:
+        sample = f.read(SAMPLE_BUFFER_BYTES)
+    if len(sample) < MIN_SAMPLE_BYTES:
+        raise ValueError(
+            f"sample too small ({len(sample)} bytes < {MIN_SAMPLE_BYTES})"
+        )
+    return guess_bytes(sample, config)

@@ -66,13 +66,13 @@ def _u01(col_name: str, tag: int):
     )
 
 
-def host_weights(n_hosts: int = N_HOSTS) -> np.ndarray:
+def host_weights(n_hosts: int = N_HOSTS, hot_frac: float = HOT_HOST_FRAC) -> np.ndarray:
     """Zipf(1.2) host popularity with host 0 pinned to the hot fraction."""
     ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
     w = ranks ** (-ZIPF_EXP)
     w /= w.sum()
-    w *= (1.0 - HOT_HOST_FRAC) / max(1e-12, 1.0 - w[0])
-    w[0] = HOT_HOST_FRAC
+    w *= (1.0 - hot_frac) / max(1e-12, 1.0 - w[0])
+    w[0] = hot_frac
     return w / w.sum()
 
 
@@ -132,6 +132,7 @@ def change_stream(
     p_update_given_rest: float = 0.77,
     p_late: float = 0.03,
     p_dup: float = 0.05,
+    hot_frac: float = HOT_HOST_FRAC,
     with_html: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -139,7 +140,7 @@ def change_stream(
 
     Column derivations are all pure functions of ``seq`` (xxhash64-based),
     so the result is independent of partitioning/parallelism."""
-    hw = host_weights()
+    hw = host_weights(hot_frac=hot_frac)
     # per-url weight: url i belongs to host i%N_HOSTS; weight spreads the
     # host's mass uniformly over its urls.
     urls_per_host = np.bincount(np.arange(n_urls) % N_HOSTS, minlength=N_HOSTS)
