@@ -1,0 +1,109 @@
+"""CLI: ``python -m embulk_spark.cli {run|guess|preview|replay} config.yml``.
+
+Mirrors the reference's command surface (cli/Command.java:3-22, dispatch
+cli/EmbulkRun.java:23-120) minus plugin management (gem/mkbundle — no
+classloaders here; see SURVEY.md §2.8):
+
+- ``run config.yml [-c diff.yml]`` — execute; merge the previous ConfigDiff
+  when ``-c`` is given and write the new one back to it
+  (EmbulkRunner.java:252-258,329-334).
+- ``guess config.yml [-o guessed.yml]`` — schema/format inference
+  (EmbulkRunner.java:45-61,193-209).
+- ``preview config.yml [-G]`` — first 15 rows, table or vertical
+  (EmbulkRunner.java:92-130,211-229; -G is the reference's vertical flag).
+- ``replay`` — the CDC surface (no reference analogue; north-rule): tail a
+  change-event parquet log into the exactly-once lake table, either batch
+  (``--once``) or via Structured Streaming with a checkpoint.
+
+Designed to run under ``spark-submit --py-files embulk_spark.zip`` on a
+real cluster; locally it builds its own session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import pipeline as P
+from .session import get_spark
+
+
+def _add_common(sp: argparse.ArgumentParser) -> None:
+    sp.add_argument("config", help="pipeline YAML config")
+    sp.add_argument("--master", default=None, help="spark master (default env/local)")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="embulk_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("run", help="run a pipeline")
+    _add_common(sp)
+    sp.add_argument("-c", "--config-diff", default=None,
+                    help="ConfigDiff YAML: merged before run, rewritten after")
+
+    sp = sub.add_parser("guess", help="infer format/schema")
+    _add_common(sp)
+    sp.add_argument("-o", "--output", default=None, help="write guessed config here")
+
+    sp = sub.add_parser("preview", help="show the first 15 rows")
+    _add_common(sp)
+    sp.add_argument("-G", "--vertical", action="store_true")
+    sp.add_argument("-n", "--rows", type=int, default=P.PREVIEW_ROWS)
+
+    sp = sub.add_parser("replay", help="CDC: apply a change-event log to a lake table")
+    sp.add_argument("events", help="parquet change-event directory")
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--master", default=None)
+    sp.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (enables readStream mode)")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--max-epochs", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(f"embulk_spark_{args.cmd}", master=args.master)
+
+    if args.cmd == "run":
+        config = P.load_config(args.config)
+        diff = P.load_config(args.config_diff) if args.config_diff else None
+        new_diff = P.run(spark, config, diff)
+        if args.config_diff:
+            with open(args.config_diff, "w") as f:
+                f.write(P.dump_config(new_diff))
+        print(json.dumps(new_diff))
+        return 0
+
+    if args.cmd == "guess":
+        config = P.guess(spark, P.load_config(args.config))
+        text = P.dump_config(config)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+        print(text)
+        return 0
+
+    if args.cmd == "preview":
+        df = P.preview(spark, P.load_config(args.config), n=args.rows)
+        df.show(args.rows, truncate=False, vertical=args.vertical)
+        return 0
+
+    if args.cmd == "replay":
+        from .streaming.lake import ParquetLakeTable
+        from .streaming.replay import replay_batches, stream_events
+
+        table = ParquetLakeTable(spark, args.table, n_buckets=args.buckets)
+        if args.checkpoint:
+            stream_events(spark, table, args.events, args.checkpoint)
+        else:
+            events = spark.read.parquet(args.events)
+            metrics = replay_batches(table, events, max_epochs=args.max_epochs)
+            for m in metrics:
+                print(json.dumps(m, default=str))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

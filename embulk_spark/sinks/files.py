@@ -1,0 +1,114 @@
+"""File output: DataFrame → formatted files (csv/json[l]), plus the
+stdout/null sinks.
+
+Re-expression of Embulk's output chain formatter → encoders → file-output
+(composed in the reference at spi/FileOutputRunner.java:110-134):
+
+- embulk-formatter-csv (newline / delimiter / header / timezone-stable
+  timestamp text; formatting analogue spi/util/PagePrinter.java:39-99)
+  → ``df.write.csv`` options;
+- embulk-encoder-gzip/-bzip2 → ``option("compression", ...)``;
+- embulk-output-file's ``prefix + index + suffix`` file naming
+  (used by the reference tests, embulk-junit4/.../TestingEmbulk.java:330-346)
+  → Spark's part-file naming under a prefix directory; ``min_output_tasks``
+  fan-out (exec/LocalExecutorPlugin.java:44-48) is Spark's partition count;
+- embulk-output-stdout / -null → ``df.show()`` / count-only action.
+
+Writes are transactional per directory: Spark's file-output committer gives
+the same all-tasks-commit-or-fail gate as BulkLoader's commit check
+(exec/BulkLoader.java:541-548). For the exactly-once CDC sink see
+``embulk_spark.streaming.lake`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.coerce import timestamp_to_string
+
+NEWLINES = {"CRLF": "\r\n", "LF": "\n", "CR": "\r"}
+
+
+def _formatted(df: DataFrame, formatter: dict) -> DataFrame:
+    """Render timestamp columns as canonical text the way PagePrinter does
+    (spi/util/PagePrinter.java:67-99 via Instants.java:20-76), so output
+    bytes are deterministic across sessions/timezones."""
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp":
+            cols.append(timestamp_to_string(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def write_csv(df: DataFrame, out_config: dict) -> None:
+    formatter = out_config.get("formatter", {})
+    writer = (
+        _formatted(df, formatter)
+        .write.mode(out_config.get("mode", "overwrite"))
+        .option("delimiter", formatter.get("delimiter", ","))
+        .option("header", str(bool(formatter.get("header_line", True))).lower())
+        .option("lineSep", NEWLINES.get(formatter.get("newline", "LF"), "\n"))
+        .option("charset", formatter.get("charset", "UTF-8"))
+        .option("quote", formatter.get("quote", '"'))
+        .option("escape", formatter.get("escape", '"'))
+        .option("nullValue", formatter.get("null_string", ""))
+    )
+    codec = _encoder_codec(out_config)
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.csv(_out_dir(out_config))
+
+
+def write_jsonl(df: DataFrame, out_config: dict) -> None:
+    writer = df.write.mode(out_config.get("mode", "overwrite"))
+    codec = _encoder_codec(out_config)
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.json(_out_dir(out_config))
+
+
+def write_parquet(df: DataFrame, out_config: dict) -> None:
+    df.write.mode(out_config.get("mode", "overwrite")).parquet(_out_dir(out_config))
+
+
+def _out_dir(out_config: dict) -> str:
+    # Embulk writes prefix+%03d+suffix flat files; Spark's equivalent unit
+    # is the prefix directory (part files inside). Strip a trailing
+    # separator-ish char so `/tmp/out_` becomes directory `/tmp/out_`.
+    return out_config["path_prefix"]
+
+
+def _encoder_codec(out_config: dict) -> str | None:
+    encs = out_config.get("encoders") or []
+    for e in encs:
+        t = e.get("type")
+        if t in ("gzip", "bzip2"):
+            return {"gzip": "gzip", "bzip2": "bzip2"}[t]
+    return None
+
+
+def write_output(df: DataFrame, out_config: dict) -> dict:
+    """Dispatch on out.type; returns a TaskReport-like dict (rows, sink)."""
+    otype = out_config.get("type", "stdout")
+    if otype == "file":
+        fmt = out_config.get("formatter", {}).get("type", "csv")
+        if fmt == "csv":
+            write_csv(df, out_config)
+        elif fmt in ("json", "jsonl"):
+            write_jsonl(df, out_config)
+        elif fmt == "parquet":
+            write_parquet(df, out_config)
+        else:
+            raise ValueError(f"unknown formatter type: {fmt}")
+        return {"type": "file", "path_prefix": out_config["path_prefix"]}
+    if otype == "stdout":
+        df.show(truncate=False)
+        return {"type": "stdout"}
+    if otype == "null":
+        # embulk-output-null: consume & discard (still runs the plan once)
+        df.write.format("noop").mode("overwrite").save()
+        return {"type": "null"}
+    raise ValueError(f"unknown output type: {otype}")

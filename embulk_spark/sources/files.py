@@ -1,0 +1,180 @@
+"""File input: glob → typed DataFrame, with declared or guessed schema.
+
+The Spark-native re-expression of Embulk's file-input chain
+(file-input → decoders → parser), whose composition lives in the reference
+at spi/FileInputRunner.java:101-118,126-145:
+
+- file enumeration + ``last_path`` cursor ≈ embulk-input-file's
+  ConfigDiff-based incremental scan (cursor mechanism:
+  exec/BulkLoader.java:299-306, written back by EmbulkRunner.java:329-334);
+- decoders (gzip/bzip2) ≈ codec-by-extension in Spark file sources
+  (spi/util/DecodersInternal.java:28-41 wraps first-to-last; Spark does
+  the same transparently);
+- parsers (csv/json) ≈ DataFrameReader formats with the schema DECLARED
+  up front, exactly like Embulk resolves SchemaConfig → Schema before the
+  run (spi/SchemaConfig.java:52-58). Per-column timestamp ``format``
+  (spi/ColumnConfig.java:62-73) is honored by reading those columns as
+  string and casting with the column's own strptime pattern.
+
+Scale note: one Embulk task per file (FileInputRunner) maps to Spark's
+file-split planning — many small files coalesce into splits, one huge
+.csv.gz stays a single task only because gzip isn't splittable, same as
+the reference. No driver-side data movement happens here; only the file
+*listing* is driver-side (as in every Spark file source).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.coerce import EMBULK_TO_SPARK, string_to_timestamp
+
+#: Embulk newline names → line separator bytes (spi/util/Newline.java:3-8)
+NEWLINES = {"CRLF": "\r\n", "LF": "\n", "CR": "\r"}
+
+
+def list_input_files(path_prefix: str, last_path: str | None = None) -> list[str]:
+    """Enumerate input files for a ``path_prefix``, honoring the
+    ``last_path`` cursor: only files strictly after it (lexicographic)
+    are new — embulk-input-file's incremental contract."""
+    paths = sorted(p for p in _glob.glob(path_prefix + "*") if os.path.isfile(p))
+    if last_path:
+        paths = [p for p in paths if p > last_path]
+    return paths
+
+
+def _declared_schema(columns: list[dict]) -> T.StructType:
+    """Schema with timestamp columns kept as string for per-column
+    format-aware parsing (done in :func:`_apply_timestamp_formats`)."""
+    fields = []
+    for c in columns:
+        etype = c["type"]
+        dt = T.StringType() if etype == "timestamp" else EMBULK_TO_SPARK[etype]
+        fields.append(T.StructField(c["name"], dt, True))
+    return T.StructType(fields)
+
+
+def _apply_timestamp_formats(df: DataFrame, columns: list[dict]) -> DataFrame:
+    exprs = []
+    for c in columns:
+        name = c["name"]
+        if c["type"] == "timestamp":
+            exprs.append(
+                string_to_timestamp(F.col(name), c.get("format")).alias(name)
+            )
+        else:
+            exprs.append(F.col(name))
+    return df.select(*exprs)
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: list[str],
+    parser: dict,
+) -> DataFrame:
+    """embulk-parser-csv semantics over Spark's csv source.
+
+    Options mirror the parser task (quote/escape/delimiter/skip_header_
+    lines/newline/charset/stop_on_invalid_record; see the column-options
+    analogue at spi/ColumnConfig.java:62-73 and LineDecoder task defaults
+    at spi/util/LineDecoder.java:24-35)."""
+    columns = parser["columns"]
+    schema = _declared_schema(columns)
+    reader = (
+        spark.read.schema(schema)
+        .option("delimiter", parser.get("delimiter", ","))
+        .option("quote", parser.get("quote", '"'))
+        .option("escape", parser.get("escape", '"'))
+        .option("charset", parser.get("charset", "UTF-8"))
+        .option(
+            "mode",
+            "FAILFAST" if parser.get("stop_on_invalid_record") else "PERMISSIVE",
+        )
+    )
+    skip = int(parser.get("skip_header_lines", 1 if parser.get("header_line") else 0))
+    if skip:
+        # Spark's `header` consumes exactly one line per file, like Embulk's
+        # skip_header_lines=1 (the common case); >1 needs the text path.
+        if skip == 1:
+            reader = reader.option("header", "true")
+        else:
+            return _read_csv_skip_n(spark, paths, parser, schema, skip)
+    nl = parser.get("newline")
+    if nl in NEWLINES and nl != "CRLF":
+        # Spark auto-detects \n and \r\n; only CR-only files need lineSep.
+        if nl == "CR":
+            reader = reader.option("lineSep", "\r")
+    df = reader.csv(paths)
+    return _apply_timestamp_formats(df, columns)
+
+
+def _read_csv_skip_n(
+    spark: SparkSession, paths: list[str], parser: dict, schema, skip: int
+) -> DataFrame:
+    """General skip_header_lines>1: text + per-file line index, then parse
+    with from_csv. Stays distributed (no driver materialization)."""
+    from pyspark.sql.window import Window
+
+    txt = spark.read.text(paths).withColumn("_f", F.input_file_name())
+    w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
+    body = txt.withColumn("_i", F.row_number().over(w)).filter(F.col("_i") > skip)
+    opts = {
+        "delimiter": parser.get("delimiter", ","),
+        "quote": parser.get("quote", '"'),
+        "escape": parser.get("escape", '"'),
+    }
+    parsed = body.select(
+        F.from_csv(F.col("value"), schema.simpleString(), opts).alias("r")
+    ).select("r.*")
+    return _apply_timestamp_formats(parsed, parser["columns"])
+
+
+def read_json(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
+    """embulk-parser-json: one JSON value per line → columns (when
+    ``columns`` declared) or raw ``record`` json column (Embulk's json
+    type ≈ canonical JSON text, docs/eeps/eep-0002.md)."""
+    columns = parser.get("columns")
+    if columns:
+        df = spark.read.schema(_declared_schema(columns)).json(paths)
+        return _apply_timestamp_formats(df, columns)
+    return spark.read.text(paths).select(F.col("value").alias("record"))
+
+
+def read_input_files(
+    spark: SparkSession, in_config: dict, last_path: str | None = None
+) -> tuple[DataFrame, dict]:
+    """The composed file-input chain. Returns (frame, config_diff_in)
+    where the diff carries the ``last_path`` cursor for the next run."""
+    paths = list_input_files(in_config["path_prefix"], last_path)
+    diff = {"last_path": max(paths) if paths else last_path}
+    parser = dict(in_config.get("parser", {"type": "csv", "columns": []}))
+    # guessed charset/newline land at the in: level (guess_bytes); the
+    # parser task consumes them (LineDecoder task, LineDecoder.java:24-35)
+    for k in ("charset", "newline"):
+        if k in in_config and k not in parser:
+            parser[k] = in_config[k]
+    ptype = parser.get("type", "csv")
+    if not paths:
+        cols = parser.get("columns") or []
+        empty = spark.createDataFrame([], _declared_schema(cols))
+        return _apply_timestamp_formats(empty, cols), diff
+    if ptype == "csv":
+        return read_csv(spark, paths, parser), diff
+    if ptype == "json":
+        return read_json(spark, paths, parser), diff
+    raise ValueError(f"unknown parser type: {ptype}")
+
+
+def inline_records(spark: SparkSession, in_config: dict) -> DataFrame:
+    """embulk-input-config analogue (build.gradle:25): records inlined in
+    the config — the fixture source for tests/previews."""
+    columns = in_config["columns"]
+    schema = _declared_schema(columns)
+    rows = [tuple(r) for r in in_config.get("values", [])]
+    df = spark.createDataFrame(rows, schema)
+    return _apply_timestamp_formats(df, columns)

@@ -1,40 +1,51 @@
-"""Snapshot-versioned, hash-bucketed lakehouse table with idempotent
-epoch-keyed commits — the exactly-once sink.
+"""Snapshot-versioned lakehouse table with idempotent epoch commits —
+the exactly-once CDC sink, **merge-on-read** edition.
 
-Semantics implemented (all with reference citations):
+Design (each point with its reference citation):
 
-- **Atomic all-or-nothing commit per micro-batch**: data files are written
-  under a new version directory first; the commit is a single atomic
-  rename of the snapshot manifest. A crash before the rename leaves the
-  table at the previous snapshot (orphan files, no visible change) —
-  Embulk's commit gate: a run fails unless all tasks committed
-  (reference exec/BulkLoader.java:541-548,692-700).
+- **Atomic all-or-nothing commit per micro-batch**: data files land under a
+  new version directory first; the commit is one atomic rename of the
+  snapshot manifest. A crash before the rename leaves the previous snapshot
+  visible (orphan files, no state change) — Embulk's commit gate: a run
+  fails unless all tasks committed (exec/BulkLoader.java:541-548,692-700).
 - **Idempotent epoch commits**: every snapshot records the set of committed
-  epoch ids; re-delivering a committed epoch is a no-op. This is Embulk's
-  "output tasks may be committed even when some input tasks failed … as
-  long as the output plugin is atomic and idempotent"
-  (exec/BulkLoader.java:154-159) and its resume contract, which re-runs
-  only tasks without committed reports (exec/BulkLoader.java:584-690).
-- **Copy-on-write MERGE with partition pruning**: the table is
-  hash-bucketed by url; a merge reads and rewrites ONLY the buckets that
-  contain changed keys. At 10^10 events / 1000 executors this is what
-  keeps a micro-batch's IO proportional to the change-set, not the table.
+  epoch ids; re-delivering a committed epoch is a no-op — "output tasks may
+  be committed … as long as output plugin is atomic and idempotent"
+  (exec/BulkLoader.java:154-159) and the resume contract that re-runs only
+  tasks without committed reports (exec/BulkLoader.java:584-690).
+- **Merge-on-read, not copy-on-write**: an epoch writes ONLY its deduped
+  change-set as a *delta* file group — no target read, no join, no table
+  rewrite. IO per micro-batch is O(change-set); a copy-on-write MERGE would
+  be O(touched table), which at the 10^10-event design point means every
+  batch rewrites terabytes. Reads reconstruct current state as
+  ``latest (warc_ts, seq) per url over base ∪ deltas`` — a hash agg with
+  map-side partial combine, the same skew-proof shape as the in-batch dedup
+  (see operators/merge.py). This is the Hudi/Iceberg MOR pattern expressed
+  in plain DataFrame ops.
+- **Compaction** folds deltas into the hash-bucketed base when they pile up
+  (ratio/areas below). Base files are bucketed by ``xxhash64(url) % n``, so
+  a compaction — and any key-targeted read — prunes to the touched buckets.
+  Deltas are range-clustered by bucket, so parquet row-group min/max stats
+  prune them too. Tombstones (deletes) survive compaction — a late older
+  update must stay dead — but can be expired past a watermark
+  (``tombstone_retention_ts``) once late data is impossible.
 - **Schema evolution** (add / rename / widen): schema versions live in the
-  manifest; data files are never rewritten for a schema change — reads
-  normalize each file group from its write-time schema to the current one
-  (rename map + null-fill + cast), with type-widening per the reference's
-  guess lattice (embulk-ruby/lib/embulk/guess/schema_guess.rb:112-128).
-  This mirrors Embulk's between-runs re-guess + ConfigDiff merge
+  manifest; files are never rewritten for a schema change — reads normalize
+  each file group from its write-time schema to the current one (rename map
+  + null-fill + cast), widening per the reference's guess lattice
+  (embulk-ruby/lib/embulk/guess/schema_guess.rb:112-128), mirroring
+  Embulk's between-runs re-guess + ConfigDiff merge
   (exec/GuessExecutor.java:142-195).
-- **Lineage & metrics per commit**: per-bucket row/byte/file counts are
-  read from parquet footers (no extra Spark job); batch metrics are
-  gathered with ``DataFrame.observe`` during the write job itself
-  (Embulk's TaskReport analogue, exec/BulkLoader.java:121-152).
+- **Lineage & metrics per commit**: per-bucket key/event/delete counts are
+  aggregated from the just-written delta files with a column-pruned scan
+  (bkt/_n_events/is_deleted only — a few bytes per row); file/byte counts
+  come from parquet footers. Embulk's TaskReport analogue
+  (exec/BulkLoader.java:121-152).
 
-When Iceberg jars are on the classpath the same protocol maps 1:1 onto
-Iceberg snapshots (`snapshot summary` carries the epoch id); see
-``iceberg.py``. This parquet backend is the default in environments
-without the jars and is what the test suite runs against.
+When Iceberg jars are on the classpath the same protocol maps onto Iceberg
+snapshots (epoch id in the snapshot summary); see ``iceberg.py``. This
+parquet backend is the default where the jars are absent and is what the
+test suite runs against.
 """
 
 from __future__ import annotations
@@ -54,8 +65,6 @@ from ..operators.merge import (
     bucket_of,
     changes_to_target_rows,
     dedup_latest,
-    merge_upsert,
-    salted_repartition,
 )
 
 TARGET_DDL = (
@@ -85,7 +94,12 @@ def _atomic_write_json(path: str, payload: dict) -> None:
 
 
 class ParquetLakeTable:
-    """Hash-bucketed snapshot table over local/posix parquet."""
+    """Merge-on-read snapshot table over local/posix parquet.
+
+    ``compact_min_deltas`` / ``compact_ratio``: a commit triggers compaction
+    when at least ``compact_min_deltas`` delta groups exist AND their total
+    rows exceed ``compact_ratio ×`` base rows — amortized O(log) rewrites of
+    any row, like LSM leveling."""
 
     def __init__(
         self,
@@ -93,10 +107,14 @@ class ParquetLakeTable:
         path: str,
         n_buckets: int = 16,
         schema_ddl: str = TARGET_DDL,
+        compact_min_deltas: int = 8,
+        compact_ratio: float = 1.0,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
+        self.compact_min_deltas = compact_min_deltas
+        self.compact_ratio = compact_ratio
         self._snap_dir = os.path.join(self.path, "snapshots")
         self._data_dir = os.path.join(self.path, "data")
         os.makedirs(self._snap_dir, exist_ok=True)
@@ -109,7 +127,9 @@ class ParquetLakeTable:
                 "schema_v": 0,
                 "schemas": {"0": schema_ddl},
                 "renames": [],
-                "buckets": {},
+                "base": {},
+                "base_rows": 0,
+                "deltas": [],
                 "metrics": {},
                 "lineage": [],
                 "committed_at": time.time(),
@@ -145,37 +165,12 @@ class ParquetLakeTable:
     # read path
     # ------------------------------------------------------------------
 
-    def _read_groups(self, snap: dict, buckets: list[int] | None) -> DataFrame:
-        """Read manifest file groups, normalizing each to the current
-        schema (rename → null-fill → cast)."""
-        cur = self.schema(snap)
-        want = set(buckets) if buckets is not None else None
-        groups: dict[int, list[str]] = {}
-        for b, entry in snap["buckets"].items():
-            if want is not None and int(b) not in want:
-                continue
-            groups.setdefault(int(entry["schema_v"]), []).extend(entry["files"])
-        parts: list[DataFrame] = []
-        for schema_v, files in sorted(groups.items()):
-            if not files:
-                continue
-            ddl = snap["schemas"][str(schema_v)]
-            file_schema = T.StructType.fromDDL(ddl).add("bkt", T.IntegerType())
-            df = self.spark.read.schema(file_schema).parquet(
-                *[os.path.join(self.path, p) for p in files]
-            )
-            parts.append(self._normalize(df, schema_v, snap, cur))
-        if not parts:
-            empty_schema = T.StructType(cur.fields).add("bkt", T.IntegerType())
-            return self.spark.createDataFrame([], empty_schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
     def _normalize(
         self, df: DataFrame, from_schema_v: int, snap: dict, cur: T.StructType
     ) -> DataFrame:
+        """Write-time schema → current schema: renames after the file's
+        version, then null-fill + cast (the widen lattice guarantees casts
+        are lossless)."""
         for r in snap["renames"]:
             if r["schema_v"] > from_schema_v and r["from"] in df.columns:
                 df = df.withColumnRenamed(r["from"], r["to"])
@@ -187,16 +182,75 @@ class ParquetLakeTable:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         return df.select(*cols, F.col("bkt"))
 
+    def _empty(self, cur: T.StructType) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], T.StructType(cur.fields).add("bkt", T.IntegerType())
+        )
+
+    def _read_file_groups(
+        self, snap: dict, groups: list[tuple[int, list[str]]]
+    ) -> DataFrame | None:
+        """Read (schema_v, files) groups, each normalized to the current
+        schema. File paths are manifest-relative. Extra physical columns in
+        a file (deltas carry ``_n_events``) are simply not selected."""
+        cur = self.schema(snap)
+        by_v: dict[int, list[str]] = {}
+        for schema_v, files in groups:
+            if files:
+                by_v.setdefault(schema_v, []).extend(files)
+        parts: list[DataFrame] = []
+        for schema_v, files in sorted(by_v.items()):
+            ddl = snap["schemas"][str(schema_v)]
+            file_schema = T.StructType.fromDDL(ddl).add("bkt", T.IntegerType())
+            df = self.spark.read.schema(file_schema).parquet(
+                *[os.path.join(self.path, p) for p in files]
+            )
+            parts.append(self._normalize(df, schema_v, snap, cur))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _base_df(self, snap: dict, buckets: list[int] | None) -> DataFrame | None:
+        want = set(buckets) if buckets is not None else None
+        groups = [
+            (int(e["schema_v"]), e["files"])
+            for b, e in snap["base"].items()
+            if want is None or int(b) in want
+        ]
+        return self._read_file_groups(snap, groups)
+
+    def _delta_df(self, snap: dict, buckets: list[int] | None) -> DataFrame | None:
+        groups = [(int(d["schema_v"]), d["files"]) for d in snap["deltas"]]
+        df = self._read_file_groups(snap, groups)
+        if df is not None and buckets is not None:
+            # deltas are range-clustered by bkt → row-group stats prune this
+            df = df.filter(F.col("bkt").isin([int(b) for b in buckets]))
+        return df
+
     def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current state including tombstones; ``buckets`` prunes."""
-        return self._read_groups(self.current_snapshot(), buckets)
+        """Current merged state including tombstones; ``buckets`` prunes.
+        MOR reconstruction: latest (warc_ts, seq) per url over base∪deltas —
+        a hash agg, never a window sort (see operators/merge.py)."""
+        snap = self.current_snapshot()
+        cur = self.schema(snap)
+        base = self._base_df(snap, buckets)
+        delta = self._delta_df(snap, buckets)
+        if base is None and delta is None:
+            return self._empty(cur)
+        if delta is None:
+            return base  # base is already one row per url
+        both = delta if base is None else base.unionByName(delta)
+        return dedup_latest(both)
 
     def published(self) -> DataFrame:
         """Final user-facing state (tombstones filtered)."""
         return self.read().filter(~F.col("is_deleted")).drop("is_deleted", "bkt")
 
     # ------------------------------------------------------------------
-    # MERGE commit
+    # MERGE commit (merge-on-read: append the deduped change-set)
     # ------------------------------------------------------------------
 
     def merge_epoch(
@@ -205,20 +259,23 @@ class ParquetLakeTable:
         epoch_id: int,
         *,
         extract: bool = True,
-        write_spread: int = 4,
     ) -> dict:
-        """Apply one micro-batch of change events as an idempotent,
-        atomic MERGE commit. Returns the commit metrics.
+        """Apply one micro-batch of change events as an idempotent, atomic
+        commit; returns the commit metrics.
 
         ``batch_events`` columns: seq, op, url, warc_ts, html, lang
         (epoch/schema_change optional and ignored here).
+
+        ONE heavy job per epoch: dedup (hash agg) → HTML→text extraction
+        (Arrow-batched pandas UDF) → range-clustered delta write. Metrics
+        then come from a column-pruned scan of the files just written plus
+        their footers — never a second pass over html/text bytes.
         """
         snap = self.current_snapshot()
         if epoch_id in set(snap["committed_epochs"]):
             return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
 
         cur = self.schema(snap)
-        cur_cols = [f.name for f in cur.fields]
 
         ev_cols = ["seq", "op", "url", "warc_ts", "html", "lang"]
         batch = batch_events.select(*ev_cols)
@@ -235,26 +292,43 @@ class ParquetLakeTable:
         else:
             latest = latest.withColumn("text", F.lit(None).cast("string"))
         changes = changes_to_target_rows(latest, carry=["_n_events"])
-        # normalize changes to the (possibly evolved) current schema
+        # normalize to the (possibly evolved) current schema
         for field in cur.fields:
             if field.name not in changes.columns:
                 changes = changes.withColumn(
                     field.name, F.lit(None).cast(field.dataType)
                 )
         changes = changes.select(
-            "_n_events",
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields],
-        )
-        changes = changes.withColumn("bkt", bucket_of(F.col("url"), self.n_buckets))
-        # The change-set is consumed twice (stats + merge join):
-        # persist so dedup + extraction run once per epoch.
-        changes = changes.persist()
+            F.col("_n_events"),
+        ).withColumn("bkt", bucket_of(F.col("url"), self.n_buckets))
 
-        # ONE small job: per-bucket stats → bucket pruning set + batch metrics.
-        # (Observation/observe is avoided deliberately: listener-bus delivery
-        # adds erratic multi-second stalls per epoch.)
+        new_version = snap["version"] + 1
+        rel_dir = f"data/v{new_version:08d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        # Write the dedup shuffle's output directly: AQE coalesces the agg's
+        # post-shuffle partitions to sized files — no second shuffle, no
+        # range-sampling pass (repartitionByRange would re-run extraction to
+        # sample boundaries). Delta files are therefore url-hash-clustered,
+        # not bucket-clustered; that's fine because in MOR nothing on the
+        # hot path reads deltas by bucket (compaction and published() scan
+        # them all).
+        changes.write.mode("overwrite").parquet(out_dir)
+
+        files, rows_written, nbytes = self._list_files(rel_dir)
+        if rows_written == 0:
+            return self._commit(
+                snap, epoch_id,
+                metrics={"epoch_id": epoch_id, "rows_in": 0, "empty_batch": True},
+                lineage=[],
+            )
+
+        # cheap stats pass: 3 narrow columns of the delta just written
+        stat_schema = "bkt INT, is_deleted BOOLEAN, _n_events BIGINT, warc_ts TIMESTAMP"
         bstats = (
-            changes.groupBy("bkt")
+            self.spark.read.schema(stat_schema)
+            .parquet(out_dir)
+            .groupBy("bkt")
             .agg(
                 F.sum("_n_events").alias("rows_in"),
                 F.count(F.lit(1)).alias("keys"),
@@ -263,84 +337,156 @@ class ParquetLakeTable:
             )
             .collect()
         )
-        changed = sorted(r["bkt"] for r in bstats)
-        if not changed:
-            changes.unpersist()
-            return self._commit(snap, epoch_id, snap["buckets"], {
-                "epoch_id": epoch_id, "rows_in": 0, "empty_batch": True,
-            }, [])
+        lineage = [
+            {"bucket": r["bkt"], "rows": r["keys"], "events": r["rows_in"],
+             "deletes": r["deletes"]}
+            for r in sorted(bstats, key=lambda r: r["bkt"])
+        ]
         rows_in = sum(r["rows_in"] for r in bstats)
         keys_in_batch = sum(r["keys"] for r in bstats)
-        delete_keys = sum(r["deletes"] for r in bstats)
-        max_warc_ts = max(r["max_ts"] for r in bstats)
-
-        target_subset = self._read_groups(snap, changed)
-        merged = merge_upsert(target_subset, changes, cur_cols)
-        merged = merged.withColumn("bkt", bucket_of(F.col("url"), self.n_buckets))
-
-        new_version = snap["version"] + 1
-        rel_dir = f"data/v{new_version:08d}"
-        out_dir = os.path.join(self.path, rel_dir)
-        nparts = max(self.spark.sparkContext.defaultParallelism, len(changed))
-        merged = salted_repartition(merged, nparts, key="bkt", spread=write_spread)
-        (
-            merged.withColumn("bucket", F.col("bkt"))
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-        changes.unpersist()
-
-        # Manifest: changed buckets → new files; others carry over.
-        new_buckets = dict(snap["buckets"])
-        lineage = []
-        import pyarrow.parquet as pq
-
-        for b in changed:
-            bdir = os.path.join(out_dir, f"bucket={b}")
-            files, rows, nbytes = [], 0, 0
-            if os.path.isdir(bdir):
-                for fn in sorted(os.listdir(bdir)):
-                    if fn.endswith(".parquet"):
-                        fp = os.path.join(bdir, fn)
-                        files.append(os.path.relpath(fp, self.path))
-                        rows += pq.ParquetFile(fp).metadata.num_rows
-                        nbytes += os.path.getsize(fp)
-            new_buckets[str(b)] = {"files": files, "schema_v": snap["schema_v"]}
-            lineage.append({"bucket": b, "rows": rows, "files": len(files), "bytes": nbytes})
-
         metrics = {
             "epoch_id": epoch_id,
             "rows_in": rows_in,
             "keys_in_batch": keys_in_batch,
             "dedup_count": rows_in - keys_in_batch,
-            "delete_keys": delete_keys,
-            "rows_written": sum(e["rows"] for e in lineage),
-            "buckets_rewritten": len(changed),
-            "max_warc_ts": str(max_warc_ts),
+            "delete_keys": sum(r["deletes"] for r in bstats),
+            "rows_written": rows_written,
+            "delta_files": len(files),
+            "delta_bytes": nbytes,
+            "buckets_touched": len(bstats),
+            "max_warc_ts": str(max(r["max_ts"] for r in bstats)),
         }
-        return self._commit(snap, epoch_id, new_buckets, metrics, lineage)
+        delta_group = {
+            "files": files,
+            "schema_v": snap["schema_v"],
+            "rows": rows_written,
+            "epoch_id": epoch_id,
+        }
+        out = self._commit(
+            snap, epoch_id, metrics=metrics, lineage=lineage, new_delta=delta_group
+        )
+        self.maybe_compact()
+        return out
+
+    def _list_files(self, rel_dir: str) -> tuple[list[str], int, int]:
+        import pyarrow.parquet as pq
+
+        full = os.path.join(self.path, rel_dir)
+        files, rows, nbytes = [], 0, 0
+        for root, _dirs, fns in os.walk(full):
+            for fn in sorted(fns):
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(root, fn)
+                    files.append(os.path.relpath(fp, self.path))
+                    rows += pq.ParquetFile(fp).metadata.num_rows
+                    nbytes += os.path.getsize(fp)
+        return files, rows, nbytes
 
     def _commit(
-        self, snap: dict, epoch_id: int, buckets: dict, metrics: dict, lineage: list
+        self,
+        snap: dict,
+        epoch_id: int | None,
+        *,
+        metrics: dict,
+        lineage: list,
+        new_delta: dict | None = None,
+        new_base: dict | None = None,
+        new_base_rows: int | None = None,
+        clear_deltas: bool = False,
+        schema_v: int | None = None,
+        schemas: dict | None = None,
+        renames: list | None = None,
     ) -> dict:
         new_version = snap["version"] + 1
         committed_at = time.time()
         metrics = dict(metrics, committed_at=committed_at)
+        epochs = set(snap["committed_epochs"])
+        if epoch_id is not None:
+            epochs.add(epoch_id)
         new_snap = {
             "version": new_version,
             "epoch_id": epoch_id,
-            "committed_epochs": sorted(set(snap["committed_epochs"]) | {epoch_id}),
-            "schema_v": snap["schema_v"],
-            "schemas": snap["schemas"],
-            "renames": snap["renames"],
-            "buckets": buckets,
+            "committed_epochs": sorted(epochs),
+            "schema_v": schema_v if schema_v is not None else snap["schema_v"],
+            "schemas": schemas or snap["schemas"],
+            "renames": renames if renames is not None else snap["renames"],
+            "base": new_base if new_base is not None else snap["base"],
+            "base_rows": (
+                new_base_rows if new_base_rows is not None else snap["base_rows"]
+            ),
+            "deltas": (
+                [] if clear_deltas
+                else snap["deltas"] + ([new_delta] if new_delta else [])
+            ),
             "metrics": metrics,
             "lineage": lineage,
             "committed_at": committed_at,
         }
         _atomic_write_json(self._snap_path(new_version), new_snap)
         return metrics
+
+    # ------------------------------------------------------------------
+    # compaction: fold deltas into the hash-bucketed base
+    # ------------------------------------------------------------------
+
+    def maybe_compact(self) -> dict | None:
+        snap = self.current_snapshot()
+        delta_rows = sum(d["rows"] for d in snap["deltas"])
+        if len(snap["deltas"]) < self.compact_min_deltas:
+            return None
+        if delta_rows < self.compact_ratio * max(1, snap["base_rows"]):
+            return None
+        return self.compact()
+
+    def compact(self, tombstone_retention_ts: str | None = None) -> dict:
+        """Merge base∪deltas into a fresh bucketed base (one row per url).
+        ``tombstone_retention_ts``: drop tombstones older than this
+        watermark — safe once events that late can no longer arrive."""
+        snap = self.current_snapshot()
+        merged = self.read()
+        if tombstone_retention_ts:
+            merged = merged.filter(
+                (~F.col("is_deleted"))
+                | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
+            )
+        new_version = snap["version"] + 1
+        rel_dir = f"data/v{new_version:08d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            merged.withColumn("bucket", F.col("bkt"))
+            .repartition(self.n_buckets, F.col("bkt"))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_base: dict[str, dict] = {}
+        total_rows = 0
+        import pyarrow.parquet as pq
+
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith("bucket="):
+                continue
+            b = int(entry.split("=")[1])
+            bdir = os.path.join(out_dir, entry)
+            files, rows = [], 0
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(bdir, fn)
+                    files.append(os.path.relpath(fp, self.path))
+                    rows += pq.ParquetFile(fp).metadata.num_rows
+            new_base[str(b)] = {
+                "files": files, "schema_v": snap["schema_v"], "rows": rows,
+            }
+            total_rows += rows
+        metrics = {
+            "compaction": True,
+            "base_rows": total_rows,
+            "deltas_folded": len(snap["deltas"]),
+        }
+        return self._commit(
+            snap, None, metrics=metrics, lineage=[],
+            new_base=new_base, new_base_rows=total_rows, clear_deltas=True,
+        )
 
     # ------------------------------------------------------------------
     # schema evolution (add / rename / widen) — manifest-only, no rewrite
@@ -352,17 +498,11 @@ class ParquetLakeTable:
         renames = list(snap["renames"])
         if rename:
             renames.append(dict(rename, schema_v=new_schema_v))
-        new_snap = dict(
-            snap,
-            version=snap["version"] + 1,
-            schema_v=new_schema_v,
-            schemas=schemas,
-            renames=renames,
+        self._commit(
+            snap, None,
             metrics={"schema_change": True, "schema_v": new_schema_v},
-            lineage=[],
-            committed_at=time.time(),
+            lineage=[], schema_v=new_schema_v, schemas=schemas, renames=renames,
         )
-        _atomic_write_json(self._snap_path(new_snap["version"]), new_snap)
 
     def add_column(self, name: str, spark_type: str) -> None:
         snap = self.current_snapshot()
