@@ -54,7 +54,10 @@ def extract_text_from_str(html: str) -> str:
     s = _RE_TAG.sub(" ", s)
     for ent, rep in _ENTITIES:
         s = s.replace(ent, rep)
-    return _RE_WS.sub(" ", s).strip()
+    # whitespace collapse: " ".join(s.split()) is byte-identical to
+    # _RE_WS.sub(" ", s).strip() (verified over all 0x110000 codepoints)
+    # and ~3.5x faster — this line is >half the extractor's CPU.
+    return " ".join(s.split())
 
 
 def extract_text_oracle(html: bytes | None) -> str | None:

@@ -80,8 +80,12 @@ def changes_to_target_rows(
 ) -> DataFrame:
     """Shape a deduped change-set into target-table rows: deletes become
     tombstones (payload nulled, ordering columns kept). ``carry`` columns
-    (e.g. piggybacked metric counts) pass through unchanged."""
+    (e.g. piggybacked metric counts) pass through unchanged. Payload
+    columns beyond the core set (schema-evolution adds) are nulled on
+    delete like any other payload."""
     is_del = F.col("op") == "D"
+    core = {"url", "warc_ts", "seq", "op", "html", "text", "lang", *(carry or [])}
+    extra_payload = [c for c in batch_latest.columns if c not in core]
     return batch_latest.select(
         *(carry or []),
         "url",
@@ -90,6 +94,10 @@ def changes_to_target_rows(
         F.when(is_del, F.lit(None).cast("binary")).otherwise(F.col("html")).alias("html"),
         F.when(is_del, F.lit(None).cast("string")).otherwise(F.col("text")).alias("text"),
         F.when(is_del, F.lit(None).cast("string")).otherwise(F.col("lang")).alias("lang"),
+        *[
+            F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in extra_payload
+        ],
         is_del.alias("is_deleted"),
     )
 

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -117,6 +118,12 @@ class ParquetLakeTable:
         self.compact_ratio = compact_ratio
         self._snap_dir = os.path.join(self.path, "snapshots")
         self._data_dir = os.path.join(self.path, "data")
+        # serializes snapshot commits for concurrent (pipelined) epochs in
+        # this process; cross-process safety comes from the atomic rename
+        # (optimistic concurrency, like Iceberg's commit retry)
+        self._commit_lock = threading.Lock()
+        # at most one compaction at a time; contenders skip, not queue
+        self._compact_lock = threading.Lock()
         os.makedirs(self._snap_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
         if self.current_snapshot() is None:
@@ -277,8 +284,15 @@ class ParquetLakeTable:
 
         cur = self.schema(snap)
 
+        # core event columns plus any payload column the evolved target
+        # schema declares (schema-evolution adds flow through the merge)
         ev_cols = ["seq", "op", "url", "warc_ts", "html", "lang"]
-        batch = batch_events.select(*ev_cols)
+        declared = {f.name for f in cur.fields}
+        extra_cols = [
+            c for c in batch_events.columns
+            if c not in ev_cols + ["epoch", "schema_change"] and c in declared
+        ]
+        batch = batch_events.select(*ev_cols, *extra_cols)
 
         # piggyback per-key event counts on the dedup shuffle (no 2nd pass)
         latest = dedup_latest(batch, extra_aggs={"_n_events": F.count(F.lit(1))})
@@ -292,6 +306,11 @@ class ParquetLakeTable:
         else:
             latest = latest.withColumn("text", F.lit(None).cast("string"))
         changes = changes_to_target_rows(latest, carry=["_n_events"])
+        # incoming events use original column names; apply the manifest's
+        # rename map so evolved batches land under the current names
+        for r in snap["renames"]:
+            if r["from"] in changes.columns and r["to"] not in changes.columns:
+                changes = changes.withColumnRenamed(r["from"], r["to"])
         # normalize to the (possibly evolved) current schema
         for field in cur.fields:
             if field.name not in changes.columns:
@@ -303,8 +322,8 @@ class ParquetLakeTable:
             F.col("_n_events"),
         ).withColumn("bkt", bucket_of(F.col("url"), self.n_buckets))
 
-        new_version = snap["version"] + 1
-        rel_dir = f"data/v{new_version:08d}"
+        # dir name is version-independent so pipelined epochs never collide
+        rel_dir = f"data/e{epoch_id:08d}_{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
         # Write the dedup shuffle's output directly: AQE coalesces the agg's
         # post-shuffle partitions to sized files — no second shuffle, no
@@ -313,7 +332,24 @@ class ParquetLakeTable:
         # not bucket-clustered; that's fine because in MOR nothing on the
         # hot path reads deltas by bucket (compaction and published() scan
         # them all).
-        changes.write.mode("overwrite").parquet(out_dir)
+        # lineage/metrics piggyback on the write itself via Observation:
+        # 3 tiny conditional aggs per bucket + a global max, evaluated
+        # inside the write job — per-epoch cost is ONE Spark job, not two
+        # (reference TaskReport analogue, exec/BulkLoader.java:121-152).
+        from pyspark.sql import Observation
+
+        obs = Observation(f"epoch_{epoch_id}")
+        b = F.col("bkt")
+        obs_aggs = [F.max("warc_ts").alias("max_ts")]
+        for i in range(self.n_buckets):
+            hit = b == i
+            obs_aggs += [
+                F.sum(F.when(hit, F.col("_n_events"))).alias(f"ev_{i}"),
+                F.count(F.when(hit, F.lit(1))).alias(f"keys_{i}"),
+                F.sum(F.when(hit & F.col("is_deleted"), F.lit(1))).alias(f"del_{i}"),
+            ]
+        changes.observe(obs, *obs_aggs).write.mode("overwrite").parquet(out_dir)
+        stats = obs.get
 
         files, rows_written, nbytes = self._list_files(rel_dir)
         if rows_written == 0:
@@ -323,38 +359,25 @@ class ParquetLakeTable:
                 lineage=[],
             )
 
-        # cheap stats pass: 3 narrow columns of the delta just written
-        stat_schema = "bkt INT, is_deleted BOOLEAN, _n_events BIGINT, warc_ts TIMESTAMP"
-        bstats = (
-            self.spark.read.schema(stat_schema)
-            .parquet(out_dir)
-            .groupBy("bkt")
-            .agg(
-                F.sum("_n_events").alias("rows_in"),
-                F.count(F.lit(1)).alias("keys"),
-                F.sum(F.col("is_deleted").cast("long")).alias("deletes"),
-                F.max("warc_ts").alias("max_ts"),
-            )
-            .collect()
-        )
         lineage = [
-            {"bucket": r["bkt"], "rows": r["keys"], "events": r["rows_in"],
-             "deletes": r["deletes"]}
-            for r in sorted(bstats, key=lambda r: r["bkt"])
+            {"bucket": i, "rows": stats[f"keys_{i}"],
+             "events": stats[f"ev_{i}"] or 0, "deletes": stats[f"del_{i}"] or 0}
+            for i in range(self.n_buckets)
+            if stats[f"keys_{i}"]
         ]
-        rows_in = sum(r["rows_in"] for r in bstats)
-        keys_in_batch = sum(r["keys"] for r in bstats)
+        rows_in = sum(r["events"] for r in lineage)
+        keys_in_batch = sum(r["rows"] for r in lineage)
         metrics = {
             "epoch_id": epoch_id,
             "rows_in": rows_in,
             "keys_in_batch": keys_in_batch,
             "dedup_count": rows_in - keys_in_batch,
-            "delete_keys": sum(r["deletes"] for r in bstats),
+            "delete_keys": sum(r["deletes"] for r in lineage),
             "rows_written": rows_written,
             "delta_files": len(files),
             "delta_bytes": nbytes,
-            "buckets_touched": len(bstats),
-            "max_warc_ts": str(max(r["max_ts"] for r in bstats)),
+            "buckets_touched": len(lineage),
+            "max_warc_ts": str(stats["max_ts"]),
         }
         delta_group = {
             "files": files,
@@ -392,37 +415,53 @@ class ParquetLakeTable:
         new_delta: dict | None = None,
         new_base: dict | None = None,
         new_base_rows: int | None = None,
-        clear_deltas: bool = False,
+        folded_deltas: list | None = None,
         schema_v: int | None = None,
         schemas: dict | None = None,
         renames: list | None = None,
     ) -> dict:
-        new_version = snap["version"] + 1
-        committed_at = time.time()
-        metrics = dict(metrics, committed_at=committed_at)
-        epochs = set(snap["committed_epochs"])
-        if epoch_id is not None:
-            epochs.add(epoch_id)
-        new_snap = {
-            "version": new_version,
-            "epoch_id": epoch_id,
-            "committed_epochs": sorted(epochs),
-            "schema_v": schema_v if schema_v is not None else snap["schema_v"],
-            "schemas": schemas or snap["schemas"],
-            "renames": renames if renames is not None else snap["renames"],
-            "base": new_base if new_base is not None else snap["base"],
-            "base_rows": (
-                new_base_rows if new_base_rows is not None else snap["base_rows"]
-            ),
-            "deltas": (
-                [] if clear_deltas
-                else snap["deltas"] + ([new_delta] if new_delta else [])
-            ),
-            "metrics": metrics,
-            "lineage": lineage,
-            "committed_at": committed_at,
-        }
-        _atomic_write_json(self._snap_path(new_version), new_snap)
+        """Publish a new snapshot. REBASES on the current snapshot under the
+        commit lock (not the one the caller captured), so pipelined epochs
+        whose heavy jobs overlapped commit their deltas without losing each
+        other — optimistic concurrency as in Iceberg's commit protocol; the
+        MOR resolution by (warc_ts, seq) makes the final state independent
+        of commit interleaving. ``folded_deltas``: delta groups a compaction
+        folded into the new base — only THOSE are dropped; deltas committed
+        concurrently survive."""
+        with self._commit_lock:
+            cur = self.current_snapshot()
+            new_version = cur["version"] + 1
+            committed_at = time.time()
+            metrics = dict(metrics, committed_at=committed_at)
+            epochs = set(cur["committed_epochs"])
+            if epoch_id is not None:
+                epochs.add(epoch_id)
+            deltas = cur["deltas"]
+            if folded_deltas is not None:
+                folded_keys = {d["files"][0] for d in folded_deltas if d["files"]}
+                deltas = [
+                    d for d in deltas
+                    if not d["files"] or d["files"][0] not in folded_keys
+                ]
+            if new_delta:
+                deltas = deltas + [new_delta]
+            new_snap = {
+                "version": new_version,
+                "epoch_id": epoch_id,
+                "committed_epochs": sorted(epochs),
+                "schema_v": schema_v if schema_v is not None else cur["schema_v"],
+                "schemas": schemas or cur["schemas"],
+                "renames": renames if renames is not None else cur["renames"],
+                "base": new_base if new_base is not None else cur["base"],
+                "base_rows": (
+                    new_base_rows if new_base_rows is not None else cur["base_rows"]
+                ),
+                "deltas": deltas,
+                "metrics": metrics,
+                "lineage": lineage,
+                "committed_at": committed_at,
+            }
+            _atomic_write_json(self._snap_path(new_version), new_snap)
         return metrics
 
     # ------------------------------------------------------------------
@@ -436,7 +475,12 @@ class ParquetLakeTable:
             return None
         if delta_rows < self.compact_ratio * max(1, snap["base_rows"]):
             return None
-        return self.compact()
+        if not self._compact_lock.acquire(blocking=False):
+            return None  # a pipelined sibling is already compacting
+        try:
+            return self.compact()
+        finally:
+            self._compact_lock.release()
 
     def compact(self, tombstone_retention_ts: str | None = None) -> dict:
         """Merge base∪deltas into a fresh bucketed base (one row per url).
@@ -449,8 +493,7 @@ class ParquetLakeTable:
                 (~F.col("is_deleted"))
                 | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
             )
-        new_version = snap["version"] + 1
-        rel_dir = f"data/v{new_version:08d}"
+        rel_dir = f"data/compact_{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
         (
             merged.withColumn("bucket", F.col("bkt"))
@@ -485,7 +528,8 @@ class ParquetLakeTable:
         }
         return self._commit(
             snap, None, metrics=metrics, lineage=[],
-            new_base=new_base, new_base_rows=total_rows, clear_deltas=True,
+            new_base=new_base, new_base_rows=total_rows,
+            folded_deltas=snap["deltas"],
         )
 
     # ------------------------------------------------------------------

@@ -65,12 +65,23 @@ def replay_batches(
     events: DataFrame,
     *,
     max_epochs: int | None = None,
+    pipeline_depth: int = 2,
 ) -> list[dict]:
     """Replay all (remaining) epochs of ``events`` in epoch order.
 
     Schema-change events (rare by construction) are collected in ONE
     upfront scan instead of a per-epoch filter job; each epoch then costs
-    exactly two Spark jobs (stats+dedup, merge+write)."""
+    exactly ONE heavy Spark job (dedup+extract+write with piggybacked
+    observe metrics).
+
+    ``pipeline_depth`` > 1 overlaps consecutive epochs' Spark jobs on
+    driver threads. This is sound because the MOR table resolves the
+    winner per url by (warc_ts, seq) — final state is independent of
+    commit interleaving — and snapshot commits rebase under the commit
+    lock (see ParquetLakeTable._commit). Epochs carrying schema-change
+    events act as barriers: the pipeline drains, DDL applies, then
+    overlap resumes (Embulk analogue: config diff applies between runs,
+    exec/GuessExecutor.java:142-195)."""
     has_schema_col = "schema_change" in events.columns
     epoch_rows = (
         events.groupBy("epoch")
@@ -87,19 +98,50 @@ def replay_batches(
             schema_by_epoch.setdefault(int(row["epoch"]), []).append(row)
 
     done = table.committed_epochs()
-    out: list[dict] = []
+    pending: list[int] = []
     n = 0
     for e in epochs:
         if e in done:
             continue
         if max_epochs is not None and n >= max_epochs:
             break
-        for row in sorted(schema_by_epoch.get(int(e), []), key=lambda r: r["seq"]):
-            if row["schema_change"]:
-                apply_schema_change(table, row["schema_change"])
-        data = events.filter((F.col("epoch") == e) & (F.col("op") != "S"))
-        out.append(table.merge_epoch(data, int(e)))
+        pending.append(int(e))
         n += 1
+
+    def run_epoch(e: int) -> dict:
+        data = events.filter((F.col("epoch") == e) & (F.col("op") != "S"))
+        return table.merge_epoch(data, e)
+
+    out: list[dict] = []
+    if pipeline_depth <= 1:
+        for e in pending:
+            for row in sorted(schema_by_epoch.get(e, []), key=lambda r: r["seq"]):
+                if row["schema_change"]:
+                    apply_schema_change(table, row["schema_change"])
+            out.append(run_epoch(e))
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=pipeline_depth) as ex:
+        futures: list = []
+
+        def drain():
+            for f in futures:
+                out.append(f.result())
+            futures.clear()
+
+        for e in pending:
+            changes = sorted(schema_by_epoch.get(e, []), key=lambda r: r["seq"])
+            if changes:
+                drain()  # barrier: DDL applies to a quiesced table
+                for row in changes:
+                    if row["schema_change"]:
+                        apply_schema_change(table, row["schema_change"])
+            futures.append(ex.submit(run_epoch, e))
+            while len(futures) >= pipeline_depth:
+                out.append(futures.pop(0).result())
+        drain()
     return out
 
 

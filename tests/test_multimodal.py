@@ -1,0 +1,99 @@
+"""Multimodal binary-column operators: container sniffing (JVM-side),
+decode/resize/frame-sample plumbing (mapInPandas, deterministic fake
+backend — see functions/multimodal.py for the stub boundary)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_spark.functions.multimodal import (
+    HAVE_PIL,
+    decode_image_features,
+    media_meta_cols,
+    resize_images,
+    sample_frames,
+    synth_media_col,
+)
+
+PNG = bytes.fromhex("89504E470D0A1A0A") + b"payload"
+JPG = bytes.fromhex("FFD8FFE000104A46") + b"payload"
+WAV = b"RIFF1234WAVEfmt "
+MP4 = bytes.fromhex("0000002066747970") + b"isom"
+RAW = b"plain text bytes"
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [(1, PNG), (2, JPG), (3, WAV), (4, MP4), (5, RAW), (6, None)]
+    return spark.createDataFrame(rows, "id LONG, media BINARY")
+
+
+def test_sniff_modalities(media_df):
+    got = {
+        r["id"]: (r["container"], r["modality"])
+        for r in media_df.select("id", *media_meta_cols(F.col("media"))).collect()
+    }
+    assert got[1] == ("png", "image")
+    assert got[2] == ("jpeg", "image")
+    assert got[3] == ("riff", "audio")
+    assert got[4] == ("mp4", "video")
+    assert got[5] == ("bin", "unknown")
+    assert got[6] == (None, None)
+
+
+def test_sniff_is_jvm_only(media_df):
+    plan = media_df.select(*media_meta_cols(F.col("media")))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decode_image_features(media_df):
+    out = decode_image_features(media_df).collect()
+    assert {r["id"] for r in out} == {1, 2}  # only image modality decoded
+    for r in out:
+        assert 16 <= r["width"] <= 4096 and 16 <= r["height"] <= 4096
+        assert 0.0 <= r["mean_luma"] <= 255.0
+        assert r["n_bytes"] > 0
+
+
+def test_decode_deterministic_across_runs(media_df):
+    a = sorted(map(tuple, decode_image_features(media_df).collect()))
+    b = sorted(map(tuple, decode_image_features(media_df.repartition(3)).collect()))
+    assert a == b
+
+
+def test_resize_targets_box(media_df):
+    out = {r["id"]: r for r in resize_images(media_df, max_side=64).collect()}
+    for r in out.values():
+        assert max(r["width"], r["height"]) <= 64
+        assert r["media"] is not None
+
+
+def test_frame_sampling_flatmap(media_df):
+    out = sample_frames(media_df, every_ms=500, max_frames=4).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {4}  # only the video row
+    frames = sorted((r["frame_idx"], r["frame_ts_ms"]) for r in out)
+    assert frames[0] == (0, 0)
+    assert all(ts == idx * 500 for idx, ts in frames)
+    assert 1 <= len(frames) <= 4
+    assert all(len(r["frame"]) == 16 for r in out)
+
+
+def test_backend_is_stubbed():
+    # this container has no codec libs; the deterministic fake must be on
+    assert HAVE_PIL is False
+
+
+def test_synth_media_matches_magics(spark):
+    df = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(10)], "doc_id LONG, text STRING"
+    )
+    out = df.select(
+        "doc_id",
+        *media_meta_cols(synth_media_col(F.col("doc_id"), F.col("text"))),
+    )
+    got = {r["doc_id"]: r["container"] for r in out.collect()}
+    assert got[0] == "png" and got[1] == "jpeg" and got[2] == "riff"
+    assert got[3] == "mp4" and got[4] == "bin"
+    assert got[5] == "png"  # cycle repeats
