@@ -259,6 +259,54 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), _planes(spark, sf_dir), k=10)
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucket self-join
+    (no O(N^2) cross join; see operators/ann.py)."""
+    from embulk_spark.operators.ann import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, _planes(spark, sf_dir), threshold=0.35)
+
+
+def _q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media metadata from magic bytes, all JVM-side
+    (functions/multimodal.py); media synthesized deterministically from
+    the documents table (same construction in the oracle)."""
+    from embulk_spark.functions.multimodal import media_meta_cols, synth_media_col
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", synth_media_col(F.col("doc_id"), F.col("text")).alias("media")
+    )
+    return media.select("doc_id", *media_meta_cols(F.col("media")))
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract over mapInPandas (deterministic fake
+    codec backend — rows-only check, no SQL oracle for the stub)."""
+    from embulk_spark.functions.multimodal import decode_image_features, synth_media_col
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_media_col(F.col("doc_id"), F.col("text")).alias("media"),
+    )
+    return decode_image_features(media)
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (flat-map via mapInPandas; fake demux —
+    rows-only check)."""
+    from embulk_spark.functions.multimodal import sample_frames, synth_media_col
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_media_col(F.col("doc_id"), F.col("text")).alias("media"),
+    )
+    return sample_frames(media, every_ms=1000, max_frames=4).drop("frame")
+
+
 def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -333,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_sniff": _q_multimodal_sniff,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_revenue_topk": _q_join_revenue_topk,
         "window_topk_per_group": _q_window_topk_per_group,
@@ -532,6 +584,62 @@ def oracle_sql() -> dict[str, str]:
         FROM b, q, qb WHERE b.bucket_id = qb.qbucket
         ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
         """,
+        "embedding_neardup": """
+        WITH p AS (SELECT vec_id pid, embedding::double[] pv FROM embeddings WHERE vec_id IN (1,2,3,4)),
+        b AS (
+          SELECT e.vec_id, e.embedding::double[] ev,
+                 sum(CASE WHEN list_dot_product(e.embedding::double[], p.pv) > 0
+                          THEN (1::bigint << (p.pid - 1)) ELSE 0 END) AS bucket_id
+          FROM embeddings e, p GROUP BY e.vec_id, ev
+        )
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_dot_product(a.ev, c.ev)
+                     / (sqrt(list_dot_product(a.ev, a.ev))
+                        * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos_sim
+        FROM b a JOIN b c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id
+        WHERE round(list_dot_product(a.ev, c.ev)
+                    / (sqrt(list_dot_product(a.ev, a.ev))
+                       * sqrt(list_dot_product(c.ev, c.ev))), 6) >= 0.35
+        """,
+        "multimodal_sniff": r"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::blob || encode(text)
+                   WHEN 1 THEN '\xFF\xD8\xFF\xE0'::blob || encode(text)
+                   WHEN 2 THEN 'RIFF'::blob || encode(text)
+                   WHEN 3 THEN '\x00\x00\x00\x20ftyp'::blob || encode(text)
+                   ELSE encode(text)
+                 END AS media
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN left(hex(media),16) = '89504E470D0A1A0A' THEN 'png'
+                    WHEN left(hex(media),6)  = 'FFD8FF' THEN 'jpeg'
+                    WHEN left(hex(media),12) IN ('474946383761','474946383961') THEN 'gif'
+                    WHEN left(hex(media),8)  = '52494646' THEN 'riff'
+                    WHEN left(hex(media),6)  = '494433' THEN 'mp3'
+                    WHEN left(hex(media),8)  = '664C6143' THEN 'flac'
+                    WHEN left(hex(media),8)  = '1A45DFA3' THEN 'mkv'
+                    WHEN left(hex(media),8)  = '000001BA' THEN 'mpeg'
+                    WHEN substr(hex(media),9,8) = '66747970' THEN 'mp4'
+                    ELSE 'bin' END AS container,
+               CASE WHEN left(hex(media),16) = '89504E470D0A1A0A' THEN 'image'
+                    WHEN left(hex(media),6)  = 'FFD8FF' THEN 'image'
+                    WHEN left(hex(media),12) IN ('474946383761','474946383961') THEN 'image'
+                    WHEN left(hex(media),8)  = '52494646' THEN 'audio'
+                    WHEN left(hex(media),6)  = '494433' THEN 'audio'
+                    WHEN left(hex(media),8)  = '664C6143' THEN 'audio'
+                    WHEN left(hex(media),8)  = '1A45DFA3' THEN 'video'
+                    WHEN left(hex(media),8)  = '000001BA' THEN 'video'
+                    WHEN substr(hex(media),9,8) = '66747970' THEN 'video'
+                    ELSE 'unknown' END AS modality,
+               octet_length(media) AS n_bytes,
+               left(hex(media), 16) AS magic_hex
+        FROM m
+        """,
+        # multimodal_decode / multimodal_frames: stubbed codec backend
+        # (md5-derived fake) — intentionally rows-only, no SQL oracle
         "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity::decimal(18,2))::double AS sum_qty,

@@ -27,7 +27,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     n_events = int(os.environ.get("BENCH_EVENTS", str(max(20_000, int(2_000_000 * sf)))))
-    n_epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
     n_urls = max(2_000, n_events // 10)
 
     # scratch on tmpfs when available: the sandbox's virtio disk has
@@ -78,6 +78,8 @@ def main() -> None:
         "simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "embedding_neardup",
+        "multimodal_sniff",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -378,6 +378,13 @@ class ParquetLakeTable:
             "delta_bytes": nbytes,
             "buckets_touched": len(lineage),
             "max_warc_ts": str(stats["max_ts"]),
+            # ingest watermark lag: commit wall-time minus newest event ts
+            # (north-rule metric; negative-clamped for synthetic streams
+            # whose event times are in the past/future of wall time)
+            "watermark_lag_sec": (
+                round(time.time() - stats["max_ts"].timestamp(), 3)
+                if stats["max_ts"] is not None else None
+            ),
         }
         delta_group = {
             "files": files,

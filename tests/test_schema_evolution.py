@@ -127,6 +127,28 @@ def test_evolution_survives_compaction(spark, tmp_path):
     assert all(e["schema_v"] == snap["schema_v"] for e in snap["base"].values())
 
 
+def test_pipelined_replay_equals_sequential(spark, tmp_path):
+    """pipeline_depth=2 overlaps epoch jobs; final state must equal the
+    sequential replay (MOR winner selection is commit-order independent),
+    even with compaction firing mid-stream (folded_deltas must not drop a
+    concurrently committed delta)."""
+    from embulk_spark.sources.events import change_stream
+
+    events = change_stream(spark, 1200, 150, 6, num_partitions=4).cache()
+    seq_t = ParquetLakeTable(spark, str(tmp_path / "seq"), n_buckets=4)
+    replay_batches(seq_t, events, pipeline_depth=1)
+    pipe_t = ParquetLakeTable(
+        spark, str(tmp_path / "pipe"), n_buckets=4,
+        compact_min_deltas=2, compact_ratio=0.0,  # compact aggressively
+    )
+    out = replay_batches(pipe_t, events, pipeline_depth=3)
+    assert len(out) == 6 and all("epoch_id" in m for m in out)
+    got = {(r["url"], r["seq"]) for r in pipe_t.published().collect()}
+    want = {(r["url"], r["seq"]) for r in seq_t.published().collect()}
+    assert got == want
+    assert pipe_t.committed_epochs() == {0, 1, 2, 3, 4, 5}
+
+
 def test_stream_events_checkpoint_resume(spark, tmp_path):
     """Structured-Streaming surface: tail a parquet dir with availableNow,
     stop, add more files, restart with the same checkpoint — each file is
