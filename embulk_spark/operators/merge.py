@@ -59,10 +59,14 @@ def dedup_latest(
 ) -> DataFrame:
     """Latest event per key by (warc_ts, seq); exact duplicates collapse.
 
-    Hash-agg (partial combine, no sort) — deliberately NOT a window:
-    Window.partitionBy(url) would sort every partition and cannot partially
-    aggregate, which at 10^10 events is the difference between a reduce and
-    a full re-sort of the stream.
+    An aggregate with MAP-SIDE PARTIAL COMBINE (partial_max_by) —
+    deliberately NOT a window: Window.partitionBy(url) would shuffle every
+    event and sort every partition, while the agg ships one winner per
+    (url, map-partition) across the wire, which at 10^10 events is the
+    difference between a reduce and a full re-shuffle of the stream.
+    Physically Spark picks SortAggregate (max_by's struct buffer is not
+    hash-agg eligible); that sort is per-map-partition, spillable, and on
+    the dedup key only — see tools/explain_plans.py for the asserted plan.
 
     ``extra_aggs`` lets callers piggyback metrics (e.g. per-key event
     counts) on the same shuffle instead of paying a second pass."""

@@ -83,19 +83,22 @@ def replay_batches(
     overlap resumes (Embulk analogue: config diff applies between runs,
     exec/GuessExecutor.java:142-195)."""
     has_schema_col = "schema_change" in events.columns
-    epoch_rows = (
-        events.groupBy("epoch")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select("epoch")
-        .collect()
-    )
+    # ONE narrow scan yields both the epoch list and the (rare) schema
+    # events: collect_list drops the nulls the when() leaves for data rows
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if has_schema_col:
+        aggs.append(
+            F.collect_list(
+                F.when(F.col("op") == "S", F.struct("seq", "schema_change"))
+            ).alias("_sc")
+        )
+    epoch_rows = events.groupBy("epoch").agg(*aggs).collect()
     epochs = sorted(r["epoch"] for r in epoch_rows)
     schema_by_epoch: dict[int, list] = {}
     if has_schema_col:
-        for row in events.filter(F.col("op") == "S").select(
-            "epoch", "seq", "schema_change"
-        ).collect():
-            schema_by_epoch.setdefault(int(row["epoch"]), []).append(row)
+        for row in epoch_rows:
+            if row["_sc"]:
+                schema_by_epoch[int(row["epoch"])] = list(row["_sc"])
 
     done = table.committed_epochs()
     pending: list[int] = []
