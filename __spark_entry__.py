@@ -13,6 +13,7 @@ import shutil
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -259,6 +260,30 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), _planes(spark, sf_dir), k=10)
 
 
+def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed schema inference: classify string cells per the Embulk
+    guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
+    Arrow-batched pandas UDF. Rows-only check: the time-format branch is
+    not SQL-expressible."""
+    from embulk_spark.functions.guess import guess_type
+
+    @F.pandas_udf("string")
+    def _gt(s: pd.Series) -> pd.Series:
+        def one(v):
+            t = guess_type(v)
+            return t[0] if isinstance(t, tuple) else t
+        return s.map(one, na_action=None)
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        _gt(F.col("event_type")).alias("t_event_type"),
+        _gt(F.col("user_id").cast("string")).alias("t_user_id"),
+        _gt(F.col("value").cast("string")).alias("t_value"),
+        _gt(F.col("props")).alias("t_props"),
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH bucket self-join
     (no O(N^2) cross join; see operators/ann.py)."""
@@ -381,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "guess_cell_types": _q_guess_cell_types,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_sniff": _q_multimodal_sniff,
         "multimodal_decode": _q_multimodal_decode,

@@ -42,6 +42,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # the capacity probe imports embulk_spark directly
 
 SHUFFLE_PARTITIONS = 32  # fixed across legs: identical physical plans
 LEGS = (1, 4, 8, 32)
@@ -109,17 +110,11 @@ def _run(code: str, tag: str) -> dict | None:
     raise RuntimeError(f"{tag} run failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def capacity_probe() -> dict:
-    """No-Spark machine-capacity evidence: multiprocessing scaling of the
-    actual extraction kernel and of 1 MiB memcpys. Worker startup/imports
-    are excluded (measured inside the worker)."""
-    import concurrent.futures as cf
+def _capacity_blobs() -> list[bytes]:
     import random
 
-    import embulk_spark.functions.extract as ex_mod  # noqa: F401
-
     rnd = random.Random(42)
-    blobs = [
+    return [
         (
             "<html><head><title>t%d</title><style>p{}</style></head><body>"
             "<script>var x=1;</script><p>%s</p></body></html>"
@@ -128,30 +123,42 @@ def capacity_probe() -> dict:
         for i in range(20000)
     ]
 
-    def extract_all(bs):
-        from embulk_spark.functions.extract import extract_text_oracle
 
-        t0 = time.perf_counter()
-        for b in bs:
-            extract_text_oracle(b)
-        return time.perf_counter() - t0
+def _cap_extract(bs):  # module-level: picklable for ProcessPoolExecutor
+    from embulk_spark.functions.extract import extract_text_oracle
 
-    def memburn(mb):
-        buf = bytearray(rnd.randbytes(1_000_000))
-        t0 = time.perf_counter()
-        for _ in range(mb):
-            bytes(buf)
-        return time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for b in bs:
+        extract_text_oracle(b)
+    return time.perf_counter() - t0
 
+
+def _cap_memburn(mb):
+    import random
+
+    buf = bytearray(random.Random(1).randbytes(1_000_000))
+    t0 = time.perf_counter()
+    for _ in range(mb):
+        bytes(buf)
+    return time.perf_counter() - t0
+
+
+def capacity_probe() -> dict:
+    """No-Spark machine-capacity evidence: multiprocessing scaling of the
+    actual extraction kernel and of 1 MiB memcpys. Worker startup/imports
+    are excluded (measured inside the worker)."""
+    import concurrent.futures as cf
+
+    blobs = _capacity_blobs()
     out: dict[str, dict] = {"extract_rows_per_sec": {}, "memcpy_gb_per_sec": {}}
     for procs in (1, 8, 32):
         with cf.ProcessPoolExecutor(procs) as ex:
-            inner = list(ex.map(extract_all, [blobs] * procs))
+            inner = list(ex.map(_cap_extract, [blobs] * procs))
         out["extract_rows_per_sec"][str(procs)] = round(
             procs * len(blobs) / max(inner)
         )
         with cf.ProcessPoolExecutor(procs) as ex:
-            inner = list(ex.map(memburn, [800] * procs))
+            inner = list(ex.map(_cap_memburn, [800] * procs))
         out["memcpy_gb_per_sec"][str(procs)] = round(0.8 * procs * 2 / max(inner), 1)
     return out
 
@@ -168,7 +175,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for label, hot in (("zipf_hot20", 0.20), ("skew_hot50", 0.50)):
-        events_path = f"/dev/shm/scaling_events_{label}_{args.events}"
+        events_path = f"/dev/shm/scaling_events_{label}_{args.events}_{args.epochs}"
         if not os.path.isdir(events_path):
             _run(
                 GEN_SCRIPT.format(
@@ -226,7 +233,7 @@ def main() -> None:
         "  payloads, HTML-to-text extraction on",
         "- job: epoch-by-epoch exactly-once MERGE replay into the bucketed",
         "  merge-on-read snapshot table (dedup -> extract -> delta write ->",
-        "  atomic epoch commit; two epochs pipelined with rebase commits)",
+        "  atomic epoch commit; consecutive epochs pipelined with rebase commits)",
         "",
         "| variant | cpus | events | best seconds | best events/sec | final rows |",
         "|---|---|---|---|---|---|",

@@ -339,10 +339,16 @@ class ParquetLakeTable:
         from pyspark.sql import Observation
 
         obs = Observation(f"epoch_{epoch_id}")
-        b = F.col("bkt")
+        # lineage granularity: exact per-bucket up to 16 buckets, else 16
+        # contiguous bucket groups — keeps the observe expression count
+        # (3×groups+1) inside whole-stage codegen and off the per-epoch
+        # planning critical path (measured ~0.5 s/epoch at 97 exprs)
+        n_groups = min(self.n_buckets, 16)
+        per_group = -(-self.n_buckets // n_groups)  # ceil
+        g = (F.col("bkt") / per_group).cast("int")
         obs_aggs = [F.max("warc_ts").alias("max_ts")]
-        for i in range(self.n_buckets):
-            hit = b == i
+        for i in range(n_groups):
+            hit = g == i
             obs_aggs += [
                 F.sum(F.when(hit, F.col("_n_events"))).alias(f"ev_{i}"),
                 F.count(F.when(hit, F.lit(1))).alias(f"keys_{i}"),
@@ -360,9 +366,11 @@ class ParquetLakeTable:
             )
 
         lineage = [
-            {"bucket": i, "rows": stats[f"keys_{i}"],
+            {"bucket": i * per_group,
+             "buckets": f"{i * per_group}-{min((i + 1) * per_group, self.n_buckets) - 1}",
+             "rows": stats[f"keys_{i}"],
              "events": stats[f"ev_{i}"] or 0, "deletes": stats[f"del_{i}"] or 0}
-            for i in range(self.n_buckets)
+            for i in range(n_groups)
             if stats[f"keys_{i}"]
         ]
         rows_in = sum(r["events"] for r in lineage)
@@ -502,13 +510,23 @@ class ParquetLakeTable:
             )
         rel_dir = f"data/compact_{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
-        (
-            merged.withColumn("bucket", F.col("bkt"))
-            .repartition(self.n_buckets, F.col("bkt"))
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
+        # salted repartition: one task per (bucket, salt) instead of one
+        # per bucket, so compaction saturates the cluster even when
+        # n_buckets < cores and a bucket never becomes a straggler task
+        # (the reference's scatter fan-out generalized,
+        # exec/LocalExecutorPlugin.java:58-70,444-454)
+        from ..operators.merge import salted_repartition
+
+        n_parts = max(
+            self.n_buckets,
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
         )
+        spread = max(1, n_parts // self.n_buckets)
+        salted = salted_repartition(
+            merged.withColumn("bucket", F.col("bkt")), n_parts,
+            key="bucket", spread=spread,
+        )
+        salted.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         new_base: dict[str, dict] = {}
         total_rows = 0
         import pyarrow.parquet as pq
