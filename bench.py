@@ -26,8 +26,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    n_events = int(os.environ.get("BENCH_EVENTS", str(max(20_000, int(2_000_000 * sf)))))
-    n_epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
+    # replay stream sized so per-epoch fixed costs amortize and the
+    # events/sec figure reflects sustained throughput (see BENCH/BASELINE.md)
+    n_events = int(os.environ.get("BENCH_EVENTS", str(max(100_000, int(20_000_000 * sf)))))
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
     n_urls = max(2_000, n_events // 10)
 
     # scratch on tmpfs when available: the sandbox's virtio disk has
