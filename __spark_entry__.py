@@ -260,6 +260,40 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), _planes(spark, sf_dir), k=10)
 
 
+def _q_stateful_url_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): run
+    the per-url winner tracker over the events table as a change stream
+    (availableNow) and return the reconstructed final state — which must
+    equal the SQL window oracle."""
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.state import latest_state, track_url_state
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_state_")
+    try:
+        src = f"{work}/src"
+        changes.coalesce(2).write.mode("overwrite").parquet(src)
+        track_url_state(
+            spark, src, f"{work}/ckpt", f"{work}/log",
+            schema_ddl="seq LONG, op STRING, url STRING, warc_ts TIMESTAMP",
+        )
+        out = latest_state(spark, f"{work}/log")
+        out = spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed schema inference: classify string cells per the Embulk
     guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
@@ -406,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "stateful_url_changelog": _q_stateful_url_changelog,
         "guess_cell_types": _q_guess_cell_types,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_sniff": _q_multimodal_sniff,
@@ -609,6 +644,21 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
         FROM b, q, qb WHERE b.bucket_id = qb.qbucket
         ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
+        """,
+        "stateful_url_changelog": """
+        WITH latest AS (
+          SELECT user_id, event_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) rn,
+                 count(*) OVER (PARTITION BY user_id) cnt
+          FROM events
+        )
+        SELECT 'user://' || user_id AS url,
+               epoch_us(ts) AS ts_us,
+               event_id AS seq,
+               event_type = 'error' AS is_deleted,
+               cnt AS n_events
+        FROM latest WHERE rn = 1
         """,
         "embedding_neardup": """
         WITH p AS (SELECT vec_id pid, embedding::double[] pv FROM embeddings WHERE vec_id IN (1,2,3,4)),

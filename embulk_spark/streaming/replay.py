@@ -148,6 +148,58 @@ def replay_batches(
     return out
 
 
+def stream_window_metrics(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "1 minute",
+    schema_ddl: str | None = None,
+) -> None:
+    """Watermarked, windowed ingest metrics over the change stream —
+    the monitoring companion to the MERGE sink.
+
+    ``withWatermark(warc_ts)`` + tumbling-window aggregation in APPEND
+    mode: a window's row is emitted exactly once, when the watermark
+    passes its end, so late events inside the allowed lateness are
+    still counted and anything later is dropped from *metrics* (the
+    MERGE path itself remains order-correct for arbitrarily late data
+    via (warc_ts, seq) resolution — metrics tolerate a bounded horizon,
+    state does not). State store size is bounded by windows-in-flight,
+    not by stream length — the property that keeps this runnable against
+    a 10^10-event tail."""
+    from ..sources.events import EVENT_SCHEMA
+
+    reader = (
+        spark.readStream.schema(schema_ddl or EVENT_SCHEMA)
+        .parquet(events_path)
+    )
+    agg = (
+        reader.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("url").alias("n_urls_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "op", "n_events", "n_urls_approx",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_events(
     spark: SparkSession,
     table: ParquetLakeTable,

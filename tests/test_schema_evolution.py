@@ -149,6 +149,38 @@ def test_pipelined_replay_equals_sequential(spark, tmp_path):
     assert pipe_t.committed_epochs() == {0, 1, 2, 3, 4, 5}
 
 
+def test_stream_window_metrics_watermark(spark, tmp_path):
+    """Append-mode windowed metrics: only watermark-closed windows are
+    emitted, and their counts equal a batch aggregation of the same
+    events restricted to those windows."""
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.replay import stream_window_metrics
+
+    events = change_stream(spark, 3000, 400, 3, num_partitions=4).cache()
+    src = str(tmp_path / "src")
+    events.coalesce(2).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "metrics"), str(tmp_path / "ckpt")
+    stream_window_metrics(spark, src, ckpt, out,
+                          window="10 minutes", watermark="1 minute")
+    got = spark.read.parquet(out)
+    assert got.count() > 0  # stream spans ~50min → several closed windows
+    # every emitted (window, op) row matches the batch ground truth
+    batch = (
+        events.groupBy(F.window("warc_ts", "10 minutes").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "op", "n_events")
+    )
+    joined = got.select("window_start", "op", "n_events").join(
+        batch.withColumnRenamed("n_events", "n_batch"), ["window_start", "op"]
+    )
+    assert joined.filter(F.col("n_events") != F.col("n_batch")).count() == 0
+    assert joined.count() == got.count()
+    # the final (unclosed) window must NOT be in the append output
+    last_start = batch.agg(F.max("window_start")).collect()[0][0]
+    assert got.filter(F.col("window_start") == last_start).count() == 0
+
+
 def test_stream_events_checkpoint_resume(spark, tmp_path):
     """Structured-Streaming surface: tail a parquet dir with availableNow,
     stop, add more files, restart with the same checkpoint — each file is
