@@ -61,6 +61,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--max-epochs", type=int, default=None)
 
+    sp = sub.add_parser(
+        "cleanup",
+        help="expire old snapshots and remove orphaned data files "
+             "(reference cli/Command.java:5, exec/BulkLoader.java:471-505)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--master", default=None)
+    sp.add_argument("--grace-seconds", type=float, default=3600.0)
+    sp.add_argument("--keep-snapshots", type=int, default=10)
+
     args = ap.parse_args(argv)
     spark = get_spark(f"embulk_spark_{args.cmd}", master=args.master)
 
@@ -100,6 +110,15 @@ def main(argv: list[str] | None = None) -> int:
             metrics = replay_batches(table, events, max_epochs=args.max_epochs)
             for m in metrics:
                 print(json.dumps(m, default=str))
+        return 0
+
+    if args.cmd == "cleanup":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        out = table.expire_snapshots(keep_last=args.keep_snapshots)
+        out.update(table.cleanup_orphans(grace_seconds=args.grace_seconds))
+        print(json.dumps(out))
         return 0
 
     return 2

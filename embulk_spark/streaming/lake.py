@@ -151,13 +151,21 @@ class ParquetLakeTable:
         return os.path.join(self._snap_dir, f"v{version:08d}.json")
 
     def current_snapshot(self) -> dict | None:
-        snaps = [
-            f for f in os.listdir(self._snap_dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
+        snaps = self._snapshot_files()
         if not snaps:
             return None
-        with open(os.path.join(self._snap_dir, max(snaps))) as f:
+        with open(os.path.join(self._snap_dir, snaps[-1])) as f:
+            return json.load(f)
+
+    def _snapshot_files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self._snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def snapshot_at(self, version: int) -> dict:
+        """Load a specific snapshot version (time travel)."""
+        with open(self._snap_path(version)) as f:
             return json.load(f)
 
     def committed_epochs(self) -> set[int]:
@@ -237,11 +245,18 @@ class ParquetLakeTable:
             df = df.filter(F.col("bkt").isin([int(b) for b in buckets]))
         return df
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current merged state including tombstones; ``buckets`` prunes.
+    def read(
+        self, buckets: list[int] | None = None, *, version: int | None = None
+    ) -> DataFrame:
+        """Merged state including tombstones; ``buckets`` prunes;
+        ``version`` time-travels to an older snapshot (files are
+        immutable, so any un-expired snapshot reconstructs exactly).
         MOR reconstruction: latest (warc_ts, seq) per url over base∪deltas —
-        a hash agg, never a window sort (see operators/merge.py)."""
-        snap = self.current_snapshot()
+        a partial-combine agg, never a window sort (see operators/merge.py)."""
+        snap = (
+            self.snapshot_at(version) if version is not None
+            else self.current_snapshot()
+        )
         cur = self.schema(snap)
         base = self._base_df(snap, buckets)
         delta = self._delta_df(snap, buckets)
@@ -610,6 +625,60 @@ class ParquetLakeTable:
             else:
                 fields.append(f)
         self._bump_schema(snap, _ddl_of(T.StructType(fields)))
+
+
+    # ------------------------------------------------------------------
+    # maintenance: orphan cleanup & snapshot expiry
+    # ------------------------------------------------------------------
+
+    def _referenced_files(self, snaps: list[dict]) -> set[str]:
+        refs: set[str] = set()
+        for snap in snaps:
+            for entry in snap["base"].values():
+                refs.update(entry["files"])
+            for d in snap["deltas"]:
+                refs.update(d["files"])
+        return refs
+
+    def cleanup_orphans(self, grace_seconds: float = 3600.0) -> dict:
+        """Delete data files referenced by NO retained snapshot — debris of
+        crashes between a delta write and its commit. Files younger than
+        ``grace_seconds`` are kept (they may belong to an in-flight
+        pipelined epoch). Reference semantics: Embulk's ``cleanup``
+        command removing intermediate data of failed transactions
+        (exec/BulkLoader.java:471-505, cli/Command.java:5)."""
+        snaps = [self.snapshot_at(int(f[1:9])) for f in self._snapshot_files()]
+        refs = self._referenced_files(snaps)
+        now = time.time()
+        removed, kept_young = [], 0
+        for root, _dirs, fns in os.walk(self._data_dir):
+            for fn in fns:
+                fp = os.path.join(root, fn)
+                rel = os.path.relpath(fp, self.path)
+                if rel in refs or not fn.endswith(".parquet"):
+                    continue
+                if now - os.path.getmtime(fp) < grace_seconds:
+                    kept_young += 1
+                    continue
+                os.remove(fp)
+                removed.append(rel)
+        # drop now-empty data directories
+        for root, dirs, fns in os.walk(self._data_dir, topdown=False):
+            if root != self._data_dir and not dirs and not fns:
+                os.rmdir(root)
+        return {"orphans_removed": len(removed), "kept_in_grace": kept_young}
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Retain only the newest ``keep_last`` snapshots; data files
+        referenced solely by expired snapshots become orphans (collect
+        them with ``cleanup_orphans``). Mirrors Iceberg's
+        expire_snapshots maintenance action."""
+        files = self._snapshot_files()
+        to_drop = files[:-keep_last] if keep_last > 0 else []
+        for f in to_drop:
+            os.remove(os.path.join(self._snap_dir, f))
+        return {"snapshots_expired": len(to_drop),
+                "snapshots_retained": len(files) - len(to_drop)}
 
 
 def _ddl_of(schema: T.StructType) -> str:

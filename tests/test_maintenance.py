@@ -1,0 +1,73 @@
+"""Lake maintenance: time-travel reads, orphan cleanup (Embulk's
+``cleanup`` command, exec/BulkLoader.java:471-505), snapshot expiry."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from embulk_spark.sources.events import change_stream
+from embulk_spark.streaming.lake import ParquetLakeTable
+from embulk_spark.streaming.replay import replay_batches
+
+
+def _replayed_table(spark, path, n_epochs=3):
+    events = change_stream(spark, 900, 120, n_epochs, num_partitions=4)
+    table = ParquetLakeTable(spark, path, n_buckets=4)
+    replay_batches(table, events, pipeline_depth=1)
+    return table, events
+
+
+def test_time_travel_reads_old_state(spark, tmp_path):
+    table, events = _replayed_table(spark, str(tmp_path / "t"))
+    cur = table.current_snapshot()
+    # version after the FIRST epoch commit = 1 (0 is the empty bootstrap)
+    old = table.read(version=1).filter(~F.col("is_deleted"))
+    e0 = events.filter("epoch = 0")
+    from embulk_spark.operators.merge import dedup_latest
+
+    want = (
+        dedup_latest(e0.select("url", "warc_ts", "seq", "op"))
+        .filter(F.col("op") != "D").count()
+    )
+    assert old.count() == want
+    assert table.read(version=cur["version"]).count() == table.read().count()
+
+
+def test_cleanup_removes_only_orphans(spark, tmp_path):
+    table, _ = _replayed_table(spark, str(tmp_path / "t"))
+    before = table.published().count()
+    # plant an orphan (a crashed write that never committed)
+    orphan_dir = os.path.join(str(tmp_path / "t"), "data", "e99999999_dead")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    os.utime(orphan, (1, 1))  # ancient mtime: outside any grace window
+
+    out = table.cleanup_orphans(grace_seconds=3600)
+    assert out["orphans_removed"] == 1
+    assert not os.path.exists(orphan)
+    assert table.published().count() == before  # live data untouched
+
+    # a YOUNG orphan survives the grace window (in-flight epoch safety)
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"fresh in-flight file")
+    out = table.cleanup_orphans(grace_seconds=3600)
+    assert out["orphans_removed"] == 0 and out["kept_in_grace"] == 1
+
+
+def test_expire_snapshots_then_cleanup(spark, tmp_path):
+    table, _ = _replayed_table(spark, str(tmp_path / "t"), n_epochs=3)
+    table.compact()  # old deltas now referenced only by old snapshots
+    n_snaps = len(table._snapshot_files())
+    assert n_snaps >= 4
+    out = table.expire_snapshots(keep_last=1)
+    assert out["snapshots_retained"] == 1
+    before = table.published().count()
+    removed = table.cleanup_orphans(grace_seconds=0)
+    # the pre-compaction delta files are gone, current state intact
+    assert removed["orphans_removed"] > 0
+    assert table.published().count() == before
