@@ -467,6 +467,21 @@ WITH latest AS (
 )
 """
 
+def _minhash_sig_sql(k: int) -> str:
+    """DuckDB expression for the engine's exact minhash signature: same
+    md5-derived 32-bit shingle hash, same affine permutation constants
+    (single source of truth: operators/dedup.py::minhash_params)."""
+    from embulk_spark.operators.dedup import MINHASH_P, minhash_params
+
+    a, b = minhash_params(k)
+    h = "(('0x' || left(md5(x), 8))::bigint)"
+    elems = ", ".join(
+        f"list_min([(({a[i]} * {h} + {b[i]}) % {MINHASH_P}) FOR x IN sh])"
+        for i in range(k)
+    )
+    return f"[{elems}]"
+
+
 _MINHASH_CTE = """
 WITH w AS (
   SELECT doc_id,
@@ -475,8 +490,7 @@ WITH w AS (
   WHERE len(ws) >= 3
 ),
 s AS (
-  SELECT doc_id, sh,
-         [list_min([md5(i::varchar || '|' || x) FOR x IN sh]) FOR i IN range({k})] sig
+  SELECT doc_id, sh, {sig} sig
   FROM w WHERE len(sh) > 0
 ),
 b AS (
@@ -596,17 +610,17 @@ def oracle_sql() -> dict[str, str]:
           WHERE len(ws) >= 3
         )
         SELECT doc_id,
-               array_to_string([list_min([md5(i::varchar || '|' || x) FOR x IN sh]) FOR i IN range(8)], ',') AS sig_csv
+               array_to_string({sig8}, ',') AS sig_csv
         FROM w WHERE len(sh) > 0
-        """,
-        "minhash_near_dups": _MINHASH_CTE.format(k=16, rpb=4, bands=4)
+        """.format(sig8=_minhash_sig_sql(8)),
+        "minhash_near_dups": _MINHASH_CTE.format(sig=_minhash_sig_sql(16), rpb=4, bands=4)
         + """
         SELECT id_a, id_b,
                round(len([i FOR i IN range(16) IF sig_a[i+1] = sig_b[i+1]]) / 16.0, 6) AS jaccard_est
         FROM cand
         WHERE len([i FOR i IN range(16) IF sig_a[i+1] = sig_b[i+1]]) / 16.0 >= 0.5
         """,
-        "ngram_jaccard": _MINHASH_CTE.format(k=16, rpb=4, bands=4)
+        "ngram_jaccard": _MINHASH_CTE.format(sig=_minhash_sig_sql(16), rpb=4, bands=4)
         + """
         SELECT id_a, id_b,
                round(len(list_intersect(sh_a, sh_b))::double

@@ -85,24 +85,47 @@ def shingles_df(
     ).filter(F.size("shingles") > 0)
 
 
+#: modulus for the affine minhash permutations (Mersenne prime 2^61-1:
+#: a*h+b stays under 2^62, inside signed-64 even with ANSI overflow checks)
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_params(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation constants (a_i odd < 2^29,
+    b_i < 2^60) — fixed so the DuckDB oracles can inline the exact same
+    permutation family."""
+    a = [((0x9E3779B1 * (i + 1)) & ((1 << 29) - 1)) | 1 for i in range(k)]
+    b = [(0x85EBCA77 * (i + 1)) & ((1 << 60) - 1) for i in range(k)]
+    return a, b
+
+
 def minhash_df(
     df: DataFrame, text_col: str, id_col: str, k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig) with sig[i] = min over shingles of md5('i|shingle').
+    """(id, sig) with sig[i] = min over shingles of the i-th affine
+    permutation of a 32-bit shingle hash: (a_i·h + b_i) mod (2^61-1),
+    h = first 8 hex chars of md5(shingle).
 
-    Deliberately explode→project→hash-agg instead of nested
-    transform()/array_min() lambdas: Spark's higher-order functions are
-    INTERPRETED (no whole-stage codegen) — the HOF formulation was ~20×
-    slower. Exploded md5 projections + min() aggregates are fully
-    codegen'd with map-side partial aggregation, and the same shape
-    scales to billions of documents (one shuffle, keyed by doc id)."""
+    Two deliberate shape choices:
+    - ONE md5 per shingle, then k codegen'd multiply-adds — not k md5s
+      per shingle (k× less hashing; md5 is the only deterministic hash
+      both Spark and the DuckDB oracle share, the permutations ride on
+      top arithmetically).
+    - explode→project→hash-agg instead of nested transform()/array_min()
+      lambdas: Spark's higher-order functions are INTERPRETED (no
+      whole-stage codegen) — the HOF formulation was ~20× slower.
+      Exploded projections + min() aggregates get map-side partial
+      aggregation and scale to billions of documents (one shuffle,
+      keyed by doc id)."""
+    a, b = minhash_params(k)
     ex = shingles_df(df, text_col, id_col, shingle_n).select(
         F.col(id_col), F.explode("shingles").alias("_s")
     )
+    h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long")
     proj = ex.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("_s"))).alias(f"_h{i}")
+            F.pmod(F.lit(a[i]) * h + F.lit(b[i]), F.lit(MINHASH_P)).alias(f"_h{i}")
             for i in range(k)
         ],
     )
@@ -131,7 +154,13 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.md5(
                     F.concat_ws(
-                        "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        "|",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
                     )
                 ),
             )
