@@ -190,3 +190,31 @@ def test_cli_guess_and_preview(tmp_path, csv_dir, capsys, spark):
     assert main(["preview", str(guessed)]) == 0
     out = capsys.readouterr().out
     assert "32864" in out
+
+
+def test_cli_replay_and_cleanup(tmp_path, capsys, spark):
+    """CLI replay subcommand applies a change-event log batch-wise and is
+    idempotent on re-run; cleanup reports expiry/orphan stats."""
+    import json as _json
+
+    from embulk_spark.cli import main
+    from embulk_spark.sources.events import change_stream
+
+    events = change_stream(spark, 300, 40, 2, num_partitions=2)
+    src = str(tmp_path / "events")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    table = str(tmp_path / "table")
+
+    assert main(["replay", src, table, "--buckets", "4"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    metrics = [_json.loads(l) for l in lines]
+    assert len(metrics) == 2 and all("rows_in" in m for m in metrics)
+
+    # idempotent: second run skips both committed epochs
+    assert main(["replay", src, table, "--buckets", "4"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert all(_json.loads(l).get("skipped_duplicate_epoch") for l in lines)
+
+    assert main(["cleanup", table, "--keep-snapshots", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["snapshots_retained"] == 1 and "orphans_removed" in out
