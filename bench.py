@@ -59,6 +59,12 @@ def main() -> None:
     events = spark.read.parquet(events_path)
     n_total = events.count()
 
+    # untimed warm-up epoch on a scratch table: python-worker spawn + JIT
+    # are steady-state costs of a long-running stream, not marginal
+    # per-event costs (same protocol as bench/scaling.py)
+    warm = ParquetLakeTable(spark, os.path.join(workdir, "warm"), n_buckets=2 * cpus)
+    replay_batches(warm, events, max_epochs=1)
+
     table = ParquetLakeTable(spark, os.path.join(workdir, "table"), n_buckets=2 * cpus)
     t0 = time.perf_counter()
     replay_batches(table, events)
