@@ -1,0 +1,94 @@
+"""Six-type round-trips and setter-coercion edges — the pytest mirror of
+the reference's page round-trip suite
+(/root/reference/embulk-core/src/test/java/org/embulk/spi/TestPageBuilderReaderImpl.java:54-346)
+and the dynamic-setter semantics (spi/util/dynamic/*.java)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from embulk_spark.functions.coerce import (
+    EMBULK_TO_SPARK,
+    double_to_long,
+    schema_to_struct,
+    string_to_boolean,
+    string_to_long,
+    timestamp_to_string,
+)
+
+TS = datetime(2024, 3, 1, 12, 30, 45, 123456, tzinfo=timezone.utc)
+
+
+def test_six_types_parquet_roundtrip_with_nulls(spark, tmp_path):
+    """Every Embulk type + nulls survives write→read bit-exact (the Page
+    build→read property; TestPageBuilderReaderImpl testBoolean..testJson)."""
+    schema = schema_to_struct(
+        [("b", "boolean"), ("l", "long"), ("d", "double"),
+         ("s", "string"), ("t", "timestamp"), ("j", "json")]
+    )
+    rows = [
+        Row(b=True, l=2**62, d=-1.5e300, s="ünïcode  ", t=TS.replace(tzinfo=None),
+            j='{"k": [1, null]}'),
+        Row(b=None, l=None, d=None, s=None, t=None, j=None),
+        Row(b=False, l=-1, d=float("inf"), s="", t=datetime(1969, 12, 31, 23, 59, 59),
+            j="[]"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    back = spark.read.schema(schema).parquet(p)
+    key = lambda r: repr(r)
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(
+        map(tuple, df.collect()), key=key
+    )
+    assert back.schema == schema
+    assert [EMBULK_TO_SPARK[t] for t in
+            ("boolean", "long", "double", "string", "timestamp", "json")] == [
+        f.dataType for f in schema.fields]
+
+
+def test_long_setter_half_away_from_zero(spark):
+    """LongColumnSetter rounds doubles half-away-from-zero
+    (spi/util/dynamic/LongColumnSetter.java:37-44)."""
+    df = spark.createDataFrame(
+        [(0.5,), (1.5,), (-0.5,), (-1.5,), (2.4,), (-2.4,), (2.6,)], "v DOUBLE"
+    )
+    got = [r[0] for r in df.select(double_to_long(F.col("v"))).collect()]
+    assert got == [1, 2, -1, -2, 2, -2, 3]
+
+
+def test_string_setter_unparseable_goes_null(spark):
+    """Unparseable string → null (NullDefaultValueSetter default), exact
+    integers parse (LongColumnSetter.java:52-63)."""
+    df = spark.createDataFrame(
+        [("42",), ("-7",), ("4.5",), ("x",), ("",)], "v STRING"
+    )
+    got = [r[0] for r in df.select(string_to_long(F.col("v"))).collect()]
+    assert got == [42, -7, None, None, None]
+
+
+def test_boolean_setter_string_sets(spark):
+    """Only members of the TRUE-string set become true; everything else —
+    including 'NO'/'off'/'0' — falls through to the default-value setter,
+    i.e. null (BooleanColumnSetter.java:56-62 + NullDefaultValueSetter)."""
+    df = spark.createDataFrame(
+        [("yes",), ("NO",), ("T",), ("off",), ("maybe",), ("1",), ("0",)],
+        "v STRING",
+    )
+    got = [r[0] for r in df.select(string_to_boolean(F.col("v"))).collect()]
+    assert got == [True, None, True, None, None, True, None]
+
+
+def test_timestamp_canonical_text(spark):
+    """Instants canonical rendering: 'yyyy-MM-dd HH:mm:ss[.ffffff] UTC'
+    (spi/time/Instants.java:20-76) — fractional part only when nonzero."""
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 12, 30, 45, 123456),),
+         (datetime(2024, 3, 1, 12, 30, 45),)],
+        "t TIMESTAMP",
+    )
+    got = [r[0] for r in df.select(timestamp_to_string(F.col("t"))).collect()]
+    assert got == ["2024-03-01 12:30:45.123456 UTC", "2024-03-01 12:30:45 UTC"]
