@@ -85,13 +85,20 @@ WIDEN_LATTICE = {
 }
 
 
-def _atomic_write_json(path: str, payload: dict) -> None:
+def _atomic_create_json(path: str, payload: dict) -> None:
+    """Create-exclusive commit: fails with FileExistsError if ``path``
+    already exists (os.link never overwrites), unlike rename. This is the
+    cross-process half of optimistic concurrency — a second writer that
+    raced to the same snapshot version loses and must rebase."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
 
 
 class ParquetLakeTable:
@@ -141,7 +148,10 @@ class ParquetLakeTable:
                 "lineage": [],
                 "committed_at": time.time(),
             }
-            _atomic_write_json(self._snap_path(0), snap)
+            try:
+                _atomic_create_json(self._snap_path(0), snap)
+            except FileExistsError:
+                pass  # another process bootstrapped the table first
 
     # ------------------------------------------------------------------
     # snapshot bookkeeping
@@ -459,40 +469,48 @@ class ParquetLakeTable:
         folded into the new base — only THOSE are dropped; deltas committed
         concurrently survive."""
         with self._commit_lock:
-            cur = self.current_snapshot()
-            new_version = cur["version"] + 1
-            committed_at = time.time()
-            metrics = dict(metrics, committed_at=committed_at)
-            epochs = set(cur["committed_epochs"])
-            if epoch_id is not None:
-                epochs.add(epoch_id)
-            deltas = cur["deltas"]
-            if folded_deltas is not None:
-                folded_keys = {d["files"][0] for d in folded_deltas if d["files"]}
-                deltas = [
-                    d for d in deltas
-                    if not d["files"] or d["files"][0] not in folded_keys
-                ]
-            if new_delta:
-                deltas = deltas + [new_delta]
-            new_snap = {
-                "version": new_version,
-                "epoch_id": epoch_id,
-                "committed_epochs": sorted(epochs),
-                "schema_v": schema_v if schema_v is not None else cur["schema_v"],
-                "schemas": schemas or cur["schemas"],
-                "renames": renames if renames is not None else cur["renames"],
-                "base": new_base if new_base is not None else cur["base"],
-                "base_rows": (
-                    new_base_rows if new_base_rows is not None else cur["base_rows"]
-                ),
-                "deltas": deltas,
-                "metrics": metrics,
-                "lineage": lineage,
-                "committed_at": committed_at,
-            }
-            _atomic_write_json(self._snap_path(new_version), new_snap)
-        return metrics
+            while True:
+                cur = self.current_snapshot()
+                new_version = cur["version"] + 1
+                committed_at = time.time()
+                out_metrics = dict(metrics, committed_at=committed_at)
+                epochs = set(cur["committed_epochs"])
+                if epoch_id is not None:
+                    epochs.add(epoch_id)
+                deltas = cur["deltas"]
+                if folded_deltas is not None:
+                    folded_keys = {d["files"][0] for d in folded_deltas if d["files"]}
+                    deltas = [
+                        d for d in deltas
+                        if not d["files"] or d["files"][0] not in folded_keys
+                    ]
+                if new_delta:
+                    deltas = deltas + [new_delta]
+                new_snap = {
+                    "version": new_version,
+                    "epoch_id": epoch_id,
+                    "committed_epochs": sorted(epochs),
+                    "schema_v": schema_v if schema_v is not None else cur["schema_v"],
+                    "schemas": schemas or cur["schemas"],
+                    "renames": renames if renames is not None else cur["renames"],
+                    "base": new_base if new_base is not None else cur["base"],
+                    "base_rows": (
+                        new_base_rows if new_base_rows is not None
+                        else cur["base_rows"]
+                    ),
+                    "deltas": deltas,
+                    "metrics": out_metrics,
+                    "lineage": lineage,
+                    "committed_at": committed_at,
+                }
+                try:
+                    # create-exclusive: a concurrent writer (another
+                    # process/handle) that took this version first wins;
+                    # we re-read and rebase — full optimistic concurrency
+                    _atomic_create_json(self._snap_path(new_version), new_snap)
+                    return out_metrics
+                except FileExistsError:
+                    continue
 
     # ------------------------------------------------------------------
     # compaction: fold deltas into the hash-bucketed base

@@ -71,3 +71,35 @@ def test_expire_snapshots_then_cleanup(spark, tmp_path):
     # the pre-compaction delta files are gone, current state intact
     assert removed["orphans_removed"] > 0
     assert table.published().count() == before
+
+
+def test_concurrent_handles_never_lose_commits(spark, tmp_path):
+    """Two independent table handles (simulating separate driver
+    processes — each with its OWN in-process lock) commit different
+    epochs concurrently; create-exclusive snapshot files + rebase retry
+    must preserve every epoch, never last-writer-wins."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    events = change_stream(spark, 600, 80, 4, num_partitions=4).cache()
+    h1 = ParquetLakeTable(spark, path, n_buckets=4)
+    h2 = ParquetLakeTable(spark, path, n_buckets=4)
+
+    def run(handle, epochs):
+        for e in epochs:
+            handle.merge_epoch(
+                events.filter(f"epoch = {e} AND op <> 'S'"), e
+            )
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(run, h1, [0, 2])
+        f2 = ex.submit(run, h2, [1, 3])
+        f1.result(), f2.result()
+
+    assert h1.committed_epochs() == {0, 1, 2, 3}
+    # final state equals a single-handle sequential replay
+    ref = ParquetLakeTable(spark, str(tmp_path / "ref"), n_buckets=4)
+    replay_batches(ref, events, pipeline_depth=1)
+    got = {(r["url"], r["seq"]) for r in h1.published().collect()}
+    want = {(r["url"], r["seq"]) for r in ref.published().collect()}
+    assert got == want
