@@ -103,3 +103,34 @@ def test_concurrent_handles_never_lose_commits(spark, tmp_path):
     got = {(r["url"], r["seq"]) for r in h1.published().collect()}
     want = {(r["url"], r["seq"]) for r in ref.published().collect()}
     assert got == want
+
+
+def test_bucket_pruned_read_is_complete_and_disjoint(spark, tmp_path):
+    """Key-targeted reads: read(buckets=S) returns exactly the rows whose
+    url hashes into S; the bucket partition of the key space is complete
+    and disjoint (the pruning handle for point lookups / targeted
+    compaction at scale). After compaction the base scan should only
+    touch the requested buckets' files."""
+    from embulk_spark.operators.merge import bucket_of
+
+    table, _ = _replayed_table(spark, str(tmp_path / "t"))
+    table.compact()
+    full = table.read()
+    n_full = full.count()
+    counts = {}
+    for b in range(4):
+        part = table.read(buckets=[b])
+        rows = part.collect()
+        counts[b] = len(rows)
+        # every returned row really belongs to bucket b
+        assert all(r["bkt"] == b for r in rows)
+    assert sum(counts.values()) == n_full
+    # pruned base scan reads fewer files than the full scan
+    pruned_files = {
+        f for b, e in table.current_snapshot()["base"].items()
+        if int(b) == 0 for f in e["files"]
+    }
+    all_files = {
+        f for e in table.current_snapshot()["base"].values() for f in e["files"]
+    }
+    assert pruned_files and pruned_files < all_files
