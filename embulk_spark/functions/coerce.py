@@ -90,12 +90,14 @@ def boolean_to_long(c: Column) -> Column:
 
 def string_to_long(c: Column) -> Column:
     """Long.parseLong semantics: strict integer parse, else null
-    (LongColumnSetter.java:50-59). try_cast accepts surrounding blanks and
-    decimal points, so gate with a strict regex first."""
+    (LongColumnSetter.java:50-59). try_cast(long) uses ANSI parse semantics
+    (null on overflow/malformed) but accepts surrounding blanks, so gate
+    with a strict regex first. Full 19-digit range: values in
+    [10^18, 2^63) parse like Long.parseLong; 2^63 and beyond null out."""
     strict = c.rlike(r"^[+-]?\d+$")
-    return F.when(strict, F.try_to_number(c, F.lit("S" + "9" * 18))).otherwise(
-        F.lit(None)
-    ).cast("long")
+    return F.when(strict, c.try_cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
 
 
 def timestamp_to_long(c: Column) -> Column:
@@ -117,7 +119,7 @@ def string_to_double(c: Column) -> Column:
     """Double.parseDouble semantics, else null. try_cast('double') matches
     Java's parse for decimal/exponent/Infinity/NaN forms closely enough;
     Java additionally trims whitespace — we replicate that."""
-    return F.try_cast(F.trim(c), "double")
+    return F.trim(c).try_cast("double")
 
 
 def timestamp_to_double(c: Column) -> Column:

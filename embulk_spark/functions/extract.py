@@ -92,6 +92,12 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 _LANG_ORDER = ("en", "de", "fr", "ja")
 
+#: hoisted frozensets — membership tests in the hot pandas-UDF loop must not
+#: rebuild a set per word (O(words×profile) garbage per row otherwise)
+_LANG_SETS: dict[str, frozenset] = {
+    lang: frozenset(prof) for lang, prof in LANG_PROFILES.items()
+}
+
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
 
@@ -105,11 +111,11 @@ def lang_of_text(text: str | None) -> str | None:
     wordset = set(words)
     best_lang, best_score = "unknown", 0
     for lang in _LANG_ORDER:
-        prof = LANG_PROFILES[lang]
+        prof = _LANG_SETS[lang]
         if lang == "ja":
-            score = sum(low.count(tok) for tok in prof)
+            score = sum(low.count(tok) for tok in LANG_PROFILES[lang])
         else:
-            score = sum(1 for w in words if w in set(prof)) if wordset & set(prof) else 0
+            score = sum(1 for w in words if w in prof) if wordset & prof else 0
         if score > best_score:
             best_lang, best_score = lang, score
     return best_lang

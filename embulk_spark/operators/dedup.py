@@ -195,9 +195,13 @@ def minhash_near_dups(
     """Near-duplicate pairs: LSH candidates whose signature-agreement
     fraction (MinHash Jaccard estimate) ≥ threshold.
 
-    Signatures are computed ONCE (persisted) and joined back onto the
-    (small) candidate-pair set — never recomputed inside the self-join."""
-    sigs = minhash_df(df, text_col, id_col, k).persist()
+    Signatures are computed ONCE (eager localCheckpoint) and joined back
+    onto the (small) candidate-pair set — never recomputed inside the
+    self-join. localCheckpoint rather than persist(): same one-shot
+    materialization, but the storage is released by Spark's ContextCleaner
+    when the frame is garbage-collected instead of leaking until an
+    explicit unpersist a lazy caller can never make."""
+    sigs = minhash_df(df, text_col, id_col, k).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
     sig_only = sigs.select(F.col(id_col), F.col("sig"))
     joined = (
@@ -237,7 +241,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """EXACT n-gram Jaccard on LSH-generated candidates only (never
     all-pairs): |A∩B| / |A∪B| over distinct shingle sets."""
-    sigs = minhash_df(df, text_col, id_col, k, shingle_n).persist()
+    # localCheckpoint not persist: see minhash_near_dups (no cache leak)
+    sigs = minhash_df(df, text_col, id_col, k, shingle_n).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col, k, bands)
     sh = shingles_df(df, text_col, id_col, shingle_n)
     j = (

@@ -38,6 +38,7 @@ the pytest suite covers it behind a skip-guard and the parquet backend
 from __future__ import annotations
 
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,25 +130,33 @@ class IcebergLakeTable:
         else:
             latest = latest.withColumn("text", F.lit(None).cast("string"))
         changes = changes_to_target_rows(latest, carry=["_n_events"])
-        changes.createOrReplaceTempView("_epoch_changes")
+        # per-epoch unique view name: pipelined epochs (replay_batches
+        # pipeline_depth>1) run merge_epoch concurrently on driver threads;
+        # a shared session-global view would let epoch A MERGE epoch B's
+        # change-set and still log epoch A as committed
+        view = f"_epoch_changes_{epoch_id}_{uuid.uuid4().hex[:8]}"
+        changes.createOrReplaceTempView(view)
 
         # newer-wins MERGE; tombstones are stored rows so late older
         # updates lose against applied deletes (delete-stays-deleted)
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.ident} t
-            USING _epoch_changes s
-            ON t.url = s.url
-            WHEN MATCHED AND (s.warc_ts, s.seq) > (t.warc_ts, t.seq) THEN
-              UPDATE SET t.warc_ts = s.warc_ts, t.seq = s.seq,
-                         t.html = s.html, t.text = s.text, t.lang = s.lang,
-                         t.is_deleted = s.is_deleted
-            WHEN NOT MATCHED THEN
-              INSERT (url, warc_ts, seq, html, text, lang, is_deleted)
-              VALUES (s.url, s.warc_ts, s.seq, s.html, s.text, s.lang,
-                      s.is_deleted)
-            """
-        )
+        try:
+            self.spark.sql(
+                f"""
+                MERGE INTO {self.ident} t
+                USING {view} s
+                ON t.url = s.url
+                WHEN MATCHED AND (s.warc_ts, s.seq) > (t.warc_ts, t.seq) THEN
+                  UPDATE SET t.warc_ts = s.warc_ts, t.seq = s.seq,
+                             t.html = s.html, t.text = s.text, t.lang = s.lang,
+                             t.is_deleted = s.is_deleted
+                WHEN NOT MATCHED THEN
+                  INSERT (url, warc_ts, seq, html, text, lang, is_deleted)
+                  VALUES (s.url, s.warc_ts, s.seq, s.html, s.text, s.lang,
+                          s.is_deleted)
+                """
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
         stats = changes.agg(
             F.sum("_n_events").alias("rows_in"),
             F.count(F.lit(1)).alias("keys"),

@@ -55,6 +55,7 @@ import os
 import threading
 import time
 import uuid
+from datetime import timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,6 +84,16 @@ WIDEN_LATTICE = {
     ("timestamp", "long"): "long",
     ("long", "timestamp"): "long",
 }
+
+
+class CommitConflict(Exception):
+    """Raised when a guarded commit (compaction / schema DDL) finds that the
+    snapshot state it derived its output from changed under it. Delta commits
+    never raise this — they set-merge and rebase freely; only commits that
+    WHOLESALE-REPLACE a snapshot section (base, schema_v) must recompute
+    from the new snapshot instead of clobbering a concurrent writer's work
+    (e.g. two processes compacting: the loser's stale base would drop the
+    winner's folded delta rows)."""
 
 
 def _atomic_create_json(path: str, payload: dict) -> None:
@@ -310,12 +321,24 @@ class ParquetLakeTable:
         cur = self.schema(snap)
 
         # core event columns plus any payload column the evolved target
-        # schema declares (schema-evolution adds flow through the merge)
+        # schema declares (schema-evolution adds flow through the merge).
+        # A batch column may arrive under a PRE-rename name (producers keep
+        # emitting the original name after a rename DDL) — resolve each
+        # candidate through the rename chain before the declared-name check,
+        # else a renamed added column's payload would be silently dropped.
         ev_cols = ["seq", "op", "url", "warc_ts", "html", "lang"]
         declared = {f.name for f in cur.fields}
+
+        def current_name(name: str) -> str:
+            for r in snap["renames"]:
+                if name == r["from"]:
+                    name = r["to"]
+            return name
+
         extra_cols = [
             c for c in batch_events.columns
-            if c not in ev_cols + ["epoch", "schema_change"] and c in declared
+            if c not in ev_cols + ["epoch", "schema_change"]
+            and current_name(c) in declared
         ]
         batch = batch_events.select(*ev_cols, *extra_cols)
 
@@ -413,9 +436,18 @@ class ParquetLakeTable:
             "max_warc_ts": str(stats["max_ts"]),
             # ingest watermark lag: commit wall-time minus newest event ts
             # (north-rule metric; negative-clamped for synthetic streams
-            # whose event times are in the past/future of wall time)
+            # whose event times are in the future of wall time). max_ts is a
+            # naive datetime in the session tz (pinned UTC) — attach UTC
+            # before .timestamp(), which would otherwise assume host-local.
             "watermark_lag_sec": (
-                round(time.time() - stats["max_ts"].timestamp(), 3)
+                max(
+                    0.0,
+                    round(
+                        time.time()
+                        - stats["max_ts"].replace(tzinfo=timezone.utc).timestamp(),
+                        3,
+                    ),
+                )
                 if stats["max_ts"] is not None else None
             ),
         }
@@ -459,6 +491,8 @@ class ParquetLakeTable:
         schema_v: int | None = None,
         schemas: dict | None = None,
         renames: list | None = None,
+        expect_base_of: dict | None = None,
+        expect_schema_v_of: dict | None = None,
     ) -> dict:
         """Publish a new snapshot. REBASES on the current snapshot under the
         commit lock (not the one the caller captured), so pipelined epochs
@@ -467,10 +501,30 @@ class ParquetLakeTable:
         MOR resolution by (warc_ts, seq) makes the final state independent
         of commit interleaving. ``folded_deltas``: delta groups a compaction
         folded into the new base — only THOSE are dropped; deltas committed
-        concurrently survive."""
+        concurrently survive.
+
+        ``expect_base_of`` / ``expect_schema_v_of``: the snapshot the caller
+        derived its replacement ``base`` / ``schema_v`` from. If the current
+        snapshot's corresponding section no longer matches, raise
+        CommitConflict — the caller must recompute (sections that are
+        wholesale-replaced cannot be rebased like the set-merged ones)."""
         with self._commit_lock:
             while True:
                 cur = self.current_snapshot()
+                if (
+                    expect_base_of is not None
+                    and cur["base"] != expect_base_of["base"]
+                ):
+                    raise CommitConflict(
+                        "base changed since capture (concurrent compaction)"
+                    )
+                if (
+                    expect_schema_v_of is not None
+                    and cur["schema_v"] != expect_schema_v_of["schema_v"]
+                ):
+                    raise CommitConflict(
+                        "schema_v changed since capture (concurrent DDL)"
+                    )
                 new_version = cur["version"] + 1
                 committed_at = time.time()
                 out_metrics = dict(metrics, committed_at=committed_at)
@@ -533,9 +587,20 @@ class ParquetLakeTable:
     def compact(self, tombstone_retention_ts: str | None = None) -> dict:
         """Merge base∪deltas into a fresh bucketed base (one row per url).
         ``tombstone_retention_ts``: drop tombstones older than this
-        watermark — safe once events that late can no longer arrive."""
+        watermark — safe once events that late can no longer arrive.
+        Retries from a fresh snapshot if a concurrent compaction (another
+        process) replaced the base while this one ran."""
+        while True:
+            try:
+                return self._compact_once(tombstone_retention_ts)
+            except CommitConflict:
+                continue
+
+    def _compact_once(self, tombstone_retention_ts: str | None = None) -> dict:
         snap = self.current_snapshot()
-        merged = self.read()
+        # read exactly the captured version: a delta committed between the
+        # two reads must NOT be folded (it stays in the delta list)
+        merged = self.read(version=snap["version"])
         if tombstone_retention_ts:
             merged = merged.filter(
                 (~F.col("is_deleted"))
@@ -588,6 +653,7 @@ class ParquetLakeTable:
             snap, None, metrics=metrics, lineage=[],
             new_base=new_base, new_base_rows=total_rows,
             folded_deltas=snap["deltas"],
+            expect_base_of=snap,
         )
 
     # ------------------------------------------------------------------
@@ -595,6 +661,10 @@ class ParquetLakeTable:
     # ------------------------------------------------------------------
 
     def _bump_schema(self, snap: dict, new_ddl: str, rename: dict | None = None) -> None:
+        """Commit one schema version bump derived from ``snap``; raises
+        CommitConflict if another DDL assigned the same schema_v first —
+        two concurrent bumps must not hand out the same version number to
+        different DDLs (the manifest's schema map is append-only by key)."""
         new_schema_v = snap["schema_v"] + 1
         schemas = dict(snap["schemas"], **{str(new_schema_v): new_ddl})
         renames = list(snap["renames"])
@@ -604,45 +674,59 @@ class ParquetLakeTable:
             snap, None,
             metrics={"schema_change": True, "schema_v": new_schema_v},
             lineage=[], schema_v=new_schema_v, schemas=schemas, renames=renames,
+            expect_schema_v_of=snap,
         )
 
     def add_column(self, name: str, spark_type: str) -> None:
-        snap = self.current_snapshot()
-        cur = self.schema(snap)
-        if name in cur.fieldNames():
-            return
-        new = T.StructType(cur.fields).add(name, spark_type)
-        self._bump_schema(snap, _ddl_of(new))
+        while True:
+            snap = self.current_snapshot()
+            cur = self.schema(snap)
+            if name in cur.fieldNames():
+                return
+            new = T.StructType(cur.fields).add(name, spark_type)
+            try:
+                return self._bump_schema(snap, _ddl_of(new))
+            except CommitConflict:
+                continue  # recompute against the DDL that beat us
 
     def rename_column(self, old: str, new: str) -> None:
-        snap = self.current_snapshot()
-        cur = self.schema(snap)
-        if old not in cur.fieldNames():
-            return
-        fields = [
-            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
-            for f in cur.fields
-        ]
-        self._bump_schema(
-            snap, _ddl_of(T.StructType(fields)), rename={"from": old, "to": new}
-        )
+        while True:
+            snap = self.current_snapshot()
+            cur = self.schema(snap)
+            if old not in cur.fieldNames():
+                return
+            fields = [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in cur.fields
+            ]
+            try:
+                return self._bump_schema(
+                    snap, _ddl_of(T.StructType(fields)),
+                    rename={"from": old, "to": new},
+                )
+            except CommitConflict:
+                continue
 
     def widen_column(self, name: str, to_embulk_type: str) -> None:
         """Widen per the reference lattice (schema_guess.rb:112-128);
         incompatible pairs widen to string."""
         from ..functions.coerce import EMBULK_TO_SPARK
 
-        snap = self.current_snapshot()
-        cur = self.schema(snap)
-        fields = []
-        for f in cur.fields:
-            if f.name == name:
-                fields.append(
-                    T.StructField(name, EMBULK_TO_SPARK[to_embulk_type], True)
-                )
-            else:
-                fields.append(f)
-        self._bump_schema(snap, _ddl_of(T.StructType(fields)))
+        while True:
+            snap = self.current_snapshot()
+            cur = self.schema(snap)
+            fields = []
+            for f in cur.fields:
+                if f.name == name:
+                    fields.append(
+                        T.StructField(name, EMBULK_TO_SPARK[to_embulk_type], True)
+                    )
+                else:
+                    fields.append(f)
+            try:
+                return self._bump_schema(snap, _ddl_of(T.StructType(fields)))
+            except CommitConflict:
+                continue
 
 
     # ------------------------------------------------------------------

@@ -29,19 +29,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 #: state per url: ordering key + liveness + counters (fixed-width, tiny)
 STATE_DDL = "ts_us LONG, seq LONG, is_deleted BOOLEAN, n_events LONG"
 
-#: emitted when a batch changes a url's winner
+#: emitted whenever a batch touches a url (n_events advanced); downstream
+#: invalidation feeds filter on winner_changed, counters read every row —
+#: emitting only on winner change would undercount n_events when a batch
+#: carries only losing (older) events for a url
 OUT_DDL = (
     "url STRING, ts_us LONG, seq BIGINT, is_deleted BOOLEAN, "
-    "n_events BIGINT, first_seen BOOLEAN"
+    "n_events BIGINT, first_seen BOOLEAN, winner_changed BOOLEAN"
 )
 
 
 def _update_url_state(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Fold a url's micro-batch events into its state; emit one row iff
-    the winner advanced. Pure function of (state, batch) — deterministic
-    under retries, so exactly-once sinks stay exactly-once."""
+    """Fold a url's micro-batch events into its state; emit one row per
+    touched url (winner_changed marks actual advances). Pure function of
+    (state, batch) — deterministic under retries, so exactly-once sinks
+    stay exactly-once."""
     (url,) = key
     if state.exists:
         ts_us, seq, is_deleted, n_events = state.get
@@ -51,6 +55,7 @@ def _update_url_state(
         first_seen = True
 
     changed = False
+    n_before = n_events
     for pdf in pdf_iter:
         # vectorized winner of the batch slice: max (warc_ts, seq)
         if len(pdf) == 0:
@@ -68,7 +73,7 @@ def _update_url_state(
             changed = True
 
     state.update((ts_us, seq, bool(is_deleted), int(n_events)))
-    if changed:
+    if n_events != n_before:
         yield pd.DataFrame(
             [
                 {
@@ -78,6 +83,7 @@ def _update_url_state(
                     "is_deleted": bool(is_deleted),
                     "n_events": int(n_events),
                     "first_seen": first_seen,
+                    "winner_changed": changed,
                 }
             ]
         )
@@ -123,12 +129,15 @@ def track_url_state(
 
 
 def latest_state(spark: SparkSession, out_path: str) -> DataFrame:
-    """Collapse the change-log to the current winner per url (max seq
-    wins — the log is per-batch monotone in (ts_us, seq))."""
+    """Collapse the change-log to the current winner per url. n_events is
+    strictly increasing per url across emitted rows (every emitted row saw
+    ≥1 new event), so the lexicographically-largest (n_events, ts_us, seq)
+    row IS the newest row — even when a loser-only batch repeated the
+    winner's (ts_us, seq)."""
     from pyspark.sql import functions as F
 
     log = spark.read.parquet(out_path)
-    pick = lambda c: F.max_by(c, F.struct("ts_us", "seq"))
+    pick = lambda c: F.max_by(c, F.struct("n_events", "ts_us", "seq"))
     return log.groupBy("url").agg(
         pick(F.col("ts_us")).alias("ts_us"),
         pick(F.col("seq")).alias("seq"),

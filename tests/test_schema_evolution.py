@@ -85,6 +85,31 @@ def test_rename_column_preserves_data(spark, tmp_path):
     assert got == {"u://a": "de", "u://b": "fr"}
 
 
+def test_rename_added_column_payload_flows(spark, tmp_path):
+    """add 'score', rename score->points; producers keep emitting 'score'
+    (per the reference's next-run-config model, a producer learns of a
+    rename only on its next run) — post-rename payloads must land under
+    'points', not be silently dropped before the rename map applies."""
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    add = json.dumps({"action": "add", "column": "score", "type": "long"})
+    ren = json.dumps({"action": "rename", "from": "score", "to": "points"})
+    e0 = [
+        _ev(1, 0, "S", "u://-", 1, schema_change=add, score=None),
+        _ev(2, 0, "I", "u://a", 2, score=3),
+    ]
+    e1 = [
+        _ev(3, 1, "S", "u://-", 3, schema_change=ren, score=None),
+        _ev(4, 1, "I", "u://b", 4, score=7),  # still the original name
+        _ev(5, 1, "U", "u://a", 5, score=8),
+    ]
+    events = spark.createDataFrame(e0 + e1, schema=_schema("score LONG"))
+    replay_batches(table, events)
+    names = table.schema().fieldNames()
+    assert "points" in names and "score" not in names
+    got = {r["url"]: r["points"] for r in table.published().collect()}
+    assert got == {"u://a": 8, "u://b": 7}
+
+
 def test_widen_column_lattice(spark, tmp_path):
     """long+double -> double per the reference lattice
     (schema_guess.rb:112-128); old long values cast losslessly."""

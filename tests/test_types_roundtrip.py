@@ -70,6 +70,39 @@ def test_string_setter_unparseable_goes_null(spark):
     assert got == [42, -7, None, None, None]
 
 
+def test_string_setter_double_parse(spark):
+    """Double.parseDouble semantics incl. trimmed whitespace, exponents,
+    Infinity/NaN text forms; junk → null (DoubleColumnSetter.java)."""
+    from embulk_spark.functions.coerce import string_to_double
+
+    df = spark.createDataFrame(
+        [("1.5",), (" 2.25 ",), ("-3e2",), ("Infinity",), ("x",), ("",)],
+        "v STRING",
+    )
+    got = [r[0] for r in df.select(string_to_double(F.col("v"))).collect()]
+    assert got[:4] == [1.5, 2.25, -300.0, float("inf")]
+    assert got[4] is None and got[5] is None
+
+
+def test_string_setter_19_digit_long_range(spark):
+    """Long.parseLong accepts the full signed-64 range, including 19-digit
+    values in [10^18, 2^63); 2^63 itself overflows → null
+    (LongColumnSetter.java:52-63 delegates to Long.parseLong)."""
+    df = spark.createDataFrame(
+        [("9223372036854775807",),   # Long.MAX_VALUE
+         ("-9223372036854775808",),  # Long.MIN_VALUE
+         ("1000000000000000000",),   # 10^18
+         ("9223372036854775808",),   # MAX+1 → overflow → null
+         ("+42",)],
+        "v STRING",
+    )
+    got = [r[0] for r in df.select(string_to_long(F.col("v"))).collect()]
+    assert got == [
+        9223372036854775807, -9223372036854775808,
+        1000000000000000000, None, 42,
+    ]
+
+
 def test_boolean_setter_string_sets(spark):
     """Only members of the TRUE-string set become true; everything else —
     including 'NO'/'off'/'0' — falls through to the default-value setter,
