@@ -228,6 +228,17 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_df(docs, "text", "doc_id")
 
 
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups: 16-bit band bucket join (pigeonhole: hamming ≤ 3
+    ⇒ ≥1 exact band of 4), hamming via bit_count(xor) — never all-pairs."""
+    from embulk_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
@@ -264,7 +275,13 @@ def _q_stateful_url_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): run
     the per-url winner tracker over the events table as a change stream
     (availableNow) and return the reconstructed final state — which must
-    equal the SQL window oracle."""
+    equal the SQL window oracle.
+
+    The change-log lands in a process-lifetime scratch dir (reclaimed at
+    exit, not at return) so the returned frame stays DISTRIBUTED — no
+    driver collect in the query path; the caller's .count()/.collect()
+    reads the parquet change-log lazily like any other source."""
+    import atexit
     import shutil
     import tempfile
 
@@ -280,25 +297,23 @@ def _q_stateful_url_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("warc_ts"),
     )
     work = tempfile.mkdtemp(prefix="embulk_spark_state_")
-    try:
-        src = f"{work}/src"
-        changes.coalesce(2).write.mode("overwrite").parquet(src)
-        track_url_state(
-            spark, src, f"{work}/ckpt", f"{work}/log",
-            schema_ddl="seq LONG, op STRING, url STRING, warc_ts TIMESTAMP",
-        )
-        out = latest_state(spark, f"{work}/log")
-        out = spark.createDataFrame(out.collect(), schema=out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return out
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = f"{work}/src"
+    changes.coalesce(2).write.mode("overwrite").parquet(src)
+    track_url_state(
+        spark, src, f"{work}/ckpt", f"{work}/log",
+        schema_ddl="seq LONG, op STRING, url STRING, warc_ts TIMESTAMP",
+    )
+    return latest_state(spark, f"{work}/log")
 
 
 def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed schema inference: classify string cells per the Embulk
     guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
-    Arrow-batched pandas UDF. Rows-only check: the time-format branch is
-    not SQL-expressible."""
+    Arrow-batched pandas UDF. DuckDB oracle: guess_type_sql() — the same
+    lattice incl. the time-format branch, expanded to RE2-safe regexes
+    from the same pattern constants (equivalence pinned exhaustively in
+    tests/test_guess.py)."""
     from embulk_spark.functions.guess import guess_type
 
     @F.pandas_udf("string")
@@ -327,6 +342,18 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, _planes(spark, sf_dir), threshold=0.35)
 
 
+def _q_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-OR multi-probe variant (operators/ann.py): candidates when ANY
+    band of sign bits agrees — the recall-extension the full-code
+    equality misses at bucket boundaries."""
+    from embulk_spark.operators.ann import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, _planes(spark, sf_dir), threshold=0.35, n_bands=2
+    )
+
+
 def _q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed media metadata from magic bytes, all JVM-side
     (functions/multimodal.py); media synthesized deterministically from
@@ -341,8 +368,24 @@ def _q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode/feature-extract over mapInPandas (deterministic fake
-    codec backend — rows-only check, no SQL oracle for the stub)."""
+    """Image decode/feature-extract over mapInPandas with the REAL vendored
+    BMP codec (functions/multimodal.py::decode_bmp24): synth real
+    24-bpp bitmaps whose dims/pixels are pure arithmetic in doc_id, decode
+    them back, return the features. Full DuckDB oracle (the oracle
+    recomputes the features arithmetically — the decoder must agree with
+    the encoder byte-for-byte through the actual BMP container)."""
+    from embulk_spark.functions.multimodal import decode_image_features, synth_bmp_col
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"), synth_bmp_col(F.col("doc_id")).alias("media")
+    )
+    return decode_image_features(media)
+
+
+def _q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plumbing path for containers with no vendored codec (deterministic
+    fake backend behind _decode_backend — rows-only check)."""
     from embulk_spark.functions.multimodal import decode_image_features, synth_media_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -438,13 +481,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "stateful_url_changelog": _q_stateful_url_changelog,
         "guess_cell_types": _q_guess_cell_types,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_banded": _q_embedding_neardup_banded,
         "multimodal_sniff": _q_multimodal_sniff,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_frames": _q_multimodal_frames,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_revenue_topk": _q_join_revenue_topk,
@@ -505,6 +551,52 @@ cand AS (
     ON a.band_idx = c.band_idx AND a.band = c.band AND a.doc_id < c.doc_id
 )
 """
+
+
+#: DuckDB mirror of operators/dedup.py::_simhash64_py — identical ASCII-\s+
+#: distinct tokens, identical per-token uint64 (first 16 md5 hex chars),
+#: identical bit votes; the hugeint arithmetic reproduces the signed-64
+#: wraparound of the stored signature.
+_SIMHASH_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x <> '')) AS tks
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, r.i AS i,
+         sum(CASE WHEN ((('0x' || left(md5(u.tok), 16))::ubigint >> r.i) & 1) = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM toks, unnest(tks) AS u(tok), range(64) r(i)
+  GROUP BY doc_id, r.i
+),
+rawsig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::hugeint << i) ELSE 0::hugeint END) AS s
+  FROM bits GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+         (CASE WHEN coalesce(r.s, 0::hugeint) >= 9223372036854775808::hugeint
+               THEN r.s - 18446744073709551616::hugeint
+               ELSE coalesce(r.s, 0::hugeint) END)::bigint AS simhash
+  FROM documents d LEFT JOIN rawsig r ON d.doc_id = r.doc_id
+)
+"""
+
+
+def _guess_cell_types_sql() -> str:
+    from embulk_spark.functions.guess import guess_type_sql
+
+    return f"""
+    SELECT event_id,
+           {guess_type_sql('event_type')} AS t_event_type,
+           {guess_type_sql('user_id::varchar')} AS t_user_id,
+           {guess_type_sql('value::varchar')} AS t_value,
+           {guess_type_sql('props')} AS t_props
+    FROM events
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -629,7 +721,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE len(list_intersect(sh_a, sh_b))::double
               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.3
         """,
-        # simhash: pandas-UDF bit ops — intentionally no SQL oracle (rows-only)
+        "simhash": _SIMHASH_CTE + """
+        SELECT doc_id, simhash FROM sig
+        """,
+        "simhash_near_dups": _SIMHASH_CTE + """
+        , u AS (
+          SELECT doc_id, simhash,
+                 (CASE WHEN simhash < 0
+                       THEN simhash::hugeint + 18446744073709551616::hugeint
+                       ELSE simhash::hugeint END)::ubigint AS us
+          FROM sig
+        ),
+        b AS (
+          SELECT doc_id, simhash, r.i AS band_idx,
+                 ((us >> (r.i * 16)) & 65535) AS band_key
+          FROM u, range(4) r(i)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id id_a, c.doc_id id_b, a.simhash sa, c.simhash sb
+          FROM b a JOIN b c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+                            AND a.doc_id < c.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb))::bigint AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
         "ann_cosine_topk": """
         WITH q AS (SELECT embedding::double[] qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -674,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
                cnt AS n_events
         FROM latest WHERE rn = 1
         """,
+        "guess_cell_types": _guess_cell_types_sql(),
         "embedding_neardup": """
         WITH p AS (SELECT vec_id pid, embedding::double[] pv FROM embeddings WHERE vec_id IN (1,2,3,4)),
         b AS (
@@ -712,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN left(hex(media),8)  = '664C6143' THEN 'flac'
                     WHEN left(hex(media),8)  = '1A45DFA3' THEN 'mkv'
                     WHEN left(hex(media),8)  = '000001BA' THEN 'mpeg'
+                    WHEN left(hex(media),4)  = '424D' THEN 'bmp'
                     WHEN substr(hex(media),9,8) = '66747970' THEN 'mp4'
                     ELSE 'bin' END AS container,
                CASE WHEN left(hex(media),16) = '89504E470D0A1A0A' THEN 'image'
@@ -722,13 +839,66 @@ def oracle_sql() -> dict[str, str]:
                     WHEN left(hex(media),8)  = '664C6143' THEN 'audio'
                     WHEN left(hex(media),8)  = '1A45DFA3' THEN 'video'
                     WHEN left(hex(media),8)  = '000001BA' THEN 'video'
+                    WHEN left(hex(media),4)  = '424D' THEN 'image'
                     WHEN substr(hex(media),9,8) = '66747970' THEN 'video'
                     ELSE 'unknown' END AS modality,
                octet_length(media) AS n_bytes,
                left(hex(media), 16) AS magic_hex
         FROM m
         """,
-        # multimodal_decode / multimodal_frames: stubbed codec backend
+        "embedding_neardup_banded": """
+        WITH p AS (SELECT vec_id pid, embedding::double[] pv FROM embeddings WHERE vec_id IN (1,2,3,4)),
+        b AS (
+          SELECT e.vec_id, e.embedding::double[] ev,
+                 sum(CASE WHEN list_dot_product(e.embedding::double[], p.pv) > 0
+                          THEN (1::bigint << (p.pid - 1)) ELSE 0 END) AS bucket_id
+          FROM embeddings e, p GROUP BY e.vec_id, ev
+        ),
+        bd AS (
+          SELECT vec_id, ev, r.i AS band_idx, (bucket_id >> (r.i * 2)) & 3 AS band_key
+          FROM b, range(2) r(i)
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id id_a, c.vec_id id_b, a.ev ev_a, c.ev ev_b
+          FROM bd a JOIN bd c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+                              AND a.vec_id < c.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_dot_product(ev_a, ev_b)
+                     / (sqrt(list_dot_product(ev_a, ev_a))
+                        * sqrt(list_dot_product(ev_b, ev_b))), 6) AS cos_sim
+        FROM cand
+        WHERE round(list_dot_product(ev_a, ev_b)
+                    / (sqrt(list_dot_product(ev_a, ev_a))
+                       * sqrt(list_dot_product(ev_b, ev_b))), 6) >= 0.35
+        """,
+        # multimodal_decode: REAL vendored BMP codec; the oracle recomputes
+        # width/height/mean arithmetically from the synth ramp (the decode
+        # must agree with the encode through the actual 24-bpp container,
+        # padding and all). The mean is an exact integer sum over pixels
+        # with ONE double division — bit-identical in both engines.
+        "multimodal_decode": """
+        WITH g AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+          FROM documents
+        ),
+        sums AS (
+          -- constant grid + bound filter (dims ≤ 16×14): range() can't
+          -- take lateral column args in DuckDB
+          SELECT doc_id, w, h,
+                 sum((x.range + y.range + doc_id) % 256
+                     + (x.range + 2 * y.range + 2 * doc_id) % 256
+                     + (3 * x.range + y.range + 5 * doc_id) % 256) AS s
+          FROM g, range(17) x, range(15) y
+          WHERE x.range < w AND y.range < h
+          GROUP BY doc_id, w, h
+        )
+        SELECT doc_id AS id, 'bmp' AS container, w AS width, h AS height,
+               s / (3.0 * w * h) AS mean_luma,
+               54 + h * ((3 * w + 3) // 4 * 4) AS n_bytes
+        FROM sums
+        """,
+        # multimodal_decode_fake / multimodal_frames: stubbed codec backend
         # (md5-derived fake) — intentionally rows-only, no SQL oracle
         "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

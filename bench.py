@@ -29,7 +29,7 @@ def main() -> None:
     # replay stream sized so per-epoch fixed costs amortize and the
     # events/sec figure reflects sustained throughput (see BENCH/BASELINE.md)
     n_events = int(os.environ.get("BENCH_EVENTS", str(max(100_000, int(20_000_000 * sf)))))
-    n_epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
     n_urls = max(2_000, n_events // 10)
 
     # scratch on tmpfs when available: the sandbox's virtio disk has
@@ -55,7 +55,10 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="embulk_spark_bench_", dir=scratch)
     events_path = os.path.join(workdir, "events")
     stream = change_stream(spark, n_events, n_urls, n_epochs, num_partitions=2 * cpus)
-    stream.write.mode("overwrite").parquet(events_path)
+    # epoch-partitioned "binlog segment" layout: the per-epoch replay scan
+    # prunes to ONE partition instead of re-reading the whole log k times
+    # (asserted by tools/explain_plans.py::check_epoch_pruning)
+    stream.write.partitionBy("epoch").mode("overwrite").parquet(events_path)
     events = spark.read.parquet(events_path)
     n_total = events.count()
 
@@ -67,10 +70,18 @@ def main() -> None:
 
     table = ParquetLakeTable(spark, os.path.join(workdir, "table"), n_buckets=2 * cpus)
     t0 = time.perf_counter()
-    replay_batches(table, events)
+    epoch_metrics = replay_batches(table, events)
     replay_sec = time.perf_counter() - t0
     timings["cdc_replay"] = round(replay_sec, 3)
     events_per_sec = n_total / replay_sec
+    # per-epoch commit cadence (flatness evidence: with the epoch-pruned
+    # scan each epoch costs ~the same instead of growing with epoch count)
+    commit_ts = sorted(
+        m["committed_at"] for m in epoch_metrics if "committed_at" in m
+    )
+    epoch_seconds = [
+        round(b - a, 3) for a, b in zip([t0] + commit_ts[:-1], commit_ts)
+    ]
 
     # ---- operator queries on the sf tables ----
     qs = entrymod.queries()
@@ -107,6 +118,7 @@ def main() -> None:
                 "sf": sf,
                 "cdc_replay_events": n_total,
                 "cdc_replay_events_per_sec": round(events_per_sec, 1),
+                "cdc_replay_epoch_seconds": epoch_seconds,
                 "cpus": cpus,
                 "epochs": n_epochs,
             }

@@ -48,11 +48,13 @@ _TYPE_COALESCE = {
 }
 
 #: Guava-derived double pattern, leading-zero floats rejected
-#: (schema_guess.rb:65-71)
+#: (schema_guess.rb:65-71). re.ASCII: the reference is Java, whose \d is
+#: ASCII-only — Python's default unicode \d would accept e.g. Arabic-Indic
+#: digits the reference rejects (and RE2-based SQL oracles can't express).
 _DOUBLE_RE = re.compile(
-    r"^[+-]?(NaN|Infinity|([1-9]\d*|0)(\.\d+)([eE][+-]?\d+)?[fFdD]?)$"
+    r"^[+-]?(NaN|Infinity|([1-9]\d*|0)(\.\d+)([eE][+-]?\d+)?[fFdD]?)$", re.ASCII
 )
-_INT_RE = re.compile(r"^[+-]?\d+$")
+_INT_RE = re.compile(r"^[+-]?\d+$", re.ASCII)
 
 
 # ---------------------------------------------------------------------------
@@ -91,16 +93,19 @@ _RFC2822_RE = re.compile(
     r"^(?:(?P<weekday>Sun|Mon|Tue|Wed|Thu|Fri|Sat), )?"
     r"(?P<day>\d\d?) (?P<month>Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) (?P<year>\d{4})"
     r"(?: (?P<hour>\d\d):(?P<minute>\d\d)(?::(?P<second>\d\d))?"
-    r"(?: (?P<zone>[A-Z]{1,3}|[+-]\d{4}))?)?$"
+    r"(?: (?P<zone>[A-Z]{1,3}|[+-]\d{4}))?)?$",
+    re.ASCII,
 )
 _APACHE_CLF_RE = re.compile(
     r"^\d\d/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/\d{4}"
-    r":\d\d:\d\d:\d\d [+-]\d{4}$"
+    r":\d\d:\d\d:\d\d [+-]\d{4}$",
+    re.ASCII,
 )
 _ANSI_C_RE = re.compile(
     r"^(?:Sun|Mon|Tue|Wed|Thu|Fri|Sat) "
     r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) "
-    r"[ \d]\d \d\d:\d\d:\d\d (?:[A-Z]{1,3} )?\d{4}$"
+    r"[ \d]\d \d\d:\d\d:\d\d (?:[A-Z]{1,3} )?\d{4}$",
+    re.ASCII,
 )
 
 
@@ -170,7 +175,7 @@ def _match_one(text: str) -> _TimeMatch | None:
         for sep in seps:
             sep_re = f"(?P<dt_sep>{sep})" if sep else "(?P<dt_sep>)"
             pat = rf"^{date_re}(?:{sep_re}{time_re})?(?:{_ZONE})?$"
-            m = re.match(pat, text)
+            m = re.match(pat, text, re.ASCII)
             if not m:
                 continue
             gd = m.groupdict()
@@ -266,6 +271,78 @@ def guess_type(value) -> str | tuple[str, str] | None:
     except Exception:
         pass
     return "string"
+
+
+def time_match_sql_regexes() -> list[str]:
+    """RE2-safe expansion of the single-sample time-format match: a
+    non-blank string s has ``guess_time_format([s]) is not None`` iff
+    s.strip() full-matches ANY of these regexes. Built from the same
+    pattern constants as ``_match_one`` (single source of truth); the
+    backreferences RE2 lacks ((?P=date_delim)/(?P=time_delim)) are
+    expanded by enumerating the delimiter, and the nodelim
+    'digits + zone but no time ⇒ reject' rule (time_format_guess.rb's
+    too-ambiguous case) is encoded by splitting the nodelim alternative
+    into (bare date) | (date + time [+ zone]).
+
+    Used by the DuckDB correctness oracle for guess_cell_types;
+    equivalence against _match_one is pinned exhaustively in
+    tests/test_guess.py."""
+    zone = r"(?: ?(?:Z|[+-][0-9][0-9](?::?[0-9][0-9])?|[A-Z]{1,3}))?"
+    frac = r"(?:[.,][0-9]{1,9})?"
+    seps = r"(?: |T|\. |\.)"
+    # specials: drop the ^...$ anchors (callers full-match) and the
+    # python-only named groups
+    regs = [
+        re.sub(r"\(\?P<[^>]+>", "(?:", _RFC2822_RE.pattern).strip("^$"),
+        _APACHE_CLF_RE.pattern.strip("^$"),
+        _ANSI_C_RE.pattern.strip("^$"),
+    ]
+    for d in ("/", "-", "."):
+        de = re.escape(d)
+        dates = (
+            f"{_YEAR}{de}{_MONTH}{de}{_DAY}",      # ymd
+            f"{_MONTH}{de}{_DAY}{de}{_YEAR}",      # mdy
+            f"{_DAY}{de}{_MONTH}{de}{_YEAR}",      # dmy
+        )
+        for t in (":", "-"):
+            te = re.escape(t)
+            time = f"{_HOUR}(?:{te}{_MINSEC}(?:{te}{_MINSEC}{frac})?)?"
+            for dre in dates:
+                regs.append(f"{dre}(?:{seps}{time})?{zone}")
+    regs.append(f"{_YEAR}{_MONTH_ND}{_DAY_ND}")
+    regs.append(
+        f"{_YEAR}{_MONTH_ND}{_DAY_ND}{_HOUR_ND}"
+        f"(?:{_MINSEC_ND}(?:{_MINSEC_ND}{frac})?)?{zone}"
+    )
+    return regs
+
+
+def guess_type_sql(col: str) -> str:
+    """DuckDB CASE expression mirroring ``guess_type`` on a string column
+    (timestamp formats collapse to 'timestamp'; undecided empty → NULL).
+    Literal-$ anchors become optional-trailing-newline full matches, the
+    exact semantics of Python's re $ used by the engine."""
+    lits = ", ".join(f"'{x}'" for x in sorted(TRUE_STRINGS | FALSE_STRINGS))
+    # python str.strip() whitespace set, expressed as a trim character list
+    strip = f"trim({col}, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))"
+    time_union = " OR ".join(
+        f"regexp_full_match({strip}, '{r}')" for r in time_match_sql_regexes()
+    )
+    # the trailing \n? mirrors python re's $ (matches before one final
+    # newline); DuckDB plain strings keep the backslash, RE2 reads \n
+    return f"""
+      CASE WHEN {col} IS NULL OR {col} = '' THEN NULL
+           WHEN {col} IN ({lits}) THEN 'boolean'
+           WHEN {strip} <> '' AND ({time_union}) THEN 'timestamp'
+           WHEN regexp_full_match({col}, '[+-]?[0-9]+\\n?') THEN 'long'
+           WHEN regexp_full_match({col},
+             '[+-]?(NaN|Infinity|([1-9][0-9]*|0)(\\.[0-9]+)([eE][+-]?[0-9]+)?[fFdD]?)\\n?')
+             THEN 'double'
+           WHEN json_valid({col})
+                AND NOT regexp_full_match({strip}, '[+-]?(?i)(nan|inf|infinity)')
+                THEN 'json'
+           ELSE 'string' END
+    """
 
 
 def merge_type(t1: str | None, t2: str | None) -> str | None:

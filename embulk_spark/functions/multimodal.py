@@ -63,6 +63,10 @@ MAGIC_PREFIXES: list[tuple[str, str, str]] = [
 #: MP4: 'ftyp' at byte offset 5 (bytes 5-8), not a fixed prefix.
 _FTYP_HEX = "66747970"
 
+# 'BM' — uncompressed Windows bitmap; the one container with a REAL
+# vendored decoder below (pure python/struct, no codec library needed)
+MAGIC_PREFIXES.append(("424D", "bmp", "image"))
+
 
 def modality_of(b: Column) -> Column:
     """Container + modality from magic bytes; NULL input → NULL,
@@ -96,6 +100,96 @@ def media_meta_cols(b: Column) -> list[Column]:
 
 
 # ---------------------------------------------------------------------------
+# real codec: uncompressed 24-bpp BMP (vendored, stdlib-only)
+# ---------------------------------------------------------------------------
+
+def encode_bmp24(width: int, height: int, pixel) -> bytes:
+    """Build an uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up BGR
+    rows padded to 4 bytes). ``pixel(x, y) -> (r, g, b)``."""
+    import struct
+
+    row_stride = (3 * width + 3) // 4 * 4
+    img_size = row_stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            rows += bytes((b & 0xFF, g & 0xFF, r & 0xFF))
+        rows += b"\x00" * (row_stride - 3 * width)
+    return header + bytes(rows)
+
+
+def decode_bmp24(data: bytes) -> tuple[int, int, float]:
+    """REAL decode of an uncompressed 24-bpp BMP: parse the header, walk
+    the padded pixel rows (bottom-up or top-down), return
+    (width, height, mean over all channel bytes). Raises ValueError on
+    anything that isn't a plain 24-bpp uncompressed bitmap."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header (core header)")
+    width, height_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (planes={planes} bpp={bpp} comp={compression})")
+    height = abs(height_raw)
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    row_stride = (3 * width + 3) // 4 * 4
+    if pixel_off + row_stride * height > len(data):
+        raise ValueError("truncated BMP pixel data")
+    total = 0
+    for y in range(height):
+        row_start = pixel_off + y * row_stride
+        row = data[row_start : row_start + 3 * width]
+        total += sum(row)
+    # channel order doesn't matter for the overall mean; exact integer sum
+    # then ONE double division → bit-identical across engines
+    return width, height, total / (3.0 * width * height)
+
+
+def synth_bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 13, 4 + (doc_id * 7) % 11
+
+
+def synth_bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic real BMP for a doc id: dims and a linear pixel ramp
+    that are pure arithmetic in doc_id, so a SQL oracle recomputes the
+    decoded features without re-encoding the binary."""
+    w, h = synth_bmp_dims(doc_id)
+    return encode_bmp24(
+        w,
+        h,
+        lambda x, y: (
+            (x + y + doc_id) % 256,
+            (x + 2 * y + 2 * doc_id) % 256,
+            (3 * x + y + 5 * doc_id) % 256,
+        ),
+    )
+
+
+def synth_bmp_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real BMP bytes (fixture source for the real
+    decode path)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_bmp_bytes(int(i)))
+
+    return _mk(id_col)
+
+
+# ---------------------------------------------------------------------------
 # decode backend (stub boundary)
 # ---------------------------------------------------------------------------
 
@@ -121,6 +215,9 @@ def _fake_image_decode(b: bytes) -> tuple[int, int, float]:
 
 
 def _decode_backend(b: bytes) -> tuple[int, int, float]:
+    if b[:2] == b"BM":
+        # vendored real codec — no library needed
+        return decode_bmp24(b)
     if not HAVE_PIL:
         return _fake_image_decode(b)
     raise NotImplementedError(  # pragma: no cover

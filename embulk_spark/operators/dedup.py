@@ -268,7 +268,10 @@ def _simhash64_py(text: str | None) -> int | None:
     if text is None:
         return None
     acc = np.zeros(64, dtype=np.int64)
-    for tok in set(text.lower().split()):
+    # ASCII \s+ tokenization (same as _shingles_py) so the DuckDB oracle's
+    # RE2 regexp_split_to_array('\s+') sees the identical token set
+    toks = {t for t in _WS_ASCII.split(text.strip().lower()) if t}
+    for tok in toks:
         h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
         bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         acc += np.where(bits == 1, 1, -1)
@@ -298,14 +301,19 @@ def simhash_near_dups(
     the bucket-join finds all of them without an all-pairs scan."""
     sigs = simhash_df(df, text_col, id_col)
     width = 64 // n_bands
+    # unrolled literal array (shift amounts are plan-time constants), not a
+    # transform() lambda: higher-order functions are interpreted, and
+    # shiftrightunsigned takes a Python int shift anyway
     banded = sigs.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1)),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(n_bands)
+                ]
             )
         ).alias("band_idx", "band_key"),
     )

@@ -1,0 +1,142 @@
+"""ANN / embedding near-dup scale guidance: auto-sized hyperplane codes
+keep Σ bucket² bounded (the self-join's pair-work), band-OR multi-probe
+extends recall, and brute-force stays the exactness baseline."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_spark.operators.ann import (
+    auto_plane_count,
+    cosine_topk,
+    deterministic_planes,
+    embedding_near_dups,
+    hyperplane_buckets,
+)
+
+DIM = 16
+N = 600
+THRESH = 0.80
+
+
+def _vec(i: int) -> list[float]:
+    """Deterministic clustered vectors: 40 cluster centroids + a small
+    id-dependent perturbation, so near-dup ground truth is non-trivial."""
+    import hashlib
+
+    c = i % 40
+    base = [
+        int.from_bytes(hashlib.md5(f"c{c}:{j}".encode()).digest()[:4], "big")
+        / float(1 << 31)
+        - 1.0
+        for j in range(DIM)
+    ]
+    eps = [
+        0.12
+        * (
+            int.from_bytes(hashlib.md5(f"e{i}:{j}".encode()).digest()[:4], "big")
+            / float(1 << 31)
+            - 1.0
+        )
+        for j in range(DIM)
+    ]
+    return [a + b for a, b in zip(base, eps)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, _vec(i)) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def _truth_pairs(spark, emb) -> set[tuple[int, int]]:
+    """Exact all-pairs ground truth (test-only; N=600)."""
+    a = emb.selectExpr("vec_id AS ia", "embedding AS va")
+    b = emb.selectExpr("vec_id AS ib", "embedding AS vb")
+    from embulk_spark.operators.ann import dot, norm
+
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (norm(F.col("va")) * norm(F.col("vb")))
+            ).alias("cs"),
+        )
+        .filter(F.col("cs") >= THRESH)
+    )
+    return {(r["ia"], r["ib"]) for r in pairs.collect()}
+
+
+def test_auto_plane_count_scaling_law():
+    # expected bucket ≈ target ⇒ Σ bucket² ≈ N · target, not N²/2^const
+    assert auto_plane_count(1_000, target_bucket_rows=1024) == 4  # floor
+    assert auto_plane_count(1 << 20, target_bucket_rows=1024) == 10
+    assert auto_plane_count(10**10, target_bucket_rows=1024) == 24  # cap
+    # monotone in N
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9):
+        cur = auto_plane_count(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_auto_planes_bound_pair_work(spark, emb):
+    """With auto-sized planes the bucketed self-join's Σ bucket² must be
+    FAR below the N² all-pairs work — the quantitative bound that makes
+    the operator survive 100×."""
+    k = auto_plane_count(N, target_bucket_rows=64)
+    planes = deterministic_planes(k, DIM)
+    sizes = [
+        r["c"]
+        for r in hyperplane_buckets(emb, planes)
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert sum(sizes) == N
+    pair_work = sum(s * s for s in sizes)
+    assert pair_work < 0.15 * N * N, f"Σbucket²={pair_work} vs N²={N*N}"
+
+
+def test_recall_two_plane_counts(spark, emb):
+    """Fewer planes ⇒ bigger buckets ⇒ recall no worse; band-OR with the
+    same code length strictly extends candidate coverage."""
+    truth = _truth_pairs(spark, emb)
+    assert len(truth) >= 30  # the fixture must make this non-trivial
+
+    def recall(n_planes: int, n_bands: int = 1) -> float:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(
+                emb,
+                deterministic_planes(n_planes, DIM),
+                threshold=THRESH,
+                n_bands=n_bands,
+            ).collect()
+        }
+        assert got <= truth  # exact cosine filter ⇒ no false positives
+        return len(got) / len(truth)
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= r8  # shorter code = higher recall (more pair work)
+    assert r4 >= 0.5
+    # band-OR amplification: 8-bit code split into 2 bands beats the
+    # monolithic 8-bit code and the 4-bit code alike on recall
+    r8b2 = recall(8, n_bands=2)
+    assert r8b2 >= r8
+    assert r8b2 >= r4 - 1e-9
+
+
+def test_cosine_topk_matches_bruteforce_ranking(spark, emb):
+    q = _vec(9999)
+    top = cosine_topk(emb, q, k=5).collect()
+    assert len(top) == 5
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)

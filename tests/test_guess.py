@@ -185,3 +185,87 @@ def test_guess_chain_gzip_csv_fixed_point():
 def test_guess_chain_json():
     cfg = guess_bytes(b'{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     assert cfg["parser"] == {"type": "json"}
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracle equivalence: guess_type_sql / time_match_sql_regexes must
+# classify exactly like guess_type / guess_time_format (the DuckDB
+# correctness oracle for the guess_cell_types driver query rides on this)
+# ---------------------------------------------------------------------------
+
+_SQL_CORPUS = [
+    None, "", " ", "  \t ", "\n", "true", "True", "TRUE", "false", "off",
+    "ON", "t", "T", "F", "y", "N", "yes", "No",
+    "0", "1", "-5", "+42", "007", "9223372036854775807",
+    "12345678901234567890123", "123\n", "1_000", "12,5",
+    "1.5", "-0.25", "0.5", ".5", "5.", "01.5", "1e5", "1E-5", "1.5e10",
+    "1.5E+3f", "2.5d", "1.5\n",
+    "NaN", "-NaN", "Infinity", "-Infinity", "NAN", "nan", "inf", "-inf",
+    "infinity",
+    # delimited dates, every order/delim, optional time/frac/zone
+    "2023-11-14", "2023/1/3", "2023.12.31", "11/14/2023", "14/11/2023",
+    "12.11.2023", "11-14-2023", "5/6/2021", "31/12/2021", "99/99/9999",
+    "5023-01-01", "0023-01-01", "4999-12-31", "2023-13-40", "2023-11-1",
+    "2023-11-14 22:13:20", "2023-11-14T22:13:20", "2023-11-14T22:13:20Z",
+    "2023-11-14 22:13:20.123", "2023-11-14 22:13:20,123456789",
+    "2023-11-14 22:13:20 +09:00", "2023-11-14 22:13:20+0900",
+    "2023-11-14 22:13:20 UTC", "2023-11-14 22:13:20 JST",
+    "2023-11-14. 22:13", "2023-11-14.22", "2023-11-14 22-13-20",
+    "2023-11-01 22:60:60", "2023-11-01 2:3:4", "2023-11-14 25:00:00",
+    "2023-11-14 24:00:00", " 5/ 6/2021", "2023-11-14  22:13",
+    "2023-11-14\n", "2021-05-06T", "T2021-05-06",
+    # nodelim forms incl. the zone-without-time reject rule
+    "20231114", "20231114221320", "20231114T221320", "20231114Z",
+    "20231114UTC", "1234", "12345678", "11111111",
+    # specials
+    "Tue, 14 Nov 2023 22:13:20 GMT", "14 Nov 2023",
+    "Tue Nov 14 22:13:20 2023", "Tue Nov  4 22:13:20 UTC 2023",
+    "02/Jan/2024:13:14:15 +0000",
+    # json
+    '{"k": 1}', "[1,2]", '"quoted"', '"nan"', "null", '  {"a": [1]}',
+    "{bad json", "hello world", "click",
+] + ["1" * n for n in range(4, 18)] + [
+    ("2023" + "0123456789"[: n - 4]) for n in range(5, 18)
+]
+
+
+def test_guess_type_sql_equivalence_exhaustive():
+    duckdb = pytest.importorskip("duckdb")
+    from embulk_spark.functions.guess import guess_type_sql
+
+    con = duckdb.connect()
+    expr = guess_type_sql("v")
+    for s in _SQL_CORPUS:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ?::varchar AS v)", [s]
+        ).fetchone()[0]
+        t = guess_type("" if s is None else s)
+        want = t[0] if isinstance(t, tuple) else t
+        assert got == want, f"{s!r}: python={want} sql={got}"
+
+
+def test_time_match_sql_regexes_equivalence():
+    """The boolean regex union must equal `_match_one(s) is not None`
+    (post-strip) over the full corpus — backref expansion and the
+    nodelim zone-reject rule included."""
+    import re as _re
+
+    duckdb = pytest.importorskip("duckdb")
+    from embulk_spark.functions.guess import (
+        _match_one,
+        time_match_sql_regexes,
+    )
+
+    regs = time_match_sql_regexes()
+    con = duckdb.connect()
+    union = " OR ".join(f"regexp_full_match(?1, '{r}')" for r in regs)
+    for s in _SQL_CORPUS:
+        if s is None or not s.strip():
+            continue
+        want = _match_one(s) is not None
+        # python-side fullmatch of the same expansion (catches RE2-vs-re
+        # divergence separately from expansion bugs)
+        pyu = any(_re.fullmatch(r, s.strip(), _re.ASCII) for r in regs)
+        got = con.execute(f"SELECT {union}", [s.strip()]).fetchone()[0]
+        assert pyu == want, f"{s!r}: python union {pyu} != _match_one {want}"
+        assert got == want, f"{s!r}: sql union {got} != _match_one {want}"

@@ -97,3 +97,75 @@ def test_synth_media_matches_magics(spark):
     assert got[0] == "png" and got[1] == "jpeg" and got[2] == "riff"
     assert got[3] == "mp4" and got[4] == "bin"
     assert got[5] == "png"  # cycle repeats
+
+
+# ---------------------------------------------------------------------------
+# real vendored BMP codec
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_with_padding():
+    from embulk_spark.functions.multimodal import decode_bmp24, encode_bmp24
+
+    # width 5 → row stride 16 (15 data bytes + 1 pad): exercises padding
+    b = encode_bmp24(5, 3, lambda x, y: (x * 10, y * 20, (x + y) % 256))
+    w, h, mean = decode_bmp24(b)
+    assert (w, h) == (5, 3)
+    want = sum(
+        (x * 10) + (y * 20) + ((x + y) % 256) for x in range(5) for y in range(3)
+    ) / (3.0 * 5 * 3)
+    assert mean == want
+    assert len(b) == 54 + 3 * 16
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    from embulk_spark.functions.multimodal import decode_bmp24, encode_bmp24
+
+    b = bytearray(encode_bmp24(4, 2, lambda x, y: (x, y, 7)))
+    # flip to top-down: height := -height (mean is row-order invariant)
+    struct.pack_into("<i", b, 22, -2)
+    w, h, mean = decode_bmp24(bytes(b))
+    assert (w, h) == (4, 2)
+    assert mean == sum(x + y + 7 for x in range(4) for y in range(2)) / (3.0 * 8)
+
+
+def test_bmp_rejects_non_bmp_and_truncated():
+    import pytest as _pytest
+
+    from embulk_spark.functions.multimodal import decode_bmp24, encode_bmp24
+
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"not a bitmap at all........................................")
+    good = encode_bmp24(8, 8, lambda x, y: (1, 2, 3))
+    with _pytest.raises(ValueError):
+        decode_bmp24(good[:-10])  # truncated pixel data
+
+
+def test_bmp_sniffed_as_image(spark):
+    from embulk_spark.functions.multimodal import synth_bmp_col
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
+    out = df.select(
+        "doc_id", *media_meta_cols(synth_bmp_col(F.col("doc_id")))
+    ).collect()
+    assert all(r["container"] == "bmp" and r["modality"] == "image" for r in out)
+
+
+def test_decode_real_bmp_through_map_in_pandas(spark):
+    from embulk_spark.functions.multimodal import (
+        decode_bmp24,
+        synth_bmp_bytes,
+        synth_bmp_col,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "id LONG")
+    media = df.select("id", synth_bmp_col(F.col("id")).alias("media"))
+    got = {r["id"]: r for r in decode_image_features(media).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        w, h, mean = decode_bmp24(synth_bmp_bytes(i))
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_luma"] == mean
+        assert r["container"] == "bmp"

@@ -87,6 +87,53 @@ CHECKS = {
 }
 
 
+def check_epoch_pruning(spark) -> tuple[str, str, list[str], list[str]]:
+    """The replay hot path: with the event log written
+    ``partitionBy("epoch")`` (bench.py / bench/scaling.py layout), the
+    per-epoch scan inside ``replay_batches`` must PRUNE to that epoch's
+    partition via PartitionFilters — reading one epoch is O(batch), not
+    O(stream). Without pruning, a k-epoch replay re-reads the whole log k
+    times (O(k·N) — the top scale-killer at 10^10 events)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from embulk_spark.sources.events import change_stream
+
+    work = tempfile.mkdtemp(prefix="explain_epochprune_")
+    try:
+        path = os.path.join(work, "events")
+        change_stream(spark, 2000, 200, 4, num_partitions=4).write.partitionBy(
+            "epoch"
+        ).mode("overwrite").parquet(path)
+        events = spark.read.parquet(path)
+        # exactly the scan replay_batches issues per epoch
+        per_epoch = events.filter((F.col("epoch") == 2) & (F.col("op") != "S"))
+        plan = plan_of(per_epoch)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    failures: list[str] = []
+    verdicts: list[str] = []
+    for pat in (r"PartitionFilters: \[[^\]]*epoch[^\]]*= 2", ):
+        ok = re.search(pat, plan) is not None
+        verdicts.append(f"- [{'x' if ok else ' '}] must match `{pat}`")
+        if not ok:
+            failures.append(f"replay_epoch_pruning: missing {pat}")
+    for pat in (r"PushedFilters: \[[^\]]*epoch", ):
+        # epoch must be handled at the PARTITION level, not as a row filter
+        ok = re.search(pat, plan) is None
+        verdicts.append(f"- [{'x' if ok else ' '}] must NOT match `{pat}`")
+        if not ok:
+            failures.append(f"replay_epoch_pruning: unexpectedly matched {pat}")
+    why = (
+        "the per-epoch replay scan must hit only that epoch's partition "
+        "directory (PartitionFilters carries `epoch = e`); epoch is a "
+        "partition column, so it never appears as a pushed data filter"
+    )
+    return why, plan, verdicts, failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "EXPLAIN.md"))
@@ -134,6 +181,21 @@ def main() -> int:
             "```",
             "",
         ]
+
+    why, plan, verdicts, fails = check_epoch_pruning(spark)
+    failures += fails
+    sections += [
+        "## replay_epoch_pruning",
+        "",
+        f"**Scale rationale:** {why}.",
+        "",
+        *verdicts,
+        "",
+        "```",
+        plan.strip()[:4000],
+        "```",
+        "",
+    ]
 
     with open(args.out, "w") as f:
         f.write("\n".join(sections))
