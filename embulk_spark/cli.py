@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(sp)
     sp.add_argument("-c", "--config-diff", default=None,
                     help="ConfigDiff YAML: merged before run, rewritten after")
+    sp.add_argument("-r", "--resume-state", default=None,
+                    help="resume-state JSON path: per-file-group transaction "
+                         "log; re-invoking with the same file skips committed "
+                         "groups (reference `embulk run -r`, "
+                         "EmbulkRunner.java:278-327)")
 
     sp = sub.add_parser("guess", help="infer format/schema")
     _add_common(sp)
@@ -77,7 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "run":
         config = P.load_config(args.config)
         diff = P.load_config(args.config_diff) if args.config_diff else None
-        new_diff = P.run(spark, config, diff)
+        if args.resume_state:
+            if diff:
+                config = P.deep_merge(config, {"in": diff.get("in", {})})
+            new_diff = P.run_resumable(spark, config, args.resume_state)
+        else:
+            new_diff = P.run(spark, config, diff)
         if args.config_diff:
             with open(args.config_diff, "w") as f:
                 f.write(P.dump_config(new_diff))

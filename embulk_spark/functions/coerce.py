@@ -187,18 +187,51 @@ def double_to_timestamp(c: Column) -> Column:
     return F.timestamp_micros(F.round(c * 1_000_000).cast("long"))
 
 
-def string_to_timestamp(c: Column, fmt: str | None = None) -> Column:
+#: Ruby-compatible FIXED-offset zone names (docs/design/
+#: timestamp_parsing.md:60-80 — region zones are rejected since v0.9;
+#: abbreviations resolve to fixed offsets, never DST rules).
+FIXED_OFFSET_ZONES = {
+    "Z": "+00:00", "UTC": "+00:00", "UT": "+00:00", "GMT": "+00:00",
+    "EST": "-05:00", "EDT": "-04:00", "CST": "-06:00", "CDT": "-05:00",
+    "MST": "-07:00", "MDT": "-06:00", "PST": "-08:00", "PDT": "-07:00",
+}
+
+
+def string_to_timestamp(
+    c: Column, fmt: str | None = None, timezone: str | None = None
+) -> Column:
     """Parse with a per-column format (ColumnConfig 'format' option,
     spi/ColumnConfig.java:62-73) or the engine default
     '%Y-%m-%d %H:%M:%S.%N %z' (spi/time/TimestampParser.java:44-51);
-    unparseable → null."""
+    unparseable → null.
+
+    ``timezone``: the per-column default zone for strings WITHOUT zone
+    info — interpreted as a FIXED offset per the reference's v0.9 policy
+    (docs/design/timestamp_parsing.md:60-80: '+09:00' literal offsets and
+    the Ruby abbreviation set; region-based zones are rejected). Ignored
+    when the format itself consumes a zone (%z/%Z)."""
     if fmt is None:
-        return F.coalesce(
+        parsed = F.coalesce(
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
             F.try_to_timestamp(c),
         )
-    return F.try_to_timestamp(c, F.lit(strptime_to_java(fmt)))
+        has_zone_directive = False
+    else:
+        parsed = F.try_to_timestamp(c, F.lit(strptime_to_java(fmt)))
+        has_zone_directive = any(d in fmt for d in ("%z", "%:z", "%Z"))
+    if timezone and not has_zone_directive:
+        offset = FIXED_OFFSET_ZONES.get(timezone, timezone)
+        if not (offset.startswith("+") or offset.startswith("-")):
+            raise ValueError(
+                f"region-based timezone {timezone!r} is not supported; "
+                "use a fixed offset like '+09:00' (reference v0.9 policy)"
+            )
+        if offset != "+00:00":
+            # session tz is pinned UTC: parsed is the naive reading as UTC;
+            # re-interpret it as the configured fixed offset
+            parsed = F.to_utc_timestamp(parsed, offset)
+    return parsed
 
 
 # ---------------------------------------------------------------------------

@@ -440,26 +440,138 @@ def _try_json(text: str) -> bool:
         return False
 
 
+#: dialect candidate sets — the embulk-guess-csv plugin's published
+#: constants (embulk/guess/csv.rb in the reference's guess chain,
+#: build.gradle:21 via embulk-util-guess; chain order build.gradle:197)
 _DELIM_CANDIDATES = [",", "\t", ";", "|"]
+_QUOTE_CANDIDATES = ['"', "'"]
+_ESCAPE_CANDIDATES = ["\\", '"']
+_NULL_STRING_CANDIDATES = ["null", "NULL", "#N/A", "\\N"]
+_COMMENT_MARKER_CANDIDATES = ["#", "//"]
 
 
-def guess_csv_dialect(text: str) -> dict:
-    """Delimiter by max consistent column count; header detection by
-    'first row all non-typed strings while body has typed columns'
-    (embulk-guess-csv semantics)."""
-    lines = [ln for ln in text.splitlines() if ln.strip()][:50]
-    best, best_score = ",", -1
+def guess_delimiter(lines: list[str]) -> str | None:
+    """Highest total-count / stddev(count-per-line): frequent AND
+    consistent across lines — a delimiter appears the same number of
+    times on every record, a data character doesn't."""
+    best, best_w = None, 0.0
     for d in _DELIM_CANDIDATES:
-        counts = [len(next(_csv.reader([ln], delimiter=d))) for ln in lines]
-        if not counts:
+        counts = [ln.count(d) for ln in lines]
+        total = sum(counts)
+        if total <= 0:
             continue
-        mode = max(set(counts), key=counts.count)
-        if mode < 2:
-            continue
-        score = counts.count(mode) * mode
-        if score > best_score:
-            best, best_score = d, score
-    rows = [next(_csv.reader([ln], delimiter=best)) for ln in lines]
+        mean = total / len(counts)
+        stddev = (sum((c - mean) ** 2 for c in counts) / len(counts)) ** 0.5
+        w = total / max(stddev, 1e-9)
+        if w > best_w:
+            best, best_w = d, w
+    return best
+
+
+def guess_quote(lines: list[str], delim: str) -> str | None:
+    """Candidate quote chars scored by average per-line occurrences, with
+    a complete delimiter-adjacent quoted field worth 20×; a quote must
+    average ≥10 to be believed (stray apostrophes in prose score low)."""
+    d = re.escape(delim)
+    best, best_w = None, 0.0
+    for q in _QUOTE_CANDIDATES:
+        qq = re.escape(q)
+        field = re.compile(rf"(?:^|{d})\s*{qq}(?:(?!{qq}).)*{qq}\s*(?:$|{d})")
+        weights = []
+        for ln in lines:
+            count = ln.count(q)
+            if count:
+                weights.append(count + 20 * len(field.findall(ln)))
+        avg = sum(weights) / len(weights) if weights else 0.0
+        if avg > best_w:
+            best, best_w = q, avg
+    return best if best_w >= 10.0 else None
+
+
+def guess_escape(lines: list[str], delim: str, quote: str) -> str | None:
+    """Escape char: a candidate immediately followed by the delimiter or
+    the quote is evidence it escapes them; most such occurrences wins."""
+    found: list[tuple[int, str]] = []
+    for e in _ESCAPE_CANDIDATES:
+        pat = re.compile(
+            re.escape(e) + "(?:" + re.escape(delim) + "|" + re.escape(quote) + ")"
+        )
+        n = sum(len(pat.findall(ln)) for ln in lines)
+        if n > 0:
+            found.append((n, e))
+    return max(found)[1] if found else None
+
+
+def guess_null_string(lines: list[str], delim: str) -> str | None:
+    """A null-marker candidate standing alone as a field value."""
+    d = re.escape(delim)
+    found: list[tuple[int, str]] = []
+    for ns in _NULL_STRING_CANDIDATES:
+        pat = re.compile(f"(?:^|{d}){re.escape(ns)}(?=$|{d})")
+        n = sum(len(pat.findall(ln)) for ln in lines)
+        if n > 0:
+            found.append((n, ns))
+    return max(found)[1] if found else None
+
+
+def guess_comment_marker(
+    lines: list[str], delim: str, quote: str | None, null_string: str | None
+) -> str | None:
+    """Line-leading comment marker; lines that start with the quote char or
+    a null marker are data, not comments (e.g. '#N/A' at line start)."""
+    exclude: list[re.Pattern] = []
+    if quote:
+        exclude.append(re.compile("^" + re.escape(quote)))
+    if null_string:
+        exclude.append(
+            re.compile("^" + re.escape(null_string) + "(?:" + re.escape(delim) + "|$)")
+        )
+    found: list[tuple[int, str]] = []
+    for m in _COMMENT_MARKER_CANDIDATES:
+        n = sum(
+            1
+            for ln in lines
+            if ln.startswith(m) and not any(ex.search(ln) for ex in exclude)
+        )
+        if n > 0:
+            found.append((n, m))
+    return max(found)[1] if found else None
+
+
+def _parse_csv_line(ln: str, delim: str, quote: str | None, escape: str | None) -> list[str]:
+    """One record through Python's csv with the guessed dialect; escape ==
+    quote means RFC-4180 doubled quotes (csv's doublequote mode)."""
+    kw: dict = {"delimiter": delim}
+    if quote:
+        kw["quotechar"] = quote
+        if escape and escape != quote:
+            kw["escapechar"] = escape
+            kw["doublequote"] = False
+    else:
+        kw["quoting"] = _csv.QUOTE_NONE
+        if escape:
+            kw["escapechar"] = escape
+    return next(_csv.reader([ln], **kw))
+
+
+def guess_csv_dialect(text: str, *, all_strings: bool = False) -> dict:
+    """Full CSV dialect guess: delimiter (count/stddev), quote, escape,
+    null string, comment marker, header detection ('first row all
+    non-typed strings while body has typed columns'), then per-column
+    schema guess. ``all_strings`` is the csv_all_strings variant — same
+    dialect, every column typed string (build.gradle:22)."""
+    lines = [ln for ln in text.splitlines() if ln.strip()][:50]
+    delim = guess_delimiter(lines) or ","
+    quote = guess_quote(lines, delim)
+    # the effective quote for escape detection defaults to '"' (an escape
+    # can exist without believed quoting, e.g. backslash-escaped delimiters)
+    escape = guess_escape(lines, delim, quote or '"')
+    null_string = guess_null_string(lines, delim)
+    comment = guess_comment_marker(lines, delim, quote, null_string)
+    if comment:
+        lines = [ln for ln in lines if not ln.startswith(comment)]
+    rows = [_parse_csv_line(ln, delim, quote, escape) for ln in lines]
+    rows = [r for r in rows if r]
     header = False
     if len(rows) >= 2:
         head_types = [guess_type(v) for v in rows[0]]
@@ -476,11 +588,24 @@ def guess_csv_dialect(text: str) -> dict:
         if header
         else [f"c{i}" for i in range(max(len(r) for r in rows))]
     )
-    return {
-        "delimiter": best,
+    if all_strings:
+        columns = [{"name": n, "type": "string"} for n in names]
+    else:
+        columns = schema_guess(names, data_rows)
+    out = {
+        "delimiter": delim,
+        # believed quote, else the RFC-4180 default; escape defaults to the
+        # quote char (doubled-quote behavior) when none was detected
+        "quote": quote or '"',
+        "escape": escape or quote or '"',
         "header_line": header,
-        "columns": schema_guess(names, data_rows),
+        "columns": columns,
     }
+    if null_string:
+        out["null_string"] = null_string
+    if comment:
+        out["comment_line_marker"] = comment
+    return out
 
 
 def guess_bytes(sample: bytes, config: dict | None = None) -> dict:
@@ -503,7 +628,13 @@ def guess_bytes(sample: bytes, config: dict | None = None) -> dict:
             if _try_json(text):
                 cfg["parser"] = {"type": "json"}
             else:
-                cfg["parser"] = dict({"type": "csv"}, **guess_csv_dialect(text))
+                # csv_all_strings: same dialect guess, all columns string —
+                # selected via config like the reference's guess plugin list
+                all_strings = "csv_all_strings" in cfg.get("guess_plugins", [])
+                cfg["parser"] = dict(
+                    {"type": "csv"},
+                    **guess_csv_dialect(text, all_strings=all_strings),
+                )
         if json.dumps(cfg, sort_keys=True) == before:
             break
     return cfg

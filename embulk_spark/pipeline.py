@@ -167,6 +167,121 @@ def run(spark: SparkSession, config: dict, config_diff: dict | None = None) -> d
     return {"in": diff_in, "out": {}}
 
 
+# ---------------------------------------------------------------------------
+# resumable batch run (reference ResumeState: exec/BulkLoader.java:584-659,
+# driven by EmbulkRunner.java:278-327 — re-run only tasks without committed
+# reports). Embulk's task unit is one input file; ours is a deterministic
+# GROUP of input files (one Spark job per group keeps jobs big enough to
+# saturate the cluster while bounding re-done work after a crash).
+# ---------------------------------------------------------------------------
+
+def _load_resume(resume_path: str) -> dict:
+    if os.path.exists(resume_path):
+        import json as _json
+
+        with open(resume_path) as f:
+            return _json.load(f)
+    return {"committed": {}}
+
+
+def _save_resume(resume_path: str, state: dict) -> None:
+    """Crash-safe write: tmp + fsync + atomic rename (the resume file is
+    the transaction log; a torn write must not lose committed groups)."""
+    import json as _json
+    import uuid as _uuid
+
+    tmp = f"{resume_path}.tmp.{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        _json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, resume_path)
+
+
+def run_resumable(
+    spark: SparkSession,
+    config: dict,
+    resume_path: str,
+    *,
+    files_per_commit: int = 16,
+    max_commits: int | None = None,
+) -> dict:
+    """Run a file→file pipeline as a sequence of per-file-group
+    transactions logged in ``resume_path``; a killed run re-invoked with
+    the same resume file skips committed groups and produces output
+    byte-identical to a clean run (grouping is deterministic).
+
+    Each group commits by writing its output under
+    ``out.path_prefix/g{idx}/`` (Spark's file committer makes the
+    directory appear complete-or-absent) and then recording the group in
+    the resume file (atomic rename). A crash between the two re-runs the
+    group: the overwrite mode makes that idempotent. The group fingerprint
+    (sorted file list hash) is checked on resume — resuming against a
+    changed input set fails loudly, like the reference refusing to resume
+    with a mismatched ResumeState (exec/BulkLoader.java:601-612).
+
+    Returns the ConfigDiff with ``done``: True once every group committed
+    (``max_commits`` bounds work per invocation — also the fault-injection
+    hook for tests)."""
+    import hashlib as _hashlib
+
+    from .sources.files import read_csv, read_json
+
+    in_conf = config["in"]
+    if in_conf.get("type", "file") != "file":
+        raise ValueError("run_resumable requires a file input")
+    out_conf = config.get("out", {})
+    if out_conf.get("type") != "file":
+        raise ValueError("run_resumable requires a file output")
+
+    paths = list_input_files(in_conf["path_prefix"], in_conf.get("last_path"))
+    groups = [
+        paths[i:i + files_per_commit]
+        for i in range(0, len(paths), files_per_commit)
+    ]
+    state = _load_resume(resume_path)
+
+    parser = dict(in_conf.get("parser", {"type": "csv", "columns": []}))
+    for k in ("charset", "newline"):
+        if k in in_conf and k not in parser:
+            parser[k] = in_conf[k]
+    ptype = parser.get("type", "csv")
+    read_group = read_csv if ptype == "csv" else read_json
+
+    n_done = 0
+    base_prefix = out_conf["path_prefix"]
+    for gi, group in enumerate(groups):
+        key = f"g{gi:05d}"
+        fp = _hashlib.md5("\n".join(group).encode()).hexdigest()[:16]
+        committed = state["committed"].get(key)
+        if committed:
+            if committed["fingerprint"] != fp:
+                raise RuntimeError(
+                    f"resume state mismatch for {key}: input files changed "
+                    f"since the interrupted run (have {committed['fingerprint']},"
+                    f" now {fp}) — clean the resume file to start over"
+                )
+            continue
+        if max_commits is not None and n_done >= max_commits:
+            break
+        df = read_group(spark, group, parser)
+        df = apply_filters(df, config.get("filters"))
+        sub_out = dict(out_conf, path_prefix=os.path.join(base_prefix, key))
+        write_output(df, sub_out)
+        state["committed"][key] = {"fingerprint": fp, "files": len(group)}
+        _save_resume(resume_path, state)
+        n_done += 1
+
+    done = len(state["committed"]) == len(groups)
+    return {
+        "in": {"last_path": max(paths) if paths else in_conf.get("last_path")},
+        "out": {},
+        "done": done,
+        "groups_total": len(groups),
+        "groups_committed": len(state["committed"]),
+    }
+
+
 def preview(spark: SparkSession, config: dict, n: int = PREVIEW_ROWS) -> DataFrame:
     """First ``n`` rows after filters; side-effect free
     (exec/PreviewExecutor.java:66 forPreview session ≈ we never touch out:)."""
@@ -176,13 +291,18 @@ def preview(spark: SparkSession, config: dict, n: int = PREVIEW_ROWS) -> DataFra
 
 def sample_bytes(in_conf: dict) -> bytes:
     """32 KiB head sample from the LARGEST candidate file (the reference
-    samples the biggest file's head: exec/SamplingParserPlugin.java:35-98)."""
+    samples the biggest file's head: exec/SamplingParserPlugin.java:35-98).
+    ``sample_buffer_bytes`` overrides the budget and accepts ByteSize
+    strings like ``"64KB"`` (spi/unit/ByteSize.java)."""
+    from .functions.units import parse_byte_size
+
+    budget = parse_byte_size(in_conf.get("sample_buffer_bytes", GUESS_SAMPLE_BYTES))
     paths = list_input_files(in_conf["path_prefix"])
     if not paths:
         raise FileNotFoundError(f"no input files for {in_conf['path_prefix']!r}")
     biggest = max(paths, key=os.path.getsize)
     with open(biggest, "rb") as f:
-        sample = f.read(GUESS_SAMPLE_BYTES)
+        sample = f.read(budget)
     if len(sample) < GUESS_MIN_SAMPLE_BYTES:
         raise ValueError(
             f"sample is too small ({len(sample)} bytes < {GUESS_MIN_SAMPLE_BYTES})"

@@ -65,7 +65,9 @@ def _apply_timestamp_formats(df: DataFrame, columns: list[dict]) -> DataFrame:
         name = c["name"]
         if c["type"] == "timestamp":
             exprs.append(
-                string_to_timestamp(F.col(name), c.get("format")).alias(name)
+                string_to_timestamp(
+                    F.col(name), c.get("format"), c.get("timezone")
+                ).alias(name)
             )
         else:
             exprs.append(F.col(name))
@@ -96,6 +98,20 @@ def read_csv(
             "FAILFAST" if parser.get("stop_on_invalid_record") else "PERMISSIVE",
         )
     )
+    if parser.get("null_string"):
+        reader = reader.option("nullValue", parser["null_string"])
+    marker = parser.get("comment_line_marker")
+    if marker:
+        if len(marker) == 1:
+            # Spark's comment option is single-char ('#'); multi-char
+            # markers ('//') go through the line-filtering text path
+            reader = reader.option("comment", marker)
+        else:
+            return _read_csv_skip_n(
+                spark, paths, parser, schema,
+                int(parser.get("skip_header_lines",
+                               1 if parser.get("header_line") else 0)),
+            )
     skip = int(parser.get("skip_header_lines", 1 if parser.get("header_line") else 0))
     if skip:
         # Spark's `header` consumes exactly one line per file, like Embulk's
@@ -123,22 +139,66 @@ def _read_csv_skip_n(
     txt = spark.read.text(paths).withColumn("_f", F.input_file_name())
     w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
     body = txt.withColumn("_i", F.row_number().over(w)).filter(F.col("_i") > skip)
+    marker = parser.get("comment_line_marker")
+    if marker:
+        body = body.filter(~F.col("value").startswith(marker))
     opts = {
         "delimiter": parser.get("delimiter", ","),
         "quote": parser.get("quote", '"'),
         "escape": parser.get("escape", '"'),
     }
+    if parser.get("null_string"):
+        opts["nullValue"] = parser["null_string"]
     parsed = body.select(
         F.from_csv(F.col("value"), schema.simpleString(), opts).alias("r")
     ).select("r.*")
     return _apply_timestamp_formats(parsed, parser["columns"])
 
 
+def json_pointer_to_path(pointer: str) -> str:
+    """RFC 6901 JSON pointer → Spark JSONPath: ``/store/book/0`` →
+    ``$.store.book[0]``, with ``~1``→``/`` and ``~0``→``~`` unescaping
+    (the pointer grammar the reference streams from,
+    spi/json/JsonParser.java:12-41)."""
+    if not pointer or pointer == "/":
+        return "$"
+    out = "$"
+    for tok in pointer.split("/")[1:]:
+        tok = tok.replace("~1", "/").replace("~0", "~")
+        out += f"[{int(tok)}]" if tok.isdigit() else f".{tok}"
+    return out
+
+
 def read_json(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
     """embulk-parser-json: one JSON value per line → columns (when
     ``columns`` declared) or raw ``record`` json column (Embulk's json
-    type ≈ canonical JSON text, docs/eeps/eep-0002.md)."""
+    type ≈ canonical JSON text, docs/eeps/eep-0002.md).
+
+    ``root`` (RFC 6901 JSON pointer, the reference's
+    parseWithOffsetInJsonPointer — spi/json/JsonParser.java:29-41):
+    records are read from that subtree of each document; a pointer
+    targeting an array yields one record per element. All JVM-side:
+    get_json_object pointer walk + from_json + explode, no Python."""
     columns = parser.get("columns")
+    root = parser.get("root") or parser.get("__experimental__json_pointer_to_root")
+    if root:
+        sub = F.get_json_object(F.col("value"), json_pointer_to_path(root))
+        txt = spark.read.text(paths).select(sub.alias("_sub"))
+        if not columns:
+            return txt.filter(F.col("_sub").isNotNull()).select(
+                F.col("_sub").alias("record")
+            )
+        struct = _declared_schema(columns)
+        arr = F.from_json(F.col("_sub"), T.ArrayType(struct))
+        one = F.from_json(F.col("_sub"), struct)
+        # array root → one record per element; object root → one record
+        records = F.when(arr.isNotNull(), arr).otherwise(F.array(one))
+        df = (
+            txt.filter(F.col("_sub").isNotNull())
+            .select(F.explode(records).alias("_r"))
+            .select("_r.*")
+        )
+        return _apply_timestamp_formats(df, columns)
     if columns:
         df = spark.read.schema(_declared_schema(columns)).json(paths)
         return _apply_timestamp_formats(df, columns)

@@ -269,3 +269,108 @@ def test_time_match_sql_regexes_equivalence():
         got = con.execute(f"SELECT {union}", [s.strip()]).fetchone()[0]
         assert pyu == want, f"{s!r}: python union {pyu} != _match_one {want}"
         assert got == want, f"{s!r}: sql union {got} != _match_one {want}"
+
+
+# ---------------------------------------------------------------------------
+# CSV quote / escape / null-string / comment-marker guess + round-trip
+# (embulk-guess-csv dialect semantics, build.gradle:21-22)
+# ---------------------------------------------------------------------------
+
+def test_csv_quote_guess_double():
+    text = (
+        'id,name,city\n'
+        '1,"smith, john","new york, ny"\n'
+        '2,"o towne","los angeles, ca"\n'
+        '3,"doe, jane","austin, tx"\n'
+    )
+    d = guess_csv_dialect(text)
+    assert d["delimiter"] == ","
+    assert d["quote"] == '"'
+    assert d["header_line"] is True
+    # quoted embedded delimiters must not split: 3 columns, not 5
+    assert [c["name"] for c in d["columns"]] == ["id", "name", "city"]
+    assert d["columns"][0]["type"] == "long"
+
+
+def test_csv_quote_guess_single():
+    text = (
+        "id;val\n"
+        "1;'a; b'\n2;'c; d'\n3;'e; f'\n4;'g; h'\n"
+    )
+    d = guess_csv_dialect(text)
+    assert d["delimiter"] == ";"
+    assert d["quote"] == "'"
+
+
+def test_csv_stray_apostrophes_not_quote():
+    # prose apostrophes average < 10/line -> not believed as a quote
+    text = "id,note\n1,it's fine\n2,don't mind\n3,can't stop\n"
+    d = guess_csv_dialect(text)
+    assert d["quote"] == '"'  # default, not "'"
+
+
+def test_csv_escape_backslash():
+    text = 'a,b\n1,foo\\,bar\n2,baz\\,qux\n'
+    d = guess_csv_dialect(text)
+    assert d["escape"] == "\\"
+    # escaped delimiter must not split: 2 columns in data rows
+    assert len(d["columns"]) == 2
+
+
+def test_csv_escape_doubled_quote_default():
+    text = 'a,b\n1,"say ""hi"" now"\n2,"plain"\n3,"x"\n'
+    d = guess_csv_dialect(text)
+    assert d["quote"] == '"'
+    assert d["escape"] == '"'  # doubled-quote RFC-4180 style
+
+
+def test_csv_null_string_and_comment():
+    text = (
+        "# generated by exporter\n"
+        "# do not edit\n"
+        "id,val\n"
+        "1,NULL\n"
+        "2,x\n"
+        "3,NULL\n"
+    )
+    d = guess_csv_dialect(text)
+    assert d["null_string"] == "NULL"
+    assert d["comment_line_marker"] == "#"
+    assert d["header_line"] is True
+    assert [c["type"] for c in d["columns"]] == ["long", "string"]
+
+
+def test_csv_all_strings_variant():
+    text = "id,ts\n1,2014-01-01\n2,2014-01-02\n"
+    d = guess_csv_dialect(text, all_strings=True)
+    assert d["columns"] == [
+        {"name": "id", "type": "string"},
+        {"name": "ts", "type": "string"},
+    ]
+    cfg = guess_bytes(text.encode(), {"guess_plugins": ["csv_all_strings"]})
+    assert all(c["type"] == "string" for c in cfg["parser"]["columns"])
+
+
+def test_csv_quoted_roundtrip_through_read_csv(spark, tmp_path):
+    """Guessed config must round-trip: read_csv with the guessed dialect
+    reproduces the logical rows (the VERDICT round-1 gap)."""
+    from embulk_spark.sources.files import read_csv
+
+    text = (
+        "# export v2\n"
+        'id,name,city\n'
+        '1,"smith, john",NULL\n'
+        '2,"say ""hi""","austin, tx"\n'
+    )
+    p = tmp_path / "in.csv"
+    p.write_text(text)
+    cfg = guess_bytes(text.encode())
+    parser = cfg["parser"]
+    assert parser["quote"] == '"' and parser["escape"] == '"'
+    assert parser["comment_line_marker"] == "#"
+    assert parser["null_string"] == "NULL"
+    rows = read_csv(spark, [str(p)], parser).orderBy("id").collect()
+    assert [tuple(r) for r in rows] == [
+        (1, "smith, john", None),
+        (2, 'say "hi"', "austin, tx"),
+    ]

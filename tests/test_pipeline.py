@@ -218,3 +218,144 @@ def test_cli_replay_and_cleanup(tmp_path, capsys, spark):
     assert main(["cleanup", table, "--keep-snapshots", "1"]) == 0
     out = _json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["snapshots_retained"] == 1 and "orphans_removed" in out
+
+
+# ---------------------------------------------------------------------------
+# resumable batch run (reference ResumeState, exec/BulkLoader.java:584-659)
+# ---------------------------------------------------------------------------
+
+def _many_csvs(tmp_path, n_files=6, rows_per=4):
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(n_files):
+        lines = ["id,val"]
+        for r in range(rows_per):
+            lines.append(f"{i * rows_per + r},v{i}_{r}")
+        (d / f"part_{i:02d}.csv").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def _resume_cfg(in_dir, out_dir):
+    return {
+        "in": {
+            "type": "file",
+            "path_prefix": f"{in_dir}/part_",
+            "parser": {
+                "type": "csv",
+                "header_line": True,
+                "columns": [
+                    {"name": "id", "type": "long"},
+                    {"name": "val", "type": "string"},
+                ],
+            },
+        },
+        "out": {
+            "type": "file",
+            "path_prefix": str(out_dir),
+            "formatter": {"type": "csv", "header_line": False},
+        },
+    }
+
+
+def _read_all_out(out_dir):
+    rows = []
+    for fp in sorted(glob.glob(f"{out_dir}/**/*.csv", recursive=True)):
+        with open(fp) as f:
+            rows += [ln for ln in f.read().splitlines() if ln]
+    return sorted(rows)
+
+
+def test_run_resumable_kill_and_resume_matches_clean(spark, tmp_path):
+    in_dir = _many_csvs(tmp_path)
+    clean_out = tmp_path / "out_clean"
+    res_out = tmp_path / "out_resumed"
+    resume = str(tmp_path / "resume.json")
+
+    # clean run in one shot (3 groups of 2 files)
+    d = P.run_resumable(
+        spark, _resume_cfg(in_dir, clean_out), str(tmp_path / "r0.json"),
+        files_per_commit=2,
+    )
+    assert d["done"] is True and d["groups_total"] == 3
+
+    # "killed" run: only 1 group commits, then resume finishes the rest
+    d1 = P.run_resumable(
+        spark, _resume_cfg(in_dir, res_out), resume,
+        files_per_commit=2, max_commits=1,
+    )
+    assert d1["done"] is False and d1["groups_committed"] == 1
+    d2 = P.run_resumable(
+        spark, _resume_cfg(in_dir, res_out), resume, files_per_commit=2,
+    )
+    assert d2["done"] is True and d2["groups_committed"] == 3
+
+    assert _read_all_out(res_out) == _read_all_out(clean_out)
+    assert len(_read_all_out(clean_out)) == 24
+
+
+def test_run_resumable_refuses_changed_input(spark, tmp_path):
+    in_dir = _many_csvs(tmp_path, n_files=4)
+    out = tmp_path / "out_chg"
+    resume = str(tmp_path / "resume_chg.json")
+    P.run_resumable(
+        spark, _resume_cfg(in_dir, out), resume,
+        files_per_commit=2, max_commits=1,
+    )
+    # mutate the committed group's input set (replace file 0 content set:
+    # rename file 01 so group g00000's membership changes)
+    os.rename(f"{in_dir}/part_01.csv", f"{in_dir}/part_00b.csv")
+    with pytest.raises(RuntimeError, match="resume state mismatch"):
+        P.run_resumable(spark, _resume_cfg(in_dir, out), resume, files_per_commit=2)
+
+
+# ---------------------------------------------------------------------------
+# JSON-pointer root parsing (spi/json/JsonParser.java:12-41)
+# ---------------------------------------------------------------------------
+
+def test_json_pointer_to_path():
+    from embulk_spark.sources.files import json_pointer_to_path
+
+    assert json_pointer_to_path("/store/book/0") == "$.store.book[0]"
+    assert json_pointer_to_path("/a~1b/c~0d") == "$.a/b.c~d"
+    assert json_pointer_to_path("") == "$"
+
+
+def test_json_root_pointer_array(spark, tmp_path):
+    from embulk_spark.sources.files import read_json
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"meta": 1, "items": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]}\n'
+        '{"meta": 2, "items": [{"id": 3, "v": "c"}]}\n'
+        '{"meta": 3, "items": []}\n'
+    )
+    parser = {
+        "type": "json",
+        "root": "/items",
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "string"},
+        ],
+    }
+    rows = read_json(spark, [str(p)], parser).orderBy("id").collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_json_root_pointer_object_and_index(spark, tmp_path):
+    from embulk_spark.sources.files import read_json
+
+    p = tmp_path / "docs2.jsonl"
+    p.write_text(
+        '{"payload": {"user": {"id": 7, "name": "ann"}}}\n'
+        '{"payload": {"user": {"id": 8, "name": "bo"}}}\n'
+    )
+    parser = {
+        "type": "json",
+        "root": "/payload/user",
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+        ],
+    }
+    rows = read_json(spark, [str(p)], parser).orderBy("id").collect()
+    assert [tuple(r) for r in rows] == [(7, "ann"), (8, "bo")]

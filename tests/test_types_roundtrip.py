@@ -125,3 +125,65 @@ def test_timestamp_canonical_text(spark):
     )
     got = [r[0] for r in df.select(timestamp_to_string(F.col("t"))).collect()]
     assert got == ["2024-03-01 12:30:45.123456 UTC", "2024-03-01 12:30:45 UTC"]
+
+
+# ---------------------------------------------------------------------------
+# ByteSize units (spi/unit/ByteSize.java) + per-column timezone
+# (docs/design/timestamp_parsing.md:60-80 fixed-offset policy)
+# ---------------------------------------------------------------------------
+
+def test_byte_size_parse_and_format():
+    from embulk_spark.functions.units import format_byte_size, parse_byte_size
+
+    assert parse_byte_size("32KB") == 32 * 1024
+    assert parse_byte_size("4MB") == 4 << 20
+    assert parse_byte_size("1.5GB") == int(1.5 * (1 << 30))
+    assert parse_byte_size("123") == 123
+    assert parse_byte_size("10 TB") == 10 << 40
+    assert parse_byte_size("2pb") == 2 << 50
+    assert parse_byte_size(4096) == 4096
+    import pytest as _pytest
+
+    for bad in ("", "12XB", "-1KB", "1..2MB", "KB"):
+        with _pytest.raises(ValueError):
+            parse_byte_size(bad)
+    assert format_byte_size(32768, "KB") == "32KB"
+    assert format_byte_size(1536, "KB") == "1.50KB"
+
+
+def test_per_column_timezone_fixed_offset(spark):
+    from embulk_spark.functions.coerce import string_to_timestamp
+
+    df = spark.createDataFrame([("2015-01-27 19:23:49",)], "s string")
+    got = df.select(
+        string_to_timestamp(F.col("s"), "%Y-%m-%d %H:%M:%S", "+09:00")
+        .cast("string").alias("t"),
+        string_to_timestamp(F.col("s"), "%Y-%m-%d %H:%M:%S", "PST")
+        .cast("string").alias("t_pst"),
+        string_to_timestamp(F.col("s"), "%Y-%m-%d %H:%M:%S")
+        .cast("string").alias("t_utc"),
+    ).first()
+    # +09:00 local → UTC instant is 9h earlier
+    assert got["t"] == "2015-01-27 10:23:49"
+    # PST is the FIXED -08:00 offset (reference issue #860 policy)
+    assert got["t_pst"] == "2015-01-28 03:23:49"
+    assert got["t_utc"] == "2015-01-27 19:23:49"
+
+
+def test_per_column_timezone_ignored_when_format_has_zone(spark):
+    from embulk_spark.functions.coerce import string_to_timestamp
+
+    df = spark.createDataFrame([("2015-01-27 19:23:49 +0200",)], "s string")
+    got = df.select(
+        string_to_timestamp(F.col("s"), "%Y-%m-%d %H:%M:%S %z", "+09:00")
+        .cast("string").alias("t")
+    ).first()
+    assert got["t"] == "2015-01-27 17:23:49"
+
+
+def test_region_timezone_rejected():
+    from embulk_spark.functions.coerce import string_to_timestamp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="region-based"):
+        string_to_timestamp(F.lit("x"), "%Y-%m-%d", "America/Los_Angeles")
