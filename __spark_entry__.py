@@ -199,6 +199,78 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_url_col() -> F.Column:
+    """Deterministic messy url per doc_id (documents has no url column):
+    mixed-case scheme/host, default & non-default ports, fragments,
+    trailing slashes — the canonicalization edge matrix. Mirrored exactly
+    by the oracle SQL."""
+    did = F.col("doc_id")
+    scheme = (
+        F.when(did % 3 == 0, F.lit("HTTP://"))
+        .when(did % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("HTTPS://"))
+    )
+    port = (
+        F.when(did % 4 == 0, F.lit(":80"))
+        .when(did % 4 == 1, F.lit(":443"))
+        .when(did % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(did % 5 == 0, F.lit("/"))
+        .when(did % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("/P"), (did % 9).cast("string")))
+    )
+    frag = F.when(did % 6 == 0, F.lit("#Frag")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("Host"), (did % 40).cast("string"),
+        F.lit(".Sub.Example.ORG"), port, path, frag,
+    )
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host/domain extraction (web-corpus dedup
+    key prep) — pure JVM regex Columns (functions/textops.py)."""
+    from embulk_spark.functions.textops import canonical_url, url_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    u = _synth_url_col()
+    return docs.select(
+        "doc_id",
+        u.alias("url"),
+        canonical_url(u).alias("canon_url"),
+        url_host(u).alias("host"),
+        url_domain(u).alias("domain"),
+    )
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (emails/phones/ipv4 → <TAG>) with per-kind audit
+    counts; PII is planted deterministically since the corpus has none."""
+    from embulk_spark.functions.textops import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@Example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(" call +1 (555) 123-4567 ok")).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii(planted)).alias("redacted_md5"),
+        *pii_counts(planted),
+    )
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.operators.dedup import minhash_df
 
@@ -477,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "url_canonicalize": _q_url_canonicalize,
+        "pii_redact": _q_pii_redact,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -694,6 +768,54 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
         FROM documents
         """,
+        "url_canonicalize": """
+        WITH u AS (
+          SELECT doc_id,
+            (CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' ELSE 'HTTPS://' END)
+            || 'Host' || (doc_id % 40)::varchar || '.Sub.Example.ORG'
+            || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END)
+            || (CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '' ELSE '/P' || (doc_id % 9)::varchar END)
+            || (CASE doc_id % 6 WHEN 0 THEN '#Frag' ELSE '' END) AS url
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, url,
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+                '^(https://[^/:]*):443$', '\\1'),
+              '^(http://[^/:]*):80$', '\\1')
+            || regexp_replace(
+                 regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                 '#.*$', '') AS joined,
+            lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host
+          FROM u
+        )
+        SELECT doc_id, url,
+               regexp_replace(joined, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1') AS canon_url,
+               host,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+        FROM c
+        """,
+        "pii_redact": """
+        WITH p AS (
+          SELECT doc_id,
+            text
+            || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::varchar || '@Example.com now' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN ' call +1 (555) 123-4567 ok' ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256)::varchar || '.7' ELSE '' END) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]?\\d{4}', '<PHONE>', 'g'),
+              '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g')) AS redacted_md5,
+          len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+          len(regexp_extract_all(t, '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]?\\d{4}')) AS n_phone,
+          len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4
+        FROM p
+        """,
         "minhash_signatures": """
         WITH w AS (
           SELECT doc_id,
@@ -898,8 +1020,43 @@ def oracle_sql() -> dict[str, str]:
                54 + h * ((3 * w + 3) // 4 * 4) AS n_bytes
         FROM sums
         """,
-        # multimodal_decode_fake / multimodal_frames: stubbed codec backend
-        # (md5-derived fake) — intentionally rows-only, no SQL oracle
+        # multimodal_decode_fake / multimodal_frames: the stubbed codec
+        # backend digests md5(UPPERCASE-HEX(bytes)) — ASCII-safe, so DuckDB
+        # (whose md5 takes VARCHAR only) recomputes it exactly as
+        # md5(hex(blob)); full oracles, no longer rows-only.
+        "multimodal_decode_fake": r"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::blob || encode(text)
+                   ELSE '\xFF\xD8\xFF\xE0'::blob || encode(text)
+                 END AS media,
+                 CASE doc_id % 5 WHEN 0 THEN 'png' ELSE 'jpeg' END AS container
+          FROM documents WHERE doc_id % 5 IN (0, 1)
+        ),
+        d AS (SELECT doc_id, container, media, md5(hex(media)) AS h FROM m)
+        SELECT doc_id AS id, container,
+               (16 + ('0x' || substr(h, 1, 4))::int % 4080)::int AS width,
+               (16 + ('0x' || substr(h, 5, 4))::int % 4080)::int AS height,
+               round(('0x' || substr(h, 9, 4))::int / 65535.0 * 255.0, 4)
+                 AS mean_luma,
+               octet_length(media) AS n_bytes
+        FROM d
+        """,
+        "multimodal_frames": r"""
+        WITH m AS (
+          SELECT doc_id, '\x00\x00\x00\x20ftyp'::blob || encode(text) AS media
+          FROM documents WHERE doc_id % 5 = 3
+        ),
+        n AS (
+          SELECT doc_id,
+                 1 + ('0x' || substr(md5(hex(media)), 13, 2))::int % 4 AS nf
+          FROM m
+        )
+        SELECT doc_id AS id, r.range::int AS frame_idx,
+               (r.range * 1000)::bigint AS frame_ts_ms
+        FROM n, range(4) r WHERE r.range < nf
+        """,
         "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity::decimal(18,2))::double AS sum_qty,

@@ -206,8 +206,12 @@ def _fake_image_decode(b: bytes) -> tuple[int, int, float]:
     """DETERMINISTIC FAKE decode: (width, height, mean_luma) as a pure
     function of the bytes. Stands in for the real codec so the Spark-side
     plumbing (schema, batching, partitioning) is fully exercised; replace
-    via ``_decode_backend`` when a codec library is present."""
-    d = hashlib.md5(b).digest()
+    via ``_decode_backend`` when a codec library is present.
+
+    Digest is over the UPPERCASE HEX of the bytes (ASCII-safe), so a SQL
+    oracle can recompute it exactly as md5(hex(blob)) — DuckDB's md5 only
+    accepts VARCHAR."""
+    d = hashlib.md5(b.hex().upper().encode()).digest()
     width = 16 + int.from_bytes(d[0:2], "big") % 4080
     height = 16 + int.from_bytes(d[2:4], "big") % 4080
     mean_luma = int.from_bytes(d[4:6], "big") / 65535.0 * 255.0
@@ -318,7 +322,9 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for _id, b in zip(pdf["id"], pdf["media"]):
-                d = hashlib.md5(b).digest()
+                # hex-of-bytes digest: SQL-oracle-recomputable (see
+                # _fake_image_decode)
+                d = hashlib.md5(b.hex().upper().encode()).digest()
                 n = min(max_frames, 1 + d[6] % max_frames)
                 for i in range(n):
                     ids.append(_id)

@@ -85,3 +85,68 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     Stable across engines (md5 of utf-8 bytes)."""
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the dedup key-prep step of every web corpus
+# pipeline (crawl frontiers and CC index dedup key on canonical url)
+# ---------------------------------------------------------------------------
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for url-keyed dedup: lowercase scheme+host, default
+    ports and fragments stripped, trailing slash on a bare path removed.
+    Pure Column regexes (whole-stage codegen)."""
+    u = F.trim(url)
+    # split once: scheme://host[:port]/rest — lower only scheme+host
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    head = F.regexp_replace(head, r"^(https://[^/:]*):443$", "$1")
+    head = F.regexp_replace(head, r"^(http://[^/:]*):80$", "$1")
+    out = F.concat(head, F.regexp_replace(rest, r"#.*$", ""))
+    return F.regexp_replace(out, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+
+
+def url_host(url: Column) -> Column:
+    """Registered host of a url (lowercased, port stripped)."""
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """Last-two-label domain (example.org from a.b.example.org) — the
+    hot-host skew/grouping key. Public-suffix nuance intentionally out of
+    scope (no list dependency); two labels is the convention CC stats use."""
+    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — training-data scrubbing (emails, phone numbers, ipv4)
+# ---------------------------------------------------------------------------
+
+#: redaction patterns: (tag, regex). Conservative, precision-leaning —
+#: a corpus scrubber prefers missing an odd format to mangling prose.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}"),
+    ("IPV4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII match with ``<TAG>`` — chained JVM
+    regexp_replace, no Python in the path."""
+    out = text
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind match counts (audit metrics for the scrub pass)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(
+            f"n_{tag.lower()}"
+        )
+        for tag, pat in PII_PATTERNS
+    ]

@@ -13,8 +13,12 @@ pandas UDF for html bytes); nothing is materialized on the driver, so the
 same generator scales to the 10^10-event design point.
 
 Stream shape (FIXTURES.md F2):
-- ~60/30/9 I/U/D mix; every url's first event is an insert.
-- one hot host receives ~20% of events (Zipf hosts, exponent 1.2) — skew.
+- birth block then tail: the first n_urls seqs insert url 0..n_urls-1 (the
+  initial bulk load of a binlog replay); the tail (~90% of events) is
+  weight-assigned updates/deletes (~77/23 U/D). Every url's first event is
+  an insert BY CONSTRUCTION — no per-url window, no generation shuffle.
+- one hot host receives ~20% of tail events (Zipf hosts, exponent 1.2) —
+  skew.
 - ~5% exact duplicate deliveries in a later epoch — dedup test.
 - ~3% late arrivals (event assigned to a later epoch than its seq) — the
   latest-(warc_ts,seq)-wins and delete-stays-deleted tests.
@@ -26,7 +30,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -159,10 +163,23 @@ def change_stream(
     parts = num_partitions or spark.sparkContext.defaultParallelism
     batch = max(1, n_events // n_epochs)
 
+    # Scale-safe construction, NO shuffle: the first n_urls seqs are the
+    # birth block (seq i inserts url i), the tail is weight-hash-assigned
+    # updates/deletes. Every url's first event (lowest seq AND warc_ts) is
+    # its insert BY CONSTRUCTION — the per-url row_number window the
+    # previous version used was a full shuffle+sort of the stream at
+    # generation time, which at the 10^10-event design point would make
+    # the fixture generator itself the bottleneck. ``version`` (the html
+    # content selector) is a seq hash for tail events: any deterministic
+    # per-event value works, ordering semantics come from (warc_ts, seq).
+    is_birth = F.col("seq") < n_urls
     df = (
         spark.range(0, n_events, numPartitions=parts)
         .withColumnRenamed("id", "seq")
-        .withColumn("url_idx", url_idx_of(_u01("seq", 1)))
+        .withColumn(
+            "url_idx",
+            F.when(is_birth, F.col("seq")).otherwise(url_idx_of(_u01("seq", 1))),
+        )
         .withColumn(
             "url",
             F.concat(
@@ -173,12 +190,15 @@ def change_stream(
             ),
         )
     )
-    # per-url event index → first event is the insert, others U/D
-    w = Window.partitionBy("url_idx").orderBy("seq")
-    df = df.withColumn("version", F.row_number().over(w))
+    df = df.withColumn(
+        "version",
+        F.when(is_birth, F.lit(1)).otherwise(
+            (F.lit(2) + F.pmod(F.xxhash64("seq", F.lit(8)), F.lit(1000))).cast("int")
+        ),
+    )
     df = df.withColumn(
         "op",
-        F.when(F.col("version") == 1, F.lit("I"))
+        F.when(is_birth, F.lit("I"))
         .when(_u01("seq", 2) < p_update_given_rest, F.lit("U"))
         .otherwise(F.lit("D")),
     )

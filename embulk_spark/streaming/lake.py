@@ -314,9 +314,21 @@ class ParquetLakeTable:
         then come from a column-pruned scan of the files just written plus
         their footers — never a second pass over html/text bytes.
         """
+        # TransactionStage analogue (reference exec/TransactionStage.java,
+        # consulted by BulkLoader's resume to know how far a transaction
+        # got): each epoch progresses RUN_BEGIN → JOB_DONE (the one heavy
+        # Spark job) → FILES_LISTED → COMMITTED / SKIPPED. The stage trace
+        # plus per-phase wall seconds land in the commit metrics — our
+        # resume unit is the whole epoch, so the trace is observability
+        # and post-mortem truth, not a mid-epoch restart point.
+        stages: list[str] = ["RUN_BEGIN"]
+        t0 = time.perf_counter()
+        phase: dict[str, float] = {}
+
         snap = self.current_snapshot()
         if epoch_id in set(snap["committed_epochs"]):
-            return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+            return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True,
+                    "stages": stages + ["SKIPPED"]}
 
         cur = self.schema(snap)
 
@@ -404,12 +416,17 @@ class ParquetLakeTable:
             ]
         changes.observe(obs, *obs_aggs).write.mode("overwrite").parquet(out_dir)
         stats = obs.get
+        stages.append("JOB_DONE")
+        phase["job"] = round(time.perf_counter() - t0, 3)
 
         files, rows_written, nbytes = self._list_files(rel_dir)
+        stages.append("FILES_LISTED")
+        phase["list_files"] = round(time.perf_counter() - t0 - phase["job"], 3)
         if rows_written == 0:
             return self._commit(
                 snap, epoch_id,
-                metrics={"epoch_id": epoch_id, "rows_in": 0, "empty_batch": True},
+                metrics={"epoch_id": epoch_id, "rows_in": 0, "empty_batch": True,
+                         "stages": stages + ["COMMITTED"], "phase_seconds": phase},
                 lineage=[],
             )
 
@@ -451,6 +468,11 @@ class ParquetLakeTable:
                 if stats["max_ts"] is not None else None
             ),
         }
+        metrics["stages"] = stages + ["COMMITTED"]
+        phase["metrics"] = round(
+            time.perf_counter() - t0 - phase["job"] - phase["list_files"], 3
+        )
+        metrics["phase_seconds"] = phase
         delta_group = {
             "files": files,
             "schema_v": snap["schema_v"],

@@ -48,7 +48,8 @@ def apply_epoch(table: ParquetLakeTable, epoch_df: DataFrame, epoch_id: int) -> 
     """Apply one epoch: schema changes first (driver-side, tiny), then the
     data events as one idempotent MERGE commit."""
     if epoch_id in table.committed_epochs():
-        return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+        return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True,
+                "stages": ["RUN_BEGIN", "SKIPPED"]}
     schema_events = (
         epoch_df.filter(F.col("op") == "S")
         .select("seq", "schema_change")

@@ -148,3 +148,20 @@ def test_in_batch_duplicates_collapse(spark, tmp_path):
     m = table.merge_epoch(spark.createDataFrame(rows, cols), 0)
     assert m["rows_in"] == 3 and m["keys_in_batch"] == 1 and m["dedup_count"] == 2
     assert table.published().count() == 1
+
+
+def test_commit_metrics_stage_trace(spark, tmp_path):
+    """TransactionStage analogue: commit metrics carry the stage
+    progression and per-phase timings (exec/TransactionStage.java)."""
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import apply_epoch
+
+    ev = change_stream(spark, 400, 60, 2, with_html=False)
+    t = ParquetLakeTable(spark, str(tmp_path / "stage_tbl"), n_buckets=4)
+    m = apply_epoch(t, ev.filter("epoch = 0"), 0)
+    assert m["stages"] == ["RUN_BEGIN", "JOB_DONE", "FILES_LISTED", "COMMITTED"]
+    assert set(m["phase_seconds"]) == {"job", "list_files", "metrics"}
+    assert all(v >= 0 for v in m["phase_seconds"].values())
+    m2 = apply_epoch(t, ev.filter("epoch = 0"), 0)
+    assert m2["skipped_duplicate_epoch"] and m2["stages"][-1] == "SKIPPED"

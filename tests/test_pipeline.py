@@ -359,3 +359,48 @@ def test_json_root_pointer_object_and_index(spark, tmp_path):
     }
     rows = read_json(spark, [str(p)], parser).orderBy("id").collect()
     assert [tuple(r) for r in rows] == [(7, "ann"), (8, "bo")]
+
+
+# ---------------------------------------------------------------------------
+# Liquid template preprocessing (EmbulkRunner.java:369-405: applies only to
+# *.yml.liquid; data = {'env': ENV} + params; include -> _name.yml.liquid)
+# ---------------------------------------------------------------------------
+
+def test_liquid_env_and_default(tmp_path, monkeypatch):
+    monkeypatch.setenv("EMBULK_SPARK_TEST_PREFIX", "/data/in_")
+    cfg_path = tmp_path / "pipe.yml.liquid"
+    cfg_path.write_text(
+        "in:\n"
+        "  type: file\n"
+        "  path_prefix: {{ env.EMBULK_SPARK_TEST_PREFIX }}\n"
+        "  charset: {{ env.MISSING_VAR | default: 'UTF-8' }}\n"
+    )
+    cfg = P.load_config(str(cfg_path))
+    assert cfg["in"]["path_prefix"] == "/data/in_"
+    assert cfg["in"]["charset"] == "UTF-8"
+
+
+def test_liquid_include_and_plain_yml_untouched(tmp_path):
+    (tmp_path / "_common.yml.liquid").write_text(
+        "  formatter: {type: csv, header_line: false}\n"
+    )
+    cfg_path = tmp_path / "pipe.yml.liquid"
+    cfg_path.write_text(
+        "out:\n"
+        "  type: file\n"
+        "  path_prefix: /tmp/out\n"
+        "{% include 'common' %}\n"
+    )
+    cfg = P.load_config(str(cfg_path))
+    assert cfg["out"]["formatter"] == {"type": "csv", "header_line": False}
+
+    # a plain .yml with {{ }} stays literal (extension gate)
+    plain = tmp_path / "plain.yml"
+    plain.write_text("a: '{{ env.HOME }}'\n")
+    assert P.load_config(str(plain))["a"] == "{{ env.HOME }}"
+
+
+def test_liquid_params_win_and_render_api():
+    out = P.render_liquid("x={{ name }} y={{ env.PATH | default: 'p' }}",
+                          params={"name": "n1", "env": {"PATH": "override"}})
+    assert out == "x=n1 y=override"
