@@ -210,27 +210,33 @@ def string_to_timestamp(
     (docs/design/timestamp_parsing.md:60-80: '+09:00' literal offsets and
     the Ruby abbreviation set; region-based zones are rejected). Ignored
     when the format itself consumes a zone (%z/%Z)."""
-    if fmt is None:
-        parsed = F.coalesce(
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
-            F.try_to_timestamp(c),
-        )
-        has_zone_directive = False
-    else:
-        parsed = F.try_to_timestamp(c, F.lit(strptime_to_java(fmt)))
-        has_zone_directive = any(d in fmt for d in ("%z", "%:z", "%Z"))
-    if timezone and not has_zone_directive:
+    offset = None
+    if timezone:
         offset = FIXED_OFFSET_ZONES.get(timezone, timezone)
         if not (offset.startswith("+") or offset.startswith("-")):
             raise ValueError(
                 f"region-based timezone {timezone!r} is not supported; "
                 "use a fixed offset like '+09:00' (reference v0.9 policy)"
             )
-        if offset != "+00:00":
-            # session tz is pinned UTC: parsed is the naive reading as UTC;
-            # re-interpret it as the configured fixed offset
-            parsed = F.to_utc_timestamp(parsed, offset)
+    if fmt is None:
+        naive = F.coalesce(
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+        )
+        if offset and offset != "+00:00":
+            # per-ROW zone handling on the default path: the strict naive
+            # patterns reject strings that carry an inline offset, so only
+            # zone-less rows get re-interpreted in the configured offset;
+            # zone-carrying rows fall through to the default parser, which
+            # honors their own offset (no double shift).
+            naive = F.to_utc_timestamp(naive, offset)
+        return F.coalesce(naive, F.try_to_timestamp(c))
+    parsed = F.try_to_timestamp(c, F.lit(strptime_to_java(fmt)))
+    has_zone_directive = any(d in fmt for d in ("%z", "%:z", "%Z"))
+    if offset and offset != "+00:00" and not has_zone_directive:
+        # session tz is pinned UTC: parsed is the naive reading as UTC;
+        # re-interpret it as the configured fixed offset
+        parsed = F.to_utc_timestamp(parsed, offset)
     return parsed
 
 

@@ -561,17 +561,51 @@ def guess_csv_dialect(text: str, *, all_strings: bool = False) -> dict:
     schema guess. ``all_strings`` is the csv_all_strings variant — same
     dialect, every column typed string (build.gradle:22)."""
     lines = [ln for ln in text.splitlines() if ln.strip()][:50]
-    delim = guess_delimiter(lines) or ","
-    quote = guess_quote(lines, delim)
-    # the effective quote for escape detection defaults to '"' (an escape
-    # can exist without believed quoting, e.g. backslash-escaped delimiters)
-    escape = guess_escape(lines, delim, quote or '"')
-    null_string = guess_null_string(lines, delim)
-    comment = guess_comment_marker(lines, delim, quote, null_string)
-    if comment:
-        lines = [ln for ln in lines if not ln.startswith(comment)]
+    comment = None
+    # two passes: if a comment marker is found, strip comment lines and
+    # RE-RUN every detector — a prose preamble full of commas must not be
+    # allowed to out-vote the data's real delimiter
+    for _pass in range(2):
+        delim = guess_delimiter(lines) or ","
+        quote = guess_quote(lines, delim)
+        # the effective quote for escape detection defaults to '"' (an
+        # escape can exist without believed quoting, e.g. backslash-escaped
+        # delimiters)
+        escape = guess_escape(lines, delim, quote or '"')
+        null_string = guess_null_string(lines, delim)
+        found = guess_comment_marker(lines, delim, quote, null_string)
+        if not found:
+            break  # keeps a pass-1 marker: stripped lines show none
+        comment = found
+        # strip with the SAME exclusions the detector used: a line starting
+        # with the quote char or a null marker ('#N/A,5') is data
+        keep_if = []
+        if quote:
+            keep_if.append(re.compile("^" + re.escape(quote)))
+        if null_string:
+            keep_if.append(
+                re.compile(
+                    "^" + re.escape(null_string)
+                    + "(?:" + re.escape(delim) + "|$)"
+                )
+            )
+        lines = [
+            ln for ln in lines
+            if not ln.startswith(found) or any(k.search(ln) for k in keep_if)
+        ]
     rows = [_parse_csv_line(ln, delim, quote, escape) for ln in lines]
     rows = [r for r in rows if r]
+    if not rows:
+        # e.g. the whole 32 KiB sample is comments: a usable (if empty)
+        # config beats an unhandled crash in `guess`
+        out = {
+            "delimiter": delim, "quote": quote or '"',
+            "escape": escape or quote or '"',
+            "header_line": False, "columns": [],
+        }
+        if comment:
+            out["comment_line_marker"] = comment
+        return out
     header = False
     if len(rows) >= 2:
         head_types = [guess_type(v) for v in rows[0]]

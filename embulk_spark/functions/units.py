@@ -36,12 +36,16 @@ def parse_byte_size(size: str | int) -> int:
     m = _PATTERN.match(size)
     if not m:
         raise ValueError(f"Invalid byte size string {size!r}")
-    value = float(m.group(1))
+    from decimal import Decimal
+
+    # exact decimal arithmetic: float would round 2^63 through the ceiling
+    # check and lose precision above 2^53 bytes
+    value = Decimal(m.group(1))
     unit = m.group(2).upper() or "B"
     if unit not in _FACTORS:
         raise ValueError(f"Unknown unit {m.group(2)!r}")
     nbytes = value * _FACTORS[unit]
-    if nbytes > float((1 << 63) - 1):
+    if nbytes > (1 << 63) - 1:
         raise ValueError("size is large than (2^63)-1 in bytes")
     return int(nbytes)
 

@@ -315,7 +315,14 @@ def run_resumable(
     base_prefix = out_conf["path_prefix"]
     for gi, group in enumerate(groups):
         key = f"g{gi:05d}"
-        fp = _hashlib.md5("\n".join(group).encode()).hexdigest()[:16]
+        # fingerprint covers path + size + mtime: a rewritten input file in
+        # a committed group fails loudly instead of resuming stale output
+        fp = _hashlib.md5(
+            "\n".join(
+                f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+                for p in group
+            ).encode()
+        ).hexdigest()[:16]
         committed = state["committed"].get(key)
         if committed:
             if committed["fingerprint"] != fp:
@@ -336,8 +343,15 @@ def run_resumable(
         n_done += 1
 
     done = len(state["committed"]) == len(groups)
+    # the last_path cursor advances ONLY on completion: a partial run must
+    # leave the next invocation seeing the same input set, else the
+    # ConfigDiff written by the CLI would filter the unprocessed files out
+    # and the run could never finish (or report done with data missing)
+    new_last = (
+        max(paths) if (done and paths) else in_conf.get("last_path")
+    )
     return {
-        "in": {"last_path": max(paths) if paths else in_conf.get("last_path")},
+        "in": {"last_path": new_last},
         "out": {},
         "done": done,
         "groups_total": len(groups),

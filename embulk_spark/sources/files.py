@@ -137,11 +137,14 @@ def _read_csv_skip_n(
     from pyspark.sql.window import Window
 
     txt = spark.read.text(paths).withColumn("_f", F.input_file_name())
-    w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
-    body = txt.withColumn("_i", F.row_number().over(w)).filter(F.col("_i") > skip)
+    # comment lines are removed BEFORE the header skip counts lines — the
+    # dialect guess detects the header on comment-stripped text, so a file
+    # whose comments precede the header must skip the HEADER, not a comment
     marker = parser.get("comment_line_marker")
     if marker:
-        body = body.filter(~F.col("value").startswith(marker))
+        txt = txt.filter(~F.col("value").startswith(marker))
+    w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
+    body = txt.withColumn("_i", F.row_number().over(w)).filter(F.col("_i") > skip)
     opts = {
         "delimiter": parser.get("delimiter", ","),
         "quote": parser.get("quote", '"'),
@@ -155,17 +158,30 @@ def _read_csv_skip_n(
     return _apply_timestamp_formats(parsed, parser["columns"])
 
 
-def json_pointer_to_path(pointer: str) -> str:
+def json_pointer_to_path(pointer: str, digits_as_index: bool = True) -> str:
     """RFC 6901 JSON pointer → Spark JSONPath: ``/store/book/0`` →
     ``$.store.book[0]``, with ``~1``→``/`` and ``~0``→``~`` unescaping
     (the pointer grammar the reference streams from,
-    spi/json/JsonParser.java:12-41)."""
-    if not pointer or pointer == "/":
+    spi/json/JsonParser.java:12-41).
+
+    A pointer can't say whether an all-digit token is an array index or an
+    object key — only the document can; ``digits_as_index`` picks the
+    reading (``read_json`` coalesces both). Keys that aren't plain
+    identifiers (dots, slashes, leading digits) use bracket-quoted form so
+    they can't be misread as path structure."""
+    import re as _re
+
+    if not pointer:
         return "$"
     out = "$"
     for tok in pointer.split("/")[1:]:
         tok = tok.replace("~1", "/").replace("~0", "~")
-        out += f"[{int(tok)}]" if tok.isdigit() else f".{tok}"
+        if tok.isdigit() and digits_as_index:
+            out += f"[{int(tok)}]"
+        elif _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tok):
+            out += f".{tok}"
+        else:
+            out += "['" + tok.replace("'", "\\'") + "']"
     return out
 
 
@@ -182,7 +198,14 @@ def read_json(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
     columns = parser.get("columns")
     root = parser.get("root") or parser.get("__experimental__json_pointer_to_root")
     if root:
-        sub = F.get_json_object(F.col("value"), json_pointer_to_path(root))
+        # all-digit tokens: try the array-index reading first, fall back to
+        # the object-key reading per row (the pointer grammar is ambiguous;
+        # the document decides — spi/json/JsonParser.java:29-41)
+        p_idx = json_pointer_to_path(root, digits_as_index=True)
+        p_key = json_pointer_to_path(root, digits_as_index=False)
+        sub = F.get_json_object(F.col("value"), p_idx)
+        if p_key != p_idx:
+            sub = F.coalesce(sub, F.get_json_object(F.col("value"), p_key))
         txt = spark.read.text(paths).select(sub.alias("_sub"))
         if not columns:
             return txt.filter(F.col("_sub").isNotNull()).select(

@@ -77,9 +77,15 @@ def _auto_pipeline_depth(spark: SparkSession) -> int:
     real executor host: leave cores for the python workers."""
     import os
 
-    m = re.match(r"local\[(\d+|\*)\]", spark.sparkContext.master)
+    master = spark.sparkContext.master
+    m = re.match(r"local\[(\d+|\*)(?:,\d+)?\]", master)
+    if not m:
+        # cluster master (spark://, yarn, k8s): the driver's CPU count says
+        # nothing about executor slots, and executor hosts are sized with
+        # python-worker headroom — overlap is the win case there
+        return 2
     ncpu = os.cpu_count() or 8
-    slots = ncpu if (not m or m.group(1) == "*") else int(m.group(1))
+    slots = ncpu if m.group(1) == "*" else int(m.group(1))
     return 1 if 2 * slots > ncpu else 2
 
 

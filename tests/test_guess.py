@@ -374,3 +374,26 @@ def test_csv_quoted_roundtrip_through_read_csv(spark, tmp_path):
         (1, "smith, john", None),
         (2, 'say "hi"', "austin, tx"),
     ]
+
+
+def test_csv_all_comment_sample_no_crash():
+    d = guess_csv_dialect("# only comments\n# another comment line\n")
+    assert d["columns"] == [] and d["header_line"] is False
+    assert d["comment_line_marker"] == "#"
+
+
+def test_csv_comment_preamble_does_not_skew_delimiter():
+    preamble = "".join(f"# intro, notes, {i}, here\n" for i in range(30))
+    data = "id;val\n" + "".join(f"{i};v{i}\n" for i in range(10))
+    d = guess_csv_dialect(preamble + data)
+    assert d["comment_line_marker"] == "#"
+    assert d["delimiter"] == ";"
+    assert d["header_line"] is True
+
+
+def test_csv_null_marker_line_not_stripped_as_comment():
+    text = "# real comment\n# more\nid,val\n1,x\n#N/A,5\n2,y\n"
+    d = guess_csv_dialect(text)
+    assert d["comment_line_marker"] == "#"
+    # the '#N/A,5' row survived: 4 data rows means val column saw '5'
+    assert d["null_string"] == "#N/A" or len(d["columns"]) == 2

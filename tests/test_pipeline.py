@@ -316,7 +316,13 @@ def test_json_pointer_to_path():
     from embulk_spark.sources.files import json_pointer_to_path
 
     assert json_pointer_to_path("/store/book/0") == "$.store.book[0]"
-    assert json_pointer_to_path("/a~1b/c~0d") == "$.a/b.c~d"
+    assert json_pointer_to_path("/store/book/0", digits_as_index=False) == (
+        "$.store.book['0']"
+    )
+    # '/'-containing and non-identifier keys are bracket-quoted, never
+    # misread as path structure
+    assert json_pointer_to_path("/a~1b/c~0d") == "$['a/b']['c~d']"
+    assert json_pointer_to_path("/a.b") == "$['a.b']"
     assert json_pointer_to_path("") == "$"
 
 
@@ -404,3 +410,75 @@ def test_liquid_params_win_and_render_api():
     out = P.render_liquid("x={{ name }} y={{ env.PATH | default: 'p' }}",
                           params={"name": "n1", "env": {"PATH": "override"}})
     assert out == "x=n1 y=override"
+
+
+def test_json_root_digit_key_fallback(spark, tmp_path):
+    """All-digit pointer token resolving an OBJECT key (not array index)."""
+    from embulk_spark.sources.files import read_json
+
+    p = tmp_path / "digit_key.jsonl"
+    p.write_text('{"data": {"0": {"id": 5, "v": "k"}}}\n')
+    parser = {
+        "type": "json",
+        "root": "/data/0",
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "string"},
+        ],
+    }
+    rows = read_json(spark, [str(p)], parser).collect()
+    assert [tuple(r) for r in rows] == [(5, "k")]
+
+
+def test_run_resumable_partial_keeps_last_path(spark, tmp_path):
+    """A partial run must NOT advance the last_path cursor — a ConfigDiff
+    written mid-run would otherwise filter the pending files out forever."""
+    in_dir = _many_csvs(tmp_path, n_files=4)
+    out = tmp_path / "out_lp"
+    resume = str(tmp_path / "resume_lp.json")
+    d1 = P.run_resumable(
+        spark, _resume_cfg(in_dir, out), resume, files_per_commit=2, max_commits=1,
+    )
+    assert d1["done"] is False and d1["in"]["last_path"] is None
+    d2 = P.run_resumable(spark, _resume_cfg(in_dir, out), resume, files_per_commit=2)
+    assert d2["done"] is True
+    assert d2["in"]["last_path"] == f"{in_dir}/part_03.csv"
+
+
+def test_run_resumable_detects_rewritten_file(spark, tmp_path):
+    """Content fingerprint: a rewritten input file in a committed group
+    fails loudly instead of silently keeping stale output."""
+    import os as _os
+
+    in_dir = _many_csvs(tmp_path, n_files=2)
+    out = tmp_path / "out_rw"
+    resume = str(tmp_path / "resume_rw.json")
+    P.run_resumable(
+        spark, _resume_cfg(in_dir, out), resume, files_per_commit=2, max_commits=1,
+    )
+    fp = f"{in_dir}/part_00.csv"
+    with open(fp, "a") as f:
+        f.write("999,changed\n")
+    _os.utime(fp, ns=(_os.stat(fp).st_atime_ns, _os.stat(fp).st_mtime_ns + 10**9))
+    with pytest.raises(RuntimeError, match="resume state mismatch"):
+        P.run_resumable(spark, _resume_cfg(in_dir, out), resume, files_per_commit=2)
+
+
+def test_csv_comments_before_header_roundtrip(spark, tmp_path):
+    """Multi-char comment marker + header: the text path must strip the
+    comments BEFORE counting header lines."""
+    from embulk_spark.sources.files import read_csv
+
+    p = tmp_path / "cmt.csv"
+    p.write_text("// generated\nid,val\n1,x\n2,y\n")
+    parser = {
+        "type": "csv",
+        "comment_line_marker": "//",
+        "header_line": True,
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "val", "type": "string"},
+        ],
+    }
+    rows = read_csv(spark, [str(p)], parser).orderBy("id").collect()
+    assert [tuple(r) for r in rows] == [(1, "x"), (2, "y")]

@@ -187,3 +187,30 @@ def test_region_timezone_rejected():
 
     with _pytest.raises(ValueError, match="region-based"):
         string_to_timestamp(F.lit("x"), "%Y-%m-%d", "America/Los_Angeles")
+
+
+def test_byte_size_exact_boundaries():
+    from embulk_spark.functions.units import parse_byte_size
+    import pytest as _pytest
+
+    assert parse_byte_size(str((1 << 63) - 1)) == (1 << 63) - 1
+    assert parse_byte_size(str((1 << 53) + 1)) == (1 << 53) + 1
+    with _pytest.raises(ValueError):
+        parse_byte_size("8192PB")  # == 2^63, over the (2^63)-1 ceiling
+
+
+def test_default_format_timezone_no_double_shift(spark):
+    from embulk_spark.functions.coerce import string_to_timestamp
+
+    df = spark.createDataFrame(
+        [("2015-01-27 19:23:49",), ("2015-01-27 19:23:49+02:00",)], "s string"
+    )
+    got = [
+        r["t"]
+        for r in df.select(
+            string_to_timestamp(F.col("s"), None, "+09:00")
+            .cast("string").alias("t")
+        ).collect()
+    ]
+    # zone-less row shifted by +09:00; zone-carrying row honors ITS zone
+    assert got == ["2015-01-27 10:23:49", "2015-01-27 17:23:49"]
