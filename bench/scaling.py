@@ -98,13 +98,37 @@ print("LEGRESULT " + json.dumps({{"cpus": cpus, "events": n_total,
 """
 
 
+def _cpu_times() -> tuple[int, int, int]:
+    """(total, steal, system) jiffies across all cpus from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    total = sum(vals)
+    return total, vals[7] if len(vals) > 7 else 0, vals[2]
+
+
 def _run(code: str, tag: str) -> dict | None:
+    t_before = _cpu_times()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
+    t_after = _cpu_times()
+    dt = max(1, t_after[0] - t_before[0])
+    # host-interference evidence: steal = cycles the hypervisor gave to
+    # co-tenant VMs while we were runnable. This sandbox's host is shared;
+    # bursts of 10-20% steal turn 30x into 3x (lock-holder preemption makes
+    # high-parallelism legs burn system time spinning). Recording it per
+    # run makes noisy runs visible instead of folded into "±15% noise".
+    steal_pct = round(100 * (t_after[1] - t_before[1]) / dt, 1)
+    sys_pct = round(100 * (t_after[2] - t_before[2]) / dt, 1)
     for line in out.stdout.splitlines():
         if line.startswith(tag + " "):
-            return json.loads(line[len(tag) + 1:]) if tag == "LEGRESULT" else {}
+            if tag != "LEGRESULT":
+                return {}
+            r = json.loads(line[len(tag) + 1:])
+            r["steal_pct"] = steal_pct
+            r["sys_pct"] = sys_pct
+            return r
         if line.startswith(tag):
             return {}
     raise RuntimeError(f"{tag} run failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
@@ -198,7 +222,11 @@ def main() -> None:
                 runs.append(r)
                 print(label, r, flush=True)
             best = max(runs, key=lambda r: r["events_per_sec"])
-            legs[cpus] = dict(best, all_runs=[r["events_per_sec"] for r in runs])
+            legs[cpus] = dict(best, all_runs=[
+                {"events_per_sec": r["events_per_sec"], "seconds": r["seconds"],
+                 "steal_pct": r["steal_pct"], "sys_pct": r["sys_pct"]}
+                for r in runs
+            ])
         lo, hi = HEADLINE
         eff = (legs[hi]["events_per_sec"] / legs[lo]["events_per_sec"]) / (hi / lo)
         results[label] = {"legs": legs, f"efficiency_{lo}_to_{hi}": round(eff, 3)}
@@ -217,8 +245,14 @@ def main() -> None:
         "JVM, fresh target table and state per leg; identical physical plans",
         f"(fixed `spark.sql.shuffle.partitions` = {SHUFFLE_PARTITIONS}); one",
         "untimed warm-up epoch per leg; scratch on tmpfs; best of",
-        f"{REPEATS[lo]} runs per leg (sandbox run-to-run noise is +/-15%;",
-        "every run is in the JSON appendix).",
+        f"{REPEATS[lo]} runs per leg. The sandbox shares its host with",
+        "co-tenant VMs, so every run records the host's CPU **steal%**",
+        "(hypervisor cycles given away while we were runnable) measured over",
+        "the run from `/proc/stat`: legs with steal > ~2% are",
+        "interference-poisoned — under steal, lock-holder preemption makes",
+        "high-parallelism legs spin in system time, which can inflate a 14 s",
+        "32-core replay to 200+ s. Best-of-N with per-run steal in the JSON",
+        "appendix makes that visible instead of folding it into noise.",
         "",
         f"**Headline (north-rule N vs 4N): N={lo} vs 4N={hi} cores.**",
         f"Efficiency = (tp_{hi}/tp_{lo}) / {hi // lo}; gate >= 0.8. Both",
@@ -235,15 +269,17 @@ def main() -> None:
         "  merge-on-read snapshot table (dedup -> extract -> delta write ->",
         "  atomic epoch commit; consecutive epochs pipelined with rebase commits)",
         "",
-        "| variant | cpus | events | best seconds | best events/sec | final rows |",
-        "|---|---|---|---|---|---|",
+        "| variant | cpus | events | best seconds | best events/sec"
+        " | steal% | final rows |",
+        "|---|---|---|---|---|---|---|",
     ]
     for label, r in results.items():
         for cpus in LEGS:
             leg = r["legs"][cpus]
             lines.append(
                 f"| {label} | {cpus} | {leg['events']:,} | {leg['seconds']}"
-                f" | {leg['events_per_sec']:,} | {leg['final_rows']:,} |"
+                f" | {leg['events_per_sec']:,} | {leg['steal_pct']}"
+                f" | {leg['final_rows']:,} |"
             )
     lines += [
         "",
@@ -261,6 +297,15 @@ def main() -> None:
         "host to stress hot-domain skew — the max_by hash-agg dedup",
         "(map-side partial combine) keeps the merge balanced, so the two",
         "variants track each other.",
+        "",
+        "Note on cross-round comparability: the shuffle-free generator",
+        "(round 2) emits a heavier stream than round 1's — a birth block",
+        "inserts every url in epoch 0, so ~1.4M distinct urls/8.4M events",
+        "undergo extraction vs ~1.0M before. Absolute events/sec therefore",
+        "dropped vs the round-1 file for fixture reasons, not engine ones:",
+        "on the IDENTICAL round-2 input at 4 cores, the current engine",
+        "replays 1.26x faster than the round-1 engine (350k vs 279k ev/s,",
+        "same host window).",
     ]
     if cap:
         lines += [
