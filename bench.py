@@ -29,7 +29,12 @@ def main() -> None:
     # replay stream sized so per-epoch fixed costs amortize and the
     # events/sec figure reflects sustained throughput (see BENCH/BASELINE.md)
     n_events = int(os.environ.get("BENCH_EVENTS", str(max(100_000, int(20_000_000 * sf)))))
-    n_epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
+    # 2 epochs matches the bench/scaling.py legs: the headline is SUSTAINED
+    # events/sec, so epochs are sized large enough that the ~1.5 s fixed
+    # cost of a commit amortizes (the 10^10 design point has 10^7+-event
+    # epochs). Many-epoch flatness evidence lives in bench/soak.py (10
+    # epochs, compaction in-loop), not here.
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
     n_urls = max(2_000, n_events // 10)
 
     # scratch on tmpfs when available: the sandbox's virtio disk has
@@ -70,6 +75,7 @@ def main() -> None:
 
     table = ParquetLakeTable(spark, os.path.join(workdir, "table"), n_buckets=2 * cpus)
     t0 = time.perf_counter()
+    t0_wall = time.time()  # commit timestamps below are wall-clock
     epoch_metrics = replay_batches(table, events)
     replay_sec = time.perf_counter() - t0
     timings["cdc_replay"] = round(replay_sec, 3)
@@ -80,7 +86,7 @@ def main() -> None:
         m["committed_at"] for m in epoch_metrics if "committed_at" in m
     )
     epoch_seconds = [
-        round(b - a, 3) for a, b in zip([t0] + commit_ts[:-1], commit_ts)
+        round(b - a, 3) for a, b in zip([t0_wall] + commit_ts[:-1], commit_ts)
     ]
 
     # ---- operator queries on the sf tables ----
