@@ -5,7 +5,8 @@ Env knobs:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] cores (default 32)
   BENCH_EVENTS        change-stream length (default scaled by sf)
-  BENCH_EPOCHS        micro-batch count (default 8)
+  BENCH_EPOCHS        micro-batch count (default 2; many-epoch
+                      flatness evidence lives in bench/soak.py)
 """
 
 from __future__ import annotations
