@@ -271,6 +271,26 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (dup-line fraction, top
+    2-/3-gram coverage, bullet/ellipsis lines) — pure Column HOFs, no
+    explode/shuffle (functions/textops.py::repetition_features)."""
+    from embulk_spark.functions.textops import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *repetition_features(F.col("text")))
+
+
+def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus composition report: doc/token/char counts
+    + in-group exact-dup rate — one hash agg with map-side combine
+    (functions/textops.py::corpus_mixture_stats)."""
+    from embulk_spark.functions.textops import corpus_mixture_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_mixture_stats(docs, "text", ["source", "lang"])
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.operators.dedup import minhash_df
 
@@ -551,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "url_canonicalize": _q_url_canonicalize,
         "pii_redact": _q_pii_redact,
+        "repetition_filters": _q_repetition_filters,
+        "corpus_mixture": _q_corpus_mixture,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -815,6 +837,63 @@ def oracle_sql() -> dict[str, str]:
           len(regexp_extract_all(t, '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]?\\d{4}')) AS n_phone,
           len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4
         FROM p
+        """,
+        "repetition_filters": """
+        WITH base AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       l -> trim(l)), l -> l <> '') AS lines,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+                        w -> w <> '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, lines,
+            CASE WHEN len(ws) >= 2 THEN
+              list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            ELSE []::varchar[] END AS g2,
+            CASE WHEN len(ws) >= 3 THEN
+              list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+            ELSE []::varchar[] END AS g3
+          FROM base
+        ), top2 AS (
+          SELECT doc_id, max(c)::double / sum(c) AS frac
+          FROM (SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(g2) AS gram FROM grams)
+                GROUP BY doc_id, gram)
+          GROUP BY doc_id
+        ), top3 AS (
+          SELECT doc_id, max(c)::double / sum(c) AS frac
+          FROM (SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(g3) AS gram FROM grams)
+                GROUP BY doc_id, gram)
+          GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+          CASE WHEN len(g.lines) > 0 THEN
+            round((len(g.lines) - len(list_distinct(g.lines)))::double
+                  / len(g.lines), 6) ELSE 0.0 END AS dup_line_frac,
+          coalesce(round(top2.frac, 6), 0.0) AS top2gram_frac,
+          coalesce(round(top3.frac, 6), 0.0) AS top3gram_frac,
+          CASE WHEN len(g.lines) > 0 THEN
+            round(len(list_filter(g.lines, l ->
+              starts_with(l, '-') OR starts_with(l, '*') OR
+              starts_with(l, '•') OR ends_with(l, '...')))::double
+              / len(g.lines), 6) ELSE 0.0 END AS bullet_ellipsis_line_frac
+        FROM grams g
+        LEFT JOIN top2 ON g.doc_id = top2.doc_id
+        LEFT JOIN top3 ON g.doc_id = top3.doc_id
+        """,
+        "corpus_mixture": """
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(len(regexp_split_to_array(trim(text), '\\s+')))::bigint
+                 AS total_tokens,
+               round(avg(length(text)), 4) AS mean_chars,
+               round((count(*) - count(DISTINCT
+                       md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     ))::double / count(*), 6) AS dup_rate
+        FROM documents GROUP BY source, lang
         """,
         "minhash_signatures": """
         WITH w AS (

@@ -131,6 +131,7 @@ def main() -> None:
         "window_topk_per_group",
         "dedup_exact",
         "text_quality",
+        "repetition_filters",
         "minhash_near_dups",
         "simhash",
         "ann_cosine_topk",

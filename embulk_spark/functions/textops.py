@@ -150,3 +150,119 @@ def pii_counts(text: Column) -> list[Column]:
         )
         for tag, pat in PII_PATTERNS
     ]
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters — the Gopher-style quality heuristics (Rae et al. 2021,
+# "Scaling Language Models", Table A1) every public web-corpus pipeline
+# applies: documents dominated by repeated lines / n-grams / list bullets
+# are boilerplate, not prose. All pure Column expressions (whole-stage
+# codegen; per-row array HOFs, no shuffle, no Python).
+# ---------------------------------------------------------------------------
+
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+
+def _nonempty_words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array for short docs
+    (guarded: ``sequence`` would count DOWN for a negative span)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Occurrences of the most frequent element: longest run in the sorted
+    array, folded in one ``aggregate`` pass — the per-row "mode count"
+    Spark lacks as a builtin. O(k log k) per row, no explode/shuffle."""
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
+
+
+def repetition_features(text: Column) -> list[Column]:
+    """Gopher-style repetition metrics:
+
+    - ``dup_line_frac`` — fraction of non-empty lines that are repeats of
+      an earlier line (1 - distinct/total);
+    - ``top2gram_frac`` / ``top3gram_frac`` — fraction of all word
+      2-/3-grams taken by the single most frequent one;
+    - ``bullet_ellipsis_line_frac`` — fraction of lines that look like
+      list bullets (-, *, •) or end in an ellipsis.
+
+    Typical cut-offs (Gopher Table A1): dup_line_frac > 0.30,
+    top2gram_frac > 0.20, bullet lines > 0.90 → drop the document."""
+    lines = _nonempty_lines(text)
+    n_lines = F.size(lines)
+    words = _nonempty_words(text)
+    feats = [
+        F.when(
+            n_lines > 0,
+            F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac")
+    ]
+    for n in (2, 3):
+        grams = _word_ngrams(words, n)
+        n_grams = F.size(grams)
+        feats.append(
+            F.when(
+                n_grams > 0,
+                F.round(_max_multiplicity(grams) / n_grams, 6),
+            ).otherwise(F.lit(0.0)).alias(f"top{n}gram_frac")
+        )
+    bullety = F.filter(
+        lines,
+        lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•")
+        | l.endswith("..."),
+    )
+    feats.append(
+        F.when(n_lines > 0, F.round(F.size(bullety) / n_lines, 6))
+        .otherwise(F.lit(0.0)).alias("bullet_ellipsis_line_frac")
+    )
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture report — per-(source, lang) composition stats used to set
+# training-mixture weights and spot low-quality slices. A single hash
+# aggregation with map-side partial combine: at 100 TB the group count is
+# tiny (sources × langs), so the shuffle is negligible.
+# ---------------------------------------------------------------------------
+
+def corpus_mixture_stats(df, text_col: str, group_cols: list[str]):
+    """Per-group doc/token/char counts plus the exact-duplicate rate
+    (1 - distinct fingerprints / docs) inside each group."""
+    t = F.col(text_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t)).alias("total_tokens"),
+        F.round(F.avg(F.length(t)), 4).alias("mean_chars"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct(fingerprint(t)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

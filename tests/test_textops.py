@@ -73,3 +73,61 @@ def test_pii_no_false_positives(spark):
     row = df.select(redact_pii(F.col("t")).alias("r"), *pii_counts(F.col("t"))).first()
     assert row["r"] == text
     assert (row["n_email"], row["n_phone"], row["n_ipv4"]) == (0, 0, 0)
+
+
+def _rep(spark, text):
+    from embulk_spark.functions.textops import repetition_features
+
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(*repetition_features(F.col("t"))).first()
+
+
+def test_repetition_duplicate_lines(spark):
+    # 4 non-empty lines, 2 distinct -> dup fraction 0.5
+    row = _rep(spark, "spam\nspam\n\nham\nham\n")
+    assert row["dup_line_frac"] == 0.5
+    assert row["bullet_ellipsis_line_frac"] == 0.0
+
+
+def test_repetition_top_ngram(spark):
+    # words: [buy, now, buy, now, buy] -> 2-grams: "buy now" x2,
+    # "now buy" x2 -> top fraction 2/4; 3-grams: "buy now buy" x2,
+    # "now buy now" x1 -> 2/3
+    row = _rep(spark, "Buy now buy NOW buy")
+    assert row["top2gram_frac"] == 0.5
+    assert row["top3gram_frac"] == round(2 / 3, 6)
+
+
+def test_repetition_short_doc_guards(spark):
+    # one word: no 2-grams / 3-grams, single line, no division blow-ups
+    row = _rep(spark, "hello")
+    assert row["dup_line_frac"] == 0.0
+    assert row["top2gram_frac"] == 0.0
+    assert row["top3gram_frac"] == 0.0
+
+
+def test_repetition_bullet_lines(spark):
+    row = _rep(spark, "- item one\n* item two\nprose here\nto be continued...")
+    assert row["bullet_ellipsis_line_frac"] == 0.75
+
+
+def test_corpus_mixture_stats(spark):
+    from embulk_spark.functions.textops import corpus_mixture_stats
+
+    rows = [
+        ("cc", "en", "the cat sat"),
+        ("cc", "en", "the cat sat"),      # exact dup (same fingerprint)
+        ("cc", "en", "The  cat   SAT"),   # ws/case-normalized dup too
+        ("cc", "de", "der hund"),
+        ("wiki", "en", "one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {
+        (r["source"], r["lang"]): r
+        for r in corpus_mixture_stats(df, "text", ["source", "lang"]).collect()
+    }
+    cc_en = got[("cc", "en")]
+    assert cc_en["n_docs"] == 3 and cc_en["total_tokens"] == 9
+    assert cc_en["dup_rate"] == round(2 / 3, 6)  # 3 docs, 1 distinct fp
+    assert got[("cc", "de")]["dup_rate"] == 0.0
+    assert got[("wiki", "en")]["total_tokens"] == 4

@@ -84,6 +84,19 @@ CHECKS = {
         "must": [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         "must_not": [r"CartesianProduct", r"ArrowEvalPython"],
     },
+    "repetition_filters": {
+        "why": "Gopher repetition metrics are per-row array HOFs — one "
+               "Project over the scan, no explode/shuffle, no Python",
+        "must": [r"Project"],
+        "must_not": [r"\bExchange\b", r"Generate", r"ArrowEvalPython",
+                     r"BatchEvalPython"],
+    },
+    "corpus_mixture": {
+        "why": "mixture report is one hash agg with map-side partial "
+               "combine (tiny group count; no Window, no Python)",
+        "must": [r"HashAggregate[^\n]*partial|partial_count"],
+        "must_not": [r"\bWindow\b", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
 }
 
 
