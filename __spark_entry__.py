@@ -299,6 +299,32 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", F.concat_ws(",", "sig").alias("sig_csv"))
 
 
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (operators/incremental.py): the
+    corpus arrives as two CDC epochs (doc_id parity), each epoch updates
+    a persistent signature index (O(Δ) hashing) and band-probes its
+    change-set against the as-of-epoch corpus. The oracle is the BATCH
+    near-dup SQL over all documents — certifying incremental == batch."""
+    import hashlib
+    import os
+
+    from embulk_spark.operators.incremental import SignatureIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "embulk_spark_sigidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    idx = SignatureIndex(spark, path, k=16, bands=4)
+    out = None
+    for e in (0, 1):
+        idx.update_epoch(docs.filter(F.col("doc_id") % 2 == e), "text", e)
+        pairs = idx.near_dups_for_epoch(e, threshold=0.5)
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.operators.dedup import minhash_near_dups
 
@@ -575,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
+        "incremental_neardup": _q_incremental_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -907,6 +934,18 @@ def oracle_sql() -> dict[str, str]:
         FROM w WHERE len(sh) > 0
         """.format(sig8=_minhash_sig_sql(8)),
         "minhash_near_dups": _MINHASH_CTE.format(sig=_minhash_sig_sql(16), rpb=4, bands=4)
+        + """
+        SELECT id_a, id_b,
+               round(len([i FOR i IN range(16) IF sig_a[i+1] = sig_b[i+1]]) / 16.0, 6) AS jaccard_est
+        FROM cand
+        WHERE len([i FOR i IN range(16) IF sig_a[i+1] = sig_b[i+1]]) / 16.0 >= 0.5
+        """,
+        # identical to the batch minhash_near_dups oracle ON PURPOSE: the
+        # incremental index's defining invariant is that replaying the
+        # corpus as epoch deltas yields exactly the batch pair set
+        "incremental_neardup": _MINHASH_CTE.format(
+            sig=_minhash_sig_sql(16), rpb=4, bands=4
+        )
         + """
         SELECT id_a, id_b,
                round(len([i FOR i IN range(16) IF sig_a[i+1] = sig_b[i+1]]) / 16.0, 6) AS jaccard_est

@@ -133,6 +133,7 @@ def main() -> None:
         "text_quality",
         "repetition_filters",
         "minhash_near_dups",
+        "incremental_neardup",
         "simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",

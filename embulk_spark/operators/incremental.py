@@ -1,0 +1,214 @@
+"""Incremental near-duplicate maintenance for the CDC flow.
+
+Batch near-dup (operators/dedup.py::minhash_near_dups) recomputes every
+signature on every run — fine for a one-shot corpus pass, wrong for a
+change stream: at the 10^10-event design point an epoch touches a tiny
+fraction of the keyspace, so re-hashing 100 TB per epoch would dominate
+the whole pipeline. This module maintains a persistent MinHash signature
+index alongside the lake table:
+
+- ``update_epoch`` computes signatures for ONLY the epoch's changed keys
+  (O(Δ) hashing) and commits them as an epoch-named delta — idempotent
+  like the lake's epoch commits (duplicate delivery is skipped), so the
+  index replays/resumes with the same at-least-once → exactly-once
+  contract as the table itself (reference analogue: per-task commits in
+  exec/BulkLoader.java:512-582).
+- ``near_dups_for_epoch`` band-joins the epoch's (small) new signatures
+  against the (large) as-of-epoch corpus index: work is Δ × corpus
+  restricted to shared LSH buckets, never corpus × corpus.
+- Updated keys supersede their old signature (latest epoch wins, the
+  same max_by merge-on-read trick as the lake); deletes are tombstones.
+
+Invariant (pinned by tests and the driver oracle): unioning
+``near_dups_for_epoch`` over all epochs of a partitioned corpus yields
+EXACTLY the batch ``minhash_near_dups`` pair set — incremental == batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import minhash_df
+
+_TOMBSTONE_SCHEMA = "array<bigint>"
+
+
+def _banded(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, sig, band_idx, band_hash) — same banding as
+    dedup.lsh_candidate_pairs, but the signature rides along so the
+    Jaccard estimate needs no join-back."""
+    rows_per_band = k // bands
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+class SignatureIndex:
+    """Persistent per-key MinHash signatures with epoch-commit semantics.
+
+    Layout: ``<path>/deltas/epoch=N/*.parquet`` (columns id, sig;
+    sig NULL = tombstone) — an epoch is committed iff its directory
+    exists, made atomic by writing to a scratch dir and ``os.rename``-ing
+    it into place. ``<path>/meta.json`` pins (k, bands, shingle_n) so a
+    resumed handle can't silently mix permutation families.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "doc_id",
+        k: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.k, self.bands, self.shingle_n = k, bands, shingle_n
+        self._deltas = os.path.join(path, "deltas")
+        os.makedirs(self._deltas, exist_ok=True)
+        meta_path = os.path.join(path, "meta.json")
+        meta = {"id_col": id_col, "k": k, "bands": bands, "shingle_n": shingle_n}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                existing = json.load(f)
+            if existing != meta:
+                raise ValueError(
+                    f"signature index at {path} was built with {existing}, "
+                    f"reopened with {meta}"
+                )
+        else:
+            tmp = meta_path + f".tmp{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.rename(tmp, meta_path)
+
+    # ------------------------------------------------------------------
+    def committed_epochs(self) -> set[int]:
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._deltas)
+            if d.startswith("epoch=")
+        }
+
+    def update_epoch(
+        self,
+        changed: DataFrame,
+        text_col: str,
+        epoch: int,
+        *,
+        deleted_ids: DataFrame | None = None,
+    ) -> dict:
+        """Commit the epoch's signature delta. ``changed`` carries the
+        epoch's winning rows (one per key — the lake's dedup output);
+        ``deleted_ids`` (a one-column frame of ids) become tombstones.
+        Duplicate delivery of a committed epoch is skipped."""
+        if epoch in self.committed_epochs():
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        sigs = minhash_df(
+            changed, text_col, self.id_col, self.k, self.shingle_n
+        )
+        if deleted_ids is not None:
+            sigs = sigs.unionByName(
+                deleted_ids.select(
+                    F.col(self.id_col),
+                    F.lit(None).cast(_TOMBSTONE_SCHEMA).alias("sig"),
+                )
+            )
+        scratch = os.path.join(self.path, f"_tmp_epoch_{epoch}_{uuid.uuid4().hex}")
+        sigs.write.mode("overwrite").parquet(scratch)
+        final = os.path.join(self._deltas, f"epoch={epoch}")
+        try:
+            os.rename(scratch, final)  # atomic commit: dir exists = committed
+        except OSError:
+            # lost a concurrent-commit race for the same epoch — fine,
+            # signatures are deterministic, the other writer's are equal
+            shutil.rmtree(scratch, ignore_errors=True)
+        return {"epoch": epoch, "skipped_duplicate_epoch": False}
+
+    # ------------------------------------------------------------------
+    def signatures(self, *, as_of_epoch: int | None = None) -> DataFrame:
+        """Latest live signature per key (tombstones dropped), optionally
+        as of an epoch — one max_by hash agg with partial combine, the
+        same merge-on-read shape as the lake read path."""
+        epochs = [
+            e
+            for e in sorted(self.committed_epochs())
+            if as_of_epoch is None or e <= as_of_epoch
+        ]
+        if not epochs:
+            raise ValueError(f"signature index at {self.path}: no committed epochs")
+        df = self.spark.read.option("basePath", self._deltas).parquet(
+            *[os.path.join(self._deltas, f"epoch={e}") for e in epochs]
+        )
+        latest = df.groupBy(self.id_col).agg(
+            F.max_by(F.struct("sig"), F.col("epoch")).alias("_w")
+        )
+        return latest.select(
+            self.id_col, F.col("_w.sig").alias("sig")
+        ).filter(F.col("sig").isNotNull())
+
+    def near_dups_for_epoch(
+        self, epoch: int, *, threshold: float = 0.7
+    ) -> DataFrame:
+        """Near-dup pairs introduced by this epoch's change-set, probed
+        against the corpus as of that epoch: band equi-join of Δ
+        signatures vs the full index (shared LSH buckets only), Jaccard
+        estimated from the signatures carried through the join. Pairs
+        are normalized (id_a < id_b) and distinct."""
+        corpus = self.signatures(as_of_epoch=epoch).localCheckpoint(eager=True)
+        delta_ids = (
+            self.spark.read.parquet(os.path.join(self._deltas, f"epoch={epoch}"))
+            .filter(F.col("sig").isNotNull())
+            .select(self.id_col)
+        )
+        new = corpus.join(delta_ids, self.id_col, "left_semi")
+        a = _banded(new, self.id_col, self.k, self.bands).alias("a")
+        b = _banded(corpus, self.id_col, self.k, self.bands).alias("b")
+        ida, idb = F.col(f"a.{self.id_col}"), F.col(f"b.{self.id_col}")
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        ) / F.lit(float(self.k))
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (ida != idb),
+            )
+            .select(
+                F.least(ida, idb).alias("id_a"),
+                F.greatest(ida, idb).alias("id_b"),
+                F.round(est, 6).alias("jaccard_est"),
+            )
+            .filter(F.col("jaccard_est") >= threshold)
+            .distinct()
+        )

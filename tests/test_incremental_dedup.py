@@ -1,0 +1,110 @@
+"""Incremental MinHash signature index (operators/incremental.py):
+epoch-committed signature maintenance whose unioned per-epoch near-dup
+reports must equal the batch minhash_near_dups pair set, with the same
+idempotent-duplicate-delivery and resume-from-disk contract as the lake.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_spark.operators.dedup import minhash_near_dups
+from embulk_spark.operators.incremental import SignatureIndex
+
+K, BANDS, THRESH = 16, 4, 0.7
+
+
+def _docs(spark):
+    """30 docs in 3 epochs with planted near-dup clusters that straddle
+    epoch boundaries (suffix tweak keeps most shingles shared)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest chasing rabbits all day long"
+    )
+    rows = []
+    for i in range(30):
+        if i % 5 == 0:
+            text = base + f" variant tail {i % 3}"  # clusters across epochs
+        else:
+            text = f"wholly unique document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(25)
+            )
+        rows.append((i, text, i % 3))
+    return spark.createDataFrame(rows, "doc_id long, text string, epoch int")
+
+
+@pytest.fixture()
+def docs(spark):
+    return _docs(spark)
+
+
+def _incremental_pairs(spark, docs, path):
+    idx = SignatureIndex(spark, path, k=K, bands=BANDS)
+    pairs = []
+    for e in range(3):
+        idx.update_epoch(docs.filter(F.col("epoch") == e), "text", e)
+        pairs.append(idx.near_dups_for_epoch(e, threshold=THRESH))
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return {
+        (r["id_a"], r["id_b"], r["jaccard_est"]) for r in out.distinct().collect()
+    }
+
+
+def test_incremental_equals_batch(spark, docs, tmp_path):
+    got = _incremental_pairs(spark, docs, str(tmp_path / "sigidx"))
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in minhash_near_dups(
+            docs, "text", "doc_id", k=K, bands=BANDS, threshold=THRESH
+        ).collect()
+    }
+    assert want, "fixture must plant at least one near-dup pair"
+    assert got == want
+
+
+def test_duplicate_epoch_delivery_skipped(spark, docs, tmp_path):
+    idx = SignatureIndex(spark, str(tmp_path / "sigidx"), k=K, bands=BANDS)
+    e0 = docs.filter("epoch = 0")
+    assert idx.update_epoch(e0, "text", 0)["skipped_duplicate_epoch"] is False
+    n = idx.signatures().count()
+    # redelivery (same epoch, even different content) must be a no-op
+    assert idx.update_epoch(docs, "text", 0)["skipped_duplicate_epoch"] is True
+    assert idx.signatures().count() == n
+
+
+def test_update_supersedes_and_tombstones(spark, docs, tmp_path):
+    idx = SignatureIndex(spark, str(tmp_path / "sigidx"), k=K, bands=BANDS)
+    idx.update_epoch(docs.filter("epoch = 0"), "text", 0)
+    sig0 = {r["doc_id"]: r["sig"] for r in idx.signatures().collect()}
+    # epoch 1: doc 0 rewritten, doc 3 deleted
+    changed = spark.createDataFrame(
+        [(0, "completely different text " + " ".join(f"x{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    deleted = spark.createDataFrame([(3,)], "doc_id long")
+    idx.update_epoch(changed, "text", 1, deleted_ids=deleted)
+    sig1 = {r["doc_id"]: r["sig"] for r in idx.signatures().collect()}
+    assert sig1[0] != sig0[0]          # superseded
+    assert 3 not in sig1 and 3 in sig0  # tombstoned
+    assert sig1.keys() == (sig0.keys() - {3}) and all(
+        sig1[i] == sig0[i] for i in sig1 if i != 0
+    )
+    # as-of read still reconstructs the old state
+    as_of = {r["doc_id"]: r["sig"] for r in idx.signatures(as_of_epoch=0).collect()}
+    assert as_of == sig0
+
+
+def test_resume_from_disk(spark, docs, tmp_path):
+    path = str(tmp_path / "sigidx")
+    idx = SignatureIndex(spark, path, k=K, bands=BANDS)
+    idx.update_epoch(docs.filter("epoch = 0"), "text", 0)
+    # fresh handle (simulated restart) sees the committed epoch and skips it
+    idx2 = SignatureIndex(spark, path, k=K, bands=BANDS)
+    assert idx2.committed_epochs() == {0}
+    assert idx2.update_epoch(docs, "text", 0)["skipped_duplicate_epoch"] is True
+    # reopening with different parameters must refuse (permutation family)
+    with pytest.raises(ValueError):
+        SignatureIndex(spark, path, k=32, bands=BANDS)

@@ -84,6 +84,13 @@ CHECKS = {
         "must": [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         "must_not": [r"CartesianProduct", r"ArrowEvalPython"],
     },
+    "incremental_neardup": {
+        "why": "the per-epoch probe joins Δ signatures against the "
+               "as-of-epoch corpus on (band_idx, band_hash) — an "
+               "equi-join on LSH buckets, never a cartesian product",
+        "must": [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "must_not": [r"CartesianProduct|BroadcastNestedLoopJoin"],
+    },
     "repetition_filters": {
         "why": "Gopher repetition metrics are per-row array HOFs — one "
                "Project over the scan, no explode/shuffle, no Python",
