@@ -85,15 +85,24 @@ class SignatureIndex:
         k: int = 16,
         bands: int = 4,
         shingle_n: int = 3,
+        order_cols: list[str] | None = None,
     ) -> None:
+        """``order_cols``: event-order columns (e.g. ``["warc_ts",
+        "seq"]`` for the lake) that decide which version of a key wins
+        across epochs — REQUIRED when the stream can deliver late
+        events, because the lake resolves winners by event order, not
+        arrival epoch; a late update must not supersede. Without them,
+        the highest epoch wins (fine for append-only corpora)."""
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.k, self.bands, self.shingle_n = k, bands, shingle_n
+        self.order_cols = list(order_cols or [])
         self._deltas = os.path.join(path, "deltas")
         os.makedirs(self._deltas, exist_ok=True)
         meta_path = os.path.join(path, "meta.json")
-        meta = {"id_col": id_col, "k": k, "bands": bands, "shingle_n": shingle_n}
+        meta = {"id_col": id_col, "k": k, "bands": bands,
+                "shingle_n": shingle_n, "order_cols": self.order_cols}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 existing = json.load(f)
@@ -133,11 +142,18 @@ class SignatureIndex:
         sigs = minhash_df(
             changed, text_col, self.id_col, self.k, self.shingle_n
         )
+        if self.order_cols:
+            # ride the order columns along (one Δ-sized equi-join; the
+            # epoch's change-set has one row per key by contract)
+            sigs = sigs.join(
+                changed.select(self.id_col, *self.order_cols), self.id_col
+            )
         if deleted_ids is not None:
             sigs = sigs.unionByName(
                 deleted_ids.select(
                     F.col(self.id_col),
                     F.lit(None).cast(_TOMBSTONE_SCHEMA).alias("sig"),
+                    *self.order_cols,
                 )
             )
         scratch = os.path.join(self.path, f"_tmp_epoch_{epoch}_{uuid.uuid4().hex}")
@@ -150,6 +166,61 @@ class SignatureIndex:
             # signatures are deterministic, the other writer's are equal
             shutil.rmtree(scratch, ignore_errors=True)
         return {"epoch": epoch, "skipped_duplicate_epoch": False}
+
+    def commit_empty_epoch(self, epoch: int) -> dict:
+        """Mark an epoch with no signature changes committed (keeps the
+        index's epoch set aligned with the table's for empty batches).
+        An empty delta directory is a valid committed epoch: the
+        multi-path read infers its schema from the non-empty ones."""
+        if epoch in self.committed_epochs():
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        os.makedirs(os.path.join(self._deltas, f"epoch={epoch}"), exist_ok=True)
+        return {"epoch": epoch, "skipped_duplicate_epoch": False, "empty": True}
+
+    def update_from_lake_epoch(
+        self, table, epoch: int, *, delta_dir: str | None = None
+    ) -> dict:
+        """Update from a committed lake epoch's delta files — an O(Δ)
+        column-pruned re-read of (url, text, is_deleted); the extraction
+        is never recomputed. ``delta_dir`` comes from the commit metrics;
+        on resume (index behind the table after a crash between the two
+        commits) the files are recovered from the snapshot's delta
+        groups, which works until compaction folds that epoch — attach
+        the index from the first epoch and resume promptly, or rebuild
+        via a batch pass."""
+        if epoch in self.committed_epochs():
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        if delta_dir is not None:
+            paths = [os.path.join(table.path, delta_dir)]
+        else:
+            snap = table.current_snapshot()
+            files = [
+                f
+                for g in snap["deltas"]
+                if g.get("epoch_id") == epoch
+                for f in g["files"]
+            ]
+            if not files:
+                raise ValueError(
+                    f"epoch {epoch} has no delta files in the current snapshot "
+                    "(already compacted?) — rebuild the index with a batch pass"
+                )
+            paths = [os.path.join(table.path, f) for f in files]
+        df = table.spark.read.parquet(*paths)
+        missing = [c for c in self.order_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"index order_cols {missing} not in the delta schema "
+                f"{df.columns} — create the index with "
+                "order_cols=['warc_ts', 'seq'] for lake tables"
+            )
+        live = df.filter(~F.col("is_deleted")).select(
+            F.col("url").alias(self.id_col), "text", *self.order_cols
+        )
+        deleted = df.filter(F.col("is_deleted")).select(
+            F.col("url").alias(self.id_col), *self.order_cols
+        )
+        return self.update_epoch(live, "text", epoch, deleted_ids=deleted)
 
     # ------------------------------------------------------------------
     def signatures(self, *, as_of_epoch: int | None = None) -> DataFrame:
@@ -166,8 +237,10 @@ class SignatureIndex:
         df = self.spark.read.option("basePath", self._deltas).parquet(
             *[os.path.join(self._deltas, f"epoch={e}") for e in epochs]
         )
+        order = F.struct(*self.order_cols, "epoch") if self.order_cols \
+            else F.col("epoch")
         latest = df.groupBy(self.id_col).agg(
-            F.max_by(F.struct("sig"), F.col("epoch")).alias("_w")
+            F.max_by(F.struct("sig"), order).alias("_w")
         )
         return latest.select(
             self.id_col, F.col("_w.sig").alias("sig")

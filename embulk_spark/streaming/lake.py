@@ -469,6 +469,7 @@ class ParquetLakeTable:
             ),
         }
         metrics["stages"] = stages + ["COMMITTED"]
+        metrics["delta_dir"] = rel_dir
         phase["metrics"] = round(
             time.perf_counter() - t0 - phase["job"] - phase["list_files"], 3
         )

@@ -95,6 +95,7 @@ def replay_batches(
     *,
     max_epochs: int | None = None,
     pipeline_depth: int | None = None,
+    signature_index=None,
 ) -> list[dict]:
     """Replay all (remaining) epochs of ``events`` in epoch order.
 
@@ -102,6 +103,11 @@ def replay_batches(
     upfront scan instead of a per-epoch filter job; each epoch then costs
     exactly ONE heavy Spark job (dedup+extract+write with piggybacked
     observe metrics).
+
+    ``signature_index`` (an operators.incremental.SignatureIndex with
+    ``id_col='url'``) is kept in lockstep with the table: after each
+    epoch commit the index ingests the epoch's delta files (O(Δ)), so
+    near-dups of every change-set are queryable per epoch.
 
     ``pipeline_depth`` > 1 overlaps consecutive epochs' Spark jobs on
     driver threads (default: adaptive, see :func:`_auto_pipeline_depth`).
@@ -133,6 +139,10 @@ def replay_batches(
                 schema_by_epoch[int(row["epoch"])] = list(row["_sc"])
 
     done = table.committed_epochs()
+    if signature_index is not None:
+        # an epoch the table has but the index lacks (crash between the
+        # two commits) must still be visited so the index can self-heal
+        done = done & {int(e) for e in signature_index.committed_epochs()}
     pending: list[int] = []
     n = 0
     for e in epochs:
@@ -145,7 +155,22 @@ def replay_batches(
 
     def run_epoch(e: int) -> dict:
         data = events.filter((F.col("epoch") == e) & (F.col("op") != "S"))
-        return table.merge_epoch(data, e)
+        m = table.merge_epoch(data, e)
+        if signature_index is not None:
+            # keep the near-dup index in lockstep: O(Δ) re-read of the
+            # epoch's delta files (no extraction recompute). Both commits
+            # are idempotent, so a crash between them heals on resume —
+            # the table-side skip falls through to the snapshot-recovery
+            # path in update_from_lake_epoch.
+            if m.get("empty_batch"):
+                signature_index.commit_empty_epoch(e)
+            elif m.get("delta_dir"):
+                signature_index.update_from_lake_epoch(
+                    table, e, delta_dir=m["delta_dir"]
+                )
+            elif e not in signature_index.committed_epochs():
+                signature_index.update_from_lake_epoch(table, e)
+        return m
 
     out: list[dict] = []
     if pipeline_depth <= 1:

@@ -108,3 +108,42 @@ def test_resume_from_disk(spark, docs, tmp_path):
     # reopening with different parameters must refuse (permutation family)
     with pytest.raises(ValueError):
         SignatureIndex(spark, path, k=32, bands=BANDS)
+
+
+def test_lake_replay_keeps_index_in_lockstep(spark, tmp_path):
+    """replay_batches(signature_index=...) must leave the index equal to a
+    batch recompute over the table's published state, and heal an index
+    that fell one epoch behind (crash between table and index commits)."""
+    from embulk_spark.operators.dedup import minhash_df
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    ev = change_stream(spark, 1500, 200, 3).cache()
+    table = ParquetLakeTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    idx = SignatureIndex(
+        spark, str(tmp_path / "sigidx"), id_col="url", k=K, bands=BANDS,
+        order_cols=["warc_ts", "seq"],
+    )
+    replay_batches(table, ev, max_epochs=2, signature_index=idx)
+    assert idx.committed_epochs() == {0, 1}
+
+    def batch_equiv():
+        pub = table.published().select("url", "text")
+        want = {
+            (r["url"], tuple(r["sig"]))
+            for r in minhash_df(pub, "text", "url", K).collect()
+        }
+        got = {(r["url"], tuple(r["sig"])) for r in idx.signatures().collect()}
+        assert got == want
+
+    batch_equiv()
+
+    # crash window: table commits epoch 2 WITHOUT the index...
+    replay_batches(table, ev)
+    assert idx.committed_epochs() == {0, 1}
+    # ...resume with the index attached: table skips, index self-heals
+    # from the snapshot's delta files
+    replay_batches(table, ev, signature_index=idx)
+    assert idx.committed_epochs() == {0, 1, 2}
+    batch_equiv()
