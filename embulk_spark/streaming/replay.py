@@ -62,6 +62,22 @@ def apply_epoch(table: ParquetLakeTable, epoch_df: DataFrame, epoch_id: int) -> 
     return table.merge_epoch(data, epoch_id)
 
 
+def _sync_signature_index(table, signature_index, epoch: int, m: dict) -> None:
+    """Bring the near-dup index to this committed epoch: O(Δ) re-read of
+    the epoch's delta files (no extraction recompute). Both sides' epoch
+    commits are idempotent, so a crash between the table commit and the
+    index commit self-heals — a table-side skip falls through to the
+    snapshot-recovery path in update_from_lake_epoch."""
+    if m.get("empty_batch"):
+        signature_index.commit_empty_epoch(epoch)
+    elif m.get("delta_dir"):
+        signature_index.update_from_lake_epoch(
+            table, epoch, delta_dir=m["delta_dir"]
+        )
+    elif epoch not in signature_index.committed_epochs():
+        signature_index.update_from_lake_epoch(table, epoch)
+
+
 def _auto_pipeline_depth(spark: SparkSession) -> int:
     """Overlap epochs only when the host has CPU headroom for it.
 
@@ -157,19 +173,7 @@ def replay_batches(
         data = events.filter((F.col("epoch") == e) & (F.col("op") != "S"))
         m = table.merge_epoch(data, e)
         if signature_index is not None:
-            # keep the near-dup index in lockstep: O(Δ) re-read of the
-            # epoch's delta files (no extraction recompute). Both commits
-            # are idempotent, so a crash between them heals on resume —
-            # the table-side skip falls through to the snapshot-recovery
-            # path in update_from_lake_epoch.
-            if m.get("empty_batch"):
-                signature_index.commit_empty_epoch(e)
-            elif m.get("delta_dir"):
-                signature_index.update_from_lake_epoch(
-                    table, e, delta_dir=m["delta_dir"]
-                )
-            elif e not in signature_index.committed_epochs():
-                signature_index.update_from_lake_epoch(table, e)
+            _sync_signature_index(table, signature_index, e, m)
         return m
 
     out: list[dict] = []
@@ -265,13 +269,16 @@ def stream_events(
     *,
     max_files_per_trigger: int = 1,
     schema_ddl: str | None = None,
+    signature_index=None,
 ) -> None:
     """Structured-Streaming surface: tail a parquet event-log directory and
     apply each micro-batch through the same idempotent merge.
 
     The sink key is Spark's ``batch_id`` (monotonic per checkpoint); on
     restart, a re-delivered batch hits the committed-epoch set and no-ops —
-    the foreachBatch exactly-once pattern."""
+    the foreachBatch exactly-once pattern. ``signature_index`` is kept in
+    lockstep exactly as in :func:`replay_batches` (same idempotent
+    epoch commits keyed by batch_id, same crash-window self-heal)."""
     from ..sources.events import EVENT_SCHEMA
 
     reader = (
@@ -281,7 +288,10 @@ def stream_events(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_epoch(table, batch_df, int(batch_id))
+        e = int(batch_id)
+        m = apply_epoch(table, batch_df, e)
+        if signature_index is not None:
+            _sync_signature_index(table, signature_index, e, m)
 
     q = (
         reader.writeStream.foreachBatch(_apply)

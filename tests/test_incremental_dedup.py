@@ -147,3 +147,36 @@ def test_lake_replay_keeps_index_in_lockstep(spark, tmp_path):
     replay_batches(table, ev, signature_index=idx)
     assert idx.committed_epochs() == {0, 1, 2}
     batch_equiv()
+
+
+def test_stream_events_keeps_index_in_lockstep(spark, tmp_path):
+    """The Structured-Streaming surface maintains the index across a
+    stop/restart exactly like batch replay: after both stream runs the
+    index equals a batch recompute over the streamed table's state."""
+    from embulk_spark.operators.dedup import minhash_df
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import stream_events
+
+    events = change_stream(spark, 600, 80, 3, num_partitions=4).cache()
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    events.filter("epoch = 0").coalesce(1).write.mode("append").parquet(src)
+
+    table = ParquetLakeTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    idx = SignatureIndex(
+        spark, str(tmp_path / "sigidx"), id_col="url", k=K, bands=BANDS,
+        order_cols=["warc_ts", "seq"],
+    )
+    stream_events(spark, table, src, ckpt, signature_index=idx)
+    assert len(idx.committed_epochs()) >= 1
+
+    events.filter("epoch > 0").coalesce(2).write.mode("append").parquet(src)
+    stream_events(spark, table, src, ckpt, signature_index=idx)
+
+    pub = table.published().select("url", "text")
+    want = {
+        (r["url"], tuple(r["sig"]))
+        for r in minhash_df(pub, "text", "url", K).collect()
+    }
+    got = {(r["url"], tuple(r["sig"])) for r in idx.signatures().collect()}
+    assert got == want
