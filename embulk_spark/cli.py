@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="streaming checkpoint dir (enables readStream mode)")
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--max-epochs", type=int, default=None)
+    sp.add_argument("--signature-index", default=None,
+                    help="path of a near-dup MinHash signature index kept "
+                         "in lockstep with the replay (operators/incremental)")
 
     sp = sub.add_parser(
         "cleanup",
@@ -113,11 +116,23 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.replay import replay_batches, stream_events
 
         table = ParquetLakeTable(spark, args.table, n_buckets=args.buckets)
+        idx = None
+        if args.signature_index:
+            from .operators.incremental import SignatureIndex
+
+            idx = SignatureIndex(
+                spark, args.signature_index, id_col="url",
+                order_cols=["warc_ts", "seq"],
+            )
         if args.checkpoint:
-            stream_events(spark, table, args.events, args.checkpoint)
+            stream_events(
+                spark, table, args.events, args.checkpoint, signature_index=idx
+            )
         else:
             events = spark.read.parquet(args.events)
-            metrics = replay_batches(table, events, max_epochs=args.max_epochs)
+            metrics = replay_batches(
+                table, events, max_epochs=args.max_epochs, signature_index=idx
+            )
             for m in metrics:
                 print(json.dumps(m, default=str))
         return 0

@@ -215,6 +215,21 @@ def test_cli_replay_and_cleanup(tmp_path, capsys, spark):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert all(_json.loads(l).get("skipped_duplicate_epoch") for l in lines)
 
+    # replay with an attached near-dup signature index: one committed
+    # index epoch per table epoch, signatures readable afterwards
+    table2, sigidx = str(tmp_path / "table2"), str(tmp_path / "sigidx")
+    assert main(
+        ["replay", src, table2, "--buckets", "4", "--signature-index", sigidx]
+    ) == 0
+    capsys.readouterr()
+    from embulk_spark.operators.incremental import SignatureIndex
+
+    idx = SignatureIndex(
+        spark, sigidx, id_col="url", order_cols=["warc_ts", "seq"]
+    )
+    assert idx.committed_epochs() == {0, 1}
+    assert idx.signatures().count() > 0
+
     assert main(["cleanup", table, "--keep-snapshots", "1"]) == 0
     out = _json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["snapshots_retained"] == 1 and "orphans_removed" in out
