@@ -274,11 +274,11 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters (dup-line fraction, top
     2-/3-gram coverage, bullet/ellipsis lines) — pure Column HOFs, no
-    explode/shuffle (functions/textops.py::repetition_features)."""
-    from embulk_spark.functions.textops import repetition_features
+    explode/shuffle (functions/textops.py::repetition_report)."""
+    from embulk_spark.functions.textops import repetition_report
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", *repetition_features(F.col("text")))
+    return repetition_report(docs, "text", "doc_id")
 
 
 def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:

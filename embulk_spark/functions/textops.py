@@ -203,29 +203,18 @@ def _max_multiplicity(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
 
 
-def repetition_features(text: Column) -> list[Column]:
-    """Gopher-style repetition metrics:
-
-    - ``dup_line_frac`` — fraction of non-empty lines that are repeats of
-      an earlier line (1 - distinct/total);
-    - ``top2gram_frac`` / ``top3gram_frac`` — fraction of all word
-      2-/3-grams taken by the single most frequent one;
-    - ``bullet_ellipsis_line_frac`` — fraction of lines that look like
-      list bullets (-, *, •) or end in an ellipsis.
-
-    Typical cut-offs (Gopher Table A1): dup_line_frac > 0.30,
-    top2gram_frac > 0.20, bullet lines > 0.90 → drop the document."""
-    lines = _nonempty_lines(text)
+def _repetition_feature_cols(
+    lines: Column, grams_by_n: dict[int, Column]
+) -> list[Column]:
+    """The four repetition metrics from pre-split line/n-gram arrays."""
     n_lines = F.size(lines)
-    words = _nonempty_words(text)
     feats = [
         F.when(
             n_lines > 0,
             F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
         ).otherwise(F.lit(0.0)).alias("dup_line_frac")
     ]
-    for n in (2, 3):
-        grams = _word_ngrams(words, n)
+    for n, grams in grams_by_n.items():
         n_grams = F.size(grams)
         feats.append(
             F.when(
@@ -243,6 +232,45 @@ def repetition_features(text: Column) -> list[Column]:
         .otherwise(F.lit(0.0)).alias("bullet_ellipsis_line_frac")
     )
     return feats
+
+
+def repetition_report(df, text_col: str, *keep_cols: str):
+    """Gopher-style repetition metrics per document:
+
+    - ``dup_line_frac`` — fraction of non-empty lines that are repeats of
+      an earlier line (1 - distinct/total);
+    - ``top2gram_frac`` / ``top3gram_frac`` — fraction of all word
+      2-/3-grams taken by the single most frequent one;
+    - ``bullet_ellipsis_line_frac`` — fraction of lines that look like
+      list bullets (-, *, •) or end in an ellipsis.
+
+    Typical cut-offs (Gopher Table A1): dup_line_frac > 0.30,
+    top2gram_frac > 0.20, bullet lines > 0.90 → drop the document.
+
+    Two-step projection ON PURPOSE: the line/word arrays are split once
+    per row and every feature reads the materialized arrays. Spark HOF
+    lambdas are interpreted with no common-subexpression elimination, and
+    Catalyst's CollapseProject declines to inline a non-trivial alias
+    referenced more than once — so this shape is what keeps the text from
+    being re-split ~10× per row on the 100 TB path."""
+    t = F.col(text_col)
+    split = df.select(
+        *keep_cols,
+        _nonempty_lines(t).alias("_lines"),
+        _nonempty_words(t).alias("_words"),
+    )
+    base = split.select(
+        *keep_cols,
+        "_lines",
+        _word_ngrams(F.col("_words"), 2).alias("_g2"),
+        _word_ngrams(F.col("_words"), 3).alias("_g3"),
+    )
+    return base.select(
+        *keep_cols,
+        *_repetition_feature_cols(
+            F.col("_lines"), {2: F.col("_g2"), 3: F.col("_g3")}
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -137,18 +137,18 @@ def minhash_df(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+def banded_signatures(
+    sigs: DataFrame, id_col: str, k: int, bands: int, *, keep_sig: bool = False
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band_idx, band_hash); docs
-    agreeing on any full band become candidate pairs (id_a < id_b).
-
-    ``sigs`` should be persisted by the caller — the self-join would
-    otherwise recompute the full shingle→minhash expression tree for both
-    sides AND for every band."""
+    """(id[, sig], band_idx, band_hash): one row per signature band,
+    band_hash = md5 of the '|'-joined band slice. The SINGLE definition of
+    the banding hash — batch LSH (here) and the incremental index
+    (operators/incremental.py) must bucket identically forever, or their
+    candidate sets silently diverge."""
     rows_per_band = k // bands
-    banded = sigs.select(
-        F.col(id_col),
+    cols = [F.col(id_col)] + ([F.col("sig")] if keep_sig else [])
+    return sigs.select(
+        *cols,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -166,6 +166,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_idx, band_hash); docs
+    agreeing on any full band become candidate pairs (id_a < id_b).
+
+    ``sigs`` should be persisted by the caller — the self-join would
+    otherwise recompute the full shingle→minhash expression tree for both
+    sides AND for every band."""
+    banded = banded_signatures(sigs, id_col, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -16,8 +16,10 @@ index alongside the lake table:
 - ``near_dups_for_epoch`` band-joins the epoch's (small) new signatures
   against the (large) as-of-epoch corpus index: work is Δ × corpus
   restricted to shared LSH buckets, never corpus × corpus.
-- Updated keys supersede their old signature (latest epoch wins, the
-  same max_by merge-on-read trick as the lake); deletes are tombstones.
+- Updated keys supersede their old signature — resolved by the
+  configured event-order columns (falling back to arrival epoch), the
+  same max_by merge-on-read trick as the lake; deletes and shingle-less
+  rewrites are tombstones.
 
 Invariant (pinned by tests and the driver oracle): unioning
 ``near_dups_for_epoch`` over all epochs of a partitioned corpus yields
@@ -34,36 +36,33 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import minhash_df
+from .dedup import banded_signatures, minhash_df
 
 _TOMBSTONE_SCHEMA = "array<bigint>"
 
 
-def _banded(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
-    """(id, sig, band_idx, band_hash) — same banding as
-    dedup.lsh_candidate_pairs, but the signature rides along so the
-    Jaccard estimate needs no join-back."""
-    rows_per_band = k // bands
-    return sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+def _parquet_files(d: str) -> list[str]:
+    try:
+        return [fn for fn in os.listdir(d) if fn.endswith(".parquet")]
+    except FileNotFoundError:
+        return []
+
+
+def _lake_epoch_was_empty(table, epoch: int) -> bool:
+    """True iff the table committed ``epoch`` as an empty batch (its
+    snapshot carries empty_batch and no delta group exists for it)."""
+    snap_dir = os.path.join(table.path, "snapshots")
+    if not os.path.isdir(snap_dir):
+        return False
+    for fn in sorted(os.listdir(snap_dir)):
+        try:
+            snap = table.snapshot_at(int(fn[1:9]))
+        except (ValueError, OSError, KeyError):
+            continue
+        m = snap.get("metrics") or {}
+        if m.get("epoch_id") == epoch:
+            return bool(m.get("empty_batch"))
+    return False
 
 
 class SignatureIndex:
@@ -135,36 +134,52 @@ class SignatureIndex:
     ) -> dict:
         """Commit the epoch's signature delta. ``changed`` carries the
         epoch's winning rows (one per key — the lake's dedup output);
-        ``deleted_ids`` (a one-column frame of ids) become tombstones.
-        Duplicate delivery of a committed epoch is skipped."""
+        ``deleted_ids`` (ids plus the configured ``order_cols``) become
+        tombstones. Duplicate delivery of a committed epoch is skipped."""
         if epoch in self.committed_epochs():
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        if deleted_ids is not None:
+            missing = [c for c in self.order_cols if c not in deleted_ids.columns]
+            if missing:
+                raise ValueError(
+                    f"deleted_ids must carry the index's order_cols; missing "
+                    f"{missing} (configured order_cols={self.order_cols})"
+                )
+        keyed = changed.select(self.id_col, *self.order_cols)
         sigs = minhash_df(
             changed, text_col, self.id_col, self.k, self.shingle_n
         )
         if self.order_cols:
             # ride the order columns along (one Δ-sized equi-join; the
             # epoch's change-set has one row per key by contract)
-            sigs = sigs.join(
-                changed.select(self.id_col, *self.order_cols), self.id_col
-            )
+            sigs = sigs.join(keyed, self.id_col)
+        # a changed key whose NEW text yields no shingles (< shingle_n
+        # words) is dropped by minhash_df — it must TOMBSTONE, not keep
+        # its stale signature: a batch recompute over the new state has
+        # no row for it, and incremental == batch is the contract
+        tombstone_cols = [
+            F.col(self.id_col),
+            F.lit(None).cast(_TOMBSTONE_SCHEMA).alias("sig"),
+            *self.order_cols,
+        ]
+        unsigged = keyed.join(
+            sigs.select(self.id_col), self.id_col, "left_anti"
+        )
+        sigs = sigs.unionByName(unsigged.select(*tombstone_cols))
         if deleted_ids is not None:
-            sigs = sigs.unionByName(
-                deleted_ids.select(
-                    F.col(self.id_col),
-                    F.lit(None).cast(_TOMBSTONE_SCHEMA).alias("sig"),
-                    *self.order_cols,
-                )
-            )
+            sigs = sigs.unionByName(deleted_ids.select(*tombstone_cols))
         scratch = os.path.join(self.path, f"_tmp_epoch_{epoch}_{uuid.uuid4().hex}")
         sigs.write.mode("overwrite").parquet(scratch)
         final = os.path.join(self._deltas, f"epoch={epoch}")
         try:
             os.rename(scratch, final)  # atomic commit: dir exists = committed
         except OSError:
-            # lost a concurrent-commit race for the same epoch — fine,
-            # signatures are deterministic, the other writer's are equal
             shutil.rmtree(scratch, ignore_errors=True)
+            if not os.path.isdir(final):
+                # NOT the benign lost-a-concurrent-commit race (where the
+                # other writer's deterministic signatures are equal) —
+                # surface EXDEV/EACCES/... instead of faking success
+                raise
         return {"epoch": epoch, "skipped_duplicate_epoch": False}
 
     def commit_empty_epoch(self, epoch: int) -> dict:
@@ -201,6 +216,8 @@ class SignatureIndex:
                 for f in g["files"]
             ]
             if not files:
+                if _lake_epoch_was_empty(table, epoch):
+                    return self.commit_empty_epoch(epoch)
                 raise ValueError(
                     f"epoch {epoch} has no delta files in the current snapshot "
                     "(already compacted?) — rebuild the index with a batch pass"
@@ -227,16 +244,19 @@ class SignatureIndex:
         """Latest live signature per key (tombstones dropped), optionally
         as of an epoch — one max_by hash agg with partial combine, the
         same merge-on-read shape as the lake read path."""
-        epochs = [
-            e
+        paths = [
+            os.path.join(self._deltas, f"epoch={e}")
             for e in sorted(self.committed_epochs())
             if as_of_epoch is None or e <= as_of_epoch
         ]
-        if not epochs:
-            raise ValueError(f"signature index at {self.path}: no committed epochs")
-        df = self.spark.read.option("basePath", self._deltas).parquet(
-            *[os.path.join(self._deltas, f"epoch={e}") for e in epochs]
-        )
+        # empty-batch epochs commit a bare directory; the parquet reader
+        # cannot infer a schema from zero files, so keep data-bearing dirs
+        paths = [p for p in paths if _parquet_files(p)]
+        if not paths:
+            raise ValueError(
+                f"signature index at {self.path}: no committed epochs with data"
+            )
+        df = self.spark.read.option("basePath", self._deltas).parquet(*paths)
         order = F.struct(*self.order_cols, "epoch") if self.order_cols \
             else F.col("epoch")
         latest = df.groupBy(self.id_col).agg(
@@ -255,14 +275,26 @@ class SignatureIndex:
         estimated from the signatures carried through the join. Pairs
         are normalized (id_a < id_b) and distinct."""
         corpus = self.signatures(as_of_epoch=epoch).localCheckpoint(eager=True)
+        epoch_dir = os.path.join(self._deltas, f"epoch={epoch}")
+        if not _parquet_files(epoch_dir):
+            # empty-batch epoch: no change-set, no new pairs
+            ident = F.col(self.id_col)
+            return corpus.limit(0).select(
+                ident.alias("id_a"), ident.alias("id_b"),
+                F.lit(0.0).alias("jaccard_est"),
+            )
         delta_ids = (
-            self.spark.read.parquet(os.path.join(self._deltas, f"epoch={epoch}"))
+            self.spark.read.parquet(epoch_dir)
             .filter(F.col("sig").isNotNull())
             .select(self.id_col)
         )
         new = corpus.join(delta_ids, self.id_col, "left_semi")
-        a = _banded(new, self.id_col, self.k, self.bands).alias("a")
-        b = _banded(corpus, self.id_col, self.k, self.bands).alias("b")
+        a = banded_signatures(
+            new, self.id_col, self.k, self.bands, keep_sig=True
+        ).alias("a")
+        b = banded_signatures(
+            corpus, self.id_col, self.k, self.bands, keep_sig=True
+        ).alias("b")
         ida, idb = F.col(f"a.{self.id_col}"), F.col(f"b.{self.id_col}")
         est = F.size(
             F.filter(

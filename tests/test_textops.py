@@ -76,10 +76,10 @@ def test_pii_no_false_positives(spark):
 
 
 def _rep(spark, text):
-    from embulk_spark.functions.textops import repetition_features
+    from embulk_spark.functions.textops import repetition_report
 
     df = spark.createDataFrame([(text,)], "t string")
-    return df.select(*repetition_features(F.col("t"))).first()
+    return repetition_report(df, "t").first()
 
 
 def test_repetition_duplicate_lines(spark):
