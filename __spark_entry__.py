@@ -580,6 +580,80 @@ def _q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs → connected components (min-label
+    propagation, operators/cluster.py): the clustering stage of keep-one
+    fuzzy dedup. Component label = smallest doc_id in the cluster."""
+    from embulk_spark.operators.cluster import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_clusters(docs, "text", "doc_id", k=16, bands=4, threshold=0.5)
+
+
+def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one fuzzy dedup: per near-dup cluster keep the doc with the
+    largest (n_chars, doc_id); singletons survive untouched."""
+    from embulk_spark.operators.cluster import dup_clusters, keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = dup_clusters(docs, "text", "doc_id", k=16, bands=4, threshold=0.5)
+    return keep_canonical(docs, comps, "doc_id", prefer=["n_chars"]).select(
+        "doc_id"
+    )
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event gap-based session assignment (operators/sessions.py):
+    one window spec = one shuffle + per-key sort; 30-min gap, inclusive
+    boundary (session_window semantics)."""
+    from embulk_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", "ts", 1800, tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_idx", "session_id")
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup via the NATIVE F.session_window hash agg (the
+    streaming-capable path — same call works under a watermark)."""
+    from embulk_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, "user_id", "ts", 1800)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+def _q_asof_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase as-of joined (backward,
+    inclusive) to the user's latest prior click — the union+carry-forward
+    ASOF join (operators/asof.py), oracle-checked against DuckDB's native
+    ASOF LEFT JOIN."""
+    from embulk_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", payload=["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        "click_value",
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_per_key": _q_cdc_latest_per_key,
@@ -618,6 +692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_revenue_topk": _q_join_revenue_topk,
         "window_topk_per_group": _q_window_topk_per_group,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "sessionize_events": _q_sessionize_events,
+        "session_stats": _q_session_stats,
+        "asof_join_attrib": _q_asof_join_attrib,
     }
 
 
@@ -705,6 +784,55 @@ sig AS (
                THEN r.s - 18446744073709551616::hugeint
                ELSE coalesce(r.s, 0::hugeint) END)::bigint AS simhash
   FROM documents d LEFT JOIN rawsig r ON d.doc_id = r.doc_id
+)
+"""
+
+
+def _cc_oracle_sql() -> str:
+    """Near-dup pairs (the minhash CTE at k=16/4 bands, threshold 0.5)
+    symmetrized into an edge list, plus the transitive closure ``reach``:
+    (id, comp) for every label reachable from id. min(comp) per id is the
+    component — the independent check of operators/cluster.py's min-label
+    propagation."""
+    return (
+        _MINHASH_CTE.replace("WITH w AS", "WITH RECURSIVE w AS", 1).format(
+            sig=_minhash_sig_sql(16), rpb=4, bands=4
+        )
+        + """
+        , pairs AS (
+          SELECT id_a, id_b FROM cand
+          WHERE len([i FOR i IN range(16) IF sig_a[i+1] = sig_b[i+1]]) / 16.0 >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, comp) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+        )
+        """
+    )
+
+
+#: per-event session assignment: lag + running sum, inclusive gap boundary
+#: (diff > gap starts a new session) — the exact semantics of
+#: operators/sessions.py::sessionize and Spark's session_window
+_SESSION_CTE = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint
+           AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
 )
 """
 
@@ -1199,5 +1327,54 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
           FROM orders
         ) WHERE rnk <= 3
+        """,
+        # connected components via transitive-closure recursive CTE; the
+        # engine's min-label propagation must land on the identical
+        # min-id-per-component labels
+        "dup_clusters": _cc_oracle_sql() + """
+        SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id
+        """,
+        "dedup_keep_canonical": _cc_oracle_sql() + """
+        , cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        winners AS (
+          SELECT id FROM (
+            SELECT cc.id,
+                   row_number() OVER (PARTITION BY cc.component
+                                      ORDER BY d.n_chars DESC, cc.id DESC) rn
+            FROM cc JOIN documents d ON d.doc_id = cc.id
+          ) WHERE rn = 1
+        )
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN cc ON cc.id = d.doc_id
+        WHERE cc.id IS NULL OR d.doc_id IN (SELECT id FROM winners)
+        """,
+        "sessionize_events": _SESSION_CTE + """
+        SELECT event_id, user_id, session_idx,
+               user_id::varchar || '#' || session_idx::varchar AS session_id
+        FROM s
+        """,
+        "session_stats": _SESSION_CTE + """
+        SELECT user_id,
+               min(epoch_us(ts)) AS start_us,
+               max(epoch_us(ts)) AS end_us,
+               count(*)::bigint AS n_events,
+               round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6) AS duration_sec
+        FROM s GROUP BY user_id, session_idx
+        """,
+        # DuckDB's native ASOF LEFT JOIN is the independent oracle for the
+        # union+carry-forward formulation (inclusive >= match)
+        "asof_join_attrib": """
+        WITH p AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT user_id, ts, value AS click_value FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+               c.click_value, epoch_us(c.ts) AS click_ts_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
     }

@@ -134,6 +134,9 @@ def main() -> None:
         "repetition_filters",
         "minhash_near_dups",
         "incremental_neardup",
+        "dup_clusters",
+        "sessionize_events",
+        "asof_join_attrib",
         "simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",

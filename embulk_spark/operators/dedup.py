@@ -85,17 +85,22 @@ def shingles_df(
     ).filter(F.size("shingles") > 0)
 
 
-#: modulus for the affine minhash permutations (Mersenne prime 2^61-1:
-#: a*h+b stays under 2^62, inside signed-64 even with ANSI overflow checks)
-MINHASH_P = (1 << 61) - 1
+#: Modulus for the affine minhash permutations: the smallest prime ABOVE
+#: the 32-bit shingle-hash universe. P must sit just above the universe so
+#: (a·h+b) mod P wraps constantly and the k maps behave like independent
+#: random permutations of the universe. (An earlier choice of 2^61-1 made
+#: every map order-preserving on [0, 2^32) — all k "permutations" shared
+#: one argmin shingle, collapsing the Jaccard estimate to 0-or-1.)
+MINHASH_P = 4294967311
 
 
 def minhash_params(k: int) -> tuple[list[int], list[int]]:
-    """Deterministic affine-permutation constants (a_i odd < 2^29,
-    b_i < 2^60) — fixed so the DuckDB oracles can inline the exact same
-    permutation family."""
-    a = [((0x9E3779B1 * (i + 1)) & ((1 << 29) - 1)) | 1 for i in range(k)]
-    b = [(0x85EBCA77 * (i + 1)) & ((1 << 60) - 1) for i in range(k)]
+    """Deterministic affine-permutation constants — fixed so the DuckDB
+    oracles can inline the exact same permutation family. a_i odd < 2^30
+    keeps a·h + b < 2^62 + 2^33: inside signed-64 even with ANSI overflow
+    checks, while still wrapping mod P for all but the tiniest h."""
+    a = [((0x9E3779B1 * (i + 1)) & ((1 << 30) - 1)) | 1 for i in range(k)]
+    b = [(0x85EBCA77 * (i + 1)) % MINHASH_P for i in range(k)]
     return a, b
 
 

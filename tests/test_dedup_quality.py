@@ -1,0 +1,64 @@
+"""Statistical quality of the MinHash estimator — not just engine↔oracle
+consistency (both sides share the permutation constants, so a degenerate
+family would still hash-match; this suite pins the estimator itself)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_spark.operators.dedup import minhash_df, minhash_near_dups
+
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+).split()
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def overlap_docs(spark):
+    # doc 2 = doc 1 plus a 4-word suffix: shingle sets are 20 vs 24 with
+    # 20 shared -> true Jaccard = 20/24 ~ 0.833. doc 3 is word-disjoint.
+    base = WORDS
+    longer = WORDS + ["whiskey", "xray", "yankee", "zulu"]
+    other = [w.upper() + "x" for w in WORDS]
+    return spark.createDataFrame(
+        [(1, _doc(base)), (2, _doc(longer)), (3, _doc(other))],
+        "doc_id long, text string",
+    )
+
+
+def test_signature_agreement_tracks_true_jaccard(spark, overlap_docs):
+    k = 64
+    sigs = {r.doc_id: r.sig for r in minhash_df(overlap_docs, "text", "doc_id", k=k).collect()}
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / k
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / k
+    # binomial(64, 0.833): agreement within ±0.15 of truth w.h.p.;
+    # a degenerate (order-preserving) family collapses to 0 or 1
+    assert 0.68 <= agree_12 <= 0.98, agree_12
+    assert agree_13 <= 0.1, agree_13
+
+
+def test_near_dup_pair_found_and_disjoint_rejected(spark, overlap_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in minhash_near_dups(
+            overlap_docs, "text", "doc_id", k=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert all(3 not in p for p in pairs)
+
+
+def test_permutations_disagree_on_argmin(spark):
+    # >=2 distinct values per signature: the permutation family must not
+    # share one global argmin shingle (the 2^61-1 regression)
+    docs = spark.createDataFrame([(1, _doc(WORDS))], "doc_id long, text string")
+    sig = minhash_df(docs, "text", "doc_id", k=16).head().sig
+    assert len(set(sig)) > 4, sig

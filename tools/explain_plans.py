@@ -104,6 +104,36 @@ CHECKS = {
         "must": [r"HashAggregate[^\n]*partial|partial_count"],
         "must_not": [r"\bWindow\b", r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "sessionize_events": {
+        "why": "per-event session assignment is ONE window spec — a single "
+               "hashpartitioning exchange on the key feeding lag + running "
+               "sum; all JVM-side",
+        "must": [r"\bWindow\b", r"hashpartitioning\(user_id"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct"],
+    },
+    "session_stats": {
+        "why": "session rollup uses the native session_window aggregation "
+               "(map-side partial session merge, streaming-capable) — no "
+               "window-function sort over raw events, no Python",
+        "must": [r"session_window|MergingSessions|HashAggregate"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "asof_join_attrib": {
+        "why": "as-of join is union + ordered carry-forward: NO join "
+               "operator at all (a range join would explode per key), one "
+               "exchange on the key, last(ignorenulls) window",
+        "must": [r"Union", r"\bWindow\b", r"hashpartitioning\(user_id"],
+        "must_not": [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                     r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "dedup_keep_canonical": {
+        "why": "keep-one dedup resolves winners with a max_by hash agg and "
+               "anti-joins losers — equi-joins only, no cartesian, no Python "
+               "in the final plan (cluster labels enter via localCheckpoint)",
+        "must": [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "must_not": [r"CartesianProduct", r"BatchEvalPython"],
+    },
 }
 
 
