@@ -52,7 +52,11 @@ def main() -> None:
     spark = get_spark(
         "embulk_spark_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
+        # fixed to the core count, matching the bench/scaling.py legs so
+        # the headline replay figure is directly comparable to the scaling
+        # table in BENCH/BASELINE.md (A/B probes of cpus vs 2x-cpus land
+        # inside the host's noise band - see the interference note below)
+        shuffle_partitions=cpus,
         extra_conf=(
             {"spark.local.dir": os.path.join(scratch, "spark_local")} if scratch else {}
         ),
@@ -79,17 +83,20 @@ def main() -> None:
     # untimed warm-up epoch on a scratch table: python-worker spawn + JIT
     # are steady-state costs of a long-running stream, not marginal
     # per-event costs (same protocol as bench/scaling.py)
-    warm = ParquetLakeTable(spark, os.path.join(workdir, "warm"), n_buckets=2 * cpus)
+    warm = ParquetLakeTable(spark, os.path.join(workdir, "warm"), n_buckets=cpus)
     replay_batches(warm, events, max_epochs=1)
 
-    # The host is shared with co-tenant VMs; at 32 threads a steal burst
-    # amplifies via lock-holder preemption (see BENCH/BASELINE.md). Same
-    # discipline as bench/scaling.py: measure steal over each attempt,
-    # retry when the attempt was interference-poisoned, keep the best.
+    # The host is shared with co-tenant VMs (Firecracker guest): bursts
+    # show up as steal%, OR as unattributed guest sys% inflation with
+    # near-zero steal (vCPU preemption is invisible to the guest's steal
+    # clock) - measured 3-6x replay swings at 0.6% steal but 40-57% sys.
+    # Discipline: measure steal AND sys over each attempt, retry while
+    # either says interference (same replay in a clean window runs at
+    # ~15-20% sys), keep the best.
     attempts: list[dict] = []
-    for attempt in range(3):
+    for attempt in range(4):
         table_dir = os.path.join(workdir, f"table{attempt}")
-        table = ParquetLakeTable(spark, table_dir, n_buckets=2 * cpus)
+        table = ParquetLakeTable(spark, table_dir, n_buckets=cpus)
         c0 = _cpu_times()
         t0 = time.perf_counter()
         t0_wall = time.time()  # commit timestamps below are wall-clock
@@ -113,7 +120,7 @@ def main() -> None:
             ],
         })
         shutil.rmtree(table_dir, ignore_errors=True)
-        if attempts[-1]["steal_pct"] <= 2.0:
+        if attempts[-1]["steal_pct"] <= 2.0 and attempts[-1]["sys_pct"] <= 25.0:
             break
     best = min(attempts, key=lambda a: a["seconds"])
     replay_sec = best["seconds"]

@@ -253,6 +253,13 @@ def main() -> None:
         "high-parallelism legs spin in system time, which can inflate a 14 s",
         "32-core replay to 200+ s. Best-of-N with per-run steal in the JSON",
         "appendix makes that visible instead of folding it into noise.",
+        "A second interference mode (seen in round 2) shows NO steal at all:",
+        "the guest's vCPUs are preempted without a paravirt steal clock tick,",
+        "and the slowdown surfaces only as unattributed guest **sys%**",
+        "inflation (40-57% sys vs ~15-20% in clean windows) with 3-6x replay",
+        "swings on identical configs. bench.py therefore gates its best-of-N",
+        "attempts on steal% AND sys%; treat any leg with sys% far above ~20%",
+        "as poisoned regardless of steal.",
         "",
         f"**Headline (north-rule N vs 4N): N={lo} vs 4N={hi} cores.**",
         f"Efficiency = (tp_{hi}/tp_{lo}) / {hi // lo}; gate >= 0.8. Both",

@@ -172,6 +172,45 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         if fconf.get("lang_column"):
             df = df.withColumn(fconf["lang_column"], lang_id(F.col(fconf.get("target", "text"))))
         return df
+    if ftype == "dedup":
+        # training-data curation in the Embulk filter chain (no reference
+        # analogue — Embulk filters are per-record). method: exact keeps
+        # one row (min id) per identical text; fuzzy runs MinHash-LSH →
+        # connected components → keep-one canonical (operators/cluster.py).
+        # NOTE fuzzy is the one filter that triggers Spark actions inside
+        # the chain (the component loop iterates to convergence).
+        from .operators.dedup import exact_dedup
+
+        text, ident = fconf.get("column", "text"), fconf["id"]
+        method = fconf.get("method", "exact")
+        if method == "exact":
+            return exact_dedup(df, text, ident)
+        if method == "fuzzy":
+            from .operators.cluster import dup_clusters, keep_canonical
+
+            comps = dup_clusters(
+                df, text, ident,
+                k=int(fconf.get("k", 16)),
+                bands=int(fconf.get("bands", 4)),
+                threshold=float(fconf.get("threshold", 0.5)),
+            )
+            return keep_canonical(df, comps, ident, prefer=fconf.get("prefer"))
+        raise ValueError(f"unknown dedup method: {method}")
+    if ftype == "sessionize":
+        from .operators.sessions import sessionize
+
+        return sessionize(
+            df,
+            fconf["key"],
+            fconf.get("ts", "ts"),
+            int(fconf.get("gap_seconds", 1800)),
+            tiebreak=fconf.get("tiebreak"),
+        )
+    if ftype == "quality":
+        # append quality-scoring feature columns (all JVM-side Columns)
+        from .functions.textops import quality_features
+
+        return df.select("*", *quality_features(F.col(fconf.get("column", "text"))))
     raise ValueError(f"unknown filter type: {ftype}")
 
 

@@ -180,3 +180,57 @@ def test_asof_payload_collision_raises(spark):
         assert "ev" in str(e)
     else:
         raise AssertionError("expected ValueError on payload collision")
+
+
+def test_session_stats_streaming_matches_batch(spark, tmp_path):
+    """The SAME session_stats call runs under Structured Streaming: with a
+    watermark, closed sessions emitted in append mode must equal the batch
+    rollup (the operator's streaming-capable claim, pinned)."""
+    import datetime as _dt
+
+    from embulk_spark.operators.sessions import session_stats
+
+    rows = [
+        ("u", _ts(0, 0)), ("u", _ts(0, 30)), ("u", _ts(5, 0)),
+        ("v", _ts(1, 0)), ("v", _ts(1, 30)),
+    ]
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    real = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    real.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+        )
+        agg = session_stats(
+            stream.withWatermark("ts", "1 second"), "user_id", "ts", 60
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 1: watermark advances past the real events
+    sentinel = spark.createDataFrame(
+        [("_sentinel", _dt.datetime(2024, 1, 2))], "user_id string, ts timestamp"
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # batch 2: all real sessions are now below the watermark
+
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != "_sentinel"
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in session_stats(real, "user_id", "ts", 60).collect()
+    }
+    assert got == want and len(want) == 3

@@ -497,3 +497,63 @@ def test_csv_comments_before_header_roundtrip(spark, tmp_path):
     }
     rows = read_csv(spark, [str(p)], parser).orderBy("id").collect()
     assert [tuple(r) for r in rows] == [(1, "x"), (2, "y")]
+
+
+def test_filter_dedup_exact_and_fuzzy(spark):
+    """curation filters in the Embulk chain: exact keeps min-id per
+    identical text; fuzzy keeps the preferred doc per near-dup cluster."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    cfg = {
+        "in": {
+            "type": "config",
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"},
+                {"name": "n_chars", "type": "long"},
+            ],
+            "values": [
+                [1, base, 10],
+                [2, base, 20],           # exact dup of 1
+                [3, base + " tail", 99], # near-dup of 1
+                [4, "another unrelated doc about spark plans", 5],
+            ],
+        },
+        "filters": [{"type": "dedup", "id": "doc_id"}],
+    }
+    exact = P.preview(spark, cfg)
+    assert {r.doc_id for r in exact.collect()} == {1, 3, 4}
+    cfg["filters"] = [{
+        "type": "dedup", "method": "fuzzy", "id": "doc_id",
+        "bands": 8, "threshold": 0.3, "prefer": ["n_chars"],
+    }]
+    fuzzy = P.preview(spark, cfg)
+    assert {r.doc_id for r in fuzzy.collect()} == {3, 4}
+
+
+def test_filter_sessionize_and_quality(spark):
+    cfg = {
+        "in": {
+            "type": "config",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "string"},
+                {"name": "ts", "type": "timestamp"},
+                {"name": "text", "type": "string"},
+            ],
+            "values": [
+                [1, "u", "2024-01-01 00:00:00", "hello world of spark"],
+                [2, "u", "2024-01-01 00:10:00", "more text here now"],
+                [3, "u", "2024-01-01 01:10:00", "a new session starts"],
+            ],
+        },
+        "filters": [
+            {"type": "sessionize", "key": "user_id", "gap_seconds": 1800,
+             "tiebreak": "event_id"},
+            {"type": "quality", "column": "text"},
+        ],
+    }
+    out = P.preview(spark, cfg)
+    rows = {r.event_id: r for r in out.collect()}
+    assert [rows[i].session_idx for i in (1, 2, 3)] == [1, 1, 2]
+    assert rows[1].session_id == "u#1"
+    assert rows[1].n_tokens == 4 and rows[1].alpha_ratio > 0.7
