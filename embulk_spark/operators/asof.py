@@ -50,9 +50,17 @@ def asof_join(
     payload = payload or [
         c for c in right.columns if c not in {on, right_ts}
     ]
+    reserved = {"_ts", "_side", "_r", "asof_ts"}
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"right payload collides with left columns: {sorted(clash)}")
+    held = reserved & set(left.columns)
+    if held:
+        raise ValueError(f"left columns collide with asof_join internals: {sorted(held)}")
+    # a NULL-timestamp right row would sort NULLS FIRST and carry its
+    # payload to every earlier left row; ASOF semantics (DuckDB, pandas
+    # merge_asof) never match NULL ts
+    right = right.filter(F.col(right_ts).isNotNull())
 
     r_struct = F.struct(
         F.col(right_ts).alias("_match_ts"), *[F.col(c) for c in payload]

@@ -125,10 +125,9 @@ def keep_canonical(
             F.col(id_col), F.struct(*prefer_cols, F.col(id_col))
         ).alias("_keep")
     )
-    losers = (
-        clustered.join(
-            winners.select(F.col("_keep").alias(id_col)), id_col, "left_anti"
-        )
-        .select(id_col)
-    )
+    # losers come from the (small) components frame, not a second pass
+    # over the full-width corpus join
+    losers = components.join(
+        winners.select(F.col("_keep").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
     return df.join(losers, id_col, "left_anti")

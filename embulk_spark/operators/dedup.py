@@ -108,8 +108,9 @@ def minhash_df(
     df: DataFrame, text_col: str, id_col: str, k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """(id, sig) with sig[i] = min over shingles of the i-th affine
-    permutation of a 32-bit shingle hash: (a_i·h + b_i) mod (2^61-1),
-    h = first 8 hex chars of md5(shingle).
+    permutation of a 32-bit shingle hash: (a_i·h + b_i) mod MINHASH_P
+    (the smallest prime above 2^32), h = first 8 hex chars of
+    md5(shingle).
 
     Two deliberate shape choices:
     - ONE md5 per shingle, then k codegen'd multiply-adds — not k md5s

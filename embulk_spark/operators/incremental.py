@@ -71,8 +71,10 @@ class SignatureIndex:
     Layout: ``<path>/deltas/epoch=N/*.parquet`` (columns id, sig;
     sig NULL = tombstone) — an epoch is committed iff its directory
     exists, made atomic by writing to a scratch dir and ``os.rename``-ing
-    it into place. ``<path>/meta.json`` pins (k, bands, shingle_n) so a
-    resumed handle can't silently mix permutation families.
+    it into place. ``<path>/meta.json`` pins (k, bands, shingle_n) AND
+    the exact minhash permutation constants (P, a_i, b_i) so a resumed
+    handle can't silently mix permutation families — old-family deltas
+    would band-hash to disjoint buckets and miss every pair.
     """
 
     def __init__(
@@ -100,8 +102,16 @@ class SignatureIndex:
         self._deltas = os.path.join(path, "deltas")
         os.makedirs(self._deltas, exist_ok=True)
         meta_path = os.path.join(path, "meta.json")
+        # the permutation family is part of the on-disk format: signatures
+        # from different (P, a_i, b_i) constants band-hash to disjoint
+        # buckets, so mixing families silently misses every near-dup pair.
+        # Stamping the family forces an explicit rebuild instead.
+        from .dedup import MINHASH_P, minhash_params
+
+        a, b = minhash_params(k)
         meta = {"id_col": id_col, "k": k, "bands": bands,
-                "shingle_n": shingle_n, "order_cols": self.order_cols}
+                "shingle_n": shingle_n, "order_cols": self.order_cols,
+                "minhash_family": [MINHASH_P, a, b]}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 existing = json.load(f)

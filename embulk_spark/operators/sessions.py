@@ -63,9 +63,15 @@ def sessionize(
     run = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # F.concat, not concat_ws: a NULL key must yield a NULL session_id
+    # (concat_ws would silently drop the key and emit the bare index,
+    # colliding NULL-key sessions with each other; matches SQL ||)
     return df.withColumn("session_idx", F.sum(new_session).over(run)).withColumn(
         "session_id",
-        F.concat_ws("#", F.col(key).cast("string"), F.col("session_idx")),
+        F.concat(
+            F.col(key).cast("string"), F.lit("#"),
+            F.col("session_idx").cast("string"),
+        ),
     )
 
 

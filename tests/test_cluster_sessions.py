@@ -234,3 +234,36 @@ def test_session_stats_streaming_matches_batch(spark, tmp_path):
         for r in session_stats(real, "user_id", "ts", 60).collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_asof_ignores_null_ts_right_rows(spark):
+    left = spark.createDataFrame(
+        [("k", _ts(0, 30), 1)], "k string, ts timestamp, ev long"
+    )
+    right = spark.createDataFrame(
+        [("k", None, 9.9), ("k", _ts(1), 2.0)],
+        "k string, ts timestamp, px double",
+    )
+    row = asof_join(left, right, "k", "ts").head()
+    # the NULL-ts row must never match (ASOF semantics); ts(1) is later
+    assert row.px is None and row.asof_ts is None
+
+
+def test_asof_reserved_left_column_raises(spark):
+    left = spark.createDataFrame([("k", _ts(1), 1)], "k string, ts timestamp, _side long")
+    right = spark.createDataFrame([("k", _ts(0), 2.0)], "k string, ts timestamp, px double")
+    try:
+        asof_join(left, right, "k", "ts")
+    except ValueError as e:
+        assert "_side" in str(e)
+    else:
+        raise AssertionError("expected ValueError on reserved column")
+
+
+def test_sessionize_null_key_yields_null_session_id(spark):
+    df = spark.createDataFrame(
+        [(None, _ts(0)), ("u", _ts(0))], "user_id string, ts timestamp"
+    )
+    rows = {r.user_id: r for r in sessionize(df, "user_id", "ts", 60).collect()}
+    assert rows["u"].session_id == "u#1"
+    assert rows[None].session_id is None  # not a bare "1" colliding globally

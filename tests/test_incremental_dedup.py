@@ -180,3 +180,27 @@ def test_stream_events_keeps_index_in_lockstep(spark, tmp_path):
     }
     got = {(r["url"], tuple(r["sig"])) for r in idx.signatures().collect()}
     assert got == want
+
+
+def test_meta_pins_permutation_family(spark, tmp_path):
+    """An index persisted under a different minhash permutation family must
+    refuse to open: old-family deltas band-hash to disjoint buckets and
+    would silently miss every near-dup pair."""
+    import json
+    import os
+
+    import pytest
+
+    from embulk_spark.operators.incremental import SignatureIndex
+
+    p = str(tmp_path / "idx")
+    SignatureIndex(spark, p, id_col="doc_id")
+    meta_path = os.path.join(p, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["minhash_family"][0] == 4294967311  # current P, pinned
+    meta["minhash_family"] = [2305843009213693951, [1], [0]]  # old family
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="built with"):
+        SignatureIndex(spark, p, id_col="doc_id")

@@ -116,7 +116,7 @@ CHECKS = {
         "why": "session rollup uses the native session_window aggregation "
                "(map-side partial session merge, streaming-capable) — no "
                "window-function sort over raw events, no Python",
-        "must": [r"session_window|MergingSessions|HashAggregate"],
+        "must": [r"session_window|MergingSessions"],
         "must_not": [r"ArrowEvalPython", r"BatchEvalPython"],
     },
     "asof_join_attrib": {
@@ -132,7 +132,7 @@ CHECKS = {
                "anti-joins losers — equi-joins only, no cartesian, no Python "
                "in the final plan (cluster labels enter via localCheckpoint)",
         "must": [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
-        "must_not": [r"CartesianProduct", r"BatchEvalPython"],
+        "must_not": [r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
     },
 }
 
