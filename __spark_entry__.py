@@ -199,6 +199,21 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-tokenizer counts per document — the pair
+    a 100 TB token-budget accountant needs (whitespace undercounts CJK and
+    punctuation-heavy text; the GPT-2-style pre-token count tracks real
+    BPE billing). Both are pure JVM Column regexes."""
+    from embulk_spark.functions.textops import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def _synth_url_col() -> F.Column:
     """Deterministic messy url per doc_id (documents has no url column):
     mixed-case scheme/host, default & non-default ports, fragments,
@@ -387,6 +402,29 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), _planes(spark, sf_dir), k=10)
+
+
+def _centroids(spark: SparkSession, sf_dir: str, n: int = 8) -> list[list[float]]:
+    """Deterministic IVF coarse centroids: the corpus vectors vec_id 1..n
+    (centroid index = vec_id - 1). Sampling centroids from the data is the
+    standard IVF bootstrap; taking the lowest ids keeps it reproducible."""
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_spark.operators.ann import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return ann_ivf_topk(
+        emb, _query_vec(spark, sf_dir), _centroids(spark, sf_dir), k=10, nprobe=2
+    )
 
 
 def _q_stateful_url_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "token_stats": _q_token_stats,
         "url_canonicalize": _q_url_canonicalize,
         "pii_redact": _q_pii_redact,
         "repetition_filters": _q_repetition_filters,
@@ -681,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "stateful_url_changelog": _q_stateful_url_changelog,
         "guess_cell_types": _q_guess_cell_types,
         "embedding_neardup": _q_embedding_neardup,
@@ -1141,6 +1181,40 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
         FROM b, q, qb WHERE b.bucket_id = qb.qbucket
         ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": """
+        WITH c AS (
+          SELECT vec_id - 1 AS cid, embedding::double[] cv,
+                 sqrt(list_dot_product(embedding::double[], embedding::double[])) cn
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+        ),
+        q AS (SELECT embedding::double[] qv FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT cid FROM c, q
+          ORDER BY list_dot_product(qv, cv) / cn DESC, cid ASC LIMIT 2
+        ),
+        assign AS (
+          SELECT e.vec_id, e.embedding::double[] ev, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.embedding::double[], c.cv) / c.cn DESC,
+                            c.cid ASC) rn
+          FROM embeddings e, c WHERE e.vec_id <> 0
+        )
+        SELECT a.vec_id,
+               round(list_dot_product(a.ev, q.qv)
+                     / (sqrt(list_dot_product(a.ev, a.ev))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM assign a, q
+        WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)
+        ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
+        """,
+        "token_stats": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   $$'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+$$)) AS bpe_tokens
+        FROM documents
         """,
         "stateful_url_changelog": """
         WITH latest AS (

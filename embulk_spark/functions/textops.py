@@ -20,6 +20,23 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+#: GPT-2-style pre-tokenizer regex, restricted to the lookahead-free subset
+#: so the SAME pattern runs under Java regex (Spark, JVM-side) and RE2
+#: (DuckDB oracle): contractions, space-prefixed letter runs, digit runs,
+#: and punctuation runs. Whitespace-only runs are simply not counted
+#: (GPT-2 proper folds trailing spaces into tokens via ``(?!\S)``
+#: lookahead, which RE2 cannot express).
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer pattern
+    (BPE merges only ever split WITHIN a pre-token, so this lower-bounds
+    and tracks real BPE token counts). Pure JVM regex — whole-stage
+    codegen, no Python."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
 def alpha_len(text: Column) -> Column:
     """Count of ascii-alpha characters after lowering."""
     return F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))

@@ -140,3 +140,48 @@ def test_cosine_topk_matches_bruteforce_ranking(spark, emb):
     assert len(top) == 5
     sims = [r["cos_sim"] for r in top]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_assign_partitions_corpus(spark, emb):
+    """Every vector lands in exactly one cell; cells follow the data's own
+    clustering (centroids sampled from the corpus => non-empty cells)."""
+    from embulk_spark.operators.ann import ivf_assign
+
+    cents = [_vec(i) for i in range(8)]
+    assigned = ivf_assign(emb, cents)
+    counts = {r["ivf_cell"]: r["n"] for r in
+              assigned.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == N
+    assert set(counts) <= set(range(8))
+    # the 8 centroid rows themselves must map to their own cell
+    own = {r["vec_id"]: r["ivf_cell"] for r in
+           assigned.filter(F.col("vec_id") < 8).collect()}
+    assert own == {i: i for i in range(8)}
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """nprobe = n_centroids degenerates to the exact answer — the IVF
+    recall/cost knob's exactness endpoint."""
+    from embulk_spark.operators.ann import ann_ivf_topk
+
+    cents = [_vec(i) for i in range(8)]
+    q = _vec(123)
+    exact = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(emb, q, k=10).collect()]
+    ivf = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_ivf_topk(emb, q, cents, k=10, nprobe=8).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_narrow_probe_recall(spark, emb):
+    """nprobe=2 of 8 cells still recalls most of the true top-10 for an
+    in-distribution query (clustered fixture => query's cluster is
+    concentrated in few cells)."""
+    from embulk_spark.operators.ann import ann_ivf_topk
+
+    cents = [_vec(i) for i in range(8)]
+    q = _vec(123)
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    got = {r["vec_id"] for r in ann_ivf_topk(emb, q, cents, k=10, nprobe=2).collect()}
+    assert len(got & exact) >= 7

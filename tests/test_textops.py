@@ -131,3 +131,32 @@ def test_corpus_mixture_stats(spark):
     assert cc_en["dup_rate"] == round(2 / 3, 6)  # 3 docs, 1 distinct fp
     assert got[("cc", "de")]["dup_rate"] == 0.0
     assert got[("wiki", "en")]["total_tokens"] == 4
+
+
+def test_bpe_token_count_edges(spark):
+    """GPT-2-style pre-tokenizer (lookahead-free subset): contractions
+    split off, space folds into the following token, digit/punct runs are
+    their own tokens, empty string is 0 tokens (vs whitespace count's 1)."""
+    from embulk_spark.functions.textops import bpe_token_count, token_count
+
+    cases = [
+        ("Hello, world's 42 tests", 6),  # Hello | , | world | 's | 42 | tests
+        ("", 0),
+        ("   ", 0),
+        ("don't", 2),                    # don | 't
+        ("a  b", 2),
+        ("3.14", 3),                     # 3 | . | 14
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [
+        r["n"]
+        for r in df.select(bpe_token_count(F.col("text")).alias("n")).collect()
+    ]
+    assert got == [c for _, c in cases], got
+    # empty-string contrast with whitespace count (documented split-token 1)
+    ws = (
+        df.filter(F.col("text") == "")
+        .select(token_count(F.col("text")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert ws == 1
