@@ -147,6 +147,8 @@ def main() -> None:
         "simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
+        "token_stats",
         "embedding_neardup",
         "multimodal_sniff",
     ]

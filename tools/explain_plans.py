@@ -73,6 +73,21 @@ CHECKS = {
         "must": [r"TakeOrderedAndProject"],
         "must_not": [r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "ann_ivf_topk": {
+        "why": "IVF cell assignment is a narrow JVM map (array_max over "
+               "per-centroid structs) and the probe ends in a TakeOrdered "
+               "top-k — no Python, no join, no full sort",
+        "must": [r"TakeOrderedAndProject"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct", r"\bSort\b \(\d"],
+    },
+    "token_stats": {
+        "why": "token counting (whitespace + BPE-ish pre-tokenizer) is one "
+               "Project of JVM regexes over a two-column scan — no shuffle, "
+               "no Python",
+        "must": [r"Project", r"ReadSchema: [^\n]*text"],
+        "must_not": [r"\bExchange\b", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
     "minhash_near_dups": {
         "why": "LSH candidates come from an equi-join on (band, signature) "
                "— never a cartesian product",
