@@ -565,6 +565,38 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000, max_frames=4).drop("frame")
 
 
+def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata from REAL PCM WAV bytes, parsed entirely JVM-side
+    (functions/multimodal.py::wav_meta_cols — no Python in the plan):
+    synth canonical WAVs whose params are pure arithmetic in doc_id,
+    parse the actual RIFF header back. The oracle recomputes the fields
+    arithmetically — the parser must agree with the encoder byte-for-byte
+    through the real container."""
+    from embulk_spark.functions.multimodal import synth_wav_col, wav_meta_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", synth_wav_col(F.col("doc_id")).alias("media")
+    )
+    return media.select("doc_id", *wav_meta_cols(F.col("media")))
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level audio features (RMS, peak) via the real WAV decode:
+    numpy-vectorized over Arrow batches (mapInPandas). Oracle recomputes
+    RMS/peak from the synth sample arithmetic."""
+    from embulk_spark.functions.multimodal import (
+        decode_audio_features,
+        synth_wav_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"), synth_wav_col(F.col("doc_id")).alias("media")
+    )
+    return decode_audio_features(media)
+
+
 def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -729,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_frames": _q_multimodal_frames,
+        "audio_meta": _q_audio_meta,
+        "audio_features": _q_audio_features,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_revenue_topk": _q_join_revenue_topk,
         "window_topk_per_group": _q_window_topk_per_group,
@@ -1376,6 +1410,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, r.range::int AS frame_idx,
                (r.range * 1000)::bigint AS frame_ts_ms
         FROM n, range(4) r WHERE r.range < nf
+        """,
+        "audio_meta": """
+        SELECT doc_id,
+               1 AS channels,
+               8000 * (1 + doc_id % 3) AS sample_rate,
+               16 AS bits,
+               64 + doc_id % 129 AS n_frames,
+               round((64 + doc_id % 129)::double / (8000 * (1 + doc_id % 3)), 6)
+                 AS duration_sec
+        FROM documents
+        """,
+        "audio_features": """
+        WITH g AS (
+          SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,
+                 64 + doc_id % 129 AS n
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, rate, n,
+                 sum(((doc_id * 31 + i.range * 17) % 4096 - 2048)
+                     * ((doc_id * 31 + i.range * 17) % 4096 - 2048)) AS ss,
+                 max(abs((doc_id * 31 + i.range * 17) % 4096 - 2048)) AS peak
+          FROM g, range(193) i WHERE i.range < n
+          GROUP BY doc_id, rate, n
+        )
+        SELECT doc_id AS id, rate AS sample_rate, n AS n_frames,
+               sqrt(ss::double / n) AS rms, peak
+        FROM s
         """,
         "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

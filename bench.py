@@ -151,6 +151,7 @@ def main() -> None:
         "token_stats",
         "embedding_neardup",
         "multimodal_sniff",
+        "audio_features",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -366,3 +366,150 @@ def synth_media_col(id_col: Column, text_col: Column) -> Column:
             F.pmod(id_col, F.lit(5)) == i, F.concat(F.unhex(F.lit(magic)), payload)
         )
     return expr
+
+
+# ---------------------------------------------------------------------------
+# real audio codec: canonical PCM WAV (vendored, stdlib/numpy-only)
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(sample_rate: int, channels: int, samples) -> bytes:
+    """Build a canonical 44-byte-header PCM WAV (RIFF/WAVE, fmt chunk at
+    offset 12, data chunk at 36) from int16 ``samples`` (interleaved when
+    channels > 1)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate,
+                      block_align, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _le_uint(b: Column, offset: int, nbytes: int) -> Column:
+    """Little-endian unsigned int from a binary column at a 0-based byte
+    offset — pure JVM: slice, hex, byte-swap, base-16 conv."""
+    h = F.hex(F.substring(b, offset + 1, nbytes))
+    swapped = F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+    )
+    return F.conv(swapped, 16, 10).cast("long")
+
+
+def is_canonical_wav(b: Column) -> Column:
+    """True for the canonical PCM layout encode_wav_pcm16 emits (RIFF +
+    WAVE/fmt at fixed offsets, uncompressed PCM). Real-world WAVs with
+    extension chunks before `data` are out of scope for the JVM fast
+    path — they fall to the Python decoder tier, mirroring how
+    multimodal_sniff gates decode_image_features."""
+    return (
+        (F.substring(b, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(b, 9, 8) == F.lit(b"WAVEfmt "))
+        & (F.substring(b, 37, 4) == F.lit(b"data"))
+        & (_le_uint(b, 20, 2) == 1)  # audio_format = PCM
+    )
+
+
+def wav_meta_cols(b: Column) -> list[Column]:
+    """Typed audio metadata from the canonical WAV header — ALL pure JVM
+    Column arithmetic (no Python): channels, sample rate, bit depth,
+    sample count, duration. NULL for non-canonical bytes. The audio
+    analogue of media_meta_cols: cheap typed metadata FIRST, so filters
+    on (sample_rate, duration) push down before any sample-level decode
+    touches Python."""
+    ok = is_canonical_wav(b)
+    channels = _le_uint(b, 22, 2)
+    rate = _le_uint(b, 24, 4)
+    bits = _le_uint(b, 34, 2)
+    data_size = _le_uint(b, 40, 4)
+    frames = data_size / (channels * (bits / F.lit(8.0)))
+    return [
+        F.when(ok, channels).alias("channels"),
+        F.when(ok, rate).alias("sample_rate"),
+        F.when(ok, bits).alias("bits"),
+        F.when(ok, frames.cast("long")).alias("n_frames"),
+        F.when(ok, F.round(frames / rate, 6)).alias("duration_sec"),
+    ]
+
+
+AUDIO_FEATURES_DDL = (
+    "id BIGINT, sample_rate BIGINT, n_frames BIGINT, "
+    "rms DOUBLE, peak BIGINT"
+)
+
+
+def decode_audio_features(
+    df: DataFrame, id_col: str = "id", bin_col: str = "media"
+) -> DataFrame:
+    """Sample-level audio features (RMS energy, absolute peak) for
+    canonical PCM-16 WAVs. The JVM side pre-filters to canonical WAV
+    bytes (pushdown-friendly) so Python only sees decodable rows; the
+    decode itself is numpy-vectorized over Arrow batches (one frombuffer
+    + two reductions per row — no per-sample Python). Integer
+    sum-of-squares then ONE sqrt/division keeps RMS bit-stable across
+    engines (same discipline as decode_bmp24's mean)."""
+    import numpy as np
+
+    wavs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bin_col).alias("media"),
+        *wav_meta_cols(F.col(bin_col)),
+    ).filter(is_canonical_wav(F.col(bin_col)))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, peak, nf = [], [], []
+            for b, declared in zip(pdf["media"], pdf["n_frames"]):
+                x = np.frombuffer(b, dtype="<i2", offset=44,
+                                  count=int(declared)).astype(np.int64)
+                n = max(1, len(x))
+                rms.append(float(np.sqrt(np.sum(x * x) / n)))
+                peak.append(int(np.max(np.abs(x))) if len(x) else 0)
+                nf.append(len(x))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "sample_rate": pdf["sample_rate"],
+                    "n_frames": nf,
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
+
+    return wavs.mapInPandas(_decode, schema=AUDIO_FEATURES_DDL)
+
+
+def synth_wav_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) as pure arithmetic in doc_id — mirrored
+    by the SQL oracle."""
+    return 8000 * (1 + doc_id % 3), 64 + doc_id % 129
+
+
+def synth_wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic int16 sample: pure arithmetic in (doc_id, i)."""
+    return (doc_id * 31 + i * 17) % 4096 - 2048
+
+
+def synth_wav_bytes(doc_id: int) -> bytes:
+    rate, n = synth_wav_params(doc_id)
+    return encode_wav_pcm16(
+        rate, 1, (synth_wav_sample(doc_id, i) for i in range(n))
+    )
+
+
+def synth_wav_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real PCM WAV bytes (fixture source for the
+    real audio decode path)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_wav_bytes(int(i)))
+
+    return _mk(id_col)

@@ -169,3 +169,74 @@ def test_decode_real_bmp_through_map_in_pandas(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["mean_luma"] == mean
         assert r["container"] == "bmp"
+
+
+def test_wav_header_parse_is_jvm_only(spark):
+    """wav_meta_cols is pure Column arithmetic — the plan must contain no
+    Python eval (the whole point: metadata filters push down before any
+    sample decode)."""
+    from embulk_spark.functions.multimodal import synth_wav_bytes, wav_meta_cols
+
+    df = spark.createDataFrame(
+        [(i, synth_wav_bytes(i)) for i in range(8)], "id LONG, media BINARY"
+    )
+    out = df.select("id", *wav_meta_cols(F.col("media")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = {r["id"]: r for r in out.collect()}
+    for i in range(8):
+        r = rows[i]
+        assert r["channels"] == 1 and r["bits"] == 16
+        assert r["sample_rate"] == 8000 * (1 + i % 3)
+        assert r["n_frames"] == 64 + i % 129
+        # tolerance, not ==: Spark/DuckDB round half-up, Python banker's —
+        # i=7 lands exactly on 71/16000 = .0044375
+        assert abs(r["duration_sec"] - (64 + i % 129) / (8000 * (1 + i % 3))) < 1e-6
+
+
+def test_wav_meta_null_for_non_canonical(spark):
+    """Garbage, truncated, and non-PCM bytes yield NULL metadata instead
+    of nonsense numbers."""
+    from embulk_spark.functions.multimodal import synth_wav_bytes
+
+    wav = synth_wav_bytes(3)
+    non_pcm = bytearray(wav)
+    non_pcm[20] = 3  # audio_format = IEEE float, not PCM
+    cases = [
+        (0, b"not audio at all"),
+        (1, wav[:30]),
+        (2, bytes(non_pcm)),
+        (3, wav),
+    ]
+    from embulk_spark.functions.multimodal import wav_meta_cols
+
+    df = spark.createDataFrame(cases, "id LONG, media BINARY")
+    rows = {r["id"]: r for r in df.select("id", *wav_meta_cols(F.col("media"))).collect()}
+    for i in (0, 1, 2):
+        assert rows[i]["sample_rate"] is None and rows[i]["duration_sec"] is None
+    assert rows[3]["sample_rate"] == 8000
+
+
+def test_audio_features_roundtrip_and_filter(spark):
+    """RMS/peak computed through the real container match the sample
+    arithmetic; non-WAV rows are filtered JVM-side before Python."""
+    import math
+
+    from embulk_spark.functions.multimodal import (
+        decode_audio_features,
+        synth_wav_bytes,
+        synth_wav_params,
+        synth_wav_sample,
+    )
+
+    rows = [(i, synth_wav_bytes(i)) for i in range(12)]
+    rows.append((99, b"RIFFgarbage-not-a-wave-file"))
+    df = spark.createDataFrame(rows, "id LONG, media BINARY")
+    got = {r["id"]: r for r in decode_audio_features(df).collect()}
+    assert 99 not in got and len(got) == 12
+    for i in range(12):
+        rate, n = synth_wav_params(i)
+        xs = [synth_wav_sample(i, j) for j in range(n)]
+        assert got[i]["n_frames"] == n and got[i]["sample_rate"] == rate
+        assert got[i]["peak"] == max(abs(x) for x in xs)
+        assert got[i]["rms"] == math.sqrt(sum(x * x for x in xs) / n)
