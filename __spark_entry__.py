@@ -597,6 +597,23 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(media)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (operators/sample.py):
+    per-lang keep-rates applied via a salted md5 row hash — identical
+    sample every run/partitioning/engine (the oracle replays the exact
+    arithmetic), one broadcast join + codegen'd filter, no shuffle."""
+    from embulk_spark.operators.sample import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"),
+        ["lang"],
+        {"en": 0.5, "de": 0.25},
+        "doc_id",
+        default_rate=0.1,
+    )
+
+
 def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -744,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "repetition_filters": _q_repetition_filters,
         "corpus_mixture": _q_corpus_mixture,
+        "stratified_sample": _q_stratified_sample,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
         "incremental_neardup": _q_incremental_neardup,
@@ -1410,6 +1428,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, r.range::int AS frame_idx,
                (r.range * 1000)::bigint AS frame_ts_ms
         FROM n, range(4) r WHERE r.range < nf
+        """,
+        "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || left(md5('mix1:' || doc_id::varchar), 8))::bigint
+              / 4294967296.0
+              < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
         """,
         "audio_meta": """
         SELECT doc_id,

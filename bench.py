@@ -149,6 +149,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "token_stats",
+        "stratified_sample",
         "embedding_neardup",
         "multimodal_sniff",
         "audio_features",

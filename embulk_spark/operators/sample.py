@@ -1,0 +1,121 @@
+"""Deterministic sampling and training-mix planning.
+
+The last step of a curation pipeline is rarely "keep everything that
+survived the filters" — it is "hit a token budget with a target mixture
+across (source, lang) strata". Spark's built-in ``df.sample``/``sampleBy``
+are seeded-RNG per partition: resilient to nothing (a retry, a
+repartition, or a second run over the same corpus picks different rows).
+Everything here is a pure function of (salt, row key), so samples are
+reproducible across runs, partitionings, task retries, and engines (the
+DuckDB oracle replays the identical md5 arithmetic).
+
+The reference's closest analogue is preview's deterministic head sample
+(/root/reference/embulk-core/src/main/java/org/embulk/exec/
+SamplingParserPlugin.java:131-138 — first-N bytes, reproducible); this
+generalizes it to rate-based corpus sampling.
+
+Scale shape: ``hash_uniform`` is one md5 + conv per row (JVM codegen, no
+shuffle); ``stratified_sample`` adds one broadcast hash join against the
+(tiny) rates table. Nothing collects, nothing depends on row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = 4294967296.0  # 2^32
+
+
+def hash_uniform(key: Column, salt: str = "mix1") -> Column:
+    """Deterministic uniform u ∈ [0, 1): first 8 md5 hex chars of
+    ``salt:key`` scaled by 2^-32. Oracle-parity form:
+    ``('0x' || left(md5(salt || ':' || key), 8))::bigint / 2^32``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(_U32)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str, *, salt: str = "mix1"
+) -> DataFrame:
+    """Keep each row iff hash_uniform(id) < rate — same rows every run,
+    any partitioning, any engine."""
+    return df.filter(hash_uniform(F.col(id_col), salt) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    rates: dict,
+    id_col: str,
+    *,
+    salt: str = "mix1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps a stratum value
+    (or tuple of values for multi-column strata) to its keep-rate; strata
+    not listed get ``default_rate``. One broadcast join against the tiny
+    rates table + the per-row hash filter — no shuffle of the corpus."""
+    spark = df.sparkSession
+    rows = []
+    for k, r in rates.items():
+        key = k if isinstance(k, tuple) else (k,)
+        if len(key) != len(strata_cols):
+            raise ValueError(f"rate key {k!r} does not match strata {strata_cols}")
+        rows.append((*[str(v) for v in key], float(r)))
+    schema = ", ".join(f"`{c}` string" for c in strata_cols) + ", `_rate` double"
+    rate_df = spark.createDataFrame(rows, schema)
+    casted = df
+    join_cond = None
+    for c in strata_cols:
+        cond = casted[c].cast("string") == rate_df[c]
+        join_cond = cond if join_cond is None else (join_cond & cond)
+    joined = casted.join(F.broadcast(rate_df), join_cond, "left").select(
+        *[casted[c] for c in df.columns],
+        F.coalesce(rate_df["_rate"], F.lit(float(default_rate))).alias("_rate"),
+    )
+    return joined.filter(
+        hash_uniform(F.col(id_col), salt) < F.col("_rate")
+    ).drop("_rate")
+
+
+def mixture_plan(
+    available_tokens: dict,
+    weights: dict,
+    token_budget: int,
+) -> dict:
+    """Plan per-stratum sampling rates to hit ``token_budget`` tokens at
+    the target ``weights`` mixture (driver-side arithmetic over the
+    corpus_mixture_stats report — strata counts, not rows).
+
+    Feasibility: a stratum can contribute at most its available tokens,
+    so the achievable budget is ``min(budget, min_s avail[s]/w[s])`` —
+    scaling the WHOLE mix down keeps the mixture exact instead of
+    silently over-weighting rich strata. Returns
+    ``{"rates": {stratum: rate}, "tokens": {stratum: planned},
+    "achievable_budget": int}``; rates feed stratified_sample directly.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items() if w > 0}
+    missing = [s for s in norm if available_tokens.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"strata with target weight but no tokens: {missing}")
+    achievable = min(
+        float(token_budget),
+        min(available_tokens[s] / w for s, w in norm.items()),
+    )
+    tokens = {s: achievable * w for s, w in norm.items()}
+    rates = {s: tokens[s] / available_tokens[s] for s in norm}
+    return {
+        "rates": rates,
+        "tokens": {s: int(t) for s, t in tokens.items()},
+        "achievable_budget": int(achievable),
+    }

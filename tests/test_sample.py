@@ -1,0 +1,120 @@
+"""Deterministic sampling + mixture planning (operators/sample.py):
+sample membership is a pure function of (salt, id) — stable across
+partitionings and runs — and the planner hits a token budget at the
+target stratum mixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_spark.operators.sample import (
+    deterministic_sample,
+    hash_uniform,
+    mixture_plan,
+    stratified_sample,
+)
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (i, ["en", "en", "de", "fr"][i % 4], 50 + i % 100)
+            for i in range(N)
+        ],
+        "doc_id long, lang string, n_tokens long",
+    )
+
+
+def test_sample_is_partitioning_invariant(spark, docs):
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), 0.3, "doc_id").collect()
+    }
+    assert a == b and 0.25 * N < len(a) < 0.35 * N
+
+
+def test_salt_changes_membership(spark, docs):
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id").collect()}
+    c = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, 0.3, "doc_id", salt="other").collect()
+    }
+    assert a != c
+
+
+def test_rate_monotone_nesting(spark, docs):
+    """A lower-rate sample is a SUBSET of a higher-rate one under the same
+    salt (threshold semantics) — lets a pipeline downsample a cached
+    sample without re-reading the corpus."""
+    lo = {r["doc_id"] for r in deterministic_sample(docs, 0.1, "doc_id").collect()}
+    hi = {r["doc_id"] for r in deterministic_sample(docs, 0.4, "doc_id").collect()}
+    assert lo < hi
+
+
+def test_stratified_rates_and_default(spark, docs):
+    out = stratified_sample(
+        docs, ["lang"], {"en": 0.5, "de": 0.2}, "doc_id", default_rate=0.0
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert "fr" not in by_lang  # default 0 drops unlisted strata
+    assert abs(by_lang["en"] / (N / 2) - 0.5) < 0.05
+    assert abs(by_lang["de"] / (N / 4) - 0.2) < 0.05
+    # schema untouched (helper column dropped)
+    assert out.columns == docs.columns
+
+
+def test_stratified_multi_column_key(spark):
+    df = spark.createDataFrame(
+        [(i, "web", "en") if i % 2 else (i, "books", "en") for i in range(1000)],
+        "doc_id long, source string, lang string",
+    )
+    out = stratified_sample(
+        df, ["source", "lang"], {("web", "en"): 1.0}, "doc_id"
+    )
+    assert {r["source"] for r in out.collect()} == {"web"}
+
+
+def test_mixture_plan_hits_budget_and_weights(spark, docs):
+    avail = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    plan = mixture_plan(avail, {"en": 0.7, "de": 0.2, "fr": 0.1}, 60_000)
+    assert plan["achievable_budget"] == 60_000
+    assert abs(plan["tokens"]["en"] - 42_000) <= 1
+    # end-to-end: sampled token mass lands near the plan per stratum
+    sampled = stratified_sample(docs, ["lang"], plan["rates"], "doc_id")
+    got = {
+        r["lang"]: r["t"]
+        for r in sampled.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    for s, want in plan["tokens"].items():
+        assert abs(got[s] - want) / want < 0.15, (s, got[s], want)
+
+
+def test_mixture_plan_scales_down_infeasible(spark):
+    # 'de' can only support 1000/0.5 = 2000 budget; whole mix scales down
+    plan = mixture_plan({"en": 100_000, "de": 1_000}, {"en": 0.5, "de": 0.5}, 60_000)
+    assert plan["achievable_budget"] == 2_000
+    assert plan["rates"]["de"] == 1.0
+    assert abs(plan["rates"]["en"] - 1_000 / 100_000) < 1e-12
+
+
+def test_mixture_plan_rejects_empty_stratum(spark):
+    with pytest.raises(ValueError, match="no tokens"):
+        mixture_plan({"en": 10}, {"en": 0.5, "xx": 0.5}, 100)
+
+
+def test_hash_uniform_range(spark, docs):
+    mm = docs.select(
+        F.min(hash_uniform(F.col("doc_id"))).alias("lo"),
+        F.max(hash_uniform(F.col("doc_id"))).alias("hi"),
+        F.avg(hash_uniform(F.col("doc_id"))).alias("mean"),
+    ).collect()[0]
+    assert 0.0 <= mm["lo"] and mm["hi"] < 1.0 and abs(mm["mean"] - 0.5) < 0.03

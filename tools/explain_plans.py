@@ -88,6 +88,14 @@ CHECKS = {
         "must": [r"Project", r"ReadSchema: [^\n]*text"],
         "must_not": [r"\bExchange\b", r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "stratified_sample": {
+        "why": "per-stratum sampling is a broadcast join against the tiny "
+               "rates table + a codegen'd md5-threshold filter — the corpus "
+               "never shuffles, no Python",
+        "must": [r"BroadcastHashJoin"],
+        "must_not": [r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct"],
+    },
     # audio_meta: the parse is pure JVM (pinned by
     # tests/test_multimodal.py::test_wav_header_parse_is_jvm_only on the
     # expression itself); the driver query's plan still shows one
