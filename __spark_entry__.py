@@ -463,6 +463,46 @@ def _q_stateful_url_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state(spark, f"{work}/log")
 
 
+def _q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change-feed read (streaming/lake.py::changes_between):
+    replay the events table as 3 CDC epochs into a scratch lake, then read
+    the net changes of epochs 1-2 only — one winner per touched url,
+    deletes as tombstones, cost O(change-set) not O(table). Oracle: the
+    same window over the raw events restricted to those epochs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        (F.col("event_id") % 3).alias("epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_feed_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(spark, f"{work}/lake", n_buckets=4)
+    for e in (0, 1, 2):
+        table.merge_epoch(
+            changes.filter(F.col("epoch") == e).drop("epoch"), e, extract=False
+        )
+    feed = table.changes_between(0, 2)
+    return feed.select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        "is_deleted",
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+    )
+
+
 def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed schema inference: classify string cells per the Embulk
     guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
@@ -746,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_per_key": _q_cdc_latest_per_key,
         "cdc_apply_upsert": _q_cdc_apply_upsert,
         "cdc_ingest_metrics": _q_cdc_ingest_metrics,
+        "cdc_changes_feed": _q_cdc_changes_feed,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
         "coerce_setters": _q_coerce_setters,
@@ -1428,6 +1469,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, r.range::int AS frame_idx,
                (r.range * 1000)::bigint AS frame_ts_ms
         FROM n, range(4) r WHERE r.range < nf
+        """,
+        "cdc_changes_feed": """
+        WITH ranged AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE event_id % 3 IN (1, 2)
+        )
+        SELECT 'user://' || user_id AS url,
+               event_id AS seq,
+               (event_type = 'error') AS is_deleted,
+               epoch_us(ts) AS ts_us
+        FROM ranged WHERE rn = 1
         """,
         "stratified_sample": """
         SELECT doc_id, lang FROM documents

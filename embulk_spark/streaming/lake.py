@@ -292,6 +292,64 @@ class ParquetLakeTable:
         """Final user-facing state (tombstones filtered)."""
         return self.read().filter(~F.col("is_deleted")).drop("is_deleted", "bkt")
 
+    def changes_between(
+        self, since_epoch: int, until_epoch: int | None = None
+    ) -> DataFrame:
+        """Incremental change-feed read (the lake as a CDC *source* for
+        downstream consumers — Iceberg's incremental scan re-expressed):
+        one net row per url touched in epochs (since_epoch, until_epoch],
+        the (warc_ts, seq)-winner within that range, deletes included as
+        ``is_deleted`` tombstone rows. A consumer applying consecutive
+        ranges in order reconstructs the table exactly (same MOR
+        resolution as ``read``).
+
+        Cost is O(change-set): only the range's delta files are scanned —
+        never the base — so a downstream consumer of a 100 TB table pays
+        for its lag, not the table. Raises when part of the range has been
+        folded into the base by compaction (the consumer's cursor is too
+        old → full refresh), mirroring Iceberg's incremental read failing
+        over expired snapshots."""
+        snap = self.current_snapshot()
+
+        def in_range(e: int) -> bool:
+            return e > since_epoch and (until_epoch is None or e <= until_epoch)
+
+        wanted = {e for e in snap["committed_epochs"] if in_range(int(e))}
+        groups = [
+            (int(d["schema_v"]), d["files"])
+            for d in snap["deltas"]
+            if in_range(int(d["epoch_id"]))
+        ]
+        available = {
+            int(d["epoch_id"]) for d in snap["deltas"] if in_range(int(d["epoch_id"]))
+        }
+        # empty-batch epochs commit no delta group; they are committed but
+        # contribute no rows and must not count as "compacted away"
+        folded = wanted - available - self._empty_epochs()
+        if folded:
+            raise ValueError(
+                f"epochs {sorted(folded)} were compacted into the base — "
+                "incremental cursor too old; do a full refresh (read()) "
+                "and restart the feed from the current epoch"
+            )
+        df = self._read_file_groups(snap, groups)
+        if df is None:
+            return self._empty(self.schema(snap))
+        return dedup_latest(df)
+
+    def _empty_epochs(self) -> set[int]:
+        """Epochs committed with empty batches (no delta group ever
+        existed) — recorded in each snapshot's commit metrics."""
+        out: set[int] = set()
+        for fn in self._snapshot_files():
+            try:
+                m = self.snapshot_at(int(fn[1:9])).get("metrics") or {}
+            except (OSError, ValueError, KeyError):
+                continue
+            if m.get("empty_batch") and m.get("epoch_id") is not None:
+                out.add(int(m["epoch_id"]))
+        return out
+
     # ------------------------------------------------------------------
     # MERGE commit (merge-on-read: append the deduped change-set)
     # ------------------------------------------------------------------

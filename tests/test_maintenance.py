@@ -134,3 +134,53 @@ def test_bucket_pruned_read_is_complete_and_disjoint(spark, tmp_path):
         f for e in table.current_snapshot()["base"].values() for f in e["files"]
     }
     assert pruned_files and pruned_files < all_files
+
+
+def test_changes_between_matches_range_winners(spark, tmp_path):
+    """Incremental feed: epochs (0, 2] net changes equal a direct
+    recompute over those epochs' raw events; epoch 0 rows appear only if
+    re-touched later; deletes surface as tombstones."""
+    from embulk_spark.operators.merge import dedup_latest
+
+    table, events = _replayed_table(spark, str(tmp_path / "t"))
+    feed = table.changes_between(0, 2)
+    ranged = events.filter(
+        (F.col("epoch") > 0) & (F.col("epoch") <= 2) & (F.col("op") != "S")
+    )
+    want = {
+        (r["url"], r["seq"], r["op"] == "D")
+        for r in dedup_latest(
+            ranged.select("url", "warc_ts", "seq", "op")
+        ).collect()
+    }
+    got = {
+        (r["url"], r["seq"], r["is_deleted"]) for r in feed.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_changes_between_applied_in_order_reconstructs(spark, tmp_path):
+    """A consumer applying feed ranges (−1,1], (1,2] in order ends at the
+    published state — the contract that makes the feed a CDC source."""
+    from embulk_spark.operators.merge import dedup_latest
+
+    table, _ = _replayed_table(spark, str(tmp_path / "t"))
+    a = table.changes_between(-1, 1)
+    b = table.changes_between(1, 2)
+    merged = dedup_latest(a.unionByName(b)).filter(~F.col("is_deleted"))
+    want = {
+        (r["url"], r["seq"]) for r in table.published().collect()
+    }
+    got = {(r["url"], r["seq"]) for r in merged.collect()}
+    assert got == want
+
+
+def test_changes_between_raises_after_compaction(spark, tmp_path):
+    import pytest
+
+    table, _ = _replayed_table(spark, str(tmp_path / "t"))
+    table.compact()
+    with pytest.raises(ValueError, match="compacted"):
+        table.changes_between(0, 2)
+    # a fresh range starting at the current epoch stays readable
+    assert table.changes_between(2).count() == 0
