@@ -70,6 +70,20 @@ def main(argv: list[str] | None = None) -> int:
                          "in lockstep with the replay (operators/incremental)")
 
     sp = sub.add_parser(
+        "changes",
+        help="CDC out: read the net change feed of an epoch range from a "
+             "lake table (O(change-set) incremental consumer read)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--since-epoch", type=int, required=True,
+                    help="exclusive lower bound (the consumer's cursor)")
+    sp.add_argument("--until-epoch", type=int, default=None,
+                    help="inclusive upper bound (default: current)")
+    sp.add_argument("--out", default=None,
+                    help="write the feed as parquet here instead of printing")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "cleanup",
         help="expire old snapshots and remove orphaned data files "
              "(reference cli/Command.java:5, exec/BulkLoader.java:471-505)",
@@ -135,6 +149,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             for m in metrics:
                 print(json.dumps(m, default=str))
+        return 0
+
+    if args.cmd == "changes":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        feed = table.changes_between(args.since_epoch, args.until_epoch)
+        if args.out:
+            feed.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                              "out": args.out}))
+        else:
+            feed.show(50, truncate=False)
         return 0
 
     if args.cmd == "cleanup":

@@ -211,6 +211,27 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         from .functions.textops import quality_features
 
         return df.select("*", *quality_features(F.col(fconf.get("column", "text"))))
+    if ftype == "sample":
+        # deterministic corpus sampling (operators/sample.py): flat `rate`
+        # or per-stratum `rates` keyed by `strata` column values. Same
+        # rows every run/partitioning — safe inside a resumable pipeline
+        # (a retried task re-selects identical rows).
+        from .operators.sample import deterministic_sample, stratified_sample
+
+        ident = fconf["id"]
+        salt = str(fconf.get("salt", "mix1"))
+        if "rates" in fconf:
+            strata = fconf["strata"]
+            strata = [strata] if isinstance(strata, str) else list(strata)
+            rates = {
+                tuple(k.split("|")) if len(strata) > 1 else k: float(v)
+                for k, v in fconf["rates"].items()
+            }
+            return stratified_sample(
+                df, strata, rates, ident, salt=salt,
+                default_rate=float(fconf.get("default_rate", 0.0)),
+            )
+        return deterministic_sample(df, float(fconf["rate"]), ident, salt=salt)
     raise ValueError(f"unknown filter type: {ftype}")
 
 

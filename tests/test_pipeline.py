@@ -557,3 +557,64 @@ def test_filter_sessionize_and_quality(spark):
     assert [rows[i].session_idx for i in (1, 2, 3)] == [1, 1, 2]
     assert rows[1].session_id == "u#1"
     assert rows[1].n_tokens == 4 and rows[1].alpha_ratio > 0.7
+
+
+def test_filter_sample_flat_and_stratified(spark):
+    """The `sample` filter in the Embulk chain: deterministic membership
+    (identical across re-runs) for flat rate; per-stratum rates with a
+    multi-column 'a|b' key syntax."""
+    cfg = {
+        "in": {
+            "type": "config",
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "source", "type": "string"},
+                {"name": "lang", "type": "string"},
+            ],
+            "values": [
+                [i, "web" if i % 2 else "books", "en" if i % 3 else "de"]
+                for i in range(300)
+            ],
+        },
+        "filters": [{"type": "sample", "id": "doc_id", "rate": 0.4}],
+    }
+    a = {r.doc_id for r in P.preview(spark, cfg, n=1000).collect()}
+    b = {r.doc_id for r in P.preview(spark, cfg, n=1000).collect()}
+    assert a == b and 0.25 * 300 < len(a) < 0.55 * 300
+    cfg["filters"] = [{
+        "type": "sample", "id": "doc_id",
+        "strata": ["source", "lang"],
+        "rates": {"web|en": 1.0},
+        "default_rate": 0.0,
+    }]
+    got = P.preview(spark, cfg, n=1000).collect()
+    assert got and all(r.source == "web" and r.lang == "en" for r in got)
+
+
+def test_cli_changes_feed(tmp_path, capsys, spark):
+    """CLI `changes` subcommand: incremental consumer read of an epoch
+    range, optionally materialized to parquet."""
+    import json as _json
+
+    from embulk_spark.cli import main
+    from embulk_spark.sources.events import change_stream
+
+    events = change_stream(spark, 300, 40, 2, num_partitions=2)
+    src = str(tmp_path / "events")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    table = str(tmp_path / "table")
+    assert main(["replay", src, table, "--buckets", "4"]) == 0
+    capsys.readouterr()
+
+    out = str(tmp_path / "feed")
+    assert main(
+        ["changes", table, "--since-epoch", "0", "--out", out]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    feed = spark.read.parquet(out)
+    assert rep["rows"] == feed.count() > 0
+    # feed carries only epoch-1 winners: every url in it was touched in e1
+    e1_urls = {
+        r["url"] for r in events.filter("epoch = 1 and op != 'S'").select("url").collect()
+    }
+    assert {r["url"] for r in feed.collect()} <= e1_urls
