@@ -184,3 +184,26 @@ def test_changes_between_raises_after_compaction(spark, tmp_path):
         table.changes_between(0, 2)
     # a fresh range starting at the current epoch stays readable
     assert table.changes_between(2).count() == 0
+
+
+def test_changes_between_scans_only_delta_files(spark, tmp_path):
+    """The feed's O(change-set) claim, pinned on the physical plan: with a
+    compacted base present, a post-compaction epoch range reads ONLY that
+    range's delta files — the base (data/compact_*) never appears in the
+    scan."""
+    events = change_stream(spark, 900, 120, 4, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_batches(table, events.filter("epoch <= 1"), pipeline_depth=1)
+    table.compact()
+    replay_batches(table, events, pipeline_depth=1)
+
+    feed = table.changes_between(1, 3)
+    files = feed.inputFiles()
+    assert files and all("/data/e0000000" in f for f in files)
+    assert not any("compact_" in f for f in files)
+    # and the range excludes folded epochs: only e2/e3 urls appear
+    late_urls = {
+        r["url"]
+        for r in events.filter("epoch in (2,3) and op != 'S'").select("url").collect()
+    }
+    assert {r["url"] for r in feed.collect()} <= late_urls
