@@ -207,10 +207,35 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
             tiebreak=fconf.get("tiebreak"),
         )
     if ftype == "quality":
-        # append quality-scoring feature columns (all JVM-side Columns)
+        # append quality-scoring feature columns (all JVM-side Columns);
+        # optional thresholds turn it into a Gopher-style keep filter:
+        # {"min_tokens": 50, "max_mean_token_len": 10, "min_alpha_ratio":
+        #  0.6, "min_stopword_ratio": 0.01, "keep_features": false}
         from .functions.textops import quality_features
 
-        return df.select("*", *quality_features(F.col(fconf.get("column", "text"))))
+        feats = quality_features(F.col(fconf.get("column", "text")))
+        out = df.select("*", *feats)
+        bounds = [
+            ("min_chars", "n_chars_m", ">="), ("max_chars", "n_chars_m", "<="),
+            ("min_tokens", "n_tokens", ">="), ("max_tokens", "n_tokens", "<="),
+            ("min_mean_token_len", "mean_token_len", ">="),
+            ("max_mean_token_len", "mean_token_len", "<="),
+            ("max_punct_ratio", "punct_ratio", "<="),
+            ("min_alpha_ratio", "alpha_ratio", ">="),
+            ("min_stopword_ratio", "stopword_ratio", ">="),
+        ]
+        had_threshold = False
+        for key, col, op in bounds:
+            if key in fconf:
+                had_threshold = True
+                c = F.col(col)
+                out = out.filter(
+                    c >= float(fconf[key]) if op == ">=" else c <= float(fconf[key])
+                )
+        if had_threshold and not fconf.get("keep_features", True):
+            out = out.drop("n_chars_m", "n_tokens", "mean_token_len",
+                           "punct_ratio", "alpha_ratio", "stopword_ratio")
+        return out
     if ftype == "sample":
         # deterministic corpus sampling (operators/sample.py): flat `rate`
         # or per-stratum `rates` keyed by `strata` column values. Same

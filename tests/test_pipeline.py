@@ -618,3 +618,33 @@ def test_cli_changes_feed(tmp_path, capsys, spark):
         r["url"] for r in events.filter("epoch = 1 and op != 'S'").select("url").collect()
     }
     assert {r["url"] for r in feed.collect()} <= e1_urls
+
+
+def test_filter_quality_thresholds(spark):
+    """quality filter with thresholds drops low-quality rows (Gopher-style
+    keep rules) and can strip the helper feature columns."""
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog naps in the sun for a while longer") * 2
+    cfg = {
+        "in": {
+            "type": "config",
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"},
+            ],
+            "values": [
+                [1, good],
+                [2, "x"],                        # too short
+                [3, "aaaaaaaaaaaaaaaaaaaaaaaa"], # 1 huge token, no stopwords
+            ],
+        },
+        "filters": [{
+            "type": "quality", "column": "text",
+            "min_tokens": 10, "max_mean_token_len": 10,
+            "min_stopword_ratio": 0.01,
+            "keep_features": False,
+        }],
+    }
+    rows = P.preview(spark, cfg).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].asDict().keys() == {"doc_id", "text"}
