@@ -637,6 +637,25 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(media)
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-line report (functions/textops.py::
+    boilerplate_lines): documents get a deterministic synthetic footer
+    line (doc_id % 5 variants — the documents fixture has no newlines),
+    and the report must surface exactly the lines shared across ≥ 10
+    docs, counted once per document. Mirrored by the oracle SQL."""
+    from embulk_spark.functions.textops import boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("(c) footer variant "), (F.col("doc_id") % 5)),
+        ).alias("text")
+    )
+    return boilerplate_lines(lined, "text", min_docs=10)
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling (operators/sample.py):
     per-lang keep-rates applied via a salted md5 row hash — identical
@@ -803,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": _q_repetition_filters,
         "corpus_mixture": _q_corpus_mixture,
         "stratified_sample": _q_stratified_sample,
+        "boilerplate_lines": _q_boilerplate_lines,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
         "incremental_neardup": _q_incremental_neardup,
@@ -1482,6 +1502,19 @@ def oracle_sql() -> dict[str, str]:
                (event_type = 'error') AS is_deleted,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1
+        """,
+        "boilerplate_lines": """
+        WITH lined AS (
+          SELECT text || chr(10) || '(c) footer variant ' || (doc_id % 5)::varchar AS t
+          FROM documents
+        ),
+        ex AS (
+          SELECT unnest(list_distinct(string_split(t, chr(10)))) AS line
+          FROM lined
+        )
+        SELECT line, count(*) AS n_docs
+        FROM ex WHERE trim(line) <> ''
+        GROUP BY line HAVING count(*) >= 10
         """,
         "stratified_sample": """
         SELECT doc_id, lang FROM documents

@@ -311,3 +311,46 @@ def corpus_mixture_stats(df, text_col: str, group_cols: list[str]):
             6,
         ).alias("dup_rate"),
     )
+
+
+def boilerplate_lines(
+    df, text_col: str, min_docs: int = 2, line_sep: str = "\n"
+):
+    """Cross-document duplicated-line report (exact substring-level dedup,
+    the boilerplate-detection pass of a web-corpus pipeline): lines that
+    appear in ≥ ``min_docs`` distinct documents, with their document
+    counts. Counted once per document (``array_distinct`` before the
+    explode), blank lines ignored.
+
+    Scale shape: explode → one hash agg keyed by line with map-side
+    partial combine — one shuffle whose volume is the distinct
+    (line, map-partition) pairs, and boilerplate by definition collapses
+    hard in the combiner. No Python anywhere."""
+    lines = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), line_sep))
+            ).alias("line")
+        )
+        .filter(F.trim(F.col("line")) != "")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df, lines: list[str], text_col: str, line_sep: str = "\n"
+):
+    """Remove known boilerplate lines from every document — a narrow
+    JVM-side map (split → HOF filter against a literal array → re-join),
+    no shuffle, no Python. ``lines`` is driver-held (the top-K report
+    from :func:`boilerplate_lines`); keep K bounded (≲10⁴ — the filter is
+    O(K) per line). For unbounded boilerplate sets, broadcast-anti-join
+    the exploded form instead."""
+    lit = F.array(*[F.lit(l) for l in lines])
+    arr = F.split(F.col(text_col), line_sep)
+    kept = F.filter(arr, lambda l: ~F.array_contains(lit, l))
+    return df.withColumn(text_col, F.array_join(kept, "\n"))

@@ -160,3 +160,37 @@ def test_bpe_token_count_edges(spark):
         .collect()[0]["n"]
     )
     assert ws == 1
+
+
+def test_boilerplate_lines_counts_once_per_doc(spark):
+    from embulk_spark.functions.textops import boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique body one\n(c) footer\n(c) footer"),  # dup inside ONE doc
+            (2, "unique body two\n(c) footer"),
+            (3, "unique body three\n(c) footer\n  \nnav | bar"),
+            (4, "unique body four\nnav | bar"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(docs, "text", min_docs=2).collect()
+    }
+    # in-doc repetition must not inflate the count; blanks ignored
+    assert got == {"(c) footer": 3, "nav | bar": 2}
+
+
+def test_strip_boilerplate_is_jvm_narrow_map(spark):
+    from embulk_spark.functions.textops import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "keep me\n(c) footer\nkeep too"), (2, "(c) footer")],
+        "doc_id long, text string",
+    )
+    out = strip_boilerplate(docs, ["(c) footer"], "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert rows[1] == "keep me\nkeep too" and rows[2] == ""
