@@ -637,6 +637,18 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(media)
 
 
+def _q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (operators/dedup.py::
+    benchmark_overlap): per-doc distinct 3-gram shingle overlap vs an
+    eval set drawn from the corpus (doc_id % 97 == 0 — guarantees real
+    hits). Corpus side shuffles once; the eval shingle set broadcasts."""
+    from embulk_spark.operators.dedup import benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return benchmark_overlap(docs, bench, "text", "doc_id", shingle_n=3)
+
+
 def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-line report (functions/textops.py::
     boilerplate_lines): documents get a deterministic synthetic footer
@@ -823,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "stratified_sample": _q_stratified_sample,
         "boilerplate_lines": _q_boilerplate_lines,
+        "benchmark_overlap": _q_benchmark_overlap,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
         "incremental_neardup": _q_incremental_neardup,
@@ -1502,6 +1515,25 @@ def oracle_sql() -> dict[str, str]:
                (event_type = 'error') AS is_deleted,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1
+        """,
+        "benchmark_overlap": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(ws[j+1:j+3], ' ')
+                                FOR j IN range(len(ws)-2)]) sh
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') ws
+                FROM documents)
+          WHERE len(ws) >= 3
+        ),
+        bench AS (SELECT DISTINCT unnest(sh) g FROM w WHERE doc_id % 97 = 0),
+        ex AS (SELECT doc_id, unnest(sh) g FROM w)
+        SELECT e.doc_id,
+               count(*) AS n_shingles,
+               count(b.g) AS n_overlap,
+               round(count(b.g)::double / count(*), 6) AS overlap_frac
+        FROM ex e LEFT JOIN bench b ON e.g = b.g
+        GROUP BY e.doc_id
         """,
         "boilerplate_lines": """
         WITH lined AS (

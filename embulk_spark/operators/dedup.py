@@ -351,3 +351,43 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    *,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Training-data decontamination: per document, how many of its
+    distinct word n-gram shingles appear ANYWHERE in the benchmark/eval
+    corpus — (id, n_shingles, n_overlap, overlap_frac). Callers drop or
+    flag docs above an overlap threshold before training.
+
+    Scale shape: the corpus side is one shingling pass + explode + ONE
+    hash agg (map-side combine); the benchmark side — eval sets are tiny
+    next to a 100 TB corpus — collapses to distinct shingles and
+    BROADCASTS, so the membership probe is map-side and the corpus never
+    shuffles on the shingle key. Docs shorter than the shingle width have
+    no shingles and are omitted (they cannot be contaminated).
+    """
+    d = shingles_df(docs, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("shingles").alias("_g")
+    )
+    b = (
+        shingles_df(bench, bench_text_col or text_col, id_col, shingle_n)
+        .select(F.explode("shingles").alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = d.join(F.broadcast(b), "_g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("overlap_frac"),
+    )

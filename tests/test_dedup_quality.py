@@ -62,3 +62,34 @@ def test_permutations_disagree_on_argmin(spark):
     docs = spark.createDataFrame([(1, _doc(WORDS))], "doc_id long, text string")
     sig = minhash_df(docs, "text", "doc_id", k=16).head().sig
     assert len(set(sig)) > 4, sig
+
+
+def test_benchmark_overlap_decontamination(spark):
+    """Decontamination: a doc copying a benchmark passage scores high
+    overlap; clean docs score 0; the benchmark's own members score 1.0;
+    plan uses a broadcast membership probe (no corpus shuffle on grams)."""
+    from embulk_spark.operators.dedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval question about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the secret eval question about spark shuffles and joins"),
+            (2, "prefix words then the secret eval question about spark ends"),
+            (3, "completely unrelated text with many different words inside"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = benchmark_overlap(docs, bench, "text", "doc_id", shingle_n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in rows  # < 3 words: no shingles, cannot be contaminated
+    assert rows[1]["overlap_frac"] == 1.0
+    assert rows[3]["n_overlap"] == 0 and rows[3]["overlap_frac"] == 0.0
+    assert 0.0 < rows[2]["overlap_frac"] < 1.0
+    # shared span 'the secret eval question about spark' = 4 rolling 3-grams
+    assert rows[2]["n_overlap"] == 4

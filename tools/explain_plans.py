@@ -88,6 +88,13 @@ CHECKS = {
         "must": [r"Project", r"ReadSchema: [^\n]*text"],
         "must_not": [r"\bExchange\b", r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "benchmark_overlap": {
+        "why": "decontamination probes eval-set shingle membership via a "
+               "BROADCAST join — the corpus explode never shuffles on the "
+               "gram key, only the final per-doc agg exchanges",
+        "must": [r"BroadcastHashJoin"],
+        "must_not": [r"SortMergeJoin", r"CartesianProduct"],
+    },
     "stratified_sample": {
         "why": "per-stratum sampling is a broadcast join against the tiny "
                "rates table + a codegen'd md5-threshold filter — the corpus "
