@@ -63,14 +63,21 @@ def stratified_sample(
     not listed get ``default_rate``. One broadcast join against the tiny
     rates table + the per-row hash filter — no shuffle of the corpus."""
     spark = df.sparkSession
-    rows = []
+    rows_sql = []
     for k, r in rates.items():
         key = k if isinstance(k, tuple) else (k,)
         if len(key) != len(strata_cols):
             raise ValueError(f"rate key {k!r} does not match strata {strata_cols}")
-        rows.append((*[str(v) for v in key], float(r)))
-    schema = ", ".join(f"`{c}` string" for c in strata_cols) + ", `_rate` double"
-    rate_df = spark.createDataFrame(rows, schema)
+        lits = ", ".join("'" + str(v).replace("'", "''") + "'" for v in key)
+        rows_sql.append(f"({lits}, CAST({float(r)!r} AS DOUBLE))")
+    cols = ", ".join([f"`{c}`" for c in strata_cols] + ["`_rate`"])
+    # a VALUES relation, not createDataFrame: the latter routes 2 rows
+    # through the Python-RDD path and cold-spawns one plain (non-Arrow)
+    # python worker per core — measured ~9 s at local[32] for a table
+    # this side of the join never needed Python for at all
+    rate_df = spark.sql(
+        f"SELECT * FROM (VALUES {', '.join(rows_sql)}) AS _rates({cols})"
+    )
     casted = df
     join_cond = None
     for c in strata_cols:
