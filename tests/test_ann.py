@@ -185,3 +185,37 @@ def test_ivf_narrow_probe_recall(spark, emb):
     exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
     got = {r["vec_id"] for r in ann_ivf_topk(emb, q, cents, k=10, nprobe=2).collect()}
     assert len(got & exact) >= 7
+
+
+def test_ivf_cells_prune_as_lake_partitions(spark, emb, tmp_path):
+    """The IVF scale path: persist assignments partitionBy(ivf_cell), and
+    a 2-cell probe reads ONLY those partitions (partition pruning visible
+    in the actual input files)."""
+    from embulk_spark.operators.ann import ann_ivf_topk, cosine_topk, ivf_assign
+
+    cents = [_vec(i) for i in range(8)]
+    path = str(tmp_path / "ivf")
+    ivf_assign(emb, cents).write.partitionBy("ivf_cell").parquet(path)
+    persisted = spark.read.parquet(path)
+
+    q = _vec(123)
+    probed = persisted.filter(F.col("ivf_cell").isin([0, 3]))
+    # pruning happens at physical planning: the scan must carry a
+    # PartitionFilter on ivf_cell (inputFiles() reports pre-pruning files)
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+
+    # end-to-end: top-k over the persisted table == recomputed assignment
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_ivf_topk(emb, q, cents, k=5, nprobe=8).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in cosine_topk(persisted, q, k=5).collect()
+    ]
+    assert got == want
