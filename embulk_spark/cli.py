@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.incremental import SignatureIndex
 
             idx = SignatureIndex(
-                spark, args.signature_index, id_col="url",
+                spark, args.signature_index, id_col="url", id_type="string",
                 order_cols=["warc_ts", "seq"],
             )
         if args.checkpoint:

@@ -457,22 +457,27 @@ def decode_audio_features(
     engines (same discipline as decode_bmp24's mean)."""
     import numpy as np
 
+    # decode tier is PCM-16 only: other bit depths would mis-read as i2
+    # (8-bit mono would even over-request the buffer and crash the job) —
+    # they stop at the metadata tier, same as non-BMP images stop at sniff
     wavs = df.select(
         F.col(id_col).alias("id"),
         F.col(bin_col).alias("media"),
         *wav_meta_cols(F.col(bin_col)),
-    ).filter(is_canonical_wav(F.col(bin_col)))
+    ).filter(is_canonical_wav(F.col(bin_col)) & (_le_uint(F.col(bin_col), 34, 2) == 16))
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rms, peak, nf = [], [], []
-            for b, declared in zip(pdf["media"], pdf["n_frames"]):
-                x = np.frombuffer(b, dtype="<i2", offset=44,
-                                  count=int(declared)).astype(np.int64)
+            for b, frames, ch in zip(pdf["media"], pdf["n_frames"], pdf["channels"]):
+                # interleaved samples across ALL channels: frames × channels
+                x = np.frombuffer(
+                    b, dtype="<i2", offset=44, count=int(frames) * int(ch)
+                ).astype(np.int64)
                 n = max(1, len(x))
                 rms.append(float(np.sqrt(np.sum(x * x) / n)))
                 peak.append(int(np.max(np.abs(x))) if len(x) else 0)
-                nf.append(len(x))
+                nf.append(len(x) // int(ch))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -513,3 +518,68 @@ def synth_wav_col(id_col: Column) -> Column:
         return ids.map(lambda i: synth_wav_bytes(int(i)))
 
     return _mk(id_col)
+
+
+RESAMPLE_DDL = "id BIGINT, sample_rate BIGINT, n_frames BIGINT, media BINARY"
+
+
+def resample_wav(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "id",
+    bin_col: str = "media",
+) -> DataFrame:
+    """Integer-factor PCM-16 downsample (keep every k-th frame, k =
+    rate/target) re-emitting REAL canonical WAV bytes — the audio
+    analogue of resize_images. Rows whose rate is not an integer
+    multiple of ``target_rate`` (or already at/below it) pass through
+    unchanged, like resize's scale-clip at 1.0. JVM pre-filters to
+    canonical PCM-16; the decimation is one numpy slice per row
+    (no per-sample Python), and the 44-byte header is rebuilt with
+    struct — byte-exact for the metadata tier to re-parse."""
+    import numpy as np
+
+    wavs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bin_col).alias("media"),
+        *wav_meta_cols(F.col(bin_col)),
+    ).filter(is_canonical_wav(F.col(bin_col)) & (_le_uint(F.col(bin_col), 34, 2) == 16))
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out_rate, out_frames, out_bytes = [], [], []
+            for b, rate, frames, ch in zip(
+                pdf["media"], pdf["sample_rate"], pdf["n_frames"], pdf["channels"]
+            ):
+                rate, frames, ch = int(rate), int(frames), int(ch)
+                if rate <= target_rate or rate % target_rate != 0:
+                    out_rate.append(rate)
+                    out_frames.append(frames)
+                    out_bytes.append(b)
+                    continue
+                k = rate // target_rate
+                x = np.frombuffer(b, dtype="<i2", offset=44, count=frames * ch)
+                kept = x.reshape(frames, ch)[::k].reshape(-1)
+                data = kept.astype("<i2").tobytes()
+                block = ch * 2
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, ch, target_rate,
+                                  target_rate * block, block, 16)
+                    + b"data" + struct.pack("<I", len(data))
+                )
+                out_rate.append(target_rate)
+                out_frames.append(len(kept) // ch)
+                out_bytes.append(hdr + data)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "sample_rate": out_rate,
+                    "n_frames": out_frames,
+                    "media": out_bytes,
+                }
+            )
+
+    return wavs.mapInPandas(_resample, schema=RESAMPLE_DDL)

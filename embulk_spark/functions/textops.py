@@ -349,8 +349,12 @@ def strip_boilerplate(
     no shuffle, no Python. ``lines`` is driver-held (the top-K report
     from :func:`boilerplate_lines`); keep K bounded (≲10⁴ — the filter is
     O(K) per line). For unbounded boilerplate sets, broadcast-anti-join
-    the exploded form instead."""
+    the exploded form instead. ``line_sep`` is a LITERAL separator (it is
+    both the split point and the re-join string — regex-escaped for the
+    split, so a CRLF corpus keeps its CRLFs)."""
+    import re as _re
+
     lit = F.array(*[F.lit(l) for l in lines])
-    arr = F.split(F.col(text_col), line_sep)
+    arr = F.split(F.col(text_col), _re.escape(line_sep))
     kept = F.filter(arr, lambda l: ~F.array_contains(lit, l))
-    return df.withColumn(text_col, F.array_join(kept, "\n"))
+    return df.withColumn(text_col, F.array_join(kept, line_sep))

@@ -50,13 +50,20 @@ def asof_join(
     payload = payload or [
         c for c in right.columns if c not in {on, right_ts}
     ]
-    reserved = {"_ts", "_side", "_r", "asof_ts"}
+    reserved = {"_ts", "_side", "_r", "asof_ts", "_match_ts"}
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"right payload collides with left columns: {sorted(clash)}")
     held = reserved & set(left.columns)
     if held:
         raise ValueError(f"left columns collide with asof_join internals: {sorted(held)}")
+    # the right payload is as reserved-sensitive as the left: 'asof_ts'
+    # would duplicate the output column, '_match_ts' the carry struct field
+    held_r = reserved & set(payload)
+    if held_r:
+        raise ValueError(
+            f"right payload collides with asof_join internals: {sorted(held_r)}"
+        )
     # a NULL-timestamp right row would sort NULLS FIRST and carry its
     # payload to every earlier left row; ASOF semantics (DuckDB, pandas
     # merge_asof) never match NULL ts

@@ -377,9 +377,14 @@ def benchmark_overlap(
     d = shingles_df(docs, text_col, id_col, shingle_n).select(
         F.col(id_col), F.explode("shingles").alias("_g")
     )
+    # the bench side needs no id column — eval sets are external corpora
+    # with their own schemas; only their shingle set matters
     b = (
-        shingles_df(bench, bench_text_col or text_col, id_col, shingle_n)
-        .select(F.explode("shingles").alias("_g"))
+        bench.select(
+            F.explode(
+                word_shingles(F.col(bench_text_col or text_col), shingle_n)
+            ).alias("_g")
+        )
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

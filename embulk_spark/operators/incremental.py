@@ -49,20 +49,10 @@ def _parquet_files(d: str) -> list[str]:
 
 
 def _lake_epoch_was_empty(table, epoch: int) -> bool:
-    """True iff the table committed ``epoch`` as an empty batch (its
-    snapshot carries empty_batch and no delta group exists for it)."""
-    snap_dir = os.path.join(table.path, "snapshots")
-    if not os.path.isdir(snap_dir):
-        return False
-    for fn in sorted(os.listdir(snap_dir)):
-        try:
-            snap = table.snapshot_at(int(fn[1:9]))
-        except (ValueError, OSError, KeyError):
-            continue
-        m = snap.get("metrics") or {}
-        if m.get("epoch_id") == epoch:
-            return bool(m.get("empty_batch"))
-    return False
+    """True iff the table committed ``epoch`` as an empty batch — one
+    source of truth: the table's own snapshot-metrics scan
+    (streaming/lake.py::_empty_epochs)."""
+    return epoch in table._empty_epochs()
 
 
 class SignatureIndex:
@@ -71,10 +61,14 @@ class SignatureIndex:
     Layout: ``<path>/deltas/epoch=N/*.parquet`` (columns id, sig;
     sig NULL = tombstone) — an epoch is committed iff its directory
     exists, made atomic by writing to a scratch dir and ``os.rename``-ing
-    it into place. ``<path>/meta.json`` pins (k, bands, shingle_n) AND
-    the exact minhash permutation constants (P, a_i, b_i) so a resumed
-    handle can't silently mix permutation families — old-family deltas
-    would band-hash to disjoint buckets and miss every pair.
+    it into place. ``<path>/meta.json`` pins (id_col, id_type, k, bands,
+    shingle_n) AND the exact minhash permutation constants (P, a_i, b_i)
+    so a resumed handle can't silently mix permutation families —
+    old-family deltas would band-hash to disjoint buckets and miss every
+    pair. ``id_type`` (Spark simpleString, e.g. ``bigint``/``string``)
+    types the frames the index constructs before any data-bearing epoch
+    exists (an empty first micro-batch must still answer probes with a
+    schema that unions cleanly with later epochs).
     """
 
     def __init__(
@@ -83,6 +77,7 @@ class SignatureIndex:
         path: str,
         *,
         id_col: str = "doc_id",
+        id_type: str = "bigint",
         k: int = 16,
         bands: int = 4,
         shingle_n: int = 3,
@@ -97,6 +92,7 @@ class SignatureIndex:
         self.spark = spark
         self.path = path
         self.id_col = id_col
+        self.id_type = id_type
         self.k, self.bands, self.shingle_n = k, bands, shingle_n
         self.order_cols = list(order_cols or [])
         self._deltas = os.path.join(path, "deltas")
@@ -109,7 +105,7 @@ class SignatureIndex:
         from .dedup import MINHASH_P, minhash_params
 
         a, b = minhash_params(k)
-        meta = {"id_col": id_col, "k": k, "bands": bands,
+        meta = {"id_col": id_col, "id_type": id_type, "k": k, "bands": bands,
                 "shingle_n": shingle_n, "order_cols": self.order_cols,
                 "minhash_family": [MINHASH_P, a, b]}
         if os.path.exists(meta_path):
@@ -148,6 +144,14 @@ class SignatureIndex:
         tombstones. Duplicate delivery of a committed epoch is skipped."""
         if epoch in self.committed_epochs():
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        got_type = changed.schema[self.id_col].dataType.simpleString()
+        if got_type != self.id_type:
+            raise ValueError(
+                f"id column {self.id_col!r} is {got_type} but the index "
+                f"was created with id_type={self.id_type!r} — pass "
+                "id_type=... at index creation (it is part of the on-disk "
+                "format: empty-epoch reads construct frames from it)"
+            )
         if deleted_ids is not None:
             missing = [c for c in self.order_cols if c not in deleted_ids.columns]
             if missing:
@@ -263,8 +267,11 @@ class SignatureIndex:
         # cannot infer a schema from zero files, so keep data-bearing dirs
         paths = [p for p in paths if _parquet_files(p)]
         if not paths:
-            raise ValueError(
-                f"signature index at {self.path}: no committed epochs with data"
+            # nothing signed yet (only empty epochs so far): a typed empty
+            # frame — the id type is pinned in meta, so downstream unions
+            # with later data-bearing epochs keep a consistent schema
+            return self.spark.createDataFrame(
+                [], f"`{self.id_col}` {self.id_type}, sig array<bigint>"
             )
         df = self.spark.read.option("basePath", self._deltas).parquet(*paths)
         order = F.struct(*self.order_cols, "epoch") if self.order_cols \

@@ -236,6 +236,24 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
             out = out.drop("n_chars_m", "n_tokens", "mean_token_len",
                            "punct_ratio", "alpha_ratio", "stopword_ratio")
         return out
+    if ftype == "decontaminate":
+        # benchmark decontamination (operators/dedup.py::benchmark_overlap):
+        # drop documents whose n-gram overlap with an eval corpus exceeds
+        # `max_overlap`. `bench` is a parquet path (eval sets are external);
+        # `bench_text` its text column. Docs shorter than the shingle
+        # width cannot be contaminated and always survive.
+        from .operators.dedup import benchmark_overlap
+
+        bench = df.sparkSession.read.parquet(fconf["bench"])
+        stats = benchmark_overlap(
+            df, bench, fconf.get("column", "text"), fconf["id"],
+            shingle_n=int(fconf.get("shingle_n", 8)),
+            bench_text_col=fconf.get("bench_text"),
+        )
+        bad = stats.filter(
+            F.col("overlap_frac") > float(fconf.get("max_overlap", 0.0))
+        ).select(fconf["id"])
+        return df.join(bad, fconf["id"], "left_anti")
     if ftype == "sample":
         # deterministic corpus sampling (operators/sample.py): flat `rate`
         # or per-stratum `rates` keyed by `strata` column values. Same

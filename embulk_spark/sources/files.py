@@ -102,7 +102,14 @@ def read_csv(
         reader = reader.option("nullValue", parser["null_string"])
     marker = parser.get("comment_line_marker")
     if marker:
-        if len(marker) == 1:
+        # a null marker that STARTS WITH the comment marker ('#N/A' under
+        # '#') marks data lines, not comments (guess_comment_marker
+        # classifies them as data) — Spark's single-char `comment` option
+        # can't make that distinction, so those configs take the
+        # line-filtering text path too
+        nullstr = parser.get("null_string")
+        null_led = bool(nullstr) and nullstr.startswith(marker)
+        if len(marker) == 1 and not null_led:
             # Spark's comment option is single-char ('#'); multi-char
             # markers ('//') go through the line-filtering text path
             reader = reader.option("comment", marker)
@@ -142,7 +149,12 @@ def _read_csv_skip_n(
     # whose comments precede the header must skip the HEADER, not a comment
     marker = parser.get("comment_line_marker")
     if marker:
-        txt = txt.filter(~F.col("value").startswith(marker))
+        keep = ~F.col("value").startswith(marker)
+        nullstr = parser.get("null_string")
+        if nullstr and nullstr.startswith(marker):
+            # '#N/A,...' is a data row under marker '#' (see read_csv)
+            keep = keep | F.col("value").startswith(nullstr)
+        txt = txt.filter(keep)
     w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
     body = txt.withColumn("_i", F.row_number().over(w)).filter(F.col("_i") > skip)
     opts = {

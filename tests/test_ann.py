@@ -219,3 +219,18 @@ def test_ivf_cells_prune_as_lake_partitions(spark, emb, tmp_path):
         for r in cosine_topk(persisted, q, k=5).collect()
     ]
     assert got == want
+
+
+def test_auto_planes_compose_with_bands(spark, emb):
+    """planes=None + n_bands must never raise on awkward corpus sizes:
+    the auto count rounds UP to a multiple of n_bands."""
+    out = embedding_near_dups(
+        emb, None, threshold=THRESH, n_bands=4, target_bucket_rows=37,
+        n_rows=5000,  # ceil(log2(5000/37)) = 8... force an odd count too
+    )
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+    out2 = embedding_near_dups(
+        emb, None, threshold=THRESH, n_bands=3, target_bucket_rows=100,
+        n_rows=100_000,  # ceil(log2(1000)) = 10 -> rounds up to 12
+    )
+    assert out2.count() >= 0  # plans and runs, no ValueError

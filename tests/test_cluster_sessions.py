@@ -267,3 +267,18 @@ def test_sessionize_null_key_yields_null_session_id(spark):
     rows = {r.user_id: r for r in sessionize(df, "user_id", "ts", 60).collect()}
     assert rows["u"].session_id == "u#1"
     assert rows[None].session_id is None  # not a bare "1" colliding globally
+
+
+def test_asof_reserved_right_payload_raises(spark):
+    """A right payload named like an output/internal column ('asof_ts',
+    '_match_ts') must raise instead of emitting duplicate columns."""
+    left = spark.createDataFrame([("k", _ts(1), 1)], "k string, ts timestamp, ev long")
+    right = spark.createDataFrame(
+        [("k", _ts(0), 2.0)], "k string, ts timestamp, asof_ts double"
+    )
+    try:
+        asof_join(left, right, "k", "ts")
+    except ValueError as e:
+        assert "asof_ts" in str(e)
+    else:
+        raise AssertionError("expected ValueError on reserved right payload")

@@ -93,3 +93,20 @@ def test_benchmark_overlap_decontamination(spark):
     assert 0.0 < rows[2]["overlap_frac"] < 1.0
     # shared span 'the secret eval question about spark' = 4 rolling 3-grams
     assert rows[2]["n_overlap"] == 4
+
+
+def test_benchmark_overlap_bench_needs_no_id(spark):
+    """Eval sets are external corpora: the bench side must work with a
+    text-only schema (and its own column name)."""
+    from embulk_spark.operators.dedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [("the secret eval question about spark",)], "prompt string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the secret eval question about spark")], "doc_id long, text string"
+    )
+    out = benchmark_overlap(
+        docs, bench, "text", "doc_id", shingle_n=3, bench_text_col="prompt"
+    )
+    assert out.collect()[0]["overlap_frac"] == 1.0

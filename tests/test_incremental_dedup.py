@@ -122,7 +122,7 @@ def test_lake_replay_keeps_index_in_lockstep(spark, tmp_path):
     ev = change_stream(spark, 1500, 200, 3).cache()
     table = ParquetLakeTable(spark, str(tmp_path / "tbl"), n_buckets=4)
     idx = SignatureIndex(
-        spark, str(tmp_path / "sigidx"), id_col="url", k=K, bands=BANDS,
+        spark, str(tmp_path / "sigidx"), id_col="url", id_type="string", k=K, bands=BANDS,
         order_cols=["warc_ts", "seq"],
     )
     replay_batches(table, ev, max_epochs=2, signature_index=idx)
@@ -164,7 +164,7 @@ def test_stream_events_keeps_index_in_lockstep(spark, tmp_path):
 
     table = ParquetLakeTable(spark, str(tmp_path / "tbl"), n_buckets=4)
     idx = SignatureIndex(
-        spark, str(tmp_path / "sigidx"), id_col="url", k=K, bands=BANDS,
+        spark, str(tmp_path / "sigidx"), id_col="url", id_type="string", k=K, bands=BANDS,
         order_cols=["warc_ts", "seq"],
     )
     stream_events(spark, table, src, ckpt, signature_index=idx)
@@ -204,3 +204,30 @@ def test_meta_pins_permutation_family(spark, tmp_path):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="built with"):
         SignatureIndex(spark, p, id_col="doc_id")
+
+
+def test_probe_before_any_data_bearing_epoch(spark, tmp_path):
+    """An index whose only committed epoch is empty must answer the probe
+    with a typed empty pair frame (not raise), and unions with later
+    data-bearing epochs keep a consistent schema."""
+    idx = SignatureIndex(spark, str(tmp_path / "idx"), k=K, bands=BANDS)
+    idx.commit_empty_epoch(0)
+    p0 = idx.near_dups_for_epoch(0, threshold=THRESH)
+    assert p0.count() == 0
+
+    docs = _docs(spark)
+    idx.update_epoch(docs.filter(F.col("epoch") <= 1), "text", 1)
+    p1 = idx.near_dups_for_epoch(1, threshold=THRESH)
+    both = p0.unionByName(p1)  # schema-compatible with the typed empty
+    assert both.count() == p1.count() > 0
+
+
+def test_update_epoch_rejects_mismatched_id_type(spark, tmp_path):
+    import pytest
+
+    idx = SignatureIndex(spark, str(tmp_path / "idx"), k=K, bands=BANDS)
+    docs = spark.createDataFrame(
+        [("a", "one two three four five")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="id_type"):
+        idx.update_epoch(docs, "text", 0)

@@ -240,3 +240,68 @@ def test_audio_features_roundtrip_and_filter(spark):
         assert got[i]["n_frames"] == n and got[i]["sample_rate"] == rate
         assert got[i]["peak"] == max(abs(x) for x in xs)
         assert got[i]["rms"] == math.sqrt(sum(x * x for x in xs) / n)
+
+
+def test_audio_features_multichannel_and_bitdepth_gating(spark):
+    """Stereo PCM-16 reads ALL interleaved samples (frames × channels);
+    non-16-bit canonical WAVs stop at the metadata tier instead of
+    mis-decoding (or over-reading) as int16."""
+    import struct
+
+    from embulk_spark.functions.multimodal import (
+        decode_audio_features,
+        encode_wav_pcm16,
+    )
+
+    stereo = encode_wav_pcm16(8000, 2, [100, -100, 200, -200, 300, -300])
+    # hand-build an 8-bit mono canonical WAV (bits=8, one byte per sample)
+    data8 = bytes([128, 255, 0, 64])
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 36 + len(data8)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(data8)) + data8
+    )
+    df = spark.createDataFrame(
+        [(1, stereo), (2, wav8)], "id LONG, media BINARY"
+    )
+    got = {r["id"]: r for r in decode_audio_features(df).collect()}
+    assert 2 not in got  # 8-bit: filtered JVM-side, no crash, no bad rms
+    r = got[1]
+    assert r["n_frames"] == 3  # frames, not samples
+    assert r["peak"] == 300    # the max lives in the SECOND half (both ch read)
+    import math
+    want = math.sqrt((100**2 + 100**2 + 200**2 + 200**2 + 300**2 + 300**2) / 6)
+    assert r["rms"] == want
+
+
+def test_resample_wav_roundtrip(spark):
+    """Downsampled output is REAL WAV: the JVM metadata tier re-parses the
+    new rate/frames, kept frames equal every k-th original frame, and
+    non-divisible or already-low rates pass through untouched."""
+    from embulk_spark.functions.multimodal import (
+        decode_audio_features,
+        resample_wav,
+        synth_wav_bytes,
+        synth_wav_params,
+        synth_wav_sample,
+        wav_meta_cols,
+    )
+
+    # ids 0..5 cover rates 8000/16000/24000 (divisible by 8000)
+    df = spark.createDataFrame(
+        [(i, synth_wav_bytes(i)) for i in range(6)], "id LONG, media BINARY"
+    )
+    out = resample_wav(df, 8000)
+    meta = {
+        r["id"]: r
+        for r in out.select("id", *wav_meta_cols(F.col("media"))).collect()
+    }
+    feats = {r["id"]: r for r in decode_audio_features(out).collect()}
+    for i in range(6):
+        rate, n = synth_wav_params(i)
+        k = rate // 8000
+        want_frames = len(range(0, n, k))
+        assert meta[i]["sample_rate"] == 8000
+        assert meta[i]["n_frames"] == want_frames
+        xs = [synth_wav_sample(i, j) for j in range(0, n, k)]
+        assert feats[i]["peak"] == max(abs(x) for x in xs)

@@ -225,7 +225,7 @@ def test_cli_replay_and_cleanup(tmp_path, capsys, spark):
     from embulk_spark.operators.incremental import SignatureIndex
 
     idx = SignatureIndex(
-        spark, sigidx, id_col="url", order_cols=["warc_ts", "seq"]
+        spark, sigidx, id_col="url", id_type="string", order_cols=["warc_ts", "seq"]
     )
     assert idx.committed_epochs() == {0, 1}
     assert idx.signatures().count() > 0
@@ -648,3 +648,57 @@ def test_filter_quality_thresholds(spark):
     rows = P.preview(spark, cfg).collect()
     assert [r.doc_id for r in rows] == [1]
     assert rows[0].asDict().keys() == {"doc_id", "text"}
+
+
+def test_csv_null_marker_rows_survive_comment_stripping(spark, tmp_path):
+    """A data row whose first field IS the null string ('#N/A,...') must
+    survive comment stripping under marker '#' — the dialect guess
+    classifies such lines as data, so the reader must agree (Spark's
+    single-char comment option can't, so these configs take the text
+    path)."""
+    from embulk_spark.sources.files import read_csv
+
+    p = tmp_path / "nulls.csv"
+    p.write_text("# a comment\nid,val\n1,x\n#N/A,y\n# another\n2,z\n")
+    parser = {
+        "type": "csv",
+        "comment_line_marker": "#",
+        "null_string": "#N/A",
+        "header_line": True,
+        "columns": [
+            {"name": "id", "type": "string"},
+            {"name": "val", "type": "string"},
+        ],
+    }
+    rows = read_csv(spark, [str(p)], parser).orderBy("val").collect()
+    assert [tuple(r) for r in rows] == [("1", "x"), (None, "y"), ("2", "z")]
+
+
+def test_filter_decontaminate(spark, tmp_path):
+    """decontaminate filter: docs overlapping the eval parquet above the
+    threshold are dropped; short docs always survive."""
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("the secret eval question about spark shuffles",)], "prompt string"
+    ).write.parquet(bench_path)
+    cfg = {
+        "in": {
+            "type": "config",
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"},
+            ],
+            "values": [
+                [1, "the secret eval question about spark shuffles verbatim"],
+                [2, "entirely unrelated prose with plenty of fresh words here"],
+                [3, "too short"],
+            ],
+        },
+        "filters": [{
+            "type": "decontaminate", "bench": bench_path,
+            "bench_text": "prompt", "id": "doc_id",
+            "shingle_n": 3, "max_overlap": 0.5,
+        }],
+    }
+    got = {r.doc_id for r in P.preview(spark, cfg).collect()}
+    assert got == {2, 3}

@@ -194,3 +194,13 @@ def test_strip_boilerplate_is_jvm_narrow_map(spark):
     assert "EvalPython" not in plan and "Exchange" not in plan
     rows = {r["doc_id"]: r["text"] for r in out.collect()}
     assert rows[1] == "keep me\nkeep too" and rows[2] == ""
+
+
+def test_strip_boilerplate_preserves_separator(spark):
+    from embulk_spark.functions.textops import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "keep A\r\n(c) footer\r\nkeep B")], "doc_id long, text string"
+    )
+    out = strip_boilerplate(docs, ["(c) footer"], "text", line_sep="\r\n")
+    assert out.collect()[0]["text"] == "keep A\r\nkeep B"
