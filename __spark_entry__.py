@@ -668,6 +668,29 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_lines(lined, "text", min_docs=10)
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup (operators/dedup.py::
+    dedup_paragraphs): docs get deterministic shared header (doc_id % 7)
+    and footer (doc_id % 3) lines around their own body; paragraphs
+    repeated across ≥ 2 docs survive only at their global first
+    occurrence (min (doc_id, pos)) and every document's text is rewritten
+    in place. The oracle replays the exact normalize→md5→winner→rebuild
+    arithmetic in SQL."""
+    from embulk_spark.operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("promo header "), (F.col("doc_id") % 7)),
+            F.col("text"),
+            F.concat(F.lit("(c) footer "), (F.col("doc_id") % 3)),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(lined, "text", "doc_id", min_docs=2)
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling (operators/sample.py):
     per-lang keep-rates applied via a salted md5 row hash — identical
@@ -835,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "stratified_sample": _q_stratified_sample,
         "boilerplate_lines": _q_boilerplate_lines,
+        "paragraph_dedup": _q_paragraph_dedup,
         "benchmark_overlap": _q_benchmark_overlap,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1547,6 +1571,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT line, count(*) AS n_docs
         FROM ex WHERE trim(line) <> ''
         GROUP BY line HAVING count(*) >= 10
+        """,
+        "paragraph_dedup": r"""
+        WITH docs0 AS (
+          SELECT doc_id,
+                 concat('promo header ', (doc_id % 7)::varchar, chr(10),
+                        text, chr(10),
+                        '(c) footer ', (doc_id % 3)::varchar) AS text
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, string_split(text, chr(10)) AS l FROM docs0
+        ), paras AS (
+          SELECT doc_id, unnest(l) AS para,
+                 unnest(range(1, len(l)+1)) - 1 AS pos
+          FROM parts
+        ), keyed AS (
+          SELECT doc_id, pos, para,
+                 CASE WHEN trim(para) <> ''
+                      THEN md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g'))))
+                 END AS k
+          FROM paras
+        ), stats AS (
+          SELECT k, count(DISTINCT doc_id) AS n_docs
+          FROM keyed WHERE k IS NOT NULL
+          GROUP BY k HAVING count(DISTINCT doc_id) >= 2
+        ), ranked AS (
+          SELECT doc_id, pos, para, k,
+                 row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+          FROM keyed
+        ), decided AS (
+          SELECT r.doc_id, r.pos, r.para,
+                 (s.k IS NULL OR r.rn = 1) AS keep
+          FROM ranked r LEFT JOIN stats s USING (k)
+        ), rebuilt AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN keep THEN para END, chr(10)
+                            ORDER BY pos) AS new_text,
+                 sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::bigint
+                   AS n_paras_dropped
+          FROM decided GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.new_text, '') AS text, r.n_paras_dropped
+        FROM docs0 d JOIN rebuilt r USING (doc_id)
         """,
         "stratified_sample": """
         SELECT doc_id, lang FROM documents

@@ -396,3 +396,142 @@ def benchmark_overlap(
             F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
         ).alias("overlap_frac"),
     )
+
+
+def paragraph_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-paragraph report (the CCNet-style
+    paragraph-dedup pass of a web-corpus pipeline): one row per paragraph
+    key that appears in >= ``min_docs`` distinct documents —
+    (para_key, n_docs, winner_id, winner_pos). The winner is the global
+    first occurrence by (id, position): the single copy that
+    :func:`dedup_paragraphs` keeps.
+
+    ``normalize`` hashes lower(trim(whitespace-collapsed)) paragraph text
+    (CCNet normalizes before hashing); blank paragraphs never count.
+
+    Scale shape: posexplode -> per-(key, doc) partial agg (min pos) ->
+    per-key agg (count + min struct). Both aggs are hash aggs with
+    map-side combine; duplicated paragraphs by definition collapse hard
+    in the combiner, so the shuffle volume is ~distinct (key, doc) pairs,
+    never total paragraph occurrences. No Python anywhere."""
+    import re as _re
+
+    para = F.col("_para")
+    norm = F.lower(F.trim(F.regexp_replace(para, r"\s+", " "))) \
+        if normalize else para
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("_pos", "_para"),
+    ).filter(F.trim(para) != "")
+    per_doc = paras.select(
+        F.md5(norm).alias("para_key"), "_id", "_pos"
+    ).groupBy("para_key", "_id").agg(F.min("_pos").alias("_minpos"))
+    return (
+        per_doc.groupBy("para_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.struct("_id", "_minpos")).alias("_w"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "para_key",
+            "n_docs",
+            F.col("_w._id").alias("winner_id"),
+            F.col("_w._minpos").alias("winner_pos"),
+        )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: paragraphs duplicated
+    across >= ``min_docs`` documents are removed everywhere EXCEPT their
+    global first occurrence (ordered by (id, position) — deterministic,
+    run- and partitioning-invariant). Returns ``df`` with ``text_col``
+    rewritten (kept paragraphs re-joined with ``sep`` in original order)
+    plus ``n_paras_dropped`` for audit. Unlike :func:`exact_dedup` this
+    removes sub-document duplication (headers, licence blocks, syndicated
+    snippets) while keeping every document; unlike
+    ``strip_boilerplate`` the duplicate set is unbounded and never
+    driver-held.
+
+    NULL text rows pass through unchanged (n_paras_dropped = 0); a doc
+    whose every paragraph is dropped keeps an empty string.
+
+    Scale shape: :func:`paragraph_stats` (two hash aggs) -> shuffle join
+    of exploded paragraphs against the duplicated-key table on para_key
+    (uniform md5 key — no skew) -> one hash agg per doc to re-assemble
+    text (``min_by``-free: array_agg of (pos, para) structs sorted
+    JVM-side). At 100 TB the join's right side is only the duplicated
+    keys (filter >= min_docs applied before the join), a small fraction
+    of distinct paragraphs."""
+    import re as _re
+
+    stats = paragraph_stats(
+        df, text_col, id_col,
+        sep=sep, min_docs=min_docs, normalize=normalize,
+    )
+    para = F.col("_para")
+    norm = F.lower(F.trim(F.regexp_replace(para, r"\s+", " "))) \
+        if normalize else para
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("_pos", "_para"),
+    ).withColumn(
+        "para_key",
+        F.when(F.trim(para) != "", F.md5(norm)),  # blanks: NULL key
+    )
+    keep = (
+        F.col("n_docs").isNull()  # unique (or blank) paragraph
+        | ((F.col("_id") == F.col("winner_id"))
+           & (F.col("_pos") == F.col("winner_pos")))
+    )
+    decided = paras.join(stats, "para_key", "left")
+    rebuilt = (
+        decided.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("_pos", "_para"))
+                        )
+                    ),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("_new_text"),
+            F.sum((~keep).cast("long")).alias("n_paras_dropped"),
+        )
+    )
+    out_cols = [
+        F.coalesce(F.col("_new_text"), F.col(text_col)).alias(text_col)
+        if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            *out_cols,
+            F.coalesce(F.col("n_paras_dropped"), F.lit(0)).alias(
+                "n_paras_dropped"
+            ),
+        )
+    )

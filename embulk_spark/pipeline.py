@@ -195,6 +195,18 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
                 threshold=float(fconf.get("threshold", 0.5)),
             )
             return keep_canonical(df, comps, ident, prefer=fconf.get("prefer"))
+        if method == "paragraphs":
+            # CCNet-style sub-document dedup: keeps every row, rewrites
+            # `column` with cross-doc duplicated paragraphs removed
+            # (global first occurrence survives); adds n_paras_dropped.
+            from .operators.dedup import dedup_paragraphs
+
+            return dedup_paragraphs(
+                df, text, ident,
+                sep=fconf.get("sep", "\n"),
+                min_docs=int(fconf.get("min_docs", 2)),
+                normalize=bool(fconf.get("normalize", True)),
+            )
         raise ValueError(f"unknown dedup method: {method}")
     if ftype == "sessionize":
         from .operators.sessions import sessionize

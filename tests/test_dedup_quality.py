@@ -110,3 +110,99 @@ def test_benchmark_overlap_bench_needs_no_id(spark):
         docs, bench, "text", "doc_id", shingle_n=3, bench_text_col="prompt"
     )
     assert out.collect()[0]["overlap_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def para_docs(spark):
+    rows = [
+        (1, "INTRO\nunique one\nFOOTER"),
+        (2, "INTRO\nunique two\nFOOTER"),
+        (3, "unique three\nintro\nFOOTER"),  # normalized match for INTRO
+        (4, ""),
+        (5, None),
+        (6, "FOOTER\nFOOTER"),  # intra-doc copies of a global dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_keeps_global_first_occurrence(spark, para_docs):
+    from embulk_spark.operators.dedup import dedup_paragraphs
+
+    out = {
+        r.doc_id: (r.text, r.n_paras_dropped)
+        for r in dedup_paragraphs(para_docs, "text", "doc_id").collect()
+    }
+    # doc 1 holds the first occurrence of both INTRO and FOOTER
+    assert out[1] == ("INTRO\nunique one\nFOOTER", 0)
+    assert out[2] == ("unique two", 2)
+    # 'intro' normalizes to the INTRO key; doc keeps only its unique line
+    assert out[3] == ("unique three", 2)
+    # empty text survives unchanged; NULL text passes through
+    assert out[4] == ("", 0)
+    assert out[5] == (None, 0)
+    # both intra-doc copies of the duplicated FOOTER drop
+    assert out[6] == ("", 2)
+    # every document is preserved (dedup is sub-document only)
+    assert len(out) == 6
+
+
+def test_paragraph_dedup_normalize_off_is_byte_exact(spark, para_docs):
+    from embulk_spark.operators.dedup import dedup_paragraphs
+
+    out = {
+        r.doc_id: r.text
+        for r in dedup_paragraphs(
+            para_docs, "text", "doc_id", normalize=False
+        ).collect()
+    }
+    # without normalization 'intro' != 'INTRO', so doc 3 keeps it
+    assert out[3] == "unique three\nintro"
+
+
+def test_paragraph_dedup_min_docs_threshold(spark, para_docs):
+    from embulk_spark.operators.dedup import dedup_paragraphs
+
+    out = {
+        r.doc_id: r.n_paras_dropped
+        for r in dedup_paragraphs(
+            para_docs, "text", "doc_id", min_docs=4
+        ).collect()
+    }
+    # FOOTER appears in 4 distinct docs (1,2,3,6) — still deduped;
+    # INTRO appears in 3 — kept everywhere
+    assert out[2] == 1 and out[3] == 1 and out[6] == 2
+    assert out[1] == 0
+
+
+def test_paragraph_dedup_custom_sep_roundtrip(spark):
+    from embulk_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(1, "A\r\nkeep1\r\nA"), (2, "A\r\nkeep2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in dedup_paragraphs(
+            df, "text", "doc_id", sep="\r\n"
+        ).collect()
+    }
+    # the separator is literal (CRLF survives) and dedup still applies
+    assert out[1] == "A\r\nkeep1"
+    assert out[2] == "keep2"
+
+
+def test_paragraph_stats_reports_winners(spark, para_docs):
+    from embulk_spark.operators.dedup import paragraph_stats
+
+    stats = {
+        (r.winner_id, r.winner_pos): r.n_docs
+        for r in paragraph_stats(para_docs, "text", "doc_id").collect()
+    }
+    # INTRO: first occurrence doc 1 pos 0, in 3 docs (1, 2, 3-normalized)
+    assert stats[(1, 0)] == 3
+    # FOOTER: first occurrence doc 1 pos 2, in 4 distinct docs
+    assert stats[(1, 2)] == 4
+    assert len(stats) == 2

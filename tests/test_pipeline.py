@@ -702,3 +702,31 @@ def test_filter_decontaminate(spark, tmp_path):
     }
     got = {r.doc_id for r in P.preview(spark, cfg).collect()}
     assert got == {2, 3}
+
+
+def test_filter_dedup_paragraphs(spark):
+    """dedup method=paragraphs rewrites text sub-document (every row
+    survives) and honors the literal sep + min_docs knobs."""
+    cfg = {
+        "in": {
+            "type": "config",
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"},
+            ],
+            "values": [
+                [1, "HEAD|own one|TAIL"],
+                [2, "HEAD|own two|TAIL"],
+                [3, "own three|TAIL"],
+            ],
+        },
+        "filters": [{
+            "type": "dedup", "method": "paragraphs", "id": "doc_id",
+            "sep": "|", "min_docs": 2,
+        }],
+    }
+    out = {r.doc_id: (r.text, r.n_paras_dropped)
+           for r in P.preview(spark, cfg).collect()}
+    assert out[1] == ("HEAD|own one|TAIL", 0)
+    assert out[2] == ("own two", 2)
+    assert out[3] == ("own three", 1)

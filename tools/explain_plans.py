@@ -133,6 +133,15 @@ CHECKS = {
         "must_not": [r"\bExchange\b", r"Generate", r"ArrowEvalPython",
                      r"BatchEvalPython"],
     },
+    "paragraph_dedup": {
+        "why": "CCNet paragraph dedup must be hash aggs with map-side "
+               "partial combine (count collapses in the combiner) plus an "
+               "equi-join on the uniform md5 paragraph key — never a "
+               "Window over all occurrences, never a cartesian, no Python",
+        "must": [r"HashAggregate[^\n]*partial|partial_count", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "must_not": [r"\bWindow\b", r"Cartesian", r"ArrowEvalPython",
+                     r"BatchEvalPython"],
+    },
     "corpus_mixture": {
         "why": "mixture report is one hash agg with map-side partial "
                "combine (tiny group count; no Window, no Python)",
