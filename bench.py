@@ -140,6 +140,7 @@ def main() -> None:
         "text_quality",
         "repetition_filters",
         "minhash_near_dups",
+        "paragraph_dedup",
         "incremental_neardup",
         "dup_clusters",
         "sessionize_events",

@@ -248,6 +248,19 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
             out = out.drop("n_chars_m", "n_tokens", "mean_token_len",
                            "punct_ratio", "alpha_ratio", "stopword_ratio")
         return out
+    if ftype == "pii_redact":
+        # PII scrubbing (functions/textops.py::redact_pii): rewrite
+        # `column` with email/phone/ipv4 matches replaced by <TAG>;
+        # `audit: true` appends per-kind match counts (n_email, ...)
+        # computed from the PRE-redaction text. Chained JVM
+        # regexp_replace — no shuffle, no Python.
+        from .functions.textops import pii_counts, redact_pii
+
+        col = fconf.get("column", "text")
+        out = df
+        if fconf.get("audit"):
+            out = out.select("*", *pii_counts(F.col(col)))
+        return out.withColumn(col, redact_pii(F.col(col)))
     if ftype == "decontaminate":
         # benchmark decontamination (operators/dedup.py::benchmark_overlap):
         # drop documents whose n-gram overlap with an eval corpus exceeds

@@ -730,3 +730,28 @@ def test_filter_dedup_paragraphs(spark):
     assert out[1] == ("HEAD|own one|TAIL", 0)
     assert out[2] == ("own two", 2)
     assert out[3] == ("own three", 1)
+
+
+def test_filter_pii_redact(spark):
+    """pii_redact filter rewrites the text column in place; audit=True
+    appends per-kind counts computed from the pre-redaction text."""
+    cfg = {
+        "in": {
+            "type": "config",
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"},
+            ],
+            "values": [
+                [1, "mail me at a.user@example.com from 10.0.0.1"],
+                [2, "no pii in this row at all"],
+            ],
+        },
+        "filters": [{"type": "pii_redact", "column": "text", "audit": True}],
+    }
+    out = {r.doc_id: r for r in P.preview(spark, cfg).collect()}
+    assert "<EMAIL>" in out[1].text and "<IPV4>" in out[1].text
+    assert "@" not in out[1].text
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 0, 1)
+    assert out[2].text == "no pii in this row at all"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
