@@ -835,6 +835,68 @@ def _q_asof_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights (operators/weighting.py):
+    per-doc log-likelihood ratio of target (lang='en') vs raw token
+    distributions over 1024 md5 buckets — two partial-combine aggs +
+    one broadcast join, text never shuffles."""
+    from embulk_spark.operators.weighting import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en", n_buckets=1024)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): deterministic 2-iteration
+    k-means (k=8, init = lowest ids, centroids rounded to 9 dp) then
+    keep/drop by cosine to each cluster's lowest-id canonical. The
+    oracle unrolls the identical Lloyd iterations in SQL."""
+    from embulk_spark.operators.semdedup import kmeans_fit, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    return semantic_dedup(emb, cents, threshold=0.92)
+
+
+def _synth_url_rules_df(spark: SparkSession):
+    return spark.createDataFrame(
+        [
+            ("domain", "blocked.com"),
+            ("host", "bad.example.org"),
+            ("prefix", "https://www.site.net/ads"),
+        ],
+        "kind string, pattern string",
+    )
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist (operators/urlfilter.py): domain/host/prefix rules
+    applied as ONE broadcast hash anti join keyed on the registered
+    domain — corpus scanned once, never shuffled, no LIKE-ANY scan."""
+    from embulk_spark.operators.urlfilter import apply_url_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dom = (
+        F.when(did % 4 == 0, F.lit("Blocked.COM"))
+        .when(did % 4 == 1, F.lit("example.org"))
+        .when(did % 4 == 2, F.lit("site.net"))
+        .otherwise(F.lit("good.io"))
+    )
+    sub = (
+        F.when(did % 3 == 0, F.lit("www."))
+        .when(did % 3 == 1, F.lit("bad."))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(did % 5 == 0, F.lit("/ads/x")).otherwise(
+        F.concat(F.lit("/p"), (did % 7).cast("string"))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), sub, dom, path).alias("url")
+    )
+    return apply_url_rules(urls, _synth_url_rules_df(spark), mode="block")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_per_key": _q_cdc_latest_per_key,
@@ -887,6 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "session_stats": _q_session_stats,
         "asof_join_attrib": _q_asof_join_attrib,
+        "dsir_weights": _q_dsir_weights,
+        "semantic_dedup": _q_semantic_dedup,
+        "url_filter": _q_url_filter,
     }
 
 
@@ -1038,6 +1103,56 @@ def _guess_cell_types_sql() -> str:
            {guess_type_sql('props')} AS t_props
     FROM events
     """
+
+
+def _semantic_dedup_sql(k: int = 8, dim: int = 64, threshold: float = 0.92) -> str:
+    """Unrolled DuckDB mirror of operators/semdedup.py with n_iter=2:
+    init c0 = k lowest-id vectors; assign → per-dim avg rounded to 9 dp
+    (c1), assign → c2; final assignment with c2; canonical = min id per
+    cluster; cosine + keep verdict. Assignment argmax uses the identical
+    norm-scaled dot and lowest-cid tie-break."""
+    avg_terms = ", ".join(f"round(avg(v[{i + 1}]), 9)" for i in range(dim))
+
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+          SELECT vec_id, v, cid FROM (
+            SELECT {src}.vec_id, {src}.v, {cents}.cid,
+                   row_number() OVER (
+                     PARTITION BY {src}.vec_id
+                     ORDER BY list_dot_product({src}.v, {cents}.c)
+                              / sqrt(list_dot_product({cents}.c, {cents}.c)) DESC,
+                              {cents}.cid ASC) AS rn
+            FROM {src} CROSS JOIN {cents}
+          ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+        c0 AS (
+          SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+        ),
+        a1 AS {assign('e', 'c0')},
+        c1 AS (SELECT cid, [{avg_terms}] AS c FROM a1 GROUP BY cid),
+        a2 AS {assign('e', 'c1')},
+        c2 AS (SELECT cid, [{avg_terms}] AS c FROM a2 GROUP BY cid),
+        fin AS {assign('e', 'c2')},
+        canon AS (SELECT cid, min(vec_id) AS canon_id FROM fin GROUP BY cid),
+        cvec AS (
+          SELECT canon.cid, canon.canon_id, fin.v AS cv
+          FROM canon JOIN fin ON fin.vec_id = canon.canon_id
+        ),
+        scored AS (
+          SELECT fin.vec_id, fin.cid AS cluster, cvec.canon_id,
+                 round(list_dot_product(fin.v, cvec.cv)
+                       / (sqrt(list_dot_product(fin.v, fin.v))
+                          * sqrt(list_dot_product(cvec.cv, cvec.cv))), 6) AS cos_canon
+          FROM fin JOIN cvec ON fin.cid = cvec.cid
+        )
+        SELECT vec_id, cluster, canon_id, cos_canon,
+               (vec_id = canon_id OR cos_canon < {threshold}) AS keep
+        FROM scored
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1721,5 +1836,81 @@ def oracle_sql() -> dict[str, str]:
                c.click_value, epoch_us(c.ts) AS click_ts_us
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "dsir_weights": r"""
+        WITH words AS (
+          SELECT doc_id, (lang = 'en') AS is_target,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ),
+        bkt AS (
+          SELECT doc_id, is_target,
+                 ('0x' || left(md5('dsir:' || w), 8))::bigint % 1024 AS bkt
+          FROM words
+        ),
+        counts AS (
+          SELECT bkt,
+                 count(*) FILTER (WHERE is_target) AS n_t,
+                 count(*) AS n_r
+          FROM bkt GROUP BY bkt
+        ),
+        tot AS (SELECT sum(n_t) AS nt_tot, sum(n_r) AS nr_tot FROM counts),
+        ratios AS (
+          SELECT bkt, ln((n_t + 1.0) / (nt_tot + 1024.0))
+                      - ln((n_r + 1.0) / (nr_tot + 1024.0)) AS lr
+          FROM counts, tot
+        )
+        SELECT b.doc_id, count(*) AS n_tokens, round(sum(r.lr), 6) AS dsir_logweight
+        FROM bkt b JOIN ratios r USING (bkt)
+        GROUP BY b.doc_id
+        """,
+        "semantic_dedup": _semantic_dedup_sql(),
+        "url_filter": r"""
+        WITH u AS (
+          SELECT doc_id,
+            'https://'
+            || (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'bad.' ELSE '' END)
+            || (CASE doc_id % 4 WHEN 0 THEN 'Blocked.COM' WHEN 1 THEN 'example.org'
+                                WHEN 2 THEN 'site.net' ELSE 'good.io' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '/ads/x'
+                     ELSE '/p' || (doc_id % 7)::varchar END) AS url
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+            lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+              || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS canon
+          FROM u
+        ),
+        kd AS (
+          SELECT *, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS dom FROM k
+        ),
+        r AS (
+          SELECT * FROM (VALUES
+            ('domain', 'blocked.com'),
+            ('host', 'bad.example.org'),
+            ('prefix', 'https://www.site.net/ads')) AS t(kind, pattern)
+        ),
+        rk AS (
+          SELECT kind, pattern,
+            CASE WHEN kind = 'prefix' THEN regexp_extract(
+                   lower(regexp_extract(pattern, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+                   '([^.]+\.[^.]+)$', 1)
+                 ELSE regexp_extract(lower(pattern), '([^.]+\.[^.]+)$', 1)
+            END AS rule_domain
+          FROM r
+        )
+        SELECT doc_id, url FROM kd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rk
+          WHERE kd.dom = rk.rule_domain AND (
+            (kind = 'domain' AND kd.dom = lower(pattern))
+            OR (kind = 'host' AND (kd.host = lower(pattern)
+                                   OR kd.host LIKE '%.' || lower(pattern)))
+            OR (kind = 'prefix' AND kd.canon LIKE pattern || '%')
+          )
+        )
         """,
     }

@@ -171,6 +171,35 @@ CHECKS = {
         "must_not": [r"CartesianProduct", r"BroadcastNestedLoopJoin",
                      r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "dsir_weights": {
+        "why": "DSIR scoring joins the exploded token stream against the "
+               "tiny bucket-ratio table via BROADCAST (text never shuffles "
+               "on the bucket key); both aggs have map-side partial combine; "
+               "the totals cross-join is a broadcast of ONE row; all "
+               "hashing/log arithmetic is JVM-side",
+        "must": [r"BroadcastHashJoin", r"HashAggregate[^\n]*partial|partial_count"],
+        "must_not": [r"SortMergeJoin", r"CartesianProduct",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "semantic_dedup": {
+        "why": "cluster assignment is a narrow JVM map (array_max over "
+               "per-centroid structs — no join against the centroid table); "
+               "the k-row canonical table enters via broadcast joins; never "
+               "a window sort, cartesian, or Python in the scoring plan",
+        "must": [r"BroadcastHashJoin"],
+        "must_not": [r"SortMergeJoin", r"CartesianProduct", r"\bWindow\b",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "url_filter": {
+        "why": "all three rule kinds collapse into ONE broadcast hash ANTI "
+               "join keyed on the registered domain with the kind residual "
+               "as the join condition — the corpus is scanned once, never "
+               "shuffled, and never LIKE-ANY-scanned against the rule list",
+        "must": [r"BroadcastHashJoin[^\n]*LeftAnti|BroadcastHashJoin[^\n]*Anti"],
+        "must_not": [r"SortMergeJoin", r"CartesianProduct",
+                     r"BroadcastNestedLoopJoin", r"ArrowEvalPython",
+                     r"BatchEvalPython"],
+    },
     "dedup_keep_canonical": {
         "why": "keep-one dedup resolves winners with a max_by hash agg and "
                "anti-joins losers — equi-joins only, no cartesian, no Python "
