@@ -835,6 +835,62 @@ def _q_asof_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (sources/warc.py): synthesize Common-Crawl-style
+    archives from `documents` with pure JVM Columns (warcinfo leader +
+    per-page response records, grouped 32 pages/blob), parse them back
+    through the mapInPandas record scanner, and emit the recovered
+    fields. The oracle recomputes every field directly from `documents`
+    — any header/envelope/Content-Length bug breaks parity."""
+    from embulk_spark.sources.warc import (
+        parse_warc_blobs,
+        warc_record_col,
+        warcinfo_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://crawl.test/d"), F.col("doc_id")).alias("url"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+        F.concat(
+            F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+        ).alias("html"),
+        (F.col("doc_id") % 32).alias("grp"),
+    )
+    recs = pages.select(
+        "grp",
+        "url",
+        warc_record_col(F.col("url"), F.col("ts"), F.col("html")).alias("rec"),
+    )
+    blobs = recs.groupBy("grp").agg(
+        F.concat(
+            warcinfo_col(F.concat(F.lit("synth-"), F.col("grp"))),
+            F.concat_ws(
+                "",
+                F.array_sort(F.collect_list(F.struct("url", "rec"))).getField(
+                    "rec"
+                ),
+            ),
+        )
+        .cast("binary")
+        .alias("content")
+    )
+    return (
+        parse_warc_blobs(blobs)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "url",
+            "warc_ts",
+            "http_status",
+            "content_type",
+            F.col("payload").cast("string").alias("html"),
+        )
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-unigram importance weights (operators/weighting.py):
     per-doc log-likelihood ratio of target (lang='en') vs raw token
@@ -949,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "session_stats": _q_session_stats,
         "asof_join_attrib": _q_asof_join_attrib,
+        "warc_roundtrip": _q_warc_roundtrip,
         "dsir_weights": _q_dsir_weights,
         "semantic_dedup": _q_semantic_dedup,
         "url_filter": _q_url_filter,
@@ -1836,6 +1893,15 @@ def oracle_sql() -> dict[str, str]:
                c.click_value, epoch_us(c.ts) AS click_ts_us
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "warc_roundtrip": """
+        SELECT 'https://crawl.test/d' || doc_id AS url,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS warc_ts,
+               200 AS http_status,
+               'text/html; charset=utf-8' AS content_type,
+               '<html><body>' || text || '</body></html>' AS html
+        FROM documents
         """,
         "dsir_weights": r"""
         WITH words AS (

@@ -171,6 +171,16 @@ CHECKS = {
         "must_not": [r"CartesianProduct", r"BroadcastNestedLoopJoin",
                      r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "warc_roundtrip": {
+        "why": "the WARC record scan is the ONE sanctioned Python boundary "
+               "(MapInPandas over file blobs — a binary container Spark "
+               "cannot read); archive SYNTHESIS is pure JVM concat, and "
+               "there is no row-at-a-time Python, join, or cartesian "
+               "anywhere in the plan",
+        "must": [r"MapInPandas"],
+        "must_not": [r"BatchEvalPython", r"ArrowEvalPython",
+                     r"CartesianProduct", r"Join"],
+    },
     "dsir_weights": {
         "why": "DSIR scoring joins the exploded token stream against the "
                "tiny bucket-ratio table via BROADCAST (text never shuffles "
