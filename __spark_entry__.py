@@ -902,6 +902,17 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, F.col("lang") == "en", n_buckets=1024)
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style hashed-bigram LM quality score
+    (operators/weighting.py): add-α bigram model trained on lang='en'
+    docs, per-doc bits-per-bigram. Count tables aggregate to ≤ B rows
+    before the broadcast joins — text never shuffles."""
+    from embulk_spark.operators.weighting import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(docs, F.col("lang") == "en")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py): deterministic 2-iteration
     k-means (k=8, init = lowest ids, centroids rounded to 9 dp) then
@@ -1007,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_attrib": _q_asof_join_attrib,
         "warc_roundtrip": _q_warc_roundtrip,
         "dsir_weights": _q_dsir_weights,
+        "lm_perplexity": _q_lm_perplexity,
         "semantic_dedup": _q_semantic_dedup,
         "url_filter": _q_url_filter,
     }
@@ -1930,6 +1942,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.doc_id, count(*) AS n_tokens, round(sum(r.lr), 6) AS dsir_logweight
         FROM bkt b JOIN ratios r USING (bkt)
         GROUP BY b.doc_id
+        """,
+        "lm_perplexity": r"""
+        WITH w AS (
+          SELECT doc_id, (lang = 'en') AS is_target,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, is_target,
+                 ('0x' || left(md5('lmctx:' || ws[i]), 8))::bigint
+                   % 1024 AS hp,
+                 ('0x' || left(md5('lmbi:' || ws[i] || ' ' || ws[i+1]), 8))::bigint
+                   % 4096 AS hb
+          FROM w, unnest(range(1, len(ws))) AS t(i)
+          WHERE len(ws) >= 2
+        ),
+        c_ctx AS (
+          SELECT hp, count(*) AS c_ctx FROM g WHERE is_target GROUP BY hp
+        ),
+        c_bi AS (
+          SELECT hb, count(*) AS c_bi FROM g WHERE is_target GROUP BY hb
+        )
+        SELECT g.doc_id, count(*) AS n_bigrams,
+               round(sum(-(ln(coalesce(c_bi, 0) + 1.0)
+                           - ln(coalesce(c_ctx, 0) + 4096.0)))
+                     / count(*) / ln(2.0), 6) AS bits_per_bigram
+        FROM g
+        LEFT JOIN c_ctx USING (hp)
+        LEFT JOIN c_bi USING (hb)
+        GROUP BY g.doc_id
         """,
         "semantic_dedup": _semantic_dedup_sql(),
         "url_filter": r"""

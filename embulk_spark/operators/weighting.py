@@ -83,6 +83,91 @@ def bucket_log_ratios(
     )
 
 
+def _doc_bigram_buckets(
+    docs: DataFrame, is_target: Column, text_col: str, id_col: str,
+    ctx_buckets: int, bi_buckets: int, salt: str,
+) -> DataFrame:
+    """(doc_id, is_target, hp, hb) — one row per bigram occurrence.
+    hp = bucket of the context word, hb = bucket of the joined bigram;
+    both derived from the SAME lowercased whitespace tokenization as
+    :func:`dsir_weights` so the two scorers agree on token counts."""
+    words = _nonempty_words(F.col(text_col))
+    # n-gram enumeration mirrors textops._word_ngrams but keeps the
+    # context word addressable without re-splitting the joined gram
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0)))
+    pairs = F.when(F.size(words) >= 2, F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(words, i).alias("wp"),
+            F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ).alias("g"),
+        )
+    )).otherwise(F.array().cast("array<struct<wp:string,g:string>>"))
+    return docs.select(
+        F.col(id_col), is_target.alias("is_target"),
+        F.explode(pairs).alias("p"),
+    ).select(
+        id_col, "is_target",
+        hashed_bucket(F.col("p.wp"), ctx_buckets, salt + "ctx").alias("hp"),
+        hashed_bucket(F.col("p.g"), bi_buckets, salt + "bi").alias("hb"),
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx_buckets: int = 1024,
+    bi_buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "lm",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, "CCNet:
+    Extracting high-quality monolingual datasets from web crawl data" —
+    the train-an-LM-on-target, score-perplexity-per-doc step), with the
+    KenLM 5-gram model replaced by a hashed add-α bigram model so the
+    whole thing is two aggregations and stays oracle-checkable:
+
+        P(w_i | w_{i-1}) = (c_bi(hb) + α) / (c_ctx(hp) + α·B_bi)
+
+    trained on the ``is_target`` subset; per-doc score is bits per
+    bigram (low = target-like "head" quality, high = "tail").
+
+    Scale shape: both count tables aggregate DOWN to ≤ B rows (bounded
+    by the bucket count, NOT the corpus) before any join, so they are
+    broadcastable by construction at any corpus size; scoring is
+    explode → two broadcast left joins → one re-agg by doc. Like
+    :func:`dsir_weights`, text never shuffles and nothing lands on the
+    driver. Docs with < 2 tokens carry no evidence and emit no row.
+    """
+    import math
+
+    tokens = _doc_bigram_buckets(
+        docs, is_target, text_col, id_col, ctx_buckets, bi_buckets, salt
+    )
+    target = tokens.filter("is_target")
+    c_ctx = target.groupBy("hp").agg(F.count(F.lit(1)).alias("c_ctx"))
+    c_bi = target.groupBy("hb").agg(F.count(F.lit(1)).alias("c_bi"))
+    denom_b = float(alpha) * float(bi_buckets)
+    nll = -(
+        F.log(F.coalesce(F.col("c_bi").cast("double"), F.lit(0.0)) + F.lit(float(alpha)))
+        - F.log(F.coalesce(F.col("c_ctx").cast("double"), F.lit(0.0)) + F.lit(denom_b))
+    )
+    return (
+        tokens.join(F.broadcast(c_ctx), "hp", "left")
+        .join(F.broadcast(c_bi), "hb", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(nll) / F.count(F.lit(1)) / math.log(2.0), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     is_target: Column,

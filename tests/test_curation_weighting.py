@@ -63,6 +63,32 @@ def test_dsir_empty_doc_emits_no_row(spark):
     assert got == {1}
 
 
+def test_lm_perplexity_targets_score_lower(spark, docs):
+    from embulk_spark.operators.weighting import lm_perplexity
+
+    w = lm_perplexity(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = w.collect()
+    en = [r["bits_per_bigram"] for r in rows if r["lang"] == "en"]
+    de = [r["bits_per_bigram"] for r in rows if r["lang"] == "de"]
+    assert max(en) < min(de)
+
+
+def test_lm_perplexity_partitioning_invariant_and_short_docs(spark):
+    from embulk_spark.operators.weighting import lm_perplexity
+
+    d = spark.createDataFrame(
+        [(1, "en", "a b c a b"), (2, "en", "single"), (3, "de", "a b d")],
+        "doc_id long, lang string, text string",
+    )
+    a = {r["doc_id"]: r["bits_per_bigram"]
+         for r in lm_perplexity(d, F.col("lang") == "en").collect()}
+    b = {r["doc_id"]: r["bits_per_bigram"]
+         for r in lm_perplexity(d.repartition(5), F.col("lang") == "en").collect()}
+    assert a == b and set(a) == {1, 3}  # doc 2 has no bigram → no row
+
+
 # ---------- SemDeDup ----------
 
 

@@ -191,6 +191,15 @@ CHECKS = {
         "must_not": [r"SortMergeJoin", r"CartesianProduct",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "lm_perplexity": {
+        "why": "LM scoring joins the exploded bigram stream against two "
+               "bucket-bounded count tables via BROADCAST left joins "
+               "(each ≤ B rows regardless of corpus size); aggs have "
+               "map-side partial combine; all hashing/log math is JVM",
+        "must": [r"BroadcastHashJoin", r"HashAggregate[^\n]*partial|partial_count"],
+        "must_not": [r"SortMergeJoin", r"CartesianProduct",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
     "semantic_dedup": {
         "why": "cluster assignment is a narrow JVM map (array_max over "
                "per-centroid structs — no join against the centroid table); "
