@@ -902,6 +902,17 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, F.col("lang") == "en", n_buckets=1024)
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span dedup (operators/substr.py):
+    cut every redundant duplicated 8-gram run, keeping each gram's
+    global first occurrence. The oracle replays the identical k-gram /
+    winner / island-merge / rebuild pipeline in SQL."""
+    from embulk_spark.operators.substr import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dedup(docs, "text", "doc_id", k=8)
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style hashed-bigram LM quality score
     (operators/weighting.py): add-α bigram model trained on lang='en'
@@ -1019,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
+        "substring_dedup": _q_substring_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "url_filter": _q_url_filter,
     }
@@ -1942,6 +1954,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.doc_id, count(*) AS n_tokens, round(sum(r.lr), 6) AS dsir_logweight
         FROM bkt b JOIN ratios r USING (bkt)
         GROUP BY b.doc_id
+        """,
+        "substring_dedup": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(lower(array_to_string(toks[i:i+7], ' '))) AS gkey
+          FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+          WHERE len(toks) >= 8
+        ),
+        s AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY gkey) AS cnt,
+                 row_number() OVER (
+                   PARTITION BY gkey ORDER BY doc_id, pos) AS rn
+          FROM g
+        ),
+        red AS (SELECT doc_id, pos FROM s WHERE cnt >= 2 AND rn > 1),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos <= coalesce(max(pos + 8) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 0 ELSE 1 END AS new_island
+          FROM red
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, island, min(pos) AS sp_s, max(pos) + 8 AS sp_e
+          FROM isl2 GROUP BY doc_id, island
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_dup_spans,
+                 sum(sp_e - sp_s) AS n_tokens_dropped
+          FROM spans GROUP BY doc_id
+        ),
+        tokidx AS (
+          SELECT t.doc_id, j AS idx, toks[j + 1] AS tok
+          FROM t, unnest(range(0, len(toks))) AS r(j)
+          WHERE t.doc_id IN (SELECT doc_id FROM agg)
+        ),
+        rebuilt AS (
+          SELECT ti.doc_id, string_agg(ti.tok, ' ' ORDER BY ti.idx) AS new_text
+          FROM tokidx ti
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.doc_id = ti.doc_id
+              AND ti.idx >= sp.sp_s AND ti.idx < sp.sp_e)
+          GROUP BY ti.doc_id
+        )
+        SELECT t.doc_id,
+               CASE WHEN a.doc_id IS NOT NULL
+                    THEN coalesce(r.new_text, '') ELSE t.text END AS text,
+               coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(a.n_tokens_dropped, 0) AS n_tokens_dropped
+        FROM t
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
         """,
         "lm_perplexity": r"""
         WITH w AS (

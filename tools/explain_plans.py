@@ -219,6 +219,18 @@ CHECKS = {
                      r"BroadcastNestedLoopJoin", r"ArrowEvalPython",
                      r"BatchEvalPython"],
     },
+    "substring_dedup": {
+        "why": "ExactSubstr dedup is hash aggs with map-side partial combine "
+               "(duplicated grams collapse in the combiner) plus an "
+               "equi-join of hits against the duplicated-key table on the "
+               "uniform md5 gram key; span merge and text rebuild are JVM "
+               "array HOFs — never a Window over occurrences, never a "
+               "cartesian, no Python",
+        "must": [r"HashAggregate[^\n]*partial|partial_count",
+                 r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "must_not": [r"\bWindow\b", r"CartesianProduct",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
     "dedup_keep_canonical": {
         "why": "keep-one dedup resolves winners with a max_by hash agg and "
                "anti-joins losers — equi-joins only, no cartesian, no Python "
