@@ -913,6 +913,35 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(docs, "text", "doc_id", k=8)
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking (operators/pack.py): strided token
+    windows (max 64 tokens, stride 48 → 16-token overlap), the
+    HuggingFace return_overflowing_tokens convention. Oracle replays the
+    same start-index arithmetic + list slicing in SQL."""
+    from embulk_spark.operators.pack import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "text", "doc_id", max_tokens=64, stride=48)
+
+
+def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (operators/pack.py): global
+    token offsets in a deterministic (bucket, md5-key) order, cut every
+    512 tokens. Distributed as a two-level prefix sum (per-bucket window
+    + broadcast bucket offsets); the oracle collapses it to ONE SQL
+    window over the identical total order."""
+    from embulk_spark.operators.pack import pack_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_token_budget(
+        docs, "doc_id", budget=512, text_col="text", n_buckets=256,
+        salt="pack1",
+    ).select(
+        "doc_id", "n_tokens", "global_offset", "seq_id", "offset_in_seq",
+        "spans_boundary",
+    )
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style hashed-bigram LM quality score
     (operators/weighting.py): add-α bigram model trained on lang='en'
@@ -1031,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
         "substring_dedup": _q_substring_dedup,
+        "doc_chunks": _q_doc_chunks,
+        "token_packing": _q_token_packing,
         "semantic_dedup": _q_semantic_dedup,
         "url_filter": _q_url_filter,
     }
@@ -2022,6 +2053,51 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        """,
+        "doc_chunks": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               CAST(i * 48 AS INT) AS chunk_start,
+               CAST(least(len(toks) - i * 48, 64) AS INT) AS n_chunk_tokens,
+               array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+        FROM t, unnest(range(0,
+               1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT)
+             )) AS r(i)
+        WHERE len(toks) > 0
+        """,
+        "token_packing": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '')) AS n_tokens,
+                 md5('pack1:' || CAST(doc_id AS VARCHAR)) AS okey
+          FROM documents
+        ),
+        b AS (
+          SELECT *,
+                 CAST(('0x' || substr(okey, 1, 4))::BIGINT % 256 AS INT)
+                   AS bkt
+          FROM t
+        ),
+        o AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY bkt, okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS global_offset
+          FROM b
+        )
+        SELECT doc_id, n_tokens, global_offset,
+               global_offset // 512 AS seq_id,
+               global_offset % 512 AS offset_in_seq,
+               (global_offset % 512 + n_tokens) > 512 AS spans_boundary
+        FROM o
         """,
         "lm_perplexity": r"""
         WITH w AS (

@@ -151,6 +151,8 @@ def main() -> None:
         "ann_ivf_topk",
         "token_stats",
         "stratified_sample",
+        "substring_dedup",
+        "token_packing",
         "embedding_neardup",
         "multimodal_sniff",
         "audio_features",

@@ -207,6 +207,18 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
                 min_docs=int(fconf.get("min_docs", 2)),
                 normalize=bool(fconf.get("normalize", True)),
             )
+        if method == "substrings":
+            # ExactSubstr-style sub-paragraph dedup: keeps every row,
+            # rewrites `column` with duplicated k-token spans cut (global
+            # first occurrence survives); adds n_dup_spans /
+            # n_tokens_dropped audit columns.
+            from .operators.substr import substring_dedup
+
+            return substring_dedup(
+                df, text, ident,
+                k=int(fconf.get("k", 8)),
+                min_count=int(fconf.get("min_count", 2)),
+            )
         raise ValueError(f"unknown dedup method: {method}")
     if ftype == "sessionize":
         from .operators.sessions import sessionize
@@ -300,6 +312,31 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
                 default_rate=float(fconf.get("default_rate", 0.0)),
             )
         return deterministic_sample(df, float(fconf["rate"]), ident, salt=salt)
+    if ftype == "chunk":
+        # context-length chunking (operators/pack.py): one row per
+        # strided token window; replaces `column` rows with chunk rows.
+        from .operators.pack import chunk_documents
+
+        return chunk_documents(
+            df, fconf.get("column", "text"), fconf["id"],
+            max_tokens=int(fconf["max_tokens"]),
+            stride=int(fconf["stride"]) if "stride" in fconf else None,
+        )
+    if ftype == "pack":
+        # concat-and-chunk token packing (operators/pack.py): append
+        # global_offset / seq_id / offset_in_seq / spans_boundary in a
+        # deterministic (salt, id) order; `budget` tokens per sequence.
+        from .operators.pack import pack_token_budget
+
+        return pack_token_budget(
+            df, fconf["id"],
+            budget=int(fconf["budget"]),
+            text_col=fconf.get("column", "text")
+            if "token_count_column" not in fconf else None,
+            token_count_col=fconf.get("token_count_column"),
+            n_buckets=int(fconf.get("n_buckets", 256)),
+            salt=str(fconf.get("salt", "pack1")),
+        )
     raise ValueError(f"unknown filter type: {ftype}")
 
 

@@ -231,6 +231,25 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"CartesianProduct",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "doc_chunks": {
+        "why": "context-length chunking is a pure Column flat map "
+               "(transform over start indices, slice + array_join, one "
+               "Generate) — zero shuffles, zero Python",
+        "must": [r"Generate"],
+        "must_not": [r"\bExchange\b", r"\bWindow\b", r"ArrowEvalPython",
+                     r"BatchEvalPython", r"Join"],
+    },
+    "token_packing": {
+        "why": "concat-and-chunk packing is a two-level prefix sum: ONE "
+               "hashpartitioning exchange on the fixed md5 bucket feeding "
+               "a per-bucket running-sum window; bucket offsets are a "
+               "constant-size relation re-entering via BROADCAST — never a "
+               "global single-partition sort of the corpus, no Python",
+        "must": [r"\bWindow\b", r"hashpartitioning\(_bkt",
+                 r"BroadcastHashJoin"],
+        "must_not": [r"SortMergeJoin", r"CartesianProduct",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
     "dedup_keep_canonical": {
         "why": "keep-one dedup resolves winners with a max_by hash agg and "
                "anti-joins losers — equi-joins only, no cartesian, no Python "
