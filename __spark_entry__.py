@@ -942,6 +942,63 @@ def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (functions/textops.py): zero-width /
+    control strip, unicode space/quote/dash/ellipsis folds, whitespace
+    tidy — a pure JVM regexp_replace chain. The oracle applies the
+    IDENTICAL chain (generated from the same pattern constants) in
+    DuckDB."""
+    from embulk_spark.functions.textops import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (~norm.eqNullSafe(F.col("text"))).alias("changed"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def _normalize_sql_expr(col: str) -> str:
+    """The normalize_text chain as one nested DuckDB expression, built
+    from the SAME pattern constants the Spark side compiles — the two
+    engines cannot drift."""
+    from embulk_spark.functions import textops as T
+
+    steps = [
+        (T._ZERO_WIDTH, ""), ("\r\n", "\n"), ("\r", "\n"),
+        (T._CONTROL, ""), (T._UNI_SPACE, " "),
+        (T._SINGLE_QUOTES, "'"), (T._DOUBLE_QUOTES, '"'),
+        (T._DASHES, "-"), ("\u2026", "..."),
+        (" {2,}", " "), (" *\n *", "\n"), ("\n{3,}", "\n\n"),
+        (r"^\s+|\s+$", ""),
+    ]
+    def esc_pat(pat: str) -> str:
+        # DuckDB single-quoted literals are verbatim (no backslash
+        # processing), but raw C0 bytes (NUL!) break the SQL parser —
+        # encode them as RE2 \x{..} escapes, which pass through the
+        # literal untouched and are interpreted by the regex engine
+        out = []
+        for ch in pat:
+            o = ord(ch)
+            if o < 0x20 or o == 0x7F:
+                out.append(f"\\x{{{o:02x}}}")
+            elif ch == "'":
+                out.append("''")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    expr = col
+    for pat, rep in steps:
+        # replacement strings: RE2 rewrite has no \x escapes; newlines
+        # embed as raw bytes (legal inside a SQL string literal)
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc_pat(pat)}', '{r}', 'g')"
+    return expr
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style hashed-bigram LM quality score
     (operators/weighting.py): add-α bigram model trained on lang='en'
@@ -1060,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
         "substring_dedup": _q_substring_dedup,
+        "text_normalize": _q_text_normalize,
         "doc_chunks": _q_doc_chunks,
         "token_packing": _q_token_packing,
         "semantic_dedup": _q_semantic_dedup,
@@ -2053,6 +2111,17 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        """,
+        "text_normalize": f"""
+        WITH n AS (
+          SELECT doc_id, text,
+                 {_normalize_sql_expr('text')} AS text_norm
+          FROM documents
+        )
+        SELECT doc_id, text_norm,
+               (text_norm IS DISTINCT FROM text) AS changed,
+               length(text_norm) AS n_chars_norm
+        FROM n
         """,
         "doc_chunks": r"""
         WITH t AS (

@@ -105,6 +105,49 @@ def fingerprint(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Unicode text normalization — the pre-hash cleanup every web pipeline
+# runs before dedup/fingerprinting (CCNet/Gopher fold unicode punctuation
+# and whitespace first so cosmetic variants hash identically). A fixed
+# regexp_replace chain, identical under Java regex (Spark JVM codegen)
+# and RE2 (DuckDB oracle) — literal unicode chars in character classes,
+# no lookaround, no \p classes. Full NFKC (ligatures, accents) needs ICU
+# and is deliberately out: the folds below are the ones that change
+# dedup behavior on web text.
+# ---------------------------------------------------------------------------
+
+#: zero-width chars + BOM: deleted outright
+_ZERO_WIDTH = "[\u200b\u200c\u200d\u2060\ufeff]"
+#: C0 (minus \t \n \r) + DEL + C1: deleted (mojibake / transfer noise)
+_CONTROL = "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]"
+#: unicode spaces (NBSP, en/em/thin/ideographic\u2026) + tab: fold to ' '
+_UNI_SPACE = "[\t\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]"
+_SINGLE_QUOTES = "[\u2018\u2019\u201a\u201b\u2032]"
+_DOUBLE_QUOTES = "[\u201c\u201d\u201e\u201f\u00ab\u00bb\u2033]"
+_DASHES = "[\u2010\u2011\u2012\u2013\u2014\u2015\u2212]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Fold unicode cosmetics to canonical ASCII forms and tidy
+    whitespace. Order matters and is pinned by the oracle: zero-width
+    strip → CRLF/CR → LF → control strip → space fold → quote/dash/
+    ellipsis fold → space-run collapse → spaces around newlines → ≥3
+    blank lines to one → trim."""
+    c = F.regexp_replace(text, _ZERO_WIDTH, "")
+    c = F.regexp_replace(c, "\r\n", "\n")
+    c = F.regexp_replace(c, "\r", "\n")
+    c = F.regexp_replace(c, _CONTROL, "")
+    c = F.regexp_replace(c, _UNI_SPACE, " ")
+    c = F.regexp_replace(c, _SINGLE_QUOTES, "'")
+    c = F.regexp_replace(c, _DOUBLE_QUOTES, '"')
+    c = F.regexp_replace(c, _DASHES, "-")
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, " {2,}", " ")
+    c = F.regexp_replace(c, " *\n *", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization — the dedup key-prep step of every web corpus
 # pipeline (crawl frontiers and CC index dedup key on canonical url)
 # ---------------------------------------------------------------------------

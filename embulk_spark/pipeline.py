@@ -312,6 +312,15 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
                 default_rate=float(fconf.get("default_rate", 0.0)),
             )
         return deterministic_sample(df, float(fconf["rate"]), ident, salt=salt)
+    if ftype == "normalize":
+        # unicode text normalization (functions/textops.py): fold
+        # zero-width/control chars, unicode spaces/quotes/dashes/
+        # ellipsis, tidy whitespace — the pre-hash cleanup before any
+        # dedup pass. Pure JVM regexp_replace chain.
+        from .functions.textops import normalize_text
+
+        col = fconf.get("column", "text")
+        return df.withColumn(col, normalize_text(F.col(col)))
     if ftype == "chunk":
         # context-length chunking (operators/pack.py): one row per
         # strided token window; replaces `column` rows with chunk rows.

@@ -204,3 +204,82 @@ def test_strip_boilerplate_preserves_separator(spark):
     )
     out = strip_boilerplate(docs, ["(c) footer"], "text", line_sep="\r\n")
     assert out.collect()[0]["text"] == "keep A\r\nkeep B"
+
+
+# ---------------------------------------------------------------------------
+# unicode text normalization
+# ---------------------------------------------------------------------------
+
+NASTY_TEXTS = [
+    "plain ascii stays put",
+    "nb\u00a0sp and em-space\u2003plus\u3000ideographic",
+    "\u201cquoted\u201d \u2018single\u2019 \u201elow\u201f \u00abguillemets\u00bb",
+    "en\u2013dash em\u2014dash minus\u2212sign \u2026done",
+    "zero\u200bwidth\u200cjoin\u200d\u2060ers\ufeff",
+    "ctrl\u0000chars\u0001here\u000bvt\u000cff\u009c",
+    "CRLF\r\nline\rand  runs   of    spaces",
+    "  leading and trailing  \n\n\n\nmany blanks\t\ttabs  ",
+    "",
+    None,
+]
+
+
+def test_normalize_text_expected_outputs(spark):
+    from embulk_spark.functions.textops import normalize_text
+
+    rows = [(i, t) for i, t in enumerate(NASTY_TEXTS)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[0] == "plain ascii stays put"
+    assert got[1] == "nb sp and em-space plus ideographic"
+    assert got[2] == "\"quoted\" 'single' \"low\" \"guillemets\""
+    assert got[3] == "en-dash em-dash minus-sign ...done"
+    assert got[4] == "zerowidthjoiners"
+    assert got[5] == "ctrlcharsherevtff"
+    assert got[6] == "CRLF\nline\nand runs of spaces"
+    assert got[7] == "leading and trailing\n\nmany blanks tabs"
+    assert got[8] == ""
+    assert got[9] is None
+
+
+def test_normalize_text_duckdb_parity(spark):
+    """Cross-engine pin on unicode-rich input: the DuckDB chain generated
+    from the same constants must agree byte-for-byte (the sf tables are
+    mostly ASCII, so the driver oracle alone under-exercises the folds)."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _normalize_sql_expr
+    from embulk_spark.functions.textops import normalize_text
+
+    rows = [(i, t) for i, t in enumerate(NASTY_TEXTS)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got_spark = {
+        r.i: r.n
+        for r in df.select(
+            "i", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "text"]))
+    got_duck = {
+        i: n
+        for i, n in con.execute(
+            f"SELECT i, {_normalize_sql_expr('text')} AS n FROM t"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+
+
+def test_normalize_text_plan_is_jvm_only(spark):
+    from embulk_spark.functions.textops import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], "i long, text string")
+    out = df.select(normalize_text(F.col("text")).alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

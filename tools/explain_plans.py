@@ -231,6 +231,14 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"CartesianProduct",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "text_normalize": {
+        "why": "unicode normalization is one Project of a JVM "
+               "regexp_replace chain over a two-column scan — no shuffle, "
+               "no Python",
+        "must": [r"Project", r"ReadSchema: [^\n]*text"],
+        "must_not": [r"\bExchange\b", r"ArrowEvalPython",
+                     r"BatchEvalPython"],
+    },
     "doc_chunks": {
         "why": "context-length chunking is a pure Column flat map "
                "(transform over start indices, slice + array_join, one "
