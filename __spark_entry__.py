@@ -942,6 +942,16 @@ def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induction (functions/textops.py): top-300
+    lowercased whitespace tokens by count — partial-combine wordcount +
+    TakeOrderedAndProject, deterministic (count desc, token) boundary."""
+    from embulk_spark.functions.textops import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return vocab_topk(docs, "text", k=300)
+
+
 def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode text normalization (functions/textops.py): zero-width /
     control strip, unicode space/quote/dash/ellipsis folds, whitespace
@@ -1118,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "substring_dedup": _q_substring_dedup,
         "text_normalize": _q_text_normalize,
+        "vocab_topk": _q_vocab_topk,
         "doc_chunks": _q_doc_chunks,
         "token_packing": _q_token_packing,
         "semantic_dedup": _q_semantic_dedup,
@@ -2111,6 +2122,18 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        """,
+        "vocab_topk": r"""
+        SELECT token, count(*) AS n_occurrences
+        FROM (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '')) AS token
+          FROM documents
+        )
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 300
         """,
         "text_normalize": f"""
         WITH n AS (

@@ -104,6 +104,33 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def vocab_topk(df, text_col: str, k: int = 1000, *, min_count: int = 1):
+    """Corpus vocabulary induction: the ``k`` most frequent lowercased
+    whitespace tokens with counts — the seed statistic for tokenizer
+    training and OOV audits.
+
+    Scale shape: the canonical distributed wordcount — explode is a
+    narrow map, the count is ONE hash agg with map-side partial combine
+    (frequent tokens collapse in the combiner, so the shuffle carries at
+    most |vocab| rows per map partition, not |tokens|), and the global
+    top-k is TakeOrderedAndProject (per-partition heaps), never a full
+    sort. Ties break on the token for a deterministic boundary."""
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    )
+    out = (
+        df.select(toks.alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out.orderBy(F.desc("n_occurrences"), "token").limit(k)
+
+
 # ---------------------------------------------------------------------------
 # Unicode text normalization — the pre-hash cleanup every web pipeline
 # runs before dedup/fingerprinting (CCNet/Gopher fold unicode punctuation

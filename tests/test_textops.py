@@ -283,3 +283,17 @@ def test_normalize_text_plan_is_jvm_only(spark):
     out = df.select(normalize_text(F.col("text")).alias("n"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_vocab_topk_tiebreak_and_min_count(spark):
+    from embulk_spark.functions.textops import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a a c C b"), (2, "a z")], "i long, text string"
+    )
+    top = vocab_topk(df, "text", k=3).collect()
+    assert [(r.token, r.n_occurrences) for r in top] == [
+        ("a", 3), ("b", 2), ("c", 2)  # lowercased; c ties b, token breaks
+    ]
+    rare = vocab_topk(df, "text", k=10, min_count=2).collect()
+    assert {r.token for r in rare} == {"a", "b", "c"}

@@ -231,6 +231,17 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"CartesianProduct",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "vocab_topk": {
+        "why": "vocabulary induction is the canonical wordcount: explode "
+               "is a narrow map, the count agg has map-side partial "
+               "combine (shuffle carries |vocab| per partition, not "
+               "|tokens|), and the global top-k is TakeOrderedAndProject "
+               "(per-partition heaps) — never a full sort, no Python",
+        "must": [r"HashAggregate[^\n]*partial|partial_count",
+                 r"TakeOrderedAndProject"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"\bWindow\b"],
+    },
     "text_normalize": {
         "why": "unicode normalization is one Project of a JVM "
                "regexp_replace chain over a two-column scan — no shuffle, "
