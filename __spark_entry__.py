@@ -942,6 +942,17 @@ def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning (operators/weighting.py):
+    per-language ntile(3) of the hashed-bigram LM score, deterministic
+    (score, doc_id) order. The oracle wraps the shared LM SQL with the
+    identical window."""
+    from embulk_spark.operators.weighting import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, F.col("lang") == "en")
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary induction (functions/textops.py): top-300
     lowercased whitespace tokens by count — partial-combine wordcount +
@@ -1129,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "text_normalize": _q_text_normalize,
         "vocab_topk": _q_vocab_topk,
+        "ccnet_buckets": _q_ccnet_buckets,
         "doc_chunks": _q_doc_chunks,
         "token_packing": _q_token_packing,
         "semantic_dedup": _q_semantic_dedup,
@@ -1334,6 +1346,57 @@ def _semantic_dedup_sql(k: int = 8, dim: int = 64, threshold: float = 0.92) -> s
                (vec_id = canon_id OR cos_canon < {threshold}) AS keep
         FROM scored
         """
+
+
+#: the hashed add-alpha bigram LM scoring query, shared by the
+#: lm_perplexity oracle and the ccnet_buckets oracle (which wraps it)
+_LM_SQL = r"""
+        SELECT g.doc_id, count(*) AS n_bigrams,
+               round(sum(-(ln(coalesce(c_bi, 0) + 1.0)
+                           - ln(coalesce(c_ctx, 0) + 4096.0)))
+                     / count(*) / ln(2.0), 6) AS bits_per_bigram
+        FROM (
+          SELECT doc_id, is_target,
+                 ('0x' || left(md5('lmctx:' || ws[i]), 8))::bigint
+                   % 1024 AS hp,
+                 ('0x' || left(md5('lmbi:' || ws[i] || ' ' || ws[i+1]), 8))::bigint
+                   % 4096 AS hb
+          FROM (
+            SELECT doc_id, (lang = 'en') AS is_target,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+          ) w, unnest(range(1, len(ws))) AS t(i)
+          WHERE len(ws) >= 2
+        ) g
+        LEFT JOIN (
+          SELECT hp, count(*) AS c_ctx
+          FROM (
+            SELECT ('0x' || left(md5('lmctx:' || ws[i]), 8))::bigint
+                     % 1024 AS hp
+            FROM (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE lang = 'en'
+            ) w2, unnest(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2
+          ) GROUP BY hp
+        ) c_ctx USING (hp)
+        LEFT JOIN (
+          SELECT hb, count(*) AS c_bi
+          FROM (
+            SELECT ('0x' || left(md5('lmbi:' || ws[i] || ' ' || ws[i+1]), 8))::bigint
+                     % 4096 AS hb
+            FROM (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE lang = 'en'
+            ) w3, unnest(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2
+          ) GROUP BY hb
+        ) c_bi USING (hb)
+        GROUP BY g.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2191,36 +2254,20 @@ def oracle_sql() -> dict[str, str]:
                (global_offset % 512 + n_tokens) > 512 AS spans_boundary
         FROM o
         """,
-        "lm_perplexity": r"""
-        WITH w AS (
-          SELECT doc_id, (lang = 'en') AS is_target,
-                 list_filter(regexp_split_to_array(lower(text), '\s+'),
-                             x -> x <> '') AS ws
-          FROM documents
-        ),
-        g AS (
-          SELECT doc_id, is_target,
-                 ('0x' || left(md5('lmctx:' || ws[i]), 8))::bigint
-                   % 1024 AS hp,
-                 ('0x' || left(md5('lmbi:' || ws[i] || ' ' || ws[i+1]), 8))::bigint
-                   % 4096 AS hb
-          FROM w, unnest(range(1, len(ws))) AS t(i)
-          WHERE len(ws) >= 2
-        ),
-        c_ctx AS (
-          SELECT hp, count(*) AS c_ctx FROM g WHERE is_target GROUP BY hp
-        ),
-        c_bi AS (
-          SELECT hb, count(*) AS c_bi FROM g WHERE is_target GROUP BY hb
+        "lm_perplexity": _LM_SQL,
+        "ccnet_buckets": f"""
+        WITH lm AS ({_LM_SQL})
+        SELECT doc_id, lang, bits_per_bigram, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = 3 THEN 'tail'
+                    ELSE 'middle' END AS label
+        FROM (
+          SELECT d.doc_id, d.lang, lm.bits_per_bigram,
+                 ntile(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY lm.bits_per_bigram, lm.doc_id) AS bucket
+          FROM lm JOIN documents d ON d.doc_id = lm.doc_id
         )
-        SELECT g.doc_id, count(*) AS n_bigrams,
-               round(sum(-(ln(coalesce(c_bi, 0) + 1.0)
-                           - ln(coalesce(c_ctx, 0) + 4096.0)))
-                     / count(*) / ln(2.0), 6) AS bits_per_bigram
-        FROM g
-        LEFT JOIN c_ctx USING (hp)
-        LEFT JOIN c_bi USING (hb)
-        GROUP BY g.doc_id
         """,
         "semantic_dedup": _semantic_dedup_sql(),
         "url_filter": r"""

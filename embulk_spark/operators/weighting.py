@@ -194,3 +194,87 @@ def dsir_weights(
             F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"),
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    **lm_kwargs,
+) -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2020 §4.4):
+    per-language equal-frequency buckets of the LM score, lowest
+    (most target-like) = bucket 1 = ``head``.
+
+    Exact formulation: ``ntile(n)`` over one window keyed by language —
+    ONE hashpartitioning exchange, per-language sort, deterministic tie
+    break on the id. Scale note: the dominant language's sort serializes
+    on its partition; at 100 TB compute :func:`bucket_thresholds` once
+    (approx quantiles, tiny relation) and assign by broadcast
+    comparison instead — same labels away from the boundaries, no
+    per-language global sort.
+
+    Output: ``id_col, lang, bits_per_bigram, bucket`` (1-based int)
+    and, for ``n_buckets == 3``, the CCNet ``label``.
+    """
+    from pyspark.sql import Window
+
+    scored = lm_perplexity(
+        docs, is_target, text_col=text_col, id_col=id_col, **lm_kwargs
+    )
+    withlang = docs.select(id_col, lang_col).join(scored, id_col)
+    w = Window.partitionBy(lang_col).orderBy("bits_per_bigram", id_col)
+    out = withlang.select(
+        id_col, lang_col, "bits_per_bigram",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    if n_buckets == 3:
+        out = out.withColumn(
+            "label",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 3, "tail")
+            .otherwise("middle"),
+        )
+    return out
+
+
+def bucket_thresholds(
+    scored: DataFrame,
+    *,
+    lang_col: str = "lang",
+    score_col: str = "bits_per_bigram",
+    n_buckets: int = 3,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB path for :func:`ccnet_buckets`: per-language
+    approximate score quantiles (one partial-combine agg; result is
+    |languages| × (n_buckets-1) — always broadcastable). Assign with
+    :func:`bucket_by_thresholds`; labels can disagree with the exact
+    ntile only for docs tied at a quantile boundary."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return scored.groupBy(lang_col).agg(
+        F.percentile_approx(score_col, qs, accuracy).alias("cuts")
+    )
+
+
+def bucket_by_thresholds(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    *,
+    lang_col: str = "lang",
+    score_col: str = "bits_per_bigram",
+) -> DataFrame:
+    """Bucket = 1 + number of quantile cuts strictly below the score —
+    a broadcast join plus one JVM array fold; the corpus never sorts."""
+    bucket = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(score_col) > c, 1).otherwise(0),
+    )
+    return scored.join(F.broadcast(thresholds), lang_col).withColumn(
+        "bucket", bucket.cast("int")
+    ).drop("cuts")

@@ -217,3 +217,55 @@ def test_allow_mode_is_complement(spark, rules):
 def test_bad_mode_raises(spark, rules):
     with pytest.raises(ValueError):
         apply_url_rules(_urls(spark, ["https://x.io/"]), rules, mode="nope")
+
+
+def test_ccnet_buckets_labels_and_order(spark):
+    from embulk_spark.operators.weighting import ccnet_buckets
+
+    # 9 en docs built from two token pools: docs repeating common bigrams
+    # score low (head), rare-bigram docs score high (tail)
+    common = "the cat sat on the mat and the dog ran"
+    rows = [(i, "en", common) for i in range(6)]
+    rows += [(10 + i, "en", f"zq{i} xv{i} wk{i} jj{i} qq{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_buckets(df, F.col("lang") == "en")
+    got = {r.doc_id: (r.bucket, r.label) for r in out.collect()}
+    assert len(got) == 9
+    # equal-frequency: 3 per bucket; the 3 rare-bigram docs are the tail
+    from collections import Counter
+    assert Counter(b for b, _ in got.values()) == {1: 3, 2: 3, 3: 3}
+    assert all(got[10 + i] == (3, "tail") for i in range(3))
+    assert all(got[i][1] in ("head", "middle") for i in range(6))
+
+
+def test_ccnet_threshold_path_agrees_off_boundary(spark):
+    from embulk_spark.operators.weighting import (
+        bucket_by_thresholds,
+        bucket_thresholds,
+        ccnet_buckets,
+        lm_perplexity,
+    )
+
+    rows = [
+        (i, "en", " ".join(f"w{(i * j) % 7}" for j in range(12)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    exact = {
+        r.doc_id: r.bucket
+        for r in ccnet_buckets(df, F.col("lang") == "en").collect()
+    }
+    scored = lm_perplexity(df, F.col("lang") == "en").join(
+        df.select("doc_id", "lang"), "doc_id"
+    )
+    cuts = bucket_thresholds(scored)
+    approx = {
+        r.doc_id: r.bucket
+        for r in bucket_by_thresholds(scored, cuts).collect()
+    }
+    # same docs bucketed; agreement within one bucket everywhere and
+    # exact agreement for >= 80% (only quantile-boundary ties may move)
+    assert set(approx) == set(exact)
+    agree = sum(approx[d] == exact[d] for d in exact)
+    assert agree >= 0.8 * len(exact)
+    assert all(abs(approx[d] - exact[d]) <= 1 for d in exact)

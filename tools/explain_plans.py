@@ -231,6 +231,17 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"CartesianProduct",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "ccnet_buckets": {
+        "why": "CCNet bucketing scores via broadcast-joined bounded count "
+               "tables then ntile over ONE hashpartitioning(lang) window — "
+               "the corpus shuffles once on the language key; no "
+               "cartesian, no Python (the threshold variant removes even "
+               "the sort at 100 TB)",
+        "must": [r"\bWindow\b", r"hashpartitioning\(lang",
+                 r"BroadcastHashJoin"],
+        "must_not": [r"CartesianProduct", r"ArrowEvalPython",
+                     r"BatchEvalPython"],
+    },
     "vocab_topk": {
         "why": "vocabulary induction is the canonical wordcount: explode "
                "is a narrow map, the count agg has map-side partial "
