@@ -942,6 +942,38 @@ def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded corpus export round-trip (sinks/corpus.py): write the
+    documents table as 8 deterministic md5 shards + audit manifest, then
+    RE-READ the export from disk and aggregate per-shard rows / token
+    counts / content fingerprints. The oracle computes the same stats
+    from the SOURCE table — disk round-trip must be lossless."""
+    import hashlib
+    import os
+
+    from embulk_spark.sinks.corpus import row_fingerprint, write_corpus_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "embulk_spark_corpus_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_corpus_shards(docs, path, n_shards=8)
+    back = spark.read.parquet(path)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.size(F.filter(F.split("text", r"\s+"), lambda w: w != F.lit("")))
+        ).alias("n_tokens"),
+        # string-rendered: the 2^64-plus sum exceeds int64, and pandas
+        # would lossily floatify DuckDB's hugeint on the oracle side
+        F.sum(row_fingerprint(F.col("doc_id"), F.col("text")))
+        .cast("string")
+        .alias("content_sum"),
+    )
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partitioning (operators/weighting.py):
     per-language ntile(3) of the hashed-bigram LM score, deterministic
@@ -1141,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "vocab_topk": _q_vocab_topk,
         "ccnet_buckets": _q_ccnet_buckets,
+        "corpus_export": _q_corpus_export,
         "doc_chunks": _q_doc_chunks,
         "token_packing": _q_token_packing,
         "semantic_dedup": _q_semantic_dedup,
@@ -2185,6 +2218,18 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        """,
+        "corpus_export": r"""
+        SELECT ('0x' || left(md5('shard1:' || CAST(doc_id AS VARCHAR)), 8)
+               )::bigint % 8 AS shard,
+               count(*) AS rows,
+               sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> ''))) AS n_tokens,
+               CAST(sum(('0x' || left(md5(CAST(doc_id AS VARCHAR)
+                                          || chr(31) || text), 15))::bigint)
+                    AS VARCHAR) AS content_sum
+        FROM documents
+        GROUP BY shard
         """,
         "vocab_topk": r"""
         SELECT token, count(*) AS n_occurrences

@@ -104,6 +104,26 @@ def write_output(df: DataFrame, out_config: dict) -> dict:
         else:
             raise ValueError(f"unknown formatter type: {fmt}")
         return {"type": "file", "path_prefix": out_config["path_prefix"]}
+    if otype == "corpus_shards":
+        # sharded training-corpus export with audit manifest
+        # (sinks/corpus.py): deterministic md5 shards + _manifest.json
+        from .corpus import write_corpus_shards
+
+        manifest = write_corpus_shards(
+            df,
+            out_config["path"],
+            id_col=out_config.get("id", "doc_id"),
+            text_col=out_config.get("column", "text"),
+            n_shards=int(out_config.get("n_shards", 16)),
+            salt=str(out_config.get("salt", "shard1")),
+            fmt=out_config.get("format", "parquet"),
+        )
+        return {
+            "type": "corpus_shards",
+            "path": out_config["path"],
+            "rows": manifest["total_rows"],
+            "n_tokens": manifest["total_tokens"],
+        }
     if otype == "stdout":
         df.show(truncate=False)
         return {"type": "stdout"}

@@ -135,3 +135,59 @@ def test_pipeline_chunk_pack_and_substring_filters(spark):
     kept = min(got)  # doc 1 keeps the block, doc 2 loses all 10 tokens
     assert got[kept].n_tokens_dropped == 0
     assert got[3 - kept].n_tokens_dropped == 10 and got[3 - kept].text == ""
+
+
+# ---------------------------------------------------------------------------
+# property tests: chunk reconstruction and packing conservation
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abxyz", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc, min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=7))
+def test_chunks_reconstruct_document_at_full_stride(spark, texts, max_tok):
+    """stride == max_tokens => concatenating a doc's chunks in order
+    recovers its (whitespace-normalized) token stream exactly."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(
+        df, "text", "doc_id", max_tokens=max_tok, stride=max_tok
+    ).collect()
+    got = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        got.setdefault(r.doc_id, []).append(r.chunk_text)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in got
+        else:
+            assert " ".join(got[i]).split() == toks
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=64))
+def test_packing_conserves_tokens_and_orders_totally(spark, counts, budget):
+    rows = [(i, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, ntok int")
+    out = pack_token_budget(
+        df, "doc_id", budget=budget, token_count_col="ntok", n_buckets=8
+    ).collect()
+    srt = sorted(out, key=lambda r: r.global_offset)
+    acc = 0
+    seen = set()
+    for r in srt:
+        assert r.global_offset == acc and r.seq_id == acc // budget
+        acc += r.n_tokens
+        seen.add(r.doc_id)
+    assert acc == sum(counts) and seen == set(range(len(counts)))

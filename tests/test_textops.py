@@ -297,3 +297,34 @@ def test_vocab_topk_tiebreak_and_min_count(spark):
     ]
     rare = vocab_topk(df, "text", k=10, min_count=2).collect()
     assert {r.token for r in rare} == {"a", "b", "c"}
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): idempotence / reconstruction invariants.
+# Spark round-trips are slow, so few, dense examples (same discipline as
+# test_cdc_properties.py).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_nasty_char = st.sampled_from(
+    list("ab c\u00a0\u2003\u2018\u201c\u2013\u2026\u200b\u0001\r\n\t")
+)
+_nasty_text = st.text(alphabet=_nasty_char, min_size=0, max_size=40)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_nasty_text, min_size=1, max_size=8))
+def test_normalize_text_idempotent(spark, texts):
+    from embulk_spark.functions.textops import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    once = df.select("i", normalize_text(F.col("text")).alias("n"))
+    twice = once.select("i", normalize_text(F.col("n")).alias("n"))
+    assert {r.i: r.n for r in once.collect()} == {
+        r.i: r.n for r in twice.collect()
+    }

@@ -231,6 +231,14 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"CartesianProduct",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "corpus_export": {
+        "why": "the export round-trip read aggregates per shard with "
+               "map-side partial combine over the partition-pruned shard "
+               "layout — no Python, no cartesian, no window",
+        "must": [r"HashAggregate[^\n]*partial|partial_count"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct", r"\bWindow\b"],
+    },
     "ccnet_buckets": {
         "why": "CCNet bucketing scores via broadcast-joined bounded count "
                "tables then ntile over ONE hashpartitioning(lang) window — "
