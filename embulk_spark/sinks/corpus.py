@@ -171,3 +171,269 @@ def verify_corpus_shards(spark, path: str) -> dict:
     extra = set(got) - {s["shard"] for s in manifest["shards"]}
     mismatches.extend(sorted(extra))
     return {"ok": not mismatches, "mismatches": mismatches}
+
+
+def refresh_corpus_shards(
+    spark,
+    path: str,
+    upserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+) -> dict:
+    """CDC-native export maintenance: fold a change-set into an existing
+    export, rewriting ONLY the shards the change-set touches.
+
+    ``upserts``: current rows (id_col + text_col [+ extra columns]) for
+    added/updated documents; ``deletes``: id_col of removed documents.
+    Cost is O(affected shard bytes + |change-set|), never O(corpus):
+    the deterministic shard function maps changed ids to ≤ n_shards
+    affected partitions, the old export is read with partition pruning
+    on exactly those, survivors are kept via one anti-join on the id,
+    and Spark's dynamic partition overwrite replaces only the rewritten
+    partitions. Shards emptied by deletes are removed explicitly
+    (dynamic overwrite leaves untouched partitions alone — including
+    ones that should vanish).
+
+    The manifest is updated atomically (tmp + rename) with recomputed
+    entries for the affected shards and a bumped ``version``; unaffected
+    entries are byte-identical. Single-writer protocol (the lake's
+    replay loop); refreshing equals a from-scratch export of the final
+    corpus, pinned by tests/test_corpus_export.py.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    mpath = os.path.join(path, MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    id_col, text_col = manifest["id_col"], manifest["text_col"]
+    n_shards, salt, fmt = manifest["n_shards"], manifest["salt"], manifest["format"]
+
+    changed = None
+    if upserts is not None:
+        changed = upserts.select(F.col(id_col))
+    if deletes is not None:
+        d = deletes.select(F.col(id_col))
+        changed = d if changed is None else changed.unionByName(d)
+    if changed is None:
+        return manifest
+    affected = sorted(
+        r["shard"]
+        for r in changed.select(
+            shard_of(F.col(id_col), n_shards, salt).alias("shard")
+        )
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return manifest
+
+    old = (
+        spark.read.format(fmt)
+        .load(path)
+        .filter(F.col("shard").isin(affected))
+    )
+    survivors = old.join(changed, id_col, "left_anti")
+    out = survivors
+    if upserts is not None:
+        ups = upserts.withColumn(
+            "shard", shard_of(F.col(id_col), n_shards, salt)
+        )
+        for c in survivors.columns:
+            if c not in ups.columns:
+                ups = ups.withColumn(c, F.lit(None))
+        out = survivors.unionByName(ups.select(*survivors.columns))
+    out = out.repartition(len(affected), "shard").localCheckpoint()
+
+    stats = {
+        int(r["shard"]): r
+        for r in out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split(F.col(text_col), r"\s+"),
+                        lambda w: w != F.lit(""),
+                    )
+                )
+            ).alias("n_tokens"),
+            F.sum(row_fingerprint(F.col(id_col), F.col(text_col))).alias(
+                "content_sum"
+            ),
+        )
+        .collect()
+    }
+    # dynamic partition overwrite: only partitions present in `out` are
+    # replaced; emptied shards must be deleted by hand below
+    out.write.partitionBy("shard").format(fmt).mode("overwrite").save(path)
+    emptied = [s for s in affected if s not in stats]
+    for s in emptied:
+        _shutil.rmtree(os.path.join(path, f"shard={s}"), ignore_errors=True)
+
+    by_shard = {s["shard"]: s for s in manifest["shards"]}
+    for s in affected:
+        if s in stats:
+            r = stats[s]
+            by_shard[s] = {
+                "shard": s,
+                "rows": int(r["rows"]),
+                "n_tokens": int(r["n_tokens"] or 0),
+                "content_sum": int(r["content_sum"]),
+            }
+        else:
+            by_shard.pop(s, None)
+    manifest["shards"] = [by_shard[s] for s in sorted(by_shard)]
+    manifest["total_rows"] = sum(s["rows"] for s in manifest["shards"])
+    manifest["total_tokens"] = sum(s["n_tokens"] for s in manifest["shards"])
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    fd, tmp = _tempfile.mkstemp(dir=path, prefix="._manifest.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+TOMBSTONES = "_tombstones"
+
+
+def export_from_lake(
+    spark,
+    table,
+    path: str,
+    *,
+    columns: list | None = None,
+    id_col: str = "url",
+    version_cols: tuple = ("warc_ts", "seq"),
+    **kwargs,
+) -> dict:
+    """Export a lake table's published state as corpus shards AND seed
+    the tombstone sidecar (deleted keys + their winning versions) that
+    :func:`refresh_from_changes` needs to consume the table's MOR change
+    feed safely. The sidecar lives at ``path/_tombstones/v{version}/``
+    (underscore-prefixed — invisible to the shard reader) and is
+    referenced from the manifest."""
+    full = table.read()
+    cols = columns or [
+        c for c in full.columns if c not in ("is_deleted", "bkt")
+    ]
+    missing = [c for c in (id_col, *version_cols) if c not in cols]
+    if missing:
+        raise ValueError(f"columns must include {missing}")
+    manifest = write_corpus_shards(
+        full.filter(~F.col("is_deleted")).select(*cols),
+        path,
+        id_col=id_col,
+        **kwargs,
+    )
+    tomb = full.filter(F.col("is_deleted")).select(id_col, *version_cols)
+    return _commit_tombstones(spark, path, manifest, tomb, list(version_cols))
+
+
+def _tombstone_dir(manifest: dict) -> str | None:
+    return manifest.get("tombstones")
+
+
+def _commit_tombstones(spark, path, manifest, tomb, version_cols) -> dict:
+    """Write the tombstone set as a fresh versioned dir, point the
+    manifest at it atomically, then drop older versions."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    rel = f"{TOMBSTONES}/v{int(manifest.get('version', 0))}"
+    tomb.write.mode("overwrite").parquet(os.path.join(path, rel))
+    manifest["tombstones"] = rel
+    manifest["version_cols"] = version_cols
+    fd, tmp = _tempfile.mkstemp(dir=path, prefix="._manifest.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    troot = os.path.join(path, TOMBSTONES)
+    for d in os.listdir(troot):
+        if d != os.path.basename(rel):
+            _shutil.rmtree(os.path.join(troot, d), ignore_errors=True)
+    return manifest
+
+
+def refresh_from_changes(
+    spark,
+    path: str,
+    changes: DataFrame,
+) -> dict:
+    """Consume a CDC change feed (``streaming/lake.py::changes_between``
+    shape: one net row per key with an ``is_deleted`` tombstone flag)
+    into an export created by :func:`export_from_lake`, at
+    O(change-set + affected shards) per refresh — the export-side
+    analogue of the incremental near-dup index.
+
+    The feed is merge-on-read: an epoch delta carries that epoch's BATCH
+    winners, so a redelivered stale event can resurface as a live feed
+    row even though the table's newer version — possibly a delete the
+    export no longer stores — still wins. The consumer therefore keeps
+    the lake's resolution state: live rows carry their version columns
+    in the shards, deleted keys persist in the ``_tombstones`` sidecar,
+    and each changed key resolves as ``max_by(row, (*version_cols,
+    came_from_feed))`` across exported row, tombstone, and feed row.
+    Applying consecutive feed ranges in order therefore reconstructs
+    exactly what a from-scratch export of the final table produces
+    (pinned by tests/test_corpus_export.py). Raises if the export has no
+    tombstone sidecar — plain :func:`write_corpus_shards` exports cannot
+    consume a MOR feed."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    id_col = manifest["id_col"]
+    tomb_rel = _tombstone_dir(manifest)
+    if tomb_rel is None:
+        raise ValueError(
+            f"export at {path} has no tombstone sidecar; create it with "
+            "export_from_lake to consume a merge-on-read change feed"
+        )
+    version_cols = manifest["version_cols"]
+    old = spark.read.format(manifest["format"]).load(path).drop("shard")
+    tomb = spark.read.parquet(os.path.join(path, tomb_rel))
+    changed_ids = changes.select(id_col).distinct().localCheckpoint()
+    if not changed_ids.head(1):
+        return manifest  # empty feed range: nothing to fold, keep v-dir
+    feed_cols = [c for c in old.columns if c in changes.columns]
+
+    cand = old.join(changed_ids, id_col).select(
+        *[F.col(c) for c in old.columns],
+        F.lit(False).alias("is_deleted"),
+        F.lit(0).alias("_feed"),
+    )
+    cand_tomb = tomb.join(changed_ids, id_col).select(
+        *[
+            F.col(c) if c in (id_col, *version_cols)
+            else F.lit(None).alias(c)
+            for c in old.columns
+        ],
+        F.lit(True).alias("is_deleted"),
+        F.lit(0).alias("_feed"),
+    )
+    feed = changes.select(
+        *[
+            F.col(c) if c in feed_cols else F.lit(None).alias(c)
+            for c in old.columns
+        ],
+        F.col("is_deleted"),
+        F.lit(1).alias("_feed"),
+    )
+    ver = F.struct(*[F.col(c) for c in version_cols], F.col("_feed"))
+    payload = F.struct(*[F.col(c) for c in old.columns], F.col("is_deleted"))
+    winners = (
+        cand.unionByName(cand_tomb)
+        .unionByName(feed)
+        .groupBy(id_col)
+        .agg(F.max_by(payload, ver).alias("_w"))
+        .select(
+            *[F.col(f"_w.{c}").alias(c) for c in old.columns],
+            F.col("_w.is_deleted").alias("is_deleted"),
+        )
+        .localCheckpoint()
+    )
+    live = winners.filter(~F.col("is_deleted")).drop("is_deleted")
+    gone = winners.filter(F.col("is_deleted")).select(id_col, *version_cols)
+    manifest = refresh_corpus_shards(
+        spark, path, upserts=live, deletes=gone.select(id_col)
+    )
+    new_tomb = tomb.join(changed_ids, id_col, "left_anti").unionByName(gone)
+    return _commit_tombstones(spark, path, manifest, new_tomb, version_cols)

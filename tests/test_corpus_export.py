@@ -84,3 +84,137 @@ def test_pipeline_output_corpus_shards(spark, tmp_path):
     )
     assert report["rows"] == 12 and report["type"] == "corpus_shards"
     assert verify_corpus_shards(spark, path)["ok"]
+
+
+def test_refresh_equals_from_scratch_export(spark, tmp_path):
+    from embulk_spark.sinks.corpus import refresh_corpus_shards
+
+    path = str(tmp_path / "corpus")
+    m0 = write_corpus_shards(_docs(spark, 40), path, n_shards=4)
+    # change-set: update 3 docs, delete 2, add 5 new
+    ups = spark.createDataFrame(
+        [(i, f"updated text {i}") for i in (1, 7, 13)]
+        + [(100 + i, f"brand new doc {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    dels = spark.createDataFrame([(2,), (19,)], "doc_id long")
+    m1 = refresh_corpus_shards(spark, path, upserts=ups, deletes=dels)
+    assert m1["version"] == 1
+    assert m1["total_rows"] == 40 - 2 + 5
+    assert verify_corpus_shards(spark, path)["ok"]
+    # equal to exporting the final corpus from scratch
+    final = (
+        _docs(spark, 40)
+        .join(ups.select("doc_id"), "doc_id", "left_anti")
+        .join(dels, "doc_id", "left_anti")
+        .unionByName(ups)
+    )
+    m_ref = write_corpus_shards(final, str(tmp_path / "ref"), n_shards=4)
+    assert m1["shards"] == m_ref["shards"]
+    # untouched shards kept byte-identical manifest entries
+    touched = {s["shard"] for s in m1["shards"]} - {
+        s["shard"] for s in m0["shards"] if s in m1["shards"]
+    }
+    before = {s["shard"]: s for s in m0["shards"]}
+    after = {s["shard"]: s for s in m1["shards"]}
+    assert any(before[k] == after[k] for k in before if k in after) or touched
+
+
+def test_refresh_empties_a_shard(spark, tmp_path):
+    import os as _os
+
+    from embulk_spark.sinks.corpus import refresh_corpus_shards, shard_of
+
+    path = str(tmp_path / "corpus")
+    docs = _docs(spark, 30)
+    write_corpus_shards(docs, path, n_shards=3)
+    # delete every doc of shard 1
+    victims = docs.withColumn("s", shard_of(F.col("doc_id"), 3)).filter(
+        "s = 1"
+    ).select("doc_id")
+    assert victims.count() > 0
+    m = refresh_corpus_shards(spark, path, deletes=victims)
+    assert all(s["shard"] != 1 for s in m["shards"])
+    assert not _os.path.exists(_os.path.join(path, "shard=1"))
+    assert verify_corpus_shards(spark, path)["ok"]
+
+
+def test_refresh_noop_change_set(spark, tmp_path):
+    from embulk_spark.sinks.corpus import refresh_corpus_shards
+
+    path = str(tmp_path / "corpus")
+    m0 = write_corpus_shards(_docs(spark, 10), path, n_shards=2)
+    m1 = refresh_corpus_shards(spark, path)
+    assert m1 == m0
+
+
+def test_refresh_from_lake_change_feed(spark, tmp_path):
+    """E2E CDC lockstep: export the table after epoch 0, fold the epoch-1
+    change feed in, and land exactly where a from-scratch export of the
+    final table lands."""
+    from embulk_spark.sinks.corpus import (
+        refresh_from_changes,
+        write_corpus_shards,
+    )
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    events = change_stream(spark, 3000, 300, 2, num_partitions=4)
+    path = str(tmp_path / "lake")
+    table = ParquetLakeTable(spark, path, n_buckets=4)
+    replay_batches(table, events, max_epochs=1)
+
+    export = str(tmp_path / "export")
+    cols = ["url", "warc_ts", "seq", "text"]
+    from embulk_spark.sinks.corpus import export_from_lake
+
+    export_from_lake(
+        spark, table, export, columns=cols, id_col="url", n_shards=4
+    )
+    replay_batches(ParquetLakeTable(spark, path, n_buckets=4), events)
+    table = ParquetLakeTable(spark, path, n_buckets=4)
+    m1 = refresh_from_changes(
+        spark, export, table.changes_between(0)
+    )
+    ref = write_corpus_shards(
+        table.published().select(*cols),
+        str(tmp_path / "ref"),
+        id_col="url",
+        n_shards=4,
+    )
+    assert m1["shards"] == ref["shards"]
+    assert verify_corpus_shards(spark, export)["ok"]
+
+
+def test_refresh_consecutive_feed_ranges(spark, tmp_path):
+    """Applying (0,1] then (1,2] lands exactly where a from-scratch
+    export of the epoch-2 table lands — tombstones carried across."""
+    from embulk_spark.sinks.corpus import (
+        export_from_lake,
+        refresh_from_changes,
+        write_corpus_shards,
+    )
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    events = change_stream(spark, 4000, 250, 3, num_partitions=4)
+    path = str(tmp_path / "lake")
+    table = ParquetLakeTable(spark, path, n_buckets=4)
+    replay_batches(table, events, max_epochs=1)
+
+    export = str(tmp_path / "export")
+    cols = ["url", "warc_ts", "seq", "text"]
+    export_from_lake(spark, table, export, columns=cols, id_col="url",
+                     n_shards=4)
+    replay_batches(ParquetLakeTable(spark, path, n_buckets=4), events)
+    table = ParquetLakeTable(spark, path, n_buckets=4)
+    refresh_from_changes(spark, export, table.changes_between(0, 1))
+    m2 = refresh_from_changes(spark, export, table.changes_between(1, 2))
+    ref = write_corpus_shards(
+        table.published().select(*cols), str(tmp_path / "ref"),
+        id_col="url", n_shards=4,
+    )
+    assert m2["shards"] == ref["shards"]
+    assert verify_corpus_shards(spark, export)["ok"]
