@@ -84,6 +84,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "export",
+        help="corpus out: sharded training-corpus export of a lake "
+             "table's published state (+ audit manifest), or an "
+             "incremental refresh from its change feed",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("export", help="export directory")
+    sp.add_argument("--n-shards", type=int, default=16)
+    sp.add_argument("--refresh-since-epoch", type=int, default=None,
+                    help="fold the change feed (since, until] into an "
+                         "existing export instead of a full export")
+    sp.add_argument("--refresh-until-epoch", type=int, default=None)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "cleanup",
         help="expire old snapshots and remove orphaned data files "
              "(reference cli/Command.java:5, exec/BulkLoader.java:471-505)",
@@ -162,6 +177,28 @@ def main(argv: list[str] | None = None) -> int:
                               "out": args.out}))
         else:
             feed.show(50, truncate=False)
+        return 0
+
+    if args.cmd == "export":
+        from .sinks.corpus import export_from_lake, refresh_from_changes
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        if args.refresh_since_epoch is not None:
+            feed = table.changes_between(
+                args.refresh_since_epoch, args.refresh_until_epoch
+            )
+            manifest = refresh_from_changes(spark, args.export, feed)
+        else:
+            manifest = export_from_lake(
+                spark, table, args.export, n_shards=args.n_shards
+            )
+        print(json.dumps({
+            "out": args.export,
+            "rows": manifest["total_rows"],
+            "n_tokens": manifest["total_tokens"],
+            "version": manifest.get("version", 0),
+        }))
         return 0
 
     if args.cmd == "cleanup":

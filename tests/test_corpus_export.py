@@ -218,3 +218,34 @@ def test_refresh_consecutive_feed_ranges(spark, tmp_path):
     )
     assert m2["shards"] == ref["shards"]
     assert verify_corpus_shards(spark, export)["ok"]
+
+
+def test_cli_export_and_refresh(tmp_path, capsys, spark):
+    """CLI export subcommand: full export of a lake table's published
+    state, then an incremental refresh from its change feed."""
+    import json as _json
+
+    from embulk_spark.cli import main
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    events = change_stream(spark, 400, 50, 2, num_partitions=2)
+    lake = str(tmp_path / "lake")
+    table = ParquetLakeTable(spark, lake, n_buckets=4)
+    replay_batches(table, events, max_epochs=1)
+
+    export = str(tmp_path / "export")
+    assert main(["export", lake, export, "--n-shards", "4"]) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["rows"] > 0 and out["version"] == 0
+
+    replay_batches(ParquetLakeTable(spark, lake, n_buckets=4), events)
+    assert main(
+        ["export", lake, export, "--refresh-since-epoch", "0"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["version"] >= 1
+    assert verify_corpus_shards(spark, export)["ok"]
+    final = ParquetLakeTable(spark, lake, n_buckets=4).published().count()
+    assert out["rows"] == final
