@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--signature-index", default=None,
                     help="path of a near-dup MinHash signature index kept "
                          "in lockstep with the replay (operators/incremental)")
+    sp.add_argument("--export", default=None,
+                    help="path of a corpus export (sinks/corpus, created "
+                         "with the export subcommand) kept in lockstep: "
+                         "each epoch's change-set folds in after commit")
 
     sp = sub.add_parser(
         "changes",
@@ -153,6 +157,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.signature_index, id_col="url", id_type="string",
                 order_cols=["warc_ts", "seq"],
             )
+        if args.export:
+            import os as _os
+
+            from .sinks.corpus import MANIFEST, export_from_lake
+
+            if not _os.path.exists(_os.path.join(args.export, MANIFEST)):
+                # bootstrap: seed the export from current table state
+                export_from_lake(spark, table, args.export)
         if args.checkpoint:
             stream_events(
                 spark, table, args.events, args.checkpoint, signature_index=idx
@@ -160,7 +172,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             events = spark.read.parquet(args.events)
             metrics = replay_batches(
-                table, events, max_epochs=args.max_epochs, signature_index=idx
+                table, events, max_epochs=args.max_epochs, signature_index=idx,
+                export_path=args.export,
             )
             for m in metrics:
                 print(json.dumps(m, default=str))

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -125,6 +126,9 @@ def write_corpus_shards(
         "salt": salt,
         "id_col": id_col,
         "text_col": text_col,
+        # full schema (incl. shard) so an EMPTY export — e.g. seeded from
+        # a fresh table before its first replay epoch — stays readable
+        "schema": sharded.schema.jsonValue(),
         "total_rows": int(sum(r["rows"] for r in stats)),
         "total_tokens": int(sum(r["n_tokens"] or 0 for r in stats)),
         "shards": [
@@ -142,6 +146,17 @@ def write_corpus_shards(
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def _load_export(spark, path: str, manifest: dict):
+    """Read an export; the manifest-recorded schema makes EMPTY exports
+    (no shard dirs yet) readable where inference would fail."""
+    reader = spark.read.format(manifest["format"])
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    return reader.load(path)
 
 
 def verify_corpus_shards(spark, path: str) -> dict:
@@ -200,7 +215,6 @@ def refresh_corpus_shards(
     corpus, pinned by tests/test_corpus_export.py.
     """
     import shutil as _shutil
-    import tempfile as _tempfile
 
     mpath = os.path.join(path, MANIFEST)
     with open(mpath) as f:
@@ -227,10 +241,8 @@ def refresh_corpus_shards(
     if not affected:
         return manifest
 
-    old = (
-        spark.read.format(fmt)
-        .load(path)
-        .filter(F.col("shard").isin(affected))
+    old = _load_export(spark, path, manifest).filter(
+        F.col("shard").isin(affected)
     )
     survivors = old.join(changed, id_col, "left_anti")
     out = survivors
@@ -286,7 +298,7 @@ def refresh_corpus_shards(
     manifest["total_rows"] = sum(s["rows"] for s in manifest["shards"])
     manifest["total_tokens"] = sum(s["n_tokens"] for s in manifest["shards"])
     manifest["version"] = int(manifest.get("version", 0)) + 1
-    fd, tmp = _tempfile.mkstemp(dir=path, prefix="._manifest.")
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest.")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, mpath)
@@ -325,6 +337,10 @@ def export_from_lake(
         id_col=id_col,
         **kwargs,
     )
+    # cursor seed: the export reflects everything committed so far
+    manifest["synced_epochs"] = sorted(
+        int(e) for e in table.committed_epochs()
+    )
     tomb = full.filter(F.col("is_deleted")).select(id_col, *version_cols)
     return _commit_tombstones(spark, path, manifest, tomb, list(version_cols))
 
@@ -337,13 +353,12 @@ def _commit_tombstones(spark, path, manifest, tomb, version_cols) -> dict:
     """Write the tombstone set as a fresh versioned dir, point the
     manifest at it atomically, then drop older versions."""
     import shutil as _shutil
-    import tempfile as _tempfile
 
     rel = f"{TOMBSTONES}/v{int(manifest.get('version', 0))}"
     tomb.write.mode("overwrite").parquet(os.path.join(path, rel))
     manifest["tombstones"] = rel
     manifest["version_cols"] = version_cols
-    fd, tmp = _tempfile.mkstemp(dir=path, prefix="._manifest.")
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest.")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(path, MANIFEST))
@@ -358,6 +373,8 @@ def refresh_from_changes(
     spark,
     path: str,
     changes: DataFrame,
+    *,
+    mark_epoch: int | None = None,
 ) -> dict:
     """Consume a CDC change feed (``streaming/lake.py::changes_between``
     shape: one net row per key with an ``is_deleted`` tombstone flag)
@@ -377,9 +394,19 @@ def refresh_from_changes(
     exactly what a from-scratch export of the final table produces
     (pinned by tests/test_corpus_export.py). Raises if the export has no
     tombstone sidecar — plain :func:`write_corpus_shards` exports cannot
-    consume a MOR feed."""
+    consume a MOR feed.
+
+    ``mark_epoch`` records the feed's epoch in the manifest's
+    ``synced_epochs`` cursor (and makes the call idempotent: an
+    already-synced epoch is a no-op). Because resolution is a pure max
+    over versions, applying ranges out of order (pipelined replay)
+    converges to the same state as in-order application."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
+    if mark_epoch is not None and mark_epoch in manifest.get(
+        "synced_epochs", []
+    ):
+        return manifest  # idempotent re-delivery of a synced epoch
     id_col = manifest["id_col"]
     tomb_rel = _tombstone_dir(manifest)
     if tomb_rel is None:
@@ -388,11 +415,19 @@ def refresh_from_changes(
             "export_from_lake to consume a merge-on-read change feed"
         )
     version_cols = manifest["version_cols"]
-    old = spark.read.format(manifest["format"]).load(path).drop("shard")
+    old = _load_export(spark, path, manifest).drop("shard")
     tomb = spark.read.parquet(os.path.join(path, tomb_rel))
     changed_ids = changes.select(id_col).distinct().localCheckpoint()
     if not changed_ids.head(1):
-        return manifest  # empty feed range: nothing to fold, keep v-dir
+        # empty feed range: no shard work, but the cursor still advances
+        if mark_epoch is not None:
+            manifest.setdefault("synced_epochs", []).append(int(mark_epoch))
+            manifest["synced_epochs"].sort()
+            fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest.")
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+            os.replace(tmp, os.path.join(path, MANIFEST))
+        return manifest
     feed_cols = [c for c in old.columns if c in changes.columns]
 
     cand = old.join(changed_ids, id_col).select(
@@ -435,5 +470,8 @@ def refresh_from_changes(
     manifest = refresh_corpus_shards(
         spark, path, upserts=live, deletes=gone.select(id_col)
     )
+    if mark_epoch is not None:
+        manifest.setdefault("synced_epochs", []).append(int(mark_epoch))
+        manifest["synced_epochs"].sort()
     new_tomb = tomb.join(changed_ids, id_col, "left_anti").unionByName(gone)
     return _commit_tombstones(spark, path, manifest, new_tomb, version_cols)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +79,53 @@ def _sync_signature_index(table, signature_index, epoch: int, m: dict) -> None:
         signature_index.update_from_lake_epoch(table, epoch)
 
 
+def _sync_export(table, export_path: str, epoch: int, m: dict, lock) -> None:
+    """Bring a corpus export (sinks/corpus.py) to this committed epoch:
+    fold the epoch's change-set in (O(Δ + affected shards)). Idempotent
+    via the manifest's synced_epochs cursor, so a crash between the
+    table commit and the export sync self-heals on replay; the lock
+    serializes pipelined epochs onto the single-writer export (apply
+    order doesn't matter — resolution is a pure max over versions — but
+    concurrent manifest writes would).
+
+    Like _sync_signature_index, the fresh-commit path reads the epoch's
+    delta files from the commit metrics directly — in-loop compaction
+    can fold the epoch out of the snapshot before this sync runs, which
+    would invalidate a changes_between cursor. The fallback (export
+    lagging the table after a crash) still uses the feed, which also
+    normalizes renames; delta files carry write-time column names, so
+    sync exports promptly when using DDL."""
+    import os as _os
+
+    from ..sinks.corpus import refresh_from_changes
+
+    with lock:
+        if m.get("empty_batch"):
+            feed = table.spark.createDataFrame(
+                [], "url STRING, is_deleted BOOLEAN"
+            )
+        elif m.get("delta_dir"):
+            feed = table.spark.read.parquet(
+                _os.path.join(table.path, m["delta_dir"])
+            )
+        else:
+            feed = table.changes_between(epoch - 1, epoch)
+        refresh_from_changes(table.spark, export_path, feed, mark_epoch=epoch)
+
+
+def _export_synced_epochs(export_path: str) -> set:
+    import json as _json
+    import os as _os
+
+    from ..sinks.corpus import MANIFEST
+
+    mpath = _os.path.join(export_path, MANIFEST)
+    if not _os.path.exists(mpath):
+        return set()
+    with open(mpath) as f:
+        return {int(e) for e in _json.load(f).get("synced_epochs", [])}
+
+
 def _auto_pipeline_depth(spark: SparkSession) -> int:
     """Overlap epochs only when the host has CPU headroom for it.
 
@@ -112,6 +160,7 @@ def replay_batches(
     max_epochs: int | None = None,
     pipeline_depth: int | None = None,
     signature_index=None,
+    export_path: str | None = None,
 ) -> list[dict]:
     """Replay all (remaining) epochs of ``events`` in epoch order.
 
@@ -124,6 +173,12 @@ def replay_batches(
     ``id_col='url'``) is kept in lockstep with the table: after each
     epoch commit the index ingests the epoch's delta files (O(Δ)), so
     near-dups of every change-set are queryable per epoch.
+
+    ``export_path`` (a corpus export created by
+    ``sinks.corpus.export_from_lake``) is likewise kept in lockstep:
+    after each epoch commit the epoch's change feed folds into the
+    export (O(Δ + affected shards)) — a live training corpus synced to
+    the WAL.
 
     ``pipeline_depth`` > 1 overlaps consecutive epochs' Spark jobs on
     driver threads (default: adaptive, see :func:`_auto_pipeline_depth`).
@@ -159,6 +214,8 @@ def replay_batches(
         # an epoch the table has but the index lacks (crash between the
         # two commits) must still be visited so the index can self-heal
         done = done & {int(e) for e in signature_index.committed_epochs()}
+    if export_path is not None:
+        done = done & _export_synced_epochs(export_path)
     pending: list[int] = []
     n = 0
     for e in epochs:
@@ -169,11 +226,15 @@ def replay_batches(
         pending.append(int(e))
         n += 1
 
+    export_lock = threading.Lock()
+
     def run_epoch(e: int) -> dict:
         data = events.filter((F.col("epoch") == e) & (F.col("op") != "S"))
         m = table.merge_epoch(data, e)
         if signature_index is not None:
             _sync_signature_index(table, signature_index, e, m)
+        if export_path is not None:
+            _sync_export(table, export_path, e, m, export_lock)
         return m
 
     out: list[dict] = []

@@ -249,3 +249,50 @@ def test_cli_export_and_refresh(tmp_path, capsys, spark):
     assert verify_corpus_shards(spark, export)["ok"]
     final = ParquetLakeTable(spark, lake, n_buckets=4).published().count()
     assert out["rows"] == final
+
+
+def test_replay_keeps_export_in_lockstep(spark, tmp_path):
+    """Attach an export to replay: seeded empty, folded per epoch
+    (pipelined), final export == from-scratch export of the final table;
+    resume after a lagging sync self-heals."""
+    from embulk_spark.sinks.corpus import (
+        export_from_lake,
+        write_corpus_shards,
+    )
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    events = change_stream(spark, 3000, 250, 3, num_partitions=4)
+    lake = str(tmp_path / "lake")
+    export = str(tmp_path / "export")
+    table = ParquetLakeTable(spark, lake, n_buckets=4)
+    export_from_lake(spark, table, export, n_shards=4)  # empty seed
+
+    replay_batches(table, events, export_path=export, max_epochs=2)
+    # crash-sim: table advances one epoch WITHOUT the export...
+    replay_batches(ParquetLakeTable(spark, lake, n_buckets=4), events)
+    # ...and a re-run with the export attached self-heals the lag
+    replay_batches(
+        ParquetLakeTable(spark, lake, n_buckets=4), events,
+        export_path=export,
+    )
+    table = ParquetLakeTable(spark, lake, n_buckets=4)
+    cols = ["url", "warc_ts", "seq", "text"]
+    ref = write_corpus_shards(
+        table.published().select(*cols), str(tmp_path / "ref"),
+        id_col="url", n_shards=4,
+    )
+    import json as _json
+    import os as _os
+
+    from embulk_spark.sinks.corpus import MANIFEST
+
+    got = _json.load(open(_os.path.join(export, MANIFEST)))
+    got_shards = [
+        {k: s[k] for k in ("shard", "rows", "n_tokens", "content_sum")}
+        for s in got["shards"]
+    ]
+    assert got_shards == ref["shards"]
+    assert got["synced_epochs"] == [0, 1, 2]
+    assert verify_corpus_shards(spark, export)["ok"]
