@@ -1114,6 +1114,93 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_url_rules(urls, _synth_url_rules_df(spark), mode="block")
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/scd.py): the events change stream
+    folded into per-user validity intervals — consecutive same-type
+    events collapse, ``valid_to`` = next version's ``valid_from``, one
+    shuffle (all windows share one partitioning)."""
+    from embulk_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tie_cols=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        F.col("version").cast("long").alias("version"),
+        "is_current",
+    )
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration damped PageRank (operators/graph.py) over the
+    customer→supplier link graph (distinct pairs via orders⋈lineitem):
+    5 rounds, each one shuffle join + partial-sum hash agg, dangling
+    mass via a broadcast 1-row frame, lineage truncated per round. The
+    oracle unrolls the 5 rounds as chained CTEs."""
+    from embulk_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 12).alias("rank"))
+
+
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (operators/bloom.py): docs with
+    doc_id%4≠0 build an m=2^20-bit corpus fingerprint (bit_or-packed
+    longs, broadcastable at any corpus size); the doc_id%4==0 batch is
+    probed without the corpus in the plan. ``exact_present`` (left-semi
+    ground truth) exposes the false-positive contract: never
+    exact&&!bloom, sometimes bloom&&!exact."""
+    from embulk_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod("doc_id", F.lit(4)) != 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    bloom = bloom_build(corpus, "text", m_bits=1 << 20, k=5)
+    probed = bloom_probe(batch, bloom, "text", ["doc_id"], m_bits=1 << 20, k=5)
+    exact = (
+        batch.join(
+            corpus.select(F.col("text").alias("_ct")).distinct(),
+            batch["text"] == F.col("_ct"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.col("_ct").isNotNull()).alias("exact_present"))
+    )
+    return probed.join(exact, "doc_id")
+
+
+def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-metrics rollup: ROLLUP(event_type, day) subtotal lattice —
+    per-(type, day), per-type, and grand-total rows in ONE pass
+    (Catalyst expands grouping sets map-side; no per-level rescan)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "value",
+            "user_id",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_per_key": _q_cdc_latest_per_key,
@@ -1178,6 +1265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": _q_token_packing,
         "semantic_dedup": _q_semantic_dedup,
         "url_filter": _q_url_filter,
+        "scd2_history": _q_scd2_history,
+        "pagerank": _q_pagerank,
+        "bloom_dedup": _q_bloom_dedup,
+        "metrics_rollup": _q_metrics_rollup,
     }
 
 
@@ -1295,6 +1386,43 @@ def _cc_oracle_sql() -> str:
         )
         """
     )
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unroll ``iters`` damped-PageRank rounds as chained CTEs (the
+    semantic_dedup Lloyd-unroll technique) over the customer→supplier
+    edge list; identical operation order to operators/graph.py so the
+    doubles agree to well past the 12-decimal rounding."""
+    d = repr(damping)
+    head = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*)::double AS od FROM edges GROUP BY src),
+nn AS (SELECT count(*)::double AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+"""
+    steps = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        steps.append(f"""
+r{i} AS (
+  SELECT no.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.inflow, 0)
+                  + (SELECT COALESCE(sum(r.rank), 0) FROM {prev} r
+                     LEFT JOIN deg dg ON dg.src = r.node WHERE dg.src IS NULL)
+                    / (SELECT n FROM nn)) AS rank
+  FROM nodes no
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / dg.od) AS inflow
+    FROM {prev} r JOIN deg dg ON dg.src = r.node JOIN edges e ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON c.node = no.node
+)""")
+    return head + "," + ",".join(steps)
 
 
 #: per-event session assignment: lag + running sum, inclusive gap boundary
@@ -2361,5 +2489,73 @@ def oracle_sql() -> dict[str, str]:
             OR (kind = 'prefix' AND kd.canon LIKE pattern || '%')
           )
         )
+        """,
+        "scd2_history": """
+        WITH ordered AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS prev_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        chg AS (
+          SELECT * FROM ordered
+          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+        )
+        SELECT user_id, event_type,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER w2) AS valid_to_us,
+               row_number() OVER w2 AS version,
+               (lead(ts) OVER w2 IS NULL) AS is_current
+        FROM chg
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "pagerank": _pagerank_oracle_sql(5, 0.85) + """
+        SELECT node, round(rank, 12) AS rank FROM r5
+        """,
+        "bloom_dedup": """
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+        batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        bpos AS (
+          SELECT (('0x' || substr(md5('bf' || i::varchar || ':' || text), 1, 15))::bigint
+                  % 1048576) AS p
+          FROM corpus, range(5) t(i)
+        ),
+        bloom AS (
+          SELECT p // 63 AS word, bit_or(1::bigint << (p % 63)::int) AS bits
+          FROM bpos GROUP BY 1
+        ),
+        probe AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5('bf' || i::varchar || ':' || text), 1, 15))::bigint
+                  % 1048576) AS p
+          FROM batch, range(5) t(i)
+        ),
+        hits AS (
+          SELECT pr.doc_id,
+                 min(CASE WHEN b.bits IS NOT NULL
+                               AND (b.bits & (1::bigint << (pr.p % 63)::int)) <> 0
+                          THEN 1 ELSE 0 END) AS allset
+          FROM probe pr LEFT JOIN bloom b ON b.word = pr.p // 63
+          GROUP BY pr.doc_id
+        ),
+        ex AS (
+          SELECT ba.doc_id,
+                 (count(c.text) > 0) AS exact_present
+          FROM batch ba
+          LEFT JOIN (SELECT DISTINCT text FROM corpus) c ON c.text = ba.text
+          GROUP BY ba.doc_id
+        )
+        SELECT h.doc_id, (h.allset = 1) AS maybe_present, e.exact_present
+        FROM hits h JOIN ex e ON e.doc_id = h.doc_id
+        """,
+        "metrics_rollup": """
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               grouping_id(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')) AS grp,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
         """,
     }

@@ -1,0 +1,203 @@
+"""SCD-2 history build, fixed-iteration PageRank, Bloom membership probe."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from embulk_spark.operators.bloom import bloom_build, bloom_probe
+from embulk_spark.operators.graph import pagerank
+from embulk_spark.operators.scd import scd2_history
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# SCD-2
+# ---------------------------------------------------------------------------
+
+def _scd_fixture(spark):
+    rows = [
+        # url A: v1 -> no-op update (collapses) -> v2 -> v3
+        Row(url="a", ts=_ts("2024-01-01T00:00:00"), seq=1, state="x"),
+        Row(url="a", ts=_ts("2024-01-02T00:00:00"), seq=2, state="x"),
+        Row(url="a", ts=_ts("2024-01-03T00:00:00"), seq=3, state="y"),
+        Row(url="a", ts=_ts("2024-01-04T00:00:00"), seq=4, state="z"),
+        # url B: single version
+        Row(url="b", ts=_ts("2024-02-01T00:00:00"), seq=5, state="only"),
+        # url C: same-timestamp tie broken by seq; then NULL transition
+        Row(url="c", ts=_ts("2024-03-01T00:00:00"), seq=7, state="late"),
+        Row(url="c", ts=_ts("2024-03-01T00:00:00"), seq=6, state="early"),
+        Row(url="c", ts=_ts("2024-03-02T00:00:00"), seq=8, state=None),
+        Row(url="c", ts=_ts("2024-03-03T00:00:00"), seq=9, state=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_scd2_versions_and_intervals(spark):
+    hist = scd2_history(
+        _scd_fixture(spark), ["url"], "ts", ["state"], tie_cols=["seq"]
+    )
+    got = {
+        (r.url, r.version): r for r in hist.collect()
+    }
+    # url a: no-op update collapsed -> 3 versions
+    assert {k for k in got if k[0] == "a"} == {("a", 1), ("a", 2), ("a", 3)}
+    a1, a2, a3 = got[("a", 1)], got[("a", 2)], got[("a", 3)]
+    assert (a1.state, a2.state, a3.state) == ("x", "y", "z")
+    # interval chain: valid_to == next valid_from, half-open
+    assert a1.valid_from == _ts("2024-01-01T00:00:00")
+    assert a1.valid_to == a2.valid_from == _ts("2024-01-03T00:00:00")
+    assert a2.valid_to == a3.valid_from == _ts("2024-01-04T00:00:00")
+    assert a3.valid_to is None and a3.is_current
+    assert not a1.is_current and not a2.is_current
+
+    # url b: one open version
+    b1 = got[("b", 1)]
+    assert b1.state == "only" and b1.is_current and b1.valid_to is None
+
+    # url c: same-ts tie broken by seq (early then late), then one NULL
+    # version (NULL==NULL collapses null-safely)
+    c = sorted((r for k, r in got.items() if k[0] == "c"), key=lambda r: r.version)
+    assert [r.state for r in c] == ["early", "late", None]
+    assert c[0].valid_to == c[1].valid_from  # zero-length first version
+    assert c[2].is_current
+
+
+def test_scd2_no_collapse_keeps_noop_updates(spark):
+    hist = scd2_history(
+        _scd_fixture(spark), ["url"], "ts", ["state"], tie_cols=["seq"],
+        collapse=False,
+    )
+    assert hist.filter(F.col("url") == "a").count() == 4
+    assert hist.filter(F.col("url") == "c").count() == 4
+
+
+def test_scd2_current_rows_match_latest_per_key(spark):
+    """The SCD-2 open version per key IS the newest-wins MERGE winner."""
+    df = _scd_fixture(spark)
+    hist = scd2_history(df, ["url"], "ts", ["state"], tie_cols=["seq"])
+    current = {
+        r.url: r.state for r in hist.filter("is_current").collect()
+    }
+    latest = {
+        r.url: r.state
+        for r in df.groupBy("url")
+        .agg(F.max_by("state", F.struct("ts", "seq")).alias("state"))
+        .collect()
+    }
+    assert current == latest
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _pagerank_numpy(edges: list[tuple[int, int]], iters: int, d: float):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        nxt = {}
+        for v in nodes:
+            inflow = sum(
+                rank[u] / len(out[u]) for u in out if v in out[u]
+            )
+            nxt[v] = (1 - d) / n + d * (inflow + dangling / n)
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_loop(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # every node has out-edges
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=4).collect()}
+    want = _pagerank_numpy(edges, iters=4, d=0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    # conservation: dangling redistribution keeps total rank at 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_nodes_redistribute(spark):
+    # star into a sink: 2..5 -> 1; node 1 has no out-edges (pure dangling)
+    edges = [(i, 1) for i in range(2, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=3).collect()}
+    want = _pagerank_numpy(edges, iters=3, d=0.85)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert got[1] > got[2]  # sink accumulates
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_duplicate_edges_are_distinct(spark):
+    dup = [(1, 2), (1, 2), (2, 1)]
+    df = spark.createDataFrame(dup, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=2).collect()}
+    want = _pagerank_numpy([(1, 2), (2, 1)], iters=2, d=0.85)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    vals = [f"doc-{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    bloom = bloom_build(df, "v", m_bits=1 << 16, k=5)
+    probed = bloom_probe(
+        df.withColumn("id", F.col("v")), bloom, "v", ["id"],
+        m_bits=1 << 16, k=5,
+    )
+    assert probed.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_false_positive_rate_reasonable(spark):
+    members = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(1000)], "v string"
+    )
+    outsiders = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(1000)], "v string"
+    ).withColumn("id", F.col("v"))
+    # m/n = 65536/1000 ≈ 65 bits/element, k=5 → theoretical FP ≈ 2e-5
+    bloom = bloom_build(members, "v", m_bits=1 << 16, k=5)
+    fp = (
+        bloom_probe(outsiders, bloom, "v", ["id"], m_bits=1 << 16, k=5)
+        .filter("maybe_present")
+        .count()
+    )
+    assert fp <= 5  # generous ceiling over the ~0.02 expected
+
+
+def test_bloom_definite_negative_contract(spark):
+    """bloom-negative rows are NEVER exact members (the safe-to-skip set)."""
+    corpus = spark.createDataFrame(
+        [(f"t{i % 50}",) for i in range(200)], "v string"
+    )
+    batch = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, v string"
+    )
+    bloom = bloom_build(corpus, "v", m_bits=1 << 14, k=4)
+    probed = bloom_probe(batch, bloom, "v", ["id"], m_bits=1 << 14, k=4)
+    exact = {r.id for r in batch.join(
+        corpus.select(F.col("v").alias("_c")).distinct(),
+        batch["v"] == F.col("_c"),
+    ).select("id").collect()}
+    for r in probed.collect():
+        if not r.maybe_present:
+            assert r.id not in exact
+    # and every true member is flagged
+    flagged = {r.id for r in probed.filter("maybe_present").collect()}
+    assert exact <= flagged

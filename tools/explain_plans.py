@@ -295,6 +295,39 @@ CHECKS = {
         "must": [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         "must_not": [r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "scd2_history": {
+        "why": "SCD-2 folds a change stream into validity intervals with "
+               "ONE shuffle: the collapse lag, the lead(valid_to) and the "
+               "version row_number all share partitionBy(key) orderBy(ts, "
+               "tie), so Catalyst plans a single hashpartitioning exchange "
+               "(the post-filter windows re-sort in place, never "
+               "re-partition) — at 10^10 events the whole build costs one "
+               "wide sort per key bucket",
+        "must": [r"\bWindow\b", r"hashpartitioning\(user_id"],
+        "must_not": [r"(?s)\+- Exchange.*\+- Exchange",
+                     r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "bloom_dedup": {
+        "why": "the bloom probe joins the exploded candidate positions "
+               "against the packed filter words via BROADCAST (the filter "
+               "is ≤ m/63 rows at any corpus size) and reduces with a "
+               "partial-combine min agg — the corpus never appears in the "
+               "probe side of the plan; bit packing itself is a bit_or "
+               "hash agg with map-side combine",
+        "must": [r"BroadcastHashJoin", r"partial_bit_or|partial_min",
+                 r"HashAggregate"],
+        "must_not": [r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "metrics_rollup": {
+        "why": "ROLLUP computes the whole subtotal lattice in one pass — "
+               "Catalyst's Expand emits the grouping-set rows map-side and "
+               "a single hash agg reduces them; the naive alternative "
+               "(one scan+agg per level, unioned) re-reads the events "
+               "log L times",
+        "must": [r"Expand", r"HashAggregate"],
+        "must_not": [r"(?s)\+- Scan parquet.*\+- Scan parquet",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
 }
 
 
