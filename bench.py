@@ -156,6 +156,9 @@ def main() -> None:
         "embedding_neardup",
         "multimodal_sniff",
         "audio_features",
+        "scd2_history",
+        "pagerank",
+        "bloom_dedup",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

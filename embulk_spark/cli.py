@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--signature-index", default=None,
                     help="path of a near-dup MinHash signature index kept "
                          "in lockstep with the replay (operators/incremental)")
+    sp.add_argument("--bloom-index", default=None,
+                    help="path of a Bloom membership fingerprint kept in "
+                         "lockstep with the replay (operators/bloom)")
     sp.add_argument("--export", default=None,
                     help="path of a corpus export (sinks/corpus, created "
                          "with the export subcommand) kept in lockstep: "
@@ -100,6 +103,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="fold the change feed (since, until] into an "
                          "existing export instead of a full export")
     sp.add_argument("--refresh-until-epoch", type=int, default=None)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
+        "rollback",
+        help="restore a lake table to an earlier snapshot (publishes a "
+             "new snapshot; the undone epochs replay through the normal "
+             "idempotent path)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--to-version", type=int, required=True)
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
@@ -157,6 +170,11 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.signature_index, id_col="url", id_type="string",
                 order_cols=["warc_ts", "seq"],
             )
+        bloom = None
+        if args.bloom_index:
+            from .operators.bloom import BloomIndex
+
+            bloom = BloomIndex(spark, args.bloom_index)
         if args.export:
             import os as _os
 
@@ -167,13 +185,14 @@ def main(argv: list[str] | None = None) -> int:
                 export_from_lake(spark, table, args.export)
         if args.checkpoint:
             stream_events(
-                spark, table, args.events, args.checkpoint, signature_index=idx
+                spark, table, args.events, args.checkpoint,
+                signature_index=idx, bloom_index=bloom,
             )
         else:
             events = spark.read.parquet(args.events)
             metrics = replay_batches(
                 table, events, max_epochs=args.max_epochs, signature_index=idx,
-                export_path=args.export,
+                bloom_index=bloom, export_path=args.export,
             )
             for m in metrics:
                 print(json.dumps(m, default=str))
@@ -212,6 +231,13 @@ def main(argv: list[str] | None = None) -> int:
             "n_tokens": manifest["total_tokens"],
             "version": manifest.get("version", 0),
         }))
+        return 0
+
+    if args.cmd == "rollback":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        print(json.dumps(table.rollback_to(args.to_version)))
         return 0
 
     if args.cmd == "cleanup":

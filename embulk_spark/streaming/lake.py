@@ -348,7 +348,10 @@ class ParquetLakeTable:
                 continue
             if m.get("empty_batch") and m.get("epoch_id") is not None:
                 out.add(int(m["epoch_id"]))
-        return out
+        # a rollback can un-commit an epoch whose original (historical)
+        # commit was empty — history says "was empty once", the CURRENT
+        # snapshot says whether it counts
+        return out & self.committed_epochs()
 
     # ------------------------------------------------------------------
     # MERGE commit (merge-on-read: append the deduped change-set)
@@ -850,6 +853,78 @@ class ParquetLakeTable:
             if root != self._data_dir and not dirs and not fns:
                 os.rmdir(root)
         return {"orphans_removed": len(removed), "kept_in_grace": kept_young}
+
+    def rollback_to(self, version: int) -> dict:
+        """Restore the table to snapshot ``version``'s state by publishing
+        a NEW snapshot carrying that state (Iceberg rollback semantics:
+        history is never rewritten, so time travel and concurrent readers
+        stay consistent, and create-exclusive versioning keeps the
+        rollback linearizable with in-flight epoch commits).
+
+        Epochs undone by the rollback leave ``committed_epochs``, so a
+        subsequent replay re-applies exactly the undone epochs through the
+        normal idempotent path — "roll back the bad batch, fix, replay" is
+        the reference's resume story inverted (exec/BulkLoader.java:584-659
+        re-runs uncommitted tasks; rollback un-commits them).
+
+        Refused when the target snapshot has been expired or any of its
+        data files were collected (``cleanup_orphans`` after expiry)."""
+        try:
+            target = self.snapshot_at(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{version} does not exist (expired?) — "
+                "cannot roll back past expire_snapshots"
+            )
+        missing = [
+            f
+            for f in sorted(self._referenced_files([target]))
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot v{version} references {len(missing)} collected "
+                f"data file(s) (first: {missing[0]}) — unrecoverable after "
+                "cleanup_orphans"
+            )
+        with self._commit_lock:
+            while True:
+                cur = self.current_snapshot()
+                if cur["version"] == version:
+                    return {"rolled_back_to": version, "noop": True}
+                committed_at = time.time()
+                new_snap = {
+                    "version": cur["version"] + 1,
+                    "epoch_id": None,
+                    "committed_epochs": target["committed_epochs"],
+                    "schema_v": target["schema_v"],
+                    "schemas": target["schemas"],
+                    "renames": target["renames"],
+                    "base": target["base"],
+                    "base_rows": target["base_rows"],
+                    "deltas": target["deltas"],
+                    "metrics": {
+                        "op": "rollback",
+                        "to_version": version,
+                        "committed_at": committed_at,
+                    },
+                    "lineage": [],
+                    "committed_at": committed_at,
+                }
+                try:
+                    _atomic_create_json(
+                        self._snap_path(new_snap["version"]), new_snap
+                    )
+                    return {
+                        "rolled_back_to": version,
+                        "new_version": new_snap["version"],
+                        "uncommitted_epochs": sorted(
+                            set(cur["committed_epochs"])
+                            - set(target["committed_epochs"])
+                        ),
+                    }
+                except FileExistsError:
+                    continue  # concurrent commit took the version: rebase
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Retain only the newest ``keep_last`` snapshots; data files

@@ -64,7 +64,9 @@ def apply_epoch(table: ParquetLakeTable, epoch_df: DataFrame, epoch_id: int) -> 
 
 
 def _sync_signature_index(table, signature_index, epoch: int, m: dict) -> None:
-    """Bring the near-dup index to this committed epoch: O(Δ) re-read of
+    """Bring an epoch-committed side index (SignatureIndex or BloomIndex —
+    both speak commit_empty_epoch / update_from_lake_epoch /
+    committed_epochs) to this committed epoch: O(Δ) re-read of
     the epoch's delta files (no extraction recompute). Both sides' epoch
     commits are idempotent, so a crash between the table commit and the
     index commit self-heals — a table-side skip falls through to the
@@ -160,6 +162,7 @@ def replay_batches(
     max_epochs: int | None = None,
     pipeline_depth: int | None = None,
     signature_index=None,
+    bloom_index=None,
     export_path: str | None = None,
 ) -> list[dict]:
     """Replay all (remaining) epochs of ``events`` in epoch order.
@@ -173,6 +176,11 @@ def replay_batches(
     ``id_col='url'``) is kept in lockstep with the table: after each
     epoch commit the index ingests the epoch's delta files (O(Δ)), so
     near-dups of every change-set are queryable per epoch.
+
+    ``bloom_index`` (an operators.bloom.BloomIndex) follows the same
+    lockstep contract: each committed epoch's live texts OR into the
+    membership fingerprint (O(Δ); bit_or idempotence makes replays and
+    duplicate deliveries exact no-ops).
 
     ``export_path`` (a corpus export created by
     ``sinks.corpus.export_from_lake``) is likewise kept in lockstep:
@@ -214,6 +222,8 @@ def replay_batches(
         # an epoch the table has but the index lacks (crash between the
         # two commits) must still be visited so the index can self-heal
         done = done & {int(e) for e in signature_index.committed_epochs()}
+    if bloom_index is not None:
+        done = done & {int(e) for e in bloom_index.committed_epochs()}
     if export_path is not None:
         done = done & _export_synced_epochs(export_path)
     pending: list[int] = []
@@ -233,6 +243,8 @@ def replay_batches(
         m = table.merge_epoch(data, e)
         if signature_index is not None:
             _sync_signature_index(table, signature_index, e, m)
+        if bloom_index is not None:
+            _sync_signature_index(table, bloom_index, e, m)
         if export_path is not None:
             _sync_export(table, export_path, e, m, export_lock)
         return m
@@ -331,15 +343,17 @@ def stream_events(
     max_files_per_trigger: int = 1,
     schema_ddl: str | None = None,
     signature_index=None,
+    bloom_index=None,
 ) -> None:
     """Structured-Streaming surface: tail a parquet event-log directory and
     apply each micro-batch through the same idempotent merge.
 
     The sink key is Spark's ``batch_id`` (monotonic per checkpoint); on
     restart, a re-delivered batch hits the committed-epoch set and no-ops —
-    the foreachBatch exactly-once pattern. ``signature_index`` is kept in
-    lockstep exactly as in :func:`replay_batches` (same idempotent
-    epoch commits keyed by batch_id, same crash-window self-heal)."""
+    the foreachBatch exactly-once pattern. ``signature_index`` /
+    ``bloom_index`` are kept in lockstep exactly as in
+    :func:`replay_batches` (same idempotent epoch commits keyed by
+    batch_id, same crash-window self-heal)."""
     from ..sources.events import EVENT_SCHEMA
 
     reader = (
@@ -353,6 +367,8 @@ def stream_events(
         m = apply_epoch(table, batch_df, e)
         if signature_index is not None:
             _sync_signature_index(table, signature_index, e, m)
+        if bloom_index is not None:
+            _sync_signature_index(table, bloom_index, e, m)
 
     q = (
         reader.writeStream.foreachBatch(_apply)

@@ -207,3 +207,69 @@ def test_changes_between_scans_only_delta_files(spark, tmp_path):
         for r in events.filter("epoch in (2,3) and op != 'S'").select("url").collect()
     }
     assert {r["url"] for r in feed.collect()} <= late_urls
+
+
+def _state(table):
+    return {
+        (r["url"], r["warc_ts"], r["seq"])
+        for r in table.published().select("url", "warc_ts", "seq").collect()
+    }
+
+
+def test_rollback_restores_state_and_replay_reapplies(spark, tmp_path):
+    """rollback_to publishes a NEW snapshot with the old state; the undone
+    epochs leave committed_epochs, so the normal idempotent replay
+    re-applies exactly them and converges to the original final state."""
+    events = change_stream(spark, 1200, 150, 3, num_partitions=4).cache()
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_batches(table, events, max_epochs=2, pipeline_depth=1)
+    good = table.current_snapshot()
+    state_01 = _state(table)
+
+    replay_batches(table, events, pipeline_depth=1)
+    final = _state(table)
+    assert table.committed_epochs() == {0, 1, 2}
+
+    rep = table.rollback_to(good["version"])
+    assert rep["uncommitted_epochs"] == [2]
+    assert rep["new_version"] > good["version"]
+    assert table.committed_epochs() == {0, 1}
+    assert _state(table) == state_01
+    # history preserved: the pre-rollback snapshot still time-travels
+    pre = table.snapshot_at(rep["new_version"] - 1)
+    assert 2 in pre["committed_epochs"]
+
+    # replay re-applies ONLY the undone epoch and converges
+    metrics = replay_batches(table, events, pipeline_depth=1)
+    assert [m["epoch_id"] for m in metrics] == [2]
+    assert _state(table) == final
+
+
+def test_rollback_refused_after_expiry(spark, tmp_path):
+    import pytest
+
+    events = change_stream(spark, 600, 80, 3, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_batches(table, events, pipeline_depth=1)
+    v0 = 1  # first epoch commit
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        table.rollback_to(v0)
+
+
+def test_rollback_noop_and_idempotent(spark, tmp_path):
+    events = change_stream(spark, 600, 80, 2, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_batches(table, events, pipeline_depth=1)
+    cur = table.current_snapshot()["version"]
+    assert table.rollback_to(cur)["noop"]
+    before = _state(table)
+    v_target = cur - 1
+    r1 = table.rollback_to(v_target)
+    r2 = table.rollback_to(v_target)  # again: publishes another restore
+    assert r1["rolled_back_to"] == r2["rolled_back_to"] == v_target
+    assert _state(table) == _state(table)
+    assert table.committed_epochs() == set(
+        table.snapshot_at(v_target)["committed_epochs"]
+    )
+    assert _state(table) != before or not r1.get("uncommitted_epochs")

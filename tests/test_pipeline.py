@@ -230,6 +230,36 @@ def test_cli_replay_and_cleanup(tmp_path, capsys, spark):
     assert idx.committed_epochs() == {0, 1}
     assert idx.signatures().count() > 0
 
+    # replay with an attached Bloom membership index: lockstep epochs,
+    # every live text probes positive
+    table3, bfidx = str(tmp_path / "table3"), str(tmp_path / "bfidx")
+    assert main(
+        ["replay", src, table3, "--buckets", "4", "--bloom-index", bfidx]
+    ) == 0
+    capsys.readouterr()
+    from pyspark.sql import functions as _F
+
+    from embulk_spark.operators.bloom import BloomIndex
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    bidx = BloomIndex(spark, bfidx)
+    assert bidx.committed_epochs() == {0, 1}
+    pub3 = ParquetLakeTable(spark, table3, n_buckets=4).published()
+    probed = bidx.probe(
+        pub3.select(_F.col("url").alias("id"), "text"), "text", ["id"]
+    )
+    assert probed.filter(~_F.col("maybe_present")).count() == 0
+
+    # rollback subcommand: undo the last epoch, then replay re-applies it
+    tbl = ParquetLakeTable(spark, table3, n_buckets=4)
+    target = tbl.current_snapshot()["version"] - 1
+    assert main(["rollback", table3, "--to-version", str(target)]) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["rolled_back_to"] == target
+    assert main(["replay", src, table3, "--buckets", "4"]) == 0
+    capsys.readouterr()
+    assert ParquetLakeTable(spark, table3, n_buckets=4).committed_epochs() == {0, 1}
+
     assert main(["cleanup", table, "--keep-snapshots", "1"]) == 0
     out = _json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["snapshots_retained"] == 1 and "orphans_removed" in out
