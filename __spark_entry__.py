@@ -1201,6 +1201,20 @@ def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user sketch per event_type
+    (operators/sketch.py): md5-pinned 256-register HLL whose registers
+    AND estimate are bit-identical across engines — the oracle runs the
+    same sketch from the same constants (hll_oracle_sql is generated
+    from the operator's single source of truth). One combine-friendly
+    shuffle regardless of input size; sketches merge with max (see
+    tests/test_sketch.py incremental==batch)."""
+    from embulk_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", ["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_per_key": _q_cdc_latest_per_key,
@@ -1269,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
+        "hll_distinct": _q_hll_distinct,
     }
 
 
@@ -2558,4 +2573,11 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
         """,
+        "hll_distinct": _hll_oracle(),
     }
+
+
+def _hll_oracle() -> str:
+    from embulk_spark.operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql("events", "user_id", ["event_type"])
