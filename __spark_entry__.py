@@ -1201,6 +1201,39 @@ def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML outlink extraction → host-level in-degree
+    (functions/textops.py::extract_links/link_edges). The documents
+    fixture carries no html, so link-bearing html is synthesized INLINE
+    from (doc_id, text) — identically in the oracle SQL — and the real
+    JVM regexp operator runs over it: per dst_host distinct-source
+    in-degree, the link-graph build every PageRank run starts from."""
+    from embulk_spark.functions.textops import link_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><body><p>'), F.col("text"), F.lit('</p>'),
+            F.lit('<a href="http://h'), (F.col("doc_id") % 29).cast("string"),
+            F.lit('.example.com/p">x</a>'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit('<a href="ftp://skip.me/f">f</a>'
+                               '<a href="https://h'),
+                         (F.col("doc_id") % 11).cast("string"),
+                         F.lit('.example.org/q#frag">y</a>')),
+            ).otherwise(F.lit('<a href="/relative/skip">r</a>')),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    edges = link_edges(pages, "url", "html")
+    return edges.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_src_hosts")
+    )
+
+
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user sketch per event_type
     (operators/sketch.py): md5-pinned 256-register HLL whose registers
@@ -1284,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
+        "link_extract": _q_link_extract,
     }
 
 
@@ -2574,6 +2608,32 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
         """,
         "hll_distinct": _hll_oracle(),
+        "link_extract": r"""
+        WITH pages AS (
+          SELECT 'h' || (doc_id % 37)::varchar || '.example.com' AS src_host,
+                 '<html><body><p>' || text || '</p>'
+                 || '<a href="http://h' || (doc_id % 29)::varchar || '.example.com/p">x</a>'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '<a href="ftp://skip.me/f">f</a>'
+                              || '<a href="https://h' || (doc_id % 11)::varchar
+                              || '.example.org/q#frag">y</a>'
+                         ELSE '<a href="/relative/skip">r</a>' END
+                 || '</body></html>' AS html
+          FROM documents
+        ),
+        links AS (
+          SELECT src_host, unnest(regexp_extract_all(html, 'href\s*=\s*"([^"]*)"', 1)) AS dst
+          FROM pages
+        ),
+        edges AS (
+          SELECT DISTINCT src_host,
+                 lower(regexp_extract(dst, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS dst_host
+          FROM links
+          WHERE regexp_matches(dst, '^https?://')
+        )
+        SELECT dst_host, count(*) AS n_src_hosts
+        FROM edges WHERE src_host <> dst_host GROUP BY dst_host
+        """,
     }
 
 

@@ -10,7 +10,7 @@ into the analysis layer a 100 TB corpus pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -205,6 +205,44 @@ def url_domain(url: Column) -> Column:
     hot-host skew/grouping key. Public-suffix nuance intentionally out of
     scope (no list dependency); two labels is the convention CC stats use."""
     return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+
+
+# ---------------------------------------------------------------------------
+# HTML link extraction — the edge source for the link graph (PageRank
+# prior, operators/graph.py) and crawl-frontier/outlink analytics
+# ---------------------------------------------------------------------------
+
+#: double-quoted href attribute values, in document order. Deliberately
+#: quote-strict (the synthetic corpus and WARC fixtures emit canonical
+#: quoting); oracle parity: DuckDB regexp_extract_all with group 1.
+HREF_RE = r'href\s*=\s*"([^"]*)"'
+
+
+def extract_links(html: Column) -> Column:
+    """All href targets of an html string, document order, unresolved
+    (relative links verbatim — resolution is a caller decision). ONE
+    JVM regexp pass, codegen-friendly, no UDF."""
+    return F.regexp_extract_all(html, F.lit(HREF_RE), 1)
+
+
+def link_edges(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """(src_host, dst_host) distinct host-level edges from absolute
+    http(s) outlinks — the PageRank input. Self-loops dropped (a host
+    linking itself adds no centrality signal and bloats hot hosts).
+
+    Scale shape: explode(extract_links) is a narrow 1→k flat map; the
+    only shuffle is the final distinct on the (already tiny) host-pair
+    key — at web scale that agg is the edge-dedup every link-graph
+    build pays exactly once."""
+    links = df.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(extract_links(F.col(html_col))).alias("dst"),
+    ).filter(F.col("dst").rlike(r"^https?://"))
+    return (
+        links.select("src_host", url_host(F.col("dst")).alias("dst_host"))
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
