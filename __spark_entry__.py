@@ -1201,6 +1201,30 @@ def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report
+    (operators/validate.py): Embulk's stop_on_invalid_record contract
+    generalized to named rules with per-rule violation counts. All
+    row-level rules fold into ONE aggregate pass (stack-unpivoted);
+    the unique rule adds one map-side-combine hash agg."""
+    from embulk_spark.operators.validate import violation_report
+
+    ev = _t(spark, sf_dir, "events")
+    return violation_report(
+        ev,
+        [
+            {"column": "user_id", "check": "not_null"},
+            {"column": "value", "check": "range", "min": 0, "max": 10},
+            {"column": "event_type", "check": "in_set",
+             "values": ["click", "view", "purchase"]},
+            {"column": "props", "check": "regex", "pattern": "^\\{"},
+            {"column": "event_id", "check": "unique"},
+            {"check": "expr", "expr": "ts >= timestamp'2024-01-01 00:00:00'",
+             "name": "ts_in_2024"},
+        ],
+    )
+
+
 def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML outlink extraction → host-level in-degree
     (functions/textops.py::extract_links/link_edges). The documents
@@ -1318,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
         "link_extract": _q_link_extract,
+        "data_quality": _q_data_quality,
     }
 
 
@@ -2633,6 +2658,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT dst_host, count(*) AS n_src_hosts
         FROM edges WHERE src_host <> dst_host GROUP BY dst_host
+        """,
+        "data_quality": r"""
+        WITH n AS (SELECT count(*) AS checked FROM events)
+        SELECT 'user_id:not_null' AS rule,
+               (SELECT count(*) FROM events WHERE user_id IS NULL) AS violations,
+               checked FROM n
+        UNION ALL
+        SELECT 'value:range[0,10]',
+               (SELECT count(*) FROM events
+                WHERE value IS NOT NULL AND NOT (value >= 0 AND value <= 10)),
+               checked FROM n
+        UNION ALL
+        SELECT 'event_type:in_set',
+               (SELECT count(*) FROM events
+                WHERE event_type IS NOT NULL
+                  AND event_type NOT IN ('click','view','purchase')),
+               checked FROM n
+        UNION ALL
+        SELECT 'props:regex',
+               (SELECT count(*) FROM events
+                WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\{')),
+               checked FROM n
+        UNION ALL
+        SELECT 'ts_in_2024',
+               (SELECT count(*) FROM events
+                WHERE NOT (ts >= TIMESTAMP '2024-01-01 00:00:00')),
+               checked FROM n
+        UNION ALL
+        SELECT 'event_id:unique',
+               coalesce((SELECT sum(c) FROM (
+                  SELECT count(*) AS c FROM events WHERE event_id IS NOT NULL
+                  GROUP BY event_id HAVING count(*) > 1)), 0),
+               (SELECT count(*) FROM events WHERE event_id IS NOT NULL)
         """,
     }
 

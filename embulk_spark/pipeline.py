@@ -346,6 +346,16 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
             n_buckets=int(fconf.get("n_buckets", 256)),
             salt=str(fconf.get("salt", "pack1")),
         )
+    if ftype == "validate":
+        # data-quality constraint gate (operators/validate.py):
+        # Embulk's stop_on_invalid_record generalized to named rules.
+        # policy fail = all-or-nothing transaction abort (the Embulk
+        # default contract), drop = skip invalid records, tag = annotate.
+        from .operators.validate import validate
+
+        return validate(
+            df, fconf["rules"], policy=fconf.get("policy", "fail")
+        )
     raise ValueError(f"unknown filter type: {ftype}")
 
 
