@@ -1201,6 +1201,21 @@ def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 topic seed — terms that actually occur in the synthetic corpus
+_BM25_TERMS = ["join", "shuffle", "broadcast", "customer"]
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a topic seed list
+    (operators/retrieval.py) — the targeted-crawl quality prior. Query
+    terms broadcast; only matching (doc, term) pairs shuffle; corpus
+    constants come from one tiny agg crossed back broadcast."""
+    from embulk_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
 def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint report
     (operators/validate.py): Embulk's stop_on_invalid_record contract
@@ -1343,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "link_extract": _q_link_extract,
         "data_quality": _q_data_quality,
+        "bm25_scores": _q_bm25_scores,
     }
 
 
@@ -2633,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
         """,
         "hll_distinct": _hll_oracle(),
+        "bm25_scores": _bm25_oracle(),
         "link_extract": r"""
         WITH pages AS (
           SELECT 'h' || (doc_id % 37)::varchar || '.example.com' AS src_host,
@@ -2699,3 +2716,9 @@ def _hll_oracle() -> str:
     from embulk_spark.operators.sketch import hll_oracle_sql
 
     return hll_oracle_sql("events", "user_id", ["event_type"])
+
+
+def _bm25_oracle() -> str:
+    from embulk_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql("documents", _BM25_TERMS)
