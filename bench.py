@@ -159,6 +159,10 @@ def main() -> None:
         "scd2_history",
         "pagerank",
         "bloom_dedup",
+        "hll_distinct",
+        "bm25_scores",
+        "link_extract",
+        "data_quality",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
