@@ -101,6 +101,10 @@ def write_output(df: DataFrame, out_config: dict) -> dict:
             write_jsonl(df, out_config)
         elif fmt == "parquet":
             write_parquet(df, out_config)
+        elif fmt == "orc":
+            df.write.mode(out_config.get("mode", "overwrite")).orc(
+                _out_dir(out_config)
+            )
         else:
             raise ValueError(f"unknown formatter type: {fmt}")
         return {"type": "file", "path_prefix": out_config["path_prefix"]}

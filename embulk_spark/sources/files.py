@@ -262,6 +262,28 @@ def read_input_files(
         return read_csv(spark, paths, parser), diff
     if ptype == "json":
         return read_json(spark, paths, parser), diff
+    if ptype in ("parquet", "orc"):
+        # columnar self-describing inputs (the embulk-input-parquet /
+        # embulk-parser-orc ecosystem plugins): schema comes from the
+        # file footer; declared `columns` (optional) prune + coerce on
+        # top — column pruning reaches the scan (ReadSchema), so a
+        # 2-column projection never reads the other columns' bytes.
+        # .format().load(list): reader.orc(*paths) trips a py4j seq
+        # conversion bug on multi-path in pyspark 4.1
+        df = spark.read.format(ptype).load(paths)
+        cols = parser.get("columns") or []
+        if cols:
+            from ..functions.coerce import EMBULK_TO_SPARK
+
+            df = df.select(
+                *[
+                    F.col(c["name"]).cast(EMBULK_TO_SPARK[c["type"]]).alias(c["name"])
+                    if c.get("type") else F.col(c["name"])
+                    for c in cols
+                ]
+            )
+            df = _apply_timestamp_formats(df, cols)
+        return df, diff
     raise ValueError(f"unknown parser type: {ptype}")
 
 

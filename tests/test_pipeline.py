@@ -785,3 +785,38 @@ def test_filter_pii_redact(spark):
     assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 0, 1)
     assert out[2].text == "no pii in this row at all"
     assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+
+
+def test_orc_and_parquet_columnar_roundtrip(spark, tmp_path):
+    """columnar inputs/outputs (the embulk-input-parquet / -output-orc
+    ecosystem plugins re-expressed as native Spark formats): schema from
+    the file footer; declared columns prune + coerce on top."""
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)], "id long, s string, v double"
+    )
+    orc_in = str(tmp_path / "in_orc")
+    src.write.orc(orc_in)
+    out_dir = str(tmp_path / "out")
+    cfg = {
+        "in": {"type": "file", "path_prefix": orc_in + "/part-",
+               "parser": {"type": "orc"}},
+        "out": {"type": "file", "path_prefix": f"{out_dir}/res",
+                "formatter": {"type": "orc"}},
+    }
+    P.run(spark, cfg)
+    back = spark.read.orc(f"{out_dir}/res")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # declared columns = projection + coercion (id long -> string here)
+    cfg2 = {
+        "in": {"type": "file", "path_prefix": orc_in + "/part-",
+               "parser": {"type": "orc",
+                          "columns": [{"name": "id", "type": "string"},
+                                      {"name": "s", "type": "string"}]}},
+        "out": {"type": "file", "path_prefix": f"{out_dir}/res2",
+                "formatter": {"type": "parquet"}},
+    }
+    P.run(spark, cfg2)
+    back2 = spark.read.parquet(f"{out_dir}/res2")
+    assert back2.columns == ["id", "s"]
+    assert dict(back2.dtypes)["id"] == "string"
+    assert {tuple(r) for r in back2.collect()} == {("1", "a"), ("2", "b"), ("3", None)}
