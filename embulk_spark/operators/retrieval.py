@@ -59,9 +59,17 @@ def bm25_scores(
         F.avg("_dl").alias("_avgdl"),
     )
 
+    # drop non-query tokens INSIDE the array (JVM HOF) before explode:
+    # the flat-map then emits only matching tokens instead of the whole
+    # corpus token stream — at 100 TB that's the difference between
+    # exploding ~10^12 tokens and ~10^9 matches
     tf = (
-        toked.select("_id", "_dl", F.explode("_toks").alias("_term"))
-        .filter(F.col("_term").isin(terms))
+        toked.select(
+            "_id", "_dl",
+            F.explode(
+                F.filter("_toks", lambda x: x.isin(terms))
+            ).alias("_term"),
+        )
         .groupBy("_id", "_term")
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"),
              F.first("_dl").alias("_dl"))

@@ -162,6 +162,39 @@ def hll_distinct(
     )
 
 
+def merge_register_dicts(*reg_dicts: dict) -> dict:
+    """Driver-side register merge for manifest-resident sketches (the
+    lake's cumulative url cardinality, streaming/lake.py): bucket → max
+    rho. Keys may be str (JSON round-trip) or int; output keys are str
+    so the result is JSON-stable."""
+    out: dict[str, int] = {}
+    for regs in reg_dicts:
+        for k, v in (regs or {}).items():
+            k = str(int(k))
+            if v > out.get(k, 0):
+                out[k] = int(v)
+    return out
+
+
+def estimate_from_registers(regs: dict, *, p: int = 8) -> int:
+    """Pure-Python mirror of ``hll_estimate`` (same integer harmonic sum,
+    same correction) for ≤ m-entry register dicts living in a snapshot
+    manifest — a driver-side metric, so no engine-parity constraint, but
+    the arithmetic is kept identical anyway."""
+    import math
+
+    m = 1 << p
+    present = {int(k): int(v) for k, v in (regs or {}).items()}
+    intsum = sum(1 << (SUM_SCALE - min(v, SUM_SCALE)) for v in present.values())
+    intsum += (m - len(present)) * (1 << SUM_SCALE)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = int(math.floor(alpha * m * m * float(1 << SUM_SCALE) / float(intsum) + 0.5))
+    zeros = m - len(present)
+    if raw <= int(2.5 * m) and zeros > 0:
+        return int(math.floor(m * math.log(m / zeros) + 0.5))
+    return raw
+
+
 def hll_oracle_sql(
     table_expr: str,
     value_sql: str,

@@ -128,10 +128,19 @@ class ParquetLakeTable:
         schema_ddl: str = TARGET_DDL,
         compact_min_deltas: int = 8,
         compact_ratio: float = 1.0,
+        url_hll: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
+        #: cumulative distinct-url HLL in the manifest (operators/
+        #: sketch.py): per epoch ONE extra column-pruned scan of the
+        #: just-written delta (url bytes only, O(change-set)), registers
+        #: max-merged into the snapshot atomically with the commit —
+        #: "distinct keys ever ingested" at any snapshot without
+        #: touching the base. Opt-in: the default epoch stays exactly
+        #: one heavy job.
+        self.url_hll = url_hll
         self.compact_min_deltas = compact_min_deltas
         self.compact_ratio = compact_ratio
         self._snap_dir = os.path.join(self.path, "snapshots")
@@ -192,6 +201,19 @@ class ParquetLakeTable:
     def committed_epochs(self) -> set[int]:
         snap = self.current_snapshot()
         return set(snap["committed_epochs"]) if snap else set()
+
+    def url_cardinality(self, *, version: int | None = None) -> int | None:
+        """Estimated distinct urls EVER ingested (deletes included) as of
+        a snapshot, from the manifest-resident HLL — no data files
+        touched. None until a ``url_hll=True`` handle has committed."""
+        from ..operators.sketch import estimate_from_registers
+
+        snap = (
+            self.snapshot_at(version) if version is not None
+            else self.current_snapshot()
+        )
+        regs = snap.get("url_hll") or {}
+        return estimate_from_registers(regs) if regs else None
 
     def schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.current_snapshot()
@@ -541,8 +563,22 @@ class ParquetLakeTable:
             "rows": rows_written,
             "epoch_id": epoch_id,
         }
+        hll_regs = None
+        if self.url_hll:
+            # O(change-set) column-pruned re-read of the delta just
+            # written (url only — a few bytes/row); ≤ 256 rows collect
+            from ..operators.sketch import hll_sketch
+
+            urls = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            ).select("url")
+            hll_regs = {
+                str(r["bucket"]): int(r["rho"])
+                for r in hll_sketch(urls, "url", []).collect()
+            }
         out = self._commit(
-            snap, epoch_id, metrics=metrics, lineage=lineage, new_delta=delta_group
+            snap, epoch_id, metrics=metrics, lineage=lineage,
+            new_delta=delta_group, hll_regs=hll_regs,
         )
         self.maybe_compact()
         return out
@@ -577,6 +613,7 @@ class ParquetLakeTable:
         renames: list | None = None,
         expect_base_of: dict | None = None,
         expect_schema_v_of: dict | None = None,
+        hll_regs: dict | None = None,
     ) -> dict:
         """Publish a new snapshot. REBASES on the current snapshot under the
         commit lock (not the one the caller captured), so pipelined epochs
@@ -624,6 +661,19 @@ class ParquetLakeTable:
                     ]
                 if new_delta:
                     deltas = deltas + [new_delta]
+                # cumulative url sketch: max-merge is commutative and
+                # idempotent, so it rebases exactly like the epoch set
+                url_hll = cur.get("url_hll") or {}
+                if hll_regs:
+                    from ..operators.sketch import merge_register_dicts
+
+                    url_hll = merge_register_dicts(url_hll, hll_regs)
+                if url_hll:
+                    from ..operators.sketch import estimate_from_registers
+
+                    out_metrics["distinct_urls_est"] = estimate_from_registers(
+                        url_hll
+                    )
                 new_snap = {
                     "version": new_version,
                     "epoch_id": epoch_id,
@@ -637,6 +687,7 @@ class ParquetLakeTable:
                         else cur["base_rows"]
                     ),
                     "deltas": deltas,
+                    "url_hll": url_hll,
                     "metrics": out_metrics,
                     "lineage": lineage,
                     "committed_at": committed_at,
@@ -903,6 +954,9 @@ class ParquetLakeTable:
                     "base": target["base"],
                     "base_rows": target["base_rows"],
                     "deltas": target["deltas"],
+                    # the sketch is monotone state: it rolls back with the
+                    # epoch set and re-merges when the epochs replay
+                    "url_hll": target.get("url_hll") or {},
                     "metrics": {
                         "op": "rollback",
                         "to_version": version,
