@@ -1216,6 +1216,19 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, _BM25_TERMS)
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/cms.py): users above an
+    activity threshold, estimated from a d×w mergeable counter sketch
+    (never undercounts → recall 1 on true hot keys). Engine-parity md5
+    positions; the oracle replays the sketch counter-for-counter."""
+    from embulk_spark.operators.cms import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    # string-typed candidate keys to match the oracle's VARCHAR schema
+    cand = ev.select(F.col("user_id").cast("string").alias("key")).distinct()
+    return heavy_hitters(ev, "user_id", threshold=70, candidates=cand)
+
+
 def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint report
     (operators/validate.py): Embulk's stop_on_invalid_record contract
@@ -1359,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "data_quality": _q_data_quality,
         "bm25_scores": _q_bm25_scores,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -2650,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_oracle(),
         "bm25_scores": _bm25_oracle(),
+        "heavy_hitters": _cms_oracle(),
         "link_extract": r"""
         WITH pages AS (
           SELECT 'h' || (doc_id % 37)::varchar || '.example.com' AS src_host,
@@ -2722,3 +2737,9 @@ def _bm25_oracle() -> str:
     from embulk_spark.operators.retrieval import bm25_oracle_sql
 
     return bm25_oracle_sql("documents", _BM25_TERMS)
+
+
+def _cms_oracle() -> str:
+    from embulk_spark.operators.cms import cms_oracle_sql
+
+    return cms_oracle_sql("events", "user_id", threshold=70)

@@ -160,6 +160,7 @@ def main() -> None:
         "pagerank",
         "bloom_dedup",
         "hll_distinct",
+        "heavy_hitters",
         "bm25_scores",
         "link_extract",
         "data_quality",
