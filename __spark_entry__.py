@@ -1216,6 +1216,22 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, _BM25_TERMS)
 
 
+def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (operators/sample.py::
+    split_by_group): every user's events land in ONE split via the
+    pinned md5-uniform hash on the group key — no shuffle, run/
+    partitioning/engine-invariant. Report: per-split row and group
+    counts."""
+    from embulk_spark.operators.sample import split_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = split_by_group(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_groups"),
+    )
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters (operators/cms.py): users above an
     activity threshold, estimated from a d×w mergeable counter sketch
@@ -1373,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": _q_data_quality,
         "bm25_scores": _q_bm25_scores,
         "heavy_hitters": _q_heavy_hitters,
+        "group_split": _q_group_split,
     }
 
 
@@ -2665,6 +2682,26 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "bm25_scores": _bm25_oracle(),
         "heavy_hitters": _cms_oracle(),
+        "group_split": """
+        WITH u AS (
+          SELECT user_id,
+                 ('0x' || left(md5('split1:' || user_id::varchar), 8))::bigint
+                   / 4294967296.0 AS h
+          FROM events
+        ),
+        s AS (
+          SELECT user_id,
+                 -- cumulative boundaries as the operator's Python doubles
+                 -- (0.8 + 0.1 = 0.9000000000000001 in binary64), never a
+                 -- re-derived decimal literal
+                 CASE WHEN h < 0.8 THEN 'train'
+                      WHEN h < 0.9000000000000001 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM u
+        )
+        SELECT split, count(*) AS n_rows, count(DISTINCT user_id) AS n_groups
+        FROM s GROUP BY split
+        """,
         "link_extract": r"""
         WITH pages AS (
           SELECT 'h' || (doc_id % 37)::varchar || '.example.com' AS src_host,

@@ -92,6 +92,42 @@ def stratified_sample(
     ).drop("_rate")
 
 
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict,
+    *,
+    salt: str = "split1",
+) -> DataFrame:
+    """Leakage-free train/validation/test split: EVERY row of a group
+    (url, domain, dup-cluster id…) lands in the SAME split, so near-
+    duplicate rows can never straddle train and eval — the web-corpus
+    split hygiene exact/fuzzy dedup exists to protect.
+
+    ``fractions``: ordered {split_name: fraction}, summing to ≤ 1 (any
+    remainder joins the LAST split). Assignment is the group key's
+    ``hash_uniform`` against cumulative fraction boundaries — pure
+    per-row JVM arithmetic, no shuffle, no state; deterministic across
+    runs/partitionings/engines, and adding rows to a group never moves
+    the group (the cursor-stable property incremental pipelines need).
+
+    Returns ``df`` + a ``split`` column; filter per split downstream."""
+    total = sum(float(v) for v in fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    u = hash_uniform(F.col(group_col), salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])  # remainder → last split
+    hi = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        hi += float(frac)
+        bounds.append((name, hi))
+    for name, b in reversed(bounds[:-1]):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def mixture_plan(
     available_tokens: dict,
     weights: dict,

@@ -118,3 +118,55 @@ def test_hash_uniform_range(spark, docs):
         F.avg(hash_uniform(F.col("doc_id"))).alias("mean"),
     ).collect()[0]
     assert 0.0 <= mm["lo"] and mm["hi"] < 1.0 and abs(mm["mean"] - 0.5) < 0.03
+
+
+# ---------------------------------------------------------------------------
+# group-aware split
+# ---------------------------------------------------------------------------
+
+def test_split_by_group_no_leakage_and_deterministic(spark):
+    from embulk_spark.operators.sample import split_by_group
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 97).cast("string").alias("grp")
+    )
+    out = split_by_group(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every group entirely in one split
+    assert out.groupBy("grp").agg(
+        F.count_distinct("split").alias("k")
+    ).filter("k > 1").count() == 0
+    # deterministic across partitionings
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, split_by_group(
+        df.repartition(7), "grp", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()))
+    assert a == b
+    # roughly proportional at the group level
+    per = {r.split: r.n for r in out.select("grp", "split").distinct()
+           .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert per.get("train", 0) > per.get("val", 0)
+    assert sum(per.values()) == 97
+    # adding rows to a group never moves the group (cursor stability)
+    more = spark.range(2000, 2100).select(
+        F.col("id"), (F.col("id") % 97).cast("string").alias("grp")
+    )
+    again = split_by_group(df.unionByName(more), "grp",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    m1 = {r.grp: r.split for r in out.select("grp", "split").distinct().collect()}
+    m2 = {r.grp: r.split for r in again.select("grp", "split").distinct().collect()}
+    assert all(m2[g] == s for g, s in m1.items())
+
+
+def test_split_by_group_remainder_and_validation(spark):
+    from embulk_spark.operators.sample import split_by_group
+
+    df = spark.range(500).select(
+        F.col("id"), F.col("id").cast("string").alias("grp")
+    )
+    out = split_by_group(df, "grp", {"a": 0.3, "b": 0.2})
+    per = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # remainder (~0.5) joins the LAST split
+    assert per["b"] > per["a"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_by_group(df, "grp", {"a": 0.9, "b": 0.2})
