@@ -1216,6 +1216,32 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, _BM25_TERMS)
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine trained quality classifier (operators/classifier.py):
+    hashed-unigram logistic regression fit by 3 full-batch GD steps ON
+    THE CLUSTER (weights stay a broadcastable ≤B-row frame, text never
+    reshuffles), then scored over the same corpus; the oracle unrolls
+    the training as chained CTEs. The documents fixture's labels
+    (lang/source) are independent of its text, so — like link_extract
+    synthesizes html — the labeled corpus is derived INLINE identically
+    in both engines: marker tokens appended by label, which the model
+    must learn over the shared base vocabulary (tests/test_classifier.py
+    pins that it does, acc > 0.95)."""
+    from embulk_spark.operators.classifier import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" premium curated"))
+            .otherwise(F.lit(" lowgrade boiler")),
+        ).alias("text"),
+        (F.col("doc_id") % 3 == 0).alias("y_true"),
+    )
+    return quality_classifier(aug, F.col("y_true"))
+
+
 def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free train/val/test split (operators/sample.py::
     split_by_group): every user's events land in ONE split via the
@@ -1390,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "heavy_hitters": _q_heavy_hitters,
         "group_split": _q_group_split,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -2682,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "bm25_scores": _bm25_oracle(),
         "heavy_hitters": _cms_oracle(),
+        "quality_classifier": _logreg_oracle(),
         "group_split": """
         WITH u AS (
           SELECT user_id,
@@ -2780,3 +2808,14 @@ def _cms_oracle() -> str:
     from embulk_spark.operators.cms import cms_oracle_sql
 
     return cms_oracle_sql("events", "user_id", threshold=70)
+
+
+def _logreg_oracle() -> str:
+    from embulk_spark.operators.classifier import logreg_oracle_sql
+
+    aug = (
+        "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
+        "THEN ' premium curated' ELSE ' lowgrade boiler' END AS text, "
+        "(doc_id % 3 = 0) AS y_true FROM documents) aug"
+    )
+    return logreg_oracle_sql(aug, "y_true")
