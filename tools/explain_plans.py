@@ -328,6 +328,57 @@ CHECKS = {
         "must_not": [r"(?s)\+- Scan parquet.*\+- Scan parquet",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "hll_distinct": {
+        "why": "the register build is ONE hash agg with map-side partial "
+               "combine (partial_max per (group, bucket)) — ≤ groups·m "
+               "rows cross the wire at any input size; the estimate agg "
+               "runs over that constant-size frame. Pure JVM arithmetic, "
+               "no Python, no window",
+        "must": [r"partial_max", r"HashAggregate"],
+        "must_not": [r"\bWindow\b", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "heavy_hitters": {
+        "why": "the CMS counter build partial-combines map-side onto a "
+               "constant d×w frame, and the point-query probe joins the "
+               "(broadcast) counter frame — the raw stream never shuffles "
+               "on the key; the min-reduction has partial combine too",
+        "must": [r"partial_sum", r"BroadcastHashJoin", r"partial_min"],
+        "must_not": [r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "bm25_scores": {
+        "why": "query terms prune INSIDE the token array before the "
+               "explode (filter HOF under Generate), so only matching "
+               "(doc, term) pairs flat-map out; term document-frequencies "
+               "and corpus constants join back BROADCAST — the corpus "
+               "never shuffles on the token key",
+        "must": [r"BroadcastHashJoin", r"explode",
+                 r"BroadcastNestedLoopJoin"],
+        "must_not": [r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython",
+                     r"SortMergeJoin"],
+    },
+    "quality_classifier": {
+        "why": "every GD iteration joins the feature frame to the ≤ B-row "
+               "weight frame BROADCAST and reduces gradients with a "
+               "partial-combine hash agg; text bytes never appear past "
+               "featurization and no Python evaluates in the loop",
+        "must": [r"BroadcastHashJoin", r"partial_sum", r"HashAggregate"],
+        "must_not": [r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "link_extract": {
+        "why": "href extraction is a JVM regexp under a Generate explode "
+               "(no UDF); the only exchange is the host-pair distinct + "
+               "count aggs, both with map-side partial combine",
+        "must": [r"explode", r"partial_count|partial"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython", r"\bWindow\b"],
+    },
+    "group_split": {
+        "why": "split assignment is pure per-row JVM arithmetic (md5 vs "
+               "cumulative boundaries): NO exchange before the final "
+               "report agg, no window, no Python",
+        "must": [r"HashAggregate"],
+        "must_not": [r"\bWindow\b", r"ArrowEvalPython", r"BatchEvalPython",
+                     r"SortMergeJoin"],
+    },
 }
 
 
