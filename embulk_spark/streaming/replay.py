@@ -45,9 +45,87 @@ def apply_schema_change(table: ParquetLakeTable, payload: str) -> None:
         raise ValueError(f"unknown schema_change action: {action}")
 
 
-def apply_epoch(table: ParquetLakeTable, epoch_df: DataFrame, epoch_id: int) -> dict:
+def _check_quarantine_rules(rules: list[dict]) -> None:
+    if any(r["check"] == "unique" for r in rules):
+        raise ValueError("'unique' is not a per-event rule; use it on "
+                         "table state, not the change stream")
+
+
+def quarantine_epoch(
+    table: ParquetLakeTable,
+    data: DataFrame,
+    epoch_id: int,
+    rules: list[dict],
+) -> tuple[DataFrame, int]:
+    """Dead-letter the epoch's invalid events instead of failing the
+    transaction or silently merging garbage — Embulk's per-record
+    invalid-row policy (``stop_on_invalid_record`` false ⇒ skip + log,
+    reference embulk-util-csv semantics via sources/files.py PERMISSIVE
+    mode) made CDC-native: offenders land in
+    ``<table>/quarantine/e<epoch>`` with a ``_violations`` array naming
+    every failed rule, BEFORE the epoch commits, so the quarantine is
+    covered by the same idempotence story (a re-delivered epoch skips
+    both; a crash between quarantine write and commit just overwrites
+    the identical deterministic content on rerun).
+
+    Rules are operators/validate.py row-level rules (``unique`` is
+    rejected — a change stream carries duplicates by design). Returns
+    (valid_rows, n_quarantined); opt-in cost: ONE extra O(Δ) job (the
+    offender write) per epoch."""
+    import os as _os
+
+    from pyspark.sql import Observation
+
+    from ..operators.validate import rule_predicate
+
+    _check_quarantine_rules(rules)
+    from ..operators.validate import _rule_name
+
+    pred = F.lit(True)
+    tags = []
+    for r in rules:
+        p = rule_predicate(r)
+        pred = pred & p
+        tags.append(F.when(~p, F.lit(_rule_name(r))))
+    bad = data.filter(~pred).withColumn(
+        "_violations", F.array_compact(F.array(*tags))
+    ).withColumn("_epoch", F.lit(epoch_id))
+    obs = Observation(f"quarantine_{epoch_id}")
+    out_dir = _os.path.join(table.path, "quarantine", f"e{epoch_id:08d}")
+    bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    n_bad = int(obs.get["n"])
+    if n_bad == 0:
+        # keep the quarantine dir sparse: no offenders, no directory
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
+    return data.filter(pred), n_bad
+
+
+def quarantine_df(table: ParquetLakeTable) -> DataFrame | None:
+    """All quarantined events across epochs (None when empty)."""
+    import os as _os
+
+    qdir = _os.path.join(table.path, "quarantine")
+    if not _os.path.isdir(qdir) or not _os.listdir(qdir):
+        return None
+    return table.spark.read.parquet(_os.path.join(qdir, "e*"))
+
+
+def apply_epoch(
+    table: ParquetLakeTable,
+    epoch_df: DataFrame,
+    epoch_id: int,
+    *,
+    quarantine_rules: list[dict] | None = None,
+) -> dict:
     """Apply one epoch: schema changes first (driver-side, tiny), then the
-    data events as one idempotent MERGE commit."""
+    data events as one idempotent MERGE commit. ``quarantine_rules``
+    dead-letters invalid events (see :func:`quarantine_epoch`)."""
+    if quarantine_rules:
+        _check_quarantine_rules(quarantine_rules)
     if epoch_id in table.committed_epochs():
         return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True,
                 "stages": ["RUN_BEGIN", "SKIPPED"]}
@@ -60,7 +138,13 @@ def apply_epoch(table: ParquetLakeTable, epoch_df: DataFrame, epoch_id: int) -> 
         if row["schema_change"]:
             apply_schema_change(table, row["schema_change"])
     data = epoch_df.filter(F.col("op") != "S")
-    return table.merge_epoch(data, epoch_id)
+    n_bad = 0
+    if quarantine_rules:
+        data, n_bad = quarantine_epoch(table, data, epoch_id, quarantine_rules)
+    m = table.merge_epoch(data, epoch_id)
+    if quarantine_rules:
+        m["quarantined_rows"] = n_bad
+    return m
 
 
 def _sync_signature_index(table, signature_index, epoch: int, m: dict) -> None:
@@ -164,8 +248,14 @@ def replay_batches(
     signature_index=None,
     bloom_index=None,
     export_path: str | None = None,
+    quarantine_rules: list[dict] | None = None,
 ) -> list[dict]:
     """Replay all (remaining) epochs of ``events`` in epoch order.
+
+    ``quarantine_rules`` (operators/validate.py row-level rules)
+    dead-letter invalid events per epoch before the commit — see
+    :func:`quarantine_epoch`; per-epoch offender counts land in the
+    returned metrics as ``quarantined_rows``.
 
     Schema-change events (rare by construction) are collected in ONE
     upfront scan instead of a per-epoch filter job; each epoch then costs
@@ -197,6 +287,8 @@ def replay_batches(
     as barriers: the pipeline drains, DDL applies, then overlap resumes
     (Embulk analogue: config diff applies between runs,
     exec/GuessExecutor.java:142-195)."""
+    if quarantine_rules:
+        _check_quarantine_rules(quarantine_rules)
     if pipeline_depth is None:
         pipeline_depth = _auto_pipeline_depth(table.spark)
     has_schema_col = "schema_change" in events.columns
@@ -240,7 +332,12 @@ def replay_batches(
 
     def run_epoch(e: int) -> dict:
         data = events.filter((F.col("epoch") == e) & (F.col("op") != "S"))
+        n_bad = 0
+        if quarantine_rules:
+            data, n_bad = quarantine_epoch(table, data, e, quarantine_rules)
         m = table.merge_epoch(data, e)
+        if quarantine_rules:
+            m["quarantined_rows"] = n_bad
         if signature_index is not None:
             _sync_signature_index(table, signature_index, e, m)
         if bloom_index is not None:
@@ -344,6 +441,7 @@ def stream_events(
     schema_ddl: str | None = None,
     signature_index=None,
     bloom_index=None,
+    quarantine_rules: list[dict] | None = None,
 ) -> None:
     """Structured-Streaming surface: tail a parquet event-log directory and
     apply each micro-batch through the same idempotent merge.
@@ -364,7 +462,7 @@ def stream_events(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         e = int(batch_id)
-        m = apply_epoch(table, batch_df, e)
+        m = apply_epoch(table, batch_df, e, quarantine_rules=quarantine_rules)
         if signature_index is not None:
             _sync_signature_index(table, signature_index, e, m)
         if bloom_index is not None:
