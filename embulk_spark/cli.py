@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--bloom-index", default=None,
                     help="path of a Bloom membership fingerprint kept in "
                          "lockstep with the replay (operators/bloom)")
+    sp.add_argument("--quarantine-rules", default=None,
+                    help="JSON list of validate rules; invalid events "
+                         "dead-letter to <table>/quarantine/e<epoch> "
+                         "instead of merging (streaming/replay.py)")
     sp.add_argument("--export", default=None,
                     help="path of a corpus export (sinks/corpus, created "
                          "with the export subcommand) kept in lockstep: "
@@ -183,16 +187,19 @@ def main(argv: list[str] | None = None) -> int:
             if not _os.path.exists(_os.path.join(args.export, MANIFEST)):
                 # bootstrap: seed the export from current table state
                 export_from_lake(spark, table, args.export)
+        qrules = json.loads(args.quarantine_rules) if args.quarantine_rules else None
         if args.checkpoint:
             stream_events(
                 spark, table, args.events, args.checkpoint,
                 signature_index=idx, bloom_index=bloom,
+                quarantine_rules=qrules,
             )
         else:
             events = spark.read.parquet(args.events)
             metrics = replay_batches(
                 table, events, max_epochs=args.max_epochs, signature_index=idx,
                 bloom_index=bloom, export_path=args.export,
+                quarantine_rules=qrules,
             )
             for m in metrics:
                 print(json.dumps(m, default=str))

@@ -97,3 +97,23 @@ def test_quarantine_rejects_unique_rule_and_clean_epochs_sparse(spark, tmp_path)
         replay_batches(
             t, ev, quarantine_rules=[{"column": "url", "check": "unique"}]
         )
+
+
+def test_cli_replay_with_quarantine_rules(spark, tmp_path, capsys):
+    import json
+
+    from embulk_spark import cli
+
+    ev = _events(spark)
+    events_dir = str(tmp_path / "events")
+    ev.write.partitionBy("epoch").parquet(events_dir)
+    table_dir = str(tmp_path / "t")
+    rc = cli.main([
+        "replay", events_dir, table_dir, "--buckets", "4",
+        "--quarantine-rules", json.dumps(RULES),
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {m["epoch_id"]: m["quarantined_rows"] for m in lines} == {0: 2, 1: 1}
+    t = ParquetLakeTable(spark, table_dir, n_buckets=4)
+    assert quarantine_df(t).count() == 3
