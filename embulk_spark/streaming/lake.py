@@ -202,6 +202,33 @@ class ParquetLakeTable:
         snap = self.current_snapshot()
         return set(snap["committed_epochs"]) if snap else set()
 
+    def metrics_history(self) -> list[dict]:
+        """Every retained snapshot's commit metrics in version order —
+        the monitoring feed (rows/dedup/watermark-lag per commit,
+        compactions, schema changes, rollbacks). Manifest-only: no data
+        files touched. Feed it to ``spark.createDataFrame`` for the
+        rollup queries (metrics_rollup shape) or ship it to a metrics
+        sink."""
+        out = []
+        for fn in self._snapshot_files():
+            snap = self.snapshot_at(int(fn[1:9]))
+            m = dict(snap.get("metrics") or {})
+            m["snapshot_version"] = snap["version"]
+            out.append(m)
+        return out
+
+    def lineage_history(self) -> list[dict]:
+        """Per-bucket lineage records of every retained commit (the
+        TaskReport analogue, reference exec/BulkLoader.java:121-152),
+        flattened with their snapshot version and epoch."""
+        out = []
+        for fn in self._snapshot_files():
+            snap = self.snapshot_at(int(fn[1:9]))
+            for rec in snap.get("lineage") or []:
+                out.append(dict(rec, snapshot_version=snap["version"],
+                                epoch_id=snap.get("epoch_id")))
+        return out
+
     def url_cardinality(self, *, version: int | None = None) -> int | None:
         """Estimated distinct urls EVER ingested (deletes included) as of
         a snapshot, from the manifest-resident HLL — no data files

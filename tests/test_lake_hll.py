@@ -77,3 +77,20 @@ def test_lake_hll_off_by_default(spark, tmp_path):
     replay_batches(t, ev)
     assert t.current_snapshot()["url_hll"] == {}
     assert t.url_cardinality() is None
+
+
+def test_metrics_and_lineage_history(spark, tmp_path):
+    ev = change_stream(spark, 300, 50, 2, with_html=False)
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4, url_hll=True)
+    replay_batches(t, ev)
+    hist = t.metrics_history()
+    # version order, one entry per snapshot incl. the bootstrap
+    assert [m["snapshot_version"] for m in hist] == sorted(
+        m["snapshot_version"] for m in hist
+    )
+    commits = [m for m in hist if "rows_in" in m]
+    assert {m["epoch_id"] for m in commits} == {0, 1}
+    assert all("distinct_urls_est" in m for m in commits)
+    lin = t.lineage_history()
+    assert sum(r["events"] for r in lin) == ev.count()
+    assert {r["epoch_id"] for r in lin} == {0, 1}
