@@ -91,23 +91,51 @@ def quarantine_epoch(
         "_violations", F.array_compact(F.array(*tags))
     ).withColumn("_epoch", F.lit(epoch_id))
     obs = Observation(f"quarantine_{epoch_id}")
-    out_dir = _os.path.join(table.path, "quarantine", f"e{epoch_id:08d}")
-    bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).parquet(out_dir)
-    n_bad = int(obs.get["n"])
-    if n_bad == 0:
-        # keep the quarantine dir sparse: no offenders, no directory
-        import shutil as _shutil
+    bad = bad.observe(obs, F.count(F.lit(1)).alias("n"))
+    if hasattr(table, "path"):
+        out_dir = _os.path.join(table.path, "quarantine", f"e{epoch_id:08d}")
+        bad.write.mode("overwrite").parquet(out_dir)
+        n_bad = int(obs.get["n"])
+        if n_bad == 0:
+            # keep the quarantine dir sparse: no offenders, no directory
+            import shutil as _shutil
 
-        _shutil.rmtree(out_dir, ignore_errors=True)
+            _shutil.rmtree(out_dir, ignore_errors=True)
+    else:
+        # Iceberg backend: same idempotence via dynamic partition
+        # overwrite of exactly this epoch's partition
+        qident = f"{table.ident}_quarantine"
+        bad.createOrReplaceTempView(f"_q_{epoch_id}")
+        try:
+            table.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {qident} "
+                f"USING iceberg PARTITIONED BY (_epoch) "
+                f"AS SELECT * FROM _q_{epoch_id} WHERE 1=0"
+            )
+            # delete-then-append = per-epoch idempotence (an INSERT
+            # OVERWRITE would be static mode by default and truncate
+            # the other epochs' partitions)
+            table.spark.sql(
+                f"DELETE FROM {qident} WHERE _epoch = {epoch_id}"
+            )
+            table.spark.sql(
+                f"INSERT INTO {qident} SELECT * FROM _q_{epoch_id}"
+            )
+        finally:
+            table.spark.catalog.dropTempView(f"_q_{epoch_id}")
+        n_bad = int(obs.get["n"])
     return data.filter(pred), n_bad
 
 
-def quarantine_df(table: ParquetLakeTable) -> DataFrame | None:
+def quarantine_df(table) -> DataFrame | None:
     """All quarantined events across epochs (None when empty)."""
     import os as _os
 
+    if not hasattr(table, "path"):  # Iceberg backend
+        qident = f"{table.ident}_quarantine"
+        if not table.spark.catalog.tableExists(qident):
+            return None
+        return table.spark.table(qident)
     qdir = _os.path.join(table.path, "quarantine")
     if not _os.path.isdir(qdir) or not _os.listdir(qdir):
         return None

@@ -42,3 +42,29 @@ def test_iceberg_end_to_end(spark, tmp_path):
     dup = t.merge_epoch(events.filter("epoch = 0"), 0)
     assert dup.get("skipped_duplicate_epoch")
     assert t.published().count() > 0
+
+
+def test_iceberg_quarantine_end_to_end(spark, tmp_path):
+    if not ice.iceberg_available(spark):
+        pytest.skip("iceberg spark runtime jars not on classpath")
+    from pyspark.sql import functions as F
+
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.replay import quarantine_df, replay_batches
+
+    t = ice.IcebergLakeTable(spark, "lake.db.pages_q", n_buckets=4)
+    events = change_stream(spark, 300, 50, 2, num_partitions=4)
+    # poison a deterministic subset
+    events = events.withColumn(
+        "url", F.when(F.col("seq") % 11 == 0, F.lit(None)).otherwise(F.col("url"))
+    )
+    rules = [{"column": "url", "check": "not_null"}]
+    out = replay_batches(t, events, pipeline_depth=1, quarantine_rules=rules)
+    n_bad = sum(m.get("quarantined_rows", 0) for m in out)
+    assert n_bad == events.filter("url IS NULL AND op <> 'S'").count()
+    q = quarantine_df(t)
+    assert q is not None and q.count() == n_bad
+    # duplicate delivery neither re-merges nor re-quarantines
+    again = replay_batches(t, events, pipeline_depth=1, quarantine_rules=rules)
+    assert again == []
+    assert quarantine_df(t).count() == n_bad
