@@ -891,6 +891,101 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope source (sources/debezium.py): synthesize a
+    binlog-tail topic from `documents` with pure JVM Columns — snapshot
+    reads (op r) for every 5th doc, creates for the rest, updates for
+    every 3rd, deletes (pre-image in `before`) for every 7th, plus
+    Kafka-compaction tombstones and op-t truncate noise that a parser
+    must drop — half the envelopes wrapped in the Kafka Connect
+    schemas.enable carrier. Parse it back through the one-pass
+    from_json path and emit the canonical change rows. The oracle
+    recomputes every field straight from `documents` — any op-map /
+    image-pick / seq-precedence / wire-type bug breaks parity."""
+    from embulk_spark.sources.debezium import (
+        debezium_envelope_col,
+        parse_debezium,
+        PAGE_ROW_DDL,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    base_ms = 1704067200000  # 2024-01-01 UTC
+    page = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://crawl.test/d"), F.col("doc_id")).alias("url"),
+        (F.lit(base_ms) + F.col("doc_id") * 1000).alias("ts_ms"),
+        F.base64(
+            F.concat(
+                F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+            ).cast("binary")
+        ).alias("html"),
+        F.base64(
+            F.concat(
+                F.lit("<html><body>"), F.col("text"), F.lit(" v2</body></html>")
+            ).cast("binary")
+        ).alias("html2"),
+        F.col("lang"),
+    )
+    row1 = F.struct(
+        F.col("url"), F.col("ts_ms").alias("warc_ts"), F.col("html"), F.col("lang")
+    )
+    births = page.select(
+        debezium_envelope_col(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("r")).otherwise(F.lit("c")),
+            row1,
+            pos=F.col("doc_id"),
+            ts_ms=F.col("ts_ms"),
+            snapshot=F.when(F.col("doc_id") % 5 == 0, F.lit("true")),
+            schemas_enable=F.col("doc_id") % 2 == 0,
+        ).alias("value")
+    )
+    updates = page.filter(F.col("doc_id") % 3 == 0).select(
+        debezium_envelope_col(
+            F.lit("u"),
+            F.struct(
+                F.col("url"),
+                (F.col("ts_ms") + n * 1000).alias("warc_ts"),
+                F.col("html2").alias("html"),
+                F.col("lang"),
+            ),
+            before=row1,
+            pos=F.col("doc_id") + n,
+            ts_ms=F.col("ts_ms") + n * 1000,
+            schemas_enable=F.col("doc_id") % 2 == 0,
+        ).alias("value")
+    )
+    deletes = page.filter(F.col("doc_id") % 7 == 0).select(
+        debezium_envelope_col(
+            F.lit("d"),
+            None,
+            before=row1,
+            pos=F.col("doc_id") + 2 * n,
+            ts_ms=F.col("ts_ms") + 2 * n * 1000,
+        ).alias("value")
+    )
+    tombstones = page.filter(F.col("doc_id") % 7 == 0).select(
+        F.lit(None).cast("string").alias("value")
+    )
+    truncates = page.filter(F.col("doc_id") % 97 == 0).select(
+        debezium_envelope_col(
+            F.lit("t"), None, pos=F.col("doc_id") + 3 * n
+        ).alias("value")
+    )
+    topic = births.unionAll(updates).unionAll(deletes).unionAll(
+        tombstones
+    ).unionAll(truncates)
+    return parse_debezium(topic, PAGE_ROW_DDL).select(
+        "seq",
+        "op",
+        "is_snapshot",
+        "url",
+        F.timestamp_millis(F.col("warc_ts")).alias("warc_ts"),
+        F.md5(F.unbase64(F.col("html"))).alias("html_md5"),
+        "lang",
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-unigram importance weights (operators/weighting.py):
     per-doc log-likelihood ratio of target (lang='en') vs raw token
@@ -1395,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "asof_join_attrib": _q_asof_join_attrib,
         "warc_roundtrip": _q_warc_roundtrip,
+        "debezium_parse": _q_debezium_parse,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
         "substring_dedup": _q_substring_dedup,
@@ -2398,6 +2494,39 @@ def oracle_sql() -> dict[str, str]:
                'text/html; charset=utf-8' AS content_type,
                '<html><body>' || text || '</body></html>' AS html
         FROM documents
+        """,
+        "debezium_parse": """
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        births AS (
+          SELECT doc_id AS seq, 'I' AS op, (doc_id % 5 = 0) AS is_snapshot,
+                 'https://crawl.test/d' || doc_id AS url,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                 md5('<html><body>' || text || '</body></html>') AS html_md5,
+                 lang
+          FROM documents
+        ),
+        updates AS (
+          SELECT doc_id + n AS seq, 'U' AS op, false AS is_snapshot,
+                 'https://crawl.test/d' || doc_id AS url,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + (doc_id + n) * INTERVAL 1 SECOND AS warc_ts,
+                 md5('<html><body>' || text || ' v2</body></html>') AS html_md5,
+                 lang
+          FROM documents, n WHERE doc_id % 3 = 0
+        ),
+        deletes AS (
+          SELECT doc_id + 2 * n AS seq, 'D' AS op, false AS is_snapshot,
+                 'https://crawl.test/d' || doc_id AS url,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                 md5('<html><body>' || text || '</body></html>') AS html_md5,
+                 lang
+          FROM documents, n WHERE doc_id % 7 = 0
+        )
+        SELECT * FROM births
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM deletes
         """,
         "dsir_weights": r"""
         WITH words AS (

@@ -181,6 +181,15 @@ CHECKS = {
         "must_not": [r"BatchEvalPython", r"ArrowEvalPython",
                      r"CartesianProduct", r"Join"],
     },
+    "debezium_parse": {
+        "why": "the Debezium envelope parse is ONE from_json pass over the "
+               "wire stream — pure JVM (no Python anywhere, unlike binary "
+               "containers), no join, and NO shuffle: a 10^10-event topic "
+               "parses at scan speed, embarrassingly parallel",
+        "must": [r"from_json"],
+        "must_not": [r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas",
+                     r"CartesianProduct", r"Join", r"Exchange"],
+    },
     "dsir_weights": {
         "why": "DSIR scoring joins the exploded token stream against the "
                "tiny bucket-ratio table via BROADCAST (text never shuffles "
