@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON list of validate rules; invalid events "
                          "dead-letter to <table>/quarantine/e<epoch> "
                          "instead of merging (streaming/replay.py)")
+    sp.add_argument("--wap-rules", default=None,
+                    help="JSON list of validate rules; every epoch commits "
+                         "write-audit-publish: staged invisibly, audited, "
+                         "published only if clean (all-or-nothing gate; "
+                         "a violation halts with the stage intact)")
     sp.add_argument("--export", default=None,
                     help="path of a corpus export (sinks/corpus, created "
                          "with the export subcommand) kept in lockstep: "
@@ -188,18 +193,19 @@ def main(argv: list[str] | None = None) -> int:
                 # bootstrap: seed the export from current table state
                 export_from_lake(spark, table, args.export)
         qrules = json.loads(args.quarantine_rules) if args.quarantine_rules else None
+        wrules = json.loads(args.wap_rules) if args.wap_rules else None
         if args.checkpoint:
             stream_events(
                 spark, table, args.events, args.checkpoint,
                 signature_index=idx, bloom_index=bloom,
-                quarantine_rules=qrules,
+                quarantine_rules=qrules, wap_rules=wrules,
             )
         else:
             events = spark.read.parquet(args.events)
             metrics = replay_batches(
                 table, events, max_epochs=args.max_epochs, signature_index=idx,
                 bloom_index=bloom, export_path=args.export,
-                quarantine_rules=qrules,
+                quarantine_rules=qrules, wap_rules=wrules,
             )
             for m in metrics:
                 print(json.dumps(m, default=str))

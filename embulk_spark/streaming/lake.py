@@ -145,6 +145,8 @@ class ParquetLakeTable:
         self.compact_ratio = compact_ratio
         self._snap_dir = os.path.join(self.path, "snapshots")
         self._data_dir = os.path.join(self.path, "data")
+        # write-audit-publish: staged (invisible) epoch manifests live here
+        self._staged_dir = os.path.join(self.path, "staged")
         # serializes snapshot commits for concurrent (pipelined) epochs in
         # this process; cross-process safety comes from the atomic rename
         # (optimistic concurrency, like Iceberg's commit retry)
@@ -153,6 +155,7 @@ class ParquetLakeTable:
         self._compact_lock = threading.Lock()
         os.makedirs(self._snap_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
+        os.makedirs(self._staged_dir, exist_ok=True)
         if self.current_snapshot() is None:
             snap = {
                 "version": 0,
@@ -412,6 +415,7 @@ class ParquetLakeTable:
         epoch_id: int,
         *,
         extract: bool = True,
+        stage: bool = False,
     ) -> dict:
         """Apply one micro-batch of change events as an idempotent, atomic
         commit; returns the commit metrics.
@@ -423,6 +427,15 @@ class ParquetLakeTable:
         (Arrow-batched pandas UDF) → range-clustered delta write. Metrics
         then come from a column-pruned scan of the files just written plus
         their footers — never a second pass over html/text bytes.
+
+        ``stage=True`` is write-audit-publish (Iceberg's WAP workflow):
+        the heavy job runs and the delta files land, but instead of a
+        snapshot commit a create-exclusive *staged manifest* is written —
+        invisible to every reader until :meth:`publish_staged` promotes it
+        (or :meth:`abort_staged` discards it). Audit the candidate with
+        :meth:`audit_staged` / :meth:`staged_read` in between. Staging is
+        covered by the same idempotence: a duplicate delivery of a staged
+        or committed epoch skips.
         """
         # TransactionStage analogue (reference exec/TransactionStage.java,
         # consulted by BulkLoader's resume to know how far a transaction
@@ -438,6 +451,9 @@ class ParquetLakeTable:
         snap = self.current_snapshot()
         if epoch_id in set(snap["committed_epochs"]):
             return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True,
+                    "stages": stages + ["SKIPPED"]}
+        if stage and os.path.exists(self._staged_path(epoch_id)):
+            return {"epoch_id": epoch_id, "skipped_duplicate_stage": True,
                     "stages": stages + ["SKIPPED"]}
 
         cur = self.schema(snap)
@@ -533,6 +549,13 @@ class ParquetLakeTable:
         stages.append("FILES_LISTED")
         phase["list_files"] = round(time.perf_counter() - t0 - phase["job"], 3)
         if rows_written == 0:
+            if stage:
+                return self._write_staged(
+                    epoch_id,
+                    metrics={"epoch_id": epoch_id, "rows_in": 0,
+                             "empty_batch": True, "phase_seconds": phase},
+                    lineage=[], delta_group=None, hll_regs=None, stages=stages,
+                )
             return self._commit(
                 snap, epoch_id,
                 metrics={"epoch_id": epoch_id, "rows_in": 0, "empty_batch": True,
@@ -603,12 +626,152 @@ class ParquetLakeTable:
                 str(r["bucket"]): int(r["rho"])
                 for r in hll_sketch(urls, "url", []).collect()
             }
+        if stage:
+            metrics["stages"] = stages  # _write_staged appends STAGED
+            return self._write_staged(
+                epoch_id, metrics=metrics, lineage=lineage,
+                delta_group=delta_group, hll_regs=hll_regs, stages=stages,
+            )
         out = self._commit(
             snap, epoch_id, metrics=metrics, lineage=lineage,
             new_delta=delta_group, hll_regs=hll_regs,
         )
         self.maybe_compact()
         return out
+
+    # ------------------------------------------------------------------
+    # write-audit-publish (WAP): staged epochs — Iceberg's audit-branch
+    # workflow on the snapshot manifest (stage → audit → publish/abort)
+    # ------------------------------------------------------------------
+
+    def _staged_path(self, epoch_id: int) -> str:
+        return os.path.join(self._staged_dir, f"e{epoch_id:08d}.json")
+
+    def staged_epochs(self) -> set[int]:
+        """Epochs staged but not yet published (nor aborted)."""
+        try:
+            fns = os.listdir(self._staged_dir)
+        except FileNotFoundError:
+            return set()
+        return {
+            int(f[1:9]) for f in fns
+            if f.startswith("e") and f.endswith(".json")
+        }
+
+    def _load_staged(self, epoch_id: int) -> dict:
+        p = self._staged_path(epoch_id)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"epoch {epoch_id} is not staged")
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_staged(
+        self, epoch_id: int, *, metrics: dict, lineage: list,
+        delta_group: dict | None, hll_regs: dict | None, stages: list[str],
+    ) -> dict:
+        metrics = dict(metrics, staged=True, staged_at=time.time())
+        metrics["stages"] = stages + ["STAGED"]
+        manifest = {
+            "epoch_id": epoch_id,
+            "delta": delta_group,
+            "metrics": metrics,
+            "lineage": lineage,
+            "hll_regs": hll_regs,
+        }
+        try:
+            _atomic_create_json(self._staged_path(epoch_id), manifest)
+        except FileExistsError:
+            # lost a stage race: the winner's files are equivalent (same
+            # deterministic dedup result); ours become cleanup orphans
+            return {"epoch_id": epoch_id, "skipped_duplicate_stage": True,
+                    "stages": stages + ["SKIPPED"]}
+        return metrics
+
+    def staged_changes(self, epoch_id: int) -> DataFrame:
+        """The staged epoch's deduped change-set (tombstones included) —
+        the WRITE under audit."""
+        man = self._load_staged(epoch_id)
+        snap = self.current_snapshot()
+        if man["delta"] is None:
+            return self._empty(self.schema(snap))
+        df = self._read_file_groups(
+            snap, [(int(man["delta"]["schema_v"]), man["delta"]["files"])]
+        )
+        return df if df is not None else self._empty(self.schema(snap))
+
+    def staged_read(self, epoch_id: int) -> DataFrame:
+        """Table state AS IF the staged epoch were published (current
+        read() ∪ staged changes, same MOR resolution) — audit the future,
+        pay only O(base + staged): readers of the real table see nothing."""
+        staged = self.staged_changes(epoch_id)
+        return dedup_latest(self.read().unionByName(staged))
+
+    def audit_staged(self, epoch_id: int, rules: list[dict]) -> DataFrame:
+        """Violation report (operators/validate.py) over the staged
+        epoch's change-set — the A of WAP. One aggregate pass over O(Δ)."""
+        from ..operators.validate import violation_report
+
+        return violation_report(self.staged_changes(epoch_id), rules)
+
+    def publish_staged(
+        self, epoch_id: int, *, audit_rules: list[dict] | None = None
+    ) -> dict:
+        """Promote a staged epoch to a committed snapshot — the atomic P
+        of WAP; no data moves, only the manifest. Idempotent: publishing
+        an already-committed epoch removes the leftover staged manifest
+        and skips (crash between commit and manifest removal self-heals).
+        ``audit_rules``: convenience gate — violations raise and leave the
+        stage intact (abort stays an explicit decision)."""
+        try:
+            man = self._load_staged(epoch_id)
+        except FileNotFoundError:
+            if epoch_id in self.committed_epochs():
+                return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+            raise
+        if audit_rules:
+            bad = {
+                r["rule"]: r["violations"]
+                for r in self.audit_staged(epoch_id, audit_rules).collect()
+                if r["violations"]
+            }
+            if bad:
+                raise ValueError(
+                    f"staged epoch {epoch_id} failed audit: {bad}"
+                )
+        snap = self.current_snapshot()
+        if epoch_id in set(snap["committed_epochs"]):
+            os.remove(self._staged_path(epoch_id))
+            return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+        metrics = dict(man["metrics"])
+        metrics["stages"] = list(metrics.get("stages") or []) + ["COMMITTED"]
+        metrics["published_from_stage"] = True
+        out = self._commit(
+            snap, epoch_id, metrics=metrics, lineage=man["lineage"],
+            new_delta=man["delta"], hll_regs=man["hll_regs"],
+        )
+        os.remove(self._staged_path(epoch_id))
+        self.maybe_compact()
+        return out
+
+    def abort_staged(self, epoch_id: int) -> dict:
+        """Discard a staged epoch: manifest first (the authoritative
+        record), then its data files. Idempotent."""
+        try:
+            man = self._load_staged(epoch_id)
+        except FileNotFoundError:
+            return {"epoch_id": epoch_id, "already_gone": True}
+        os.remove(self._staged_path(epoch_id))
+        removed = 0
+        if man["delta"]:
+            for rel in man["delta"]["files"]:
+                fp = os.path.join(self.path, rel)
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    removed += 1
+            d = os.path.dirname(os.path.join(self.path, man["delta"]["files"][0]))
+            if os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+        return {"epoch_id": epoch_id, "aborted": True, "files_removed": removed}
 
     def _list_files(self, rel_dir: str) -> tuple[list[str], int, int]:
         import pyarrow.parquet as pq
@@ -913,6 +1076,12 @@ class ParquetLakeTable:
         (exec/BulkLoader.java:471-505, cli/Command.java:5)."""
         snaps = [self.snapshot_at(int(f[1:9])) for f in self._snapshot_files()]
         refs = self._referenced_files(snaps)
+        # staged (WAP) epochs are deliberately not in any snapshot yet —
+        # their files are referenced by the staged manifests, not orphans
+        for e in self.staged_epochs():
+            man = self._load_staged(e)
+            if man.get("delta"):
+                refs.update(man["delta"]["files"])
         now = time.time()
         removed, kept_young = [], 0
         for root, _dirs, fns in os.walk(self._data_dir):

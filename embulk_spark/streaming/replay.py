@@ -148,10 +148,13 @@ def apply_epoch(
     epoch_id: int,
     *,
     quarantine_rules: list[dict] | None = None,
+    wap_rules: list[dict] | None = None,
 ) -> dict:
     """Apply one epoch: schema changes first (driver-side, tiny), then the
     data events as one idempotent MERGE commit. ``quarantine_rules``
-    dead-letters invalid events (see :func:`quarantine_epoch`)."""
+    dead-letters invalid events (see :func:`quarantine_epoch`);
+    ``wap_rules`` makes the commit write-audit-publish (all-or-nothing
+    epoch gate, see :func:`replay_batches`)."""
     if quarantine_rules:
         _check_quarantine_rules(quarantine_rules)
     if epoch_id in table.committed_epochs():
@@ -169,7 +172,12 @@ def apply_epoch(
     n_bad = 0
     if quarantine_rules:
         data, n_bad = quarantine_epoch(table, data, epoch_id, quarantine_rules)
-    m = table.merge_epoch(data, epoch_id)
+    if wap_rules:
+        m = table.merge_epoch(data, epoch_id, stage=True)
+        if not m.get("skipped_duplicate_epoch"):
+            m = table.publish_staged(epoch_id, audit_rules=wap_rules)
+    else:
+        m = table.merge_epoch(data, epoch_id)
     if quarantine_rules:
         m["quarantined_rows"] = n_bad
     return m
@@ -277,6 +285,7 @@ def replay_batches(
     bloom_index=None,
     export_path: str | None = None,
     quarantine_rules: list[dict] | None = None,
+    wap_rules: list[dict] | None = None,
 ) -> list[dict]:
     """Replay all (remaining) epochs of ``events`` in epoch order.
 
@@ -284,6 +293,16 @@ def replay_batches(
     dead-letter invalid events per epoch before the commit — see
     :func:`quarantine_epoch`; per-epoch offender counts land in the
     returned metrics as ``quarantined_rows``.
+
+    ``wap_rules`` turns every epoch into a write-audit-publish commit
+    (ParquetLakeTable.merge_epoch(stage=True) → audit → publish): the
+    epoch's change-set is INVISIBLE until the audit passes, and a
+    violation raises with the stage left intact for inspection —
+    all-or-nothing epoch gating, vs quarantine's row-level diversion
+    (the two compose: quarantine first, then the epoch-level gate).
+    Crash-shaped retries self-heal — a stage without a publish is
+    re-published on the next replay, a publish without manifest removal
+    skips idempotently.
 
     Schema-change events (rare by construction) are collected in ONE
     upfront scan instead of a per-epoch filter job; each epoch then costs
@@ -363,7 +382,12 @@ def replay_batches(
         n_bad = 0
         if quarantine_rules:
             data, n_bad = quarantine_epoch(table, data, e, quarantine_rules)
-        m = table.merge_epoch(data, e)
+        if wap_rules:
+            m = table.merge_epoch(data, e, stage=True)
+            if not m.get("skipped_duplicate_epoch"):
+                m = table.publish_staged(e, audit_rules=wap_rules)
+        else:
+            m = table.merge_epoch(data, e)
         if quarantine_rules:
             m["quarantined_rows"] = n_bad
         if signature_index is not None:
@@ -470,6 +494,7 @@ def stream_events(
     signature_index=None,
     bloom_index=None,
     quarantine_rules: list[dict] | None = None,
+    wap_rules: list[dict] | None = None,
 ) -> None:
     """Structured-Streaming surface: tail a parquet event-log directory and
     apply each micro-batch through the same idempotent merge.
@@ -490,7 +515,10 @@ def stream_events(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         e = int(batch_id)
-        m = apply_epoch(table, batch_df, e, quarantine_rules=quarantine_rules)
+        m = apply_epoch(
+            table, batch_df, e,
+            quarantine_rules=quarantine_rules, wap_rules=wap_rules,
+        )
         if signature_index is not None:
             _sync_signature_index(table, signature_index, e, m)
         if bloom_index is not None:
