@@ -640,6 +640,69 @@ class ParquetLakeTable:
         return out
 
     # ------------------------------------------------------------------
+    # point lookups & predicate deletes
+    # ------------------------------------------------------------------
+
+    def lookup_urls(self, urls: list[str] | str) -> DataFrame:
+        """Point lookup: current live rows for the given url(s), reading
+        ONLY their hash buckets (1/n_buckets of the base) — and, after a
+        compaction, only the url-sorted files' matching row-groups (the
+        `IN` filter pushes into the parquet scan against min/max stats).
+        The bucket computation is one driver-local job over the key list
+        (Spark's xxhash64 — never re-implemented host-side, no drift)."""
+        keys = [urls] if isinstance(urls, str) else list(urls)
+        if not keys:
+            return self._empty(self.schema(self.current_snapshot()))
+        kdf = self.spark.createDataFrame([(u,) for u in keys], "url string")
+        bkts = sorted(
+            r["b"]
+            for r in kdf.select(
+                bucket_of(F.col("url"), self.n_buckets).alias("b")
+            ).distinct().collect()
+        )
+        return (
+            self.read(buckets=bkts)
+            .filter(F.col("url").isin(keys))
+            .filter(~F.col("is_deleted"))
+            .drop("is_deleted", "bkt")
+        )
+
+    def delete_where(
+        self, condition, epoch_id: int, *, stage: bool = False,
+        buckets: list[int] | None = None,
+    ) -> dict:
+        """Predicate DELETE as a first-class CDC commit (GDPR/right-to-be-
+        forgotten over the lake): matching live rows become tombstone
+        change events ((warc_ts, seq+1) — outranks the current winner,
+        stays outranked by any later real change) routed through the SAME
+        idempotent ``merge_epoch`` path, so deletes are epoch-keyed,
+        resumable, duplicate-delivery-safe, WAP-stageable
+        (``stage=True``), and O(change-set) on disk (no base rewrite —
+        the physical purge happens at the next compaction, whose
+        ``tombstone_retention_ts`` retires the markers).
+
+        ``condition``: a Column or SQL string over the target schema.
+        ``buckets``: optional scan restriction when the caller knows the
+        predicate's key locality (e.g. from lookup_urls' bucket math)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        victims = (
+            self.read(buckets=buckets)
+            .filter(~F.col("is_deleted"))
+            .filter(cond)
+        )
+        ev = victims.select(
+            (F.col("seq") + 1).alias("seq"),
+            F.lit("D").alias("op"),
+            "url",
+            "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            "lang",
+        )
+        out = self.merge_epoch(ev, epoch_id, extract=False, stage=stage)
+        out["delete_where"] = str(condition)
+        return out
+
+    # ------------------------------------------------------------------
     # write-audit-publish (WAP): staged epochs — Iceberg's audit-branch
     # workflow on the snapshot manifest (stage → audit → publish/abort)
     # ------------------------------------------------------------------
@@ -949,6 +1012,12 @@ class ParquetLakeTable:
             merged.withColumn("bucket", F.col("bkt")), n_parts,
             key="bucket", spread=spread,
         )
+        # url-sort within each task: every compacted file's parquet
+        # row-groups then hold disjoint url ranges, so a point lookup
+        # (lookup_urls) touches ONE row-group per file via min/max stats
+        # instead of scanning the bucket — free at compaction time (the
+        # shuffle already paid), O(bucket/row-groups) at read time
+        salted = salted.sortWithinPartitions("bucket", "url")
         salted.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         new_base: dict[str, dict] = {}
         total_rows = 0
