@@ -1390,6 +1390,38 @@ def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (functions/textops.py::
+    extract_anchors/anchor_edges/top_anchors): per target host, the
+    top-2 anchor strings by DISTINCT linking-host vote — the off-page
+    title/relevance signal web-corpus pipelines attach to documents.
+    Like link_extract, anchor-bearing html is synthesized INLINE from
+    (doc_id, text) identically in the oracle; the real JVM regex-pair
+    zip operator runs over it."""
+    from embulk_spark.functions.textops import anchor_edges, top_anchors
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><body><p>'), F.col("text"), F.lit('</p>'),
+            F.lit('<a href="http://h'), (F.col("doc_id") % 29).cast("string"),
+            F.lit('.example.com/p">site '), (F.col("doc_id") % 5).cast("string"),
+            F.lit('</a>'),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit('<a class="x" href="https://h'),
+                         (F.col("doc_id") % 11).cast("string"),
+                         F.lit('.example.org/q"> read  more </a>'
+                               '<a href="http://img.example.net/i"></a>')),
+            ).otherwise(F.lit('<a href="/rel">skip</a>')),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return top_anchors(anchor_edges(pages, "url", "html"), k=2)
+
+
 def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML outlink extraction → host-level in-degree
     (functions/textops.py::extract_links/link_edges). The documents
@@ -1508,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
         "link_extract": _q_link_extract,
+        "anchor_topk": _q_anchor_topk,
         "data_quality": _q_data_quality,
         "bm25_scores": _q_bm25_scores,
         "heavy_hitters": _q_heavy_hitters,
@@ -2884,6 +2917,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT dst_host, count(*) AS n_src_hosts
         FROM edges WHERE src_host <> dst_host GROUP BY dst_host
+        """,
+        "anchor_topk": r"""
+        WITH pages AS (
+          SELECT 'h' || (doc_id % 37)::varchar || '.example.com' AS src_host,
+                 '<html><body><p>' || text || '</p>'
+                 || '<a href="http://h' || (doc_id % 29)::varchar
+                 || '.example.com/p">site ' || (doc_id % 5)::varchar || '</a>'
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN '<a class="x" href="https://h' || (doc_id % 11)::varchar
+                              || '.example.org/q"> read  more </a>'
+                              || '<a href="http://img.example.net/i"></a>'
+                         ELSE '<a href="/rel">skip</a>' END
+                 || '</body></html>' AS html
+          FROM documents
+        ),
+        m AS (
+          SELECT src_host,
+                 unnest(regexp_extract_all(html,
+                   '<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+                 unnest(regexp_extract_all(html,
+                   '<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+          FROM pages
+        ),
+        edges AS (
+          SELECT DISTINCT src_host,
+                 lower(regexp_extract(href,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS dst_host,
+                 trim(anchor) AS anchor
+          FROM m WHERE regexp_matches(href, '^https?://')
+        ),
+        counts AS (
+          SELECT dst_host, anchor, count(*) AS n_hosts
+          FROM edges WHERE src_host <> dst_host AND anchor <> ''
+          GROUP BY dst_host, anchor
+        )
+        SELECT dst_host, anchor, n_hosts,
+               row_number() OVER (PARTITION BY dst_host
+                                  ORDER BY n_hosts DESC, anchor ASC) AS rnk
+        FROM counts QUALIFY rnk <= 2
         """,
         "data_quality": r"""
         WITH n AS (SELECT count(*) AS checked FROM events)

@@ -10,7 +10,7 @@ into the analysis layer a 100 TB corpus pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -242,6 +242,77 @@ def link_edges(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
         links.select("src_host", url_host(F.col("dst")).alias("dst_host"))
         .filter(F.col("src_host") != F.col("dst_host"))
         .distinct()
+    )
+
+
+#: <a href="...">text</a> pairs. Group 1 = target, group 2 = the visible
+#: anchor text (tag-free runs only — nested markup inside an anchor is a
+#: caller concern; the synthetic/WARC fixtures emit flat anchors). Same
+#: pattern compiles under Java regex and RE2, so the DuckDB oracle zips
+#: the two group extractions positionally exactly like the engine does.
+ANCHOR_RE = r'<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(html: Column) -> Column:
+    """``array<struct<href,anchor>>`` of a page's anchors, document order.
+    Two JVM regexp passes over the same pattern (one per capture group)
+    zipped positionally — identical match order, so the zip is exact.
+    Still zero Python: regexp_extract_all + zip_with are codegen'd."""
+    hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2)
+    return F.zip_with(
+        hrefs, texts,
+        lambda h, t: F.struct(h.alias("href"), t.alias("anchor")),
+    )
+
+
+def anchor_edges(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """(src_host, dst_host, anchor) rows for absolute http(s) outlinks —
+    inbound anchor text is the classic off-page relevance/title signal a
+    web-corpus pipeline aggregates per target (anchor-text indexing à la
+    early web search; used for document titles and query-likelihood
+    features in training corpora). Anchors are trimmed; empty anchors
+    (image links) are dropped. Self-host loops dropped like link_edges.
+
+    Scale shape: narrow 1→k flat map, NO shuffle here — aggregation
+    choice (count per anchor, top-k) belongs to the caller so the
+    exploded edges never materialize wider than one pipeline stage."""
+    pairs = df.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(extract_anchors(F.col(html_col))).alias("a"),
+    ).filter(F.col("a.href").rlike(r"^https?://"))
+    return (
+        pairs.select(
+            "src_host",
+            url_host(F.col("a.href")).alias("dst_host"),
+            F.trim(F.col("a.anchor")).alias("anchor"),
+        )
+        .filter((F.col("src_host") != F.col("dst_host")) & (F.col("anchor") != ""))
+    )
+
+
+def top_anchors(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k inbound anchor texts per dst_host by distinct linking host
+    count (counting distinct hosts, not raw links, is the spam-resistant
+    convention — one hot page repeating an anchor 10^6 times still votes
+    once). Deterministic tie-break on the anchor string.
+
+    Scale shape: ONE exchange on (dst_host, anchor) for the distinct +
+    count (partial agg combines map-side), then the rank window runs over
+    already-aggregated per-host anchor counts — cardinality ≤ distinct
+    anchors, never raw edges."""
+    counts = (
+        edges.select("dst_host", "anchor", "src_host")
+        .distinct()
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_hosts").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )
 
 
