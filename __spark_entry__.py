@@ -1390,6 +1390,18 @@ def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (operators/quantiles.py): per-language
+    doc-length p50/p90/p99 from a fixed-edge mergeable histogram — the
+    distribution leg of the sketch toolkit (bloom/HLL/CMS + shape). The
+    oracle replays the same edges and interpolation end to end;
+    tests/test_quantiles.py pins incremental (per-half merge) == batch."""
+    from embulk_spark.operators.quantiles import length_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_quantiles(docs, "n_chars", ["lang"], [0.5, 0.9, 0.99])
+
+
 def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inbound anchor-text aggregation (functions/textops.py::
     extract_anchors/anchor_edges/top_anchors): per target host, the
@@ -1541,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "link_extract": _q_link_extract,
         "anchor_topk": _q_anchor_topk,
+        "length_quantiles": _q_length_quantiles,
         "data_quality": _q_data_quality,
         "bm25_scores": _q_bm25_scores,
         "heavy_hitters": _q_heavy_hitters,
@@ -2871,6 +2884,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "bm25_scores": _bm25_oracle(),
         "heavy_hitters": _cms_oracle(),
+        "length_quantiles": _quantiles_oracle(),
         "quality_classifier": _logreg_oracle(),
         "group_split": """
         WITH u AS (
@@ -3009,6 +3023,14 @@ def _cms_oracle() -> str:
     from embulk_spark.operators.cms import cms_oracle_sql
 
     return cms_oracle_sql("events", "user_id", threshold=70)
+
+
+def _quantiles_oracle() -> str:
+    from embulk_spark.operators.quantiles import quantiles_oracle_sql
+
+    return quantiles_oracle_sql(
+        "documents", "n_chars", ["lang"], [0.5, 0.9, 0.99]
+    )
 
 
 def _logreg_oracle() -> str:

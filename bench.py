@@ -163,6 +163,8 @@ def main() -> None:
         "heavy_hitters",
         "bm25_scores",
         "link_extract",
+        "anchor_topk",
+        "length_quantiles",
         "data_quality",
     ]
     for name in bench_queries:

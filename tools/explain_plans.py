@@ -388,6 +388,25 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"ArrowEvalPython", r"BatchEvalPython",
                      r"SortMergeJoin"],
     },
+    "anchor_topk": {
+        "why": "the (href, anchor) pair extraction is JVM regexp + zip "
+               "under a Generate explode (no UDF); the distinct-host vote "
+               "partial-combines map-side, and the rank window runs over "
+               "per-host anchor counts, never raw edges",
+        "must": [r"explode", r"HashAggregate", r"partial"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct", r"SortMergeJoin"],
+    },
+    "length_quantiles": {
+        "why": "the histogram build is ONE hash agg with map-side partial "
+               "combine onto ≤ groups×bins rows (bin index is a codegen'd "
+               "HOF, no Python, no sort of the data); the quantile "
+               "interpolation windows run over the constant-size "
+               "histogram frame only",
+        "must": [r"partial_count", r"HashAggregate"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct", r"SortMergeJoin"],
+    },
 }
 
 
