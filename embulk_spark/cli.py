@@ -125,6 +125,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "rebucket",
+        help="partition evolution: rewrite a lake table under a new "
+             "bucket count (atomic; old snapshots keep the old layout)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--n-buckets", type=int, required=True)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "cleanup",
         help="expire old snapshots and remove orphaned data files "
              "(reference cli/Command.java:5, exec/BulkLoader.java:471-505)",
@@ -251,6 +260,13 @@ def main(argv: list[str] | None = None) -> int:
 
         table = ParquetLakeTable(spark, args.table)
         print(json.dumps(table.rollback_to(args.to_version)))
+        return 0
+
+    if args.cmd == "rebucket":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        print(json.dumps(table.rebucket(args.n_buckets)))
         return 0
 
     if args.cmd == "cleanup":

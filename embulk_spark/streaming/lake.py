@@ -87,13 +87,15 @@ WIDEN_LATTICE = {
 
 
 class CommitConflict(Exception):
-    """Raised when a guarded commit (compaction / schema DDL) finds that the
-    snapshot state it derived its output from changed under it. Delta commits
-    never raise this — they set-merge and rebase freely; only commits that
-    WHOLESALE-REPLACE a snapshot section (base, schema_v) must recompute
-    from the new snapshot instead of clobbering a concurrent writer's work
-    (e.g. two processes compacting: the loser's stale base would drop the
-    winner's folded delta rows)."""
+    """Raised when a guarded commit (compaction / schema DDL / rebucket)
+    finds that the snapshot state it derived its output from changed under
+    it. Delta commits set-merge and rebase freely; only commits that
+    WHOLESALE-REPLACE a snapshot section (base, schema_v, n_buckets) must
+    recompute from the new snapshot instead of clobbering a concurrent
+    writer's work (e.g. two processes compacting: the loser's stale base
+    would drop the winner's folded delta rows). The one delta-commit case:
+    a delta hashed under a bucket layout that a concurrent rebucket
+    replaced conflicts too — its bkt values belong to the old layout."""
 
 
 def _atomic_create_json(path: str, payload: dict) -> None:
@@ -164,6 +166,7 @@ class ParquetLakeTable:
                 "schema_v": 0,
                 "schemas": {"0": schema_ddl},
                 "renames": [],
+                "n_buckets": n_buckets,
                 "base": {},
                 "base_rows": 0,
                 "deltas": [],
@@ -175,10 +178,22 @@ class ParquetLakeTable:
                 _atomic_create_json(self._snap_path(0), snap)
             except FileExistsError:
                 pass  # another process bootstrapped the table first
+        # the manifest is authoritative for the physical layout: the ctor
+        # arg only seeds table CREATION. A second handle opened with a
+        # different n_buckets default must not mis-prune lookups or write
+        # mis-bucketed deltas — it adopts the table's recorded value
+        # (every data-placement op re-reads it from its captured snapshot,
+        # so even a concurrent rebucket can't skew this handle).
+        self.n_buckets = self._nb(self.current_snapshot())
 
     # ------------------------------------------------------------------
     # snapshot bookkeeping
     # ------------------------------------------------------------------
+
+    def _nb(self, snap: dict) -> int:
+        """The snapshot's bucket count (manifest-authoritative; pre-
+        evolution manifests fall back to the handle's creation value)."""
+        return int(snap.get("n_buckets", self.n_buckets))
 
     def _snap_path(self, version: int) -> str:
         return os.path.join(self._snap_dir, f"v{version:08d}.json")
@@ -457,6 +472,7 @@ class ParquetLakeTable:
                     "stages": stages + ["SKIPPED"]}
 
         cur = self.schema(snap)
+        nb = self._nb(snap)
 
         # core event columns plus any payload column the evolved target
         # schema declares (schema-evolution adds flow through the merge).
@@ -506,7 +522,7 @@ class ParquetLakeTable:
         changes = changes.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields],
             F.col("_n_events"),
-        ).withColumn("bkt", bucket_of(F.col("url"), self.n_buckets))
+        ).withColumn("bkt", bucket_of(F.col("url"), nb))
 
         # dir name is version-independent so pipelined epochs never collide
         rel_dir = f"data/e{epoch_id:08d}_{uuid.uuid4().hex[:8]}"
@@ -529,8 +545,8 @@ class ParquetLakeTable:
         # contiguous bucket groups — keeps the observe expression count
         # (3×groups+1) inside whole-stage codegen and off the per-epoch
         # planning critical path (measured ~0.5 s/epoch at 97 exprs)
-        n_groups = min(self.n_buckets, 16)
-        per_group = -(-self.n_buckets // n_groups)  # ceil
+        n_groups = min(nb, 16)
+        per_group = -(-nb // n_groups)  # ceil
         g = (F.col("bkt") / per_group).cast("int")
         obs_aggs = [F.max("warc_ts").alias("max_ts")]
         for i in range(n_groups):
@@ -555,6 +571,7 @@ class ParquetLakeTable:
                     metrics={"epoch_id": epoch_id, "rows_in": 0,
                              "empty_batch": True, "phase_seconds": phase},
                     lineage=[], delta_group=None, hll_regs=None, stages=stages,
+                    n_buckets=nb,
                 )
             return self._commit(
                 snap, epoch_id,
@@ -565,7 +582,7 @@ class ParquetLakeTable:
 
         lineage = [
             {"bucket": i * per_group,
-             "buckets": f"{i * per_group}-{min((i + 1) * per_group, self.n_buckets) - 1}",
+             "buckets": f"{i * per_group}-{min((i + 1) * per_group, nb) - 1}",
              "rows": stats[f"keys_{i}"],
              "events": stats[f"ev_{i}"] or 0, "deletes": stats[f"del_{i}"] or 0}
             for i in range(n_groups)
@@ -631,10 +648,11 @@ class ParquetLakeTable:
             return self._write_staged(
                 epoch_id, metrics=metrics, lineage=lineage,
                 delta_group=delta_group, hll_regs=hll_regs, stages=stages,
+                n_buckets=nb,
             )
         out = self._commit(
             snap, epoch_id, metrics=metrics, lineage=lineage,
-            new_delta=delta_group, hll_regs=hll_regs,
+            new_delta=delta_group, hll_regs=hll_regs, expect_nb=nb,
         )
         self.maybe_compact()
         return out
@@ -650,18 +668,22 @@ class ParquetLakeTable:
         `IN` filter pushes into the parquet scan against min/max stats).
         The bucket computation is one driver-local job over the key list
         (Spark's xxhash64 — never re-implemented host-side, no drift)."""
+        snap = self.current_snapshot()
         keys = [urls] if isinstance(urls, str) else list(urls)
         if not keys:
-            return self._empty(self.schema(self.current_snapshot()))
+            return self._empty(self.schema(snap))
         kdf = self.spark.createDataFrame([(u,) for u in keys], "url string")
+        # bucket math under the CAPTURED snapshot's layout, and the read
+        # pinned to the same version — a concurrent rebucket commit cannot
+        # make the pruning set and the file layout disagree
         bkts = sorted(
             r["b"]
             for r in kdf.select(
-                bucket_of(F.col("url"), self.n_buckets).alias("b")
+                bucket_of(F.col("url"), self._nb(snap)).alias("b")
             ).distinct().collect()
         )
         return (
-            self.read(buckets=bkts)
+            self.read(buckets=bkts, version=snap["version"])
             .filter(F.col("url").isin(keys))
             .filter(~F.col("is_deleted"))
             .drop("is_deleted", "bkt")
@@ -731,6 +753,7 @@ class ParquetLakeTable:
     def _write_staged(
         self, epoch_id: int, *, metrics: dict, lineage: list,
         delta_group: dict | None, hll_regs: dict | None, stages: list[str],
+        n_buckets: int | None = None,
     ) -> dict:
         metrics = dict(metrics, staged=True, staged_at=time.time())
         metrics["stages"] = stages + ["STAGED"]
@@ -740,6 +763,12 @@ class ParquetLakeTable:
             "metrics": metrics,
             "lineage": lineage,
             "hll_regs": hll_regs,
+            # layout the change-set was hashed under: publish re-checks it
+            # so a rebucket between stage and publish can't slip a
+            # mis-bucketed delta into the new layout
+            "n_buckets": (
+                n_buckets if n_buckets is not None else self.n_buckets
+            ),
         }
         try:
             _atomic_create_json(self._staged_path(epoch_id), manifest)
@@ -805,12 +834,20 @@ class ParquetLakeTable:
         if epoch_id in set(snap["committed_epochs"]):
             os.remove(self._staged_path(epoch_id))
             return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+        man_nb = man.get("n_buckets")
+        if man_nb is not None and man_nb != self._nb(snap):
+            raise ValueError(
+                f"staged epoch {epoch_id} was hashed under {man_nb} buckets "
+                f"but the table was rebucketed to {self._nb(snap)}; abort "
+                f"the stage and re-run the epoch"
+            )
         metrics = dict(man["metrics"])
         metrics["stages"] = list(metrics.get("stages") or []) + ["COMMITTED"]
         metrics["published_from_stage"] = True
         out = self._commit(
             snap, epoch_id, metrics=metrics, lineage=man["lineage"],
             new_delta=man["delta"], hll_regs=man["hll_regs"],
+            expect_nb=man_nb,
         )
         os.remove(self._staged_path(epoch_id))
         self.maybe_compact()
@@ -866,6 +903,9 @@ class ParquetLakeTable:
         renames: list | None = None,
         expect_base_of: dict | None = None,
         expect_schema_v_of: dict | None = None,
+        expect_deltas_of: dict | None = None,
+        expect_nb: int | None = None,
+        n_buckets: int | None = None,
         hll_regs: dict | None = None,
     ) -> dict:
         """Publish a new snapshot. REBASES on the current snapshot under the
@@ -898,6 +938,24 @@ class ParquetLakeTable:
                 ):
                     raise CommitConflict(
                         "schema_v changed since capture (concurrent DDL)"
+                    )
+                if (
+                    expect_deltas_of is not None
+                    and cur["deltas"] != expect_deltas_of["deltas"]
+                ):
+                    raise CommitConflict(
+                        "deltas changed since capture (concurrent epoch "
+                        "commit) — a rebucket cannot rebase old-layout "
+                        "deltas; recompute from the new snapshot"
+                    )
+                if expect_nb is not None and self._nb(cur) != expect_nb:
+                    # a delta hashed under the old layout must NOT
+                    # set-merge onto a rebucketed snapshot — its bkt
+                    # values would mis-prune every bucketed read
+                    raise CommitConflict(
+                        f"bucket layout changed since capture (rebucketed "
+                        f"{expect_nb} → {self._nb(cur)}); re-run the epoch "
+                        f"to re-hash its change-set"
                     )
                 new_version = cur["version"] + 1
                 committed_at = time.time()
@@ -934,6 +992,9 @@ class ParquetLakeTable:
                     "schema_v": schema_v if schema_v is not None else cur["schema_v"],
                     "schemas": schemas or cur["schemas"],
                     "renames": renames if renames is not None else cur["renames"],
+                    "n_buckets": (
+                        n_buckets if n_buckets is not None else self._nb(cur)
+                    ),
                     "base": new_base if new_base is not None else cur["base"],
                     "base_rows": (
                         new_base_rows if new_base_rows is not None
@@ -984,39 +1045,35 @@ class ParquetLakeTable:
             except CommitConflict:
                 continue
 
-    def _compact_once(self, tombstone_retention_ts: str | None = None) -> dict:
-        snap = self.current_snapshot()
-        # read exactly the captured version: a delta committed between the
-        # two reads must NOT be folded (it stays in the delta list)
-        merged = self.read(version=snap["version"])
-        if tombstone_retention_ts:
-            merged = merged.filter(
-                (~F.col("is_deleted"))
-                | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
-            )
-        rel_dir = f"data/compact_{uuid.uuid4().hex[:8]}"
+    def _write_bucketed_base(
+        self, merged: DataFrame, snap: dict, nb: int, prefix: str
+    ) -> tuple[dict, int]:
+        """One distributed job writing ``merged`` as a fresh bucketed base
+        (bkt column already assigned under ``nb``); returns the manifest
+        base map + total rows. Shared by compaction and rebucket.
+
+        Salted repartition: one task per (bucket, salt) instead of one per
+        bucket, so the rewrite saturates the cluster even when nb < cores
+        and a bucket never becomes a straggler task (the reference's
+        scatter fan-out generalized,
+        exec/LocalExecutorPlugin.java:58-70,444-454). Url-sort within each
+        task: every written file's parquet row-groups then hold disjoint
+        url ranges, so a point lookup (lookup_urls) touches ONE row-group
+        per file via min/max stats instead of scanning the bucket — free
+        here (the shuffle already paid), O(bucket/row-groups) at read
+        time."""
+        rel_dir = f"data/{prefix}_{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
-        # salted repartition: one task per (bucket, salt) instead of one
-        # per bucket, so compaction saturates the cluster even when
-        # n_buckets < cores and a bucket never becomes a straggler task
-        # (the reference's scatter fan-out generalized,
-        # exec/LocalExecutorPlugin.java:58-70,444-454)
         from ..operators.merge import salted_repartition
 
         n_parts = max(
-            self.n_buckets,
-            int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            nb, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
-        spread = max(1, n_parts // self.n_buckets)
+        spread = max(1, n_parts // nb)
         salted = salted_repartition(
             merged.withColumn("bucket", F.col("bkt")), n_parts,
             key="bucket", spread=spread,
         )
-        # url-sort within each task: every compacted file's parquet
-        # row-groups then hold disjoint url ranges, so a point lookup
-        # (lookup_urls) touches ONE row-group per file via min/max stats
-        # instead of scanning the bucket — free at compaction time (the
-        # shuffle already paid), O(bucket/row-groups) at read time
         salted = salted.sortWithinPartitions("bucket", "url")
         salted.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         new_base: dict[str, dict] = {}
@@ -1038,6 +1095,21 @@ class ParquetLakeTable:
                 "files": files, "schema_v": snap["schema_v"], "rows": rows,
             }
             total_rows += rows
+        return new_base, total_rows
+
+    def _compact_once(self, tombstone_retention_ts: str | None = None) -> dict:
+        snap = self.current_snapshot()
+        # read exactly the captured version: a delta committed between the
+        # two reads must NOT be folded (it stays in the delta list)
+        merged = self.read(version=snap["version"])
+        if tombstone_retention_ts:
+            merged = merged.filter(
+                (~F.col("is_deleted"))
+                | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
+            )
+        new_base, total_rows = self._write_bucketed_base(
+            merged, snap, self._nb(snap), "compact"
+        )
         metrics = {
             "compaction": True,
             "base_rows": total_rows,
@@ -1049,6 +1121,65 @@ class ParquetLakeTable:
             folded_deltas=snap["deltas"],
             expect_base_of=snap,
         )
+
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Partition evolution (Iceberg's bucket-spec evolution, executed
+        as one rewrite): re-hash the whole table — base AND deltas folded
+        — into ``new_n_buckets`` and commit atomically. The bucket count
+        chosen at table creation is wrong two orders of magnitude later;
+        without this, a 10^10-row table is stuck with buckets sized for
+        10^8 (stragglers in compaction, coarse lookup pruning).
+
+        Semantics: readers of any pre-rebucket snapshot (time travel,
+        in-flight reads pinned to a captured version) still see the old
+        layout — files are immutable and the manifest records n_buckets
+        per snapshot. A concurrent epoch/compaction commit aborts this
+        rewrite (its delta/base was produced under the OLD hashing and
+        set-merge rebase cannot re-hash it); we retry from the fresh
+        snapshot, and the abandoned files become cleanup_orphans() fodder.
+        Staged (WAP) epochs hold old-layout change-sets too — publish or
+        abort them first; a stale stage that survives anyway is rejected
+        at publish time (n_buckets recorded in the staged manifest)."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        while True:
+            snap = self.current_snapshot()
+            if self._nb(snap) == new_n_buckets:
+                return {"rebucket": True, "noop": True,
+                        "n_buckets": new_n_buckets}
+            staged = self.staged_epochs()
+            if staged:
+                raise ValueError(
+                    f"staged epochs {sorted(staged)} hold change-sets under "
+                    f"the current bucketing; publish or abort them before "
+                    f"rebucketing"
+                )
+            merged = (
+                self.read(version=snap["version"])
+                .drop("bkt")
+                .withColumn("bkt", bucket_of(F.col("url"), new_n_buckets))
+            )
+            new_base, total_rows = self._write_bucketed_base(
+                merged, snap, new_n_buckets, "rebucket"
+            )
+            metrics = {
+                "rebucket": True,
+                "n_buckets": new_n_buckets,
+                "base_rows": total_rows,
+                "deltas_folded": len(snap["deltas"]),
+            }
+            try:
+                out = self._commit(
+                    snap, None, metrics=metrics, lineage=[],
+                    new_base=new_base, new_base_rows=total_rows,
+                    folded_deltas=snap["deltas"],
+                    expect_base_of=snap, expect_deltas_of=snap,
+                    n_buckets=new_n_buckets,
+                )
+            except CommitConflict:
+                continue  # concurrent commit; rewrite from fresh snapshot
+            self.n_buckets = new_n_buckets
+            return out
 
     # ------------------------------------------------------------------
     # schema evolution (add / rename / widen) — manifest-only, no rewrite
