@@ -1390,6 +1390,37 @@ def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed interval join (operators/ranges.py): attribute point
+    events to 45-min maintenance windows every 2 h over Jan 2024 —
+    point-in-interval matching as a broadcast HASH join on the quantized
+    time bin (fan-out ≤ 2 bins/window), never the BroadcastNestedLoopJoin
+    or cartesian a raw BETWEEN predicate plans. Per window: event count +
+    distinct users. Times compared in epoch micros on both engines."""
+    from embulk_spark.operators.ranges import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = 1704067200000000  # 2024-01-01T00:00:00Z, micros
+    wins = spark.range(360).select(
+        F.col("id").alias("win_id"),
+        (F.lit(base) + F.col("id") * 7200000000).alias("lo"),
+        (F.lit(base) + F.col("id") * 7200000000 + 2700000000).alias("hi"),
+    )
+    # fixture ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast
+    # reads it as UTC — the same convention DuckDB's epoch_us applies
+    pts = ev.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    hits = interval_join(
+        pts, wins, point_col="t", lo_col="lo", hi_col="hi",
+        bin_width=2700e6, broadcast_intervals=True,
+    )
+    return hits.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles (operators/quantiles.py): per-language
     doc-length p50/p90/p99 from a fixed-edge mergeable histogram — the
@@ -1554,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "anchor_topk": _q_anchor_topk,
         "length_quantiles": _q_length_quantiles,
+        "interval_window_counts": _q_interval_window_counts,
         "data_quality": _q_data_quality,
         "bm25_scores": _q_bm25_scores,
         "heavy_hitters": _q_heavy_hitters,
@@ -2885,6 +2917,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_oracle(),
         "heavy_hitters": _cms_oracle(),
         "length_quantiles": _quantiles_oracle(),
+        "interval_window_counts": r"""
+        WITH wins AS (
+          SELECT i AS win_id,
+                 1704067200000000 + i * 7200000000 AS lo,
+                 1704067200000000 + i * 7200000000 + 2700000000 AS hi
+          FROM range(360) t(i)
+        )
+        SELECT w.win_id, count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users
+        FROM wins w JOIN events e
+          ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+        GROUP BY w.win_id
+        """,
         "quality_classifier": _logreg_oracle(),
         "group_split": """
         WITH u AS (

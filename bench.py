@@ -165,6 +165,7 @@ def main() -> None:
         "link_extract",
         "anchor_topk",
         "length_quantiles",
+        "interval_window_counts",
         "data_quality",
     ]
     for name in bench_queries:

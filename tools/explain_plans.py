@@ -388,6 +388,16 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"ArrowEvalPython", r"BatchEvalPython",
                      r"SortMergeJoin"],
     },
+    "interval_window_counts": {
+        "why": "point-in-interval matching must be a HASH join on the "
+               "quantized time bin (intervals exploded to covered bins, "
+               "broadcast) — a raw BETWEEN predicate would plan "
+               "BroadcastNestedLoopJoin (or cartesian), O(points × "
+               "intervals) at any scale",
+        "must": [r"BroadcastHashJoin", r"explode|Generate"],
+        "must_not": [r"BroadcastNestedLoopJoin", r"CartesianProduct",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
     "anchor_topk": {
         "why": "the (href, anchor) pair extraction is JVM regexp + zip "
                "under a Generate explode (no UDF); the distinct-host vote "
