@@ -340,6 +340,38 @@ def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.distinct()
 
 
+def _q_incremental_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted term-stats index (operators/termindex.py):
+    epoch 0 ingests every document, epoch 1 delivers updates (doc_id%4==1
+    gets ' upd1' appended) and deletes (doc_id%10==3) — each epoch
+    tokenizes only its change-set (O(Δ) text bytes). The oracle computes
+    document frequencies over the corpus's FINAL state in SQL, certifying
+    incremental == batch through supersede and tombstones."""
+    import hashlib
+    import os
+
+    from embulk_spark.operators.termindex import TermIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "embulk_spark_termidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    idx = TermIndex(spark, path, id_col="doc_id", id_type="bigint")
+    idx.update_epoch(docs, "text", 0)
+    changed = docs.filter(
+        (F.col("doc_id") % 4 == 1) | (F.col("doc_id") % 10 == 3)
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("text"), F.lit(" upd1")))
+        .alias("text"),
+    )
+    idx.update_epoch(changed, "text", 1)
+    return idx.term_df()
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.operators.dedup import minhash_near_dups
 
@@ -1540,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
         "incremental_neardup": _q_incremental_neardup,
+        "incremental_term_df": _q_incremental_term_df,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -2917,6 +2950,24 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_oracle(),
         "heavy_hitters": _cms_oracle(),
         "length_quantiles": _quantiles_oracle(),
+        "incremental_term_df": r"""
+        WITH corpus AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 1 THEN text || ' upd1' ELSE text END
+                   AS text
+          FROM documents WHERE doc_id % 10 <> 3
+        ),
+        toked AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS toks
+          FROM corpus
+        )
+        SELECT t AS term, count(*)::bigint AS df
+        FROM (SELECT doc_id, unnest(toks) AS t FROM toked)
+        GROUP BY t
+        """,
         "interval_window_counts": r"""
         WITH wins AS (
           SELECT i AS win_id,

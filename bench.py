@@ -142,6 +142,7 @@ def main() -> None:
         "minhash_near_dups",
         "paragraph_dedup",
         "incremental_neardup",
+        "incremental_term_df",
         "dup_clusters",
         "sessionize_events",
         "asof_join_attrib",

@@ -1,0 +1,226 @@
+"""Incremental inverted term-statistics index for the CDC flow — the
+retrieval counterpart of operators/incremental.py's signature index.
+
+Batch BM25 (operators/retrieval.py) re-tokenizes the whole corpus per
+scoring run — right for one-shot passes, wrong downstream of a change
+stream: at the 10^10-event design point an epoch touches a sliver of
+the keyspace, so corpus-wide re-tokenization per epoch would dwarf the
+ingest itself. This index maintains per-document term statistics
+((id, term, tf) + doc length) alongside the lake table:
+
+- ``update_epoch`` tokenizes ONLY the epoch's changed documents (O(Δ)
+  text bytes) and commits them as an epoch-named delta — idempotent,
+  atomic (scratch dir + rename), resumable: the exactly-once contract
+  of the lake's own epoch commits (reference analogue: per-task commits
+  in exec/BulkLoader.java:512-582).
+- An updated document supersedes its older rows (latest committed epoch
+  per id wins — merge-on-read, no rewrite); a NULL-text delivery is a
+  tombstone that removes the document from corpus statistics.
+- ``term_df`` / ``bm25`` answer from the INDEX alone: document
+  frequencies, lengths and term tfs aggregate over O(index) rows —
+  the raw text is never touched after ingest.
+
+Invariant (pinned by tests and the driver oracle): after any epoch
+sequence, ``term_df``/``bm25`` equal the batch computation over the
+corpus's final state — incremental == batch.
+
+Token convention: operators/retrieval.py::TOKENS_EXPR (lower + ASCII
+whitespace split), the same "word" dedup and BM25 agree on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .retrieval import TOKENS_EXPR
+
+
+def _parquet_files(d: str) -> list[str]:
+    try:
+        return [fn for fn in os.listdir(d) if fn.endswith(".parquet")]
+    except FileNotFoundError:
+        return []
+
+
+class TermIndex:
+    """Persistent per-document term stats with epoch-commit semantics.
+
+    Layout: ``<path>/deltas/epoch=N/*.parquet`` (columns id, term, tf,
+    dl; term NULL = tombstone) — an epoch is committed iff its directory
+    exists, made atomic by writing to a scratch dir and ``os.rename``-ing
+    it into place. ``<path>/meta.json`` pins (id_col, id_type) so a
+    resumed handle types empty frames consistently."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "url",
+        id_type: str = "string",
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._deltas = os.path.join(self.path, "deltas")
+        os.makedirs(self._deltas, exist_ok=True)
+        meta_path = os.path.join(self.path, "meta.json")
+        meta = {"id_col": id_col, "id_type": id_type, "tokens": "v1"}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != meta:
+                raise ValueError(
+                    f"term index at {self.path} was created with {stored}, "
+                    f"reopened with {meta} — refusing to mix conventions"
+                )
+        else:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        self.id_col = id_col
+        self.id_type = id_type
+
+    # ------------------------------------------------------------------
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self._deltas, f"epoch={epoch}")
+
+    def committed_epochs(self) -> set[int]:
+        try:
+            return {
+                int(d.split("=")[1])
+                for d in os.listdir(self._deltas)
+                if d.startswith("epoch=")
+            }
+        except FileNotFoundError:
+            return set()
+
+    def update_epoch(
+        self, docs: DataFrame, text_col: str, epoch: int
+    ) -> dict:
+        """Tokenize this epoch's changed documents and commit them as the
+        epoch's delta. ``docs``: one row per changed id — the CURRENT
+        text, or NULL text for a delete. Duplicate delivery of a
+        committed epoch is skipped (idempotent). O(Δ) text bytes: one
+        narrow JVM tokenize + explode + (id, term) count — the only
+        shuffle is onto the epoch's own (tiny) term rows."""
+        if epoch in self.committed_epochs():
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        toked = docs.select(
+            F.col(self.id_col).alias("id"),
+            F.expr(TOKENS_EXPR.format(col=text_col)).alias("_toks"),
+            F.col(text_col).isNull().alias("_dead"),
+        )
+        live = (
+            toked.filter(~F.col("_dead"))
+            .withColumn("dl", F.size("_toks"))
+            .select("id", "dl", F.explode("_toks").alias("term"))
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        )
+        dead = toked.filter(F.col("_dead")).select(
+            "id",
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("bigint").alias("tf"),
+            F.lit(None).cast("int").alias("dl"),
+        )
+        rows = live.select("id", "term", "tf", "dl").unionByName(dead)
+        scratch = os.path.join(self.path, f"_scratch_{uuid.uuid4().hex[:8]}")
+        rows.write.mode("overwrite").parquet(scratch)
+        target = self._epoch_dir(epoch)
+        try:
+            os.rename(scratch, target)  # atomic commit
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)
+            if os.path.exists(target):  # lost the race: equivalent files
+                return {"epoch": epoch, "skipped_duplicate_epoch": True}
+            raise
+        return {"epoch": epoch, "committed": True}
+
+    # ------------------------------------------------------------------
+    def _rows(self, as_of_epoch: int | None) -> DataFrame:
+        epochs = sorted(self.committed_epochs())
+        if as_of_epoch is not None:
+            epochs = [e for e in epochs if e <= as_of_epoch]
+        if not epochs:
+            return self.spark.createDataFrame(
+                [],
+                f"id {self.id_type}, term string, tf bigint, dl int, "
+                f"epoch int",
+            )
+        dirs = [self._epoch_dir(e) for e in epochs]
+        return self.spark.read.option("basePath", self._deltas).parquet(
+            *dirs
+        ).withColumn("epoch", F.col("epoch").cast("int"))
+
+    def state(self, *, as_of_epoch: int | None = None) -> DataFrame:
+        """Live (id, term, tf, dl) rows: each document's LATEST committed
+        epoch wins (merge-on-read), tombstones drop the document. One
+        shuffle on id for the winner resolution — over O(index) rows,
+        never the text."""
+        rows = self._rows(as_of_epoch)
+        winners = rows.groupBy("id").agg(F.max("epoch").alias("_we"))
+        return (
+            rows.join(winners, "id")
+            .filter(F.col("epoch") == F.col("_we"))
+            .filter(F.col("term").isNotNull())
+            .drop("_we", "epoch")
+        )
+
+    def term_df(self, *, as_of_epoch: int | None = None) -> DataFrame:
+        """(term, df) over the live corpus — one partial-combine agg on
+        the index."""
+        return (
+            self.state(as_of_epoch=as_of_epoch)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    def bm25(
+        self,
+        query_terms: list[str],
+        *,
+        k1: float = 1.2,
+        b: float = 0.75,
+        as_of_epoch: int | None = None,
+    ) -> DataFrame:
+        """(id, score, n_matched_terms) from the index alone — the exact
+        operators/retrieval.py formula (strictly-positive Robertson idf,
+        round 6), so index scores equal batch scores over the corpus's
+        final state. Query terms filter FIRST (broadcast IN-set), then
+        constants and dfs aggregate over matched rows only."""
+        terms = sorted(set(query_terms))
+        st = self.state(as_of_epoch=as_of_epoch)
+        consts = (
+            st.groupBy("id").agg(F.first("dl").alias("_dl"))
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("_n_docs"),
+                F.avg("_dl").alias("_avgdl"),
+            )
+        )
+        tf = st.filter(F.col("term").isin(terms))
+        dft = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("_df")
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        )
+        contrib = idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+        )
+        return (
+            tf.join(F.broadcast(dft), "term")
+            .crossJoin(F.broadcast(consts))
+            .groupBy("id")
+            .agg(
+                F.round(F.sum(contrib), 6).alias("score"),
+                F.count(F.lit(1)).alias("n_matched_terms"),
+            )
+        )

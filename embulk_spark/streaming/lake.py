@@ -247,6 +247,38 @@ class ParquetLakeTable:
                                 epoch_id=snap.get("epoch_id")))
         return out
 
+    def files(self, *, version: int | None = None) -> list[dict]:
+        """Per-file metadata of a snapshot (Iceberg's ``files`` metadata
+        table): path, kind (base/delta), bucket, write-time schema_v,
+        rows, bytes. Manifest + footer-free where possible — rows come
+        from the manifest for base groups and delta groups; bytes from
+        the filesystem. Drives ops tooling (small-file reports, skew
+        inspection) without touching data contents."""
+        snap = (
+            self.snapshot_at(version) if version is not None
+            else self.current_snapshot()
+        )
+        out = []
+        for b, e in sorted(snap["base"].items(), key=lambda kv: int(kv[0])):
+            for rel in e["files"]:
+                fp = os.path.join(self.path, rel)
+                out.append({
+                    "path": rel, "kind": "base", "bucket": int(b),
+                    "schema_v": int(e["schema_v"]),
+                    "rows": None if len(e["files"]) > 1 else e.get("rows"),
+                    "bytes": os.path.getsize(fp) if os.path.exists(fp) else None,
+                })
+        for d in snap["deltas"]:
+            for rel in d["files"]:
+                fp = os.path.join(self.path, rel)
+                out.append({
+                    "path": rel, "kind": "delta", "bucket": None,
+                    "schema_v": int(d["schema_v"]),
+                    "rows": None if len(d["files"]) > 1 else d.get("rows"),
+                    "bytes": os.path.getsize(fp) if os.path.exists(fp) else None,
+                })
+        return out
+
     def url_cardinality(self, *, version: int | None = None) -> int | None:
         """Estimated distinct urls EVER ingested (deletes included) as of
         a snapshot, from the manifest-resident HLL — no data files

@@ -160,3 +160,19 @@ def test_rebucket_conflicts_with_concurrent_epoch(spark, tmp_path):
     out = table.rebucket(16)
     assert out["n_buckets"] == 16
     assert 70 in table.committed_epochs()
+
+
+def test_files_metadata_table(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"), nb=4)
+    fl = table.files()
+    assert fl and all(f["kind"] in ("base", "delta") for f in fl)
+    deltas = [f for f in fl if f["kind"] == "delta"]
+    assert deltas  # pre-compaction: epochs live as deltas
+    assert all(f["bytes"] and f["bytes"] > 0 for f in fl)
+    table.rebucket(8)
+    fl2 = table.files()
+    assert all(f["kind"] == "base" for f in fl2)  # deltas folded
+    assert {f["bucket"] for f in fl2}.issubset(set(range(8)))
+    # time travel: the pre-rebucket snapshot still lists the old files
+    old = table.files(version=table.current_snapshot()["version"] - 1)
+    assert {f["path"] for f in old} == {f["path"] for f in fl}

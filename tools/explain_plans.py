@@ -388,6 +388,15 @@ CHECKS = {
         "must_not": [r"\bWindow\b", r"ArrowEvalPython", r"BatchEvalPython",
                      r"SortMergeJoin"],
     },
+    "incremental_term_df": {
+        "why": "the df answer reads the INDEX (O(index) parquet rows), "
+               "never the corpus text: winner resolution is an equi-join "
+               "on id plus a partial-combine count agg — no Python, no "
+               "window, no cartesian",
+        "must": [r"partial_count", r"HashAggregate"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct", r"\bWindow\b"],
+    },
     "interval_window_counts": {
         "why": "point-in-interval matching must be a HASH join on the "
                "quantized time bin (intervals exploded to covered bins, "
