@@ -52,10 +52,18 @@ class TermIndex:
     """Persistent per-document term stats with epoch-commit semantics.
 
     Layout: ``<path>/deltas/epoch=N/*.parquet`` (columns id, term, tf,
-    dl; term NULL = tombstone) — an epoch is committed iff its directory
-    exists, made atomic by writing to a scratch dir and ``os.rename``-ing
-    it into place. ``<path>/meta.json`` pins (id_col, id_type) so a
-    resumed handle types empty frames consistently."""
+    dl [, order_cols]; term NULL = tombstone) — an epoch is committed
+    iff its directory exists, made atomic by writing to a scratch dir
+    and ``os.rename``-ing it into place. ``<path>/meta.json`` pins
+    (id_col, id_type, order_cols) so a resumed handle types empty
+    frames consistently and can't silently change the winner rule.
+
+    ``order_cols``: the event-order columns that decide which delivery
+    of a document is current (``['warc_ts', 'seq']`` for lake tables —
+    the SAME resolution as the lake's merge-on-read read path, which
+    matters because a LATE event in a newer epoch must LOSE to an
+    earlier epoch's newer row). Default [] resolves by arrival epoch,
+    right for plain document streams without event time."""
 
     def __init__(
         self,
@@ -64,13 +72,24 @@ class TermIndex:
         *,
         id_col: str = "url",
         id_type: str = "string",
+        order_cols: list[str] | None = None,
+        order_types: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self._deltas = os.path.join(self.path, "deltas")
         os.makedirs(self._deltas, exist_ok=True)
         meta_path = os.path.join(self.path, "meta.json")
-        meta = {"id_col": id_col, "id_type": id_type, "tokens": "v1"}
+        order_cols = list(order_cols or [])
+        order_types = list(
+            order_types if order_types is not None
+            else ["string"] * len(order_cols)
+        )
+        if len(order_types) != len(order_cols):
+            raise ValueError("order_types must pair 1:1 with order_cols")
+        meta = {"id_col": id_col, "id_type": id_type,
+                "order_cols": order_cols, "order_types": order_types,
+                "tokens": "v1"}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 stored = json.load(f)
@@ -84,6 +103,8 @@ class TermIndex:
                 json.dump(meta, f)
         self.id_col = id_col
         self.id_type = id_type
+        self.order_cols = order_cols
+        self.order_types = order_types
 
     # ------------------------------------------------------------------
     def _epoch_dir(self, epoch: int) -> str:
@@ -104,31 +125,44 @@ class TermIndex:
     ) -> dict:
         """Tokenize this epoch's changed documents and commit them as the
         epoch's delta. ``docs``: one row per changed id — the CURRENT
-        text, or NULL text for a delete. Duplicate delivery of a
-        committed epoch is skipped (idempotent). O(Δ) text bytes: one
-        narrow JVM tokenize + explode + (id, term) count — the only
-        shuffle is onto the epoch's own (tiny) term rows."""
+        text (or NULL text for a delete) plus the index's order_cols.
+        Duplicate delivery of a committed epoch is skipped (idempotent).
+        O(Δ) text bytes: one narrow JVM tokenize + explode + (id, term)
+        count — the only shuffle is onto the epoch's own (tiny) term
+        rows."""
         if epoch in self.committed_epochs():
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        missing = [c for c in self.order_cols if c not in docs.columns]
+        if missing:
+            raise ValueError(
+                f"index order_cols {missing} not in the docs schema "
+                f"{docs.columns} — create the index with "
+                "order_cols=['warc_ts', 'seq'] for lake tables"
+            )
         toked = docs.select(
             F.col(self.id_col).alias("id"),
+            *self.order_cols,
             F.expr(TOKENS_EXPR.format(col=text_col)).alias("_toks"),
             F.col(text_col).isNull().alias("_dead"),
         )
         live = (
             toked.filter(~F.col("_dead"))
             .withColumn("dl", F.size("_toks"))
-            .select("id", "dl", F.explode("_toks").alias("term"))
-            .groupBy("id", "term")
+            .select("id", *self.order_cols, "dl",
+                    F.explode("_toks").alias("term"))
+            .groupBy("id", *self.order_cols, "term")
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         )
         dead = toked.filter(F.col("_dead")).select(
             "id",
+            *self.order_cols,
             F.lit(None).cast("string").alias("term"),
             F.lit(None).cast("bigint").alias("tf"),
             F.lit(None).cast("int").alias("dl"),
         )
-        rows = live.select("id", "term", "tf", "dl").unionByName(dead)
+        rows = live.select(
+            "id", *self.order_cols, "term", "tf", "dl"
+        ).unionByName(dead)
         scratch = os.path.join(self.path, f"_scratch_{uuid.uuid4().hex[:8]}")
         rows.write.mode("overwrite").parquet(scratch)
         target = self._epoch_dir(epoch)
@@ -141,34 +175,99 @@ class TermIndex:
             raise
         return {"epoch": epoch, "committed": True}
 
+    def commit_empty_epoch(self, epoch: int) -> dict:
+        """Mark an epoch with no document changes committed (keeps the
+        index's epoch set aligned with the table's for empty batches)."""
+        if epoch in self.committed_epochs():
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        os.makedirs(self._epoch_dir(epoch), exist_ok=True)
+        return {"epoch": epoch, "skipped_duplicate_epoch": False, "empty": True}
+
+    def update_from_lake_epoch(
+        self, table, epoch: int, *, delta_dir: str | None = None
+    ) -> dict:
+        """Update from a committed lake epoch's delta files — an O(Δ)
+        column-pruned re-read of (url, text, is_deleted); extraction is
+        never recomputed. Speaks the same sync protocol as
+        operators/incremental.py::SignatureIndex, so
+        ``replay_batches(term_index=...)`` keeps table and retrieval
+        index in per-epoch lockstep (crash between the two commits
+        self-heals: both sides' epoch commits are idempotent)."""
+        if epoch in self.committed_epochs():
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        if delta_dir is not None:
+            paths = [os.path.join(table.path, delta_dir)]
+        else:
+            snap = table.current_snapshot()
+            files = [
+                f
+                for g in snap["deltas"]
+                if g.get("epoch_id") == epoch
+                for f in g["files"]
+            ]
+            if not files:
+                if epoch in table._empty_epochs():
+                    return self.commit_empty_epoch(epoch)
+                raise ValueError(
+                    f"epoch {epoch} has no delta files in the current "
+                    "snapshot (already compacted?) — rebuild the index "
+                    "with a batch pass"
+                )
+            paths = [os.path.join(table.path, f) for f in files]
+        df = table.spark.read.parquet(*paths)
+        docs = df.select(
+            F.col("url").alias(self.id_col),
+            *self.order_cols,
+            F.when(F.col("is_deleted"), F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return self.update_epoch(docs, "text", epoch)
+
     # ------------------------------------------------------------------
     def _rows(self, as_of_epoch: int | None) -> DataFrame:
         epochs = sorted(self.committed_epochs())
         if as_of_epoch is not None:
             epochs = [e for e in epochs if e <= as_of_epoch]
         if not epochs:
-            return self.spark.createDataFrame(
-                [],
-                f"id {self.id_type}, term string, tf bigint, dl int, "
-                f"epoch int",
-            )
+            return self.spark.createDataFrame([], self._ddl())
         dirs = [self._epoch_dir(e) for e in epochs]
-        return self.spark.read.option("basePath", self._deltas).parquet(
-            *dirs
-        ).withColumn("epoch", F.col("epoch").cast("int"))
+        try:
+            return self.spark.read.option("basePath", self._deltas).parquet(
+                *dirs
+            ).withColumn("epoch", F.col("epoch").cast("int"))
+        except Exception:
+            # every committed epoch so far was empty: no files to infer
+            # a schema from — same contract as an index with no epochs
+            return self.spark.createDataFrame([], self._ddl())
+
+    def _winner_key(self):
+        return F.struct(
+            *[F.col(c) for c in self.order_cols], F.col("epoch")
+        )
+
+    def _ddl(self) -> str:
+        ords = "".join(
+            f"{c} {t}, " for c, t in zip(self.order_cols, self.order_types)
+        )
+        return (
+            f"id {self.id_type}, {ords}term string, tf bigint, dl int, "
+            f"epoch int"
+        )
 
     def state(self, *, as_of_epoch: int | None = None) -> DataFrame:
-        """Live (id, term, tf, dl) rows: each document's LATEST committed
-        epoch wins (merge-on-read), tombstones drop the document. One
-        shuffle on id for the winner resolution — over O(index) rows,
-        never the text."""
+        """Live (id, term, tf, dl) rows: each document's winning delivery
+        — max (order_cols, arrival epoch), the lake's merge-on-read
+        resolution — survives; tombstones drop the document. One shuffle
+        on id for the winner resolution — over O(index) rows, never the
+        text."""
         rows = self._rows(as_of_epoch)
-        winners = rows.groupBy("id").agg(F.max("epoch").alias("_we"))
+        winners = rows.groupBy("id").agg(F.max(self._winner_key()).alias("_w"))
         return (
             rows.join(winners, "id")
-            .filter(F.col("epoch") == F.col("_we"))
+            .filter(self._winner_key() == F.col("_w"))
             .filter(F.col("term").isNotNull())
-            .drop("_we", "epoch")
+            .drop("_w", "epoch", *self.order_cols)
         )
 
     def term_df(self, *, as_of_epoch: int | None = None) -> DataFrame:

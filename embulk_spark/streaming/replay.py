@@ -283,6 +283,7 @@ def replay_batches(
     pipeline_depth: int | None = None,
     signature_index=None,
     bloom_index=None,
+    term_index=None,
     export_path: str | None = None,
     quarantine_rules: list[dict] | None = None,
     wap_rules: list[dict] | None = None,
@@ -318,6 +319,11 @@ def replay_batches(
     lockstep contract: each committed epoch's live texts OR into the
     membership fingerprint (O(Δ); bit_or idempotence makes replays and
     duplicate deliveries exact no-ops).
+
+    ``term_index`` (an operators.termindex.TermIndex with
+    ``id_col='url'``) is the retrieval leg of the same contract: each
+    committed epoch's texts tokenize into the inverted term-stats index
+    (O(Δ) text bytes), so corpus df/BM25 statistics track the WAL.
 
     ``export_path`` (a corpus export created by
     ``sinks.corpus.export_from_lake``) is likewise kept in lockstep:
@@ -363,6 +369,8 @@ def replay_batches(
         done = done & {int(e) for e in signature_index.committed_epochs()}
     if bloom_index is not None:
         done = done & {int(e) for e in bloom_index.committed_epochs()}
+    if term_index is not None:
+        done = done & {int(e) for e in term_index.committed_epochs()}
     if export_path is not None:
         done = done & _export_synced_epochs(export_path)
     pending: list[int] = []
@@ -394,6 +402,8 @@ def replay_batches(
             _sync_signature_index(table, signature_index, e, m)
         if bloom_index is not None:
             _sync_signature_index(table, bloom_index, e, m)
+        if term_index is not None:
+            _sync_signature_index(table, term_index, e, m)
         if export_path is not None:
             _sync_export(table, export_path, e, m, export_lock)
         return m
@@ -493,6 +503,7 @@ def stream_events(
     schema_ddl: str | None = None,
     signature_index=None,
     bloom_index=None,
+    term_index=None,
     quarantine_rules: list[dict] | None = None,
     wap_rules: list[dict] | None = None,
 ) -> None:
@@ -502,7 +513,7 @@ def stream_events(
     The sink key is Spark's ``batch_id`` (monotonic per checkpoint); on
     restart, a re-delivered batch hits the committed-epoch set and no-ops —
     the foreachBatch exactly-once pattern. ``signature_index`` /
-    ``bloom_index`` are kept in lockstep exactly as in
+    ``bloom_index`` / ``term_index`` are kept in lockstep exactly as in
     :func:`replay_batches` (same idempotent epoch commits keyed by
     batch_id, same crash-window self-heal)."""
     from ..sources.events import EVENT_SCHEMA
@@ -523,6 +534,8 @@ def stream_events(
             _sync_signature_index(table, signature_index, e, m)
         if bloom_index is not None:
             _sync_signature_index(table, bloom_index, e, m)
+        if term_index is not None:
+            _sync_signature_index(table, term_index, e, m)
 
     q = (
         reader.writeStream.foreachBatch(_apply)

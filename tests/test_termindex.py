@@ -88,3 +88,62 @@ def test_empty_index_answers_with_schema(spark, tmp_path):
                     id_type="bigint")
     assert idx.term_df().count() == 0
     assert idx.bm25(["x"]).count() == 0
+
+
+def test_replay_lockstep_with_lake(spark, tmp_path):
+    """replay_batches(term_index=...) keeps the retrieval index in epoch
+    lockstep: after replay, df/BM25 from the index equal the batch
+    computation over the lake's published state."""
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    events = change_stream(spark, 900, 120, 3, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    idx = TermIndex(spark, str(tmp_path / "ti"), id_col="url",
+                    order_cols=["warc_ts", "seq"],
+                    order_types=["timestamp", "bigint"])
+    replay_batches(table, events, term_index=idx, pipeline_depth=1)
+
+    assert idx.committed_epochs() == table.committed_epochs()
+    pub = table.published().select("url", "text")
+    want_df = {
+        (r.term, r.df)
+        for r in pub.select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"
+                    )
+                )
+            ).alias("term")
+        ).groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    got_df = {(r.term, r.df) for r in idx.term_df().collect()}
+    assert got_df == want_df
+
+    # crash window: table committed an epoch the index missed → a fresh
+    # replay self-heals the index without touching the table
+    import shutil as _sh
+
+    _sh.rmtree(idx._epoch_dir(max(idx.committed_epochs())))
+    assert idx.committed_epochs() != table.committed_epochs()
+    replay_batches(table, events, term_index=idx, pipeline_depth=1)
+    assert idx.committed_epochs() == table.committed_epochs()
+    assert {(r.term, r.df) for r in idx.term_df().collect()} == want_df
+
+
+def test_late_event_in_newer_epoch_loses(spark, tmp_path):
+    """order_cols resolution: a LATE delivery (older warc_ts/seq) arriving
+    in a newer epoch must not supersede the current document."""
+    idx = TermIndex(spark, str(tmp_path / "ti"), id_col="doc_id",
+                    id_type="bigint", order_cols=["seq"],
+                    order_types=["bigint"])
+    e0 = spark.createDataFrame([(1, 10, "new words")],
+                               "doc_id long, seq long, text string")
+    late = spark.createDataFrame([(1, 5, "old stale")],
+                                 "doc_id long, seq long, text string")
+    idx.update_epoch(e0, "text", 0)
+    idx.update_epoch(late, "text", 1)
+    terms = {r.term for r in idx.state().collect()}
+    assert terms == {"new", "words"}
