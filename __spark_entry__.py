@@ -723,6 +723,20 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(lined, "text", "doc_id", min_docs=2)
 
 
+def _q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir (operators/sample.py::sample_exact_k):
+    EXACTLY 5 events per event_type, ranked by the salted md5 uniform —
+    the eval-draw/per-domain-cap primitive rate sampling can't provide.
+    Same rows every run/partitioning/engine; the oracle replays the
+    identical hash rank."""
+    from embulk_spark.operators.sample import sample_exact_k
+
+    ev = _t(spark, sf_dir, "events")
+    return sample_exact_k(
+        ev.select("event_type", "event_id"), ["event_type"], 5, "event_id"
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling (operators/sample.py):
     per-lang keep-rates applied via a salted md5 row hash — identical
@@ -1566,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": _q_repetition_filters,
         "corpus_mixture": _q_corpus_mixture,
         "stratified_sample": _q_stratified_sample,
+        "sample_exact_k": _q_sample_exact_k,
         "boilerplate_lines": _q_boilerplate_lines,
         "paragraph_dedup": _q_paragraph_dedup,
         "benchmark_overlap": _q_benchmark_overlap,
@@ -2950,6 +2965,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_oracle(),
         "heavy_hitters": _cms_oracle(),
         "length_quantiles": _quantiles_oracle(),
+        "sample_exact_k": r"""
+        SELECT event_type, event_id FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ('0x' || left(md5('mix1:' || event_id::varchar), 8))::bigint
+                            / 4294967296.0 ASC, event_id ASC) AS rn
+          FROM events) WHERE rn <= 5
+        """,
         "incremental_term_df": r"""
         WITH corpus AS (
           SELECT doc_id,

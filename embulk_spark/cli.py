@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--bloom-index", default=None,
                     help="path of a Bloom membership fingerprint kept in "
                          "lockstep with the replay (operators/bloom)")
+    sp.add_argument("--term-index", default=None,
+                    help="path of an inverted term-stats index kept in "
+                         "lockstep with the replay (operators/termindex): "
+                         "corpus df/BM25 statistics track the WAL")
     sp.add_argument("--quarantine-rules", default=None,
                     help="JSON list of validate rules; invalid events "
                          "dead-letter to <table>/quarantine/e<epoch> "
@@ -122,6 +126,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("table", help="lake table path")
     sp.add_argument("--to-version", type=int, required=True)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
+        "tag",
+        help="pin (or drop) an immutable named snapshot ref; tagged "
+             "snapshots survive cleanup's snapshot expiry",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("name", help="tag name")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--drop", action="store_true")
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
@@ -193,6 +208,15 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.bloom import BloomIndex
 
             bloom = BloomIndex(spark, args.bloom_index)
+        tidx = None
+        if args.term_index:
+            from .operators.termindex import TermIndex
+
+            tidx = TermIndex(
+                spark, args.term_index, id_col="url", id_type="string",
+                order_cols=["warc_ts", "seq"],
+                order_types=["timestamp", "bigint"],
+            )
         if args.export:
             import os as _os
 
@@ -206,14 +230,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint:
             stream_events(
                 spark, table, args.events, args.checkpoint,
-                signature_index=idx, bloom_index=bloom,
+                signature_index=idx, bloom_index=bloom, term_index=tidx,
                 quarantine_rules=qrules, wap_rules=wrules,
             )
         else:
             events = spark.read.parquet(args.events)
             metrics = replay_batches(
                 table, events, max_epochs=args.max_epochs, signature_index=idx,
-                bloom_index=bloom, export_path=args.export,
+                bloom_index=bloom, term_index=tidx, export_path=args.export,
                 quarantine_rules=qrules, wap_rules=wrules,
             )
             for m in metrics:
@@ -260,6 +284,16 @@ def main(argv: list[str] | None = None) -> int:
 
         table = ParquetLakeTable(spark, args.table)
         print(json.dumps(table.rollback_to(args.to_version)))
+        return 0
+
+    if args.cmd == "tag":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        if args.drop:
+            print(json.dumps(table.drop_tag(args.name)))
+        else:
+            print(json.dumps(table.tag(args.name, args.version)))
         return 0
 
     if args.cmd == "rebucket":

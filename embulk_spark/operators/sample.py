@@ -21,7 +21,7 @@ shuffle); ``stratified_sample`` adds one broadcast hash join against the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _U32 = 4294967296.0  # 2^32
@@ -90,6 +90,39 @@ def stratified_sample(
     return joined.filter(
         hash_uniform(F.col(id_col), salt) < F.col("_rate")
     ).drop("_rate")
+
+
+def sample_exact_k(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str,
+    *,
+    salt: str = "mix1",
+) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer iff the stratum is smaller) —
+    the deterministic reservoir: rank rows by their uniform hash within
+    each stratum and keep the k smallest. Rate sampling can't promise a
+    count (binomial spread); eval sets, per-domain capping, and
+    human-review draws need exact k. Same rows every run, any
+    partitioning, any engine — and the sample is STABLE under corpus
+    growth: a row is evicted only when a new row hashes below it, never
+    reshuffled.
+
+    Scale shape: one exchange on the strata key; the rank sorts each
+    stratum locally within its post-shuffle partition (no global sort).
+    For hot strata the sort is the per-partition cost of that stratum's
+    row count — acceptable to k ~ 10^3; for larger k pre-filter with
+    ``deterministic_sample`` at a safe rate first and rank the
+    survivors."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_uniform(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def split_by_group(

@@ -22,7 +22,7 @@ the same all-tasks-commit-or-fail gate as BulkLoader's commit check
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.coerce import timestamp_to_string
@@ -136,3 +136,59 @@ def write_output(df: DataFrame, out_config: dict) -> dict:
         df.write.format("noop").mode("overwrite").save()
         return {"type": "null"}
     raise ValueError(f"unknown output type: {otype}")
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables — pre-shuffled layouts for co-located (shuffle-free) joins
+# ---------------------------------------------------------------------------
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sort-clustered) parquet
+    table: the shuffle on ``bucket_cols`` is paid ONCE at write time, and
+    every later equi-join/aggregation on those columns between tables
+    bucketed the same way plans with NO exchange — the co-located-join
+    layout for fact tables that join repeatedly at 100 TB (dims
+    broadcast; same-keyed facts bucket). ``sort_cols`` additionally
+    pre-sorts within buckets so the join skips its sort step too."""
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    ddl: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Re-attach an existing bucketed layout to a (fresh) catalog — on a
+    cluster the metastore persists table metadata, but a new local
+    session must re-register or Spark forgets the files are bucketed and
+    re-shuffles. Idempotent."""
+    sort = (
+        f"SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort} "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )

@@ -1408,17 +1408,77 @@ class ParquetLakeTable:
                 except FileExistsError:
                     continue  # concurrent commit took the version: rebase
 
+    # ------------------------------------------------------------------
+    # tags: immutable named snapshot refs (Iceberg tag refs)
+    # ------------------------------------------------------------------
+
+    def _tags_dir(self) -> str:
+        d = os.path.join(self.path, "tags")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Pin a snapshot under an immutable name (audit/release refs:
+        ``prod-2026-08``, ``eval-corpus-v3``). Tagged snapshots survive
+        ``expire_snapshots``, so their data files stay live for
+        ``cleanup_orphans`` — a tag is a retention lease, exactly
+        Iceberg's tag-ref semantics. Create-exclusive: re-tagging an
+        existing name raises (drop it first); tags never move."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = int(version) if version is not None \
+            else self.current_snapshot()["version"]
+        if not os.path.exists(self._snap_path(v)):
+            raise ValueError(f"snapshot v{v} does not exist (expired?)")
+        _atomic_create_json(
+            os.path.join(self._tags_dir(), f"{name}.json"),
+            {"name": name, "version": v, "created_at": time.time()},
+        )
+        return {"tag": name, "version": v}
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for fn in sorted(os.listdir(self._tags_dir())):
+            if fn.endswith(".json"):
+                with open(os.path.join(self._tags_dir(), fn)) as f:
+                    t = json.load(f)
+                out[t["name"]] = int(t["version"])
+        return out
+
+    def drop_tag(self, name: str) -> dict:
+        p = os.path.join(self._tags_dir(), f"{name}.json")
+        existed = os.path.exists(p)
+        if existed:
+            os.remove(p)
+        return {"tag": name, "dropped": existed}
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Time-travel read by tag name (published rows, tombstones
+        filtered) — the named-release read path."""
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r} (have {sorted(tags)})")
+        return (
+            self.read(version=tags[name])
+            .filter(~F.col("is_deleted"))
+            .drop("is_deleted", "bkt")
+        )
+
     def expire_snapshots(self, keep_last: int = 10) -> dict:
-        """Retain only the newest ``keep_last`` snapshots; data files
-        referenced solely by expired snapshots become orphans (collect
-        them with ``cleanup_orphans``). Mirrors Iceberg's
-        expire_snapshots maintenance action."""
+        """Retain only the newest ``keep_last`` snapshots plus every
+        TAGGED snapshot; data files referenced solely by expired
+        snapshots become orphans (collect them with ``cleanup_orphans``).
+        Mirrors Iceberg's expire_snapshots maintenance action with
+        tag-ref retention."""
         files = self._snapshot_files()
-        to_drop = files[:-keep_last] if keep_last > 0 else []
+        pinned = {f"v{v:08d}.json" for v in self.tags().values()}
+        candidates = files[:-keep_last] if keep_last > 0 else []
+        to_drop = [f for f in candidates if f not in pinned]
         for f in to_drop:
             os.remove(os.path.join(self._snap_dir, f))
         return {"snapshots_expired": len(to_drop),
-                "snapshots_retained": len(files) - len(to_drop)}
+                "snapshots_retained": len(files) - len(to_drop),
+                "snapshots_pinned_by_tags": len(pinned & set(candidates))}
 
 
 def _ddl_of(schema: T.StructType) -> str:

@@ -273,3 +273,33 @@ def test_rollback_noop_and_idempotent(spark, tmp_path):
         table.snapshot_at(v_target)["committed_epochs"]
     )
     assert _state(table) != before or not r1.get("uncommitted_epochs")
+
+
+def test_tags_pin_snapshots_and_read(spark, tmp_path):
+    import pytest
+
+    table, _ = _replayed_table(spark, str(tmp_path / "t"))
+    v1_rows = table.read(version=1).filter(~F.col("is_deleted")).count()
+    table.tag("after-epoch-0", 1)
+    assert table.tags() == {"after-epoch-0": 1}
+
+    # tags are immutable: re-tagging raises, dropping then re-tagging works
+    with pytest.raises(FileExistsError):
+        table.tag("after-epoch-0", 2)
+    assert table.read_tag("after-epoch-0").count() == v1_rows
+
+    # expiry keeps the tagged snapshot alive (and only it, below keep_last)
+    out = table.expire_snapshots(keep_last=1)
+    assert "v00000001.json" in table._snapshot_files()
+    assert out["snapshots_pinned_by_tags"] == 1
+    assert table.read_tag("after-epoch-0").count() == v1_rows
+    # tagged snapshot's data files survive orphan cleanup
+    table.cleanup_orphans(grace_seconds=0)
+    assert table.read_tag("after-epoch-0").count() == v1_rows
+
+    # dropping the tag releases the pin on the next expiry
+    table.drop_tag("after-epoch-0")
+    table.expire_snapshots(keep_last=1)
+    assert "v00000001.json" not in table._snapshot_files()
+    with pytest.raises(ValueError, match="unknown tag"):
+        table.read_tag("after-epoch-0")

@@ -170,3 +170,33 @@ def test_split_by_group_remainder_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         split_by_group(df, "grp", {"a": 0.9, "b": 0.2})
+
+
+def test_sample_exact_k_count_determinism_and_stability(spark):
+    from embulk_spark.operators.sample import sample_exact_k
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "id long, grp string",
+    )
+    got = sample_exact_k(df, ["grp"], 7, "id")
+    counts = {r.grp: r.cnt for r in got.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"a": 7, "b": 7}
+    # deterministic under repartitioning
+    again = sample_exact_k(df.repartition(13), ["grp"], 7, "id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+    # stable under growth: adding rows can only evict, never reshuffle —
+    # the k=7 sample of a superset intersected with the old universe is a
+    # subset of the old sample
+    bigger = df.unionByName(spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300, 400)],
+        "id long, grp string",
+    ))
+    new = sample_exact_k(bigger, ["grp"], 7, "id")
+    old_ids = {r.id for r in got.collect()}
+    new_old_ids = {r.id for r in new.collect() if r.id < 300}
+    assert new_old_ids <= old_ids
+    # a stratum smaller than k returns all of it
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
+    assert sample_exact_k(tiny, ["grp"], 7, "id").count() == 2
