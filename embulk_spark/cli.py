@@ -129,6 +129,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "verify",
+        help="anti-entropy: recompute the expected final state from a "
+             "raw change-event log and diff it against the lake table "
+             "(missing/extra/mismatched url counts; exit 1 on any)",
+    )
+    sp.add_argument("events", help="parquet change-event directory")
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--no-extract", action="store_true",
+                    help="skip text comparison (seq-only check)")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "tag",
         help="pin (or drop) an immutable named snapshot ref; tagged "
              "snapshots survive cleanup's snapshot expiry",
@@ -285,6 +297,17 @@ def main(argv: list[str] | None = None) -> int:
         table = ParquetLakeTable(spark, args.table)
         print(json.dumps(table.rollback_to(args.to_version)))
         return 0
+
+    if args.cmd == "verify":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        events = spark.read.parquet(args.events)
+        out = table.verify_against_events(
+            events, extract=not args.no_extract
+        )
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
 
     if args.cmd == "tag":
         from .streaming.lake import ParquetLakeTable

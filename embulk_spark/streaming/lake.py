@@ -1408,6 +1408,53 @@ class ParquetLakeTable:
                 except FileExistsError:
                     continue  # concurrent commit took the version: rebase
 
+    def verify_against_events(
+        self, events: DataFrame, *, extract: bool = True
+    ) -> dict:
+        """Anti-entropy check: recompute the expected final state from the
+        RAW event log (one batch dedup + extraction — deliberately not
+        the replay path's per-epoch machinery) and diff it against
+        ``published()``. Returns mismatch counts; 0/0/0 certifies the
+        epoch-commit/resume/compaction/rebucket pipeline reproduced the
+        log exactly. O(log + table) — a maintenance job, not a hot path;
+        text comparison is by md5 so the join carries digests, not
+        documents."""
+        data = events.filter(F.col("op") != "S")
+        latest = dedup_latest(
+            data.select("url", "warc_ts", "seq", "op", "html", "lang")
+        )
+        expect = latest.filter(F.col("op") != "D").select(
+            "url", "seq",
+            F.md5(
+                extract_text(F.col("html")).cast("binary")
+            ).alias("_txt") if extract else F.lit(None).alias("_txt"),
+        )
+        got = self.published().select(
+            "url", "seq",
+            F.md5(F.col("text").cast("binary")).alias("_txt")
+            if extract else F.lit(None).alias("_txt"),
+        )
+        j = expect.alias("e").join(got.alias("g"), "url", "full")
+        report = j.agg(
+            F.sum(F.when(F.col("g.seq").isNull(), 1).otherwise(0)).alias("missing"),
+            F.sum(F.when(F.col("e.seq").isNull(), 1).otherwise(0)).alias("extra"),
+            F.sum(
+                F.when(
+                    F.col("e.seq").isNotNull() & F.col("g.seq").isNotNull()
+                    & (
+                        (F.col("e.seq") != F.col("g.seq"))
+                        | ~F.col("e._txt").eqNullSafe(F.col("g._txt"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("mismatched"),
+            F.count(F.lit(1)).alias("urls_checked"),
+        ).collect()[0]
+        out = {k: int(report[k] or 0) for k in
+               ("missing", "extra", "mismatched", "urls_checked")}
+        out["ok"] = not (out["missing"] or out["extra"] or out["mismatched"])
+        return out
+
     # ------------------------------------------------------------------
     # tags: immutable named snapshot refs (Iceberg tag refs)
     # ------------------------------------------------------------------

@@ -303,3 +303,17 @@ def test_tags_pin_snapshots_and_read(spark, tmp_path):
     assert "v00000001.json" not in table._snapshot_files()
     with pytest.raises(ValueError, match="unknown tag"):
         table.read_tag("after-epoch-0")
+
+
+def test_verify_against_events_clean_and_corrupted(spark, tmp_path):
+    table, events = _replayed_table(spark, str(tmp_path / "t"))
+    out = table.verify_against_events(events)
+    assert out["ok"] and out["urls_checked"] > 0
+    assert (out["missing"], out["extra"], out["mismatched"]) == (0, 0, 0)
+
+    # corrupt the table through the front door (an extra delete epoch the
+    # log never saw) → verify must flag the divergence
+    url = table.published().select("url").first().url
+    table.delete_where(f"url = '{url}'", epoch_id=999)
+    out2 = table.verify_against_events(events)
+    assert not out2["ok"] and out2["missing"] == 1
