@@ -153,6 +153,16 @@ class TermIndex:
             .groupBy("id", *self.order_cols, "term")
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         )
+        # a live zero-token document is still a corpus member (it counts
+        # in N and pulls avgdl down, exactly as the batch scorer sees it):
+        # term NULL + dl 0 — distinct from a tombstone's dl NULL
+        empty = toked.filter(~F.col("_dead") & (F.size("_toks") == 0)).select(
+            "id",
+            *self.order_cols,
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("bigint").alias("tf"),
+            F.lit(0).cast("int").alias("dl"),
+        )
         dead = toked.filter(F.col("_dead")).select(
             "id",
             *self.order_cols,
@@ -162,7 +172,7 @@ class TermIndex:
         )
         rows = live.select(
             "id", *self.order_cols, "term", "tf", "dl"
-        ).unionByName(dead)
+        ).unionByName(empty).unionByName(dead)
         scratch = os.path.join(self.path, f"_scratch_{uuid.uuid4().hex[:8]}")
         rows.write.mode("overwrite").parquet(scratch)
         target = self._epoch_dir(epoch)
@@ -255,19 +265,31 @@ class TermIndex:
             f"epoch int"
         )
 
+    def _winner_rows(self, as_of_epoch: int | None) -> DataFrame:
+        rows = self._rows(as_of_epoch)
+        winners = rows.groupBy("id").agg(F.max(self._winner_key()).alias("_w"))
+        return (
+            rows.join(winners, "id")
+            .filter(self._winner_key() == F.col("_w"))
+            .drop("_w", "epoch", *self.order_cols)
+        )
+
     def state(self, *, as_of_epoch: int | None = None) -> DataFrame:
         """Live (id, term, tf, dl) rows: each document's winning delivery
         — max (order_cols, arrival epoch), the lake's merge-on-read
         resolution — survives; tombstones drop the document. One shuffle
         on id for the winner resolution — over O(index) rows, never the
         text."""
-        rows = self._rows(as_of_epoch)
-        winners = rows.groupBy("id").agg(F.max(self._winner_key()).alias("_w"))
+        return self._winner_rows(as_of_epoch).filter(F.col("term").isNotNull())
+
+    def live_docs(self, *, as_of_epoch: int | None = None) -> DataFrame:
+        """(id, dl) of every live document — INCLUDING zero-token docs,
+        which carry no term rows but still count in corpus constants."""
         return (
-            rows.join(winners, "id")
-            .filter(self._winner_key() == F.col("_w"))
-            .filter(F.col("term").isNotNull())
-            .drop("_w", "epoch", *self.order_cols)
+            self._winner_rows(as_of_epoch)
+            .filter(F.col("dl").isNotNull())
+            .groupBy("id")
+            .agg(F.first("dl").alias("dl"))
         )
 
     def term_df(self, *, as_of_epoch: int | None = None) -> DataFrame:
@@ -294,12 +316,9 @@ class TermIndex:
         constants and dfs aggregate over matched rows only."""
         terms = sorted(set(query_terms))
         st = self.state(as_of_epoch=as_of_epoch)
-        consts = (
-            st.groupBy("id").agg(F.first("dl").alias("_dl"))
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("_n_docs"),
-                F.avg("_dl").alias("_avgdl"),
-            )
+        consts = self.live_docs(as_of_epoch=as_of_epoch).agg(
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.avg("dl").alias("_avgdl"),
         )
         tf = st.filter(F.col("term").isin(terms))
         dft = tf.groupBy("term").agg(

@@ -147,3 +147,27 @@ def test_late_event_in_newer_epoch_loses(spark, tmp_path):
     idx.update_epoch(late, "text", 1)
     terms = {r.term for r in idx.state().collect()}
     assert terms == {"new", "words"}
+
+
+def test_empty_doc_counts_in_corpus_constants(spark, tmp_path):
+    """A live zero-token document carries no terms but is a corpus member
+    (N and avgdl) — exactly as the batch scorer sees it."""
+    idx = TermIndex(spark, str(tmp_path / "ti"), id_col="doc_id",
+                    id_type="bigint")
+    docs = spark.createDataFrame(
+        [(1, "quick dog"), (2, "   "), (3, "dog")],
+        "doc_id long, text string",
+    )
+    idx.update_epoch(docs, "text", 0)
+    assert {(r.id, r.dl) for r in idx.live_docs().collect()} == {
+        (1, 2), (2, 0), (3, 1)
+    }
+    got = {(r.id, r.score) for r in idx.bm25(["dog"]).collect()}
+    want = {(r.doc_id, r.score) for r in bm25_scores(docs, ["dog"]).collect()}
+    assert got == want
+    # deleting the empty doc removes it from the constants
+    idx.update_epoch(
+        spark.createDataFrame([(2, None)], "doc_id long, text string"),
+        "text", 1,
+    )
+    assert {r.id for r in idx.live_docs().collect()} == {1, 3}
