@@ -130,8 +130,13 @@ class ParquetLakeTable:
         schema_ddl: str = TARGET_DDL,
         compact_min_deltas: int = 8,
         compact_ratio: float = 1.0,
+        compact_mode: str = "full",
         url_hll: bool = False,
     ) -> None:
+        if compact_mode not in ("full", "hot"):
+            raise ValueError(
+                f"compact_mode must be 'full' or 'hot', got {compact_mode!r}"
+            )
         self.spark = spark
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
@@ -145,6 +150,11 @@ class ParquetLakeTable:
         self.url_hll = url_hll
         self.compact_min_deltas = compact_min_deltas
         self.compact_ratio = compact_ratio
+        #: "full" rewrites the whole base per fold (small tables); "hot"
+        #: folds only the buckets whose pending deltas exceed compact_ratio
+        #: × their base slice and binpacks the rest into a residual group —
+        #: the O(hot set + Δ) shape a 100 TB table needs.
+        self.compact_mode = compact_mode
         self._snap_dir = os.path.join(self.path, "snapshots")
         self._data_dir = os.path.join(self.path, "data")
         # write-audit-publish: staged (invisible) epoch manifests live here
@@ -414,13 +424,16 @@ class ParquetLakeTable:
             return e > since_epoch and (until_epoch is None or e <= until_epoch)
 
         wanted = {e for e in snap["committed_epochs"] if in_range(int(e))}
+        # residual groups (partial compaction) carry epoch_id None: their
+        # rows left the feed's serving range when their epochs were folded
         groups = [
             (int(d["schema_v"]), d["files"])
             for d in snap["deltas"]
-            if in_range(int(d["epoch_id"]))
+            if d.get("epoch_id") is not None and in_range(int(d["epoch_id"]))
         ]
         available = {
-            int(d["epoch_id"]) for d in snap["deltas"] if in_range(int(d["epoch_id"]))
+            int(d["epoch_id"]) for d in snap["deltas"]
+            if d.get("epoch_id") is not None and in_range(int(d["epoch_id"]))
         }
         # empty-batch epochs commit no delta group; they are committed but
         # contribute no rows and must not count as "compacted away"
@@ -1056,6 +1069,21 @@ class ParquetLakeTable:
         delta_rows = sum(d["rows"] for d in snap["deltas"])
         if len(snap["deltas"]) < self.compact_min_deltas:
             return None
+        if self.compact_mode == "hot":
+            # per-bucket trigger lives inside compact_hot; the min_deltas
+            # gate above bounds how often the O(Δ) selection scan runs
+            if not self._compact_lock.acquire(blocking=False):
+                return None
+            try:
+                out = self.compact_hot()
+                if out is None and delta_rows > 0:
+                    # no bucket justifies a base fold — binpack the delta
+                    # groups into one deduped residual so the manifest and
+                    # small-file count stay bounded (base untouched)
+                    out = self.compact(buckets=[])
+                return out
+            finally:
+                self._compact_lock.release()
         if delta_rows < self.compact_ratio * max(1, snap["base_rows"]):
             return None
         if not self._compact_lock.acquire(blocking=False):
@@ -1065,17 +1093,88 @@ class ParquetLakeTable:
         finally:
             self._compact_lock.release()
 
-    def compact(self, tombstone_retention_ts: str | None = None) -> dict:
+    def compact(
+        self,
+        tombstone_retention_ts: str | None = None,
+        *,
+        buckets: list[int] | None = None,
+    ) -> dict:
         """Merge base∪deltas into a fresh bucketed base (one row per url).
         ``tombstone_retention_ts``: drop tombstones older than this
         watermark — safe once events that late can no longer arrive.
         Retries from a fresh snapshot if a concurrent compaction (another
-        process) replaced the base while this one ran."""
+        process) replaced the base while this one ran.
+
+        ``buckets``: PARTIAL compaction — fold the deltas into only these
+        buckets' base slices (Iceberg's `rewrite_data_files ... WHERE` /
+        binpack-with-filter). Delta rows outside the set are rewritten as
+        one per-url-deduped *residual* delta group instead of touching
+        their base buckets, so the rewrite costs O(selected base slice +
+        all deltas) — never O(table). At 100 TB with a hot-domain change
+        stream this is the only affordable shape: the cold 99% of the base
+        is carried forward by reference (same files, byte-identical).
+        Residual groups carry ``epoch_id: None`` — like a full compaction,
+        the folded epochs leave the incremental feed's serving range
+        (changes_between raises "cursor too old" for them)."""
         while True:
             try:
-                return self._compact_once(tombstone_retention_ts)
+                return self._compact_once(tombstone_retention_ts, buckets)
             except CommitConflict:
                 continue
+
+    def compact_hot(
+        self,
+        *,
+        ratio: float | None = None,
+        max_buckets: int | None = None,
+        tombstone_retention_ts: str | None = None,
+    ) -> dict | None:
+        """Partial-compact the buckets where deltas concentrate: fold
+        bucket ``b`` when its pending delta rows ≥ ``ratio`` × its base
+        rows (the global ``compact_ratio`` trigger applied per bucket —
+        rewrite amplification bounded to 1/ratio per delta row folded).
+        ``max_buckets`` caps the fold to the hottest ones by delta volume.
+        Returns None when no deltas exist or no bucket qualifies.
+
+        Per-bucket delta volume comes from ONE O(Δ) column-pruned scan of
+        the delta files (bkt only); the base is never read for selection.
+        On a skewed change stream (the north rule's hot-domain case) this
+        keeps compaction cost proportional to the hot set: the zipf head's
+        buckets fold every few epochs while the cold tail's base files are
+        never rewritten."""
+        r = self.compact_ratio if ratio is None else ratio
+        while True:
+            snap = self.current_snapshot()
+            if not snap["deltas"]:
+                return None
+            delta = self._delta_df(snap, None)
+            if delta is None:
+                return None
+            cnt = {
+                int(row["bkt"]): int(row["n"])
+                for row in delta.groupBy("bkt").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            base_rows = {
+                int(b): int(e.get("rows") or 0)
+                for b, e in snap["base"].items()
+            }
+            hot = [
+                b for b, n in cnt.items()
+                if n >= r * max(1, base_rows.get(b, 0))
+            ]
+            if not hot:
+                return None
+            hot.sort(key=lambda b: cnt[b], reverse=True)
+            if max_buckets is not None:
+                hot = hot[:max_buckets]
+            try:
+                return self._compact_once(
+                    tombstone_retention_ts, sorted(hot), from_snap=snap
+                )
+            except CommitConflict:
+                continue  # concurrent base change: re-select and retry
 
     def _write_bucketed_base(
         self, merged: DataFrame, snap: dict, nb: int, prefix: str
@@ -1129,8 +1228,16 @@ class ParquetLakeTable:
             total_rows += rows
         return new_base, total_rows
 
-    def _compact_once(self, tombstone_retention_ts: str | None = None) -> dict:
-        snap = self.current_snapshot()
+    def _compact_once(
+        self,
+        tombstone_retention_ts: str | None = None,
+        buckets: list[int] | None = None,
+        *,
+        from_snap: dict | None = None,
+    ) -> dict:
+        snap = from_snap or self.current_snapshot()
+        if buckets is not None:
+            return self._compact_partial(snap, tombstone_retention_ts, buckets)
         # read exactly the captured version: a delta committed between the
         # two reads must NOT be folded (it stays in the delta list)
         merged = self.read(version=snap["version"])
@@ -1150,6 +1257,104 @@ class ParquetLakeTable:
         return self._commit(
             snap, None, metrics=metrics, lineage=[],
             new_base=new_base, new_base_rows=total_rows,
+            folded_deltas=snap["deltas"],
+            expect_base_of=snap,
+        )
+
+    def _compact_partial(
+        self, snap: dict, tombstone_retention_ts: str | None, buckets: list[int]
+    ) -> dict:
+        """Fold the captured deltas into ``buckets``' base slices only.
+
+        One pass over the deltas (persisted, split hot/cold), the base
+        read limited to the selected buckets. Cold delta rows are deduped
+        per url (the winner survives — same (warc_ts, seq) resolution as
+        every read, so collapsing losers is semantics-preserving) and
+        written back as one residual group; cold BASE buckets are carried
+        forward by reference. Iceberg analogue: rewrite_data_files with a
+        partition filter."""
+        hot = sorted({int(b) for b in buckets})
+        hot_set = set(hot)
+        nb = self._nb(snap)
+        bad = [b for b in hot if b < 0 or b >= nb]
+        if bad:
+            raise ValueError(f"buckets {bad} outside [0, {nb})")
+        retention = (
+            (~F.col("is_deleted"))
+            | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
+            if tombstone_retention_ts else None
+        )
+        delta = self._delta_df(snap, None)
+        if delta is None:
+            # nothing pending: partial compaction is a no-op
+            return {"compaction": True, "partial": True, "noop": True}
+        delta = delta.persist()
+        try:
+            hot_col = F.col("bkt").isin(hot)
+            base_hot = self._base_df(snap, hot)
+            merged_hot = dedup_latest(
+                delta.filter(hot_col) if base_hot is None
+                else base_hot.unionByName(delta.filter(hot_col))
+            )
+            residual = dedup_latest(delta.filter(~hot_col))
+            if retention is not None:
+                merged_hot = merged_hot.filter(retention)
+                residual = residual.filter(retention)
+            hot_base, hot_rows = self._write_bucketed_base(
+                merged_hot, snap, nb, "compact"
+            )
+            # residual write: no shuffle (the dedup agg already placed
+            # rows); bkt+url sort within tasks so the bkt IN filter on
+            # future reads prunes at row-group granularity
+            rel_dir = f"data/resid_{uuid.uuid4().hex[:8]}"
+            residual.sortWithinPartitions("bkt", "url").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, rel_dir))
+            res_files, res_rows, _ = self._list_files(rel_dir)
+        finally:
+            delta.unpersist()
+        new_delta = (
+            {
+                "files": res_files,
+                "schema_v": snap["schema_v"],
+                "rows": res_rows,
+                # no single source epoch: these rows span every folded
+                # epoch's cold-bucket remainder. None keeps them out of
+                # changes_between's serving range (feed over folded epochs
+                # raises, exactly as after a full compaction) and out of
+                # the side-index epoch sync (g.get("epoch_id") == e never
+                # matches).
+                "epoch_id": None,
+                "folded_epochs": sorted(
+                    {
+                        int(d["epoch_id"]) for d in snap["deltas"]
+                        if d.get("epoch_id") is not None
+                    }
+                    | {
+                        int(e) for d in snap["deltas"]
+                        for e in d.get("folded_epochs", ())
+                    }
+                ),
+            }
+            if res_rows else None
+        )
+        new_base = {
+            b: e for b, e in snap["base"].items() if int(b) not in hot_set
+        }
+        new_base.update(hot_base)
+        total_rows = sum(int(e.get("rows") or 0) for e in new_base.values())
+        metrics = {
+            "compaction": True,
+            "partial": True,
+            "buckets_folded": hot,
+            "base_rows": total_rows,
+            "deltas_folded": len(snap["deltas"]),
+            "residual_rows": res_rows,
+        }
+        return self._commit(
+            snap, None, metrics=metrics, lineage=[],
+            new_base=new_base, new_base_rows=total_rows,
+            new_delta=new_delta,
             folded_deltas=snap["deltas"],
             expect_base_of=snap,
         )

@@ -1,0 +1,247 @@
+"""Partial (hot-bucket) compaction: fold deltas into only the buckets
+where they concentrate, carry the cold base forward by reference, rewrite
+the cold delta remainder as one residual group.
+
+Iceberg analogue: ``rewrite_data_files`` with a partition filter. The
+reference's maintenance analogue is the cleanup/retry machinery around
+transactional output (exec/BulkLoader.java:471-505); the per-bucket cost
+bound is ours — at 10^10 events the base cannot be rewritten per fold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_spark.operators.merge import dedup_latest
+from embulk_spark.sources.events import change_stream
+from embulk_spark.streaming.lake import ParquetLakeTable
+from embulk_spark.streaming.replay import apply_epoch, replay_batches
+
+
+def _table(spark, path, n_epochs=3, n_buckets=4):
+    events = change_stream(spark, 900, 120, n_epochs, num_partitions=4)
+    table = ParquetLakeTable(
+        spark, path, n_buckets=n_buckets, compact_min_deltas=10_000
+    )
+    replay_batches(table, events, pipeline_depth=1)
+    return table, events
+
+
+def _base_paths(table, buckets):
+    snap = table.current_snapshot()
+    return {
+        b: tuple(snap["base"].get(str(b), {}).get("files", ()))
+        for b in buckets
+    }
+
+
+def test_partial_fold_preserves_state_and_cold_files(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"))
+    table.compact()  # establish a base in every bucket
+    events2 = change_stream(spark, 400, 60, 5, num_partitions=4)
+    for e in range(3, 5):
+        apply_epoch(table, events2.filter(F.col("epoch") == e - 3), e)
+
+    want = {(r.url, r.seq) for r in table.published().collect()}
+    cold_before = _base_paths(table, [2, 3])
+    n_deltas = len(table.current_snapshot()["deltas"])
+    assert n_deltas >= 2
+
+    out = table.compact(buckets=[0, 1])
+    assert out["partial"] and out["buckets_folded"] == [0, 1]
+    assert out["deltas_folded"] == n_deltas
+
+    snap = table.current_snapshot()
+    # cold base buckets carried forward by reference: same file paths
+    assert _base_paths(table, [2, 3]) == cold_before
+    # the folded epochs' groups are gone; one residual group remains
+    resid = [d for d in snap["deltas"] if d.get("epoch_id") is None]
+    assert len(resid) == 1 and resid[0]["rows"] == out["residual_rows"]
+    assert resid[0]["folded_epochs"] == [3, 4]
+    # hot buckets hold one row per url now (base semantics)
+    hot = table.read(buckets=[0, 1])
+    assert hot.count() == hot.select("url").distinct().count()
+    # and the user-facing state is unchanged
+    assert {(r.url, r.seq) for r in table.published().collect()} == want
+
+
+def test_residual_resolves_against_later_epochs(spark, tmp_path):
+    """A residual row must lose to a NEWER event for the same url arriving
+    after the partial compaction (event order, not arrival order)."""
+    table, events = _table(spark, str(tmp_path / "t"), n_epochs=2)
+    table.compact(buckets=[0])  # every url in buckets 1-3 → residual
+    # disjoint seq range: no (url, warc_ts, seq) ties across the streams
+    events2 = change_stream(spark, 400, 60, 3, num_partitions=4).withColumn(
+        "seq", F.col("seq") + 100_000
+    )
+    for e in range(2, 5):
+        apply_epoch(table, events2.filter(F.col("epoch") == e - 2), e)
+
+    both = events.unionByName(events2.withColumn("epoch", F.col("epoch") + 2))
+    want = (
+        dedup_latest(both.select("url", "warc_ts", "seq", "op"))
+        .filter(F.col("op") != "D")
+    )
+    got = table.published()
+    assert got.count() == want.count()
+    assert (
+        got.select("url", "seq").exceptAll(want.select("url", "seq")).count()
+        == 0
+    )
+
+
+def test_feed_cursor_too_old_after_partial_compact(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"), n_epochs=3)
+    # feed works before the fold
+    assert table.changes_between(0, 2).count() > 0
+    table.compact(buckets=[1])
+    # folded epochs left the serving range — cursor too old
+    with pytest.raises(ValueError, match="compacted into the base"):
+        table.changes_between(0, 2)
+    # the feed resumes cleanly for post-compaction epochs
+    events2 = change_stream(spark, 300, 50, 1, num_partitions=4)
+    apply_epoch(table, events2, 3)
+    feed = table.changes_between(2)
+    assert feed.count() > 0
+
+
+def test_compact_hot_folds_only_qualifying_buckets(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"), n_epochs=2)
+    table.compact()
+    assert table.compact_hot() is None  # nothing pending
+
+    # a skewed epoch: every change hits ONE url → one hot bucket
+    hot_urls = (
+        spark.createDataFrame(
+            [(i, "U", "https://hot.example/x", None, "en") for i in range(200)],
+            "seq long, op string, url string, html binary, lang string",
+        )
+        .withColumn(
+            "warc_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("seq"))
+        )
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    apply_epoch(table, hot_urls, 10)
+
+    snap = table.current_snapshot()
+    from embulk_spark.operators.merge import bucket_of
+    hot_b = spark.range(1).select(
+        bucket_of(F.lit("https://hot.example/x"), table._nb(snap)).alias("b")
+    ).collect()[0]["b"]
+
+    out = table.compact_hot(ratio=0.001)
+    assert out is not None and out["buckets_folded"] == [hot_b]
+    # only the hot bucket carried delta rows, so nothing spills to residual
+    assert out["residual_rows"] == 0
+    live = table.lookup_urls("https://hot.example/x").collect()
+    assert len(live) == 1 and live[0]["seq"] == 199
+
+
+def test_tombstone_retention_applies_to_hot_and_residual(spark, tmp_path):
+    spark_df = (
+        spark.createDataFrame(
+            [
+                (1, "I", "https://a.example/1", b"<p>a</p>", "en"),
+                (2, "I", "https://b.example/2", b"<p>b</p>", "en"),
+            ],
+            "seq long, op string, url string, html binary, lang string",
+        )
+        .withColumn(
+            "warc_ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("seq"))
+        )
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "t"), n_buckets=4, compact_min_deltas=10_000
+    )
+    apply_epoch(table, spark_df, 0)
+    dels = spark_df.withColumn("op", F.lit("D")).withColumn(
+        "seq", F.col("seq") + 10
+    )
+    apply_epoch(table, dels, 1)
+    assert table.published().count() == 0
+    # retention far in the future: every tombstone is expirable
+    table.compact(
+        "2100-01-01 00:00:00",
+        buckets=[table.read().select("bkt").first()["bkt"]],
+    )
+    snap = table.current_snapshot()
+    total = sum(int(e["rows"] or 0) for e in snap["base"].values()) + sum(
+        int(d["rows"] or 0) for d in snap["deltas"]
+    )
+    assert total == 0  # tombstones purged from the hot fold AND residual
+
+
+def test_concurrent_epoch_survives_partial_compact(spark, tmp_path):
+    """A delta committed between snapshot capture and the partial-compact
+    commit must survive (set-merge rebase), exactly as with full compact."""
+    table, _ = _table(spark, str(tmp_path / "t"), n_epochs=2)
+    snap = table.current_snapshot()
+    # interleave: a new epoch lands after the compactor captured its snap
+    late = change_stream(spark, 200, 40, 1, num_partitions=4)
+    apply_epoch(table, late, 7)
+    want = {(r.url, r.seq) for r in table.published().collect()}
+
+    out = table._compact_once(None, [0, 1], from_snap=snap)
+    assert out["partial"]
+    snap2 = table.current_snapshot()
+    assert any(d.get("epoch_id") == 7 for d in snap2["deltas"])
+    assert {(r.url, r.seq) for r in table.published().collect()} == want
+
+
+def test_delta_binpack_leaves_base_untouched(spark, tmp_path):
+    """compact(buckets=[]) is a pure delta binpack: every pending group
+    collapses into one per-url-deduped residual, no base file rewritten."""
+    table, _ = _table(spark, str(tmp_path / "t"), n_epochs=3)
+    table.compact()
+    events2 = change_stream(spark, 400, 60, 2, num_partitions=4).withColumn(
+        "seq", F.col("seq") + 100_000
+    )
+    for e in range(3, 5):
+        apply_epoch(table, events2.filter(F.col("epoch") == e - 3), e)
+    want = {(r.url, r.seq) for r in table.published().collect()}
+    base_before = _base_paths(table, [0, 1, 2, 3])
+
+    out = table.compact(buckets=[])
+    assert out["partial"] and out["buckets_folded"] == []
+    assert out["residual_rows"] > 0
+    snap = table.current_snapshot()
+    assert _base_paths(table, [0, 1, 2, 3]) == base_before
+    assert len(snap["deltas"]) == 1
+    assert snap["deltas"][0]["epoch_id"] is None
+    assert {(r.url, r.seq) for r in table.published().collect()} == want
+    # a second binpack chains provenance: folded_epochs accumulate
+    apply_epoch(table, events2.filter(F.col("epoch") == 1), 9)
+    out2 = table.compact(buckets=[])
+    snap2 = table.current_snapshot()
+    assert snap2["deltas"][0]["folded_epochs"] == [3, 4, 9]
+
+
+def test_hot_mode_auto_maintenance_matches_full(spark, tmp_path):
+    """A compact_mode='hot' table self-maintains during replay (per-bucket
+    folds + binpacks) and ends bit-identical to a never-compacted control."""
+    events = change_stream(spark, 900, 120, 6, num_partitions=4)
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "hot"), n_buckets=4,
+        compact_min_deltas=3, compact_mode="hot",
+    )
+    replay_batches(table, events, pipeline_depth=1)
+    control = ParquetLakeTable(
+        spark, str(tmp_path / "ctl"), n_buckets=4, compact_min_deltas=10_000
+    )
+    replay_batches(control, events, pipeline_depth=1)
+
+    got = {(r.url, r.seq) for r in table.published().collect()}
+    want = {(r.url, r.seq) for r in control.published().collect()}
+    assert got == want
+    # maintenance actually ran and bounded the pending-group count
+    assert len(table.current_snapshot()["deltas"]) < 6
+    assert any(
+        (table.snapshot_at(int(f[1:9])).get("metrics") or {}).get("partial")
+        for f in table._snapshot_files()
+    )
+
+
+def test_compact_mode_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="compact_mode"):
+        ParquetLakeTable(spark, str(tmp_path / "x"), compact_mode="never")
