@@ -161,6 +161,29 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "compact",
+        help="fold pending deltas into the bucketed base: full rewrite, "
+             "--hot (only buckets whose deltas exceed --ratio x their base "
+             "slice; cold remainder binpacks to a residual group), or "
+             "--buckets for an explicit partial fold (--buckets '' = pure "
+             "delta binpack, base untouched)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--hot", action="store_true",
+                    help="per-bucket partial fold (compact_hot)")
+    sp.add_argument("--ratio", type=float, default=None,
+                    help="per-bucket fold trigger for --hot "
+                         "(default: the table's compact_ratio)")
+    sp.add_argument("--max-buckets", type=int, default=None,
+                    help="cap --hot to the N hottest buckets")
+    sp.add_argument("--buckets", default=None,
+                    help="comma-separated bucket ids for an explicit "
+                         "partial fold; empty string = delta binpack")
+    sp.add_argument("--tombstone-retention-ts", default=None,
+                    help="drop tombstones older than this watermark")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "cleanup",
         help="expire old snapshots and remove orphaned data files "
              "(reference cli/Command.java:5, exec/BulkLoader.java:471-505)",
@@ -324,6 +347,28 @@ def main(argv: list[str] | None = None) -> int:
 
         table = ParquetLakeTable(spark, args.table)
         print(json.dumps(table.rebucket(args.n_buckets)))
+        return 0
+
+    if args.cmd == "compact":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        if args.hot and args.buckets is not None:
+            ap.error("--hot and --buckets are mutually exclusive")
+        if args.hot:
+            out = table.compact_hot(
+                ratio=args.ratio, max_buckets=args.max_buckets,
+                tombstone_retention_ts=args.tombstone_retention_ts,
+            ) or {"compaction": False, "noop": True}
+        else:
+            buckets = (
+                None if args.buckets is None
+                else [int(b) for b in args.buckets.split(",") if b.strip()]
+            )
+            out = table.compact(
+                args.tombstone_retention_ts, buckets=buckets
+            )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "cleanup":

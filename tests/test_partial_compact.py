@@ -245,3 +245,27 @@ def test_hot_mode_auto_maintenance_matches_full(spark, tmp_path):
 def test_compact_mode_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="compact_mode"):
         ParquetLakeTable(spark, str(tmp_path / "x"), compact_mode="never")
+
+
+def test_cli_compact_surface(spark, tmp_path, capsys):
+    import json
+
+    from embulk_spark import cli
+
+    path = str(tmp_path / "t")
+    _table(spark, path, n_epochs=3)
+
+    # pure delta binpack
+    assert cli.main(["compact", path, "--buckets", ""]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partial"] and out["buckets_folded"] == []
+
+    # hot fold: ratio 0 folds every bucket holding delta rows
+    assert cli.main(["compact", path, "--hot", "--ratio", "0.0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("partial") or out.get("noop")
+
+    # full fold leaves no pending groups
+    assert cli.main(["compact", path]) == 0
+    table = ParquetLakeTable(spark, path)
+    assert table.current_snapshot()["deltas"] == []
