@@ -1357,6 +1357,20 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, _BM25_TERMS)
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 8 merge
+    rules learned from the documents corpus — ONE corpus-touching
+    wordcount, then per round an O(vocab) pair agg + a broadcast 1-row
+    argmax feeding a JVM fold (leftmost-first merge, zero Python). The
+    oracle unrolls the rounds as chained MATERIALIZED CTEs whose merge
+    step is a replace-until-fixpoint recursive CTE over separator-framed
+    symbol strings — pinned equivalent to the fold (tests/test_bpe.py)."""
+    from embulk_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_train(docs, n_merges=8, min_freq=2)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine trained quality classifier (operators/classifier.py):
     hashed-unigram logistic regression fit by 3 full-batch GD steps ON
@@ -1639,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "group_split": _q_group_split,
         "quality_classifier": _q_quality_classifier,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -1656,6 +1671,14 @@ WITH latest AS (
   ) WHERE rn = 1
 )
 """
+
+def _bpe_oracle() -> str:
+    """Single source of truth: the operator module generates its own
+    DuckDB mirror (operators/bpe.py::bpe_train_oracle_sql)."""
+    from embulk_spark.operators.bpe import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(n_merges=8, min_freq=2)
+
 
 def _minhash_sig_sql(k: int) -> str:
     """DuckDB expression for the engine's exact minhash signature: same
@@ -3124,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY event_id HAVING count(*) > 1)), 0),
                (SELECT count(*) FROM events WHERE event_id IS NOT NULL)
         """,
+        "bpe_merges": _bpe_oracle(),
     }
 
 

@@ -168,6 +168,7 @@ def main() -> None:
         "length_quantiles",
         "interval_window_counts",
         "data_quality",
+        "bpe_merges",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -1,0 +1,75 @@
+"""BPE tokenizer training (operators/bpe.py): merge-rule induction over
+the word vocab, leftmost-first application, Spark ≡ DuckDB-oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from embulk_spark.operators.bpe import (
+    bpe_token_counts,
+    bpe_train,
+    bpe_train_oracle_sql,
+)
+
+CORPUS = [
+    "the cat sat on the mat the cat",
+    "a cat and a hat and a mat",
+    "the hat that the cat wore",
+]
+
+
+def _docs(spark, texts=CORPUS):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_classical_merges_on_toy_corpus(spark):
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["merged"], r["pair_count"])
+        for r in bpe_train(_docs(spark), n_merges=4, min_freq=1).collect()
+    ]
+    # hand-checked: 'at' appears in cat×4 sat mat×2 hat×2 that = 10
+    assert got == [
+        (1, "a", "t", "at", 10),
+        (2, "t", "h", "th", 6),
+        (3, "th", "e", "the", 5),
+        (4, "c", "at", "cat", 4),
+    ]
+
+
+def test_leftmost_first_and_positional_counts(spark):
+    """[a,a,a] counts (a,a) twice but merges leftmost-first to [aa, a]:
+    round 2 must see the pair (aa, a) — never (a, aa)."""
+    docs = _docs(spark, ["aaa aaa"])
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=2, min_freq=1).collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+
+
+def test_spark_matches_duckdb_oracle(spark):
+    merges = bpe_train(_docs(spark), n_merges=6, min_freq=1)
+    got = [tuple(r) for r in merges.collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": CORPUS}))
+    want = con.execute(
+        bpe_train_oracle_sql(n_merges=6, min_freq=1)
+    ).fetchall()
+    assert got == want
+
+
+def test_token_counts_conserve_characters(spark):
+    docs = _docs(spark)
+    merges = bpe_train(docs, n_merges=4, min_freq=1)
+    toks = bpe_token_counts(docs, merges).collect()
+    total_chars = sum(len(r["token"]) * r["count"] for r in toks)
+    import re
+
+    want = sum(
+        len(w) for t in CORPUS for w in re.split(r"[^a-z]+", t.lower()) if w
+    )
+    assert total_chars == want
+    # learned merges actually fire: multi-char tokens dominate 'the'/'cat'
+    by_tok = {r["token"]: r["count"] for r in toks}
+    assert by_tok["the"] == 5 and by_tok["cat"] == 4
