@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="path of a corpus export (sinks/corpus, created "
                          "with the export subcommand) kept in lockstep: "
                          "each epoch's change-set folds in after commit")
+    sp.add_argument("--ref", default="main",
+                    help="commit to this branch ref instead of main "
+                         "(create it first with the branch subcommand); "
+                         "publish with fast-forward")
 
     sp = sub.add_parser(
         "changes",
@@ -161,6 +165,29 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "branch",
+        help="branch refs (Iceberg branch semantics): create a branch "
+             "from the current head, list branches, or drop one; commit "
+             "to a branch via replay --ref, publish via fast-forward",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("name", nargs="?", default=None,
+                    help="branch name (omit with --list)")
+    sp.add_argument("--at-version", type=int, default=None)
+    sp.add_argument("--drop", action="store_true")
+    sp.add_argument("--list", action="store_true")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
+        "fast-forward",
+        help="publish a branch's head as main's next snapshot (atomic, "
+             "manifest-only; refuses if main advanced past the fork)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("name", help="branch name")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "compact",
         help="fold pending deltas into the bucketed base: full rewrite, "
              "--hot (only buckets whose deltas exceed --ratio x their base "
@@ -229,7 +256,9 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.lake import ParquetLakeTable
         from .streaming.replay import replay_batches, stream_events
 
-        table = ParquetLakeTable(spark, args.table, n_buckets=args.buckets)
+        table = ParquetLakeTable(
+            spark, args.table, n_buckets=args.buckets, ref=args.ref
+        )
         idx = None
         if args.signature_index:
             from .operators.incremental import SignatureIndex
@@ -347,6 +376,27 @@ def main(argv: list[str] | None = None) -> int:
 
         table = ParquetLakeTable(spark, args.table)
         print(json.dumps(table.rebucket(args.n_buckets)))
+        return 0
+
+    if args.cmd == "branch":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        if args.list or args.name is None:
+            print(json.dumps(table.branches()))
+        elif args.drop:
+            print(json.dumps(table.drop_branch(args.name)))
+        else:
+            print(json.dumps(
+                table.create_branch(args.name, at_version=args.at_version)
+            ))
+        return 0
+
+    if args.cmd == "fast-forward":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        print(json.dumps(table.fast_forward(args.name)))
         return 0
 
     if args.cmd == "compact":

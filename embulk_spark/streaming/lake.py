@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import threading
 import time
 import uuid
@@ -132,11 +133,14 @@ class ParquetLakeTable:
         compact_ratio: float = 1.0,
         compact_mode: str = "full",
         url_hll: bool = False,
+        ref: str = "main",
     ) -> None:
         if compact_mode not in ("full", "hot"):
             raise ValueError(
                 f"compact_mode must be 'full' or 'hot', got {compact_mode!r}"
             )
+        if ref != "main" and (not ref or "/" in ref or ref.startswith(".")):
+            raise ValueError(f"invalid branch name {ref!r}")
         self.spark = spark
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
@@ -155,10 +159,21 @@ class ParquetLakeTable:
         #: × their base slice and binpacks the rest into a residual group —
         #: the O(hot set + Δ) shape a 100 TB table needs.
         self.compact_mode = compact_mode
-        self._snap_dir = os.path.join(self.path, "snapshots")
+        #: which ref this handle commits to. "main" is the table itself;
+        #: any other name is a BRANCH (Iceberg branch refs): an
+        #: independent snapshot+staged namespace under branches/<name>/
+        #: sharing the table's data directory — commits, compaction, WAP,
+        #: replay all work unchanged on a branch handle, invisible to
+        #: main's readers until fast_forward() publishes the head.
+        self.ref = ref
+        ref_root = (
+            self.path if ref == "main"
+            else os.path.join(self.path, "branches", ref)
+        )
+        self._snap_dir = os.path.join(ref_root, "snapshots")
         self._data_dir = os.path.join(self.path, "data")
         # write-audit-publish: staged (invisible) epoch manifests live here
-        self._staged_dir = os.path.join(self.path, "staged")
+        self._staged_dir = os.path.join(ref_root, "staged")
         # serializes snapshot commits for concurrent (pipelined) epochs in
         # this process; cross-process safety comes from the atomic rename
         # (optimistic concurrency, like Iceberg's commit retry)
@@ -168,6 +183,11 @@ class ParquetLakeTable:
         os.makedirs(self._snap_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
         os.makedirs(self._staged_dir, exist_ok=True)
+        if ref != "main" and self.current_snapshot() is None:
+            raise ValueError(
+                f"branch {ref!r} does not exist — create it from a main "
+                f"handle with create_branch({ref!r}) first"
+            )
         if self.current_snapshot() is None:
             snap = {
                 "version": 0,
@@ -1512,13 +1532,34 @@ class ParquetLakeTable:
         command removing intermediate data of failed transactions
         (exec/BulkLoader.java:471-505, cli/Command.java:5)."""
         snaps = [self.snapshot_at(int(f[1:9])) for f in self._snapshot_files()]
+        # branch refs share the data dir: every branch's snapshots (and
+        # staged manifests, below) pin files too, whichever ref runs the GC
+        bd = self._branches_dir()
+        snap_dirs = [self._snap_dir]
+        staged_dirs = [self._staged_dir]
+        if os.path.isdir(bd):
+            for n in sorted(os.listdir(bd)):
+                snap_dirs.append(os.path.join(bd, n, "snapshots"))
+                staged_dirs.append(os.path.join(bd, n, "staged"))
+        for d in snap_dirs[1:]:
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        snaps.append(json.load(f))
         refs = self._referenced_files(snaps)
         # staged (WAP) epochs are deliberately not in any snapshot yet —
         # their files are referenced by the staged manifests, not orphans
-        for e in self.staged_epochs():
-            man = self._load_staged(e)
-            if man.get("delta"):
-                refs.update(man["delta"]["files"])
+        for d in staged_dirs:
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.startswith("e") and fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        man = json.load(f)
+                    if man.get("delta"):
+                        refs.update(man["delta"]["files"])
         now = time.time()
         removed, kept_young = [], 0
         for root, _dirs, fns in os.walk(self._data_dir):
@@ -1715,6 +1756,144 @@ class ParquetLakeTable:
             .filter(~F.col("is_deleted"))
             .drop("is_deleted", "bkt")
         )
+
+    # ------------------------------------------------------------------
+    # branches: named mutable refs + fast-forward publish (Iceberg
+    # branch semantics — the multi-epoch generalization of WAP)
+    # ------------------------------------------------------------------
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.path, "branches")
+
+    def create_branch(
+        self, name: str, *, at_version: int | None = None
+    ) -> dict:
+        """Fork a branch from this ref's snapshot ``at_version`` (default:
+        current head). The branch is an independent snapshot namespace
+        sharing the table's data files — open it with
+        ``ParquetLakeTable(spark, path, ref=name)`` (or :meth:`branch`)
+        and replay/compact/stage on it exactly like main; main's readers
+        never see it until :meth:`fast_forward`. Use cases: multi-epoch
+        backfill audited as a whole, schema-migration rehearsal, an
+        always-auditable staging lane (Iceberg's audit-branch workflow).
+        Create-exclusive: an existing name raises."""
+        if not name or name == "main" or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid branch name {name!r}")
+        snap = (
+            self.snapshot_at(at_version) if at_version is not None
+            else self.current_snapshot()
+        )
+        bdir = os.path.join(self._branches_dir(), name)
+        sdir = os.path.join(bdir, "snapshots")
+        os.makedirs(sdir, exist_ok=True)
+        meta = {
+            "name": name,
+            "fork_ref": self.ref,
+            "fork_version": snap["version"],
+            "created_at": time.time(),
+        }
+        _atomic_create_json(os.path.join(bdir, "BRANCH.json"), meta)
+        # seed: the fork snapshot, verbatim (snapshots are self-contained
+        # manifests, so the branch never reads main's snapshot dir again)
+        _atomic_create_json(
+            os.path.join(sdir, f"v{snap['version']:08d}.json"), snap
+        )
+        return {"branch": name, "fork_version": snap["version"]}
+
+    def branch(self, name: str) -> "ParquetLakeTable":
+        """A handle committing to branch ``name`` (same table dir)."""
+        return ParquetLakeTable(
+            self.spark, self.path,
+            compact_min_deltas=self.compact_min_deltas,
+            compact_ratio=self.compact_ratio,
+            compact_mode=self.compact_mode,
+            url_hll=self.url_hll, ref=name,
+        )
+
+    def branches(self) -> dict[str, dict]:
+        """name → {fork_version, head_version} for every branch ref."""
+        bd = self._branches_dir()
+        out: dict[str, dict] = {}
+        if not os.path.isdir(bd):
+            return out
+        for n in sorted(os.listdir(bd)):
+            mp = os.path.join(bd, n, "BRANCH.json")
+            sdir = os.path.join(bd, n, "snapshots")
+            if not os.path.exists(mp):
+                continue
+            with open(mp) as f:
+                meta = json.load(f)
+            heads = sorted(
+                f for f in os.listdir(sdir)
+                if f.startswith("v") and f.endswith(".json")
+            ) if os.path.isdir(sdir) else []
+            out[n] = {
+                "fork_version": int(meta["fork_version"]),
+                "head_version": int(heads[-1][1:9]) if heads else None,
+            }
+        return out
+
+    def drop_branch(self, name: str) -> dict:
+        """Delete a branch ref; its branch-only data files become
+        cleanup_orphans() fodder."""
+        bdir = os.path.join(self._branches_dir(), name)
+        existed = os.path.isdir(bdir)
+        if existed:
+            shutil.rmtree(bdir)
+        return {"branch": name, "dropped": existed}
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish branch ``name``'s head as this ref's next snapshot —
+        atomic, manifest-only (no data moves: the branch wrote its files
+        into the shared data dir). Requires THIS ref to still be at the
+        branch's fork version (the ancestor condition of Iceberg's
+        fast_forward); if main advanced since the fork, raises
+        CommitConflict — re-branch from the new head and replay the
+        branch's epochs through the normal idempotent path."""
+        bdir = os.path.join(self._branches_dir(), name)
+        mp = os.path.join(bdir, "BRANCH.json")
+        if not os.path.exists(mp):
+            raise ValueError(f"unknown branch {name!r}")
+        with open(mp) as f:
+            meta = json.load(f)
+        sdir = os.path.join(bdir, "snapshots")
+        heads = sorted(
+            f for f in os.listdir(sdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        with open(os.path.join(sdir, heads[-1])) as f:
+            head = json.load(f)
+        if head["version"] == meta["fork_version"]:
+            return {"fast_forward": name, "noop": True}
+        with self._commit_lock:
+            while True:
+                cur = self.current_snapshot()
+                if cur["version"] != meta["fork_version"]:
+                    raise CommitConflict(
+                        f"{self.ref} advanced past the fork point "
+                        f"(v{meta['fork_version']} → v{cur['version']}) — "
+                        f"re-branch and replay the branch's epochs"
+                    )
+                new = dict(head)
+                new["version"] = cur["version"] + 1
+                new["metrics"] = {
+                    "fast_forward": name,
+                    "from_branch_version": head["version"],
+                    "committed_at": time.time(),
+                }
+                new["committed_at"] = time.time()
+                try:
+                    _atomic_create_json(self._snap_path(new["version"]), new)
+                    return {
+                        "fast_forward": name,
+                        "version": new["version"],
+                        "epochs_adopted": sorted(
+                            set(head["committed_epochs"])
+                            - set(cur["committed_epochs"])
+                        ),
+                    }
+                except FileExistsError:
+                    continue  # racer took the version; recheck ancestor
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Retain only the newest ``keep_last`` snapshots plus every

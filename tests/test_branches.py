@@ -1,0 +1,165 @@
+"""Branch refs + fast-forward publish (Iceberg branch semantics): an
+independent snapshot namespace over the shared data dir — the multi-epoch
+generalization of WAP. Reference analogue: resumable transactions staged
+apart from the committed output (exec/BulkLoader.java:584-659)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_spark.sources.events import change_stream
+from embulk_spark.streaming.lake import CommitConflict, ParquetLakeTable
+from embulk_spark.streaming.replay import apply_epoch, replay_batches
+
+
+def _table(spark, path, n_epochs=2):
+    events = change_stream(spark, 600, 100, n_epochs, num_partitions=4)
+    table = ParquetLakeTable(
+        spark, path, n_buckets=4, compact_min_deltas=10_000
+    )
+    replay_batches(table, events, pipeline_depth=1)
+    return table, events
+
+
+def _backfill(spark, n_epochs=3):
+    return change_stream(spark, 500, 80, n_epochs, num_partitions=4) \
+        .withColumn("seq", F.col("seq") + 50_000)
+
+
+def test_branch_isolation_and_fast_forward(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"))
+    main_before = {(r.url, r.seq) for r in table.published().collect()}
+
+    table.create_branch("backfill")
+    br = table.branch("backfill")
+    bf = _backfill(spark)
+    for e in range(3):
+        apply_epoch(br, bf.filter(F.col("epoch") == e), 100 + e)
+
+    # invisible to main until fast-forward
+    assert {(r.url, r.seq) for r in table.published().collect()} == main_before
+    assert table.branches()["backfill"]["head_version"] > \
+        table.branches()["backfill"]["fork_version"]
+    want = {(r.url, r.seq) for r in br.published().collect()}
+    assert want != main_before
+
+    out = table.fast_forward("backfill")
+    assert out["epochs_adopted"] == [100, 101, 102]
+    assert {(r.url, r.seq) for r in table.published().collect()} == want
+    # adopted epochs are idempotent on main now (dup delivery skips)
+    rep = apply_epoch(table, bf.filter(F.col("epoch") == 0), 100)
+    assert rep.get("skipped_duplicate_epoch")
+
+
+def test_fast_forward_requires_ancestor(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"))
+    table.create_branch("audit")
+    br = table.branch("audit")
+    bf = _backfill(spark, 1)
+    apply_epoch(br, bf, 50)
+    # main advances past the fork point → FF must refuse
+    apply_epoch(table, _backfill(spark, 1).withColumn(
+        "seq", F.col("seq") + 1_000_000), 60)
+    with pytest.raises(CommitConflict, match="advanced past the fork"):
+        table.fast_forward("audit")
+    # the branch itself is still intact and readable
+    assert br.published().count() > 0
+
+
+def test_fast_forward_noop_and_unknown(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"))
+    table.create_branch("idle")
+    assert table.fast_forward("idle")["noop"]
+    with pytest.raises(ValueError, match="unknown branch"):
+        table.fast_forward("nope")
+    with pytest.raises(ValueError, match="does not exist"):
+        ParquetLakeTable(spark, str(tmp_path / "t"), ref="nope")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        table.create_branch("main")
+
+
+def test_branch_files_survive_gc_until_dropped(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"))
+    table.create_branch("wip")
+    br = table.branch("wip")
+    apply_epoch(br, _backfill(spark, 1), 70)
+    br_rows = br.published().count()
+
+    # branch-only delta files are referenced by the branch ref, not main
+    out = table.cleanup_orphans(grace_seconds=0.0)
+    assert out["orphans_removed"] == 0
+    assert br.published().count() == br_rows
+
+    # branch-EXCLUSIVE files: the epoch-70 delta, not the fork-shared ones
+    main_refs = {
+        f for d in table.current_snapshot()["deltas"] for f in d["files"]
+    } | {
+        f for e in table.current_snapshot()["base"].values()
+        for f in e["files"]
+    }
+    snap = br.current_snapshot()
+    br_files = [
+        os.path.join(str(tmp_path / "t"), f)
+        for d in snap["deltas"] for f in d["files"] if f not in main_refs
+    ]
+    assert br_files  # the branch did write its own delta
+    table.drop_branch("wip")
+    out = table.cleanup_orphans(grace_seconds=0.0)
+    assert out["orphans_removed"] >= 1
+    assert not any(os.path.exists(p) for p in br_files)
+    # main untouched
+    assert table.published().count() > 0
+
+
+def test_branch_compaction_and_wap_are_branch_scoped(spark, tmp_path):
+    table, _ = _table(spark, str(tmp_path / "t"))
+    table.create_branch("heavy")
+    br = table.branch("heavy")
+    bf = _backfill(spark, 2)
+    for e in range(2):
+        apply_epoch(br, bf.filter(F.col("epoch") == e), 200 + e)
+    want = {(r.url, r.seq) for r in br.published().collect()}
+    br.compact(buckets=[0, 1])  # partial compaction on the branch
+    assert {(r.url, r.seq) for r in br.published().collect()} == want
+    # a staged epoch on the branch is invisible to main's staged set
+    m = br.merge_epoch(
+        bf.filter(F.col("epoch") == 0)
+        .withColumn("seq", F.col("seq") + 9_000_000)
+        .filter(F.col("op") != "S"),
+        250, stage=True,
+    )
+    assert 250 in br.staged_epochs() and 250 not in table.staged_epochs()
+    br.abort_staged(250)
+
+
+def test_cli_branch_workflow(spark, tmp_path, capsys):
+    import json
+
+    from embulk_spark import cli
+
+    path = str(tmp_path / "t")
+    table, _ = _table(spark, path)
+    ev_dir = str(tmp_path / "bf")
+    # epoch ids beyond main's: the fork inherits main's committed set, so
+    # a replay of epochs 0/1 on the branch would dup-skip (by design)
+    _backfill(spark, 2).withColumn("epoch", F.col("epoch") + 100) \
+        .write.partitionBy("epoch").parquet(ev_dir)
+
+    assert cli.main(["branch", path, "staging"]) == 0
+    assert cli.main(["replay", ev_dir, path, "--ref", "staging",
+                     "--buckets", "4"]) == 0
+    assert cli.main(["branch", path, "--list"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    listed = json.loads(lines[-1])
+    assert listed["staging"]["head_version"] > listed["staging"]["fork_version"]
+
+    assert cli.main(["fast-forward", path, "staging"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs_adopted"] == [100, 101]
+    br = table.branch("staging")
+    assert {(r.url, r.seq) for r in table.published().collect()} == {
+        (r.url, r.seq) for r in br.published().collect()
+    }
