@@ -1248,6 +1248,17 @@ class ParquetLakeTable:
             total_rows += rows
         return new_base, total_rows
 
+    def _entry_bytes(self, entries) -> int:
+        """Total on-disk bytes of base-map entries' files (compaction IO
+        accounting: what the fold actually rewrote)."""
+        total = 0
+        for e in entries:
+            for f in e["files"]:
+                fp = os.path.join(self.path, f)
+                if os.path.exists(fp):
+                    total += os.path.getsize(fp)
+        return total
+
     def _compact_once(
         self,
         tombstone_retention_ts: str | None = None,
@@ -1258,6 +1269,7 @@ class ParquetLakeTable:
         snap = from_snap or self.current_snapshot()
         if buckets is not None:
             return self._compact_partial(snap, tombstone_retention_ts, buckets)
+        t0 = time.perf_counter()
         # read exactly the captured version: a delta committed between the
         # two reads must NOT be folded (it stays in the delta list)
         merged = self.read(version=snap["version"])
@@ -1273,6 +1285,8 @@ class ParquetLakeTable:
             "compaction": True,
             "base_rows": total_rows,
             "deltas_folded": len(snap["deltas"]),
+            "bytes_rewritten": self._entry_bytes(new_base.values()),
+            "seconds": round(time.perf_counter() - t0, 3),
         }
         return self._commit(
             snap, None, metrics=metrics, lineage=[],
@@ -1293,6 +1307,7 @@ class ParquetLakeTable:
         written back as one residual group; cold BASE buckets are carried
         forward by reference. Iceberg analogue: rewrite_data_files with a
         partition filter."""
+        t0 = time.perf_counter()
         hot = sorted({int(b) for b in buckets})
         hot_set = set(hot)
         nb = self._nb(snap)
@@ -1363,6 +1378,10 @@ class ParquetLakeTable:
         }
         new_base.update(hot_base)
         total_rows = sum(int(e.get("rows") or 0) for e in new_base.values())
+        res_bytes = sum(
+            os.path.getsize(os.path.join(self.path, f))
+            for f in res_files if os.path.exists(os.path.join(self.path, f))
+        )
         metrics = {
             "compaction": True,
             "partial": True,
@@ -1370,6 +1389,8 @@ class ParquetLakeTable:
             "base_rows": total_rows,
             "deltas_folded": len(snap["deltas"]),
             "residual_rows": res_rows,
+            "bytes_rewritten": self._entry_bytes(hot_base.values()) + res_bytes,
+            "seconds": round(time.perf_counter() - t0, 3),
         }
         return self._commit(
             snap, None, metrics=metrics, lineage=[],
