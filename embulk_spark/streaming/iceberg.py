@@ -192,6 +192,13 @@ class IcebergLakeTable:
     def rename_column(self, old: str, new: str) -> None:
         self.spark.sql(f"ALTER TABLE {self.ident} RENAME COLUMN {old} TO {new}")
 
+    def drop_column(self, name: str) -> None:
+        # Iceberg's field ids natively give the no-resurrection rule the
+        # parquet backend pins in _normalize (a re-added name is a new id)
+        if name in {"url", "warc_ts", "seq", "is_deleted"}:
+            raise ValueError(f"column {name!r} is load-bearing for the merge")
+        self.spark.sql(f"ALTER TABLE {self.ident} DROP COLUMN {name}")
+
     def widen_column(self, name: str, to_embulk_type: str) -> None:
         spark_type = {"long": "bigint", "double": "double", "string": "string"}[
             to_embulk_type

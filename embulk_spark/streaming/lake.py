@@ -196,6 +196,7 @@ class ParquetLakeTable:
                 "schema_v": 0,
                 "schemas": {"0": schema_ddl},
                 "renames": [],
+                "drops": [],
                 "n_buckets": n_buckets,
                 "base": {},
                 "base_rows": 0,
@@ -333,12 +334,25 @@ class ParquetLakeTable:
     def _normalize(
         self, df: DataFrame, from_schema_v: int, snap: dict, cur: T.StructType
     ) -> DataFrame:
-        """Write-time schema → current schema: renames after the file's
-        version, then null-fill + cast (the widen lattice guarantees casts
-        are lossless)."""
-        for r in snap["renames"]:
-            if r["schema_v"] > from_schema_v and r["from"] in df.columns:
-                df = df.withColumnRenamed(r["from"], r["to"])
+        """Write-time schema → current schema: renames AND drops after the
+        file's version (applied interleaved in schema_v order — a rename
+        into a previously-dropped name must not expose the dropped data),
+        then null-fill + cast (the widen lattice guarantees casts are
+        lossless). Drops give Iceberg's no-resurrection semantics without
+        field ids: a column dropped at v and re-added later reads NULL
+        from pre-drop files — their physical values stay hidden."""
+        changes = sorted(
+            [dict(r, _op="rename") for r in snap["renames"]]
+            + [dict(d, _op="drop") for d in snap.get("drops", [])],
+            key=lambda c: c["schema_v"],
+        )
+        for c in changes:
+            if c["schema_v"] <= from_schema_v:
+                continue
+            if c["_op"] == "rename" and c["from"] in df.columns:
+                df = df.withColumnRenamed(c["from"], c["to"])
+            elif c["_op"] == "drop" and c["name"] in df.columns:
+                df = df.drop(c["name"])
         cols = []
         for field in cur.fields:
             if field.name in df.columns:
@@ -543,21 +557,18 @@ class ParquetLakeTable:
         # schema declares (schema-evolution adds flow through the merge).
         # A batch column may arrive under a PRE-rename name (producers keep
         # emitting the original name after a rename DDL) — resolve each
-        # candidate through the rename chain before the declared-name check,
-        # else a renamed added column's payload would be silently dropped.
+        # candidate through the rename/drop chain before the declared-name
+        # check, else a renamed added column's payload would be silently
+        # dropped (or a DROPPED column's stale payload would leak into a
+        # reused name).
         ev_cols = ["seq", "op", "url", "warc_ts", "html", "lang"]
         declared = {f.name for f in cur.fields}
-
-        def current_name(name: str) -> str:
-            for r in snap["renames"]:
-                if name == r["from"]:
-                    name = r["to"]
-            return name
+        resolve = self._wire_resolver(snap)
 
         extra_cols = [
             c for c in batch_events.columns
             if c not in ev_cols + ["epoch", "schema_change"]
-            and current_name(c) in declared
+            and resolve(c) in declared
         ]
         batch = batch_events.select(*ev_cols, *extra_cols)
 
@@ -573,11 +584,27 @@ class ParquetLakeTable:
         else:
             latest = latest.withColumn("text", F.lit(None).cast("string"))
         changes = changes_to_target_rows(latest, carry=["_n_events"])
-        # incoming events use original column names; apply the manifest's
-        # rename map so evolved batches land under the current names
-        for r in snap["renames"]:
-            if r["from"] in changes.columns and r["to"] not in changes.columns:
-                changes = changes.withColumnRenamed(r["from"], r["to"])
+        # incoming events use original column names; map each through the
+        # rename/drop chain so evolved batches land under the current
+        # names and payloads for dropped columns are discarded — even when
+        # a later rename reuses the dropped name (the renamed column owns
+        # it; the wire column predates the drop)
+        structural = {"url", "warc_ts", "seq", "is_deleted", "_n_events"}
+        mapping = {
+            c: resolve(c) for c in changes.columns if c not in structural
+        }
+        # drops first (a rename may legitimately reuse a dropped name),
+        # then renames; a rename whose target is still occupied loses to
+        # the identity column already carrying that name
+        for c, target in mapping.items():
+            if target is None:
+                changes = changes.drop(c)
+        for c, target in mapping.items():
+            if target is not None and target != c:
+                if target in changes.columns:
+                    changes = changes.drop(c)
+                else:
+                    changes = changes.withColumnRenamed(c, target)
         # normalize to the (possibly evolved) current schema
         for field in cur.fields:
             if field.name not in changes.columns:
@@ -966,6 +993,7 @@ class ParquetLakeTable:
         schema_v: int | None = None,
         schemas: dict | None = None,
         renames: list | None = None,
+        drops: list | None = None,
         expect_base_of: dict | None = None,
         expect_schema_v_of: dict | None = None,
         expect_deltas_of: dict | None = None,
@@ -1057,6 +1085,7 @@ class ParquetLakeTable:
                     "schema_v": schema_v if schema_v is not None else cur["schema_v"],
                     "schemas": schemas or cur["schemas"],
                     "renames": renames if renames is not None else cur["renames"],
+                    "drops": drops if drops is not None else cur.get("drops", []),
                     "n_buckets": (
                         n_buckets if n_buckets is not None else self._nb(cur)
                     ),
@@ -1463,7 +1492,10 @@ class ParquetLakeTable:
     # schema evolution (add / rename / widen) — manifest-only, no rewrite
     # ------------------------------------------------------------------
 
-    def _bump_schema(self, snap: dict, new_ddl: str, rename: dict | None = None) -> None:
+    def _bump_schema(
+        self, snap: dict, new_ddl: str, rename: dict | None = None,
+        drop: dict | None = None,
+    ) -> None:
         """Commit one schema version bump derived from ``snap``; raises
         CommitConflict if another DDL assigned the same schema_v first —
         two concurrent bumps must not hand out the same version number to
@@ -1473,10 +1505,14 @@ class ParquetLakeTable:
         renames = list(snap["renames"])
         if rename:
             renames.append(dict(rename, schema_v=new_schema_v))
+        drops = list(snap.get("drops", []))
+        if drop:
+            drops.append(dict(drop, schema_v=new_schema_v))
         self._commit(
             snap, None,
             metrics={"schema_change": True, "schema_v": new_schema_v},
-            lineage=[], schema_v=new_schema_v, schemas=schemas, renames=renames,
+            lineage=[], schema_v=new_schema_v, schemas=schemas,
+            renames=renames, drops=drops,
             expect_schema_v_of=snap,
         )
 
@@ -1506,6 +1542,93 @@ class ParquetLakeTable:
                 return self._bump_schema(
                     snap, _ddl_of(T.StructType(fields)),
                     rename={"from": old, "to": new},
+                )
+            except CommitConflict:
+                continue
+
+    #: columns the MOR resolution and tombstone semantics stand on —
+    #: never droppable (reference: Embulk's remove_columns filter refuses
+    #: nothing, but it has no keyed merge to protect)
+    PROTECTED_COLUMNS = frozenset({"url", "warc_ts", "seq", "is_deleted"})
+
+    def _wire_resolver(self, snap: dict):
+        """resolve(wire_name) → current column name, or None if the wire
+        column's payload must be discarded. Walks the interleaved
+        rename/drop chain in schema_v order. After a drop, the wire name
+        RE-BINDS to a later re-ADD of the same name (a producer that kept
+        emitting it targets the new column) — but NOT to a rename that
+        reused the name (the renamed column owns it; the wire column
+        predates the drop). Mirrors Iceberg's field-id reasoning without
+        field ids."""
+        chain = sorted(
+            [dict(r, _op="rename") for r in snap["renames"]]
+            + [dict(d, _op="drop") for d in snap.get("drops", [])],
+            key=lambda c: c["schema_v"],
+        )
+        names_at = {
+            int(v): {p.strip().split()[0] for p in ddl.split(",")}
+            for v, ddl in snap["schemas"].items()
+        }
+
+        def resolve(name: str) -> str | None:
+            pos_v = 0
+            while True:
+                nxt = next(
+                    (
+                        c for c in chain
+                        if c["schema_v"] > pos_v and (
+                            (c["_op"] == "rename" and c["from"] == name)
+                            or (c["_op"] == "drop" and c["name"] == name)
+                        )
+                    ),
+                    None,
+                )
+                if nxt is None:
+                    return name
+                if nxt["_op"] == "rename":
+                    name, pos_v = nxt["to"], nxt["schema_v"]
+                    continue
+                d_v = nxt["schema_v"]
+                readd_v = min(
+                    (v for v, ns in names_at.items()
+                     if v > d_v and name in ns),
+                    default=None,
+                )
+                if readd_v is None:
+                    return None  # dropped, never re-introduced
+                claimed = any(
+                    c["_op"] == "rename" and c["to"] == name
+                    and d_v < c["schema_v"] <= readd_v
+                    for c in chain
+                )
+                if claimed:
+                    return None  # the reused name belongs to a rename
+                pos_v = readd_v  # re-bind to the re-added incarnation
+
+        return resolve
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column manifest-only (zero rewrite — Embulk's
+        remove_columns as a lake DDL, Iceberg's drop-column semantics):
+        readers stop selecting it; pre-drop files keep the bytes on disk
+        but a later re-add of the same name reads NULL from them, never
+        the old values (no resurrection — pinned by the drops list in
+        :meth:`_normalize`)."""
+        if name in self.PROTECTED_COLUMNS:
+            raise ValueError(
+                f"column {name!r} is load-bearing for the keyed merge "
+                f"(protected: {sorted(self.PROTECTED_COLUMNS)})"
+            )
+        while True:
+            snap = self.current_snapshot()
+            cur = self.schema(snap)
+            if name not in cur.fieldNames():
+                return
+            fields = [f for f in cur.fields if f.name != name]
+            try:
+                return self._bump_schema(
+                    snap, _ddl_of(T.StructType(fields)),
+                    drop={"name": name},
                 )
             except CommitConflict:
                 continue
@@ -1646,6 +1769,7 @@ class ParquetLakeTable:
                     "schema_v": target["schema_v"],
                     "schemas": target["schemas"],
                     "renames": target["renames"],
+                    "drops": target.get("drops", []),
                     "base": target["base"],
                     "base_rows": target["base_rows"],
                     "deltas": target["deltas"],

@@ -41,6 +41,8 @@ def apply_schema_change(table: ParquetLakeTable, payload: str) -> None:
         table.rename_column(change["from"], change["to"])
     elif action == "widen":
         table.widen_column(change["column"], change["to"])
+    elif action == "drop":
+        table.drop_column(change["column"])
     else:
         raise ValueError(f"unknown schema_change action: {action}")
 

@@ -238,3 +238,71 @@ def test_stream_events_checkpoint_resume(spark, tmp_path):
         (r["url"], r["seq"]) for r in t_batch.published().collect()
     }
     assert got == want
+
+
+def test_drop_column_manifest_only(spark, tmp_path):
+    """An S event drops 'lang': readers stop selecting it, files are not
+    rewritten, later events' lang payloads are discarded."""
+    import pytest
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    e0 = [_ev(1, 0, "I", "u://a", 1, lang="de")]
+    drop = json.dumps({"action": "drop", "column": "lang"})
+    e1 = [
+        _ev(2, 1, "S", "u://-", 2, schema_change=drop),
+        _ev(3, 1, "I", "u://b", 3, lang="fr"),
+    ]
+    files_before = None
+    events = spark.createDataFrame(e0 + e1, schema=_schema())
+    replay_batches(table, events, max_epochs=1)
+    files_before = sorted(f["path"] for f in table.files())
+    replay_batches(table, events)
+    assert "lang" not in table.schema().fieldNames()
+    assert "lang" not in table.published().columns
+    # epoch-0 files untouched (manifest-only DDL)
+    assert set(files_before) <= {f["path"] for f in table.files()}
+    with pytest.raises(ValueError, match="load-bearing"):
+        table.drop_column("url")
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    """Iceberg's no-resurrection rule without field ids: score dropped at
+    v then re-added — pre-drop files read NULL, never the old values."""
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    add = json.dumps({"action": "add", "column": "score", "type": "long"})
+    drop = json.dumps({"action": "drop", "column": "score"})
+    e0 = [
+        _ev(1, 0, "S", "u://-", 1, schema_change=add, score=None),
+        _ev(2, 0, "I", "u://a", 2, score=3),
+    ]
+    e1 = [_ev(3, 1, "S", "u://-", 3, schema_change=drop, score=None)]
+    e2 = [
+        _ev(4, 2, "S", "u://-", 4, schema_change=add, score=None),
+        _ev(5, 2, "I", "u://b", 5, score=9),
+    ]
+    events = spark.createDataFrame(e0 + e1 + e2, schema=_schema("score LONG"))
+    replay_batches(table, events)
+    got = {r["url"]: r["score"] for r in table.published().collect()}
+    # u://a's pre-drop 3 is gone for good; u://b's post-readd 9 lands
+    assert got == {"u://a": None, "u://b": 9}
+
+
+def test_rename_into_dropped_name_keeps_order(spark, tmp_path):
+    """drop 'lang' at v1, then rename an added column INTO 'lang' at v3:
+    pre-drop files' original lang bytes must stay hidden while the
+    renamed column's values read back under the reused name."""
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    drop = json.dumps({"action": "drop", "column": "lang"})
+    add = json.dumps({"action": "add", "column": "tongue", "type": "string"})
+    ren = json.dumps({"action": "rename", "from": "tongue", "to": "lang"})
+    e0 = [_ev(1, 0, "I", "u://a", 1, lang="de", tongue=None)]
+    e1 = [
+        _ev(2, 1, "S", "u://-", 2, schema_change=drop, tongue=None),
+        _ev(3, 1, "S", "u://-", 3, schema_change=add, tongue=None),
+        _ev(4, 1, "S", "u://-", 4, schema_change=ren, tongue=None),
+        _ev(5, 1, "I", "u://b", 5, tongue="fr"),
+    ]
+    events = spark.createDataFrame(e0 + e1, schema=_schema("tongue STRING"))
+    replay_batches(table, events)
+    got = {r["url"]: r["lang"] for r in table.published().collect()}
+    assert got == {"u://a": None, "u://b": "fr"}
