@@ -1357,6 +1357,64 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, _BM25_TERMS)
 
 
+def _q_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate view (operators/aggview.py):
+    per-lang doc counts + html bytes maintained in epoch lockstep WITH
+    RETRACTIONS. Epoch 0 ingests every document; epoch 1 updates
+    doc_id%4==1 (html grows ' upd1') and deletes doc_id%10==3. Each fold
+    reads only the changed urls' pre/post winner rows (bucket-pruned time
+    travel), never the table; the oracle aggregates the corpus's FINAL
+    state in SQL — certifying incremental-with-retractions == batch."""
+    import hashlib
+    import os
+
+    from embulk_spark.operators.aggview import AggView
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import apply_epoch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "embulk_spark_aggview_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = ParquetLakeTable(
+        spark, os.path.join(root, "t"), n_buckets=8,
+        compact_min_deltas=10_000,
+    )
+    view = AggView(
+        spark, os.path.join(root, "v"), key_sql="lang", key_name="lang",
+        measures={"bytes": "octet_length(html)"},
+    )
+
+    def to_events(df, op, seq_off, ts_off):
+        return df.select(
+            (F.col("doc_id") + seq_off).alias("seq"),
+            F.lit(op).alias("op"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000 + ts_off) + F.col("doc_id")
+            ).alias("warc_ts"),
+            F.when(F.lit(op) != "D", F.col("text").cast("binary"))
+            .alias("html"),
+            F.when(F.lit(op) != "D", F.col("lang")).alias("lang"),
+            F.lit(None).cast("string").alias("schema_change"),
+        )
+
+    m = apply_epoch(table, to_events(docs, "I", 0, 0), 0)
+    view.update_from_lake_epoch(table, 0, delta_dir=m["delta_dir"])
+    upd = docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+        "text", F.concat("text", F.lit(" upd1"))
+    )
+    dels = docs.filter(F.col("doc_id") % 10 == 3)
+    e1 = to_events(upd, "U", 1_000_000_000, 3600).unionByName(
+        to_events(dels, "D", 2_000_000_000, 7200)
+    )
+    m = apply_epoch(table, e1, 1)
+    view.update_from_lake_epoch(table, 1, delta_dir=m["delta_dir"])
+    return view.state()
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): 8 merge
     rules learned from the documents corpus — ONE corpus-touching
@@ -1654,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": _q_group_split,
         "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
+        "incremental_agg_view": _q_incremental_agg_view,
     }
 
 
@@ -3148,6 +3207,18 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM events WHERE event_id IS NOT NULL)
         """,
         "bpe_merges": _bpe_oracle(),
+        "incremental_agg_view": """
+        WITH fin AS (
+          SELECT lang,
+                 CASE WHEN doc_id % 4 = 1 THEN text || ' upd1' ELSE text END
+                   AS t
+          FROM documents WHERE doc_id % 10 <> 3
+        )
+        SELECT lang,
+               sum(octet_length(encode(t)))::BIGINT AS bytes,
+               count(*)::BIGINT AS n_rows
+        FROM fin GROUP BY lang
+        """,
     }
 
 

@@ -169,6 +169,7 @@ def main() -> None:
         "interval_window_counts",
         "data_quality",
         "bpe_merges",
+        "incremental_agg_view",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

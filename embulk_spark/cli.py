@@ -92,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="commit to this branch ref instead of main "
                          "(create it first with the branch subcommand); "
                          "publish with fast-forward")
+    sp.add_argument("--agg-view", default=None,
+                    help="path of an incremental materialized aggregate "
+                         "view kept in lockstep (operators/aggview): "
+                         "grouped sums with retractions, O(Δ) per epoch")
+    sp.add_argument("--agg-view-spec", default=None,
+                    help="JSON AggView spec for --agg-view, e.g. "
+                         '\'{"key_sql": "lang", "key_name": "lang", '
+                         '"measures": {"bytes": "octet_length(html)"}}\' '
+                         "(must match an existing view's pinned meta)")
 
     sp = sub.add_parser(
         "changes",
@@ -289,19 +298,28 @@ def main(argv: list[str] | None = None) -> int:
             if not _os.path.exists(_os.path.join(args.export, MANIFEST)):
                 # bootstrap: seed the export from current table state
                 export_from_lake(spark, table, args.export)
+        aview = None
+        if args.agg_view:
+            from .operators.aggview import AggView
+
+            if not args.agg_view_spec:
+                ap.error("--agg-view requires --agg-view-spec")
+            aview = AggView(spark, args.agg_view,
+                            **json.loads(args.agg_view_spec))
         qrules = json.loads(args.quarantine_rules) if args.quarantine_rules else None
         wrules = json.loads(args.wap_rules) if args.wap_rules else None
         if args.checkpoint:
             stream_events(
                 spark, table, args.events, args.checkpoint,
                 signature_index=idx, bloom_index=bloom, term_index=tidx,
-                quarantine_rules=qrules, wap_rules=wrules,
+                agg_view=aview, quarantine_rules=qrules, wap_rules=wrules,
             )
         else:
             events = spark.read.parquet(args.events)
             metrics = replay_batches(
                 table, events, max_epochs=args.max_epochs, signature_index=idx,
-                bloom_index=bloom, term_index=tidx, export_path=args.export,
+                bloom_index=bloom, term_index=tidx, agg_view=aview,
+                export_path=args.export,
                 quarantine_rules=qrules, wap_rules=wrules,
             )
             for m in metrics:

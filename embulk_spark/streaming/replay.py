@@ -286,6 +286,7 @@ def replay_batches(
     signature_index=None,
     bloom_index=None,
     term_index=None,
+    agg_view=None,
     export_path: str | None = None,
     quarantine_rules: list[dict] | None = None,
     wap_rules: list[dict] | None = None,
@@ -373,6 +374,8 @@ def replay_batches(
         done = done & {int(e) for e in bloom_index.committed_epochs()}
     if term_index is not None:
         done = done & {int(e) for e in term_index.committed_epochs()}
+    if agg_view is not None:
+        done = done & {int(e) for e in agg_view.committed_epochs()}
     if export_path is not None:
         done = done & _export_synced_epochs(export_path)
     pending: list[int] = []
@@ -406,6 +409,8 @@ def replay_batches(
             _sync_signature_index(table, bloom_index, e, m)
         if term_index is not None:
             _sync_signature_index(table, term_index, e, m)
+        if agg_view is not None:
+            _sync_signature_index(table, agg_view, e, m)
         if export_path is not None:
             _sync_export(table, export_path, e, m, export_lock)
         return m
@@ -506,6 +511,7 @@ def stream_events(
     signature_index=None,
     bloom_index=None,
     term_index=None,
+    agg_view=None,
     quarantine_rules: list[dict] | None = None,
     wap_rules: list[dict] | None = None,
 ) -> None:
@@ -538,6 +544,8 @@ def stream_events(
             _sync_signature_index(table, bloom_index, e, m)
         if term_index is not None:
             _sync_signature_index(table, term_index, e, m)
+        if agg_view is not None:
+            _sync_signature_index(table, agg_view, e, m)
 
     q = (
         reader.writeStream.foreachBatch(_apply)

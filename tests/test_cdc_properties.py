@@ -87,3 +87,35 @@ def test_random_stream_matches_window_oracle(spark, tmp_path_factory, rows):
         for u, s, h in want_rows
     }
     assert got == want
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(change_streams(), st.lists(
+    st.one_of(st.none(),  # binpack
+              st.lists(st.integers(0, 1), max_size=2)),  # bucket subset
+    min_size=1, max_size=3))
+def test_random_partial_compactions_preserve_state(
+    spark, tmp_path_factory, rows, folds
+):
+    """Arbitrary interleavings of partial folds / binpacks between epochs
+    never change the published state vs a never-compacted control."""
+    tmp = tmp_path_factory.mktemp("prop_pc")
+    events = spark.createDataFrame(rows, schema=SCHEMA)
+    control = ParquetLakeTable(spark, str(tmp / "ctl"), n_buckets=2,
+                               compact_min_deltas=10_000)
+    replay_batches(control, events, pipeline_depth=1)
+    want = {(r.url, r.seq) for r in control.published().collect()}
+
+    table = ParquetLakeTable(spark, str(tmp / "t"), n_buckets=2,
+                             compact_min_deltas=10_000)
+    plan = list(folds)
+    for e in range(3):
+        replay_batches(table, events.filter(f"epoch = {e}"),
+                       pipeline_depth=1)
+        if plan:
+            f = plan.pop(0)
+            table.compact(buckets=[] if f is None else sorted(set(f)))
+    got = {(r.url, r.seq) for r in table.published().collect()}
+    assert got == want
