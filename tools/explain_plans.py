@@ -119,6 +119,16 @@ CHECKS = {
         "must": [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         "must_not": [r"CartesianProduct", r"ArrowEvalPython"],
     },
+    "incremental_agg_view": {
+        "why": "the materialized state is answered from the view's OWN "
+               "delta rows (key + signed measure deltas) — never a scan "
+               "of the lake: ReadSchema carries only the view columns and "
+               "the sum is one partial-combine hash agg; the lake's "
+               "html/text bytes appear nowhere in the read",
+        "must": [r"HashAggregate", r"ReadSchema: [^\n]*lang"],
+        "must_not": [r"ReadSchema: [^\n]*html", r"ArrowEvalPython",
+                     r"BatchEvalPython"],
+    },
     "incremental_neardup": {
         "why": "the per-epoch probe joins Δ signatures against the "
                "as-of-epoch corpus on (band_idx, band_hash) — an "
