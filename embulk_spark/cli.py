@@ -108,8 +108,13 @@ def main(argv: list[str] | None = None) -> int:
              "lake table (O(change-set) incremental consumer read)",
     )
     sp.add_argument("table", help="lake table path")
-    sp.add_argument("--since-epoch", type=int, required=True,
+    sp.add_argument("--since-epoch", type=int, default=None,
                     help="exclusive lower bound (the consumer's cursor)")
+    sp.add_argument("--follow", default=None,
+                    help="exactly-once consumer mode: drain everything "
+                         "committed since this directory's _cursor.json "
+                         "into a new range dir and advance the cursor "
+                         "(poll from cron — the CDC-out daemon step)")
     sp.add_argument("--until-epoch", type=int, default=None,
                     help="inclusive upper bound (default: current)")
     sp.add_argument("--out", default=None,
@@ -330,6 +335,11 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.lake import ParquetLakeTable
 
         table = ParquetLakeTable(spark, args.table)
+        if args.follow is not None:
+            print(json.dumps(table.consume_changes(args.follow)))
+            return 0
+        if args.since_epoch is None:
+            ap.error("provide --since-epoch, or --follow for cursor mode")
         feed = table.changes_between(args.since_epoch, args.until_epoch)
         if args.out:
             feed.write.mode("overwrite").parquet(args.out)

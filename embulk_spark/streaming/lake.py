@@ -483,6 +483,54 @@ class ParquetLakeTable:
             return self._empty(self.schema(snap))
         return dedup_latest(df)
 
+    def consume_changes(self, out_dir: str) -> dict:
+        """Exactly-once incremental feed CONSUMER step: read the net
+        changes between this consumer's cursor and the table head, land
+        them as one parquet range directory under ``out_dir``, and
+        advance the cursor — crash-safe at every boundary. Each call
+        drains whatever committed since the last call (poll it from cron
+        or a driver loop: the CDC-out daemon).
+
+        Protocol: the range content is deterministic (same MOR resolution
+        as any read), the range dir is named by its epoch bounds, and the
+        cursor file updates by atomic rename AFTER the range lands — a
+        crash between the two re-computes the identical range, sees the
+        directory already present, and just advances the cursor. A cursor
+        older than the compaction horizon raises (changes_between's
+        contract): remove ``out_dir`` and restart from a full read."""
+        os.makedirs(out_dir, exist_ok=True)
+        cur_path = os.path.join(out_dir, "_cursor.json")
+        since = -1
+        if os.path.exists(cur_path):
+            with open(cur_path) as f:
+                since = int(json.load(f)["since_epoch"])
+        head = max(
+            (int(e) for e in self.committed_epochs()), default=None
+        )
+        if head is None or head <= since:
+            return {"since_epoch": since, "rows": 0, "noop": True}
+        target = os.path.join(out_dir, f"range_{since}_{head}")
+        if not os.path.isdir(target):
+            feed = self.changes_between(since, head)
+            scratch = os.path.join(out_dir, f"_tmp_{uuid.uuid4().hex}")
+            feed.write.mode("overwrite").parquet(scratch)
+            try:
+                os.rename(scratch, target)
+            except OSError:
+                # a concurrent/crashed consumer landed the same range
+                import shutil as _sh
+
+                _sh.rmtree(scratch, ignore_errors=True)
+                if not os.path.isdir(target):
+                    raise
+        rows = self.spark.read.parquet(target).count()
+        tmp = cur_path + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"since_epoch": head}, f)
+        os.rename(tmp, cur_path)
+        return {"since_epoch": since, "until_epoch": head,
+                "rows": rows, "out": target}
+
     def _empty_epochs(self) -> set[int]:
         """Epochs committed with empty batches (no delta group ever
         existed) — recorded in each snapshot's commit metrics."""

@@ -165,3 +165,22 @@ def test_cli_replay_with_agg_view(spark, tmp_path, capsys):
     view = AggView(spark, str(tmp_path / "v"), **spec)
     assert view.committed_epochs() == {0, 1}
     assert _view_state(view) == _batch_agg(table)
+
+
+def test_streaming_lockstep(spark, tmp_path):
+    """stream_events keeps the view in lockstep per micro-batch, across a
+    checkpoint restart."""
+    from embulk_spark.streaming.replay import stream_events
+
+    events = change_stream(spark, 500, 90, 2, num_partitions=2)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events.filter("epoch = 0").coalesce(1).write.mode("append").parquet(src)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    view = AggView(spark, str(tmp_path / "v"), **SPEC)
+    stream_events(spark, table, src, ckpt, agg_view=view)
+    assert _view_state(view) == _batch_agg(table)
+
+    events.filter("epoch = 1").coalesce(1).write.mode("append").parquet(src)
+    stream_events(spark, table, src, ckpt, agg_view=view)  # restart
+    assert _view_state(view) == _batch_agg(table)

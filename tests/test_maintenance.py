@@ -317,3 +317,46 @@ def test_verify_against_events_clean_and_corrupted(spark, tmp_path):
     table.delete_where(f"url = '{url}'", epoch_id=999)
     out2 = table.verify_against_events(events)
     assert not out2["ok"] and out2["missing"] == 1
+
+
+def test_consume_changes_exactly_once(spark, tmp_path):
+    """CDC-out consumer cursor: each call drains (cursor, head], ranges
+    compose to the table state, crashes between range-write and
+    cursor-advance self-heal."""
+    import json
+
+    from embulk_spark.operators.merge import dedup_latest
+    from embulk_spark.streaming.replay import apply_epoch
+
+    table, events = _replayed_table(spark, str(tmp_path / "t"), n_epochs=2)
+    out = str(tmp_path / "feed")
+    r1 = table.consume_changes(out)
+    assert r1["rows"] > 0 and r1["until_epoch"] == 1
+    assert table.consume_changes(out)["noop"]
+
+    more = change_stream(spark, 400, 80, 2, num_partitions=4).withColumn(
+        "seq", F.col("seq") + 60_000
+    )
+    for e in (2, 3):
+        apply_epoch(table, more.filter(F.col("epoch") == e - 2), e)
+    # crash window: lose the cursor AFTER this drain's range lands
+    r2 = table.consume_changes(out)
+    assert r2["until_epoch"] == 3
+    cur = os.path.join(out, "_cursor.json")
+    with open(cur, "w") as f:
+        json.dump({"since_epoch": r2["since_epoch"]}, f)  # rewind (crash)
+    r2b = table.consume_changes(out)
+    assert r2b["out"] == r2["out"] and r2b["rows"] == r2["rows"]
+
+    # applying the ranges in order reconstructs the published state
+    ranges = sorted(
+        d for d in os.listdir(out) if d.startswith("range_")
+    )
+    assert len(ranges) == 2
+    acc = spark.read.parquet(os.path.join(out, ranges[0]))
+    for d in ranges[1:]:
+        acc = acc.unionByName(spark.read.parquet(os.path.join(out, d)))
+    rebuilt = dedup_latest(acc.drop("bkt")).filter(~F.col("is_deleted"))
+    got = {(r.url, r.seq) for r in rebuilt.collect()}
+    want = {(r.url, r.seq) for r in table.published().collect()}
+    assert got == want
