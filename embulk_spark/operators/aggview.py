@@ -195,15 +195,38 @@ class AggView:
         return {"epoch": epoch, "skipped_duplicate_epoch": False, "empty": True}
 
     # ------------------------------------------------------------------
+    def _folded(self) -> dict | None:
+        p = os.path.join(self._base, "_folded.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _delta_files(self) -> list[str]:
+        """Files contributing to state(): the folded base (if any) plus
+        epoch deltas NOT covered by it. The folded-epoch set comes from
+        ``_folded.json`` — never from which files happen to remain on
+        disk, so a crash between the fold commit and the delta-file GC
+        cannot double-count."""
+        folded = self._folded()
+        skip = set(folded["epochs"]) if folded else set()
         out = []
-        for root, _dirs, fns in os.walk(self._deltas):
-            out += [os.path.join(root, f) for f in fns if f.endswith(".parquet")]
-        base = os.path.join(self._base, "state")
-        if os.path.isdir(base):
-            for fn in os.listdir(base):
-                if fn.endswith(".parquet"):
-                    out.append(os.path.join(base, fn))
+        for d in os.listdir(self._deltas):
+            if not d.startswith("epoch="):
+                continue
+            if int(d.split("=", 1)[1]) in skip:
+                continue
+            dd = os.path.join(self._deltas, d)
+            out += [
+                os.path.join(dd, f) for f in os.listdir(dd)
+                if f.endswith(".parquet")
+            ]
+        if folded:
+            sd = os.path.join(self._base, folded["state"])
+            out += [
+                os.path.join(sd, f) for f in os.listdir(sd)
+                if f.endswith(".parquet")
+            ]
         return out
 
     def state(self) -> DataFrame:
@@ -222,11 +245,36 @@ class AggView:
         )
 
     def compact(self) -> dict:
-        """Fold all epoch deltas into one base state (zero-net groups
-        drop — they net zero against any future delta too). Epoch dirs
-        stay as empty markers so committed_epochs() and duplicate
+        """Fold everything into one base state (zero-net groups drop —
+        they net zero against any future delta too). Crash-atomic: the
+        new state lands under a fresh name, then ``_folded.json`` flips
+        to it by ONE atomic rename recording exactly which epochs it
+        covers; deleting the covered epochs' parquet files afterwards is
+        pure GC (``_delta_files`` never reads a covered epoch's files).
+        Epoch dirs stay as markers so committed_epochs() and duplicate
         delivery keep working."""
-        files = self._delta_files()
+        # ONE capture drives both the fold's input files and the marker's
+        # covered set: an epoch committing concurrently is either wholly
+        # in both, or in neither — never folded-but-uncovered (which
+        # would double-count it on the next state()).
+        covered = sorted(self.committed_epochs())
+        prior = self._folded()
+        prior_epochs = set(prior["epochs"]) if prior else set()
+        files = []
+        for e in covered:
+            if e in prior_epochs:
+                continue  # already in the prior folded state
+            dd = os.path.join(self._deltas, f"epoch={e}")
+            files += [
+                os.path.join(dd, f) for f in os.listdir(dd)
+                if f.endswith(".parquet")
+            ]
+        if prior:
+            sd = os.path.join(self._base, prior["state"])
+            files += [
+                os.path.join(sd, f) for f in os.listdir(sd)
+                if f.endswith(".parquet")
+            ]
         if not files:
             return {"folded": 0}
         df = self.spark.read.schema(self._ddl()).parquet(*files)
@@ -236,23 +284,30 @@ class AggView:
         for m in sorted(self.measures):
             nonzero = nonzero | (F.col(m) != 0)
         folded = df.groupBy(self.key_name).agg(*aggs).filter(nonzero)
+        os.makedirs(self._base, exist_ok=True)
+        state_name = f"state_{uuid.uuid4().hex[:8]}"
         scratch = os.path.join(self.path, f"_tmp_base_{uuid.uuid4().hex}")
         folded.write.mode("overwrite").parquet(scratch)
-        target = os.path.join(self._base, "state")
-        os.makedirs(self._base, exist_ok=True)
-        old = target + f".old{uuid.uuid4().hex}"
-        if os.path.isdir(target):
-            os.rename(target, old)
-        os.rename(scratch, target)
-        shutil.rmtree(old, ignore_errors=True)
-        n = 0
+        os.rename(scratch, os.path.join(self._base, state_name))
+        marker = {"state": state_name, "epochs": covered}
+        tmp = os.path.join(self._base, f"_folded.tmp{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.rename(tmp, os.path.join(self._base, "_folded.json"))  # commit
+        # GC: covered epochs' parquet files and superseded state dirs
         for d in os.listdir(self._deltas):
-            dd = os.path.join(self._deltas, d)
-            for fn in list(os.listdir(dd)):
-                if fn.endswith(".parquet") or fn.startswith("_"):
-                    os.remove(os.path.join(dd, fn))
-            n += 1
-        return {"folded": n}
+            if not d.startswith("epoch="):
+                continue
+            if int(d.split("=", 1)[1]) in set(covered):
+                dd = os.path.join(self._deltas, d)
+                for fn in list(os.listdir(dd)):
+                    if fn.endswith(".parquet") or fn.startswith("_"):
+                        os.remove(os.path.join(dd, fn))
+        for d in list(os.listdir(self._base)):
+            if d.startswith("state") and d != state_name:
+                shutil.rmtree(os.path.join(self._base, d),
+                              ignore_errors=True)
+        return {"folded": len(covered), "state": state_name}
 
     def rebuild(self, table) -> dict:
         """Recompute from the table's published state (the escape hatch

@@ -134,6 +134,7 @@ class ParquetLakeTable:
         compact_mode: str = "full",
         url_hll: bool = False,
         ref: str = "main",
+        feed_retain_epochs: int | None = None,
     ) -> None:
         if compact_mode not in ("full", "hot"):
             raise ValueError(
@@ -159,6 +160,19 @@ class ParquetLakeTable:
         #: × their base slice and binpacks the rest into a residual group —
         #: the O(hot set + Δ) shape a 100 TB table needs.
         self.compact_mode = compact_mode
+        #: AUTO maintenance (maybe_compact) never folds the newest
+        #: ``feed_retain_epochs`` committed epochs' delta groups, so a
+        #: changes_between/consume_changes follower that polls at least
+        #: once per that many epochs keeps exact per-epoch feed service
+        #: across hot folds and binpacks (older cursors fall back to the
+        #: residual group when it fully covers their range). Defaults to
+        #: ``compact_min_deltas``; 0 disables. Explicit compact()/
+        #: compact_hot() calls are unaffected unless passed a retain set.
+        self._feed_retain_epochs = (
+            None if feed_retain_epochs is None else int(feed_retain_epochs)
+        )
+        if (self._feed_retain_epochs or 0) < 0:
+            raise ValueError("feed_retain_epochs must be >= 0")
         #: which ref this handle commits to. "main" is the table itself;
         #: any other name is a BRANCH (Iceberg branch refs): an
         #: independent snapshot+staged namespace under branches/<name>/
@@ -469,6 +483,18 @@ class ParquetLakeTable:
             int(d["epoch_id"]) for d in snap["deltas"]
             if d.get("epoch_id") is not None and in_range(int(d["epoch_id"]))
         }
+        # a residual group (epoch_id None) records which epochs it folded;
+        # it holds their per-url net winners, so it serves the feed
+        # EXACTLY when its entire folded set lies inside the requested
+        # range (a lagging cursor older than the fold). Partial coverage
+        # would re-deliver already-consumed epochs' winners → unusable.
+        for d in snap["deltas"]:
+            if d.get("epoch_id") is not None:
+                continue
+            fe = {int(e) for e in d.get("folded_epochs", ())}
+            if fe and all(in_range(e) for e in fe):
+                groups.append((int(d["schema_v"]), d["files"]))
+                available |= fe
         # empty-batch epochs commit no delta group; they are committed but
         # contribute no rows and must not count as "compacted away"
         folded = wanted - available - self._empty_epochs()
@@ -504,23 +530,34 @@ class ParquetLakeTable:
         if os.path.exists(cur_path):
             with open(cur_path) as f:
                 since = int(json.load(f)["since_epoch"])
-        head = max(
-            (int(e) for e in self.committed_epochs()), default=None
+        # a crash between the range rename and the cursor advance leaves a
+        # landed range for this cursor; ADOPT it (advance the cursor to
+        # its recorded upper bound) instead of computing a fresh,
+        # OVERLAPPING range to a newer head — exactly-once means epochs
+        # 5-9 must not ship twice just because epoch 10 committed before
+        # the retry
+        stale = sorted(
+            d for d in os.listdir(out_dir)
+            if d.startswith(f"range_{since}_")
         )
-        if head is None or head <= since:
-            return {"since_epoch": since, "rows": 0, "noop": True}
-        target = os.path.join(out_dir, f"range_{since}_{head}")
-        if not os.path.isdir(target):
+        if stale:
+            target = os.path.join(out_dir, stale[-1])
+            head = int(stale[-1].rsplit("_", 1)[1])
+        else:
+            head = max(
+                (int(e) for e in self.committed_epochs()), default=None
+            )
+            if head is None or head <= since:
+                return {"since_epoch": since, "rows": 0, "noop": True}
+            target = os.path.join(out_dir, f"range_{since}_{head}")
             feed = self.changes_between(since, head)
             scratch = os.path.join(out_dir, f"_tmp_{uuid.uuid4().hex}")
             feed.write.mode("overwrite").parquet(scratch)
             try:
                 os.rename(scratch, target)
             except OSError:
-                # a concurrent/crashed consumer landed the same range
-                import shutil as _sh
-
-                _sh.rmtree(scratch, ignore_errors=True)
+                # a concurrent consumer landed this range first
+                shutil.rmtree(scratch, ignore_errors=True)
                 if not os.path.isdir(target):
                     raise
         rows = self.spark.read.parquet(target).count()
@@ -542,6 +579,9 @@ class ParquetLakeTable:
                 continue
             if m.get("empty_batch") and m.get("epoch_id") is not None:
                 out.add(int(m["epoch_id"]))
+            # fast_forward carries adopted empty epochs as a list (the
+            # branch's per-epoch snapshots are not in this ref's dir)
+            out |= {int(e) for e in m.get("empty_epochs", ())}
         # a rollback can un-commit an epoch whose original (historical)
         # commit was empty — history says "was empty once", the CURRENT
         # snapshot says whether it counts
@@ -1168,16 +1208,26 @@ class ParquetLakeTable:
             return None
         if self.compact_mode == "hot":
             # per-bucket trigger lives inside compact_hot; the min_deltas
-            # gate above bounds how often the O(Δ) selection scan runs
+            # gate above bounds how often the O(Δ) selection scan runs.
+            # The newest feed_retain_epochs epochs are exempt from any
+            # fold so the incremental feed keeps serving them per-epoch.
             if not self._compact_lock.acquire(blocking=False):
                 return None
             try:
-                out = self.compact_hot()
-                if out is None and delta_rows > 0:
-                    # no bucket justifies a base fold — binpack the delta
-                    # groups into one deduped residual so the manifest and
-                    # small-file count stay bounded (base untouched)
-                    out = self.compact(buckets=[])
+                retain = self._feed_retain_set(snap)
+                out = self.compact_hot(retain_epochs=retain)
+                if out is None:
+                    foldable_rows = sum(
+                        d["rows"] for d in snap["deltas"]
+                        if d.get("epoch_id") is None
+                        or int(d["epoch_id"]) not in retain
+                    )
+                    if foldable_rows > 0:
+                        # no bucket justifies a base fold — binpack the
+                        # aged-out delta groups into one deduped residual
+                        # so the manifest and small-file count stay
+                        # bounded (base untouched)
+                        out = self.compact(buckets=[], retain_epochs=retain)
                 return out
             finally:
                 self._compact_lock.release()
@@ -1186,15 +1236,45 @@ class ParquetLakeTable:
         if not self._compact_lock.acquire(blocking=False):
             return None  # a pipelined sibling is already compacting
         try:
+            retain = self._feed_retain_set(snap)
+            if retain:
+                # full-mode auto fold = an all-bucket partial fold that
+                # carries the newest epochs' groups untouched, so the
+                # incremental feed keeps serving them per-epoch (same
+                # base-rewrite cost; only aged-out groups fold)
+                return self.compact(
+                    buckets=list(range(self._nb(snap))),
+                    retain_epochs=retain,
+                )
             return self.compact()
         finally:
             self._compact_lock.release()
+
+    @property
+    def feed_retain_epochs(self) -> int:
+        """Defaults to the CURRENT compact_min_deltas (tracked live, so
+        tuning the trigger post-construction keeps the feed horizon in
+        sync) unless set explicitly at construction."""
+        return (
+            self.compact_min_deltas if self._feed_retain_epochs is None
+            else self._feed_retain_epochs
+        )
+
+    def _feed_retain_set(self, snap: dict) -> set[int]:
+        """Committed epochs young enough that auto-compaction must keep
+        their delta groups individually servable by the incremental feed
+        (the newest ``feed_retain_epochs`` of the epoch sequence)."""
+        if self.feed_retain_epochs <= 0:
+            return set()
+        eps = sorted(int(e) for e in snap["committed_epochs"])
+        return set(eps[-self.feed_retain_epochs:])
 
     def compact(
         self,
         tombstone_retention_ts: str | None = None,
         *,
         buckets: list[int] | None = None,
+        retain_epochs: set[int] | None = None,
     ) -> dict:
         """Merge base∪deltas into a fresh bucketed base (one row per url).
         ``tombstone_retention_ts``: drop tombstones older than this
@@ -1210,12 +1290,19 @@ class ParquetLakeTable:
         all deltas) — never O(table). At 100 TB with a hot-domain change
         stream this is the only affordable shape: the cold 99% of the base
         is carried forward by reference (same files, byte-identical).
-        Residual groups carry ``epoch_id: None`` — like a full compaction,
-        the folded epochs leave the incremental feed's serving range
-        (changes_between raises "cursor too old" for them)."""
+        Residual groups carry ``epoch_id: None`` plus the folded epoch
+        set; changes_between serves a range from the residual when the
+        range fully covers that set, and raises "cursor too old"
+        otherwise. ``retain_epochs``: delta groups of these epochs are
+        carried forward untouched (never folded) — auto maintenance
+        passes the newest ``feed_retain_epochs`` epochs here so pollers
+        keep exact per-epoch feed service."""
         while True:
             try:
-                return self._compact_once(tombstone_retention_ts, buckets)
+                return self._compact_once(
+                    tombstone_retention_ts, buckets,
+                    retain_epochs=retain_epochs,
+                )
             except CommitConflict:
                 continue
 
@@ -1225,6 +1312,7 @@ class ParquetLakeTable:
         ratio: float | None = None,
         max_buckets: int | None = None,
         tombstone_retention_ts: str | None = None,
+        retain_epochs: set[int] | None = None,
     ) -> dict | None:
         """Partial-compact the buckets where deltas concentrate: fold
         bucket ``b`` when its pending delta rows ≥ ``ratio`` × its base
@@ -1240,11 +1328,22 @@ class ParquetLakeTable:
         buckets fold every few epochs while the cold tail's base files are
         never rewritten."""
         r = self.compact_ratio if ratio is None else ratio
+        retain = set(retain_epochs or ())
         while True:
             snap = self.current_snapshot()
-            if not snap["deltas"]:
+            fold_groups = [
+                d for d in snap["deltas"]
+                if d.get("epoch_id") is None
+                or int(d["epoch_id"]) not in retain
+            ]
+            if not fold_groups:
                 return None
-            delta = self._delta_df(snap, None)
+            # selection counts only what a fold could actually absorb —
+            # retained (feed-servable) epochs' rows don't make a bucket hot
+            delta = self._read_file_groups(
+                snap,
+                [(int(d["schema_v"]), d["files"]) for d in fold_groups],
+            )
             if delta is None:
                 return None
             cnt = {
@@ -1268,7 +1367,8 @@ class ParquetLakeTable:
                 hot = hot[:max_buckets]
             try:
                 return self._compact_once(
-                    tombstone_retention_ts, sorted(hot), from_snap=snap
+                    tombstone_retention_ts, sorted(hot), from_snap=snap,
+                    retain_epochs=retain,
                 )
             except CommitConflict:
                 continue  # concurrent base change: re-select and retry
@@ -1342,10 +1442,14 @@ class ParquetLakeTable:
         buckets: list[int] | None = None,
         *,
         from_snap: dict | None = None,
+        retain_epochs: set[int] | None = None,
     ) -> dict:
         snap = from_snap or self.current_snapshot()
         if buckets is not None:
-            return self._compact_partial(snap, tombstone_retention_ts, buckets)
+            return self._compact_partial(
+                snap, tombstone_retention_ts, buckets,
+                retain_epochs=retain_epochs,
+            )
         t0 = time.perf_counter()
         # read exactly the captured version: a delta committed between the
         # two reads must NOT be folded (it stays in the delta list)
@@ -1373,7 +1477,12 @@ class ParquetLakeTable:
         )
 
     def _compact_partial(
-        self, snap: dict, tombstone_retention_ts: str | None, buckets: list[int]
+        self,
+        snap: dict,
+        tombstone_retention_ts: str | None,
+        buckets: list[int],
+        *,
+        retain_epochs: set[int] | None = None,
     ) -> dict:
         """Fold the captured deltas into ``buckets``' base slices only.
 
@@ -1396,9 +1505,25 @@ class ParquetLakeTable:
             | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
             if tombstone_retention_ts else None
         )
-        delta = self._delta_df(snap, None)
+        retain = set(retain_epochs or ())
+        if retain and tombstone_retention_ts:
+            raise ValueError(
+                "tombstone_retention_ts cannot combine with retain_epochs: "
+                "a retained group may hold an older (late-data) live row "
+                "for a url whose tombstone would be retired before the "
+                "fold ever sees that row — fold fully, then expire"
+            )
+        # retained (feed-servable) epochs' groups ride through untouched —
+        # neither folded into the base nor binpacked into the residual
+        fold_groups = [
+            d for d in snap["deltas"]
+            if d.get("epoch_id") is None or int(d["epoch_id"]) not in retain
+        ]
+        delta = self._read_file_groups(
+            snap, [(int(d["schema_v"]), d["files"]) for d in fold_groups]
+        )
         if delta is None:
-            # nothing pending: partial compaction is a no-op
+            # nothing foldable: partial compaction is a no-op
             return {"compaction": True, "partial": True, "noop": True}
         delta = delta.persist()
         try:
@@ -1410,8 +1535,12 @@ class ParquetLakeTable:
             )
             residual = dedup_latest(delta.filter(~hot_col))
             if retention is not None:
+                # retention applies ONLY where base and deltas merged: a
+                # residual tombstone may be guarding a live row in a cold
+                # (carried-forward) base bucket — dropping it would
+                # resurrect that row. Cold tombstones retire when their
+                # bucket eventually folds.
                 merged_hot = merged_hot.filter(retention)
-                residual = residual.filter(retention)
             hot_base, hot_rows = self._write_bucketed_base(
                 merged_hot, snap, nb, "compact"
             )
@@ -1439,11 +1568,11 @@ class ParquetLakeTable:
                 "epoch_id": None,
                 "folded_epochs": sorted(
                     {
-                        int(d["epoch_id"]) for d in snap["deltas"]
+                        int(d["epoch_id"]) for d in fold_groups
                         if d.get("epoch_id") is not None
                     }
                     | {
-                        int(e) for d in snap["deltas"]
+                        int(e) for d in fold_groups
                         for e in d.get("folded_epochs", ())
                     }
                 ),
@@ -1464,7 +1593,8 @@ class ParquetLakeTable:
             "partial": True,
             "buckets_folded": hot,
             "base_rows": total_rows,
-            "deltas_folded": len(snap["deltas"]),
+            "deltas_folded": len(fold_groups),
+            "deltas_retained": len(snap["deltas"]) - len(fold_groups),
             "residual_rows": res_rows,
             "bytes_rewritten": self._entry_bytes(hot_base.values()) + res_bytes,
             "seconds": round(time.perf_counter() - t0, 3),
@@ -1473,7 +1603,7 @@ class ParquetLakeTable:
             snap, None, metrics=metrics, lineage=[],
             new_base=new_base, new_base_rows=total_rows,
             new_delta=new_delta,
-            folded_deltas=snap["deltas"],
+            folded_deltas=fold_groups,
             expect_base_of=snap,
         )
 
@@ -1723,17 +1853,19 @@ class ParquetLakeTable:
         pipelined epoch). Reference semantics: Embulk's ``cleanup``
         command removing intermediate data of failed transactions
         (exec/BulkLoader.java:471-505, cli/Command.java:5)."""
-        snaps = [self.snapshot_at(int(f[1:9])) for f in self._snapshot_files()]
-        # branch refs share the data dir: every branch's snapshots (and
-        # staged manifests, below) pin files too, whichever ref runs the GC
+        # EVERY ref pins files, whichever ref runs the GC: main's
+        # snapshots/staged, this handle's (if a branch), and every
+        # branch's — a branch handle must never treat main-only files
+        # as orphans (or vice versa)
         bd = self._branches_dir()
-        snap_dirs = [self._snap_dir]
-        staged_dirs = [self._staged_dir]
+        snap_dirs = {os.path.join(self.path, "snapshots"), self._snap_dir}
+        staged_dirs = {os.path.join(self.path, "staged"), self._staged_dir}
         if os.path.isdir(bd):
             for n in sorted(os.listdir(bd)):
-                snap_dirs.append(os.path.join(bd, n, "snapshots"))
-                staged_dirs.append(os.path.join(bd, n, "staged"))
-        for d in snap_dirs[1:]:
+                snap_dirs.add(os.path.join(bd, n, "snapshots"))
+                staged_dirs.add(os.path.join(bd, n, "staged"))
+        snaps = []
+        for d in sorted(snap_dirs):
             if not os.path.isdir(d):
                 continue
             for fn in sorted(os.listdir(d)):
@@ -2001,6 +2133,7 @@ class ParquetLakeTable:
             compact_ratio=self.compact_ratio,
             compact_mode=self.compact_mode,
             url_hll=self.url_hll, ref=name,
+            feed_retain_epochs=self._feed_retain_epochs,
         )
 
     def branches(self) -> dict[str, dict]:
@@ -2058,6 +2191,21 @@ class ParquetLakeTable:
             head = json.load(f)
         if head["version"] == meta["fork_version"]:
             return {"fast_forward": name, "noop": True}
+        # empty-batch markers live in snapshot metrics, and _empty_epochs
+        # scans only THIS ref's snapshot files — carry the branch's
+        # markers for the adopted epochs into the publish snapshot, or a
+        # later changes_between on main would count an adopted empty
+        # epoch as "compacted into the base" and raise
+        branch_empty: set[int] = set()
+        for fn in heads:
+            try:
+                with open(os.path.join(sdir, fn)) as f:
+                    m = json.load(f).get("metrics") or {}
+            except (OSError, ValueError):
+                continue
+            if m.get("empty_batch") and m.get("epoch_id") is not None:
+                branch_empty.add(int(m["epoch_id"]))
+            branch_empty |= {int(e) for e in m.get("empty_epochs", ())}
         with self._commit_lock:
             while True:
                 cur = self.current_snapshot()
@@ -2069,9 +2217,14 @@ class ParquetLakeTable:
                     )
                 new = dict(head)
                 new["version"] = cur["version"] + 1
+                adopted = sorted(
+                    set(head["committed_epochs"])
+                    - set(cur["committed_epochs"])
+                )
                 new["metrics"] = {
                     "fast_forward": name,
                     "from_branch_version": head["version"],
+                    "empty_epochs": sorted(branch_empty & set(adopted)),
                     "committed_at": time.time(),
                 }
                 new["committed_at"] = time.time()
@@ -2080,10 +2233,7 @@ class ParquetLakeTable:
                     return {
                         "fast_forward": name,
                         "version": new["version"],
-                        "epochs_adopted": sorted(
-                            set(head["committed_epochs"])
-                            - set(cur["committed_epochs"])
-                        ),
+                        "epochs_adopted": adopted,
                     }
                 except FileExistsError:
                     continue  # racer took the version; recheck ancestor

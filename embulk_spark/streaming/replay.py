@@ -328,6 +328,12 @@ def replay_batches(
     committed epoch's texts tokenize into the inverted term-stats index
     (O(Δ) text bytes), so corpus df/BM25 statistics track the WAL.
 
+    ``agg_view`` (an operators.aggview.AggView) joins the contract as the
+    analytics leg: after each commit the view folds the epoch's signed
+    group deltas (pre/post winner rows of only the changed urls), keeping
+    a materialized grouped aggregate — retractions included — equal to
+    the batch aggregate of the published state at every epoch.
+
     ``export_path`` (a corpus export created by
     ``sinks.corpus.export_from_lake``) is likewise kept in lockstep:
     after each epoch commit the epoch's change feed folds into the

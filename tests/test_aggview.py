@@ -109,6 +109,43 @@ def test_idempotence_crash_selfheal_and_compact(spark, tmp_path):
     assert view2.update_from_lake_epoch(table, 2)["skipped_duplicate_epoch"]
 
 
+def test_compact_crash_between_fold_and_gc(spark, tmp_path, monkeypatch):
+    """Regression: compact() commits the folded state via the
+    ``_folded.json`` rename; a crash BEFORE the delta-file GC leaves the
+    covered epochs' parquet on disk — state() must not double-count
+    them, and a retried compact must complete and clean up."""
+    import os as _os
+
+    events = change_stream(spark, 500, 90, 3, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4,
+                             compact_min_deltas=10_000)
+    view = AggView(spark, str(tmp_path / "v"), **SPEC)
+    replay_batches(table, events, pipeline_depth=1, agg_view=view)
+    want = _view_state(view)
+
+    def boom(path):
+        raise OSError(f"simulated crash removing {path}")
+
+    monkeypatch.setattr(_os, "remove", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        view.compact()
+    monkeypatch.undo()
+    # marker committed, epoch parquet still on disk: a fresh handle must
+    # read the folded state ONLY (no double-count)
+    v2 = AggView(spark, str(tmp_path / "v"), **SPEC)
+    assert _view_state(v2) == want
+    assert v2.committed_epochs() == {0, 1, 2}
+    # retried compact completes: state unchanged, delta parquet GC'd
+    v2.compact()
+    assert _view_state(v2) == want
+    leftovers = [
+        f for e in (0, 1, 2)
+        for f in _os.listdir(str(tmp_path / "v" / "deltas" / f"epoch={e}"))
+        if f.endswith(".parquet")
+    ]
+    assert leftovers == []
+
+
 def test_rebuild_after_lake_compaction(spark, tmp_path):
     events = change_stream(spark, 600, 100, 3, num_partitions=4)
     table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4,

@@ -54,6 +54,28 @@ def test_branch_isolation_and_fast_forward(spark, tmp_path):
     assert rep.get("skipped_duplicate_epoch")
 
 
+def test_fast_forward_carries_empty_epoch_markers(spark, tmp_path):
+    """Regression: empty-batch markers live in snapshot metrics, which
+    fast_forward replaces — the publish snapshot must carry the adopted
+    empty epochs, or main's change feed counts them as compacted away
+    and raises for a fully-servable range."""
+    table, _ = _table(spark, str(tmp_path / "t"))
+    table.create_branch("bf")
+    br = table.branch("bf")
+    bf = _backfill(spark, 2)
+    apply_epoch(br, bf.filter(F.col("epoch") == 0), 100)
+    apply_epoch(br, bf.filter(F.lit(False)), 101)  # empty batch
+    apply_epoch(br, bf.filter(F.col("epoch") == 1), 102)
+
+    out = table.fast_forward("bf")
+    assert out["epochs_adopted"] == [100, 101, 102]
+    assert 101 in table._empty_epochs()
+    # the feed over the adopted range serves — epoch 101 contributes no
+    # rows but must not read as "compacted into the base"
+    feed = table.changes_between(100, 102)
+    assert feed.count() > 0
+
+
 def test_fast_forward_requires_ancestor(spark, tmp_path):
     table, _ = _table(spark, str(tmp_path / "t"))
     table.create_branch("audit")

@@ -105,6 +105,81 @@ def test_feed_cursor_too_old_after_partial_compact(spark, tmp_path):
     assert feed.count() > 0
 
 
+def test_feed_served_from_residual_when_range_covers_fold(spark, tmp_path):
+    """A cursor OLDER than every folded epoch is still exactly servable:
+    the residual group holds the folded epochs' per-url net winners, so
+    a range that fully covers the folded set reads them from it."""
+    table, _ = _table(spark, str(tmp_path / "t"), n_epochs=3)
+    want = {
+        (r.url, r.seq, r.is_deleted)
+        for r in table.changes_between(-1).collect()
+    }
+    table.compact(buckets=[])  # binpack: epochs 0-2 → one residual group
+    got = {
+        (r.url, r.seq, r.is_deleted)
+        for r in table.changes_between(-1).collect()
+    }
+    assert got == want
+    # a PARTIALLY covered range must still refuse (it would re-deliver
+    # epoch 0's winners to a cursor that already consumed them)
+    with pytest.raises(ValueError, match="compacted into the base"):
+        table.changes_between(0)
+    # and the residual composes with later per-epoch groups
+    events2 = change_stream(spark, 300, 50, 1, num_partitions=4).withColumn(
+        "seq", F.col("seq") + 200_000
+    )
+    apply_epoch(table, events2, 3)
+    feed = table.changes_between(-1)
+    ctl = ParquetLakeTable(
+        spark, str(tmp_path / "ctl"), n_buckets=4, compact_min_deltas=10_000
+    )
+    events = change_stream(spark, 900, 120, 3, num_partitions=4)
+    replay_batches(ctl, events, pipeline_depth=1)
+    apply_epoch(ctl, events2, 3)
+    assert {
+        (r.url, r.seq, r.is_deleted) for r in feed.collect()
+    } == {
+        (r.url, r.seq, r.is_deleted)
+        for r in ctl.changes_between(-1).collect()
+    }
+
+
+def test_follow_consumer_survives_hot_auto_maintenance(spark, tmp_path):
+    """Regression: a consume_changes follower polling every epoch must
+    keep exact feed service across hot-mode auto maintenance — the
+    newest feed_retain_epochs (default compact_min_deltas) epochs are
+    never folded, so the follower's cursor is always servable — and the
+    landed ranges must compose to the published state."""
+    import os
+
+    events = change_stream(spark, 900, 120, 8, num_partitions=4)
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "t"), n_buckets=4,
+        compact_min_deltas=2, compact_mode="hot",
+    )
+    out = str(tmp_path / "feed")
+    for e in range(8):
+        apply_epoch(table, events.filter(F.col("epoch") == e), e)
+        table.consume_changes(out)  # must never raise "cursor too old"
+    # auto maintenance actually ran (folds and/or binpacks)
+    assert any(
+        (table.snapshot_at(int(f[1:9])).get("metrics") or {}).get("partial")
+        for f in table._snapshot_files()
+    )
+    ranges = sorted(
+        (d for d in os.listdir(out) if d.startswith("range_")),
+        key=lambda d: int(d.rsplit("_", 1)[1]),
+    )
+    acc = None
+    for d in ranges:
+        part = spark.read.parquet(os.path.join(out, d))
+        acc = part if acc is None else acc.unionByName(part)
+    rebuilt = dedup_latest(acc.drop("bkt")).filter(~F.col("is_deleted"))
+    got = {(r.url, r.seq) for r in rebuilt.collect()}
+    want = {(r.url, r.seq) for r in table.published().collect()}
+    assert got == want
+
+
 def test_compact_hot_folds_only_qualifying_buckets(spark, tmp_path):
     table, _ = _table(spark, str(tmp_path / "t"), n_epochs=2)
     table.compact()
@@ -160,16 +235,56 @@ def test_tombstone_retention_applies_to_hot_and_residual(spark, tmp_path):
     )
     apply_epoch(table, dels, 1)
     assert table.published().count() == 0
-    # retention far in the future: every tombstone is expirable
-    table.compact(
-        "2100-01-01 00:00:00",
-        buckets=[table.read().select("bkt").first()["bkt"]],
-    )
+    # retention far in the future: every FOLDED tombstone is expirable,
+    # but a residual (cold-bucket) tombstone must survive — it may guard
+    # a row in a base bucket the fold never touched
+    hot_b = int(table.read().select("bkt").first()["bkt"])
+    table.compact("2100-01-01 00:00:00", buckets=[hot_b])
+    assert table.published().count() == 0  # nothing resurrects
+    # a later FULL compact with retention retires the rest
+    table.compact("2100-01-01 00:00:00")
     snap = table.current_snapshot()
     total = sum(int(e["rows"] or 0) for e in snap["base"].values()) + sum(
         int(d["rows"] or 0) for d in snap["deltas"]
     )
-    assert total == 0  # tombstones purged from the hot fold AND residual
+    assert total == 0
+
+
+def test_residual_tombstone_never_resurrects_cold_base_row(spark, tmp_path):
+    """Regression: a tombstone whose victim row lives in a COLD base
+    bucket must survive a partial compaction's retention filter — else
+    the carried-forward base row comes back to life."""
+    from embulk_spark.operators.merge import bucket_of
+
+    rows = (
+        spark.createDataFrame(
+            [(i, "I", f"https://h{i}.example/x", b"<p>v</p>", "en")
+             for i in range(8)],
+            "seq long, op string, url string, html binary, lang string",
+        )
+        .withColumn(
+            "warc_ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("seq"))
+        )
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "t"), n_buckets=4, compact_min_deltas=10_000
+    )
+    apply_epoch(table, rows, 0)
+    table.compact()  # victims now live in the base
+    one = table.read().select("url", "bkt").first()
+    dels = rows.filter(F.col("url") == one["url"]).withColumn(
+        "op", F.lit("D")
+    ).withColumn("seq", F.col("seq") + 100).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    apply_epoch(table, dels, 1)
+    assert table.published().filter(F.col("url") == one["url"]).count() == 0
+    # partial-compact a DIFFERENT bucket with everything-expirable
+    # retention: the victim's tombstone rides the residual and must live
+    other = [b for b in range(4) if b != int(one["bkt"])][0]
+    table.compact("2100-01-01 00:00:00", buckets=[other])
+    assert table.published().filter(F.col("url") == one["url"]).count() == 0
 
 
 def test_concurrent_epoch_survives_partial_compact(spark, tmp_path):
