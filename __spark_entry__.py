@@ -535,6 +535,51 @@ def _q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake replication (streaming/replicate.py): replay the
+    events table as 3 CDC epochs into a source lake, maintain a replica
+    from the source's change feed — one consume_changes poll + one
+    apply_changes commit per epoch, O(change-set) each, no re-dedup/
+    re-extraction — and return the REPLICA's published state. Oracle:
+    the upsert winner per url over the raw events (replica ≡ source ≡
+    changelog apply)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replicate import replicate_step
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        (F.col("event_id") % 3).alias("epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_replica_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = ParquetLakeTable(spark, f"{work}/src", n_buckets=4)
+    # replica on a DIFFERENT bucket layout: apply_changes re-buckets
+    rep = ParquetLakeTable(spark, f"{work}/rep", n_buckets=2)
+    for e in (0, 1, 2):
+        src.merge_epoch(
+            changes.filter(F.col("epoch") == e).drop("epoch"), e,
+            extract=False,
+        )
+        replicate_step(src, rep, f"{work}/feed")
+    return rep.published().select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+    )
+
+
 def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed schema inference: classify string cells per the Embulk
     guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
@@ -1636,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_upsert": _q_cdc_apply_upsert,
         "cdc_ingest_metrics": _q_cdc_ingest_metrics,
         "cdc_changes_feed": _q_cdc_changes_feed,
+        "cdc_replicate": _q_cdc_replicate,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
         "coerce_setters": _q_coerce_setters,
@@ -2511,6 +2557,18 @@ def oracle_sql() -> dict[str, str]:
                (event_type = 'error') AS is_deleted,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1
+        """,
+        "cdc_replicate": """
+        WITH ranged AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) rn
+          FROM events
+        )
+        SELECT 'user://' || user_id AS url,
+               event_id AS seq,
+               epoch_us(ts) AS ts_us
+        FROM ranged WHERE rn = 1 AND event_type <> 'error'
         """,
         "benchmark_overlap": """
         WITH w AS (

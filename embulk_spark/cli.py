@@ -122,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "replicate",
+        help="maintain a downstream replica lake table from a source "
+             "table's change feed (one crash-safe sync step; poll from "
+             "cron — the replication daemon)",
+    )
+    sp.add_argument("table", help="source lake table path")
+    sp.add_argument("replica", help="replica lake table path")
+    sp.add_argument("feed_dir", help="feed directory (cursor + range dirs)")
+    sp.add_argument("--buckets", type=int, default=16,
+                    help="replica bucket count (may differ from source)")
+    sp.add_argument("--prune", action="store_true",
+                    help="delete range dirs already applied to the replica")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "export",
         help="corpus out: sharded training-corpus export of a lake "
              "table's published state (+ audit manifest), or an "
@@ -347,6 +362,16 @@ def main(argv: list[str] | None = None) -> int:
                               "out": args.out}))
         else:
             feed.show(50, truncate=False)
+        return 0
+
+    if args.cmd == "replicate":
+        from .streaming.lake import ParquetLakeTable
+        from .streaming.replicate import replicate_step
+
+        source = ParquetLakeTable(spark, args.table)
+        replica = ParquetLakeTable(spark, args.replica, n_buckets=args.buckets)
+        out = replicate_step(source, replica, args.feed_dir, prune=args.prune)
+        print(json.dumps(out, default=str))
         return 0
 
     if args.cmd == "export":

@@ -568,6 +568,81 @@ class ParquetLakeTable:
         return {"since_epoch": since, "until_epoch": head,
                 "rows": rows, "out": target}
 
+    def apply_changes(self, changes: DataFrame, epoch_id: int) -> dict:
+        """Apply a change-feed range (the output of ``changes_between`` /
+        ``consume_changes``: net winner rows per url, tombstones included,
+        text already extracted) as ONE idempotent epoch commit — no
+        re-deduplication, no re-extraction, no per-event processing. This
+        is the replica half of lake-to-lake replication
+        (``streaming/replicate.py``): a downstream mirror pays
+        O(change-set) write cost per sync, never O(table) and never the
+        upstream's extraction CPU.
+
+        Rows are normalized to THIS table's current schema (columns the
+        replica doesn't declare are dropped, missing declared columns
+        null) and re-bucketed under its layout — source and replica may
+        use different bucket counts. Duplicate delivery skips on
+        ``epoch_id`` exactly like ``merge_epoch``; MOR winner resolution
+        makes a re-applied range a semantic no-op either way.
+        """
+        snap = self.current_snapshot()
+        if epoch_id in set(snap["committed_epochs"]):
+            return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+        cur = self.schema(snap)
+        nb = self._nb(snap)
+        have = set(changes.columns)
+        rows = changes.select(
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in cur.fields
+            ]
+        ).withColumn("bkt", bucket_of(F.col("url"), nb))
+
+        rel_dir = f"data/e{epoch_id:08d}_{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, rel_dir)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"replica_epoch_{epoch_id}")
+        rows.observe(
+            obs,
+            F.count(F.lit(1)).alias("keys"),
+            F.sum(F.col("is_deleted").cast("long")).alias("deletes"),
+            F.max("warc_ts").alias("max_ts"),
+        ).write.mode("overwrite").parquet(out_dir)
+        stats = obs.get
+        files, rows_written, nbytes = self._list_files(rel_dir)
+        if rows_written == 0:
+            return self._commit(
+                snap, epoch_id,
+                metrics={"epoch_id": epoch_id, "replicated": True,
+                         "rows_in": 0, "empty_batch": True},
+                lineage=[],
+            )
+        metrics = {
+            "epoch_id": epoch_id,
+            "replicated": True,
+            "keys_in_batch": int(stats["keys"]),
+            "delete_keys": int(stats["deletes"] or 0),
+            "rows_written": rows_written,
+            "delta_files": len(files),
+            "delta_bytes": nbytes,
+            "max_warc_ts": str(stats["max_ts"]),
+            "delta_dir": rel_dir,
+        }
+        delta_group = {
+            "files": files,
+            "schema_v": snap["schema_v"],
+            "rows": rows_written,
+            "epoch_id": epoch_id,
+        }
+        out = self._commit(
+            snap, epoch_id, metrics=metrics, lineage=[],
+            new_delta=delta_group, expect_nb=nb,
+        )
+        self.maybe_compact()
+        return out
+
     def _empty_epochs(self) -> set[int]:
         """Epochs committed with empty batches (no delta group ever
         existed) — recorded in each snapshot's commit metrics."""
