@@ -134,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="replica bucket count (may differ from source)")
     sp.add_argument("--prune", action="store_true",
                     help="delete range dirs already applied to the replica")
+    sp.add_argument("--evolve", action="store_true",
+                    help="propagate additive source schema evolution "
+                         "(new feed columns become replica add_column DDLs)")
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
@@ -370,7 +373,8 @@ def main(argv: list[str] | None = None) -> int:
 
         source = ParquetLakeTable(spark, args.table)
         replica = ParquetLakeTable(spark, args.replica, n_buckets=args.buckets)
-        out = replicate_step(source, replica, args.feed_dir, prune=args.prune)
+        out = replicate_step(source, replica, args.feed_dir,
+                             prune=args.prune, evolve=args.evolve)
         print(json.dumps(out, default=str))
         return 0
 

@@ -568,7 +568,9 @@ class ParquetLakeTable:
         return {"since_epoch": since, "until_epoch": head,
                 "rows": rows, "out": target}
 
-    def apply_changes(self, changes: DataFrame, epoch_id: int) -> dict:
+    def apply_changes(
+        self, changes: DataFrame, epoch_id: int, *, evolve: bool = False
+    ) -> dict:
         """Apply a change-feed range (the output of ``changes_between`` /
         ``consume_changes``: net winner rows per url, tombstones included,
         text already extracted) as ONE idempotent epoch commit — no
@@ -584,10 +586,23 @@ class ParquetLakeTable:
         use different bucket counts. Duplicate delivery skips on
         ``epoch_id`` exactly like ``merge_epoch``; MOR winner resolution
         makes a re-applied range a semantic no-op either way.
+
+        ``evolve=True`` propagates ADDITIVE schema evolution: a feed
+        column the replica doesn't declare triggers ``add_column`` (same
+        name and type) before the apply — the Debezium/Fivetran-style
+        default for downstream mirrors. Renames and drops are DDL
+        decisions, not inferable from a column list — apply the same
+        ``rename_column``/``drop_column`` to the replica.
         """
         snap = self.current_snapshot()
         if epoch_id in set(snap["committed_epochs"]):
             return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+        if evolve:
+            declared = set(self.schema(snap).fieldNames())
+            for f in changes.schema.fields:
+                if f.name not in declared and f.name != "bkt":
+                    self.add_column(f.name, f.dataType.simpleString())
+            snap = self.current_snapshot()  # re-capture past the DDLs
         cur = self.schema(snap)
         nb = self._nb(snap)
         have = set(changes.columns)
@@ -1770,12 +1785,16 @@ class ParquetLakeTable:
         )
 
     def add_column(self, name: str, spark_type: str) -> None:
+        # DDL-parse the type: accepts both constructor names ('long') and
+        # simpleString/DDL names ('bigint', 'decimal(10,2)') — evolve-mode
+        # replication feeds simpleString() forms here
+        dt = T.StructType.fromDDL(f"x {spark_type}")[0].dataType
         while True:
             snap = self.current_snapshot()
             cur = self.schema(snap)
             if name in cur.fieldNames():
                 return
-            new = T.StructType(cur.fields).add(name, spark_type)
+            new = T.StructType(cur.fields).add(name, dt)
             try:
                 return self._bump_schema(snap, _ddl_of(new))
             except CommitConflict:

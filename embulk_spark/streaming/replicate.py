@@ -43,7 +43,10 @@ def _range_dirs(feed_dir: str) -> list[tuple[int, int, str]]:
     return sorted(out, key=lambda t: t[1])
 
 
-def replicate_step(source, replica, feed_dir: str, *, prune: bool = False) -> dict:
+def replicate_step(
+    source, replica, feed_dir: str, *, prune: bool = False,
+    evolve: bool = False,
+) -> dict:
     """One crash-safe replication step: poll the source's feed cursor
     (landing any newly committed range), then apply every landed range
     the replica has not committed yet, in epoch order. Poll it from cron
@@ -51,8 +54,9 @@ def replicate_step(source, replica, feed_dir: str, *, prune: bool = False) -> di
 
     ``prune`` deletes range dirs already applied AND behind the consumer
     cursor (safe: ``consume_changes`` only ever re-reads the range at
-    the current cursor). Idempotent at every crash point; see module
-    docstring for the argument.
+    the current cursor). ``evolve`` propagates additive source schema
+    evolution to the replica (see ``apply_changes``). Idempotent at
+    every crash point; see module docstring for the argument.
     """
     os.makedirs(feed_dir, exist_ok=True)
     poll = source.consume_changes(feed_dir)
@@ -62,7 +66,7 @@ def replicate_step(source, replica, feed_dir: str, *, prune: bool = False) -> di
         if head in applied:
             continue
         feed = source.spark.read.parquet(os.path.join(feed_dir, d))
-        replica.apply_changes(feed, head)
+        replica.apply_changes(feed, head, evolve=evolve)
         done.append(head)
     if prune:
         cursor = int(poll["since_epoch"]) if poll.get("noop") else int(

@@ -119,6 +119,48 @@ def test_prune_drops_applied_ranges(spark, tmp_path):
     assert _state(rep) == _state(src)
 
 
+def test_evolve_propagates_added_columns(spark, tmp_path):
+    """Additive schema evolution rides the feed: the source adds a
+    column, later events carry it, and evolve=True turns the new feed
+    column into a replica add_column DDL — values land per url."""
+    events = change_stream(spark, 1500, 200, 2, num_partitions=4).cache()
+    src = ParquetLakeTable(spark, str(tmp_path / "src"), n_buckets=4,
+                           compact_min_deltas=10_000)
+    rep = ParquetLakeTable(spark, str(tmp_path / "rep"), n_buckets=4,
+                           compact_min_deltas=10_000)
+    feed = str(tmp_path / "feed")
+    apply_epoch(src, events.filter(F.col("epoch") == 0), 0)
+    replicate_step(src, rep, feed)
+    assert "score" not in rep.published().columns
+
+    src.add_column("score", "bigint")
+    e1 = events.filter(F.col("epoch") == 1).withColumn(
+        "score", F.col("seq") % 7
+    )
+    apply_epoch(src, e1, 1)
+    out = replicate_step(src, rep, feed, evolve=True)
+    assert out["applied_epochs"] == [1]
+    assert "score" in rep.published().columns
+    want = {
+        (r.url, r.score)
+        for r in src.published().select("url", "score").collect()
+    }
+    got = {
+        (r.url, r.score)
+        for r in rep.published().select("url", "score").collect()
+    }
+    assert got == want
+    # without evolve the extra column is (documented) dropped, not an error
+    e2 = change_stream(spark, 400, 60, 1, num_partitions=4).withColumn(
+        "seq", F.col("seq") + 80_000
+    ).withColumn("score", F.lit(1))
+    apply_epoch(src, e2, 2)
+    rep2 = ParquetLakeTable(spark, str(tmp_path / "rep2"), n_buckets=4,
+                            compact_min_deltas=10_000)
+    replicate_step(src, rep2, str(tmp_path / "feed2"))
+    assert "score" not in rep2.published().columns
+
+
 def test_cli_replicate(spark, tmp_path, capsys):
     import json
 
