@@ -133,6 +133,7 @@ def main() -> None:
     bench_queries = [
         "cdc_latest_per_key",
         "cdc_apply_upsert",
+        "cdc_replicate",
         "agg_pricing_summary",
         "join_revenue_topk",
         "window_topk_per_group",
