@@ -197,10 +197,27 @@ class AggView:
     # ------------------------------------------------------------------
     def _folded(self) -> dict | None:
         p = os.path.join(self._base, "_folded.json")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        # legacy layout (pre-marker code): the fold lives in base/state
+        # and covers exactly the epochs whose delta parquet was GC'd
+        # (an empty-epoch marker dir infers as covered too — harmless,
+        # it contributed nothing). Without this, a view compacted under
+        # the old code would silently lose its folded base.
+        legacy = os.path.join(self._base, "state")
+        if os.path.isdir(legacy):
+            covered = sorted(
+                e for e in self.committed_epochs()
+                if not any(
+                    f.endswith(".parquet")
+                    for f in os.listdir(
+                        os.path.join(self._deltas, f"epoch={e}")
+                    )
+                )
+            )
+            return {"state": "state", "epochs": covered}
+        return None
 
     def _delta_files(self) -> list[str]:
         """Files contributing to state(): the folded base (if any) plus
@@ -295,10 +312,11 @@ class AggView:
             json.dump(marker, f)
         os.rename(tmp, os.path.join(self._base, "_folded.json"))  # commit
         # GC: covered epochs' parquet files and superseded state dirs
+        covered_set = set(covered)
         for d in os.listdir(self._deltas):
             if not d.startswith("epoch="):
                 continue
-            if int(d.split("=", 1)[1]) in set(covered):
+            if int(d.split("=", 1)[1]) in covered_set:
                 dd = os.path.join(self._deltas, d)
                 for fn in list(os.listdir(dd)):
                     if fn.endswith(".parquet") or fn.startswith("_"):

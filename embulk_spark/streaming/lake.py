@@ -484,12 +484,16 @@ class ParquetLakeTable:
             if d.get("epoch_id") is not None and in_range(int(d["epoch_id"]))
         }
         # a residual group (epoch_id None) records which epochs it folded;
-        # it holds their per-url net winners, so it serves the feed
-        # EXACTLY when its entire folded set lies inside the requested
-        # range (a lagging cursor older than the fold). Partial coverage
-        # would re-deliver already-consumed epochs' winners → unusable.
+        # when the fold touched NO base bucket (pure binpack —
+        # feed_complete) the residual holds the folded epochs' ENTIRE
+        # per-url net change-set, so it serves the feed exactly when its
+        # whole folded set lies inside the requested range (a lagging
+        # cursor older than the fold). A residual from a hot fold is
+        # NOT servable — its hot-bucket winners went into the base — and
+        # partial range coverage would re-deliver consumed epochs'
+        # winners; both cases fall through to cursor-too-old below.
         for d in snap["deltas"]:
-            if d.get("epoch_id") is not None:
+            if d.get("epoch_id") is not None or not d.get("feed_complete"):
                 continue
             fe = {int(e) for e in d.get("folded_epochs", ())}
             if fe and all(in_range(e) for e in fe):
@@ -537,12 +541,19 @@ class ParquetLakeTable:
         # 5-9 must not ship twice just because epoch 10 committed before
         # the retry
         stale = sorted(
-            d for d in os.listdir(out_dir)
-            if d.startswith(f"range_{since}_")
+            (d for d in os.listdir(out_dir)
+             if d.startswith(f"range_{since}_")),
+            key=lambda d: int(d.rsplit("_", 1)[1]),  # NUMERIC: 12 > 9
         )
         if stale:
             target = os.path.join(out_dir, stale[-1])
             head = int(stale[-1].rsplit("_", 1)[1])
+            # racing consumers can land several ranges from this cursor
+            # with different heads; the widest supersedes the others
+            # (same lower bound → strict subsets) — drop them so no
+            # downstream ever sees overlapping ranges
+            for d in stale[:-1]:
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
         else:
             head = max(
                 (int(e) for e in self.committed_epochs()), default=None
@@ -1418,9 +1429,17 @@ class ParquetLakeTable:
         buckets fold every few epochs while the cold tail's base files are
         never rewritten."""
         r = self.compact_ratio if ratio is None else ratio
-        retain = set(retain_epochs or ())
+        base_retain = set(retain_epochs or ())
         while True:
             snap = self.current_snapshot()
+            # re-anchor retention to THIS capture: an epoch committed by a
+            # pipelined sibling between the caller's snapshot and this
+            # retry is inside the current newest-N window and must not be
+            # folded out of the feed (only when retention was asked for —
+            # an empty set means an explicit fold-everything call)
+            retain = base_retain | (
+                self._feed_retain_set(snap) if base_retain else set()
+            )
             fold_groups = [
                 d for d in snap["deltas"]
                 if d.get("epoch_id") is None
@@ -1535,6 +1554,11 @@ class ParquetLakeTable:
         retain_epochs: set[int] | None = None,
     ) -> dict:
         snap = from_snap or self.current_snapshot()
+        if buckets is None and retain_epochs:
+            # a retained "full" fold = all-bucket partial fold (the full
+            # path by definition folds every group; silently ignoring the
+            # retain set would drop the retained epochs from the feed)
+            buckets = list(range(self._nb(snap)))
         if buckets is not None:
             return self._compact_partial(
                 snap, tombstone_retention_ts, buckets,
@@ -1596,6 +1620,10 @@ class ParquetLakeTable:
             if tombstone_retention_ts else None
         )
         retain = set(retain_epochs or ())
+        if retain:
+            # same re-anchoring as compact_hot: this snap may be a
+            # CommitConflict-retry re-capture newer than the caller's
+            retain |= self._feed_retain_set(snap)
         if retain and tombstone_retention_ts:
             raise ValueError(
                 "tombstone_retention_ts cannot combine with retain_epochs: "
@@ -1665,6 +1693,16 @@ class ParquetLakeTable:
                         int(e) for d in fold_groups
                         for e in d.get("folded_epochs", ())
                     }
+                ),
+                # the residual is the folded epochs' COMPLETE net
+                # change-set only when this fold touched no base bucket
+                # AND every absorbed prior residual was itself complete
+                # (an incomplete ancestor is missing hot rows forever;
+                # a pre-flag residual's hotness is unknown → not complete)
+                "feed_complete": not hot and all(
+                    d.get("epoch_id") is not None
+                    or d.get("feed_complete", False)
+                    for d in fold_groups
                 ),
             }
             if res_rows else None

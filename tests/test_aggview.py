@@ -146,6 +146,45 @@ def test_compact_crash_between_fold_and_gc(spark, tmp_path, monkeypatch):
     assert leftovers == []
 
 
+def test_legacy_compact_layout_migrates(spark, tmp_path):
+    """Regression: a view compacted by the pre-marker code keeps its
+    fold in base/state with NO _folded.json — the new reader must infer
+    the legacy fold (covered epochs = dirs whose parquet was GC'd), and
+    a re-compact must absorb it, not delete it unread."""
+    import os as _os
+    import shutil as _sh
+
+    events = change_stream(spark, 500, 90, 3, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4,
+                             compact_min_deltas=10_000)
+    view = AggView(spark, str(tmp_path / "v"), **SPEC)
+    replay_batches(table, events, pipeline_depth=1, agg_view=view)
+    want = _view_state(view)
+
+    # rebuild the LEGACY on-disk layout by hand: fold → base/state,
+    # delete epoch parquet, leave marker dirs, no _folded.json
+    base = str(tmp_path / "v" / "base")
+    view.state().write.parquet(_os.path.join(base, "state"))
+    for e in (0, 1, 2):
+        dd = str(tmp_path / "v" / "deltas" / f"epoch={e}")
+        for fn in _os.listdir(dd):
+            if fn.endswith(".parquet") or fn.startswith("_"):
+                _os.remove(_os.path.join(dd, fn))
+    marker = _os.path.join(base, "_folded.json")
+    if _os.path.exists(marker):
+        _os.remove(marker)
+    for d in _os.listdir(base):
+        if d.startswith("state_"):
+            _sh.rmtree(_os.path.join(base, d))
+
+    v2 = AggView(spark, str(tmp_path / "v"), **SPEC)
+    assert _view_state(v2) == want  # legacy fold inferred, not lost
+    v2.compact()  # migration: absorbs the legacy state, writes a marker
+    assert _view_state(v2) == want
+    assert _os.path.exists(marker)
+    assert not _os.path.isdir(_os.path.join(base, "state"))
+
+
 def test_rebuild_after_lake_compaction(spark, tmp_path):
     events = change_stream(spark, 600, 100, 3, num_partitions=4)
     table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4,

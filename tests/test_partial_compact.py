@@ -144,6 +144,89 @@ def test_feed_served_from_residual_when_range_covers_fold(spark, tmp_path):
     }
 
 
+def test_hot_fold_residual_never_serves_the_feed(spark, tmp_path):
+    """Regression: a residual produced by a fold with non-empty hot
+    buckets is missing those buckets' winners (they went to the base) —
+    it must NOT serve the feed even for a fully covering range; the
+    consumer gets cursor-too-old (→ full refresh), never silent loss."""
+    table, _ = _table(spark, str(tmp_path / "t"), n_epochs=3)
+    hot_b = int(table.read().select("bkt").first()["bkt"])
+    out = table.compact(buckets=[hot_b])
+    assert out["residual_rows"] > 0  # a residual exists…
+    with pytest.raises(ValueError, match="compacted into the base"):
+        table.changes_between(-1)  # …but is not feed-servable
+    # and a later binpack absorbing it stays non-servable (the missing
+    # hot rows never come back)
+    events2 = change_stream(spark, 300, 50, 1, num_partitions=4).withColumn(
+        "seq", F.col("seq") + 300_000
+    )
+    apply_epoch(table, events2, 3)
+    table.compact(buckets=[])
+    with pytest.raises(ValueError, match="compacted into the base"):
+        table.changes_between(-1)
+
+
+def test_explicit_retained_compacts(spark, tmp_path):
+    """compact(retain_epochs=…) honors the retain set on both paths:
+    buckets=None routes to an all-bucket partial fold (never silently
+    ignores it), and the set is re-anchored to the live newest-N feed
+    window at capture time."""
+    events = change_stream(spark, 900, 120, 4, num_partitions=4)
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "t"), n_buckets=4, compact_min_deltas=2
+    )
+    # min_deltas=2 would auto-compact during replay; commit manually
+    table.compact_min_deltas = 10_000
+    replay_batches(table, events, pipeline_depth=1)
+    table.compact_min_deltas = 2  # feed horizon (newest 2) tracks this
+    want = {(r.url, r.seq) for r in table.published().collect()}
+
+    # binpack with an explicit retain: {1} is augmented by newest-2 {2,3}
+    out = table.compact(buckets=[], retain_epochs={1})
+    snap = table.current_snapshot()
+    kept = {
+        int(d["epoch_id"]) for d in snap["deltas"]
+        if d.get("epoch_id") is not None
+    }
+    assert kept == {1, 2, 3}
+    resid = [d for d in snap["deltas"] if d.get("epoch_id") is None]
+    assert len(resid) == 1 and resid[0]["folded_epochs"] == [0]
+    assert table.changes_between(0).count() > 0  # retained epochs serve
+
+    # buckets=None + retain routes to the all-bucket partial fold
+    out2 = table.compact(retain_epochs={2, 3})
+    assert out2.get("partial")
+    snap2 = table.current_snapshot()
+    kept2 = {
+        int(d["epoch_id"]) for d in snap2["deltas"]
+        if d.get("epoch_id") is not None
+    }
+    assert kept2 == {2, 3}
+    assert table.changes_between(1).count() > 0
+    assert {(r.url, r.seq) for r in table.published().collect()} == want
+
+
+def test_consume_adopts_widest_stale_range_numerically(spark, tmp_path):
+    """Regression: stale-range adoption must compare heads numerically
+    (range_5_12 beats range_5_9 despite lexicographic order) and drop
+    the superseded subset ranges so downstreams never see overlap."""
+    import os
+
+    events = change_stream(spark, 800, 120, 2, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4,
+                             compact_min_deltas=10_000)
+    replay_batches(table, events, pipeline_depth=1)
+    out = str(tmp_path / "feed")
+    os.makedirs(out, exist_ok=True)
+    # two racing consumers landed overlapping ranges from cursor -1
+    feed = table.changes_between(-1)
+    feed.write.parquet(os.path.join(out, "range_-1_9"))
+    feed.write.parquet(os.path.join(out, "range_-1_12"))
+    r = table.consume_changes(out)
+    assert r["until_epoch"] == 12  # numeric, not lexicographic
+    assert not os.path.isdir(os.path.join(out, "range_-1_9"))
+
+
 def test_follow_consumer_survives_hot_auto_maintenance(spark, tmp_path):
     """Regression: a consume_changes follower polling every epoch must
     keep exact feed service across hot-mode auto maintenance — the
