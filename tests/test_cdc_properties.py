@@ -92,6 +92,59 @@ def test_random_stream_matches_window_oracle(spark, tmp_path_factory, rows):
 @pytest.mark.filterwarnings("ignore")
 @settings(max_examples=4, deadline=None,
           suppress_health_check=list(HealthCheck))
+@given(change_streams(), st.lists(st.booleans(), min_size=3, max_size=3))
+def test_random_replication_matches_oracle(
+    spark, tmp_path_factory, rows, polls
+):
+    """A replica synced at ARBITRARY poll points (some epochs coalesce
+    into one range, some polls are no-ops) ends byte-identical to the
+    DuckDB window oracle — whatever the stream or the poll schedule."""
+    from embulk_spark.streaming.replicate import replicate_step
+
+    tmp = tmp_path_factory.mktemp("prop_rep")
+    events = spark.createDataFrame(rows, schema=SCHEMA)
+    src = ParquetLakeTable(spark, str(tmp / "src"), n_buckets=2,
+                           compact_min_deltas=10_000)
+    rep = ParquetLakeTable(spark, str(tmp / "rep"), n_buckets=2,
+                           compact_min_deltas=10_000)
+    feed = str(tmp / "feed")
+    for e in range(3):
+        replay_batches(src, events.filter(f"epoch = {e}"), pipeline_depth=1)
+        if polls[e]:
+            replicate_step(src, rep, feed)
+    replicate_step(src, rep, feed)  # final catch-up
+
+    got = {
+        (r["url"], r["seq"], r["text"])
+        for r in rep.published().select("url", "seq", "text").collect()
+    }
+    pdf = pd.DataFrame(
+        rows, columns=["seq", "epoch", "op", "url", "warc_ts", "html",
+                       "lang", "schema_change"],
+    )
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want_rows = con.execute(
+        """
+        SELECT url, seq, html FROM (
+          SELECT url, op, seq, html,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY warc_ts DESC, seq DESC) rn
+          FROM ev) WHERE rn = 1 AND op <> 'D'
+        """
+    ).fetchall()
+    from embulk_spark.functions.extract import extract_text_oracle
+
+    want = {
+        (u, s, extract_text_oracle(bytes(h)) if h is not None else None)
+        for u, s, h in want_rows
+    }
+    assert got == want
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
 @given(change_streams(), st.lists(
     st.one_of(st.none(),  # binpack
               st.lists(st.integers(0, 1), max_size=2)),  # bucket subset

@@ -200,6 +200,17 @@ CHECKS = {
         "must_not": [r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas",
                      r"CartesianProduct", r"Join", r"Exchange"],
     },
+    "cdc_replicate": {
+        "why": "the replica's published read is the same MOR resolution as "
+               "any lake read — partial_max_by dedup before the exchange, "
+               "zero Python: the text column was extracted ONCE upstream "
+               "and replicated as bytes, so a replica never re-runs "
+               "extraction (the apply path itself is a narrow JVM map — "
+               "schema normalize + bucket hash — with no shuffle)",
+        "must": [r"partial_max_by"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython", r"MapInPandas",
+                     r"CartesianProduct"],
+    },
     "dsir_weights": {
         "why": "DSIR scoring joins the exploded token stream against the "
                "tiny bucket-ratio table via BROADCAST (text never shuffles "
