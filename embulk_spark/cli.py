@@ -243,6 +243,27 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "catalog",
+        help="multi-table catalog ops: inspect the pinned-version head, "
+             "register a table, recover crashed transactions (roll "
+             "forward, or --abort if nothing published), expire old "
+             "catalog versions and their retention leases",
+    )
+    sp.add_argument("path", help="catalog directory")
+    sp.add_argument("--create-table", default=None, metavar="NAME")
+    sp.add_argument("--buckets", type=int, default=16,
+                    help="bucket count for --create-table")
+    sp.add_argument("--recover", action="store_true")
+    sp.add_argument("--abort", action="store_true",
+                    help="with --recover: discard transactions none of "
+                         "whose epochs has been published (others still "
+                         "roll forward)")
+    sp.add_argument("--expire", type=int, default=None, metavar="KEEP",
+                    help="retire catalog versions older than the newest "
+                         "KEEP (drops their snapshot retention leases)")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "cleanup",
         help="expire old snapshots and remove orphaned data files "
              "(reference cli/Command.java:5, exec/BulkLoader.java:471-505)",
@@ -475,6 +496,26 @@ def main(argv: list[str] | None = None) -> int:
             out = table.compact(
                 args.tombstone_retention_ts, buckets=buckets
             )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "catalog":
+        from .streaming.catalog import LakeCatalog
+
+        cat = LakeCatalog(spark, args.path)
+        if args.create_table:
+            cat.create_table(args.create_table, n_buckets=args.buckets)
+        out: dict = {}
+        if args.recover:
+            out["recovered"] = cat.recover(abort=args.abort)
+        if args.expire is not None:
+            out["expired"] = cat.expire(keep_last=args.expire)
+        head = cat.head()
+        out["catalog_version"] = head["version"]
+        out["tables"] = {
+            n: int(e["version"]) for n, e in head["tables"].items()
+        }
+        out["pending_txns"] = [t["txn"] for t in cat.pending_transactions()]
         print(json.dumps(out))
         return 0
 

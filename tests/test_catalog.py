@@ -229,6 +229,33 @@ def test_one_epoch_per_table_per_txn(cat, spark):
     txn.abort()
 
 
+def test_cli_catalog_surface(spark, tmp_path, capsys):
+    import json
+
+    from embulk_spark import cli
+
+    path = str(tmp_path / "cat")
+    assert cli.main(["catalog", path, "--create-table", "pages",
+                     "--buckets", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tables"] == {"pages": 0} and out["pending_txns"] == []
+
+    # stage a txn, crash (no commit), recover --abort via the CLI
+    c = LakeCatalog(spark, path)
+    txn = c.transaction()
+    txn.merge_epoch(
+        "pages", _events(spark, [(1, "I", "u1", b"<a>", "en")]), 1,
+        extract=False,
+    )
+    assert cli.main(["catalog", path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pending_txns"] == [txn.txn_id]
+    assert cli.main(["catalog", path, "--recover", "--abort"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["recovered"] == [{"txn": txn.txn_id, "aborted": True}]
+    assert out["pending_txns"] == []
+
+
 def test_unknown_table_and_duplicate_create(cat):
     with pytest.raises(KeyError, match="unknown table"):
         cat.table("nope")
