@@ -1474,6 +1474,39 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=8, min_freq=2)
 
 
+#: literal merge rules for the bpe_encode query/oracle pair — applying a
+#: SHIPPED merge table is the operator's contract (training its own is
+#: covered by bpe_merges; trained→encode composition by tests/test_bpe.py).
+#: Order matters: rule 2 consumes rule 1's output symbol.
+BPE_ENCODE_RULES = [
+    ("t", "h", "th"), ("th", "e", "the"), ("a", "n", "an"),
+    ("i", "n", "in"), ("e", "r", "er"),
+]
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (operators/bpe.py::bpe_encode): encode
+    every document under a shipped merge table as one ZERO-shuffle
+    per-row JVM expression — per word a chained leftmost-first fold per
+    rule, the same fold the trainer uses, flattened back to document
+    order. The oracle replays each rule as a replace-until-fixpoint
+    recursive CTE over separator-framed per-word symbol strings and
+    rebuilds document order with a position-ordered list aggregation."""
+    from embulk_spark.operators.bpe import bpe_encode
+
+    merges = spark.createDataFrame(
+        [(k, a, b, m) for k, (a, b, m) in enumerate(BPE_ENCODE_RULES, 1)],
+        "round int, pair_a string, pair_b string, merged string",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, merges, id_col="doc_id")
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tokens",
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine trained quality classifier (operators/classifier.py):
     hashed-unigram logistic regression fit by 3 full-batch GD steps ON
@@ -1758,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": _q_group_split,
         "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "incremental_agg_view": _q_incremental_agg_view,
     }
 
@@ -3265,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM events WHERE event_id IS NOT NULL)
         """,
         "bpe_merges": _bpe_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
         "incremental_agg_view": """
         WITH fin AS (
           SELECT lang,
@@ -3284,6 +3319,12 @@ def _hll_oracle() -> str:
     from embulk_spark.operators.sketch import hll_oracle_sql
 
     return hll_oracle_sql("events", "user_id", ["event_type"])
+
+
+def _bpe_encode_oracle() -> str:
+    from embulk_spark.operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(BPE_ENCODE_RULES, id_col="doc_id")
 
 
 def _bm25_oracle() -> str:

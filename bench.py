@@ -170,6 +170,7 @@ def main() -> None:
         "interval_window_counts",
         "data_quality",
         "bpe_merges",
+        "bpe_encode",
         "incremental_agg_view",
     ]
     for name in bench_queries:

@@ -176,6 +176,109 @@ def bpe_token_counts(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-document token sequences under a learned merge table — the
+    APPLY half of the tokenizer lifecycle (train → encode → pack →
+    export): (id, tokens, n_tokens), tokens in document order.
+
+    Scale shape: ZERO shuffle. The merge rules are a tiny plan constant
+    (the artifact ``bpe_train`` ships); encoding is one per-row JVM
+    expression — split to words, per word a chained leftmost-first fold
+    per rule (the same ``_apply_merge`` the trainer uses, so encode ≡
+    training segmentation by construction), flatten. Embarrassingly
+    parallel at any corpus size: no corpus-wide join or re-agg, unlike
+    the distinct-word-segmentation shape (``bpe_token_counts``), which
+    trades a broadcast join + rebuild shuffle for fewer fold CPU cycles
+    — right for counting, wrong for emitting per-doc sequences."""
+    rules = [
+        (r["pair_a"], r["pair_b"], r["merged"])
+        for r in merges.orderBy("round").collect()
+    ]
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
+        lambda w: w != "",
+    )
+
+    def _segment(w: Column) -> Column:
+        syms = F.split(w, "")
+        for a, b, m in rules:
+            syms = _apply_merge(syms, F.lit(a), F.lit(b), F.lit(m))
+        return syms
+
+    toks = F.flatten(F.transform(words, _segment))
+    return docs.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    rules: list[tuple[str, str, str]],
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "id",
+) -> str:
+    """DuckDB mirror of :func:`bpe_encode` for a LITERAL rule list:
+    per-(doc, word-position) SEP-framed symbol strings, each rule a
+    replace-until-fixpoint recursive CTE (the same leftmost-greedy
+    equivalence argument as ``bpe_train_oracle_sql``), rebuilt into
+    document order with a left join so zero-word documents keep their
+    empty row."""
+    sep = "chr(31)"
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT {id_col} AS id, i AS pos,
+         {sep} || array_to_string(
+           [ws[i][j] FOR j IN range(1, length(ws[i]) + 1)], {sep}
+         ) || {sep} AS s
+  FROM (
+    SELECT {id_col},
+           string_split_regex(lower(coalesce({text_col}, '')), '[^a-z]+') AS ws
+    FROM {table}
+  ), unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[i] <> ''
+)"""
+    ]
+    for k, (a, b, m) in enumerate(rules, start=1):
+        pat = f"{sep}||'{a}'||{sep}||'{b}'||{sep}"
+        rep = f"{sep}||'{m}'||{sep}"
+        parts.append(f"""
+f{k} AS (
+  SELECT id, pos, s FROM w{k-1}
+  UNION
+  SELECT id, pos, replace(s, {pat}, {rep}) FROM f{k}
+  WHERE s <> replace(s, {pat}, {rep})
+),
+w{k} AS MATERIALIZED (
+  SELECT id, pos, s FROM f{k}
+  WHERE s = replace(s, {pat}, {rep})
+)""")
+    last = f"w{len(rules)}"
+    return f"""
+WITH RECURSIVE {",".join(parts)},
+enc AS (
+  SELECT id,
+         array_to_string(
+           flatten(list(string_split(trim(s, {sep}), {sep}) ORDER BY pos)),
+           ' ') AS tokens_str,
+         sum(length(string_split(trim(s, {sep}), {sep})))::INT AS n_tokens
+  FROM {last} GROUP BY id
+)
+SELECT d.{id_col},
+       coalesce(e.tokens_str, '') AS tokens_str,
+       coalesce(e.n_tokens, 0) AS n_tokens
+FROM {table} d LEFT JOIN enc e ON d.{id_col} = e.id
+"""
+
+
 def bpe_train_oracle_sql(
     *, n_merges: int = 6, min_freq: int = 2, table: str = "documents",
     text_col: str = "text",
