@@ -259,6 +259,59 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_robots_and_urls(spark: SparkSession, sf_dir: str):
+    """Deterministic robots.txt corpus + URL universe from doc_id (the
+    documents fixture has neither): 8 hosts, every host a ``*`` group
+    (Disallow /private, Allow /private/ok, one EMPTY Disallow that must
+    be dropped, a comment line), even hosts additionally a two-agent
+    specific group whose rules vary by host — the full RFC 9309 edge
+    matrix (specific-shadows-star, longest-prefix, allow-on-tie,
+    default-allow). Mirrored exactly by the oracle SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.col("h")
+    base = F.lit(
+        "# corpus politeness\nUser-agent: *\nDisallow: /private\n"
+        "Allow: /private/ok\nDisallow:\n"
+    )
+    spec = F.concat(
+        F.lit("User-agent: GoodBot\nUser-agent: OtherBot\nDisallow: /p"),
+        (h % 3).cast("string"),
+        F.lit("\nAllow: /p"), (h % 3).cast("string"), F.lit("2\n"),
+    )
+    robots = (
+        docs.select((F.col("doc_id") % 8).cast("int").alias("h")).distinct()
+        .select(
+            F.concat(F.lit("host"), h.cast("string"),
+                     F.lit(".example.org")).alias("host"),
+            F.when(h % 2 == 0, F.concat(base, spec))
+             .otherwise(base).alias("robots_txt"),
+        )
+    )
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 11 == 0, F.lit("/private/okay"))
+        .when(did % 7 == 0, F.lit("/private/file"))
+        .otherwise(F.concat(F.lit("/p"), (did % 13).cast("string"), F.lit("/x")))
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://host"), (did % 8).cast("string"),
+                 F.lit(".example.org"), path).alias("url")
+    )
+    return robots, urls
+
+
+def _q_robots_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission gate (operators/robots.py): parse the
+    per-host robots corpus into an RFC 9309 rules table (group windows
+    over O(hosts) rows), then BROADCAST it against the URL universe —
+    the URL frame never shuffles on host; the per-url winner is a
+    partial-combine max_by over (prefix length, allow, path)."""
+    from embulk_spark.operators.robots import parse_robots, robots_match
+
+    robots, urls = _synth_robots_and_urls(spark, sf_dir)
+    return robots_match(urls, parse_robots(robots), agent="GoodBot")
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass (emails/phones/ipv4 → <TAG>) with per-kind audit
     counts; PII is planted deterministically since the corpus has none."""
@@ -1727,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "token_stats": _q_token_stats,
         "url_canonicalize": _q_url_canonicalize,
+        "robots_permissions": _q_robots_permissions,
         "pii_redact": _q_pii_redact,
         "repetition_filters": _q_repetition_filters,
         "corpus_mixture": _q_corpus_mixture,
@@ -3300,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
+        "robots_permissions": _robots_oracle(),
         "incremental_agg_view": """
         WITH fin AS (
           SELECT lang,
@@ -3319,6 +3374,34 @@ def _hll_oracle() -> str:
     from embulk_spark.operators.sketch import hll_oracle_sql
 
     return hll_oracle_sql("events", "user_id", ["event_type"])
+
+
+def _robots_oracle() -> str:
+    from embulk_spark.operators.robots import robots_oracle_sql
+
+    robots_sql = """
+      SELECT 'host' || h::VARCHAR || '.example.org' AS host,
+             CASE WHEN h % 2 = 0 THEN base || spec ELSE base END AS robots_txt
+      FROM (
+        SELECT h,
+               '# corpus politeness' || chr(10) || 'User-agent: *' || chr(10)
+                 || 'Disallow: /private' || chr(10)
+                 || 'Allow: /private/ok' || chr(10)
+                 || 'Disallow:' || chr(10) AS base,
+               'User-agent: GoodBot' || chr(10) || 'User-agent: OtherBot'
+                 || chr(10) || 'Disallow: /p' || (h % 3)::VARCHAR || chr(10)
+                 || 'Allow: /p' || (h % 3)::VARCHAR || '2' || chr(10) AS spec
+        FROM (SELECT DISTINCT (doc_id % 8)::INT AS h FROM documents)
+      )
+    """
+    urls_sql = """
+      SELECT 'https://host' || (doc_id % 8)::VARCHAR || '.example.org' ||
+             CASE WHEN doc_id % 11 = 0 THEN '/private/okay'
+                  WHEN doc_id % 7 = 0 THEN '/private/file'
+                  ELSE '/p' || (doc_id % 13)::VARCHAR || '/x' END AS url
+      FROM documents
+    """
+    return robots_oracle_sql(urls_sql, robots_sql, agent="goodbot")
 
 
 def _bpe_encode_oracle() -> str:

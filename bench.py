@@ -169,6 +169,7 @@ def main() -> None:
         "length_quantiles",
         "interval_window_counts",
         "data_quality",
+        "robots_permissions",
         "bpe_merges",
         "bpe_encode",
         "incremental_agg_view",

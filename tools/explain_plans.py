@@ -437,6 +437,24 @@ CHECKS = {
         "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
                      r"CartesianProduct", r"SortMergeJoin"],
     },
+    "robots_permissions": {
+        "why": "the O(hosts) rules table BROADCASTS against the URL "
+               "universe (the URL frame never shuffles on host, no "
+               "cartesian prefix-match), and the per-url winner is a "
+               "partial-combine max_by agg; all parsing/matching string "
+               "work is JVM Columns",
+        "must": [r"BroadcastHashJoin", r"partial_max_by"],
+        "must_not": [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "bpe_encode": {
+        "why": "tokenizer application is ONE zero-shuffle Project of "
+               "chained JVM folds over a two-column scan — no join, no "
+               "re-aggregation, no Python at any corpus size",
+        "must": [r"Project", r"ReadSchema: [^\n]*text"],
+        "must_not": [r"\bExchange\b", r"ArrowEvalPython",
+                     r"BatchEvalPython", r"CartesianProduct"],
+    },
     "length_quantiles": {
         "why": "the histogram build is ONE hash agg with map-side partial "
                "combine onto ≤ groups×bins rows (bin index is a codegen'd "
