@@ -1291,6 +1291,110 @@ def _normalize_sql_expr(col: str) -> str:
     return expr
 
 
+#: synthetic HTML page template, the SINGLE source of truth for both
+#: engines (the documents fixture carries no html): ('lit', s) literal
+#: segments, ('col', name) string-cast columns, ('mod2', even, odd) a
+#: doc_id-parity branch. Exercises every step of the extract_text chain:
+#: comment, title, style/script drop-blocks (with a raw '<' inside the
+#: script), nav/list/heading/para block tags, inline tags, and entities.
+_HTML_PAGE_PARTS: list = [
+    ("lit", '<html><head><title> Doc '), ("col", "doc_id"),
+    ("lit", ' &amp; co </title><style>p { margin: 0; }</style>'
+            '<script type="text/x">var j = 1 < 2; // junk</script>'
+            '</head><body><!-- gen --><nav><ul><li>Home</li>'
+            '<li>Docs</li></ul></nav><h1>Doc '), ("col", "doc_id"),
+    ("lit", '</h1><p>'), ("col", "text"),
+    ("lit", '</p><div>Tags &lt;b&gt; &amp; &quot;quotes&quot;&nbsp;here.</div>'),
+    ("mod2",
+     [("lit", '<blockquote>even '), ("col", "lang"), ("lit", '</blockquote>')],
+     [("lit", '<span>odd <b>bold</b> text</span>')]),
+    ("lit", '<footer>(c) Example &amp; Co</footer></body></html>'),
+]
+
+
+def _synth_html_col(parts=None):
+    """The template as a Spark Column expression."""
+    parts = _HTML_PAGE_PARTS if parts is None else parts
+    cols = []
+    for p in parts:
+        if p[0] == "lit":
+            cols.append(F.lit(p[1]))
+        elif p[0] == "col":
+            cols.append(F.col(p[1]).cast("string"))
+        else:
+            cols.append(
+                F.when(F.col("doc_id") % 2 == 0, _synth_html_col(p[1]))
+                .otherwise(_synth_html_col(p[2]))
+            )
+    return F.concat(*cols)
+
+
+def _synth_html_sql(parts=None) -> str:
+    """The SAME template as a DuckDB concat expression."""
+    parts = _HTML_PAGE_PARTS if parts is None else parts
+    frags = []
+    for p in parts:
+        if p[0] == "lit":
+            frags.append("'" + p[1].replace("'", "''") + "'")
+        elif p[0] == "col":
+            frags.append(f"CAST({p[1]} AS VARCHAR)")
+        else:
+            frags.append(
+                f"(CASE WHEN doc_id % 2 = 0 THEN {_synth_html_sql(p[1])}"
+                f" ELSE {_synth_html_sql(p[2])} END)"
+            )
+    return "(" + " || ".join(frags) + ")"
+
+
+def _html_title_sql_pat() -> str:
+    from embulk_spark.functions.textops import HTML_TITLE_RE
+    return HTML_TITLE_RE.replace("'", "''")
+
+
+def _html_strip_sql_expr(col: str) -> str:
+    """extract_text's strip chain (comments → drop-blocks → block tags →
+    any tag → entity folds) as one nested DuckDB expression, generated
+    from the operator's OWN pattern constants, then the shared
+    normalize_text chain on top — engines cannot drift."""
+    from embulk_spark.functions import textops as T
+
+    def esc(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    expr = f"regexp_replace({col}, '{esc(T._HTML_COMMENT)}', '', 'g')"
+    for tag in T.HTML_DROP_BLOCK_TAGS:
+        pat = rf"(?is)<{tag}\b[^>]*>.*?</{tag}>"
+        expr = f"regexp_replace({expr}, '{esc(pat)}', '', 'g')"
+    expr = f"regexp_replace({expr}, '{esc(T._HTML_BLOCK_TAG)}', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '{esc(T._HTML_ANY_TAG)}', '', 'g')"
+    expr = f"regexp_replace({expr}, '{esc(T._HTML_NL_RUN)}', chr(10), 'g')"
+    for ent, rep in T.HTML_ENTITY_FOLDS:
+        r = rep.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{r}')"
+    return _normalize_sql_expr(expr)
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content text extraction (functions/textops.py::
+    extract_text): the html→text step between the crawl and every
+    corpus filter. Comments/script/style/template blocks dropped, block
+    tags become line breaks, inline tags stripped, entities folded,
+    then the shared normalize_text whitespace tidy; plus <title> and
+    the text/html ratio boilerplate signal. One narrow JVM projection —
+    no shuffle, no UDF; html synthesized inline from documents via the
+    same template the oracle concatenates."""
+    from embulk_spark.functions.textops import extract_page_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pages = docs.select("doc_id", _synth_html_col().alias("html"))
+    out = extract_page_text(pages, "html")
+    return out.select(
+        "doc_id", "title",
+        F.col("text").alias("main_text"),
+        "text_ratio", "n_words",
+    )
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style hashed-bigram LM quality score
     (operators/weighting.py): add-α bigram model trained on lang='en'
@@ -1823,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "substring_dedup": _q_substring_dedup,
         "text_normalize": _q_text_normalize,
+        "html_extract": _q_html_extract,
         "vocab_topk": _q_vocab_topk,
         "ccnet_buckets": _q_ccnet_buckets,
         "corpus_export": _q_corpus_export,
@@ -3012,6 +3117,24 @@ def oracle_sql() -> dict[str, str]:
                (text_norm IS DISTINCT FROM text) AS changed,
                length(text_norm) AS n_chars_norm
         FROM n
+        """,
+        "html_extract": f"""
+        WITH pages AS (
+          SELECT doc_id, {_synth_html_sql()} AS html
+          FROM documents
+        ),
+        x AS (
+          SELECT doc_id, html,
+                 trim(regexp_extract(html, '{_html_title_sql_pat()}', 1))
+                   AS title,
+                 {_html_strip_sql_expr('html')} AS main_text
+          FROM pages
+        )
+        SELECT doc_id, title, main_text,
+               round(length(main_text) / greatest(length(html), 1), 6)
+                 AS text_ratio,
+               len(regexp_split_to_array(trim(main_text), '\\s+')) AS n_words
+        FROM x
         """,
         "doc_chunks": r"""
         WITH t AS (

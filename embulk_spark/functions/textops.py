@@ -537,3 +537,101 @@ def strip_boilerplate(
     arr = F.split(F.col(text_col), _re.escape(line_sep))
     kept = F.filter(arr, lambda l: ~F.array_contains(lit, l))
     return df.withColumn(text_col, F.array_join(kept, line_sep))
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content text extraction — the html→text step every web-text
+# corpus runs between the crawl and every downstream filter (CCNet,
+# Gopher, RefinedWeb all start from an extracted-text column; reference
+# analogue: the parser stage of the plugin chain, SURVEY §2.1 — raw
+# bytes in, typed text out). A fixed regexp_replace chain: every
+# pattern compiles identically under Java regex (Spark codegen) and
+# RE2 (DuckDB oracle) — (?is) flags and lazy quantifiers only, NO
+# backreferences and NO lookaround, so the per-tag block patterns are
+# spelled out instead of using a \1 backref.
+# ---------------------------------------------------------------------------
+
+#: non-content blocks whose INNER TEXT must not leak into the corpus.
+#: one lazy-dotall pattern per tag (RE2 has no backreferences).
+HTML_DROP_BLOCK_TAGS = ("script", "style", "noscript", "template", "title")
+#: html comments (conditional-comment junk included)
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+#: <title>…</title> — group 1 is the title text
+HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+#: block-level tags that imply a line break in the rendered text
+_HTML_BLOCK_TAG = (
+    r"(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|"
+    r"section|article|header|footer|nav|blockquote|pre|hr|form)\b[^>]*>"
+)
+#: any remaining tag (inline spans, a, b, i, img, …) — deleted outright
+_HTML_ANY_TAG = r"<[^>]+>"
+#: adjacent block boundaries (</h1><p>, </li><li>, …) each emitted a
+#: newline — fold every whitespace run containing ≥2 newlines to ONE
+#: break (one rendered line per block, the extractor convention)
+_HTML_NL_RUN = r"\n\s*\n"
+#: entity folds, applied AFTER tag stripping (so &lt;p&gt; in prose can
+#: never resurrect as a tag mid-chain). &amp; is folded LAST — the
+#: standard single-pass decode order; double-encoded &amp;amp; becomes
+#: &amp; (one level per pass, the conservative corpus convention).
+HTML_ENTITY_FOLDS: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+]
+
+
+def _strip_html(html: Column) -> Column:
+    """Comments → drop-blocks → block tags to \\n → all tags out →
+    entity folds. Order is pinned by the oracle."""
+    c = F.regexp_replace(html, _HTML_COMMENT, "")
+    for tag in HTML_DROP_BLOCK_TAGS:
+        c = F.regexp_replace(
+            c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", ""
+        )
+    c = F.regexp_replace(c, _HTML_BLOCK_TAG, "\n")
+    c = F.regexp_replace(c, _HTML_ANY_TAG, "")
+    c = F.regexp_replace(c, _HTML_NL_RUN, "\n")
+    for ent, rep in HTML_ENTITY_FOLDS:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def html_title(html: Column) -> Column:
+    """Trimmed <title> text ('' when absent) — one JVM regexp_extract."""
+    return F.trim(F.regexp_extract(html, HTML_TITLE_RE, 1))
+
+
+def extract_page_text(df: DataFrame, html_col: str) -> DataFrame:
+    """html → (title, text, text_ratio, n_words) columns appended.
+
+    The JVM-side structural sibling of ``functions/extract.py``'s
+    byte-level pandas-UDF extractor (which owns the CDC replay hot path
+    where input is raw utf-8 payload BYTES): use THIS one when the html
+    is already a string column and downstream wants block structure
+    (line breaks), the <title>, and the text/html ratio — zero Python.
+
+    ``text`` is the rendered main text: drop-blocks/tags stripped with
+    block-tag line breaks, entities folded, then the SAME whitespace
+    tidy ``normalize_text`` pins (the two share oracle constants).
+    ``text_ratio`` = extracted chars / html chars (rounded 1e-6) — the
+    classic boilerplate-heaviness signal pipelines threshold on.
+
+    Scale shape: one narrow JVM projection per row — NO shuffle, no
+    UDF, whole-stage-codegen throughout; at 100 TB this runs at scan
+    speed and column-prunes to the html column alone."""
+    h = F.col(html_col)
+    text = normalize_text(_strip_html(h))
+    return (
+        df.withColumn("title", html_title(h))
+        .withColumn("text", text)
+        .withColumn(
+            "text_ratio",
+            F.round(F.length("text") / F.greatest(F.length(h), F.lit(1)), 6),
+        )
+        .withColumn("n_words", token_count(F.col("text")))
+    )
