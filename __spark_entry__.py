@@ -312,6 +312,94 @@ def _q_robots_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_match(urls, parse_robots(robots), agent="GoodBot")
 
 
+def _synth_sitemaps(spark: SparkSession, sf_dir: str):
+    """Deterministic per-host sitemap.xml corpus from doc_id (the
+    fixture has none): the same 8-host/path family as the robots synth
+    so the permission gate bites; ~1/5 entries omit <lastmod>, ~1/4
+    omit <priority> (spec default 0.5), and repeated locs across docs
+    carry differing attributes to exercise the dedup agg. Entries are
+    sorted INSIDE each sitemap body (array_sort / string_agg ORDER BY)
+    so both engines concatenate identical XML."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 11 == 0, F.lit("/private/okay"))
+        .when(did % 7 == 0, F.lit("/private/file"))
+        .otherwise(F.concat(F.lit("/p"), (did % 13).cast("string"), F.lit("/x")))
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://host"), (did % 8).cast("string"),
+        F.lit(".example.org"), path, F.lit("</loc>"),
+        F.when(
+            did % 5 != 0,
+            F.concat(F.lit("<lastmod>2026-0"), (1 + did % 9).cast("string"),
+                     F.lit("-"), (10 + did % 19).cast("string"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 != 0,
+            F.concat(F.lit("<priority>0."), (did % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    return (
+        docs.select(
+            F.concat(F.lit("host"), (did % 8).cast("string"),
+                     F.lit(".example.org")).alias("host"),
+            entry.alias("entry"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+
+
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-fed crawl frontier (operators/frontier.py): per-host
+    sitemap.xml bodies parse to (loc, lastmod, priority) entries via
+    pure JVM regexps (1→k explode, no XML lib), duplicate locs collapse
+    with a deterministic max agg, the robots gate (broadcast rules)
+    drops disallowed urls BEFORE slotting, and each host's queue gets
+    politeness slots: (priority DESC, lastmod DESC, loc) order,
+    fetch_at_sec = slot × 1.5 s."""
+    from embulk_spark.operators.frontier import parse_sitemaps, schedule_frontier
+    from embulk_spark.operators.robots import parse_robots
+
+    robots, _ = _synth_robots_and_urls(spark, sf_dir)
+    entries = parse_sitemaps(_synth_sitemaps(spark, sf_dir))
+    out = schedule_frontier(
+        entries, parse_robots(robots), agent="GoodBot", delay_sec=1.5
+    )
+    # lastmod as text so both engines' date cells render identically
+    return out.withColumn("lastmod", F.col("lastmod").cast("string"))
+
+
+def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (operators/recrawl.py): the events
+    fixture stands in for the lake's per-url change feed (url from
+    user_id); per url one hash agg estimates the Poisson change rate
+    (exponential inter-arrival MLE, integer-micros arithmetic) and emits
+    the clamped refresh interval, next fetch time, and overdue ratio vs
+    the feed horizon (broadcast 1-row agg, no collect)."""
+    from embulk_spark.operators.recrawl import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.concat(
+            F.lit("https://host"), (F.col("user_id") % 8).cast("string"),
+            F.lit(".example.org/u"), F.col("user_id").cast("string"),
+        ).alias("url"),
+        "ts",
+    )
+    return recrawl_schedule(changes)
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass (emails/phones/ipv4 → <TAG>) with per-kind audit
     counts; PII is planted deterministically since the corpus has none."""
@@ -1885,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "url_canonicalize": _q_url_canonicalize,
         "robots_permissions": _q_robots_permissions,
+        "crawl_frontier": _q_crawl_frontier,
+        "recrawl_schedule": _q_recrawl_schedule,
         "pii_redact": _q_pii_redact,
         "repetition_filters": _q_repetition_filters,
         "corpus_mixture": _q_corpus_mixture,
@@ -3478,6 +3568,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "robots_permissions": _robots_oracle(),
+        "crawl_frontier": _frontier_oracle(),
+        "recrawl_schedule": _recrawl_oracle(),
         "incremental_agg_view": """
         WITH fin AS (
           SELECT lang,
@@ -3499,10 +3591,9 @@ def _hll_oracle() -> str:
     return hll_oracle_sql("events", "user_id", ["event_type"])
 
 
-def _robots_oracle() -> str:
-    from embulk_spark.operators.robots import robots_oracle_sql
-
-    robots_sql = """
+#: DuckDB mirror of _synth_robots_and_urls' robots frame — shared by the
+#: robots_permissions and crawl_frontier oracles.
+_ROBOTS_SYNTH_SQL = """
       SELECT 'host' || h::VARCHAR || '.example.org' AS host,
              CASE WHEN h % 2 = 0 THEN base || spec ELSE base END AS robots_txt
       FROM (
@@ -3517,6 +3608,11 @@ def _robots_oracle() -> str:
         FROM (SELECT DISTINCT (doc_id % 8)::INT AS h FROM documents)
       )
     """
+
+
+def _robots_oracle() -> str:
+    from embulk_spark.operators.robots import robots_oracle_sql
+
     urls_sql = """
       SELECT 'https://host' || (doc_id % 8)::VARCHAR || '.example.org' ||
              CASE WHEN doc_id % 11 = 0 THEN '/private/okay'
@@ -3524,7 +3620,57 @@ def _robots_oracle() -> str:
                   ELSE '/p' || (doc_id % 13)::VARCHAR || '/x' END AS url
       FROM documents
     """
-    return robots_oracle_sql(urls_sql, robots_sql, agent="goodbot")
+    return robots_oracle_sql(urls_sql, _ROBOTS_SYNTH_SQL, agent="goodbot")
+
+
+#: DuckDB mirror of _synth_sitemaps: same entry construction, same
+#: sorted-within-body concatenation (string_agg ORDER BY ≡ array_sort).
+_SITEMAPS_SYNTH_SQL = """
+  SELECT host,
+         '<?xml version="1.0"?><urlset>'
+           || string_agg(entry, '' ORDER BY entry) || '</urlset>'
+           AS sitemap_xml
+  FROM (
+    SELECT 'host' || (doc_id % 8)::VARCHAR || '.example.org' AS host,
+           '<url><loc>https://host' || (doc_id % 8)::VARCHAR
+             || '.example.org'
+             || CASE WHEN doc_id % 11 = 0 THEN '/private/okay'
+                     WHEN doc_id % 7 = 0 THEN '/private/file'
+                     ELSE '/p' || (doc_id % 13)::VARCHAR || '/x' END
+             || '</loc>'
+             || CASE WHEN doc_id % 5 <> 0
+                     THEN '<lastmod>2026-0'
+                          || (1 + doc_id % 9)::VARCHAR || '-'
+                          || (10 + doc_id % 19)::VARCHAR || '</lastmod>'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 <> 0
+                     THEN '<priority>0.' || (doc_id % 10)::VARCHAR
+                          || '</priority>'
+                     ELSE '' END
+             || '</url>' AS entry
+    FROM documents
+  )
+  GROUP BY host
+"""
+
+
+def _recrawl_oracle() -> str:
+    from embulk_spark.operators.recrawl import recrawl_oracle_sql
+
+    changes_sql = (
+        "SELECT 'https://host' || (user_id % 8)::VARCHAR "
+        "|| '.example.org/u' || user_id::VARCHAR AS url, ts FROM events"
+    )
+    return recrawl_oracle_sql(changes_sql)
+
+
+def _frontier_oracle() -> str:
+    from embulk_spark.operators.frontier import frontier_oracle_sql
+
+    return frontier_oracle_sql(
+        _SITEMAPS_SYNTH_SQL, _ROBOTS_SYNTH_SQL, agent="goodbot",
+        delay_sec=1.5,
+    )
 
 
 def _bpe_encode_oracle() -> str:

@@ -170,6 +170,8 @@ def main() -> None:
         "interval_window_counts",
         "data_quality",
         "robots_permissions",
+        "crawl_frontier",
+        "recrawl_schedule",
         "bpe_merges",
         "bpe_encode",
         "incremental_agg_view",
