@@ -447,6 +447,30 @@ CHECKS = {
         "must_not": [r"CartesianProduct", r"BroadcastNestedLoopJoin",
                      r"ArrowEvalPython", r"BatchEvalPython"],
     },
+    "crawl_frontier": {
+        "why": "sitemap parsing is a narrow JVM regexp explode (no Python, "
+               "no XML lib); duplicate-loc collapse is a partial-combine "
+               "hash agg; the robots gate rides the BROADCAST join inside "
+               "robots_match (the frontier never shuffles on host for the "
+               "permission check); the only Window is the per-host "
+               "politeness slot assignment, which is the output's semantics "
+               "(hosts ≫ cores, so it parallelizes)",
+        "must": [r"BroadcastHashJoin", r"partial_max", r"\bWindow\b"],
+        "must_not": [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
+    "recrawl_schedule": {
+        "why": "the change-rate estimate is ONE partial-combine hash agg "
+               "(count/min/max all reduce map-side) over the O(changes) "
+               "feed — no window, no Python; the observation horizon joins "
+               "as a broadcast 1-row aggregate (the BroadcastNestedLoopJoin "
+               "with a single-row build side is the intended shape, not a "
+               "blow-up), never a driver collect",
+        "must": [r"HashAggregate", r"partial_min", r"partial_max",
+                 r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        "must_not": [r"\bWindow\b", r"SortMergeJoin",
+                     r"ArrowEvalPython", r"BatchEvalPython"],
+    },
     "bpe_encode": {
         "why": "tokenizer application is ONE zero-shuffle Project of "
                "chained JVM folds over a two-column scan — no join, no "
