@@ -721,6 +721,69 @@ def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lake_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned predicate scan over the MOR lake — Iceberg manifest
+    lower/upper bounds + scan planning (streaming/filestats.py,
+    ParquetLakeTable.scan_where). Fixture: the events table replayed as
+    3 CDC epochs into a stats-collecting lake, then compacted under a
+    ``lang`` sort order so each bucket's base files hold disjoint lang
+    ranges; the scan plans from manifest stats alone and reads only the
+    files whose [min,max] can match (asserted: >0 files skipped).
+    Result ≡ published().filter(lang='click') ≡ the upsert-winner
+    oracle with the same predicate. Reference analogue: write-time
+    metadata deciding what the next run reads (the ``last_path`` cursor,
+    exec/BulkLoader.java:584-659), generalized to column ranges."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("lang"),
+        (F.col("event_id") % 3).alias("epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_scanstats_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(
+        spark, f"{work}/t", n_buckets=4,
+        stats_columns=("warc_ts", "lang"), sort_columns=("lang",),
+    )
+    for e in (0, 1, 2):
+        table.merge_epoch(
+            changes.filter(F.col("epoch") == e).drop("epoch"), e,
+            extract=False,
+        )
+    # compact with enough output partitions that each bucket's base is
+    # several sort-clustered files — the shape file-granular pruning
+    # skips within (conf restored after).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        table.compact()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    plan = table.scan_plan([("lang", "=", "click")])
+    if not (plan["files_skipped"] > 0 and plan["buckets_clean"]):
+        raise AssertionError(f"stats pruned nothing: {plan}")
+    return table.scan_where([("lang", "=", "click")]).select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+        "lang",
+    )
+
+
 def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed schema inference: classify string cells per the Embulk
     guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
@@ -1960,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ingest_metrics": _q_cdc_ingest_metrics,
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_replicate": _q_cdc_replicate,
+        "lake_scan_pruned": _q_lake_scan_pruned,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
         "coerce_setters": _q_coerce_setters,
@@ -2852,6 +2916,19 @@ def oracle_sql() -> dict[str, str]:
                event_id AS seq,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "lake_scan_pruned": """
+        WITH ranged AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) rn
+          FROM events
+        )
+        SELECT 'user://' || user_id AS url,
+               event_id AS seq,
+               epoch_us(ts) AS ts_us,
+               event_type AS lang
+        FROM ranged WHERE rn = 1 AND event_type = 'click'
         """,
         "benchmark_overlap": """
         WITH w AS (

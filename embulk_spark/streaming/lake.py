@@ -135,6 +135,8 @@ class ParquetLakeTable:
         url_hll: bool = False,
         ref: str = "main",
         feed_retain_epochs: int | None = None,
+        stats_columns: tuple[str, ...] | list[str] = (),
+        sort_columns: tuple[str, ...] | list[str] = (),
     ) -> None:
         if compact_mode not in ("full", "hot"):
             raise ValueError(
@@ -168,6 +170,25 @@ class ParquetLakeTable:
         #: residual group when it fully covers their range). Defaults to
         #: ``compact_min_deltas``; 0 disables. Explicit compact()/
         #: compact_hot() calls are unaffected unless passed a retain set.
+        #: per-file column statistics in the manifest (streaming/
+        #: filestats.py — Iceberg's lower/upper bounds): every delta,
+        #: base, and residual write is followed by ONE column-pruned
+        #: scan of the files just written (stat columns only) whose
+        #: min/max/null-counts land in the group's manifest entry;
+        #: scan_where()/scan_plan() then skip files/buckets a predicate
+        #: cannot match. Opt-in like url_hll: the default epoch stays
+        #: exactly one heavy job. Files written before enablement simply
+        #: lack stats and are always read (sound).
+        self.stats_columns = tuple(stats_columns)
+        #: sort order for compaction/rebucket output (Iceberg's
+        #: write sort-order): base rows range-partition on
+        #: (bucket, *sort_columns) so each bucket's files hold disjoint
+        #: sort-key ranges — with stats_columns covering the same
+        #: columns, predicate scans skip whole files inside clean
+        #: buckets. Trade-off: the within-file row-group clustering
+        #: moves from pure url to (sort_columns, url), so point lookups
+        #: scan a few more row-groups per file.
+        self.sort_columns = tuple(sort_columns)
         self._feed_retain_epochs = (
             None if feed_retain_epochs is None else int(feed_retain_epochs)
         )
@@ -305,6 +326,7 @@ class ParquetLakeTable:
         )
         out = []
         for b, e in sorted(snap["base"].items(), key=lambda kv: int(kv[0])):
+            st = e.get("stats") or {}
             for rel in e["files"]:
                 fp = os.path.join(self.path, rel)
                 out.append({
@@ -312,8 +334,10 @@ class ParquetLakeTable:
                     "schema_v": int(e["schema_v"]),
                     "rows": None if len(e["files"]) > 1 else e.get("rows"),
                     "bytes": os.path.getsize(fp) if os.path.exists(fp) else None,
+                    "stats": st.get(rel),
                 })
         for d in snap["deltas"]:
+            st = d.get("stats") or {}
             for rel in d["files"]:
                 fp = os.path.join(self.path, rel)
                 out.append({
@@ -321,6 +345,7 @@ class ParquetLakeTable:
                     "schema_v": int(d["schema_v"]),
                     "rows": None if len(d["files"]) > 1 else d.get("rows"),
                     "bytes": os.path.getsize(fp) if os.path.exists(fp) else None,
+                    "stats": st.get(rel),
                 })
         return out
 
@@ -448,6 +473,203 @@ class ParquetLakeTable:
     def published(self) -> DataFrame:
         """Final user-facing state (tombstones filtered)."""
         return self.read().filter(~F.col("is_deleted")).drop("is_deleted", "bkt")
+
+    # ------------------------------------------------------------------
+    # stats-pruned scans (streaming/filestats.py — Iceberg scan planning)
+    # ------------------------------------------------------------------
+
+    def _write_time_name(
+        self, snap: dict, logical: str, schema_v: int
+    ) -> str | None:
+        """The column name that held ``logical``'s data in files written
+        at ``schema_v`` — the inverse of _normalize's forward rename/drop
+        chain. None ⇒ the column didn't exist then (or was dropped on the
+        way): those files read NULL for it."""
+        changes = sorted(
+            [dict(r, _op="rename") for r in snap["renames"]]
+            + [dict(d, _op="drop") for d in snap.get("drops", [])],
+            key=lambda c: c["schema_v"],
+        )
+        phys = T.StructType.fromDDL(snap["schemas"][str(schema_v)]).fieldNames()
+        for p in phys:
+            name: str | None = p
+            for c in changes:
+                if c["schema_v"] <= schema_v:
+                    continue
+                if c["_op"] == "rename" and c["from"] == name:
+                    name = c["to"]
+                elif c["_op"] == "drop" and c["name"] == name:
+                    name = None
+                    break
+            if name == logical:
+                return p
+        return None
+
+    def _resolved_filters(
+        self, snap: dict, filters: list[tuple], schema_v: int
+    ) -> list[tuple]:
+        """Predicates rewritten to a file group's write-time column names
+        and the encoded comparison domain (filestats.encode_value)."""
+        from .filestats import encode_value
+
+        cur = {f.name: f.dataType for f in self.schema(snap).fields}
+        out = []
+        for col, op, val in filters:
+            if col not in cur:
+                raise ValueError(f"unknown column {col!r} in scan filter")
+            out.append((
+                self._write_time_name(snap, col, schema_v),
+                op,
+                encode_value(cur[col], val),
+            ))
+        return out
+
+    def scan_plan(
+        self, filters: list[tuple], *, version: int | None = None
+    ) -> dict:
+        """Plan a predicate scan from manifest stats alone (no data IO).
+
+        ``filters``: conjunctive ``(column, op, value)`` triples, op in
+        =/</<=/>/>=, evaluated against the MERGED latest state. Sound
+        pruning under MOR (see streaming/filestats.py):
+
+        * skip a bucket iff NO file covering it could match;
+        * in kept buckets WITHOUT pending delta coverage ("clean"),
+          additionally skip non-matching base files (the base holds one
+          row per key, so no other version hides there);
+        * delta files are never stat-pruned — any one covering a kept
+          bucket may supersede a matching row — they only vote on kept
+          buckets.
+
+        Files without stats degrade to "could match" + "covers all
+        buckets". Returns the group list scan_where reads plus skip
+        accounting."""
+        from .filestats import could_match, file_bucket_cover
+
+        snap = (
+            self.snapshot_at(version) if version is not None
+            else self.current_snapshot()
+        )
+        nb = self._nb(snap)
+        rf_cache: dict[int, list[tuple]] = {}
+
+        def rf(schema_v: int) -> list[tuple]:
+            if schema_v not in rf_cache:
+                rf_cache[schema_v] = self._resolved_filters(
+                    snap, filters, schema_v
+                )
+            return rf_cache[schema_v]
+
+        kept: set[int] = set()
+        dirty: set[int] = set()  # buckets with any delta coverage
+        delta_cover: list[tuple[dict, str, int, int]] = []
+        for d in snap["deltas"]:
+            st = d.get("stats") or {}
+            for f in d["files"]:
+                lo, hi = file_bucket_cover(st.get(f), nb)
+                dirty.update(range(lo, hi + 1))
+                delta_cover.append((d, f, lo, hi))
+                if could_match(st.get(f), rf(int(d["schema_v"]))):
+                    kept.update(range(lo, hi + 1))
+        base_match: dict[str, list[str]] = {}
+        for b, entry in snap["base"].items():
+            st = entry.get("stats") or {}
+            hits = [
+                f for f in entry["files"]
+                if could_match(st.get(f), rf(int(entry["schema_v"])))
+            ]
+            base_match[b] = hits
+            if hits:
+                kept.add(int(b))
+
+        groups: list[tuple[int, list[str]]] = []
+        base_read = 0
+        base_total = sum(len(e["files"]) for e in snap["base"].values())
+        for b, entry in snap["base"].items():
+            if int(b) not in kept:
+                continue
+            files = (
+                entry["files"] if int(b) in dirty  # dirty: every version
+                else base_match[b]                  # clean: file-granular
+            )
+            if files:
+                groups.append((int(entry["schema_v"]), files))
+                base_read += len(files)
+        delta_read = 0
+        by_group: dict[int, list[str]] = {}
+        for d, f, lo, hi in delta_cover:
+            if any(b in kept for b in range(lo, hi + 1)):
+                by_group.setdefault(id(d), []).append(f)
+        for d in snap["deltas"]:
+            files = by_group.get(id(d), [])
+            if files:
+                groups.append((int(d["schema_v"]), files))
+                delta_read += len(files)
+        return {
+            "filters": [list(f) for f in filters],
+            "version": snap["version"],
+            "n_buckets": nb,
+            "buckets_kept": sorted(kept),
+            "buckets_clean": sorted(set(range(nb)) - dirty),
+            "base_files_total": base_total,
+            "base_files_read": base_read,
+            "delta_files_total": len(delta_cover),
+            "delta_files_read": delta_read,
+            "files_skipped": (base_total - base_read)
+            + (len(delta_cover) - delta_read),
+            "groups": groups,
+        }
+
+    def _pred_column(self, filters: list[tuple], cur: T.StructType):
+        ops = {
+            "=": lambda c, v: c == v, "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v, ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        types = {f.name: f.dataType for f in cur.fields}
+        cond = F.lit(True)
+        for col, op, val in filters:
+            lit = F.lit(val)
+            if isinstance(val, str) and isinstance(
+                types[col], (T.TimestampType, T.DateType)
+            ):
+                lit = lit.cast(types[col])
+            cond = cond & ops[op](F.col(col), lit)
+        return cond
+
+    def scan_where(
+        self,
+        filters: list[tuple],
+        *,
+        version: int | None = None,
+        published: bool = True,
+    ) -> DataFrame:
+        """Predicate read over the merged latest state that touches ONLY
+        the files scan_plan kept — semantically identical to
+        ``published().filter(pred)`` (or ``read().filter(pred)`` with
+        ``published=False``), physically O(matching buckets + their
+        files). The predicate ALSO runs post-merge, so stats only ever
+        skip IO, never decide rows."""
+        snap = (
+            self.snapshot_at(version) if version is not None
+            else self.current_snapshot()
+        )
+        cur = self.schema(snap)
+        plan = self.scan_plan(filters, version=version)
+        df = self._read_file_groups(snap, plan["groups"])
+        if df is None:
+            out = self._empty(cur)
+        else:
+            kept = plan["buckets_kept"]
+            if len(kept) < plan["n_buckets"]:
+                # rows a wide delta file carries for pruned buckets can't
+                # match — drop them before the merge shuffle
+                df = df.filter(F.col("bkt").isin(kept))
+            out = dedup_latest(df)
+        out = out.filter(self._pred_column(filters, cur))
+        if published:
+            out = out.filter(~F.col("is_deleted")).drop("is_deleted", "bkt")
+        return out
 
     def changes_between(
         self, since_epoch: int, until_epoch: int | None = None
@@ -662,6 +884,9 @@ class ParquetLakeTable:
             "rows": rows_written,
             "epoch_id": epoch_id,
         }
+        fstats = self._maybe_stats(files)
+        if fstats:
+            delta_group["stats"] = fstats
         out = self._commit(
             snap, epoch_id, metrics=metrics, lineage=[],
             new_delta=delta_group, expect_nb=nb,
@@ -911,6 +1136,12 @@ class ParquetLakeTable:
             "rows": rows_written,
             "epoch_id": epoch_id,
         }
+        fstats = self._maybe_stats(files)
+        if fstats:
+            delta_group["stats"] = fstats
+            phase["stats"] = round(
+                time.perf_counter() - t0 - sum(phase.values()), 3
+            )
         hll_regs = None
         if self.url_hll:
             # O(change-set) column-pruned re-read of the delta just
@@ -1167,6 +1398,20 @@ class ParquetLakeTable:
                     rows += pq.ParquetFile(fp).metadata.num_rows
                     nbytes += os.path.getsize(fp)
         return files, rows, nbytes
+
+    def _maybe_stats(
+        self, rel_files: list[str], file_schema: T.StructType | None = None
+    ) -> dict | None:
+        """Per-file stats for files just written, when the handle opted
+        in — one column-pruned scan (streaming/filestats.py)."""
+        if not self.stats_columns or not rel_files:
+            return None
+        from .filestats import collect_file_stats
+
+        return collect_file_stats(
+            self.spark, self.path, rel_files,
+            list(self.stats_columns), file_schema,
+        )
 
     def _commit(
         self,
@@ -1506,12 +1751,28 @@ class ParquetLakeTable:
         n_parts = max(
             nb, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
-        spread = max(1, n_parts // nb)
-        salted = salted_repartition(
-            merged.withColumn("bucket", F.col("bkt")), n_parts,
-            key="bucket", spread=spread,
-        )
-        salted = salted.sortWithinPartitions("bucket", "url")
+        sort_cols = [c for c in self.sort_columns if c in merged.columns]
+        if sort_cols:
+            # Iceberg write sort-order: range-partition on (bucket,
+            # *sort_columns) so a bucket's files hold DISJOINT sort-key
+            # ranges — per-file manifest stats then skip whole files for
+            # predicates on those columns (scan_where). The range
+            # sampling pass re-runs the upstream merge once; acceptable
+            # inside maintenance, which is why the hot epoch path never
+            # takes this branch. Skew safety comes from the range
+            # partitioner itself (a hot (bucket, key) spreads across
+            # consecutive partitions).
+            salted = merged.withColumn(
+                "bucket", F.col("bkt")
+            ).repartitionByRange(n_parts, "bucket", *sort_cols)
+            salted = salted.sortWithinPartitions("bucket", *sort_cols, "url")
+        else:
+            spread = max(1, n_parts // nb)
+            salted = salted_repartition(
+                merged.withColumn("bucket", F.col("bkt")), n_parts,
+                key="bucket", spread=spread,
+            )
+            salted = salted.sortWithinPartitions("bucket", "url")
         salted.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         new_base: dict[str, dict] = {}
         total_rows = 0
@@ -1532,6 +1793,11 @@ class ParquetLakeTable:
                 "files": files, "schema_v": snap["schema_v"], "rows": rows,
             }
             total_rows += rows
+        all_files = [f for e in new_base.values() for f in e["files"]]
+        fstats = self._maybe_stats(all_files)
+        if fstats:
+            for e in new_base.values():
+                e["stats"] = {f: fstats[f] for f in e["files"] if f in fstats}
         return new_base, total_rows
 
     def _entry_bytes(self, entries) -> int:
@@ -1670,6 +1936,7 @@ class ParquetLakeTable:
                 "overwrite"
             ).parquet(os.path.join(self.path, rel_dir))
             res_files, res_rows, _ = self._list_files(rel_dir)
+            res_stats = self._maybe_stats(res_files)
         finally:
             delta.unpersist()
         new_delta = (
@@ -1704,6 +1971,7 @@ class ParquetLakeTable:
                     or d.get("feed_complete", False)
                     for d in fold_groups
                 ),
+                **({"stats": res_stats} if res_stats else {}),
             }
             if res_rows else None
         )

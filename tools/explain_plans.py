@@ -39,6 +39,17 @@ CHECKS = {
                  r"partial_max_by"],
         "must_not": [r"\bWindow\b", r"BatchEvalPython"],
     },
+    "lake_scan_pruned": {
+        "why": "the stats-pruned scan (scan_where) plans file skipping "
+               "DRIVER-SIDE from manifest min/max (the query itself raises "
+               "if nothing was skipped), so the physical plan must be the "
+               "ordinary MOR merge over FEWER files: the same partial "
+               "max_by combine before the exchange, no Window, no Python "
+               "eval — pruning only removes IO, it never adds plan nodes",
+        "must": [r"partial_max_by",
+                 r"SortAggregate|ObjectHashAggregate|HashAggregate"],
+        "must_not": [r"\bWindow\b", r"BatchEvalPython", r"ArrowEvalPython"],
+    },
     "filter_remove_columns": {
         "why": "projection must prune at the scan (ReadSchema carries only "
                "selected columns)",
