@@ -784,6 +784,69 @@ def _q_lake_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lake_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned point lookup over the MOR lake — Parquet's column
+    bloom index hoisted into the manifest (streaming/filestats.py bloom
+    half, ParquetLakeTable.scan_plan's merge-key strong rule). Fixture:
+    the events table replayed as 5 uncompacted CDC epochs into a
+    key_bloom lake; looking up 3 urls must skip delta files whose bloom
+    says "definitely absent" (asserted) while returning exactly the
+    upsert winners for those keys — soundly, because url is the merge
+    key: every version of a key lives only in files containing it.
+    Reference analogue: write-time metadata deciding what the next run
+    reads (exec/BulkLoader.java:584-659), sharpened to per-file key
+    membership."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("lang"),
+        # epoch by USER (not event) so each key's versions are epoch-local
+        # — the shape a lookup can prune (a key present in every delta
+        # file is, correctly, read from every delta file)
+        (F.col("user_id") % 5).alias("epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_keybloom_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(
+        spark, f"{work}/t", n_buckets=4, compact_min_deltas=10_000,
+        key_bloom=True,
+    )
+    for e in range(5):
+        table.merge_epoch(
+            changes.filter(F.col("epoch") == e).drop("epoch"), e,
+            extract=False,
+        )
+    keys = [
+        f"user://{r.user_id}"
+        for r in ev.select("user_id").distinct().orderBy("user_id")
+        .limit(3).collect()
+    ]
+    plan = table.scan_plan([("url", "in", keys)])
+    if not (plan["files_skipped"] > 0
+            and plan["delta_files_read"] < plan["delta_files_total"]):
+        raise AssertionError(f"bloom pruned nothing: {plan}")
+    return table.lookup_urls(keys).select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+        "lang",
+    )
+
+
 def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed schema inference: classify string cells per the Embulk
     guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
@@ -2024,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_replicate": _q_cdc_replicate,
         "lake_scan_pruned": _q_lake_scan_pruned,
+        "lake_lookup_bloom": _q_lake_lookup_bloom,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
         "coerce_setters": _q_coerce_setters,
@@ -2929,6 +2993,24 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(ts) AS ts_us,
                event_type AS lang
         FROM ranged WHERE rn = 1 AND event_type = 'click'
+        """,
+        "lake_lookup_bloom": """
+        WITH ranged AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) rn
+          FROM events
+        ),
+        keys AS (
+          SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3
+        )
+        SELECT 'user://' || user_id AS url,
+               event_id AS seq,
+               epoch_us(ts) AS ts_us,
+               event_type AS lang
+        FROM ranged
+        WHERE rn = 1 AND event_type <> 'error'
+          AND user_id IN (SELECT user_id FROM keys)
         """,
         "benchmark_overlap": """
         WITH w AS (

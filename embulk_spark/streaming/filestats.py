@@ -36,12 +36,16 @@ missing stats always degrade to "could match" (a full, correct scan).
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import os
 from datetime import date, datetime, timezone
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..operators.bloom import WORD_BITS, _packed, _position
 
 #: predicate operators the planner understands (conjunctions of these);
 #: anything richer belongs in the post-merge filter, not the planner.
@@ -194,3 +198,121 @@ def file_bucket_cover(
     if entry and entry.get("bkt") and entry["bkt"][0] is not None:
         return int(entry["bkt"][0]), int(entry["bkt"][1])
     return 0, n_buckets - 1
+
+
+# ---------------------------------------------------------------------------
+# per-file key bloom filters (Parquet's column-index bloom, manifest-resident
+# so the DRIVER skips whole files for merge-key point lookups — a footer is
+# never even opened for a file whose bloom says "definitely absent")
+# ---------------------------------------------------------------------------
+
+#: default bloom geometry: ~10 bits/key with 5 hashes → ~0.9% false
+#: positives (a false positive only costs reading one extra file).
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 5
+#: hard cap on a single file's filter — bounds the JSON manifest to
+#: ≲ 11 KiB base64 per file; files with more than
+#: ``BLOOM_MAX_BITS / BLOOM_BITS_PER_KEY`` rows (post-compaction giants,
+#: where min/max or bucket pruning is the right tool anyway) simply get
+#: no bloom and degrade to "could match".
+BLOOM_MAX_BITS = 1 << 19
+BLOOM_SALT = "kb"
+
+
+def _host_positions(value: str, m_bits: int, k: int) -> list[int]:
+    """Driver-side replica of operators/bloom.py::_position — first 15
+    md5 hex chars (60 bits) of ``"{salt}{i}:" + value``, mod m. Bit-for-
+    bit parity with the Spark build side is pinned by tests."""
+    return [
+        int(
+            hashlib.md5(
+                f"{BLOOM_SALT}{i}:{value}".encode("utf-8")
+            ).hexdigest()[:15],
+            16,
+        )
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_maybe_contains(kb: dict, value: str) -> bool:
+    """Probe a manifest bloom entry ``{"m", "k", "b": base64}`` for a key.
+    False is definitive (the file holds NO row with this key); True means
+    "read the file". The decoded bit array is memoized on the entry (a
+    plan probes many keys against the same file)."""
+    raw = kb.get("_raw")
+    if raw is None:
+        raw = base64.b64decode(kb["b"])
+        kb["_raw"] = raw
+    for pos in _host_positions(value, int(kb["m"]), int(kb["k"])):
+        w, bit = divmod(pos, WORD_BITS)
+        word = int.from_bytes(raw[w * 8:(w + 1) * 8], "big")
+        if not (word >> bit) & 1:
+            return False
+    return True
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    root: str,
+    rel_files: list[str],
+    key_col: str,
+    rows_by_file: dict[str, int],
+    file_schema: T.StructType | None = None,
+) -> dict[str, dict]:
+    """ONE key-column-pruned scan of just-written files → a packed bloom
+    per eligible file (rows × bits/key within BLOOM_MAX_BITS). All files
+    in one call share a geometry sized to the largest eligible file (the
+    positions are computed in a single Spark expression; smaller files
+    just enjoy a lower false-positive rate). Build is explode-k-positions
+    → one hash agg with map-side ``bit_or`` combine grouped by
+    (file, word) — O(k · rows) rows into the agg, ≤ m/63 out per file."""
+    bpk, cap, k = BLOOM_BITS_PER_KEY, BLOOM_MAX_BITS, BLOOM_K
+    eligible = [
+        f for f in rel_files
+        if rows_by_file.get(f) is not None and rows_by_file[f] * bpk <= cap
+    ]
+    if not eligible:
+        return {}
+    n_words = max(8, -(-max(rows_by_file[f] for f in eligible) * bpk // WORD_BITS))
+    m_bits = n_words * WORD_BITS
+    reader = spark.read
+    if file_schema is not None:
+        reader = reader.schema(file_schema)
+    df = reader.parquet(*[os.path.join(root, p) for p in eligible])
+    pos = df.select(
+        F.col("_metadata.file_path").alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    _position(F.col(key_col).cast("string"), i, m_bits, BLOOM_SALT)
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    rows = (
+        pos.select("_fp", *_packed(F.col("pos")))
+        .groupBy("_fp", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    packed: dict[str, bytearray] = {}
+    for r in rows:
+        fp = r["_fp"]
+        if fp.startswith("file:"):
+            fp = fp[len("file:"):]
+            while fp.startswith("//"):
+                fp = fp[1:]
+        rel = os.path.relpath(fp, root)
+        buf = packed.setdefault(rel, bytearray(n_words * 8))
+        w = int(r["word"])
+        buf[w * 8:(w + 1) * 8] = int(r["bits"]).to_bytes(8, "big")
+    return {
+        rel: {
+            "m": m_bits,
+            "k": k,
+            "b": base64.b64encode(bytes(buf)).decode("ascii"),
+        }
+        for rel, buf in packed.items()
+    }

@@ -137,6 +137,7 @@ class ParquetLakeTable:
         feed_retain_epochs: int | None = None,
         stats_columns: tuple[str, ...] | list[str] = (),
         sort_columns: tuple[str, ...] | list[str] = (),
+        key_bloom: bool = False,
     ) -> None:
         if compact_mode not in ("full", "hot"):
             raise ValueError(
@@ -189,6 +190,15 @@ class ParquetLakeTable:
         #: moves from pure url to (sort_columns, url), so point lookups
         #: scan a few more row-groups per file.
         self.sort_columns = tuple(sort_columns)
+        #: per-file merge-key bloom filters in the manifest (streaming/
+        #: filestats.py — Parquet's bloom index hoisted to the manifest so
+        #: the DRIVER plans around it): each write's stats pass also packs
+        #: a url bloom per file (≤ ~11 KiB base64, omitted for files too
+        #: large to filter usefully). Point lookups / url-equality scans
+        #: then skip every file whose bloom says "definitely absent" —
+        #: sound per-FILE even in dirty buckets, because url is the merge
+        #: key: every version of a key lives only in files containing it.
+        self.key_bloom = bool(key_bloom)
         self._feed_retain_epochs = (
             None if feed_retain_epochs is None else int(feed_retain_epochs)
         )
@@ -524,14 +534,27 @@ class ParquetLakeTable:
             ))
         return out
 
+    def _buckets_of_keys(self, keys, nb: int) -> set[int]:
+        """Hash buckets of a key list — one driver-local job over the
+        keys (Spark's xxhash64, never re-implemented host-side: no
+        drift)."""
+        kdf = self.spark.createDataFrame([(u,) for u in keys], "url string")
+        return {
+            r["b"]
+            for r in kdf.select(
+                bucket_of(F.col("url"), nb).alias("b")
+            ).distinct().collect()
+        }
+
     def scan_plan(
         self, filters: list[tuple], *, version: int | None = None
     ) -> dict:
         """Plan a predicate scan from manifest stats alone (no data IO).
 
         ``filters``: conjunctive ``(column, op, value)`` triples, op in
-        =/</<=/>/>=, evaluated against the MERGED latest state. Sound
-        pruning under MOR (see streaming/filestats.py):
+        =/</<=/>/>= (plus ``in`` on the merge key ``url``), evaluated
+        against the MERGED latest state. Sound pruning under MOR (see
+        streaming/filestats.py):
 
         * skip a bucket iff NO file covering it could match;
         * in kept buckets WITHOUT pending delta coverage ("clean"),
@@ -541,24 +564,74 @@ class ParquetLakeTable:
           bucket may supersede a matching row — they only vote on kept
           buckets.
 
+        EXCEPT for equality on the merge key itself: ``("url","=",v)`` /
+        ``("url","in",[...])`` prune per-FILE everywhere, deltas and
+        dirty buckets included — every version of a key lives only in
+        files containing that key, so a file whose bloom says "absent"
+        (or whose url min/max excludes every probe key) cannot hold ANY
+        version of it. Buckets additionally restrict to the keys' hash
+        buckets.
+
         Files without stats degrade to "could match" + "covers all
         buckets". Returns the group list scan_where reads plus skip
         accounting."""
-        from .filestats import could_match, file_bucket_cover
+        from .filestats import (
+            bloom_maybe_contains,
+            could_match,
+            encode_value,
+            file_bucket_cover,
+        )
 
         snap = (
             self.snapshot_at(version) if version is not None
             else self.current_snapshot()
         )
         nb = self._nb(snap)
+        # conjunction of url-equality filters → one effective key set
+        keys: set | None = None
+        attr: list[tuple] = []
+        for f in filters:
+            col, op, val = f
+            if col == "url" and op in ("=", "in"):
+                s = {val} if op == "=" else set(val)
+                keys = s if keys is None else keys & s
+            else:
+                attr.append(f)
         rf_cache: dict[int, list[tuple]] = {}
+        wt_cache: dict[int, str | None] = {}
 
         def rf(schema_v: int) -> list[tuple]:
             if schema_v not in rf_cache:
                 rf_cache[schema_v] = self._resolved_filters(
-                    snap, filters, schema_v
+                    snap, attr, schema_v
                 )
             return rf_cache[schema_v]
+
+        def skeep(st_entry: dict | None, schema_v: int) -> bool:
+            """Strong merge-key rule: can this file hold ANY version of
+            any probe key? Bloom negative OR url-range miss (per key) is
+            definitive; no signal degrades to keep."""
+            if keys is None:
+                return True
+            if schema_v not in wt_cache:
+                wt_cache[schema_v] = self._write_time_name(
+                    snap, "url", schema_v
+                )
+            wt = wt_cache[schema_v]
+            kb = (st_entry or {}).get("kb")
+            for u in keys:
+                if kb is not None and not bloom_maybe_contains(kb, u):
+                    continue
+                if (
+                    st_entry is not None
+                    and wt is not None
+                    and not could_match(
+                        st_entry, [(wt, "=", encode_value(T.StringType(), u))]
+                    )
+                ):
+                    continue
+                return True
+            return False
 
         kept: set[int] = set()
         dirty: set[int] = set()  # buckets with any delta coverage
@@ -581,6 +654,8 @@ class ParquetLakeTable:
             base_match[b] = hits
             if hits:
                 kept.add(int(b))
+        if keys is not None:
+            kept &= self._buckets_of_keys(keys, nb) if keys else set()
 
         groups: list[tuple[int, list[str]]] = []
         base_read = 0
@@ -588,17 +663,22 @@ class ParquetLakeTable:
         for b, entry in snap["base"].items():
             if int(b) not in kept:
                 continue
+            st = entry.get("stats") or {}
+            sv = int(entry["schema_v"])
             files = (
                 entry["files"] if int(b) in dirty  # dirty: every version
                 else base_match[b]                  # clean: file-granular
             )
+            files = [f for f in files if skeep(st.get(f), sv)]
             if files:
-                groups.append((int(entry["schema_v"]), files))
+                groups.append((sv, files))
                 base_read += len(files)
         delta_read = 0
         by_group: dict[int, list[str]] = {}
         for d, f, lo, hi in delta_cover:
-            if any(b in kept for b in range(lo, hi + 1)):
+            if any(b in kept for b in range(lo, hi + 1)) and skeep(
+                (d.get("stats") or {}).get(f), int(d["schema_v"])
+            ):
                 by_group.setdefault(id(d), []).append(f)
         for d in snap["deltas"]:
             files = by_group.get(id(d), [])
@@ -607,6 +687,7 @@ class ParquetLakeTable:
                 delta_read += len(files)
         return {
             "filters": [list(f) for f in filters],
+            "probe_keys": sorted(keys) if keys is not None else None,
             "version": snap["version"],
             "n_buckets": nb,
             "buckets_kept": sorted(kept),
@@ -629,6 +710,9 @@ class ParquetLakeTable:
         types = {f.name: f.dataType for f in cur.fields}
         cond = F.lit(True)
         for col, op, val in filters:
+            if op == "in":
+                cond = cond & F.col(col).isin(list(val))
+                continue
             lit = F.lit(val)
             if isinstance(val, str) and isinstance(
                 types[col], (T.TimestampType, T.DateType)
@@ -1175,30 +1259,21 @@ class ParquetLakeTable:
 
     def lookup_urls(self, urls: list[str] | str) -> DataFrame:
         """Point lookup: current live rows for the given url(s), reading
-        ONLY their hash buckets (1/n_buckets of the base) — and, after a
-        compaction, only the url-sorted files' matching row-groups (the
-        `IN` filter pushes into the parquet scan against min/max stats).
-        The bucket computation is one driver-local job over the key list
-        (Spark's xxhash64 — never re-implemented host-side, no drift)."""
+        ONLY their hash buckets (1/n_buckets of the base) — and, with
+        ``key_bloom``, only the files whose manifest bloom (or url
+        min/max) may contain a probe key: under a pile of pending deltas
+        the lookup opens O(key's version count) files instead of every
+        delta covering the bucket (scan_plan's merge-key strong rule).
+        Bucket math runs as one driver-local Spark job over the key list
+        (xxhash64 — never re-implemented host-side, no drift), pinned to
+        the captured snapshot version so a concurrent rebucket commit
+        cannot make the pruning set and the file layout disagree."""
         snap = self.current_snapshot()
         keys = [urls] if isinstance(urls, str) else list(urls)
         if not keys:
             return self._empty(self.schema(snap))
-        kdf = self.spark.createDataFrame([(u,) for u in keys], "url string")
-        # bucket math under the CAPTURED snapshot's layout, and the read
-        # pinned to the same version — a concurrent rebucket commit cannot
-        # make the pruning set and the file layout disagree
-        bkts = sorted(
-            r["b"]
-            for r in kdf.select(
-                bucket_of(F.col("url"), self._nb(snap)).alias("b")
-            ).distinct().collect()
-        )
-        return (
-            self.read(buckets=bkts, version=snap["version"])
-            .filter(F.col("url").isin(keys))
-            .filter(~F.col("is_deleted"))
-            .drop("is_deleted", "bkt")
+        return self.scan_where(
+            [("url", "in", keys)], version=snap["version"]
         )
 
     def delete_where(
@@ -1403,15 +1478,25 @@ class ParquetLakeTable:
         self, rel_files: list[str], file_schema: T.StructType | None = None
     ) -> dict | None:
         """Per-file stats for files just written, when the handle opted
-        in — one column-pruned scan (streaming/filestats.py)."""
-        if not self.stats_columns or not rel_files:
+        in — one column-pruned scan (streaming/filestats.py), plus one
+        key-column scan for the per-file url blooms under ``key_bloom``
+        (stored as ``"kb"`` inside each file's stats entry)."""
+        if not (self.stats_columns or self.key_bloom) or not rel_files:
             return None
-        from .filestats import collect_file_stats
+        from .filestats import collect_file_blooms, collect_file_stats
 
-        return collect_file_stats(
+        out = collect_file_stats(
             self.spark, self.path, rel_files,
             list(self.stats_columns), file_schema,
         )
+        if self.key_bloom and out:
+            blooms = collect_file_blooms(
+                self.spark, self.path, list(out), "url",
+                {f: e["rows"] for f, e in out.items()}, file_schema,
+            )
+            for f, kb in blooms.items():
+                out[f]["kb"] = kb
+        return out
 
     def _commit(
         self,

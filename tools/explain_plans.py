@@ -50,6 +50,17 @@ CHECKS = {
                  r"SortAggregate|ObjectHashAggregate|HashAggregate"],
         "must_not": [r"\bWindow\b", r"BatchEvalPython", r"ArrowEvalPython"],
     },
+    "lake_lookup_bloom": {
+        "why": "the bloom-pruned point lookup plans file skipping "
+               "DRIVER-SIDE from manifest key blooms (the query raises if "
+               "no delta file was skipped), so the physical plan is the "
+               "ordinary MOR merge over the handful of bloom-hit files: "
+               "partial max_by combine before the exchange, no Window, no "
+               "Python eval",
+        "must": [r"partial_max_by",
+                 r"SortAggregate|ObjectHashAggregate|HashAggregate"],
+        "must_not": [r"\bWindow\b", r"BatchEvalPython", r"ArrowEvalPython"],
+    },
     "filter_remove_columns": {
         "why": "projection must prune at the scan (ReadSchema carries only "
                "selected columns)",
