@@ -847,6 +847,64 @@ def _q_lake_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lake_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC "log of a key": every retained version of a key with epoch
+    provenance (ParquetLakeTable.key_history) — Debezium's per-key topic
+    replay / Iceberg's changelog scan narrowed to a point query, pruned
+    per-file by the manifest merge-key blooms. Fixture: events replayed
+    as 5 uncompacted epochs keyed by ``event_id % 5`` so each url's
+    versions spread across epochs; history of 3 keys must equal the per
+    (url, epoch) upsert winner set, tombstones included. Reference
+    analogue: resume state exposing per-task commit provenance
+    (exec/BulkLoader.java:584-659), sharpened to per-key versions."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("lang"),
+        # epoch by EVENT so one key's versions land in several epochs —
+        # the shape a history query exists for
+        (F.col("event_id") % 5).alias("epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_keyhist_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(
+        spark, f"{work}/t", n_buckets=4, compact_min_deltas=10_000,
+        key_bloom=True,
+    )
+    for e in range(5):
+        table.merge_epoch(
+            changes.filter(F.col("epoch") == e).drop("epoch"), e,
+            extract=False,
+        )
+    keys = [
+        f"user://{r.user_id}"
+        for r in ev.select("user_id").distinct().orderBy("user_id")
+        .limit(3).collect()
+    ]
+    return table.key_history(keys).select(
+        "url",
+        "epoch",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+        "lang",
+        "is_deleted",
+    )
+
+
 def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed schema inference: classify string cells per the Embulk
     guess lattice (functions/guess.py, schema_guess.rb:47-84) as an
@@ -2088,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replicate": _q_cdc_replicate,
         "lake_scan_pruned": _q_lake_scan_pruned,
         "lake_lookup_bloom": _q_lake_lookup_bloom,
+        "lake_key_history": _q_lake_key_history,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
         "coerce_setters": _q_coerce_setters,
@@ -3011,6 +3070,27 @@ def oracle_sql() -> dict[str, str]:
         FROM ranged
         WHERE rn = 1 AND event_type <> 'error'
           AND user_id IN (SELECT user_id FROM keys)
+        """,
+        "lake_key_history": """
+        WITH v AS (
+          SELECT user_id, event_id % 5 AS epoch, event_id, ts, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_id % 5
+                   ORDER BY ts DESC, event_id DESC) rn
+          FROM events
+        ),
+        keys AS (
+          SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3
+        )
+        SELECT 'user://' || user_id AS url,
+               epoch,
+               event_id AS seq,
+               epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE event_type END AS lang,
+               (event_type = 'error') AS is_deleted
+        FROM v
+        WHERE rn = 1 AND user_id IN (SELECT user_id FROM keys)
         """,
         "benchmark_overlap": """
         WITH w AS (

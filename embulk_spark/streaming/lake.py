@@ -199,6 +199,10 @@ class ParquetLakeTable:
         #: sound per-FILE even in dirty buckets, because url is the merge
         #: key: every version of a key lives only in files containing it.
         self.key_bloom = bool(key_bloom)
+        #: cache of loaded stats manifests (group_stats) — safe because a
+        #: manifest file is immutable once written (uuid-named,
+        #: create-exclusive): a ref never changes meaning.
+        self._manifest_cache: dict[str, dict] = {}
         self._feed_retain_epochs = (
             None if feed_retain_epochs is None else int(feed_retain_epochs)
         )
@@ -336,7 +340,7 @@ class ParquetLakeTable:
         )
         out = []
         for b, e in sorted(snap["base"].items(), key=lambda kv: int(kv[0])):
-            st = e.get("stats") or {}
+            st = self.group_stats(e) or {}
             for rel in e["files"]:
                 fp = os.path.join(self.path, rel)
                 out.append({
@@ -347,7 +351,7 @@ class ParquetLakeTable:
                     "stats": st.get(rel),
                 })
         for d in snap["deltas"]:
-            st = d.get("stats") or {}
+            st = self.group_stats(d) or {}
             for rel in d["files"]:
                 fp = os.path.join(self.path, rel)
                 out.append({
@@ -546,6 +550,42 @@ class ParquetLakeTable:
             ).distinct().collect()
         }
 
+    def _key_keep_fn(self, snap: dict, keys: set | None):
+        """Strong merge-key file-keep rule as a reusable predicate
+        ``(stats_entry, schema_v) -> bool``: can this file hold ANY
+        version of any probe key? A bloom negative OR a url-min/max miss
+        (per key) is definitive even in dirty buckets and among deltas —
+        every version of a key lives only in files containing it. No
+        signal degrades to keep. ``keys=None`` keeps everything."""
+        from .filestats import bloom_maybe_contains, could_match, encode_value
+
+        wt_cache: dict[int, str | None] = {}
+
+        def skeep(st_entry: dict | None, schema_v: int) -> bool:
+            if keys is None:
+                return True
+            if schema_v not in wt_cache:
+                wt_cache[schema_v] = self._write_time_name(
+                    snap, "url", schema_v
+                )
+            wt = wt_cache[schema_v]
+            kb = (st_entry or {}).get("kb")
+            for u in keys:
+                if kb is not None and not bloom_maybe_contains(kb, u):
+                    continue
+                if (
+                    st_entry is not None
+                    and wt is not None
+                    and not could_match(
+                        st_entry, [(wt, "=", encode_value(T.StringType(), u))]
+                    )
+                ):
+                    continue
+                return True
+            return False
+
+        return skeep
+
     def scan_plan(
         self, filters: list[tuple], *, version: int | None = None
     ) -> dict:
@@ -575,12 +615,7 @@ class ParquetLakeTable:
         Files without stats degrade to "could match" + "covers all
         buckets". Returns the group list scan_where reads plus skip
         accounting."""
-        from .filestats import (
-            bloom_maybe_contains,
-            could_match,
-            encode_value,
-            file_bucket_cover,
-        )
+        from .filestats import could_match, file_bucket_cover
 
         snap = (
             self.snapshot_at(version) if version is not None
@@ -598,7 +633,6 @@ class ParquetLakeTable:
             else:
                 attr.append(f)
         rf_cache: dict[int, list[tuple]] = {}
-        wt_cache: dict[int, str | None] = {}
 
         def rf(schema_v: int) -> list[tuple]:
             if schema_v not in rf_cache:
@@ -607,37 +641,12 @@ class ParquetLakeTable:
                 )
             return rf_cache[schema_v]
 
-        def skeep(st_entry: dict | None, schema_v: int) -> bool:
-            """Strong merge-key rule: can this file hold ANY version of
-            any probe key? Bloom negative OR url-range miss (per key) is
-            definitive; no signal degrades to keep."""
-            if keys is None:
-                return True
-            if schema_v not in wt_cache:
-                wt_cache[schema_v] = self._write_time_name(
-                    snap, "url", schema_v
-                )
-            wt = wt_cache[schema_v]
-            kb = (st_entry or {}).get("kb")
-            for u in keys:
-                if kb is not None and not bloom_maybe_contains(kb, u):
-                    continue
-                if (
-                    st_entry is not None
-                    and wt is not None
-                    and not could_match(
-                        st_entry, [(wt, "=", encode_value(T.StringType(), u))]
-                    )
-                ):
-                    continue
-                return True
-            return False
-
+        skeep = self._key_keep_fn(snap, keys)
         kept: set[int] = set()
         dirty: set[int] = set()  # buckets with any delta coverage
         delta_cover: list[tuple[dict, str, int, int]] = []
         for d in snap["deltas"]:
-            st = d.get("stats") or {}
+            st = self.group_stats(d) or {}
             for f in d["files"]:
                 lo, hi = file_bucket_cover(st.get(f), nb)
                 dirty.update(range(lo, hi + 1))
@@ -646,7 +655,7 @@ class ParquetLakeTable:
                     kept.update(range(lo, hi + 1))
         base_match: dict[str, list[str]] = {}
         for b, entry in snap["base"].items():
-            st = entry.get("stats") or {}
+            st = self.group_stats(entry) or {}
             hits = [
                 f for f in entry["files"]
                 if could_match(st.get(f), rf(int(entry["schema_v"])))
@@ -663,7 +672,7 @@ class ParquetLakeTable:
         for b, entry in snap["base"].items():
             if int(b) not in kept:
                 continue
-            st = entry.get("stats") or {}
+            st = self.group_stats(entry) or {}
             sv = int(entry["schema_v"])
             files = (
                 entry["files"] if int(b) in dirty  # dirty: every version
@@ -677,7 +686,7 @@ class ParquetLakeTable:
         by_group: dict[int, list[str]] = {}
         for d, f, lo, hi in delta_cover:
             if any(b in kept for b in range(lo, hi + 1)) and skeep(
-                (d.get("stats") or {}).get(f), int(d["schema_v"])
+                (self.group_stats(d) or {}).get(f), int(d["schema_v"])
             ):
                 by_group.setdefault(id(d), []).append(f)
         for d in snap["deltas"]:
@@ -968,9 +977,7 @@ class ParquetLakeTable:
             "rows": rows_written,
             "epoch_id": epoch_id,
         }
-        fstats = self._maybe_stats(files)
-        if fstats:
-            delta_group["stats"] = fstats
+        self._attach_stats(delta_group, self._maybe_stats(files))
         out = self._commit(
             snap, epoch_id, metrics=metrics, lineage=[],
             new_delta=delta_group, expect_nb=nb,
@@ -1222,7 +1229,7 @@ class ParquetLakeTable:
         }
         fstats = self._maybe_stats(files)
         if fstats:
-            delta_group["stats"] = fstats
+            self._attach_stats(delta_group, fstats)
             phase["stats"] = round(
                 time.perf_counter() - t0 - sum(phase.values()), 3
             )
@@ -1275,6 +1282,68 @@ class ParquetLakeTable:
         return self.scan_where(
             [("url", "in", keys)], version=snap["version"]
         )
+
+    def key_history(
+        self, urls: list[str] | str, *, version: int | None = None
+    ) -> DataFrame:
+        """All RETAINED versions of the given key(s) with provenance — the
+        CDC "log of a key" (Debezium's per-key topic replay / Iceberg's
+        changelog scan, narrowed to a point query). One row per physical
+        version: each pending delta epoch contributes its per-epoch winner
+        (``epoch`` = that epoch id); the compacted base and partial-
+        compaction residuals contribute the folded state (``epoch`` NULL —
+        compaction collapses folded epochs into one version, exactly like
+        snapshot expiry bounds Iceberg's changelog). Tombstones appear as
+        ``is_deleted`` rows.
+
+        Cost: the merge-key strong rule (bloom / url-range per file, hash
+        bucket for the base) means O(files actually containing the key),
+        not O(pending delta files) — the same pruning as lookup_urls, but
+        WITHOUT the MOR collapse, so every retained version survives."""
+        snap = (
+            self.snapshot_at(version) if version is not None
+            else self.current_snapshot()
+        )
+        cur = self.schema(snap)
+        keys = [urls] if isinstance(urls, str) else list(urls)
+        empty = self._empty(cur).withColumn(
+            "epoch", F.lit(None).cast("long")
+        ).drop("bkt")
+        if not keys:
+            return empty
+        skeep = self._key_keep_fn(snap, set(keys))
+        kbkts = self._buckets_of_keys(keys, self._nb(snap))
+        parts: list[DataFrame] = []
+        base_groups = []
+        for b, e in snap["base"].items():
+            if int(b) not in kbkts:
+                continue
+            st = self.group_stats(e) or {}
+            sv = int(e["schema_v"])
+            files = [f for f in e["files"] if skeep(st.get(f), sv)]
+            if files:
+                base_groups.append((sv, files))
+        base = self._read_file_groups(snap, base_groups)
+        if base is not None:
+            parts.append(base.withColumn("epoch", F.lit(None).cast("long")))
+        for d in snap["deltas"]:
+            st = self.group_stats(d) or {}
+            sv = int(d["schema_v"])
+            files = [f for f in d["files"] if skeep(st.get(f), sv)]
+            if not files:
+                continue
+            df = self._read_file_groups(snap, [(sv, files)])
+            ep = d.get("epoch_id")
+            parts.append(df.withColumn(
+                "epoch",
+                F.lit(None if ep is None else int(ep)).cast("long"),
+            ))
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.filter(F.col("url").isin(keys)).drop("bkt")
 
     def delete_where(
         self, condition, epoch_id: int, *, stage: bool = False,
@@ -1450,6 +1519,9 @@ class ParquetLakeTable:
         os.remove(self._staged_path(epoch_id))
         removed = 0
         if man["delta"]:
+            sref = man["delta"].get("stats_ref")
+            if sref and os.path.exists(os.path.join(self.path, sref)):
+                os.remove(os.path.join(self.path, sref))
             for rel in man["delta"]["files"]:
                 fp = os.path.join(self.path, rel)
                 if os.path.exists(fp):
@@ -1497,6 +1569,49 @@ class ParquetLakeTable:
             for f, kb in blooms.items():
                 out[f]["kb"] = kb
         return out
+
+    # ------------------------------------------------------------------
+    # stats manifest sidecars (Iceberg's manifest-file layer): per-file
+    # stats/blooms live in immutable uuid-named JSONs under manifests/;
+    # snapshots carry only the reference. Without this every snapshot
+    # would inline every pending file's stats (a bloom is ~11 KiB b64),
+    # making commit metadata IO O(pending files) — quadratic over an
+    # uncompacted run. With refs, a commit writes O(its own new files)
+    # manifest bytes plus a small snapshot, and rebase carries refs as
+    # opaque strings.
+    # ------------------------------------------------------------------
+
+    def _write_manifest(self, stats: dict) -> str:
+        rel = f"manifests/m-{uuid.uuid4().hex}.json"
+        os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
+        _atomic_create_json(os.path.join(self.path, rel), stats)
+        return rel
+
+    def group_stats(self, group: dict | None) -> dict | None:
+        """Per-file stats of a base/delta group — inline (legacy
+        snapshots) or loaded from the group's ``stats_ref`` sidecar and
+        cached (manifests are immutable). Missing/unreadable sidecar
+        degrades to None = "no stats", which every planner treats as
+        "could match": pruning is lost, correctness isn't."""
+        if group is None:
+            return None
+        ref = group.get("stats_ref")
+        if ref is None:
+            return group.get("stats")
+        st = self._manifest_cache.get(ref)
+        if st is None:
+            try:
+                with open(os.path.join(self.path, ref)) as f:
+                    st = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                return None
+            self._manifest_cache[ref] = st
+        return st
+
+    def _attach_stats(self, group: dict, fstats: dict | None) -> None:
+        """Record a freshly computed stats dict on a group via sidecar."""
+        if fstats:
+            group["stats_ref"] = self._write_manifest(fstats)
 
     def _commit(
         self,
@@ -1882,7 +1997,9 @@ class ParquetLakeTable:
         fstats = self._maybe_stats(all_files)
         if fstats:
             for e in new_base.values():
-                e["stats"] = {f: fstats[f] for f in e["files"] if f in fstats}
+                self._attach_stats(
+                    e, {f: fstats[f] for f in e["files"] if f in fstats}
+                )
         return new_base, total_rows
 
     def _entry_bytes(self, entries) -> int:
@@ -2056,7 +2173,10 @@ class ParquetLakeTable:
                     or d.get("feed_complete", False)
                     for d in fold_groups
                 ),
-                **({"stats": res_stats} if res_stats else {}),
+                **(
+                    {"stats_ref": self._write_manifest(res_stats)}
+                    if res_stats else {}
+                ),
             }
             if res_rows else None
         )
@@ -2358,6 +2478,12 @@ class ParquetLakeTable:
                     with open(os.path.join(d, fn)) as f:
                         snaps.append(json.load(f))
         refs = self._referenced_files(snaps)
+        mrefs = {
+            e["stats_ref"]
+            for snap in snaps
+            for e in list(snap["base"].values()) + snap["deltas"]
+            if e.get("stats_ref")
+        }
         # staged (WAP) epochs are deliberately not in any snapshot yet —
         # their files are referenced by the staged manifests, not orphans
         for d in staged_dirs:
@@ -2369,6 +2495,8 @@ class ParquetLakeTable:
                         man = json.load(f)
                     if man.get("delta"):
                         refs.update(man["delta"]["files"])
+                        if man["delta"].get("stats_ref"):
+                            mrefs.add(man["delta"]["stats_ref"])
         now = time.time()
         removed, kept_young = [], 0
         for root, _dirs, fns in os.walk(self._data_dir):
@@ -2386,7 +2514,24 @@ class ParquetLakeTable:
         for root, dirs, fns in os.walk(self._data_dir, topdown=False):
             if root != self._data_dir and not dirs and not fns:
                 os.rmdir(root)
-        return {"orphans_removed": len(removed), "kept_in_grace": kept_young}
+        # stats manifest sidecars referenced by NO retained snapshot or
+        # staged epoch (debris of expired snapshots / crashed writes) go
+        # the same way, under the same grace window
+        man_removed = 0
+        mdir = os.path.join(self.path, "manifests")
+        if os.path.isdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
+                rel = f"manifests/{fn}"
+                fp = os.path.join(mdir, fn)
+                if rel in mrefs or not fn.endswith(".json"):
+                    continue
+                if now - os.path.getmtime(fp) < grace_seconds:
+                    kept_young += 1
+                    continue
+                os.remove(fp)
+                man_removed += 1
+        return {"orphans_removed": len(removed), "kept_in_grace": kept_young,
+                "manifests_removed": man_removed}
 
     def rollback_to(self, version: int) -> dict:
         """Restore the table to snapshot ``version``'s state by publishing

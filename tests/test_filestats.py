@@ -77,8 +77,9 @@ def test_stats_recorded_on_every_write_path(spark, tmp_path):
     table = _stats_table(spark, str(tmp_path / "t"))
     snap = table.current_snapshot()
     for g in snap["deltas"]:
-        assert set(g["stats"]) == set(g["files"])
-        for st in g["stats"].values():
+        gst = table.group_stats(g)
+        assert set(gst) == set(g["files"])
+        for st in gst.values():
             assert st["rows"] > 0 and "lang" in st["cols"]
             lo, hi, nulls = st["cols"]["lang"]
             assert lo <= hi and nulls >= 0
@@ -89,12 +90,12 @@ def test_stats_recorded_on_every_write_path(spark, tmp_path):
     table.compact(buckets=[0, 1])
     snap = table.current_snapshot()
     resid = [d for d in snap["deltas"] if d.get("epoch_id") is None]
-    assert resid and set(resid[0]["stats"]) == set(resid[0]["files"])
+    assert resid and set(table.group_stats(resid[0])) == set(resid[0]["files"])
     # full compact → per-bucket base entries carry per-file stats
     table.compact()
     snap = table.current_snapshot()
     for e in snap["base"].values():
-        assert set(e["stats"]) == set(e["files"])
+        assert set(table.group_stats(e)) == set(e["files"])
     # and files() surfaces them
     assert all(f["stats"] is not None for f in table.files())
 
@@ -103,7 +104,10 @@ def test_stats_off_by_default_and_sound(spark, tmp_path):
     events = change_stream(spark, 400, 60, 2, num_partitions=4)
     table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
     replay_batches(table, events, pipeline_depth=1)
-    assert all("stats" not in g for g in table.current_snapshot()["deltas"])
+    assert all(
+        table.group_stats(g) is None
+        for g in table.current_snapshot()["deltas"]
+    )
     assert all(f["stats"] is None for f in table.files())
     # planner degrades to a full, correct scan — nothing skipped
     plan = table.scan_plan([("lang", "=", "de")])
@@ -284,7 +288,10 @@ def test_scan_filters_resolve_write_time_names(spark, tmp_path):
     # the stats of the old file were recorded under 'lang' and still used
     v0_group = [g for g in table.current_snapshot()["deltas"]
                 if g.get("epoch_id") == 0][0]
-    assert all("lang" in st["cols"] for st in v0_group["stats"].values())
+    assert all(
+        "lang" in st["cols"]
+        for st in table.group_stats(v0_group).values()
+    )
 
 
 def test_pre_add_files_pruned_for_new_column_filter(spark, tmp_path):

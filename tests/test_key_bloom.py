@@ -70,7 +70,7 @@ def test_bloom_recorded_and_probes_truthfully(spark, tmp_path):
     checked = 0
     for g in snap["deltas"]:
         for f in g["files"]:
-            kb = g["stats"][f].get("kb")
+            kb = table.group_stats(g)[f].get("kb")
             assert kb is not None and kb["m"] % 63 == 0 and kb["k"] >= 1
             present = {
                 r.url
@@ -115,7 +115,7 @@ def test_bloom_cap_omits_oversized_files(spark, tmp_path, monkeypatch):
     assert any(
         "kb" not in st
         for g in snap["deltas"]
-        for st in g["stats"].values()
+        for st in table.group_stats(g).values()
     )
     # sound degrade: lookups still exact
     u = table.published().select("url").first()["url"]
@@ -227,6 +227,67 @@ def test_mixed_key_and_attribute_filters(spark, tmp_path):
     ).count() == 0
 
 
+# ------------------------------------------------------------ key history
+
+
+def test_key_history_versions_with_epoch_provenance(spark, tmp_path):
+    table = _bloom_table(spark, str(tmp_path / "t"))
+    apply_epoch(
+        table,
+        spark.createDataFrame(
+            [_ev(1, 0, "I", "u://a", 1, lang="de"),
+             _ev(2, 0, "I", "u://b", 2)], _schema()
+        ),
+        0,
+    )
+    apply_epoch(
+        table,
+        spark.createDataFrame(
+            [_ev(3, 1, "U", "u://a", 3, lang="en"),
+             _ev(4, 1, "D", "u://b", 4)], _schema()
+        ),
+        1,
+    )
+    apply_epoch(
+        table, spark.createDataFrame([_ev(5, 2, "I", "u://c", 5)], _schema()), 2
+    )
+    got = {
+        (r.url, r.epoch, r.seq, r.lang, r.is_deleted)
+        for r in table.key_history(["u://a", "u://b"]).collect()
+    }
+    assert got == {
+        ("u://a", 0, 1, "de", False),
+        ("u://a", 1, 3, "en", False),
+        ("u://b", 0, 2, "en", False),
+        ("u://b", 1, 4, None, True),  # tombstone is a visible version
+    }
+    # compaction folds the retained history into one NULL-epoch version
+    table.compact()
+    folded = table.key_history("u://a").collect()
+    assert [(r.epoch, r.seq, r.lang) for r in folded] == [(None, 3, "en")]
+    assert table.key_history([]).count() == 0
+
+
+def test_key_history_matches_per_epoch_winners(spark, tmp_path):
+    """Random stream: history of a key == the (warc_ts, seq)-winner of
+    each epoch that touched it (merge_epoch dedups in-batch)."""
+    table = _bloom_table(spark, str(tmp_path / "t"))
+    events = change_stream(spark, 900, 100, 4, num_partitions=4)
+    replay_batches(table, events, pipeline_depth=1)
+    u = table.published().select("url").orderBy("url").first()["url"]
+    expected = {
+        (int(r.epoch), int(r.seq))
+        for r in events.filter(F.col("url") == u)
+        .groupBy("epoch")
+        .agg(F.max_by("seq", F.struct("warc_ts", "seq")).alias("seq"))
+        .collect()
+    }
+    got = {
+        (r.epoch, r.seq) for r in table.key_history(u).collect()
+    }
+    assert got == expected
+
+
 def test_compacted_base_blooms_serve_lookups(spark, tmp_path):
     table = _bloom_table(spark, str(tmp_path / "t"))
     events = change_stream(spark, 600, 100, 2, num_partitions=4)
@@ -234,7 +295,7 @@ def test_compacted_base_blooms_serve_lookups(spark, tmp_path):
     table.compact()
     snap = table.current_snapshot()
     assert all(
-        "kb" in e["stats"][f]
+        "kb" in table.group_stats(e)[f]
         for e in snap["base"].values()
         for f in e["files"]
     )

@@ -61,6 +61,15 @@ CHECKS = {
                  r"SortAggregate|ObjectHashAggregate|HashAggregate"],
         "must_not": [r"\bWindow\b", r"BatchEvalPython", r"ArrowEvalPython"],
     },
+    "lake_key_history": {
+        "why": "the key-history read returns raw retained versions (no "
+               "MOR collapse): file pruning happens DRIVER-SIDE via "
+               "manifest blooms, so the plan is a plain union of pruned "
+               "parquet scans + an IN filter — no merge aggregate, no "
+               "Window, no Python eval",
+        "must": [r"Scan parquet"],
+        "must_not": [r"\bWindow\b", r"BatchEvalPython", r"ArrowEvalPython"],
+    },
     "filter_remove_columns": {
         "why": "projection must prune at the scan (ReadSchema carries only "
                "selected columns)",
