@@ -847,6 +847,62 @@ def _q_lake_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lake_scan_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side dynamic file pruning for a semi join
+    (ParquetLakeTable.scan_semi — Delta/Spark DFP re-expressed over the
+    manifest): the probe side (urls with a purchase event) decides the
+    file set BEFORE any table IO — collected once, turned into a
+    key-equality scan that opens only bloom/bucket-hit files; past the
+    key cap it degrades to a full merge + AQE semi join. Fixture: the
+    events table replayed as 5 uncompacted epochs keyed by user, probed
+    with the purchase-active keys; result = current live winners for
+    exactly those keys."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("lang"),
+        (F.col("user_id") % 5).alias("epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_scansemi_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(
+        spark, f"{work}/t", n_buckets=4, compact_min_deltas=10_000,
+        key_bloom=True,
+    )
+    for e in range(5):
+        table.merge_epoch(
+            changes.filter(F.col("epoch") == e).drop("epoch"), e,
+            extract=False,
+        )
+    probe = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.concat(F.lit("user://"), F.col("user_id").cast("string"))
+            .alias("url")
+        )
+    )
+    return table.scan_semi(probe).select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+        "lang",
+    )
+
+
 def _q_lake_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC "log of a key": every retained version of a key with epoch
     provenance (ParquetLakeTable.key_history) — Debezium's per-key topic
@@ -2147,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_scan_pruned": _q_lake_scan_pruned,
         "lake_lookup_bloom": _q_lake_lookup_bloom,
         "lake_key_history": _q_lake_key_history,
+        "lake_scan_semi": _q_lake_scan_semi,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
         "coerce_setters": _q_coerce_setters,
@@ -3070,6 +3127,24 @@ def oracle_sql() -> dict[str, str]:
         FROM ranged
         WHERE rn = 1 AND event_type <> 'error'
           AND user_id IN (SELECT user_id FROM keys)
+        """,
+        "lake_scan_semi": """
+        WITH ranged AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) rn
+          FROM events
+        ),
+        probe AS (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT 'user://' || user_id AS url,
+               event_id AS seq,
+               epoch_us(ts) AS ts_us,
+               event_type AS lang
+        FROM ranged
+        WHERE rn = 1 AND event_type <> 'error'
+          AND user_id IN (SELECT user_id FROM probe)
         """,
         "lake_key_history": """
         WITH v AS (

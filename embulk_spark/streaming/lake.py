@@ -1283,6 +1283,46 @@ class ParquetLakeTable:
             [("url", "in", keys)], version=snap["version"]
         )
 
+    def scan_semi(
+        self,
+        probe: DataFrame,
+        probe_col: str = "url",
+        *,
+        max_probe_keys: int = 10_000,
+        filters: list[tuple] | tuple = (),
+        published: bool = True,
+    ) -> DataFrame:
+        """Dynamic file pruning for a join: the table rows whose merge
+        key appears in ``probe`` (a left-semi join), planned like
+        Delta/Spark's DFP but DRIVER-side. One small job collects the
+        distinct probe keys; when they fit ``max_probe_keys`` the read
+        becomes a key-equality scan that opens only bloom/bucket-hit
+        files (scan_plan's merge-key strong rule) — the probe side
+        decides the file set before any table IO. Past the cap the read
+        degrades to the ordinary full merge + semi join (AQE picks
+        broadcast vs shuffle), which is the right plan once the probe is
+        a large fraction of the key space anyway. ``filters`` are extra
+        conjunctive attribute predicates, pushed through scan_where on
+        the pruned path."""
+        ks = [
+            r[0]
+            for r in probe.select(probe_col).where(
+                F.col(probe_col).isNotNull()
+            ).distinct().limit(max_probe_keys + 1).collect()
+        ]
+        if len(ks) <= max_probe_keys:
+            return self.scan_where(
+                [("url", "in", ks), *filters], published=published
+            )
+        df = self.published() if published else self.read()
+        if filters:
+            df = df.filter(self._pred_column(list(filters), self.schema()))
+        return df.join(
+            probe.select(F.col(probe_col).alias("url")).distinct(),
+            "url",
+            "left_semi",
+        )
+
     def key_history(
         self, urls: list[str] | str, *, version: int | None = None
     ) -> DataFrame:

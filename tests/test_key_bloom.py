@@ -227,6 +227,50 @@ def test_mixed_key_and_attribute_filters(spark, tmp_path):
     ).count() == 0
 
 
+# --------------------------------------------------- semi-join file pruning
+
+
+def test_scan_semi_small_probe_prunes_and_matches_join(spark, tmp_path):
+    table = _bloom_table(spark, str(tmp_path / "t"))
+    events = change_stream(spark, 900, 120, 3, num_partitions=4)
+    replay_batches(table, events, pipeline_depth=1)
+    pub = table.published()
+    keys = [r.url for r in pub.select("url").orderBy("url").limit(4).collect()]
+    probe = spark.createDataFrame(
+        [(k,) for k in keys] + [("u://absent",), (None,)], "k string"
+    )
+    got = _rows(table.scan_semi(probe, "k"))
+    want = _rows(pub.join(
+        probe.withColumnRenamed("k", "url").dropna(), "url", "left_semi"
+    ))
+    assert got == want
+    # bucket pruning engages on the pruned path (file-level skipping is
+    # pinned by test_lookup_prunes_unrelated_delta_files — here the 3
+    # epochs share one url space, so every file may legitimately match)
+    plan = table.scan_plan([("url", "in", keys)])
+    assert len(plan["buckets_kept"]) <= 4
+    # attribute filters compose on the pruned path
+    lang = pub.filter(F.col("url").isin(keys)).select("lang").first()["lang"]
+    got2 = _rows(table.scan_semi(probe, "k", filters=[("lang", "=", lang)]))
+    assert got2 == _rows(
+        pub.filter(F.col("lang") == lang)
+        .join(probe.withColumnRenamed("k", "url").dropna(), "url", "left_semi")
+    )
+
+
+def test_scan_semi_large_probe_falls_back_to_join(spark, tmp_path):
+    table = _bloom_table(spark, str(tmp_path / "t"))
+    events = change_stream(spark, 600, 80, 2, num_partitions=4)
+    replay_batches(table, events, pipeline_depth=1)
+    pub = table.published()
+    probe = pub.select("url")  # every key: past any sensible cap
+    got = _rows(table.scan_semi(probe, "url", max_probe_keys=3))
+    assert got == _rows(pub)
+    assert table.scan_semi(
+        spark.createDataFrame([], "url string"), "url"
+    ).count() == 0
+
+
 # ------------------------------------------------------------ key history
 
 
