@@ -88,6 +88,34 @@ def _q_cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level CDC patch merge for minimal row images
+    (operators/merge.py:patch_latest_per_key — MySQL
+    binlog_row_image=minimal / Debezium partial updates): each payload
+    column resolves to its latest setter independently, a delete fences
+    everything before it. Fixture: each event type patches ONE column
+    (view→view_val, purchase→purchase_val, click→click_props;
+    signup patches nothing), 'error' is the delete."""
+    from embulk_spark.operators.merge import patch_latest_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("ord"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_val"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_val"
+        ),
+        F.when(F.col("event_type") == "click", F.col("props")).alias(
+            "click_props"
+        ),
+    )
+    return patch_latest_per_key(batch, key="uid", order=("ord",))
+
+
 def _q_cdc_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-commit ingest metrics shape: counts + exact distinct + sums."""
     ev = _t(spark, sf_dir, "events")
@@ -2196,6 +2224,7 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_per_key": _q_cdc_latest_per_key,
+        "cdc_patch_merge": _q_cdc_patch_merge,
         "cdc_apply_upsert": _q_cdc_apply_upsert,
         "cdc_ingest_metrics": _q_cdc_ingest_metrics,
         "cdc_changes_feed": _q_cdc_changes_feed,
@@ -2597,6 +2626,41 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT user_id, value AS last_value, epoch_us(ts) AS last_ts_us
         FROM latest WHERE event_type <> 'error'
+        """,
+        "cdc_patch_merge": """
+        WITH ev AS (
+          SELECT user_id AS uid, event_id AS ord,
+                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                 CASE WHEN event_type = 'view' THEN value END AS view_val,
+                 CASE WHEN event_type = 'purchase' THEN value END AS purchase_val,
+                 CASE WHEN event_type = 'click' THEN props END AS click_props
+          FROM events
+        ), g AS (
+          SELECT uid,
+                 max(ord) FILTER (WHERE op = 'D') AS dord,
+                 max(ord) FILTER (WHERE op = 'U') AS uord,
+                 max(ord) AS last_ord,
+                 max_by(view_val, ord)
+                   FILTER (WHERE op = 'U' AND view_val IS NOT NULL) AS vv,
+                 max(ord) FILTER (WHERE op = 'U' AND view_val IS NOT NULL) AS vo,
+                 max_by(purchase_val, ord)
+                   FILTER (WHERE op = 'U' AND purchase_val IS NOT NULL) AS pv,
+                 max(ord) FILTER (WHERE op = 'U' AND purchase_val IS NOT NULL) AS po,
+                 max_by(click_props, ord)
+                   FILTER (WHERE op = 'U' AND click_props IS NOT NULL) AS cv,
+                 max(ord) FILTER (WHERE op = 'U' AND click_props IS NOT NULL) AS co
+          FROM ev GROUP BY uid
+        )
+        SELECT uid,
+               CASE WHEN vo IS NOT NULL AND (dord IS NULL OR vo > dord)
+                    THEN vv END AS view_val,
+               CASE WHEN po IS NOT NULL AND (dord IS NULL OR po > dord)
+                    THEN pv END AS purchase_val,
+               CASE WHEN co IS NOT NULL AND (dord IS NULL OR co > dord)
+                    THEN cv END AS click_props,
+               (dord IS NOT NULL AND (uord IS NULL OR uord < dord)) AS is_deleted,
+               last_ord
+        FROM g
         """,
         "cdc_ingest_metrics": """
         SELECT event_type,

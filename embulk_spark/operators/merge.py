@@ -79,6 +79,83 @@ def dedup_latest(
     )
 
 
+def patch_latest_per_key(
+    batch: DataFrame,
+    key: str = "url",
+    order=ORDER_COLS,
+    payload: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Column-level CDC patch merge for MINIMAL row images.
+
+    Sources like MySQL binlog_row_image=minimal / Debezium's partial
+    updates ship only the columns an UPDATE touched; untouched columns
+    arrive NULL. ``dedup_latest``'s whole-row newer-wins would null them
+    out, so this resolves each payload column INDEPENDENTLY: the final
+    value of column c for a key is the value of the latest 'U' event
+    that set c (non-null), unless a later 'D' wiped the row — a delete
+    resets every column, and only patches after it rebuild the row.
+    Keys whose last 'U' precedes the last 'D' come back with
+    ``is_deleted=true`` and all payload NULL (the tombstone convention
+    shared with merge_upsert).
+
+    ONE hash aggregation with map-side partial combine — per key and
+    column only the latest setter crosses the shuffle, never the event
+    stream (the same scale argument as dedup_latest: no window, no
+    per-key sort of history). Per column the agg is
+    ``max(when(set, struct(order, value)))`` — the arg-max-via-struct
+    idiom — plus two order-only maxes for the delete fence; the
+    delete-fence comparison happens post-agg on the one reduced row.
+    Exact duplicate deliveries carry identical (order, value) and
+    collapse; ``order`` ties between distinct values resolve by value
+    (document ties away by making ``order`` unique, as the lake's
+    (warc_ts, seq) is).
+
+    Limitations (inherent to minimal images, same as Debezium's): a
+    true SET col = NULL is indistinguishable from "not updated" —
+    upstreams that need it must send a sentinel or full row images.
+    ``op_col`` values must be 'U' (upsert/patch) or 'D' (delete).
+    """
+    ord_s = F.struct(*[F.col(c) for c in order])
+    payload = payload or [
+        c for c in batch.columns if c not in {key, op_col, *order}
+    ]
+    is_u = F.col(op_col) != "D"
+    aggs = [
+        F.max(F.when(~is_u, ord_s)).alias("_d"),
+        F.max(F.when(is_u, ord_s)).alias("_u"),
+        F.max(ord_s).alias("_last"),
+    ] + [
+        F.max(
+            F.when(
+                is_u & F.col(c).isNotNull(),
+                F.struct(ord_s.alias("o"), F.col(c).alias("v")),
+            )
+        ).alias(f"_p_{c}")
+        for c in payload
+    ]
+    g = batch.groupBy(key).agg(*aggs)
+
+    def alive(o: Column) -> Column:
+        return F.col("_d").isNull() | (o > F.col("_d"))
+
+    return g.select(
+        key,
+        *[
+            F.when(
+                F.col(f"_p_{c}").isNotNull() & alive(F.col(f"_p_{c}.o")),
+                F.col(f"_p_{c}.v"),
+            ).alias(c)
+            for c in payload
+        ],
+        (
+            F.col("_d").isNotNull()
+            & (F.col("_u").isNull() | (F.col("_u") < F.col("_d")))
+        ).alias("is_deleted"),
+        *[F.col(f"_last.{c}").alias(f"last_{c}") for c in order],
+    )
+
+
 def changes_to_target_rows(
     batch_latest: DataFrame, carry: list[str] | None = None
 ) -> DataFrame:
