@@ -812,6 +812,60 @@ def _q_lake_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered compaction (streaming/zorder.py, Delta
+    OPTIMIZE ZORDER BY analogue): two INDEPENDENT numeric payload
+    dimensions (a = event_id % 251, b = event_id % 257 — CRT-independent
+    over the fixture range), compacted under cluster_mode='zorder' so
+    manifest per-file stats prune a selective predicate on EITHER
+    column (asserted for both; a lexicographic sort could only serve
+    the leading one). Result ≡ published().filter(b < 32)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("ev://"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("event_type").alias("lang"),
+        F.pmod(F.col("event_id"), F.lit(251)).alias("a"),
+        F.pmod(F.col("event_id"), F.lit(257)).alias("b"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_zorder_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(
+        spark, f"{work}/t", n_buckets=2, compact_min_deltas=10_000,
+        stats_columns=("a", "b"), sort_columns=("a", "b"),
+        cluster_mode="zorder",
+    )
+    table.add_column("a", "long")
+    table.add_column("b", "long")
+    table.merge_epoch(changes, 0, extract=False)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        table.compact()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    pa = table.scan_plan([("a", "<", 32)])
+    pb = table.scan_plan([("b", "<", 32)])
+    if not (pa["files_skipped"] > 0 and pb["files_skipped"] > 0):
+        raise AssertionError(f"zorder pruned nothing: a={pa} b={pb}")
+    return table.scan_where([("b", "<", 32)]).select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        "a",
+        "b",
+        "lang",
+    )
+
+
 def _q_lake_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned point lookup over the MOR lake — Parquet's column
     bloom index hoisted into the manifest (streaming/filestats.py bloom
@@ -2233,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_lookup_bloom": _q_lake_lookup_bloom,
         "lake_key_history": _q_lake_key_history,
         "lake_scan_semi": _q_lake_scan_semi,
+        "lake_zorder_scan": _q_lake_zorder_scan,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
         "coerce_setters": _q_coerce_setters,
@@ -3209,6 +3264,15 @@ def oracle_sql() -> dict[str, str]:
         FROM ranged
         WHERE rn = 1 AND event_type <> 'error'
           AND user_id IN (SELECT user_id FROM probe)
+        """,
+        "lake_zorder_scan": """
+        SELECT 'ev://' || event_id AS url,
+               event_id AS seq,
+               event_id % 251 AS a,
+               event_id % 257 AS b,
+               event_type AS lang
+        FROM events
+        WHERE event_id % 257 < 32
         """,
         "lake_key_history": """
         WITH v AS (

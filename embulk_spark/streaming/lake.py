@@ -137,8 +137,13 @@ class ParquetLakeTable:
         feed_retain_epochs: int | None = None,
         stats_columns: tuple[str, ...] | list[str] = (),
         sort_columns: tuple[str, ...] | list[str] = (),
+        cluster_mode: str = "range",
         key_bloom: bool = False,
     ) -> None:
+        if cluster_mode not in ("range", "zorder"):
+            raise ValueError(
+                f"cluster_mode must be 'range' or 'zorder', got {cluster_mode!r}"
+            )
         if compact_mode not in ("full", "hot"):
             raise ValueError(
                 f"compact_mode must be 'full' or 'hot', got {compact_mode!r}"
@@ -190,6 +195,14 @@ class ParquetLakeTable:
         #: moves from pure url to (sort_columns, url), so point lookups
         #: scan a few more row-groups per file.
         self.sort_columns = tuple(sort_columns)
+        #: how compaction clusters sort_columns within a bucket:
+        #: "range" (default) = lexicographic range partition — tightest
+        #: files on the LEADING column, no pruning on the others;
+        #: "zorder" (≥2 sort columns) = Morton-interleaved quantile
+        #: ranks (streaming/zorder.py — Delta OPTIMIZE ZORDER BY), so
+        #: per-file stats prune on ANY z-ordered column. Costs one extra
+        #: approxQuantile pass per fold, maintenance-path only.
+        self.cluster_mode = cluster_mode
         #: per-file merge-key bloom filters in the manifest (streaming/
         #: filestats.py — Parquet's bloom index hoisted to the manifest so
         #: the DRIVER plans around it): each write's stats pass also packs
@@ -1992,7 +2005,23 @@ class ParquetLakeTable:
             nb, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
         sort_cols = [c for c in self.sort_columns if c in merged.columns]
-        if sort_cols:
+        if sort_cols and self.cluster_mode == "zorder" and len(sort_cols) >= 2:
+            # Morton clustering (streaming/zorder.py): files become
+            # hyper-rectangles in sort-column space so manifest stats
+            # prune on ANY of the columns. One extra quantile pass over
+            # the merge (like the range branch's sampling pass, also
+            # maintenance-only); the write is still ONE range shuffle.
+            from .zorder import quantile_edges, z_value
+
+            edges = quantile_edges(merged, sort_cols)
+            salted = merged.withColumn("bucket", F.col("bkt")).withColumn(
+                "_z", z_value(merged, sort_cols, edges)
+            )
+            salted = salted.repartitionByRange(n_parts, "bucket", "_z")
+            salted = salted.sortWithinPartitions("bucket", "_z", "url").drop(
+                "_z"
+            )
+        elif sort_cols:
             # Iceberg write sort-order: range-partition on (bucket,
             # *sort_columns) so a bucket's files hold DISJOINT sort-key
             # ranges — per-file manifest stats then skip whole files for
