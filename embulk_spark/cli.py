@@ -165,6 +165,23 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "show",
+        help="read a lake table's published rows, optionally "
+             "time-traveled (--version N, --tag NAME, or --as-of "
+             "'2026-01-01T12:00:00' / epoch seconds)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--tag", default=None)
+    sp.add_argument("--as-of", default=None,
+                    help="wall-clock instant: ISO 8601 (naive = UTC) or "
+                         "epoch seconds")
+    sp.add_argument("--rows", type=int, default=20)
+    sp.add_argument("--count", action="store_true",
+                    help="print only the row count")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "verify",
         help="anti-entropy: recompute the expected final state from a "
              "raw change-event log and diff it against the lake table "
@@ -426,6 +443,37 @@ def main(argv: list[str] | None = None) -> int:
 
         table = ParquetLakeTable(spark, args.table)
         print(json.dumps(table.rollback_to(args.to_version)))
+        return 0
+
+    if args.cmd == "show":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        picked = sum(x is not None for x in (args.version, args.tag, args.as_of))
+        if picked > 1:
+            ap.error("--version, --tag, and --as-of are mutually exclusive")
+        if args.as_of is not None:
+            try:
+                ts = float(args.as_of)
+            except ValueError:
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(args.as_of)
+            df = table.read_as_of(ts)
+        elif args.tag is not None:
+            df = table.read_tag(args.tag)
+        elif args.version is not None:
+            df = (
+                table.read(version=args.version)
+                .filter("NOT is_deleted")
+                .drop("is_deleted", "bkt")
+            )
+        else:
+            df = table.published()
+        if args.count:
+            print(df.count())
+        else:
+            df.show(args.rows, truncate=False)
         return 0
 
     if args.cmd == "verify":

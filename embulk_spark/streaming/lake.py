@@ -56,7 +56,7 @@ import shutil
 import threading
 import time
 import uuid
-from datetime import timezone
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2777,6 +2777,46 @@ class ParquetLakeTable:
             raise ValueError(f"unknown tag {name!r} (have {sorted(tags)})")
         return (
             self.read(version=tags[name])
+            .filter(~F.col("is_deleted"))
+            .drop("is_deleted", "bkt")
+        )
+
+    def version_as_of(self, ts) -> int:
+        """Newest snapshot version whose commit wall-clock is ≤ ``ts``
+        (Iceberg's TIMESTAMP AS OF). ``ts`` is epoch seconds or a
+        datetime (naive = UTC). Driver-side metadata walk over the
+        snapshot log — O(retained snapshots), no data IO. Resolution is
+        by max qualifying VERSION, not max committed_at, so a wall-clock
+        step backwards between commits (NTP) can't make time travel
+        non-monotone; snapshots missing a clock (pre-feature files)
+        count as always-eligible. Raises if ``ts`` precedes the first
+        retained commit — expired history is a hard error, not a silent
+        older-state read."""
+        if isinstance(ts, datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            ts = ts.timestamp()
+        best = None
+        for fn in self._snapshot_files():
+            with open(os.path.join(self._snap_dir, fn)) as f:
+                snap = json.load(f)
+            if float(snap.get("committed_at", 0.0)) <= ts:
+                v = int(snap["version"])
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before ts={ts} "
+                "(history expired or table younger than ts)"
+            )
+        return best
+
+    def read_as_of(self, ts) -> DataFrame:
+        """Published rows as of a wall-clock instant (timestamp time
+        travel): ``read(version=version_as_of(ts))`` with tombstones
+        filtered — the audit/debug read path ("what did the table serve
+        at 14:02?")."""
+        return (
+            self.read(version=self.version_as_of(ts))
             .filter(~F.col("is_deleted"))
             .drop("is_deleted", "bkt")
         )

@@ -360,3 +360,75 @@ def test_consume_changes_exactly_once(spark, tmp_path):
     got = {(r.url, r.seq) for r in rebuilt.collect()}
     want = {(r.url, r.seq) for r in table.published().collect()}
     assert got == want
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel: each snapshot's committed_at bounds what
+    read_as_of serves; a ts between commits serves the EARLIER state,
+    a pre-history ts raises, datetime and float inputs agree."""
+    import json
+    from datetime import datetime, timezone
+
+    table, _ = _replayed_table(spark, str(tmp_path / "t"))
+    snaps = []
+    for fn in sorted(os.listdir(table._snap_dir)):
+        with open(os.path.join(table._snap_dir, fn)) as f:
+            snaps.append(json.load(f))
+    assert len(snaps) >= 3
+    # exactly at each commit instant → that version
+    for s in snaps:
+        assert table.version_as_of(s["committed_at"]) == s["version"]
+    # strictly between v1 and v2 commits → still v1 (monotone floor)
+    mid = (snaps[1]["committed_at"] + snaps[2]["committed_at"]) / 2
+    if snaps[2]["committed_at"] > snaps[1]["committed_at"]:
+        assert table.version_as_of(mid) == snaps[1]["version"]
+    got = sorted(
+        r["url"] for r in table.read_as_of(snaps[1]["committed_at"]).collect()
+    )
+    want = sorted(
+        r["url"]
+        for r in table.read(version=1).filter(~F.col("is_deleted")).collect()
+    )
+    assert got == want
+    # datetime input (UTC-aware and naive-as-UTC) matches the float form
+    dt = datetime.fromtimestamp(snaps[1]["committed_at"], tz=timezone.utc)
+    assert table.version_as_of(dt) == snaps[1]["version"]
+    assert table.version_as_of(dt.replace(tzinfo=None)) == snaps[1]["version"]
+    # future ts → current; prehistoric ts → error
+    assert table.version_as_of(snaps[-1]["committed_at"] + 1e6) == snaps[-1][
+        "version"
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.version_as_of(snaps[0]["committed_at"] - 1e6)
+
+
+def test_cli_show_time_travel(spark, tmp_path, capsys):
+    from embulk_spark import cli
+
+    path = str(tmp_path / "t")
+    table, _ = _replayed_table(spark, path)
+    v1_rows = table.read(version=1).filter(~F.col("is_deleted")).count()
+    cur_rows = table.published().count()
+    table.tag("rel1", version=1)
+    import json as _json
+
+    with open(os.path.join(table._snap_dir, "v00000001.json")) as f:
+        t1 = _json.load(f)["committed_at"]
+
+    assert cli.main(["show", path, "--count"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == str(cur_rows)
+    assert cli.main(["show", path, "--version", "1", "--count"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == str(v1_rows)
+    assert cli.main(["show", path, "--tag", "rel1", "--count"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == str(v1_rows)
+    assert cli.main(["show", path, "--as-of", str(t1), "--count"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == str(v1_rows)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    assert cli.main(["show", path, "--as-of", iso, "--count"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == str(v1_rows)
