@@ -132,6 +132,7 @@ def main() -> None:
     qs = entrymod.queries()
     bench_queries = [
         "cdc_latest_per_key",
+        "cdc_patch_merge",
         "cdc_apply_upsert",
         "cdc_replicate",
         "agg_pricing_summary",
