@@ -1301,6 +1301,48 @@ def _q_join_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (3-way join with per-side pushdown filters):
+    revenue of unshipped BUILDING-segment orders as of a cutoff date.
+    Customer filter broadcast into orders, orders⋈lineitem as the one
+    big equi-join (AQE plans it); both date filters push to the scans.
+    Top-10 by revenue with deterministic orderkey tiebreak."""
+    cutoff = "1998-03-15"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -2333,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_revenue_topk": _q_join_revenue_topk,
+        "join_shipping_priority": _q_join_shipping_priority,
         "window_topk_per_group": _q_window_topk_per_group,
         "dup_clusters": _q_dup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
@@ -3419,6 +3462,21 @@ def oracle_sql() -> dict[str, str]:
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_custkey, c_name
         ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+        """,
+        "join_shipping_priority": """
+        SELECT l_orderkey,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               o_orderpriority,
+               sum(((l_extendedprice * (1 - l_discount))::decimal(18,4)))::double
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
         "window_topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (

@@ -1330,8 +1330,10 @@ class ParquetLakeTable:
         df = self.published() if published else self.read()
         if filters:
             df = df.filter(self._pred_column(list(filters), self.schema()))
+        # no distinct on the probe: a semi join ignores duplicate matches,
+        # and pre-deduping a huge probe would be a second full shuffle
         return df.join(
-            probe.select(F.col(probe_col).alias("url")).distinct(),
+            probe.select(F.col(probe_col).alias("url")),
             "url",
             "left_semi",
         )
