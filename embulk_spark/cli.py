@@ -446,28 +446,35 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "show":
+        import os as _os
+
         from .streaming.lake import ParquetLakeTable
 
+        # inspection must not BOOTSTRAP: the constructor creates dirs +
+        # a v0 snapshot, so a typo'd path would print 0 rows and leave a
+        # junk empty table behind
+        if not _os.path.isdir(_os.path.join(args.table, "snapshots")):
+            print(f"error: no lake table at {args.table!r}", file=sys.stderr)
+            return 1
         table = ParquetLakeTable(spark, args.table)
         picked = sum(x is not None for x in (args.version, args.tag, args.as_of))
         if picked > 1:
             ap.error("--version, --tag, and --as-of are mutually exclusive")
         if args.as_of is not None:
-            try:
-                ts = float(args.as_of)
-            except ValueError:
-                from datetime import datetime
+            # ISO first: digit-only strings like '2026' or '20260819'
+            # are almost always dates, and float-first would silently
+            # read them as 1970-era epoch SECONDS
+            from datetime import datetime
 
+            try:
                 ts = datetime.fromisoformat(args.as_of)
+            except ValueError:
+                ts = float(args.as_of)
             df = table.read_as_of(ts)
         elif args.tag is not None:
             df = table.read_tag(args.tag)
         elif args.version is not None:
-            df = (
-                table.read(version=args.version)
-                .filter("NOT is_deleted")
-                .drop("is_deleted", "bkt")
-            )
+            df = table.published(version=args.version)
         else:
             df = table.published()
         if args.count:

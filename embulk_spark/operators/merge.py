@@ -116,10 +116,39 @@ def patch_latest_per_key(
     upstreams that need it must send a sentinel or full row images.
     ``op_col`` values must be 'U' (upsert/patch) or 'D' (delete).
     """
+    from pyspark.sql import types as T
+
+    def _orderable(dt: T.DataType) -> bool:
+        # mirrors Catalyst's RowOrdering.isOrderable: maps never are,
+        # containers are orderable iff their elements are
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     ord_s = F.struct(*[F.col(c) for c in order])
-    payload = payload or [
-        c for c in batch.columns if c not in {key, op_col, *order}
-    ]
+    if payload is None:
+        # auto-detect: only orderable columns (the arg-max is max(struct),
+        # which Catalyst rejects for e.g. map columns)
+        payload = [
+            c
+            for c in batch.columns
+            if c not in {key, op_col, *order}
+            and _orderable(batch.schema[c].dataType)
+        ]
+    else:
+        bad = [
+            c for c in payload if not _orderable(batch.schema[c].dataType)
+        ]
+        if bad:
+            raise ValueError(
+                f"patch_latest_per_key payload columns {bad} have"
+                " non-orderable types (e.g. map) — max(struct(order,"
+                " value)) can't aggregate them; serialize to_json first"
+            )
     is_u = F.col(op_col) != "D"
     aggs = [
         F.max(F.when(~is_u, ord_s)).alias("_d"),

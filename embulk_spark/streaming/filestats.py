@@ -37,6 +37,7 @@ missing stats always degrade to "could match" (a full, correct scan).
 from __future__ import annotations
 
 import base64
+import functools
 import hashlib
 import os
 from datetime import date, datetime, timezone
@@ -219,11 +220,18 @@ BLOOM_MAX_BITS = 1 << 19
 BLOOM_SALT = "kb"
 
 
-def _host_positions(value: str, m_bits: int, k: int) -> list[int]:
+@functools.lru_cache(maxsize=65536)
+def _host_positions(value: str, m_bits: int, k: int) -> tuple[int, ...]:
     """Driver-side replica of operators/bloom.py::_position — first 15
     md5 hex chars (60 bits) of ``"{salt}{i}:" + value``, mod m. Bit-for-
-    bit parity with the Spark build side is pinned by tests."""
-    return [
+    bit parity with the Spark build side is pinned by tests.
+
+    Memoized on (value, geometry): a multi-key scan (scan_semi's 10k-key
+    default) probes every key against every candidate file's bloom, and
+    files sharing a geometry — all of them, under one table config —
+    reuse the k digests per key instead of recomputing them per (key,
+    file): O(keys·k) hashing total, not O(keys·files·k)."""
+    return tuple(
         int(
             hashlib.md5(
                 f"{BLOOM_SALT}{i}:{value}".encode("utf-8")
@@ -232,7 +240,7 @@ def _host_positions(value: str, m_bits: int, k: int) -> list[int]:
         )
         % m_bits
         for i in range(k)
-    ]
+    )
 
 
 def bloom_maybe_contains(kb: dict, value: str) -> bool:

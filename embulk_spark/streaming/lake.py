@@ -278,6 +278,16 @@ class ParquetLakeTable:
         # (every data-placement op re-reads it from its captured snapshot,
         # so even a concurrent rebucket can't skew this handle).
         self.n_buckets = self._nb(self.current_snapshot())
+        if self.cluster_mode == "zorder" and len(self.sort_columns) >= 2:
+            # fail FAST on an unquantizable zorder layout: without this,
+            # a bad sort column only surfaces when auto-maintenance first
+            # folds — hours into ingest — and every later compaction
+            # repeats the failure. Validates against the live snapshot
+            # schema (covers evolved columns); columns added later
+            # re-validate in add_column.
+            from .zorder import validate_zorder_columns
+
+            validate_zorder_columns(self.schema(), self.sort_columns)
 
     # ------------------------------------------------------------------
     # snapshot bookkeeping
@@ -497,9 +507,16 @@ class ParquetLakeTable:
         both = delta if base is None else base.unionByName(delta)
         return dedup_latest(both)
 
-    def published(self) -> DataFrame:
-        """Final user-facing state (tombstones filtered)."""
-        return self.read().filter(~F.col("is_deleted")).drop("is_deleted", "bkt")
+    def published(self, *, version: int | None = None) -> DataFrame:
+        """Final user-facing state (tombstones filtered); ``version``
+        time-travels — the ONE definition of the published view, shared
+        by read_tag/read_as_of/CLI so the tombstone/bkt convention can
+        never diverge between them."""
+        return (
+            self.read(version=version)
+            .filter(~F.col("is_deleted"))
+            .drop("is_deleted", "bkt")
+        )
 
     # ------------------------------------------------------------------
     # stats-pruned scans (streaming/filestats.py — Iceberg scan planning)
@@ -2013,11 +2030,11 @@ class ParquetLakeTable:
             # prune on ANY of the columns. One extra quantile pass over
             # the merge (like the range branch's sampling pass, also
             # maintenance-only); the write is still ONE range shuffle.
-            from .zorder import quantile_edges, z_value
+            from .zorder import quantile_edges, with_z_column
 
             edges = quantile_edges(merged, sort_cols)
-            salted = merged.withColumn("bucket", F.col("bkt")).withColumn(
-                "_z", z_value(merged, sort_cols, edges)
+            salted = with_z_column(
+                merged.withColumn("bucket", F.col("bkt")), sort_cols, edges
             )
             salted = salted.repartitionByRange(n_parts, "bucket", "_z")
             salted = salted.sortWithinPartitions("bucket", "_z", "url").drop(
@@ -2371,6 +2388,16 @@ class ParquetLakeTable:
         # simpleString/DDL names ('bigint', 'decimal(10,2)') — evolve-mode
         # replication feeds simpleString() forms here
         dt = T.StructType.fromDDL(f"x {spark_type}")[0].dataType
+        if (
+            self.cluster_mode == "zorder"
+            and len(self.sort_columns) >= 2
+            and name in self.sort_columns
+        ):
+            from .zorder import validate_zorder_columns
+
+            validate_zorder_columns(
+                T.StructType().add(name, dt), self.sort_columns
+            )
         while True:
             snap = self.current_snapshot()
             cur = self.schema(snap)
@@ -2777,11 +2804,7 @@ class ParquetLakeTable:
         tags = self.tags()
         if name not in tags:
             raise ValueError(f"unknown tag {name!r} (have {sorted(tags)})")
-        return (
-            self.read(version=tags[name])
-            .filter(~F.col("is_deleted"))
-            .drop("is_deleted", "bkt")
-        )
+        return self.published(version=tags[name])
 
     def version_as_of(self, ts) -> int:
         """Newest snapshot version whose commit wall-clock is ≤ ``ts``
@@ -2814,14 +2837,9 @@ class ParquetLakeTable:
 
     def read_as_of(self, ts) -> DataFrame:
         """Published rows as of a wall-clock instant (timestamp time
-        travel): ``read(version=version_as_of(ts))`` with tombstones
-        filtered — the audit/debug read path ("what did the table serve
-        at 14:02?")."""
-        return (
-            self.read(version=self.version_as_of(ts))
-            .filter(~F.col("is_deleted"))
-            .drop("is_deleted", "bkt")
-        )
+        travel): ``published(version=version_as_of(ts))`` — the
+        audit/debug read path ("what did the table serve at 14:02?")."""
+        return self.published(version=self.version_as_of(ts))
 
     # ------------------------------------------------------------------
     # branches: named mutable refs + fast-forward publish (Iceberg

@@ -41,6 +41,41 @@ from pyspark.sql import types as T
 Z_BITS = 6
 
 
+def zorder_supported(dtype: T.DataType) -> bool:
+    """Types with a monotone numeric view (quantile/bin space)."""
+    return isinstance(
+        dtype,
+        (T.NumericType, T.BooleanType, T.TimestampType, T.DateType),
+    )
+
+
+def validate_zorder_columns(
+    schema: T.StructType, cols, *, bits: int = Z_BITS
+) -> None:
+    """Fail-FAST check for a zorder layout: raises the same errors the
+    write path would, but callable at table construction / DDL time —
+    without it a bad sort column only surfaces when auto-maintenance
+    first folds (hours into ingest), and every later compaction repeats
+    the failure. Columns absent from ``schema`` are skipped (they may be
+    added later; add_column re-validates)."""
+    present = [c for c in cols if c in schema.fieldNames()]
+    for c in present:
+        dt = schema[c].dataType
+        if not zorder_supported(dt):
+            raise ValueError(
+                f"zorder column {c!r} has unsupported type"
+                f" {dt.simpleString()} (numeric/timestamp/date only —"
+                " string ranges don't quantize; use lexicographic"
+                " sort_columns or a key bloom for equality)"
+            )
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder bit budget overflow: {len(cols)} columns ×"
+            f" {bits} bits > 63 (a LongType Morton key); reduce the"
+            " column count or bits"
+        )
+
+
 def _as_double(name: str, dtype: T.DataType) -> Column:
     """Monotone numeric view of a sortable column (quantile/bin space)."""
     if isinstance(dtype, T.TimestampType):
@@ -79,31 +114,67 @@ def quantile_edges(
     return {c: qs[i] for i, c in enumerate(cols)}
 
 
+def _bin_column(df: DataFrame, c: str, edges: list[float]) -> Column:
+    """bin = #edges ≤ value, via an ``aggregate`` HOF over the constant
+    edge array (foldable literals); nulls bin to 0 (sort first)."""
+    d = _as_double(c, df.schema[c].dataType)
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.aggregate(
+        earr,
+        F.lit(0),
+        lambda acc, e: acc + F.when(d.isNotNull() & (d >= e), 1).otherwise(0),
+    )
+
+
+def _interleave(bins: list[Column], k: int, bits: int) -> Column:
+    """Morton interleave of pre-computed bin columns: bit j of column i
+    lands at position ``j * k + i`` so all columns share the high bits
+    equally. ``k * bits`` must fit a signed long (validated)."""
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder bit budget overflow: {k} columns × {bits} bits > 63"
+        )
+    parts: list[Column] = []
+    for i, b in enumerate(bins):
+        for j in range(bits):
+            parts.append(
+                F.shiftright(b, j).bitwiseAND(F.lit(1)).cast("long")
+                * F.lit(1 << (j * k + i)).cast("long")
+            )
+    return functools.reduce(operator.add, parts)
+
+
 def z_value(
     df: DataFrame, cols: list[str], edges: dict[str, list[float]],
     *, bits: int = Z_BITS,
 ) -> Column:
-    """The Morton key as a pure JVM Column.
+    """The Morton key as ONE pure JVM Column expression (bin + interleave
+    inlined — each bin's edge fold is referenced ``bits`` times, so
+    prefer ``with_z_column`` in write paths; this form exists for tests
+    and single-use expressions)."""
+    bins = [_bin_column(df, c, edges[c]) for c in cols]
+    return _interleave(bins, len(cols), bits).alias("_z")
 
-    Per column: bin = #edges ≤ value, via an ``aggregate`` HOF over the
-    constant edge array (foldable literals — Catalyst constant-folds the
-    array; the fold is codegen'd, no Python). Interleave: bit j of
-    column i lands at position ``j * k + i`` so all columns share the
-    high bits equally."""
+
+def with_z_column(
+    df: DataFrame, cols: list[str], edges: dict[str, list[float]],
+    *, bits: int = Z_BITS, name: str = "_z",
+) -> DataFrame:
+    """``df`` plus the Morton key as column ``name``, with each column's
+    edge-array fold evaluated ONCE: bins materialize in a first
+    projection, the interleave references them from a second.
+    ``aggregate`` is a CodegenFallback expression, so inlining it into
+    every shift/mask term (as the one-Column form does) re-runs the
+    whole fold per output bit; the two-step projection keeps the
+    per-row cost at one fold per column (Catalyst's CollapseProject
+    keeps multi-referenced non-trivial expressions materialized)."""
     k = len(cols)
-    parts: list[Column] = []
-    for i, c in enumerate(cols):
-        d = _as_double(c, df.schema[c].dataType)
-        earr = F.array(*[F.lit(float(e)) for e in edges[c]])
-        bin_c = F.aggregate(
-            earr,
-            F.lit(0),
-            lambda acc, e: acc
-            + F.when(d.isNotNull() & (d >= e), 1).otherwise(0),
-        )
-        for j in range(bits):
-            parts.append(
-                F.shiftright(bin_c, j).bitwiseAND(F.lit(1)).cast("long")
-                * F.lit(1 << (j * k + i)).cast("long")
-            )
-    return functools.reduce(operator.add, parts).alias("_z")
+    tmp = [f"_zb{i}" for i in range(k)]
+    out = df.select(
+        "*", *[_bin_column(df, c, edges[c]).alias(t)
+               for c, t in zip(cols, tmp)]
+    )
+    out = out.withColumn(
+        name, _interleave([F.col(t) for t in tmp], k, bits)
+    )
+    return out.drop(*tmp)

@@ -103,7 +103,9 @@ def test_host_positions_match_spark_build_side(spark):
         ],
     ).collect()
     for r in got:
-        assert [r[f"p{i}"] for i in range(k)] == _host_positions(r["v"], m, k)
+        assert tuple(r[f"p{i}"] for i in range(k)) == tuple(
+            _host_positions(r["v"], m, k)
+        )
 
 
 def test_bloom_cap_omits_oversized_files(spark, tmp_path, monkeypatch):

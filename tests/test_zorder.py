@@ -11,8 +11,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from embulk_spark.streaming.lake import ParquetLakeTable
-from embulk_spark.streaming.zorder import quantile_edges, z_value
+from embulk_spark.streaming.zorder import (
+    quantile_edges,
+    validate_zorder_columns,
+    with_z_column,
+    z_value,
+)
 
 
 def _morton(a: int, b: int, bits: int) -> int:
@@ -36,6 +43,12 @@ def test_z_value_matches_python_morton(spark):
     }
     for a, b in rows:
         assert got[(a, b)] == _morton(a, b, 3), (a, b)
+    # the write path's two-step (bin-materializing) form is bit-equal
+    got2 = {
+        (r["a"], r["b"]): r["_z"]
+        for r in with_z_column(df, ["a", "b"], edges, bits=3).collect()
+    }
+    assert got2 == got
 
 
 def test_quantile_edges_are_monotone_and_skew_adaptive(spark):
@@ -134,7 +147,57 @@ def test_zorder_single_sort_column_falls_back_to_range(spark, tmp_path):
 
 
 def test_cluster_mode_validated():
-    import pytest
-
     with pytest.raises(ValueError, match="cluster_mode"):
         ParquetLakeTable(None, "/tmp/x", cluster_mode="hilbert")
+
+
+def test_zorder_layout_fails_fast(spark, tmp_path):
+    # a string sort column must be rejected at CONSTRUCTION, not hours
+    # later when auto-maintenance first folds
+    with pytest.raises(ValueError, match="unsupported type"):
+        ParquetLakeTable(
+            spark, str(tmp_path / "t1"), n_buckets=2,
+            sort_columns=("lang", "seq"), cluster_mode="zorder",
+        )
+    # bit-budget overflow (11 cols x 6 bits > 63) also fails fast
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="bit budget"):
+        validate_zorder_columns(
+            T.StructType(), [f"c{i}" for i in range(11)]
+        )
+    # an add_column that would make a zorder sort column unquantizable
+    # is rejected at DDL time
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "t2"), n_buckets=2,
+        sort_columns=("a", "seq"), cluster_mode="zorder",
+    )
+    with pytest.raises(ValueError, match="unsupported type"):
+        table.add_column("a", "string")
+    table.add_column("a", "long")  # numeric is fine
+
+
+def test_patch_merge_rejects_map_payload(spark):
+    from embulk_spark.operators.merge import patch_latest_per_key
+
+    df = spark.createDataFrame(
+        [("k", 1, "U", {"x": "1"})],
+        "k string, o int, op string, m map<string,string>",
+    )
+    # auto-detect skips the non-orderable map column
+    out = patch_latest_per_key(df, key="k", order=("o",))
+    assert "m" not in out.columns
+    # asking for it explicitly is a clear error, not an AnalysisException
+    with pytest.raises(ValueError, match="non-orderable"):
+        patch_latest_per_key(df, key="k", order=("o",), payload=["m"])
+
+
+def test_cli_show_refuses_to_bootstrap(spark, tmp_path, capsys):
+    from embulk_spark import cli
+
+    missing = str(tmp_path / "no_such_table")
+    assert cli.main(["show", missing, "--count"]) == 1
+    assert "no lake table" in capsys.readouterr().err
+    import os
+
+    assert not os.path.exists(missing)  # nothing was created
