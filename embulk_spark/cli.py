@@ -257,6 +257,10 @@ def main(argv: list[str] | None = None) -> int:
                          "partial fold; empty string = delta binpack")
     sp.add_argument("--tombstone-retention-ts", default=None,
                     help="drop tombstones older than this watermark")
+    sp.add_argument("--target-file-bytes", type=int, default=None,
+                    help="size the fold's output to ~this many bytes per "
+                         "file (Delta OPTIMIZE target file size); default "
+                         "follows spark.sql.shuffle.partitions")
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
@@ -535,7 +539,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from .streaming.lake import ParquetLakeTable
 
-        table = ParquetLakeTable(spark, args.table)
+        table = ParquetLakeTable(
+            spark, args.table, target_file_bytes=args.target_file_bytes
+        )
         if args.hot and args.buckets is not None:
             ap.error("--hot and --buckets are mutually exclusive")
         if args.hot:

@@ -139,6 +139,7 @@ class ParquetLakeTable:
         sort_columns: tuple[str, ...] | list[str] = (),
         cluster_mode: str = "range",
         key_bloom: bool = False,
+        target_file_bytes: int | None = None,
     ) -> None:
         if cluster_mode not in ("range", "zorder"):
             raise ValueError(
@@ -203,6 +204,15 @@ class ParquetLakeTable:
         #: per-file stats prune on ANY z-ordered column. Costs one extra
         #: approxQuantile pass per fold, maintenance-path only.
         self.cluster_mode = cluster_mode
+        #: Delta OPTIMIZE's target-file-size knob for compaction/rebucket
+        #: output: the fold sizes its write partitioning to
+        #: ceil(input_bytes / target) instead of the session's
+        #: shuffle.partitions, so a small table folds to ~1 file per
+        #: bucket (no small-file spray) and a 100 TB fold still gets
+        #: bytes-proportional parallelism without 10^6 tiny files. The
+        #: estimate is the manifest files' on-disk bytes — same parquet
+        #: domain in and out. None = legacy behavior.
+        self.target_file_bytes = target_file_bytes
         #: per-file merge-key bloom filters in the manifest (streaming/
         #: filestats.py — Parquet's bloom index hoisted to the manifest so
         #: the DRIVER plans around it): each write's stats pass also packs
@@ -1999,8 +2009,27 @@ class ParquetLakeTable:
             except CommitConflict:
                 continue  # concurrent base change: re-select and retry
 
+    def _approx_input_bytes(
+        self, snap: dict, buckets: list[int] | None = None
+    ) -> int:
+        """Manifest-derived on-disk bytes a fold will rewrite: the base
+        entries (optionally only ``buckets``) plus every pending delta
+        group (deltas aren't bucket-splittable in the manifest; they're
+        small relative to the base by the time a fold triggers). Drives
+        target_file_bytes output sizing — an estimate, not accounting."""
+        want = None if buckets is None else {int(b) for b in buckets}
+        base = [
+            e
+            for b, e in snap.get("base", {}).items()
+            if want is None or int(b) in want
+        ]
+        return self._entry_bytes(base) + self._entry_bytes(
+            snap.get("deltas", [])
+        )
+
     def _write_bucketed_base(
-        self, merged: DataFrame, snap: dict, nb: int, prefix: str
+        self, merged: DataFrame, snap: dict, nb: int, prefix: str,
+        approx_bytes: int | None = None,
     ) -> tuple[dict, int]:
         """One distributed job writing ``merged`` as a fresh bucketed base
         (bkt column already assigned under ``nb``); returns the manifest
@@ -2020,9 +2049,19 @@ class ParquetLakeTable:
         out_dir = os.path.join(self.path, rel_dir)
         from ..operators.merge import salted_repartition
 
-        n_parts = max(
-            nb, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        )
+        if self.target_file_bytes and approx_bytes is not None:
+            # bytes-proportional output: ~1 file per write partition, so
+            # n_parts ≈ files ≈ input_bytes / target (≥1 per bucket)
+            import math
+
+            n_parts = max(
+                nb, math.ceil(approx_bytes / self.target_file_bytes)
+            )
+        else:
+            n_parts = max(
+                nb,
+                int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            )
         sort_cols = [c for c in self.sort_columns if c in merged.columns]
         if sort_cols and self.cluster_mode == "zorder" and len(sort_cols) >= 2:
             # Morton clustering (streaming/zorder.py): files become
@@ -2130,7 +2169,8 @@ class ParquetLakeTable:
                 | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
             )
         new_base, total_rows = self._write_bucketed_base(
-            merged, snap, self._nb(snap), "compact"
+            merged, snap, self._nb(snap), "compact",
+            approx_bytes=self._approx_input_bytes(snap),
         )
         metrics = {
             "compaction": True,
@@ -2216,7 +2256,8 @@ class ParquetLakeTable:
                 # bucket eventually folds.
                 merged_hot = merged_hot.filter(retention)
             hot_base, hot_rows = self._write_bucketed_base(
-                merged_hot, snap, nb, "compact"
+                merged_hot, snap, nb, "compact",
+                approx_bytes=self._approx_input_bytes(snap, hot),
             )
             # residual write: no shuffle (the dedup agg already placed
             # rows); bkt+url sort within tasks so the bkt IN filter on
@@ -2334,7 +2375,8 @@ class ParquetLakeTable:
                 .withColumn("bkt", bucket_of(F.col("url"), new_n_buckets))
             )
             new_base, total_rows = self._write_bucketed_base(
-                merged, snap, new_n_buckets, "rebucket"
+                merged, snap, new_n_buckets, "rebucket",
+                approx_bytes=self._approx_input_bytes(snap),
             )
             metrics = {
                 "rebucket": True,
