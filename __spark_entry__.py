@@ -749,6 +749,107 @@ def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lake_bulk_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial bulk load (streaming/lake.py::bulk_import — Hudi bootstrap /
+    Iceberg add_files; the reference's one-shot bulk-load run,
+    EmbulkRunner.java:239-276): the events table, shaped as a snapshot
+    dump with duplicates and tombstones, lands DIRECTLY as the bucketed
+    base in one job — no per-event deltas, no compaction debt. Oracle:
+    the (ts, event_id)-latest row per user whose final op isn't a
+    delete."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    dump = ev.select(
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("seq"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("lang"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_import_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(spark, f"{work}/t", n_buckets=4)
+    out = table.bulk_import(dump, epoch_id=0, extract=False)
+    snap = table.current_snapshot()
+    assert out["rows_imported"] > 0 and snap["deltas"] == [], (
+        "bulk_import must land as base only"
+    )
+    return table.published().select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+        "lang",
+        F.col("text").alias("props"),
+    )
+
+
+def _q_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone (streaming/lake.py::clone_to — Delta
+    SHALLOW CLONE): replay epochs 0-1 into a source lake, hard-link-clone
+    it, apply epoch 2 to the CLONE only, and return the clone's state.
+    Asserted in-line: the source never advances, and the clone inherits
+    duplicate-delivery protection (re-delivering epoch 0 skips). Oracle:
+    the upsert winner per url over ALL epochs — the clone must equal the
+    state a single uncloned table would reach."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        (F.col("event_id") % 3).alias("epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_clone_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = ParquetLakeTable(spark, f"{work}/src", n_buckets=4)
+    for e in (0, 1):
+        src.merge_epoch(
+            changes.filter(F.col("epoch") == e).drop("epoch"), e,
+            extract=False,
+        )
+    src.clone_to(f"{work}/dev")
+    dev = ParquetLakeTable(spark, f"{work}/dev")
+    src_version = src.current_snapshot()["version"]
+    dup = dev.merge_epoch(
+        changes.filter(F.col("epoch") == 0).drop("epoch"), 0, extract=False
+    )
+    assert dup.get("skipped_duplicate_epoch"), (
+        "clone must inherit the committed-epoch set"
+    )
+    dev.merge_epoch(
+        changes.filter(F.col("epoch") == 2).drop("epoch"), 2, extract=False
+    )
+    assert src.current_snapshot()["version"] == src_version, (
+        "writing to the clone must not advance the source"
+    )
+    return dev.published().select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+    )
+
+
 def _q_lake_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned predicate scan over the MOR lake — Iceberg manifest
     lower/upper bounds + scan planning (streaming/filestats.py,
@@ -2325,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ingest_metrics": _q_cdc_ingest_metrics,
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_replicate": _q_cdc_replicate,
+        "lake_bulk_import": _q_lake_bulk_import,
+        "lake_clone": _q_lake_clone,
         "lake_scan_pruned": _q_lake_scan_pruned,
         "lake_lookup_bloom": _q_lake_lookup_bloom,
         "lake_key_history": _q_lake_key_history,
@@ -3258,6 +3361,30 @@ def oracle_sql() -> dict[str, str]:
                event_id AS seq,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "lake_bulk_import": """
+        WITH latest AS (
+          SELECT * FROM (
+            SELECT user_id, event_id, event_type, props, ts,
+                   row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) rn
+            FROM events
+          ) WHERE rn = 1
+        )
+        SELECT 'user://' || user_id AS url,
+               event_id AS seq,
+               epoch_us(ts) AS ts_us,
+               event_type AS lang,
+               props
+        FROM latest WHERE event_type <> 'error'
+        """,
+        "lake_clone": _LATEST_CTE
+        + """
+        SELECT 'user://' || user_id AS url,
+               event_id AS seq,
+               epoch_us(ts) AS ts_us
+        FROM latest WHERE event_type <> 'error'
         """,
         "lake_scan_pruned": """
         WITH ranged AS (

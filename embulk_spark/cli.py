@@ -285,6 +285,34 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "import",
+        help="initial bulk load: land a parquet snapshot directly as the "
+             "bucketed base of an EMPTY lake table (one job, no "
+             "delta/compaction debt); idempotent by --epoch",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("source", help="parquet path holding the snapshot rows")
+    sp.add_argument("--epoch", type=int, default=0)
+    sp.add_argument("--no-extract", action="store_true",
+                    help="don't fill text from html")
+    sp.add_argument("--n-buckets", type=int, default=16,
+                    help="bucket count if the table is being created")
+    sp.add_argument("--target-file-bytes", type=int, default=None)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
+        "clone",
+        help="zero-copy shallow clone: new independent table whose v0 is "
+             "this table's state (hard-linked data files; survives the "
+             "source's cleanup)",
+    )
+    sp.add_argument("table", help="source lake table path")
+    sp.add_argument("dest", help="destination table path (fresh dir)")
+    sp.add_argument("--version", type=int, default=None,
+                    help="clone a time-travel version instead of current")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "cleanup",
         help="expire old snapshots and remove orphaned data files "
              "(reference cli/Command.java:5, exec/BulkLoader.java:471-505)",
@@ -577,6 +605,27 @@ def main(argv: list[str] | None = None) -> int:
             n: int(e["version"]) for n, e in head["tables"].items()
         }
         out["pending_txns"] = [t["txn"] for t in cat.pending_transactions()]
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "import":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(
+            spark, args.table, n_buckets=args.n_buckets,
+            target_file_bytes=args.target_file_bytes,
+        )
+        out = table.bulk_import(
+            args.source, args.epoch, extract=not args.no_extract
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "clone":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        out = table.clone_to(args.dest, version=args.version)
         print(json.dumps(out))
         return 0
 

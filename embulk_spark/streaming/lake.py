@@ -2749,6 +2749,217 @@ class ParquetLakeTable:
                 except FileExistsError:
                     continue  # concurrent commit took the version: rebase
 
+    def bulk_import(
+        self,
+        source,
+        epoch_id: int,
+        *,
+        extract: bool = True,
+    ) -> dict:
+        """Initial bulk load (Hudi bootstrap / Iceberg ``add_files`` — and
+        the reference's one-shot bulk-load identity, EmbulkRunner's run
+        path): a snapshot-shaped ``source`` (a DataFrame or a parquet
+        path; duplicates per url resolved by the usual (warc_ts, seq)
+        order) lands DIRECTLY as the hash-bucketed base in ONE distributed
+        job — no per-event delta commits, no compaction debt, no replay.
+        At 100 TB this is the difference between one bucketed write and
+        10^10 events ground through the epoch machinery.
+
+        Requires an EMPTY base (no prior base, no pending deltas): on a
+        populated table new rows must reconcile against existing state,
+        which is ``merge_epoch``'s job. Imported rows get ``seq`` 0 unless
+        the source carries one, so any later change event outranks its
+        imported baseline. ``op``/``is_deleted`` columns are honored
+        (a changelog dump imports with its tombstones intact); other
+        missing payload columns null-fill against the current schema.
+        ``extract=True`` fills ``text`` from ``html`` (Arrow-batched UDF)
+        where the source didn't provide it. Idempotent by ``epoch_id``
+        through the same committed-epoch set as streaming commits."""
+        t0 = time.perf_counter()
+        snap = self.current_snapshot()
+        if epoch_id in set(snap["committed_epochs"]):
+            return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
+        if snap["base"] or snap["deltas"]:
+            raise ValueError(
+                "bulk_import requires an empty table (base and deltas); "
+                "route incremental rows through merge_epoch"
+            )
+        approx_bytes = None
+        if isinstance(source, str):
+            total = 0
+            for root, _dirs, fns in os.walk(source):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in fns if f.endswith(".parquet")
+                )
+            approx_bytes = total or None
+            source = self.spark.read.parquet(source)
+        cur = self.schema(snap)
+        nb = self._nb(snap)
+        df = source.filter(F.col("url").isNotNull())
+        if "is_deleted" not in df.columns and "op" in df.columns:
+            df = df.withColumn("is_deleted", F.col("op") == "D")
+        if "seq" not in df.columns:
+            df = df.withColumn("seq", F.lit(0).cast("long"))
+        for field in cur.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+        df = df.withColumn(
+            "is_deleted", F.coalesce(F.col("is_deleted"), F.lit(False))
+        )
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
+        )
+        merged = dedup_latest(df)
+        if extract and "html" in merged.columns and "text" in merged.columns:
+            merged = merged.withColumn(
+                "text",
+                F.coalesce(F.col("text"), extract_text(F.col("html"))),
+            )
+        merged = merged.withColumn("bkt", bucket_of(F.col("url"), nb))
+        new_base, total_rows = self._write_bucketed_base(
+            merged, snap, nb, "import", approx_bytes=approx_bytes
+        )
+        hll_regs = None
+        if self.url_hll:
+            from ..operators.sketch import hll_sketch
+
+            files = [f for e in new_base.values() for f in e["files"]]
+            urls = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            ).select("url")
+            hll_regs = {
+                str(r["bucket"]): int(r["rho"])
+                for r in hll_sketch(urls, "url", []).collect()
+            }
+        lineage = [
+            {"bucket": int(b), "rows": e["rows"], "files": len(e["files"])}
+            for b, e in sorted(
+                new_base.items(), key=lambda kv: int(kv[0])
+            )
+        ]
+        metrics = {
+            "import": True,
+            "epoch_id": epoch_id,
+            "rows_imported": total_rows,
+            "base_files": sum(len(e["files"]) for e in new_base.values()),
+            "bytes_written": self._entry_bytes(new_base.values()),
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
+        return self._commit(
+            snap, epoch_id, metrics=metrics, lineage=lineage,
+            new_base=new_base, new_base_rows=total_rows,
+            expect_base_of=snap, expect_nb=nb, hll_regs=hll_regs,
+        )
+
+    def clone_to(self, dest_path: str, *, version: int | None = None) -> dict:
+        """Zero-copy shallow clone (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-ref table): materialize an INDEPENDENT table at
+        ``dest_path`` whose v0 snapshot carries this table's state at
+        ``version`` (default: current). Data files and stats-manifest
+        sidecars are HARD-LINKED, not copied — O(files) metadata ops,
+        zero data bytes moved — and because a hard link pins the inode,
+        the clone survives the source's ``cleanup_orphans``/compaction
+        (Delta's documented vacuum-breaks-clones hazard doesn't apply;
+        blocks free only when BOTH tables drop the file). Cross-device
+        destinations degrade to a copy per file.
+
+        The clone keeps ``committed_epochs`` (duplicate-delivery
+        protection carries over: replaying the source's stream against
+        the clone skips already-applied epochs), schema history, bucket
+        layout, and the url HLL; it starts with fresh history (no tags,
+        branches, staged epochs, or old snapshots). Writes to either
+        table never affect the other — dev/test sandboxes over a
+        production lake for the price of the metadata. On an object
+        store, implement with absolute-URI manifests instead; the posix
+        form expresses the same O(metadata) contract."""
+        snap = (
+            self.snapshot_at(version) if version is not None
+            else self.current_snapshot()
+        )
+        dest_path = os.path.abspath(dest_path)
+        if os.path.abspath(self.path) == dest_path:
+            raise ValueError("clone destination is the table itself")
+        dest_snap_dir = os.path.join(dest_path, "snapshots")
+        if os.path.isdir(dest_snap_dir) and any(
+            f.endswith(".json") for f in os.listdir(dest_snap_dir)
+        ):
+            raise ValueError(
+                f"{dest_path} is already a table — clone needs a fresh dir"
+            )
+        refs = sorted(self._referenced_files([snap]))
+        missing = [
+            f for f in refs
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot v{snap['version']} references {len(missing)} "
+                f"collected data file(s) (first: {missing[0]}) — "
+                "unrecoverable after cleanup_orphans"
+            )
+        groups = list(snap["base"].values()) + list(snap["deltas"])
+        refs += sorted(
+            {g["stats_ref"] for g in groups if g.get("stats_ref")}
+        )
+        os.makedirs(dest_snap_dir, exist_ok=True)
+        bytes_shared, copied = 0, 0
+        for rel in refs:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                pass  # rerun after a partial clone crash: same content
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)  # cross-device: degrade to copy
+                copied += 1
+            bytes_shared += os.path.getsize(src)
+        committed_at = time.time()
+        clone_snap = {
+            "version": 0,
+            "epoch_id": None,
+            "committed_epochs": snap["committed_epochs"],
+            "schema_v": snap["schema_v"],
+            "schemas": snap["schemas"],
+            "renames": snap["renames"],
+            "drops": snap.get("drops", []),
+            "n_buckets": self._nb(snap),
+            "base": snap["base"],
+            "base_rows": snap["base_rows"],
+            "deltas": snap["deltas"],
+            "url_hll": snap.get("url_hll") or {},
+            "metrics": {
+                "clone": True,
+                "cloned_from": os.path.abspath(self.path),
+                "clone_source_version": snap["version"],
+                "committed_at": committed_at,
+            },
+            "lineage": [],
+            "committed_at": committed_at,
+        }
+        try:
+            _atomic_create_json(
+                os.path.join(dest_snap_dir, "v00000000.json"), clone_snap
+            )
+        except FileExistsError:
+            raise ValueError(
+                f"{dest_path} gained a snapshot mid-clone — clone needs a "
+                "fresh dir"
+            )
+        return {
+            "cloned_to": dest_path,
+            "clone_source_version": snap["version"],
+            "files_linked": len(refs) - copied,
+            "files_copied": copied,
+            "bytes_shared": bytes_shared,
+        }
+
     def verify_against_events(
         self, events: DataFrame, *, extract: bool = True
     ) -> dict:
