@@ -407,11 +407,17 @@ def _input_frame(
 
 def run(spark: SparkSession, config: dict, config_diff: dict | None = None) -> dict:
     """Execute the pipeline once; return the next run's ConfigDiff
-    (nested under in:/out: like BulkLoader.java:299-317)."""
+    (nested under in:/out: like BulkLoader.java:299-317). The out: diff
+    merges into the next run's out: config the same way in: does — the
+    lake sink uses it to advance its epoch, so a `run --config-diff`
+    loop is an incremental exactly-once ingest."""
     df, diff_in = _input_frame(spark, config["in"], (config_diff or {}).get("in"))
     df = apply_filters(df, config.get("filters"))
-    report = write_output(df, config.get("out", {"type": "stdout"}))
-    return {"in": diff_in, "out": {}}
+    out_conf = config.get("out", {"type": "stdout"})
+    if config_diff and config_diff.get("out"):
+        out_conf = deep_merge(out_conf, config_diff["out"])
+    report = write_output(df, out_conf)
+    return {"in": diff_in, "out": report.get("config_diff", {})}
 
 
 # ---------------------------------------------------------------------------
@@ -460,7 +466,9 @@ def run_resumable(
 
     Each group commits by writing its output under
     ``out.path_prefix/g{idx}/`` (Spark's file committer makes the
-    directory appear complete-or-absent) and then recording the group in
+    directory appear complete-or-absent) — or, with a ``lake`` output,
+    as lake epoch ``idx``, whose committed-epoch set independently
+    dedups re-runs — and then recording the group in
     the resume file (atomic rename). A crash between the two re-runs the
     group: the overwrite mode makes that idempotent. The group fingerprint
     (sorted file list hash) is checked on resume — resuming against a
@@ -478,8 +486,8 @@ def run_resumable(
     if in_conf.get("type", "file") != "file":
         raise ValueError("run_resumable requires a file input")
     out_conf = config.get("out", {})
-    if out_conf.get("type") != "file":
-        raise ValueError("run_resumable requires a file output")
+    if out_conf.get("type") not in ("file", "lake"):
+        raise ValueError("run_resumable requires a file or lake output")
 
     paths = list_input_files(in_conf["path_prefix"], in_conf.get("last_path"))
     groups = [
@@ -496,7 +504,8 @@ def run_resumable(
     read_group = read_csv if ptype == "csv" else read_json
 
     n_done = 0
-    base_prefix = out_conf["path_prefix"]
+    is_lake = out_conf.get("type") == "lake"
+    base_prefix = None if is_lake else out_conf["path_prefix"]
     for gi, group in enumerate(groups):
         key = f"g{gi:05d}"
         # fingerprint covers path + size + mtime: a rewritten input file in
@@ -520,7 +529,16 @@ def run_resumable(
             break
         df = read_group(spark, group, parser)
         df = apply_filters(df, config.get("filters"))
-        sub_out = dict(out_conf, path_prefix=os.path.join(base_prefix, key))
+        if is_lake:
+            # group index = epoch: the lake's committed-epoch set makes a
+            # crash between the lake commit and the resume-file write
+            # harmless — the re-run's merge_epoch(gi) skips as a
+            # duplicate, so the two logs can't double-apply a group
+            sub_out = dict(out_conf, epoch=gi)
+        else:
+            sub_out = dict(
+                out_conf, path_prefix=os.path.join(base_prefix, key)
+            )
         write_output(df, sub_out)
         state["committed"][key] = {"fingerprint": fp, "files": len(group)}
         _save_resume(resume_path, state)

@@ -128,6 +128,61 @@ def write_output(df: DataFrame, out_config: dict) -> dict:
             "rows": manifest["total_rows"],
             "n_tokens": manifest["total_tokens"],
         }
+    if otype == "lake":
+        # output-lake: the pipeline run IS one CDC transaction — rows land
+        # as ONE idempotent epoch commit on a ParquetLakeTable (or, with
+        # mode: import, as the bulk-load base of an empty table). This is
+        # the bridge between the reference's bulk-load identity and the
+        # exactly-once sink: re-running a config with the same epoch
+        # skips (committed-epoch set), and the returned config_diff
+        # advances the epoch so `run --config-diff` loops become an
+        # incremental ingest pipeline. Config:
+        #   path, epoch (default 0), mode merge|import, n_buckets,
+        #   columns: {url: <src>, warc_ts: <src>, ...} target←source map,
+        #   extract (default: only when no text column is provided).
+        from ..streaming.lake import ParquetLakeTable
+
+        ev = df
+        for tgt, src in (out_config.get("columns") or {}).items():
+            ev = ev.withColumnRenamed(src, tgt)
+        if "url" not in ev.columns:
+            raise ValueError(
+                "lake output needs a 'url' column — map one with "
+                "columns: {url: <source column>}"
+            )
+        defaults = {
+            "op": F.lit("U"),
+            "seq": F.lit(0).cast("long"),
+            "warc_ts": F.to_timestamp(F.lit("1970-01-01 00:00:00")),
+            "html": F.lit(None).cast("binary"),
+            "lang": F.lit(None).cast("string"),
+        }
+        for name, default in defaults.items():
+            if name not in ev.columns:
+                ev = ev.withColumn(name, default)
+        epoch = int(out_config.get("epoch", 0))
+        extract = bool(out_config.get("extract", "text" not in ev.columns))
+        table = ParquetLakeTable(
+            df.sparkSession, out_config["path"],
+            n_buckets=int(out_config.get("n_buckets", 16)),
+        )
+        mode = out_config.get("mode", "merge")
+        if mode == "import":
+            report = table.bulk_import(ev, epoch, extract=extract)
+        elif mode == "merge":
+            report = table.merge_epoch(ev, epoch, extract=extract)
+        else:
+            raise ValueError(f"unknown lake output mode: {mode}")
+        return {
+            "type": "lake",
+            "path": out_config["path"],
+            "epoch": epoch,
+            "skipped_duplicate_epoch": bool(
+                report.get("skipped_duplicate_epoch")
+            ),
+            "rows": report.get("rows_written", report.get("rows_imported")),
+            "config_diff": {"epoch": epoch + 1},
+        }
     if otype == "stdout":
         df.show(truncate=False)
         return {"type": "stdout"}

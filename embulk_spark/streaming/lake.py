@@ -1126,6 +1126,16 @@ class ParquetLakeTable:
                     extract_text(F.col("html"))
                 ),
             )
+        elif "text" in latest.columns:
+            # extract=False with pre-extracted text in the batch (an
+            # upstream parser already did the html→text work, e.g. the
+            # pipeline's lake sink): keep it — deletes still null out
+            latest = latest.withColumn(
+                "text",
+                F.when(
+                    F.col("op") == "D", F.lit(None).cast("string")
+                ).otherwise(F.col("text")),
+            )
         else:
             latest = latest.withColumn("text", F.lit(None).cast("string"))
         changes = changes_to_target_rows(latest, carry=["_n_events"])
