@@ -749,6 +749,47 @@ def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC from periodic full dumps (operators/merge.py::snapshot_diff +
+    lake.apply_snapshot — Debezium/DMS full-load-then-diff when the
+    source has no binlog): bulk-import a FIRST crawl (latest per user
+    among even event_ids), then apply a SECOND full dump (latest per
+    user over all events; users whose final event is 'error' drop out of
+    the dump). Unchanged users emit nothing, changed/new users upsert,
+    vanished users delete — the table must converge to exactly the
+    second dump. Oracle: the all-events upsert winner per user, errors
+    excluded."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.operators.merge import dedup_latest
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("seq"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("lang"),
+    )
+    first_crawl = dedup_latest(rows.filter(F.col("seq") % 2 == 0))
+    second_crawl = dedup_latest(rows).filter(F.col("lang") != "error")
+    work = tempfile.mkdtemp(prefix="embulk_spark_snapdiff_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = ParquetLakeTable(spark, f"{work}/t", n_buckets=4)
+    table.bulk_import(first_crawl, epoch_id=0, extract=False)
+    out = table.apply_snapshot(
+        second_crawl, epoch_id=1, compare=("text", "lang"), extract=False,
+        delete_ts="2030-01-01 00:00:00",
+    )
+    assert out["snapshot_diff"] and not out.get("skipped_duplicate_epoch")
+    return table.published().select(
+        "url", "lang", F.col("text").alias("props")
+    )
+
+
 def _q_lake_bulk_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Initial bulk load (streaming/lake.py::bulk_import — Hudi bootstrap /
     Iceberg add_files; the reference's one-shot bulk-load run,
@@ -2426,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ingest_metrics": _q_cdc_ingest_metrics,
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_replicate": _q_cdc_replicate,
+        "cdc_snapshot_diff": _q_cdc_snapshot_diff,
         "lake_bulk_import": _q_lake_bulk_import,
         "lake_clone": _q_lake_clone,
         "lake_scan_pruned": _q_lake_scan_pruned,
@@ -3361,6 +3403,21 @@ def oracle_sql() -> dict[str, str]:
                event_id AS seq,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_snapshot_diff": """
+        WITH latest AS (
+          SELECT * FROM (
+            SELECT user_id, event_type, props,
+                   row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) rn
+            FROM events
+          ) WHERE rn = 1
+        )
+        SELECT 'user://' || user_id AS url,
+               event_type AS lang,
+               props
+        FROM latest WHERE event_type <> 'error'
         """,
         "lake_bulk_import": """
         WITH latest AS (

@@ -1472,6 +1472,42 @@ class ParquetLakeTable:
         out["delete_where"] = str(condition)
         return out
 
+    def apply_snapshot(
+        self,
+        snapshot: DataFrame,
+        epoch_id: int,
+        *,
+        compare: tuple[str, ...] = ("html",),
+        missing_as_delete: bool = True,
+        delete_ts: str | None = None,
+        extract: bool = True,
+        stage: bool = False,
+    ) -> dict:
+        """Ingest a periodic FULL dump by diffing it against the live
+        state (operators/merge.py::snapshot_diff — Debezium/DMS
+        full-load-then-diff when the source has no binlog): unchanged
+        urls emit nothing, changed/new urls become update events, urls
+        missing from the dump become deletes at ``delete_ts``, and the
+        change-set rides the normal idempotent ``merge_epoch`` path
+        (epoch-keyed, resumable, WAP-stageable). Cost: one url equi-join
+        where the table side ships only 64-bit digests, then
+        O(change-set) — a mostly-unchanged re-crawl is nearly free."""
+        from ..operators.merge import snapshot_diff
+
+        cur = self.published().select(
+            "url", *[c for c in compare if c != "url"]
+        )
+        events = snapshot_diff(
+            cur, snapshot, compare=compare,
+            missing_as_delete=missing_as_delete, delete_ts=delete_ts,
+        )
+        for name, dtype in (("html", "binary"), ("lang", "string")):
+            if name not in events.columns:
+                events = events.withColumn(name, F.lit(None).cast(dtype))
+        out = self.merge_epoch(events, epoch_id, extract=extract, stage=stage)
+        out["snapshot_diff"] = True
+        return out
+
     # ------------------------------------------------------------------
     # write-audit-publish (WAP): staged epochs — Iceberg's audit-branch
     # workflow on the snapshot manifest (stage → audit → publish/abort)
