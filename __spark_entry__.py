@@ -749,6 +749,53 @@ def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream enrichment join (streaming/joins.py):
+    non-click events as the change stream, clicks as the fetch log, both
+    tailed as parquet streams and joined on url within a 24h event-time
+    window ENDING at each change (state bounded by the window, not the
+    stream). Oracle: the identical batch join in SQL — the streaming
+    APPEND output must equal it row-for-row."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from embulk_spark.streaming.joins import stream_enrich_changes
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") != "click").select(
+        F.col("event_id").alias("seq"),
+        F.lit(0).cast("long").alias("epoch"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+    fetches = ev.filter(F.col("event_type") == "click").select(
+        F.concat(F.lit("user://"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        (F.col("event_id") % 400).cast("int").alias("status"),
+    )
+    work = tempfile.mkdtemp(prefix="embulk_spark_sjoin_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    changes.write.parquet(f"{work}/ev")
+    fetches.write.parquet(f"{work}/fetch")
+    stream_enrich_changes(
+        spark, f"{work}/ev", f"{work}/fetch", f"{work}/ckpt", f"{work}/out",
+        within="24 hours",
+        fetch_schema_ddl="url STRING, fetch_ts TIMESTAMP, status INT",
+    )
+    out = spark.read.parquet(f"{work}/out")
+    return out.select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        F.unix_micros(F.col("f_fetch_ts")).alias("f_ts_us"),
+        F.col("f_status").cast("long").alias("f_status"),
+    )
+
+
 def _q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC from periodic full dumps (operators/merge.py::snapshot_diff +
     lake.apply_snapshot — Debezium/DMS full-load-then-diff when the
@@ -2468,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
+        "stream_enrich_join": _q_stream_enrich_join,
         "lake_bulk_import": _q_lake_bulk_import,
         "lake_clone": _q_lake_clone,
         "lake_scan_pruned": _q_lake_scan_pruned,
@@ -3403,6 +3451,23 @@ def oracle_sql() -> dict[str, str]:
                event_id AS seq,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "stream_enrich_join": """
+        WITH ch AS (
+          SELECT event_id AS seq, 'user://' || user_id AS url, ts AS warc_ts
+          FROM events WHERE event_type <> 'click'
+        ), f AS (
+          SELECT 'user://' || user_id AS url, ts AS fetch_ts,
+                 event_id % 400 AS status
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT ch.url, ch.seq,
+               epoch_us(f.fetch_ts) AS f_ts_us,
+               f.status AS f_status
+        FROM ch JOIN f
+          ON ch.url = f.url
+         AND f.fetch_ts >= ch.warc_ts - INTERVAL 24 HOUR
+         AND f.fetch_ts <= ch.warc_ts
         """,
         "cdc_snapshot_diff": """
         WITH latest AS (
