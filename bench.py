@@ -128,6 +128,65 @@ def main() -> None:
     events_per_sec = n_total / replay_sec
     epoch_seconds = best["epoch_seconds"]
 
+    # ---- snapshot-diff CDC: a 1%-changed full dump vs re-importing ----
+    # the scale claim under test (DESIGN_SCALE "the diff IS the binlog"):
+    # ingesting a mostly-unchanged re-crawl via apply_snapshot costs one
+    # digest join + an O(change-set) write, while the naive alternative
+    # (bulk-import the dump as a fresh table) pays a full rewrite. Dump =
+    # the warm table's published state with ~1% of urls' html changed and
+    # ~0.5% of urls dropped (-> deletes); prep is untimed.
+    from pyspark.sql import functions as F
+
+    dump_path = os.path.join(workdir, "dump")
+    state = warm.published()
+    h = F.pmod(F.xxhash64("url"), F.lit(1000))
+    (
+        state.filter(h >= 5)  # 0.5% of urls vanish from the dump
+        .withColumn(
+            "html",
+            F.when(
+                h < 15,  # ~1% changed content
+                F.concat(F.col("html"), F.lit("x").cast("binary")),
+            ).otherwise(F.col("html")),
+        )
+        .select("url", "warc_ts", "html", "text", "lang")
+        .write.parquet(dump_path)
+    )
+    dump = spark.read.parquet(dump_path)
+    t0 = time.perf_counter()
+    m = warm.apply_snapshot(
+        dump, epoch_id=10_000, extract=False, assume_unique=True,
+        delete_ts="2035-01-01 00:00:00",
+    )
+    timings["cdc_snapshot_diff_1pct"] = round(time.perf_counter() - t0, 3)
+    snapdiff_bytes = m.get("delta_bytes", 0)
+    # control: the naive ingestion of the same dump into the SAME table
+    # state — every dump row as an upsert event through merge_epoch
+    # (full-size dedup + full-size delta write + compaction debt).
+    # A zero-copy clone supplies an identical starting state for free.
+    warm.clone_to(os.path.join(workdir, "ctl"))
+    ctl = ParquetLakeTable(spark, os.path.join(workdir, "ctl"))
+    dump_as_events = dump.select(
+        F.lit(0).cast("long").alias("seq"), F.lit("U").alias("op"),
+        "url", "warc_ts", "html", "text", "lang",
+    )
+    # distinct epoch id: the clone INHERITS warm's committed-epoch set
+    # (including the apply_snapshot epoch above), so reusing 10_000 here
+    # would skip as a duplicate instead of measuring anything
+    t0 = time.perf_counter()
+    mc = ctl.merge_epoch(dump_as_events, 20_000, extract=False)
+    timings["snapdiff_full_upsert_control"] = round(
+        time.perf_counter() - t0, 3
+    )
+    snapdiff_changed_keys = m.get("keys_in_batch", 0)
+    # the asymmetry that matters at 10^10: bytes the epoch WROTE (and the
+    # compaction/feed/replication debt those bytes create downstream) —
+    # the diff lands the change-set, the naive upsert lands the table
+    snapdiff_bytes_ratio = (
+        round(mc.get("delta_bytes", 0) / snapdiff_bytes, 1)
+        if snapdiff_bytes else None
+    )
+
     # ---- operator queries on the sf tables ----
     qs = entrymod.queries()
     bench_queries = [
@@ -135,6 +194,8 @@ def main() -> None:
         "cdc_patch_merge",
         "cdc_apply_upsert",
         "cdc_replicate",
+        "cdc_snapshot_diff",
+        "stream_enrich_join",
         "agg_pricing_summary",
         "join_revenue_topk",
         "window_topk_per_group",
@@ -197,6 +258,9 @@ def main() -> None:
                 "cdc_replay_events_per_sec": round(events_per_sec, 1),
                 "cdc_replay_epoch_seconds": epoch_seconds,
                 "cdc_replay_attempts": attempts,
+                "snapdiff_changed_keys": snapdiff_changed_keys,
+                "snapdiff_write_bytes": snapdiff_bytes,
+                "snapdiff_control_write_amplification": snapdiff_bytes_ratio,
                 "host_steal_pct": best["steal_pct"],
                 "host_sys_pct": best["sys_pct"],
                 "cpus": cpus,

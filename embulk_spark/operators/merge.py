@@ -249,6 +249,8 @@ def snapshot_diff(
     missing_as_delete: bool = True,
     delete_ts: str | None = None,
     seq: int = 0,
+    current_digest_col: str | None = None,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """CDC from periodic FULL dumps (Debezium/DMS full-load-then-diff,
     Iceberg's changelog-from-snapshots): derive the change events that
@@ -280,19 +282,35 @@ def snapshot_diff(
     snap = snapshot
     if "seq" not in snap.columns:
         snap = snap.withColumn("seq", F.lit(seq).cast("long"))
-    snap = dedup_latest(snap)
+    if not assume_unique:
+        snap = dedup_latest(snap)
+    # assume_unique: a full dump is typically already one row per url —
+    # skipping the dedup removes the only full-payload shuffle agg on the
+    # dump side (the join still shuffles it once; that's the floor). A
+    # violated promise degrades safely: duplicate urls each emit an event
+    # and merge_epoch's own dedup resolves them by (warc_ts, seq).
     payload = [c for c in snap.columns if c not in ("url",)]
-    missing = [c for c in compare if c not in snap.columns]
-    if missing or any(c not in current.columns for c in compare):
-        raise ValueError(f"compare columns {compare} must exist on both sides")
+    if any(c not in snap.columns for c in compare):
+        raise ValueError(f"compare columns {compare} must exist on the dump")
     s = snap.withColumn(
         "_digest", F.xxhash64(*[F.col(c) for c in compare])
     ).alias("s")
-    t = (
-        current.select(
+    if current_digest_col is not None:
+        # pre-digested live state (ParquetLakeTable.apply_snapshot's fast
+        # path: the digest was computed per RAW row below the MOR dedup,
+        # so the table's payload bytes never entered an agg buffer)
+        t = current.select(
+            "url", F.col(current_digest_col).alias("_digest")
+        ).alias("t")
+    else:
+        if any(c not in current.columns for c in compare):
+            raise ValueError(
+                f"compare columns {compare} must exist on current (or pass "
+                "current_digest_col)"
+            )
+        t = current.select(
             "url", F.xxhash64(*[F.col(c) for c in compare]).alias("_digest")
         ).alias("t")
-    )
     joined = s.join(t, F.col("s.url") == F.col("t.url"), "full_outer")
     upsert = F.col("s.url").isNotNull() & (
         F.col("t.url").isNull()

@@ -58,7 +58,7 @@ import time
 import uuid
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -496,13 +496,26 @@ class ParquetLakeTable:
         return df
 
     def read(
-        self, buckets: list[int] | None = None, *, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        *,
+        version: int | None = None,
+        project: dict[str, Column] | None = None,
     ) -> DataFrame:
         """Merged state including tombstones; ``buckets`` prunes;
         ``version`` time-travels to an older snapshot (files are
         immutable, so any un-expired snapshot reconstructs exactly).
         MOR reconstruction: latest (warc_ts, seq) per url over base∪deltas —
-        a partial-combine agg, never a window sort (see operators/merge.py)."""
+        a partial-combine agg, never a window sort (see operators/merge.py).
+
+        ``project``: {name: Column} computed on the RAW rows BEFORE the
+        dedup; the result then carries only url, the order columns,
+        is_deleted, and the projected names. This is the derived-value
+        fast path (e.g. snapshot_diff's content digest): the agg buffers
+        hold the few projected bytes instead of full html/text payloads,
+        and untouched payload columns prune out of the scan entirely —
+        at 10^10 rows the difference between hashing a table and
+        re-materializing one."""
         snap = (
             self.snapshot_at(version) if version is not None
             else self.current_snapshot()
@@ -510,6 +523,18 @@ class ParquetLakeTable:
         cur = self.schema(snap)
         base = self._base_df(snap, buckets)
         delta = self._delta_df(snap, buckets)
+        if project is not None:
+            keep = [F.col("url"), F.col("warc_ts"), F.col("seq"),
+                    F.col("is_deleted")]
+            exprs = [e.alias(n) for n, e in project.items()]
+
+            def _slim(df: DataFrame) -> DataFrame:
+                return df.select(*keep, *exprs)
+
+            base = _slim(base) if base is not None else None
+            delta = _slim(delta) if delta is not None else None
+            if base is None and delta is None:
+                return _slim(self._empty(cur))
         if base is None and delta is None:
             return self._empty(cur)
         if delta is None:
@@ -1482,6 +1507,7 @@ class ParquetLakeTable:
         delete_ts: str | None = None,
         extract: bool = True,
         stage: bool = False,
+        assume_unique: bool = False,
     ) -> dict:
         """Ingest a periodic FULL dump by diffing it against the live
         state (operators/merge.py::snapshot_diff — Debezium/DMS
@@ -1494,12 +1520,23 @@ class ParquetLakeTable:
         O(change-set) — a mostly-unchanged re-crawl is nearly free."""
         from ..operators.merge import snapshot_diff
 
-        cur = self.published().select(
-            "url", *[c for c in compare if c != "url"]
+        # digest computed per RAW row BELOW the MOR dedup (read(project=)):
+        # the table contributes 12-byte agg buffers and a (url, digest)
+        # join side; its html/text bytes are hashed at the scan and never
+        # shuffled or buffered
+        cur = (
+            self.read(
+                project={
+                    "_digest": F.xxhash64(*[F.col(c) for c in compare])
+                }
+            )
+            .filter(~F.col("is_deleted"))
+            .select("url", "_digest")
         )
         events = snapshot_diff(
-            cur, snapshot, compare=compare,
+            cur, snapshot, compare=compare, current_digest_col="_digest",
             missing_as_delete=missing_as_delete, delete_ts=delete_ts,
+            assume_unique=assume_unique,
         )
         for name, dtype in (("html", "binary"), ("lang", "string")):
             if name not in events.columns:
@@ -3120,11 +3157,16 @@ class ParquetLakeTable:
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=timezone.utc)
             ts = ts.timestamp()
+        # compare in whole microseconds: datetime carries µs resolution,
+        # so fromtimestamp(committed_at) can round a hair BELOW the stored
+        # float and a float/datetime pair naming the same instant would
+        # otherwise resolve to different versions
+        ts_us = round(float(ts) * 1e6)
         best = None
         for fn in self._snapshot_files():
             with open(os.path.join(self._snap_dir, fn)) as f:
                 snap = json.load(f)
-            if float(snap.get("committed_at", 0.0)) <= ts:
+            if round(float(snap.get("committed_at", 0.0)) * 1e6) <= ts_us:
                 v = int(snap["version"])
                 best = v if best is None else max(best, v)
         if best is None:

@@ -133,6 +133,29 @@ def test_compare_on_text_without_html(spark, tmp_path):
     assert pub == {"u://1": "alpha", "u://2": "beta"}
 
 
+def test_read_project_matches_post_hoc_digest(spark, tmp_path):
+    """read(project=) computes expressions on raw rows BELOW the MOR
+    dedup; the winner's projected value must equal computing the same
+    expression on the fully-merged row (same winner, same bytes)."""
+    table = _seed(spark, str(tmp_path / "t"))
+    table.apply_snapshot(
+        _crawl(spark), epoch_id=1, delete_ts="2024-01-02 00:00:00",
+    )
+    fast = {
+        (r["url"], r["_digest"], r["is_deleted"])
+        for r in table.read(
+            project={"_digest": F.xxhash64(F.col("html"))}
+        ).collect()
+    }
+    slow = {
+        (r["url"], r["_digest"], r["is_deleted"])
+        for r in table.read()
+        .withColumn("_digest", F.xxhash64(F.col("html")))
+        .collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
 def test_missing_delete_ts_fails_fast(spark, tmp_path):
     table = _seed(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="delete_ts"):
