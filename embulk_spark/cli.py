@@ -301,6 +301,28 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "snapshot-apply",
+        help="ingest a periodic FULL dump by diffing it against live "
+             "state (the diff IS the binlog): unchanged rows emit "
+             "nothing, changed/new upsert, missing delete; one "
+             "idempotent epoch commit",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("source", help="parquet path holding the full dump")
+    sp.add_argument("--epoch", type=int, required=True)
+    sp.add_argument("--compare", default="html",
+                    help="comma-separated content columns the diff hashes")
+    sp.add_argument("--delete-ts", default=None,
+                    help="tombstone instant for urls missing from the dump "
+                         "(required unless --no-delete-missing)")
+    sp.add_argument("--no-delete-missing", action="store_true")
+    sp.add_argument("--no-extract", action="store_true")
+    sp.add_argument("--assume-unique", action="store_true",
+                    help="dump is one row per url: skip its dedup pass")
+    sp.add_argument("--n-buckets", type=int, default=16)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "clone",
         help="zero-copy shallow clone: new independent table whose v0 is "
              "this table's state (hard-linked data files; survives the "
@@ -617,6 +639,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         out = table.bulk_import(
             args.source, args.epoch, extract=not args.no_extract
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "snapshot-apply":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table, n_buckets=args.n_buckets)
+        out = table.apply_snapshot(
+            spark.read.parquet(args.source),
+            args.epoch,
+            compare=tuple(c.strip() for c in args.compare.split(",") if c.strip()),
+            missing_as_delete=not args.no_delete_missing,
+            delete_ts=args.delete_ts,
+            extract=not args.no_extract,
+            assume_unique=args.assume_unique,
         )
         print(json.dumps(out))
         return 0

@@ -160,3 +160,83 @@ def test_missing_delete_ts_fails_fast(spark, tmp_path):
     table = _seed(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="delete_ts"):
         snapshot_diff(table.published(), _crawl(spark))
+
+
+def test_cli_snapshot_apply(spark, tmp_path, capsys):
+    import json
+
+    from embulk_spark import cli
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    dump_dir = str(tmp_path / "dump")
+    _crawl(spark).write.parquet(dump_dir)
+    rc = cli.main([
+        "snapshot-apply", path, dump_dir, "--epoch", "1",
+        "--delete-ts", "2024-01-02 00:00:00", "--assume-unique",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["snapshot_diff"] and out["keys_in_batch"] == 3
+    table = ParquetLakeTable(spark, path)
+    assert {r["url"] for r in table.published().collect()} == {
+        "http://same", "http://chg", "http://born"
+    }
+
+
+# --- property: ANY dump sequence converges to the last dump ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def dump_sequences(draw):
+    """2-3 successive full dumps over a tiny url universe: per dump each
+    url is absent, or carries one of a few possible contents — covering
+    change/no-change/delete/resurrect transitions."""
+    n_urls = draw(st.integers(2, 5))
+    n_dumps = draw(st.integers(2, 3))
+    dumps = []
+    for d in range(n_dumps):
+        rows = []
+        for u in range(n_urls):
+            present = draw(st.booleans())
+            if not present:
+                continue
+            content = draw(st.integers(0, 2))
+            rows.append((
+                f"u://{u}",
+                _ts(10 * d + 1),
+                f"<p>c{content}</p>".encode(),
+                None,
+                "en",
+            ))
+        dumps.append(rows)
+    return dumps
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(dump_sequences())
+def test_any_dump_sequence_converges_to_last_dump(
+    spark, tmp_path_factory, dumps
+):
+    tmp = tmp_path_factory.mktemp("snapprop")
+    table = ParquetLakeTable(spark, str(tmp / "t"), n_buckets=2,
+                             compact_min_deltas=2, compact_ratio=0.0)
+    for i, rows in enumerate(dumps):
+        dump = spark.createDataFrame(rows, SNAP_DDL)
+        table.apply_snapshot(
+            dump, epoch_id=i, assume_unique=True,
+            delete_ts=str(_ts(10 * i + 2)),
+        )
+    want = sorted(
+        (r[0], r[2]) for r in dumps[-1]
+    )
+    got = sorted(
+        (r["url"], bytes(r["html"]))
+        for r in table.published().collect()
+    )
+    assert got == want
