@@ -749,6 +749,73 @@ def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell binlog wire format (sources/debezium.py::parse_maxwell):
+    synthesize Maxwell JSON lines from the events table with pure-JVM
+    to_json, parse them back through the format parser, and return the
+    typed change rows. Oracle: the same mapping computed directly in
+    SQL — a lossless wire round-trip."""
+    from embulk_spark.sources.debezium import parse_maxwell
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.to_json(F.struct(
+            F.lit("db").alias("database"),
+            F.lit("events").alias("table"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .when(F.col("event_type") == "view", F.lit("insert"))
+            .otherwise(F.lit("update")).alias("type"),
+            F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts"),
+            F.col("event_id").alias("xid"),
+            F.lit(0).cast("long").alias("xoffset"),
+            F.struct(
+                F.col("user_id"), F.col("value"), F.col("props")
+            ).alias("data"),
+        )).alias("value")
+    )
+    out = parse_maxwell(
+        lines, "user_id BIGINT, value DOUBLE, props STRING"
+    )
+    return out.select(
+        "op", "seq", "src_ts_ms", "user_id",
+        F.col("value").alias("v"), "props",
+    )
+
+
+def _q_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal flatMessage wire format (sources/debezium.py::parse_canal):
+    synthesize Canal JSON (stringified values, batched data arrays) from
+    the events table, parse back, return typed rows — the all-strings →
+    declared-types casting and the batch posexplode under test. Oracle:
+    the direct SQL mapping."""
+    from embulk_spark.sources.debezium import parse_canal
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.to_json(F.struct(
+            F.lit("db").alias("database"),
+            F.lit("events").alias("table"),
+            F.when(F.col("event_type") == "error", F.lit("DELETE"))
+            .when(F.col("event_type") == "view", F.lit("INSERT"))
+            .otherwise(F.lit("UPDATE")).alias("type"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("es"),
+            (F.unix_millis(F.col("ts").cast("timestamp")) + 5).alias("ts"),
+            F.col("event_id").alias("id"),
+            F.lit(False).alias("isDdl"),
+            F.array(F.create_map(
+                F.lit("user_id"), F.col("user_id").cast("string"),
+                F.lit("value"), F.col("value").cast("string"),
+                F.lit("props"), F.col("props"),
+            )).alias("data"),
+        )).alias("value")
+    )
+    out = parse_canal(lines, "user_id BIGINT, value DOUBLE, props STRING")
+    return out.select(
+        "op", "seq", "src_ts_ms", "user_id",
+        F.col("value").alias("v"), "props",
+    )
+
+
 def _q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream enrichment join (streaming/joins.py):
     non-click events as the change stream, clicks as the fetch log, both
@@ -2515,6 +2582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
+        "maxwell_parse": _q_maxwell_parse,
+        "canal_parse": _q_canal_parse,
         "stream_enrich_join": _q_stream_enrich_join,
         "lake_bulk_import": _q_lake_bulk_import,
         "lake_clone": _q_lake_clone,
@@ -3451,6 +3520,24 @@ def oracle_sql() -> dict[str, str]:
                event_id AS seq,
                epoch_us(ts) AS ts_us
         FROM ranged WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "maxwell_parse": """
+        SELECT CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'view' THEN 'I'
+                    ELSE 'U' END AS op,
+               event_id * 1048576 AS seq,
+               (epoch_us(ts) // 1000000) * 1000 AS src_ts_ms,
+               user_id, value AS v, props
+        FROM events
+        """,
+        "canal_parse": """
+        SELECT CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'view' THEN 'I'
+                    ELSE 'U' END AS op,
+               event_id * 1048576 AS seq,
+               epoch_us(ts) // 1000 AS src_ts_ms,
+               user_id, value AS v, props
+        FROM events
         """,
         "stream_enrich_join": """
         WITH ch AS (

@@ -165,6 +165,173 @@ def read_debezium_files(
     return parse_debezium(spark.read.text(path), row_ddl)
 
 
+#: Maxwell (Zendesk's MySQL binlog daemon) flat envelope: one JSON per
+#: row change, ``type`` insert/update/delete/bootstrap-*, ``data`` the
+#: post-image (deletes carry the final pre-image there), ``old`` only
+#: the CHANGED columns' pre-values (minimal row image — pairs with
+#: operators/merge.py::patch_latest_per_key).
+MAXWELL_OP_MAP = {
+    "insert": "I", "bootstrap-insert": "I", "update": "U", "delete": "D",
+}
+
+
+def maxwell_schema(row_ddl: str) -> T.StructType:
+    row = T.StructType.fromDDL(row_ddl)
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),       # epoch SECONDS
+            T.StructField("xid", T.LongType()),
+            T.StructField("xoffset", T.LongType()),
+            T.StructField("position", T.StringType()),
+            T.StructField("data", row),
+            T.StructField("old", row),
+        ]
+    )
+
+
+def parse_maxwell(
+    df: DataFrame,
+    row_ddl: str,
+    value_col: str = "value",
+    *,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Maxwell JSON lines → the SAME typed change-row contract as
+    :func:`parse_debezium` (op/seq/src_ts_ms/is_snapshot + row image),
+    so downstream replay is wire-format-agnostic. One ``from_json``
+    pass, pure Columns.
+
+    ``seq``: Maxwell's total order is (xid, xoffset) within the binlog —
+    packed as ``xid·2^20 + xoffset`` (a transaction beyond 2^20 row
+    events would interleave, acceptable for ordering ties), falling back
+    to ``ts`` seconds when xid is absent (bootstrap rows)."""
+    v = F.col(value_col)
+    env = F.from_json(v, maxwell_schema(row_ddl))
+    parsed = df.filter(v.isNotNull() & (F.trim(v) != "")).select(
+        *[F.col(c) for c in (keep_cols or [])], env.alias("e")
+    )
+    t = F.col("e.type")
+    op_out = (
+        F.when(t.isin("insert", "bootstrap-insert"), F.lit("I"))
+        .when(t == "update", F.lit("U"))
+        .when(t == "delete", F.lit("D"))
+    )
+    seq = F.coalesce(
+        F.col("e.xid") * F.lit(1 << 20)
+        + F.coalesce(F.col("e.xoffset"), F.lit(0)),
+        F.col("e.ts"),
+    )
+    return (
+        parsed.filter(t.isin(*MAXWELL_OP_MAP))
+        .select(
+            *(keep_cols or []),
+            op_out.alias("op"),
+            seq.alias("seq"),
+            (F.col("e.ts") * 1000).alias("src_ts_ms"),
+            F.col("e.type").startswith("bootstrap").alias("is_snapshot"),
+            F.col("e.data").alias("row"),
+        )
+        .filter(F.col("row").isNotNull())
+        .select(
+            *(keep_cols or []), "op", "seq", "src_ts_ms", "is_snapshot",
+            "row.*",
+        )
+    )
+
+
+def maxwell_change_events(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """North-rule adapter: Maxwell lines of the page table → the
+    canonical change-event frame (same wire types as Debezium's)."""
+    return parse_maxwell(df, PAGE_ROW_DDL, value_col).select(
+        "seq",
+        "op",
+        "url",
+        F.timestamp_millis(F.col("warc_ts")).alias("warc_ts"),
+        F.unbase64(F.col("html")).alias("html"),
+        "lang",
+    )
+
+
+def parse_canal(
+    df: DataFrame,
+    row_ddl: str,
+    value_col: str = "value",
+    *,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Alibaba Canal flatMessage JSON → the same typed change-row
+    contract. Canal batches MULTIPLE rows per envelope (``data`` is an
+    array) and stringifies every value, so the parse is from_json to
+    ``array<map<string,string>>`` → posexplode → per-column try_cast to
+    the declared row types (NULL-safe: canal encodes SQL NULL as JSON
+    null map values). ``seq``: (envelope id, row index) packed —
+    canal's id is the per-instance monotone batch counter."""
+    row = T.StructType.fromDDL(row_ddl)
+    env_s = T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("es", T.LongType()),   # source execute-time ms
+            T.StructField("ts", T.LongType()),   # canal process-time ms
+            T.StructField("id", T.LongType()),
+            T.StructField("isDdl", T.BooleanType()),
+            T.StructField(
+                "data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))
+            ),
+        ]
+    )
+    v = F.col(value_col)
+    env = F.from_json(v, env_s)
+    parsed = (
+        df.filter(v.isNotNull() & (F.trim(v) != ""))
+        .select(*[F.col(c) for c in (keep_cols or [])], env.alias("e"))
+        .filter(
+            ~F.coalesce(F.col("e.isDdl"), F.lit(False))
+            & F.upper(F.col("e.type")).isin("INSERT", "UPDATE", "DELETE")
+        )
+        .select(
+            *(keep_cols or []),
+            "e",
+            F.posexplode(F.col("e.data")).alias("_i", "_row"),
+        )
+    )
+    t = F.upper(F.col("e.type"))
+    op_out = (
+        F.when(t == "INSERT", F.lit("I"))
+        .when(t == "UPDATE", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    cells = [
+        F.col("_row").getItem(f.name).try_cast(f.dataType).alias(f.name)
+        for f in row.fields
+    ]
+    return parsed.select(
+        *(keep_cols or []),
+        op_out.alias("op"),
+        (F.col("e.id") * F.lit(1 << 20) + F.col("_i")).alias("seq"),
+        F.coalesce(F.col("e.es"), F.col("e.ts")).alias("src_ts_ms"),
+        F.lit(False).alias("is_snapshot"),
+        *cells,
+    )
+
+
+def canal_change_events(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """North-rule adapter: Canal flatMessages of the page table → the
+    canonical change-event frame."""
+    return parse_canal(df, PAGE_ROW_DDL, value_col).select(
+        "seq",
+        "op",
+        "url",
+        F.timestamp_millis(F.col("warc_ts")).alias("warc_ts"),
+        F.unbase64(F.col("html")).alias("html"),
+        "lang",
+    )
+
+
 def debezium_envelope_col(
     op: Column,
     after: Column | None,

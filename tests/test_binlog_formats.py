@@ -1,0 +1,138 @@
+"""Maxwell and Canal binlog wire formats parse to the SAME typed
+change-row contract as the Debezium parser, so replay is
+format-agnostic: op mapping, seq packing, batch explode (canal),
+all-strings casting (canal), minimal old-image (maxwell), garbage
+tolerance, and lake-replay parity across all three formats.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from embulk_spark.sources.debezium import (
+    canal_change_events,
+    maxwell_change_events,
+    parse_canal,
+    parse_maxwell,
+)
+
+URL = "https://a.test/1"
+TSMS = 1704067200000
+
+
+def _mx(type_, data=None, *, xid=None, xoffset=None, ts=1704067200):
+    d = {"database": "db", "table": "pages", "type": type_, "ts": ts}
+    if data is not None:
+        d["data"] = data
+    if xid is not None:
+        d["xid"] = xid
+    if xoffset is not None:
+        d["xoffset"] = xoffset
+    return json.dumps(d)
+
+
+def _cn(type_, rows, *, id_=1, es=TSMS, is_ddl=False):
+    return json.dumps({
+        "database": "db", "table": "pages", "type": type_, "es": es,
+        "ts": es + 5, "id": id_, "isDdl": is_ddl, "data": rows,
+    })
+
+
+ROW = {"url": URL, "warc_ts": TSMS, "html": "PGI+", "lang": "en"}
+ROW_S = {k: str(v) for k, v in ROW.items()}  # canal stringifies values
+
+DDL = "url STRING, warc_ts BIGINT, html STRING, lang STRING"
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+def test_maxwell_ops_seq_and_snapshot(spark):
+    out = parse_maxwell(_df(spark, [
+        _mx("insert", ROW, xid=5, xoffset=0),
+        _mx("update", {**ROW, "lang": "de"}, xid=5, xoffset=1),
+        _mx("delete", {**ROW, "lang": "fr"}, xid=6, xoffset=0),
+        _mx("bootstrap-insert", ROW),              # seq falls back to ts
+        _mx("bootstrap-start", None),              # no row: dropped
+        "not json at all",                         # garbage: dropped
+        _mx("table-create", ROW),                  # DDL noise: dropped
+    ]), DDL).orderBy("seq").collect()
+    # xid-packed seqs order first; the bootstrap row's ts-seconds
+    # fallback (~1.7e9) lands after them
+    assert [r["op"] for r in out] == ["I", "U", "D", "I"]
+    assert out[3]["is_snapshot"] and out[3]["seq"] == 1704067200
+    assert [r["seq"] for r in out[:3]] == [
+        5 * (1 << 20), 5 * (1 << 20) + 1, 6 * (1 << 20)
+    ]
+    assert out[1]["lang"] == "de" and out[2]["lang"] == "fr"
+    assert out[0]["src_ts_ms"] == TSMS
+
+
+def test_canal_batch_explode_and_string_casts(spark):
+    rows = [ROW_S, {**ROW_S, "url": URL + "b", "warc_ts": None}]
+    out = parse_canal(_df(spark, [
+        _cn("INSERT", rows, id_=3),
+        _cn("UPDATE", [{**ROW_S, "lang": "de"}], id_=4),
+        _cn("DELETE", [ROW_S], id_=5),
+        _cn("ALTER", [ROW_S], id_=6, is_ddl=True),   # DDL: dropped
+        "",                                          # empty: dropped
+    ]), DDL).orderBy("seq").collect()
+    assert [r["op"] for r in out] == ["I", "I", "U", "D"]
+    # batch rows keep intra-envelope order in seq
+    assert [r["seq"] for r in out[:2]] == [3 * (1 << 20), 3 * (1 << 20) + 1]
+    assert out[0]["warc_ts"] == TSMS          # "170…" STRING → BIGINT
+    assert out[1]["warc_ts"] is None          # JSON null stays NULL
+    assert out[2]["lang"] == "de"
+    assert all(r["src_ts_ms"] == TSMS for r in out)
+
+
+def test_three_formats_replay_to_identical_state(spark, tmp_path):
+    """The same logical change sequence in Debezium, Maxwell, and Canal
+    wire formats must produce byte-identical lake states."""
+    from embulk_spark.sources.debezium import debezium_change_events
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    def dz(op, row, pos):
+        p = {"op": op, "ts_ms": TSMS, "source": {"ts_ms": TSMS, "pos": pos}}
+        p["before" if op == "d" else "after"] = row
+        return json.dumps(p)
+
+    logical = [  # (op-ish, row, order)
+        ("I", ROW, 1),
+        ("U", {**ROW, "lang": "de", "warc_ts": TSMS + 1000}, 2),
+        ("I", {**ROW, "url": URL + "2"}, 3),
+        ("D", {**ROW, "url": URL + "2", "warc_ts": TSMS + 2000}, 4),
+    ]
+    dz_lines = [dz({"I": "c", "U": "u", "D": "d"}[o], r, s)
+                for o, r, s in logical]
+    mx_lines = [
+        _mx({"I": "insert", "U": "update", "D": "delete"}[o], r, xid=s,
+            xoffset=0)
+        for o, r, s in logical
+    ]
+    cn_lines = [
+        _cn({"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[o],
+            [{k: (None if v is None else str(v)) for k, v in r.items()}],
+            id_=s)
+        for o, r, s in logical
+    ]
+    states = []
+    for name, lines, adapter in (
+        ("dz", dz_lines, debezium_change_events),
+        ("mx", mx_lines, maxwell_change_events),
+        ("cn", cn_lines, canal_change_events),
+    ):
+        ev = adapter(_df(spark, lines))
+        table = ParquetLakeTable(spark, str(tmp_path / name), n_buckets=2,
+                                 compact_min_deltas=10_000)
+        table.merge_epoch(ev, 0)
+        states.append(sorted(
+            (r["url"], r["lang"], r["text"], r["warc_ts"])
+            for r in table.published().collect()
+        ))
+    assert states[0] == states[1] == states[2]
+    assert len(states[0]) == 1  # url2 deleted; url1 survives as 'de'
+    assert states[0][0][1] == "de"
