@@ -30,6 +30,10 @@ mirrors sources/warc.py's synth/parse symmetry.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -329,6 +333,148 @@ def canal_change_events(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.timestamp_millis(F.col("warc_ts")).alias("warc_ts"),
         F.unbase64(F.col("html")).alias("html"),
         "lang",
+    )
+
+
+#: MySQL → engine type lattice for DDL-driven evolution (the engine's
+#: six-type model, reference spi/type — everything maps into it).
+_MYSQL_TYPE_MAP = [
+    (("tinyint(1)", "bool", "boolean"), "boolean"),
+    (("bigint", "int", "integer", "mediumint", "smallint", "tinyint"),
+     "long"),
+    (("double", "float", "decimal", "numeric", "real"), "double"),
+    (("datetime", "timestamp", "date", "time"), "timestamp"),
+    (("json",), "json"),
+]
+
+
+def _mysql_type(t: str) -> str:
+    t = t.strip().lower()
+    for prefixes, out in _MYSQL_TYPE_MAP:
+        if any(t == p or t.startswith(p + "(") or t.startswith(p + " ")
+               for p in prefixes):
+            return out
+    return "string"  # varchar/char/text/blob/enum/... → string
+
+
+_DDL_CLAUSE_RE = re.compile(r"(?is)^\s*alter\s+table\s+\S+\s+(.*)$")
+
+
+def ddl_to_schema_changes(sql: str) -> list[dict]:
+    """Parse a MySQL ``ALTER TABLE`` statement into the engine's
+    schema-change payloads (streaming/replay.py::apply_schema_change —
+    ``{"action": add|rename|widen|drop, ...}``), one per comma-separated
+    clause. Supported clause subset (what binlog DDL traffic actually
+    carries): ``ADD [COLUMN] name type``, ``DROP [COLUMN] name``,
+    ``RENAME COLUMN a TO b``, ``MODIFY [COLUMN] name type`` (→ widen),
+    ``CHANGE [COLUMN] a b type`` (→ rename, plus widen when the type
+    moved). Unrecognized statements/clauses yield [] — DDL the engine
+    can't express (indexes, charsets, partitioning) must not poison the
+    stream. Identifier backquotes are stripped; types map into the
+    engine's six-type model (unknown → string)."""
+    m = _DDL_CLAUSE_RE.match(sql or "")
+    if not m:
+        return []
+    body = m.group(1).rstrip(" ;")
+    # split on top-level commas (types like decimal(10,2) carry commas)
+    clauses, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            clauses.append(body[start:i])
+            start = i + 1
+    clauses.append(body[start:])
+    uq = lambda s: s.strip().strip("`\"")  # noqa: E731
+    # ADD/DROP also introduce non-column objects — those clauses are
+    # structural noise here, not columns named "INDEX"
+    not_cols = {"index", "key", "constraint", "unique", "primary",
+                "foreign", "fulltext", "spatial", "partition", "check"}
+    out: list[dict] = []
+    for c in clauses:
+        c = c.strip()
+        if (
+            (m := re.match(r"(?is)^add\s+(?:column\s+)?(\S+)\s+(\S+)", c))
+            and uq(m.group(1)).lower() not in not_cols
+        ):
+            out.append({"action": "add", "column": uq(m.group(1)),
+                        "type": _mysql_type(m.group(2))})
+        elif (
+            (m := re.match(r"(?is)^drop\s+(?:column\s+)?(\S+)$", c))
+            and uq(m.group(1)).lower() not in not_cols
+        ):
+            out.append({"action": "drop", "column": uq(m.group(1))})
+        elif m := re.match(
+            r"(?is)^rename\s+column\s+(\S+)\s+to\s+(\S+)$", c
+        ):
+            out.append({"action": "rename", "from": uq(m.group(1)),
+                        "to": uq(m.group(2))})
+        elif m := re.match(
+            r"(?is)^modify\s+(?:column\s+)?(\S+)\s+(\S+)", c
+        ):
+            out.append({"action": "widen", "column": uq(m.group(1)),
+                        "to": _mysql_type(m.group(2))})
+        elif m := re.match(
+            r"(?is)^change\s+(?:column\s+)?(\S+)\s+(\S+)\s+(\S+)", c
+        ):
+            old, new = uq(m.group(1)), uq(m.group(2))
+            if old != new:
+                out.append({"action": "rename", "from": old, "to": new})
+            out.append({"action": "widen", "column": new,
+                        "to": _mysql_type(m.group(3))})
+    return out
+
+
+def canal_schema_change_events(
+    df: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Canal DDL flatMessages (``isDdl: true``, ``sql`` carries the
+    statement) → the engine's op='S' schema-change events, replayable by
+    ``replay_batches`` alongside the data events: each supported ALTER
+    clause becomes one event, (envelope id, clause index)-ordered so DDL
+    serializes against the surrounding data batches. The SQL-subset
+    parse runs in an Arrow-batched pandas UDF over the FEW DDL rows
+    (DDL is ~0 rpm next to row traffic — never the hot path)."""
+    env_s = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("es", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("isDdl", T.BooleanType()),
+            T.StructField("sql", T.StringType()),
+        ]
+    )
+    v = F.col(value_col)
+    ddl = (
+        df.filter(v.isNotNull() & (F.trim(v) != ""))
+        .select(F.from_json(v, env_s).alias("e"))
+        .filter(F.coalesce(F.col("e.isDdl"), F.lit(False)))
+        .select("e.id", "e.es", "e.sql")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _parse(sql: pd.Series) -> pd.Series:
+        import json as _json
+
+        return sql.map(
+            lambda s: [_json.dumps(p) for p in ddl_to_schema_changes(s)]
+        )
+
+    return (
+        ddl.select(
+            "id", "es", F.posexplode(_parse(F.col("sql"))).alias("_i", "payload")
+        )
+        .select(
+            (F.col("id") * F.lit(1 << 20) + F.col("_i")).alias("seq"),
+            F.lit("S").alias("op"),
+            F.lit(None).cast("string").alias("url"),
+            F.timestamp_millis(F.col("es")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("payload").alias("schema_change"),
+        )
     )
 
 

@@ -89,6 +89,73 @@ def test_canal_batch_explode_and_string_casts(spark):
     assert all(r["src_ts_ms"] == TSMS for r in out)
 
 
+def test_ddl_to_schema_changes_subset():
+    from embulk_spark.sources.debezium import ddl_to_schema_changes as d
+
+    assert d("ALTER TABLE pages ADD COLUMN score DOUBLE NOT NULL") == [
+        {"action": "add", "column": "score", "type": "double"}
+    ]
+    assert d("alter table `db`.`pages` add rank int(11), drop column old1") == [
+        {"action": "add", "column": "rank", "type": "long"},
+        {"action": "drop", "column": "old1"},
+    ]
+    assert d("ALTER TABLE t RENAME COLUMN a TO b") == [
+        {"action": "rename", "from": "a", "to": "b"}
+    ]
+    assert d("ALTER TABLE t MODIFY COLUMN price DECIMAL(10,2)") == [
+        {"action": "widen", "column": "price", "to": "double"}
+    ]
+    assert d("ALTER TABLE t CHANGE `a` `b` BIGINT") == [
+        {"action": "rename", "from": "a", "to": "b"},
+        {"action": "widen", "column": "b", "to": "long"},
+    ]
+    assert d("ALTER TABLE t ADD flag TINYINT(1)") == [
+        {"action": "add", "column": "flag", "type": "boolean"}
+    ]
+    # inexpressible DDL must yield nothing, never raise
+    assert d("ALTER TABLE t ADD INDEX idx (a)") == []  # matches nothing
+    assert d("CREATE TABLE t (a INT)") == []
+    assert d("") == [] and d(None) == []
+
+
+def test_canal_ddl_drives_lake_schema_evolution(spark, tmp_path):
+    import json as _json
+
+    from embulk_spark.sources.debezium import canal_schema_change_events
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import apply_schema_change
+
+    lines = [
+        _cn("INSERT", [ROW_S], id_=1),
+        _json.dumps({
+            "database": "db", "table": "pages", "type": "ALTER",
+            "es": TSMS, "ts": TSMS + 5, "id": 2, "isDdl": True,
+            "sql": "ALTER TABLE pages ADD COLUMN score DOUBLE",
+            "data": None,
+        }),
+        _cn("UPDATE", [{**ROW_S, "lang": "de"}], id_=3),
+    ]
+    df = _df(spark, lines)
+    ddl_events = canal_schema_change_events(df).orderBy("seq").collect()
+    assert len(ddl_events) == 1 and ddl_events[0]["op"] == "S"
+    payload = _json.loads(ddl_events[0]["schema_change"])
+    assert payload == {"action": "add", "column": "score", "type": "double"}
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=2,
+                             compact_min_deltas=10_000)
+    table.merge_epoch(canal_change_events(df), 0)
+    apply_schema_change(table, ddl_events[0]["schema_change"])
+    # post-DDL events carry the evolved column end-to-end
+    ev = spark.createDataFrame(
+        [(99, "U", URL, None, None, "en", 0.7)],
+        "seq long, op string, url string, warc_ts timestamp, html binary, "
+        "lang string, score double",
+    ).withColumn("warc_ts", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    table.merge_epoch(ev, 1, extract=False)
+    row = table.published().filter(F.col("url") == URL).collect()[0]
+    assert row["score"] == 0.7
+
+
 def test_three_formats_replay_to_identical_state(spark, tmp_path):
     """The same logical change sequence in Debezium, Maxwell, and Canal
     wire formats must produce byte-identical lake states."""
