@@ -301,6 +301,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "requeue",
+        help="dead-letter redrive: re-apply quarantined events as one "
+             "new idempotent epoch (still-invalid rows re-quarantine; "
+             "source quarantine drains after the commit)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--epoch", type=int, required=True,
+                    help="epoch id for the redrive commit")
+    sp.add_argument("--from-epochs", default=None,
+                    help="comma-separated source epochs (default: all)")
+    sp.add_argument("--quarantine-rules", default=None,
+                    help="JSON list of validate rules to re-check")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "snapshot-apply",
         help="ingest a periodic FULL dump by diffing it against live "
              "state (the diff IS the binlog): unchanged rows emit "
@@ -639,6 +654,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         out = table.bulk_import(
             args.source, args.epoch, extract=not args.no_extract
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "requeue":
+        from .streaming.lake import ParquetLakeTable
+        from .streaming.replay import requeue_quarantined
+
+        table = ParquetLakeTable(spark, args.table)
+        out = requeue_quarantined(
+            table, args.epoch,
+            epochs=(
+                [int(e) for e in args.from_epochs.split(",") if e.strip()]
+                if args.from_epochs else None
+            ),
+            rules=(
+                json.loads(args.quarantine_rules)
+                if args.quarantine_rules else None
+            ),
         )
         print(json.dumps(out))
         return 0

@@ -144,6 +144,67 @@ def quarantine_df(table) -> DataFrame | None:
     return table.spark.read.parquet(_os.path.join(qdir, "e*"))
 
 
+def requeue_quarantined(
+    table: ParquetLakeTable,
+    new_epoch_id: int,
+    *,
+    epochs: list[int] | None = None,
+    fix=None,
+    rules: list[dict] | None = None,
+) -> dict:
+    """Dead-letter REDRIVE (the Kafka-DLQ reprocess loop, CDC-native):
+    after the producer bug is fixed — or a ``fix`` transform repairs the
+    rows — re-apply quarantined events as one new idempotent epoch.
+
+    Ordering safety is free: quarantined rows kept their original
+    (warc_ts, seq), so a repaired OLD event re-entering after newer
+    changes already applied simply loses the merge — redrive can never
+    clobber fresher state. ``rules`` re-validates (still-invalid rows
+    re-quarantine under ``new_epoch_id``, the rest merge); ``epochs``
+    restricts the redrive to specific source epochs. Source quarantine
+    dirs are removed only AFTER the new epoch commits; a crash in
+    between re-runs as a duplicate-epoch skip plus the cleanup —
+    rows are never double-applied and never lost."""
+    import os as _os
+    import shutil as _shutil
+
+    q = quarantine_df(table)
+    out: dict = {"requeued_from_epochs": [], "epoch_id": new_epoch_id}
+    if q is None:
+        return out
+    if epochs is not None:
+        q = q.filter(F.col("_epoch").isin([int(e) for e in epochs]))
+    src_epochs = sorted(
+        int(r["_epoch"]) for r in q.select("_epoch").distinct().collect()
+        if int(r["_epoch"]) != int(new_epoch_id)
+    )
+    if not src_epochs:
+        return out
+    ev = q.filter(F.col("_epoch").isin(src_epochs)).drop(
+        "_violations", "_epoch"
+    )
+    if fix is not None:
+        ev = fix(ev)
+    if "schema_change" not in ev.columns:
+        ev = ev.withColumn("schema_change", F.lit(None).cast("string"))
+    out = apply_epoch(table, ev, new_epoch_id, quarantine_rules=rules)
+    if hasattr(table, "path"):
+        for e in src_epochs:
+            _shutil.rmtree(
+                _os.path.join(table.path, "quarantine", f"e{e:08d}"),
+                ignore_errors=True,
+            )
+    else:  # Iceberg backend: the quarantine is a partitioned table
+        qident = f"{table.ident}_quarantine"
+        if table.spark.catalog.tableExists(qident):
+            in_list = ", ".join(str(e) for e in src_epochs)
+            table.spark.sql(
+                f"DELETE FROM {qident} WHERE _epoch IN ({in_list})"
+            )
+    out["requeued_from_epochs"] = src_epochs
+    return out
+
+
 def apply_epoch(
     table: ParquetLakeTable,
     epoch_df: DataFrame,

@@ -117,3 +117,61 @@ def test_cli_replay_with_quarantine_rules(spark, tmp_path, capsys):
     assert {m["epoch_id"]: m["quarantined_rows"] for m in lines} == {0: 2, 1: 1}
     t = ParquetLakeTable(spark, table_dir, n_buckets=4)
     assert quarantine_df(t).count() == 3
+
+
+def test_requeue_quarantined_with_fix(spark, tmp_path):
+    """DLQ redrive: fix the offenders, re-apply as a new epoch, source
+    quarantine dirs drain, state picks up only the repaired rows that
+    pass the rules — and a repaired OLD event can't clobber newer state."""
+    from embulk_spark.streaming.replay import requeue_quarantined
+
+    ev = _events(spark)
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_batches(t, ev, quarantine_rules=RULES)
+    assert quarantine_df(t).count() == 3
+
+    def fix(df):
+        # producer-side repair: null urls get a synthetic url, scheme-less
+        # urls get a scheme, bogus ops become updates
+        return df.withColumn(
+            "url",
+            F.when(F.col("url").isNull(), F.lit("http://fixed.example/null"))
+            .when(~F.col("url").rlike("^https?://"),
+                  F.concat(F.lit("http://"), F.col("url")))
+            .otherwise(F.col("url")),
+        ).withColumn(
+            "op", F.when(~F.col("op").isin("U", "D"), F.lit("U"))
+            .otherwise(F.col("op")),
+        )
+
+    out = requeue_quarantined(t, 99, fix=fix, rules=RULES)
+    assert out["requeued_from_epochs"] == [0, 1]
+    assert out.get("quarantined_rows") == 0
+    assert quarantine_df(t) is None  # drained
+    urls = {r.url for r in t.published().collect()}
+    assert "http://fixed.example/null" in urls
+    assert "http://garbage-no-scheme" in urls
+    # seq 6 (op X -> U at c.com/3) is OLDER than the applied seq 7 winner:
+    # the redrive must not regress that key
+    c3 = [r for r in t.published().collect() if r.url == "http://c.com/3"]
+    assert c3[0]["seq"] == 7
+    assert 99 in t.committed_epochs()
+
+    # duplicate redrive: nothing left, no-op
+    again = requeue_quarantined(t, 100, rules=RULES)
+    assert again["requeued_from_epochs"] == []
+
+
+def test_requeue_still_invalid_rows_requarantine(spark, tmp_path):
+    from embulk_spark.streaming.replay import requeue_quarantined
+
+    ev = _events(spark)
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_batches(t, ev, quarantine_rules=RULES)
+    # no fix: every offender fails the same rules again and moves to the
+    # new epoch's quarantine (nothing merges, nothing is lost)
+    out = requeue_quarantined(t, 99, rules=RULES)
+    assert out["quarantined_rows"] == 3
+    q = quarantine_df(t)
+    assert q.count() == 3
+    assert {int(r["_epoch"]) for r in q.collect()} == {99}
