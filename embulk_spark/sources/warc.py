@@ -192,6 +192,42 @@ def read_warc_files(
     )
 
 
+def warc_change_events(records: DataFrame) -> DataFrame:
+    """Crawl archive → change stream: WARC records (parse_warc_blobs /
+    read_warc_files output) as the engine's canonical events
+    ``(seq, op, url, warc_ts, html, lang)``, replayable by merge_epoch.
+
+    Record-type semantics (ISO 28500 §6):
+    - ``response`` with a 2xx status → an upsert carrying the html;
+    - ``revisit`` → DROPPED on purpose: a revisit asserts the content
+      was UNCHANGED since the capture it refers to (identical-payload
+      -digest profile), so the lake's retained version is already the
+      truth — emitting nothing is the CDC-correct reading and gives
+      Common-Crawl-style dedup'd archives O(actual-change) ingest;
+    - 4xx/5xx responses, warcinfo/request/metadata records → dropped
+      (no page state).
+
+    ``seq``: a crawl has no binlog order; xxhash64(record_id) breaks
+    (url, warc_ts) ties deterministically so replay is re-run-stable
+    (any tie winner is content-identical in practice — same crawl
+    instant, same url)."""
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & F.col("url").isNotNull()
+            & F.col("http_status").between(200, 299)
+        )
+        .select(
+            F.xxhash64(F.col("record_id")).alias("seq"),
+            F.lit("U").alias("op"),
+            "url",
+            F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+            F.col("payload").alias("html"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+
 def warc_record_col(
     url: Column, ts: Column, html: Column, *, status: Column | None = None
 ) -> Column:

@@ -116,3 +116,54 @@ def test_payload_containing_warc_magic_is_not_split():
     )
     recs = list(parse_warc_bytes(rec * 2))
     assert len(recs) == 2 and all(r["payload"] == body for r in recs)
+
+
+def _raw_rec(wtype, url, ts, body=b"", extra=""):
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts}\r\nWARC-Record-ID: <urn:x:{wtype}:{url}>\r\n"
+        f"{extra}Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def _http(status, html):
+    head = (f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n").encode()
+    return head, head + html
+
+
+def test_warc_change_events_semantics(spark, tmp_path):
+    """Crawl archive → CDC: 2xx responses upsert, revisits emit NOTHING
+    (content unchanged by definition), errors/metadata drop; replay into
+    the lake keeps the earlier capture for the revisited url."""
+    from embulk_spark.sources.warc import warc_change_events
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    _, ok = _http(200, b"<p>fresh</p>")
+    _, err = _http(404, b"<p>gone</p>")
+    blob = b"".join([
+        _raw_rec("response", "https://ex.org/a", "2024-01-01T00:00:00Z", ok,
+                 "Content-Type: application/http; msgtype=response\r\n"),
+        _raw_rec("response", "https://ex.org/404", "2024-01-01T00:00:01Z",
+                 err, "Content-Type: application/http; msgtype=response\r\n"),
+        _raw_rec("revisit", "https://ex.org/a", "2024-01-02T00:00:00Z", b"",
+                 "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+                 "identical-payload-digest\r\n"),
+        _raw_rec("metadata", "https://ex.org/a", "2024-01-02T00:00:00Z",
+                 b"via: sitemap"),
+    ])
+    records = parse_warc_blobs(
+        spark.createDataFrame([(bytearray(blob),)], "content binary")
+    )
+    ev = warc_change_events(records)
+    rows = ev.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://ex.org/a"
+    assert bytes(rows[0]["html"]) == b"<p>fresh</p>"
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=2,
+                             compact_min_deltas=10_000)
+    table.merge_epoch(ev, 0)
+    pub = table.published().collect()
+    assert len(pub) == 1 and pub[0]["text"] == "fresh"
+    # the revisit did NOT bump the retained version
+    assert pub[0]["warc_ts"].day == 1
