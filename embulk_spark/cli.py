@@ -301,6 +301,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "properties",
+        help="show or durably set table properties (ALTER TABLE SET "
+             "TBLPROPERTIES): physical knobs every default-opened handle "
+             "adopts (stats/sort columns, cluster mode, blooms, compact "
+             "triggers, target file size)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="property to change; V is JSON (repeatable), "
+                         "e.g. --set 'stats_columns=[\"lang\"]' "
+                         "--set target_file_bytes=134217728")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "requeue",
         help="dead-letter redrive: re-apply quarantined events as one "
              "new idempotent epoch (still-invalid rows re-quarantine; "
@@ -656,6 +670,27 @@ def main(argv: list[str] | None = None) -> int:
             args.source, args.epoch, extract=not args.no_extract
         )
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "properties":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        if args.set:
+            kv = {}
+            for s in args.set:
+                k, _, v = s.partition("=")
+                try:
+                    parsed = json.loads(v)
+                except json.JSONDecodeError:
+                    parsed = v
+                kv[k] = tuple(parsed) if isinstance(parsed, list) else parsed
+            table.set_properties(**kv)
+        props = {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in table.properties().items()
+        }
+        print(json.dumps(props))
         return 0
 
     if args.cmd == "requeue":

@@ -123,114 +123,67 @@ class ParquetLakeTable:
     rows exceed ``compact_ratio ×`` base rows — amortized O(log) rewrites of
     any row, like LSM leveling."""
 
+    #: Physical-behavior properties persisted in the manifest (Iceberg
+    #: TBLPROPERTIES): recorded at table creation, adopted by handles
+    #: that don't explicitly override, updated via :meth:`set_properties`.
+    #: Without persistence a second handle opened with bare defaults
+    #: silently changes the table's physical story (un-clustered folds,
+    #: stats-less writes) — the same foot-gun n_buckets already guards.
+    PROPERTY_DEFAULTS: dict = {
+        "compact_min_deltas": 8,
+        "compact_ratio": 1.0,
+        "compact_mode": "full",
+        "url_hll": False,
+        "feed_retain_epochs": None,
+        "stats_columns": (),
+        "sort_columns": (),
+        "cluster_mode": "range",
+        "key_bloom": False,
+        "target_file_bytes": None,
+    }
+
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         n_buckets: int = 16,
         schema_ddl: str = TARGET_DDL,
-        compact_min_deltas: int = 8,
-        compact_ratio: float = 1.0,
-        compact_mode: str = "full",
-        url_hll: bool = False,
+        compact_min_deltas: int | None = None,
+        compact_ratio: float | None = None,
+        compact_mode: str | None = None,
+        url_hll: bool | None = None,
         ref: str = "main",
         feed_retain_epochs: int | None = None,
-        stats_columns: tuple[str, ...] | list[str] = (),
-        sort_columns: tuple[str, ...] | list[str] = (),
-        cluster_mode: str = "range",
-        key_bloom: bool = False,
+        stats_columns: tuple[str, ...] | list[str] | None = None,
+        sort_columns: tuple[str, ...] | list[str] | None = None,
+        cluster_mode: str | None = None,
+        key_bloom: bool | None = None,
         target_file_bytes: int | None = None,
     ) -> None:
-        if cluster_mode not in ("range", "zorder"):
-            raise ValueError(
-                f"cluster_mode must be 'range' or 'zorder', got {cluster_mode!r}"
-            )
-        if compact_mode not in ("full", "hot"):
-            raise ValueError(
-                f"compact_mode must be 'full' or 'hot', got {compact_mode!r}"
-            )
+        # property resolution happens after the snapshot is known (args
+        # override; table-recorded properties fill; defaults last) — the
+        # explicit args are kept aside until then
+        prop_args = {
+            "compact_min_deltas": compact_min_deltas,
+            "compact_ratio": compact_ratio,
+            "compact_mode": compact_mode,
+            "url_hll": url_hll,
+            "feed_retain_epochs": feed_retain_epochs,
+            "stats_columns": stats_columns,
+            "sort_columns": sort_columns,
+            "cluster_mode": cluster_mode,
+            "key_bloom": key_bloom,
+            "target_file_bytes": target_file_bytes,
+        }
         if ref != "main" and (not ref or "/" in ref or ref.startswith(".")):
             raise ValueError(f"invalid branch name {ref!r}")
         self.spark = spark
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
-        #: cumulative distinct-url HLL in the manifest (operators/
-        #: sketch.py): per epoch ONE extra column-pruned scan of the
-        #: just-written delta (url bytes only, O(change-set)), registers
-        #: max-merged into the snapshot atomically with the commit —
-        #: "distinct keys ever ingested" at any snapshot without
-        #: touching the base. Opt-in: the default epoch stays exactly
-        #: one heavy job.
-        self.url_hll = url_hll
-        self.compact_min_deltas = compact_min_deltas
-        self.compact_ratio = compact_ratio
-        #: "full" rewrites the whole base per fold (small tables); "hot"
-        #: folds only the buckets whose pending deltas exceed compact_ratio
-        #: × their base slice and binpacks the rest into a residual group —
-        #: the O(hot set + Δ) shape a 100 TB table needs.
-        self.compact_mode = compact_mode
-        #: AUTO maintenance (maybe_compact) never folds the newest
-        #: ``feed_retain_epochs`` committed epochs' delta groups, so a
-        #: changes_between/consume_changes follower that polls at least
-        #: once per that many epochs keeps exact per-epoch feed service
-        #: across hot folds and binpacks (older cursors fall back to the
-        #: residual group when it fully covers their range). Defaults to
-        #: ``compact_min_deltas``; 0 disables. Explicit compact()/
-        #: compact_hot() calls are unaffected unless passed a retain set.
-        #: per-file column statistics in the manifest (streaming/
-        #: filestats.py — Iceberg's lower/upper bounds): every delta,
-        #: base, and residual write is followed by ONE column-pruned
-        #: scan of the files just written (stat columns only) whose
-        #: min/max/null-counts land in the group's manifest entry;
-        #: scan_where()/scan_plan() then skip files/buckets a predicate
-        #: cannot match. Opt-in like url_hll: the default epoch stays
-        #: exactly one heavy job. Files written before enablement simply
-        #: lack stats and are always read (sound).
-        self.stats_columns = tuple(stats_columns)
-        #: sort order for compaction/rebucket output (Iceberg's
-        #: write sort-order): base rows range-partition on
-        #: (bucket, *sort_columns) so each bucket's files hold disjoint
-        #: sort-key ranges — with stats_columns covering the same
-        #: columns, predicate scans skip whole files inside clean
-        #: buckets. Trade-off: the within-file row-group clustering
-        #: moves from pure url to (sort_columns, url), so point lookups
-        #: scan a few more row-groups per file.
-        self.sort_columns = tuple(sort_columns)
-        #: how compaction clusters sort_columns within a bucket:
-        #: "range" (default) = lexicographic range partition — tightest
-        #: files on the LEADING column, no pruning on the others;
-        #: "zorder" (≥2 sort columns) = Morton-interleaved quantile
-        #: ranks (streaming/zorder.py — Delta OPTIMIZE ZORDER BY), so
-        #: per-file stats prune on ANY z-ordered column. Costs one extra
-        #: approxQuantile pass per fold, maintenance-path only.
-        self.cluster_mode = cluster_mode
-        #: Delta OPTIMIZE's target-file-size knob for compaction/rebucket
-        #: output: the fold sizes its write partitioning to
-        #: ceil(input_bytes / target) instead of the session's
-        #: shuffle.partitions, so a small table folds to ~1 file per
-        #: bucket (no small-file spray) and a 100 TB fold still gets
-        #: bytes-proportional parallelism without 10^6 tiny files. The
-        #: estimate is the manifest files' on-disk bytes — same parquet
-        #: domain in and out. None = legacy behavior.
-        self.target_file_bytes = target_file_bytes
-        #: per-file merge-key bloom filters in the manifest (streaming/
-        #: filestats.py — Parquet's bloom index hoisted to the manifest so
-        #: the DRIVER plans around it): each write's stats pass also packs
-        #: a url bloom per file (≤ ~11 KiB base64, omitted for files too
-        #: large to filter usefully). Point lookups / url-equality scans
-        #: then skip every file whose bloom says "definitely absent" —
-        #: sound per-FILE even in dirty buckets, because url is the merge
-        #: key: every version of a key lives only in files containing it.
-        self.key_bloom = bool(key_bloom)
         #: cache of loaded stats manifests (group_stats) — safe because a
         #: manifest file is immutable once written (uuid-named,
         #: create-exclusive): a ref never changes meaning.
         self._manifest_cache: dict[str, dict] = {}
-        self._feed_retain_epochs = (
-            None if feed_retain_epochs is None else int(feed_retain_epochs)
-        )
-        if (self._feed_retain_epochs or 0) < 0:
-            raise ValueError("feed_retain_epochs must be >= 0")
         #: which ref this handle commits to. "main" is the table itself;
         #: any other name is a BRANCH (Iceberg branch refs): an
         #: independent snapshot+staged namespace under branches/<name>/
@@ -276,6 +229,12 @@ class ParquetLakeTable:
                 "metrics": {},
                 "lineage": [],
                 "committed_at": time.time(),
+                # TBLPROPERTIES: physical-behavior knobs recorded at
+                # creation so every later default-open behaves the same
+                "properties": self._jsonable_props({
+                    k: (prop_args[k] if prop_args[k] is not None else d)
+                    for k, d in self.PROPERTY_DEFAULTS.items()
+                }),
             }
             try:
                 _atomic_create_json(self._snap_path(0), snap)
@@ -287,7 +246,21 @@ class ParquetLakeTable:
         # mis-bucketed deltas — it adopts the table's recorded value
         # (every data-placement op re-reads it from its captured snapshot,
         # so even a concurrent rebucket can't skew this handle).
-        self.n_buckets = self._nb(self.current_snapshot())
+        cur = self.current_snapshot()
+        self.n_buckets = self._nb(cur)
+        # properties: explicit ctor args override (handle-local, like a
+        # session conf); the table's recorded properties fill the rest;
+        # pre-properties tables fall back to the legacy defaults. Commit
+        # durable changes with set_properties().
+        stored = cur.get("properties") or {}
+        self._apply_properties({
+            k: (
+                prop_args[k]
+                if prop_args[k] is not None
+                else stored.get(k, d)
+            )
+            for k, d in self.PROPERTY_DEFAULTS.items()
+        })
         if self.cluster_mode == "zorder" and len(self.sort_columns) >= 2:
             # fail FAST on an unquantizable zorder layout: without this,
             # a bad sort column only surfaces when auto-maintenance first
@@ -298,6 +271,95 @@ class ParquetLakeTable:
             from .zorder import validate_zorder_columns
 
             validate_zorder_columns(self.schema(), self.sort_columns)
+
+    # ------------------------------------------------------------------
+    # table properties (Iceberg TBLPROPERTIES)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _jsonable_props(props: dict) -> dict:
+        return {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in props.items()
+        }
+
+    def _apply_properties(self, props: dict) -> None:
+        """Validate and bind the resolved property set to this handle.
+
+        The knobs (all recorded in the snapshot's ``properties``):
+        ``url_hll`` — cumulative distinct-url HLL per commit (one extra
+        O(change-set) url-only scan); ``stats_columns`` — per-file
+        min/max/null manifest stats driving scan_where data skipping;
+        ``sort_columns`` + ``cluster_mode`` ('range' lexicographic |
+        'zorder' Morton) — compaction write clustering; ``key_bloom`` —
+        per-file merge-key blooms for driver-side point-lookup pruning;
+        ``target_file_bytes`` — bytes-proportional fold output sizing;
+        ``compact_min_deltas``/``compact_ratio``/``compact_mode``
+        ('full' | 'hot') — auto-maintenance triggers;
+        ``feed_retain_epochs`` — newest epochs auto-folds must keep
+        feed-servable (None = compact_min_deltas; 0 disables)."""
+        if props["cluster_mode"] not in ("range", "zorder"):
+            raise ValueError(
+                "cluster_mode must be 'range' or 'zorder', got "
+                f"{props['cluster_mode']!r}"
+            )
+        if props["compact_mode"] not in ("full", "hot"):
+            raise ValueError(
+                f"compact_mode must be 'full' or 'hot', got "
+                f"{props['compact_mode']!r}"
+            )
+        fre = props["feed_retain_epochs"]
+        if fre is not None and int(fre) < 0:
+            raise ValueError("feed_retain_epochs must be >= 0")
+        self.url_hll = bool(props["url_hll"])
+        self.compact_min_deltas = int(props["compact_min_deltas"])
+        self.compact_ratio = float(props["compact_ratio"])
+        self.compact_mode = props["compact_mode"]
+        self.stats_columns = tuple(props["stats_columns"])
+        self.sort_columns = tuple(props["sort_columns"])
+        self.cluster_mode = props["cluster_mode"]
+        self.target_file_bytes = (
+            None if props["target_file_bytes"] is None
+            else int(props["target_file_bytes"])
+        )
+        self.key_bloom = bool(props["key_bloom"])
+        self._feed_retain_epochs = None if fre is None else int(fre)
+
+    def properties(self) -> dict:
+        """The table's recorded properties (current snapshot; legacy
+        defaults fill keys predating the properties manifest)."""
+        stored = (self.current_snapshot() or {}).get("properties") or {}
+        out = {}
+        for k, d in self.PROPERTY_DEFAULTS.items():
+            v = stored.get(k, d)
+            out[k] = tuple(v) if isinstance(d, tuple) else v
+        return out
+
+    def set_properties(self, **props) -> dict:
+        """Durably change table properties (ALTER TABLE SET
+        TBLPROPERTIES): one metadata-only snapshot commit; handles opened
+        with defaults afterwards adopt the new values (THIS handle adopts
+        immediately). Unknown keys are rejected. Rebases like any commit
+        — concurrent epochs keep their deltas; concurrent set_properties
+        last-writer-wins per key."""
+        unknown = set(props) - set(self.PROPERTY_DEFAULTS)
+        if unknown:
+            raise ValueError(f"unknown table properties: {sorted(unknown)}")
+        merged = dict(self.properties(), **props)
+        self._apply_properties(dict(merged))  # validates + binds locally
+        if self.cluster_mode == "zorder" and len(self.sort_columns) >= 2:
+            from .zorder import validate_zorder_columns
+
+            validate_zorder_columns(self.schema(), self.sort_columns)
+        snap = self.current_snapshot()
+        out = self._commit(
+            snap, None,
+            metrics={"op": "set_properties",
+                     "changed": sorted(props)},
+            lineage=[],
+            properties=self._jsonable_props(merged),
+        )
+        return out
 
     # ------------------------------------------------------------------
     # snapshot bookkeeping
@@ -1799,6 +1861,7 @@ class ParquetLakeTable:
         expect_nb: int | None = None,
         n_buckets: int | None = None,
         hll_regs: dict | None = None,
+        properties: dict | None = None,
     ) -> dict:
         """Publish a new snapshot. REBASES on the current snapshot under the
         commit lock (not the one the caller captured), so pipelined epochs
@@ -1898,6 +1961,12 @@ class ParquetLakeTable:
                     "metrics": out_metrics,
                     "lineage": lineage,
                     "committed_at": committed_at,
+                    # TBLPROPERTIES ride every commit; only
+                    # set_properties replaces them
+                    "properties": (
+                        properties if properties is not None
+                        else cur.get("properties") or {}
+                    ),
                 }
                 try:
                     # create-exclusive: a concurrent writer (another
@@ -2809,6 +2878,9 @@ class ParquetLakeTable:
                     # the sketch is monotone state: it rolls back with the
                     # epoch set and re-merges when the epochs replay
                     "url_hll": target.get("url_hll") or {},
+                    # properties are CURRENT-state config, not data state:
+                    # a rollback restores rows, not knobs
+                    "properties": cur.get("properties") or {},
                     "metrics": {
                         "op": "rollback",
                         "to_version": version,
@@ -3017,6 +3089,7 @@ class ParquetLakeTable:
             "base_rows": snap["base_rows"],
             "deltas": snap["deltas"],
             "url_hll": snap.get("url_hll") or {},
+            "properties": snap.get("properties") or {},
             "metrics": {
                 "clone": True,
                 "cloned_from": os.path.abspath(self.path),
