@@ -1,0 +1,258 @@
+"""Row/column-level filter plugins from the Embulk plugin ecosystem,
+re-expressed as pure Column expressions (no Python in the data path).
+
+The reference distribution ships only remove_columns/rename
+(build.gradle:17-18); the ecosystem's most-installed filters are
+row-predicate, column add/drop/reorder, typecast, add_time and
+expand_json. Their semantics are public plugin contracts:
+
+- filter-row      — per-row predicate chain, conditions AND/OR-combined,
+                    each ``{column, operator, argument, not}``.
+- filter-column   — ``columns:`` keep+reorder (with ``src``/``default``
+                    backfill), ``add_columns:``, ``drop_columns:``.
+- filter-typecast — cast columns between the six Embulk types with the
+                    engine's coercion-setter semantics (functions/coerce
+                    mirrors spi's *ColumnSetter, so a failed cast nulls
+                    instead of erroring — reference default-value policy).
+- filter-add_time — materialize an event-time column from a fixed value,
+                    another column, or ingest time.
+- filter-expand_json — one JSON column → typed top-level columns via an
+                    RFC 6901 pointer root (same pointer grammar as the
+                    json parser, spi/json/JsonParser.java:29-41).
+
+Everything here stays inside whole-stage codegen: predicates are Column
+trees, JSON expansion is ``get_json_object``/``from_json``, casts are the
+coerce exprs — Catalyst pushes row predicates below the parse where the
+source allows it, so at 100 TB a selective filter-row prunes at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.coerce import (
+    EMBULK_TO_SPARK,
+    coerce,
+    string_to_timestamp,
+)
+
+# spark type → embulk type name, for deriving coercion directions from the
+# frame's actual schema (filter-typecast declares only the TARGET type)
+_SPARK_TO_EMBULK = {
+    T.BooleanType(): "boolean",
+    T.LongType(): "long",
+    T.IntegerType(): "long",
+    T.DoubleType(): "double",
+    T.FloatType(): "double",
+    T.StringType(): "string",
+    T.TimestampType(): "timestamp",
+}
+
+
+def _embulk_type_of(df: DataFrame, name: str) -> str:
+    dt = df.schema[name].dataType
+    return _SPARK_TO_EMBULK.get(dt, "string")
+
+
+# ---------------------------------------------------------------------------
+# filter-row
+# ---------------------------------------------------------------------------
+
+#: operator name → Column builder; string operators follow the public
+#: filter-row contract (start_with/end_with/include), regexp is rlike.
+_ROW_OPS = {
+    "==": lambda c, a: c.eqNullSafe(a),
+    "!=": lambda c, a: ~c.eqNullSafe(a),
+    ">": lambda c, a: c > a,
+    ">=": lambda c, a: c >= a,
+    "<": lambda c, a: c < a,
+    "<=": lambda c, a: c <= a,
+    "start_with": lambda c, a: c.startswith(a),
+    "end_with": lambda c, a: c.endswith(a),
+    "include": lambda c, a: c.contains(a),
+    # rlike takes the pattern as a plain str (not a Column) in classic pyspark
+    "regexp": lambda c, a: c.rlike(a),
+}
+
+
+def row_condition(df: DataFrame, cond: dict) -> Column:
+    """One ``{column, operator, argument, not, format}`` condition as a
+    Column predicate. The argument literal is cast to the column's type
+    (timestamp arguments honor an optional strptime ``format`` like the
+    column configs do); ``IS NULL`` / ``IS NOT NULL`` take no argument."""
+    col = F.col(cond["column"])
+    op = str(cond.get("operator", "==")).strip()
+    opu = op.upper()
+    if opu in ("IS NULL", "NULL"):
+        pred = col.isNull()
+    elif opu in ("IS NOT NULL", "NOT NULL"):
+        pred = col.isNotNull()
+    else:
+        fn = _ROW_OPS.get(op)
+        if fn is None:
+            raise ValueError(f"filter-row: unknown operator {op!r}")
+        arg = cond["argument"]
+        dt = df.schema[cond["column"]].dataType
+        if op == "regexp":
+            lit: Column | str = str(arg)
+        elif isinstance(dt, T.TimestampType) and isinstance(arg, str):
+            lit = string_to_timestamp(F.lit(arg), cond.get("format"))
+        elif op in ("start_with", "end_with", "include"):
+            lit = F.lit(str(arg))
+        else:
+            lit = F.lit(arg).cast(dt)
+        pred = fn(col, lit)
+    if cond.get("not"):
+        pred = ~pred
+    return pred
+
+
+def row_filter(df: DataFrame, conditions: list[dict], condition: str = "AND") -> DataFrame:
+    """filter-row: keep rows where the conditions hold, AND- or
+    OR-combined. An empty condition list keeps everything."""
+    if not conditions:
+        return df
+    preds = [row_condition(df, c) for c in conditions]
+    combined = preds[0]
+    for p in preds[1:]:
+        combined = (combined | p) if condition.upper() == "OR" else (combined & p)
+    return df.filter(combined)
+
+
+# ---------------------------------------------------------------------------
+# filter-column
+# ---------------------------------------------------------------------------
+
+def _column_expr(df: DataFrame, spec: dict) -> Column:
+    """Resolve one column spec: existing column, ``src`` copy, or typed
+    ``default`` literal (used when the named column is absent)."""
+    name = spec["name"]
+    if "src" in spec:
+        return F.col(spec["src"]).alias(name)
+    if name in df.columns:
+        return F.col(name)
+    etype = spec.get("type", "string")
+    default = spec.get("default")
+    if etype == "timestamp":
+        return string_to_timestamp(
+            F.lit(default), spec.get("format"), spec.get("timezone")
+        ).alias(name)
+    return F.lit(default).cast(EMBULK_TO_SPARK[etype]).alias(name)
+
+
+def column_ops(
+    df: DataFrame,
+    columns: list[dict] | None = None,
+    add_columns: list[dict] | None = None,
+    drop_columns: list[dict] | None = None,
+) -> DataFrame:
+    """filter-column: ``columns`` keeps + reorders (backfilling absent
+    names from ``src``/``default``), ``add_columns`` appends, and
+    ``drop_columns`` removes — applied in that order, matching the public
+    plugin's precedence."""
+    if columns:
+        df = df.select(*[_column_expr(df, s) for s in columns])
+    for s in add_columns or []:
+        df = df.withColumn(s["name"], _column_expr(df, s))
+    for s in drop_columns or []:
+        name = s["name"] if isinstance(s, dict) else s
+        df = df.drop(name)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# filter-typecast
+# ---------------------------------------------------------------------------
+
+def typecast_columns(df: DataFrame, casts: list[dict]) -> DataFrame:
+    """filter-typecast: each ``{name, type}`` re-types a column using the
+    engine's Embulk coercion semantics (functions/coerce COERCIONS — the
+    *ColumnSetter matrix), so e.g. string→long accepts only strict longs
+    and boolean→long maps true→1, with failures nulling out rather than
+    erroring. ``format``/``timezone`` flow to string→timestamp."""
+    by_name = {c["name"]: c for c in casts}
+    exprs: list[Column] = []
+    for name in df.columns:
+        spec = by_name.get(name)
+        if spec is None:
+            exprs.append(F.col(name))
+            continue
+        from_t = _embulk_type_of(df, name)
+        to_t = spec["type"]
+        if from_t == "string" and to_t == "timestamp":
+            out = string_to_timestamp(
+                F.col(name), spec.get("format"), spec.get("timezone")
+            )
+        else:
+            out = coerce(F.col(name), from_t, to_t)
+        exprs.append(out.alias(name))
+    return df.select(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# filter-add_time
+# ---------------------------------------------------------------------------
+
+def add_time(df: DataFrame, conf: dict) -> DataFrame:
+    """filter-add_time: materialize ``to_column`` (timestamp) from
+    ``from_value`` (fixed literal — reproducible fixtures), ``from_column``
+    (copy + coerce another column), or ``mode: upload_time`` (ingest
+    wall-clock; the one non-deterministic choice, as in the plugin)."""
+    to_col = conf["to_column"]["name"]
+    if "from_value" in conf:
+        fv = conf["from_value"]
+        value, fmt = fv.get("value"), fv.get("format")
+        expr = string_to_timestamp(F.lit(str(value)), fmt, fv.get("timezone"))
+    elif "from_column" in conf:
+        src = conf["from_column"]["name"]
+        from_t = _embulk_type_of(df, src)
+        if from_t == "string":
+            expr = string_to_timestamp(
+                F.col(src), conf["from_column"].get("format"),
+                conf["from_column"].get("timezone"),
+            )
+        else:
+            expr = coerce(F.col(src), from_t, "timestamp")
+    elif conf.get("mode") == "upload_time":
+        expr = F.current_timestamp()
+    else:
+        raise ValueError("filter-add_time: need from_value, from_column or mode")
+    return df.withColumn(to_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# filter-expand_json
+# ---------------------------------------------------------------------------
+
+def expand_json(
+    df: DataFrame,
+    json_column: str,
+    expanded: list[dict],
+    root: str | None = None,
+    keep: bool = False,
+) -> DataFrame:
+    """filter-expand_json: expand ``json_column`` into typed top-level
+    columns. ``root`` is an RFC 6901 pointer into each document (same
+    grammar as the json parser's ``root``); each expanded column is pulled
+    with ``get_json_object`` (JVM) and coerced string→type with the
+    engine's setter semantics, timestamps honoring per-column formats.
+    The source column is dropped unless ``keep``."""
+    from ..sources.files import json_pointer_to_path
+
+    src: Column = F.col(json_column)
+    if root:
+        src = F.get_json_object(src, json_pointer_to_path(root))
+    exprs = [F.col(c) for c in df.columns if keep or c != json_column]
+    for spec in expanded:
+        name, etype = spec["name"], spec.get("type", "string")
+        raw = F.get_json_object(src, "$." + name)
+        if etype == "timestamp":
+            out = string_to_timestamp(raw, spec.get("format"), spec.get("timezone"))
+        elif etype == "json":
+            out = raw
+        else:
+            out = coerce(raw, "string", etype)
+        exprs.append(out.alias(name))
+    return df.select(*exprs)

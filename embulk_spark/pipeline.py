@@ -356,6 +356,44 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         return validate(
             df, fconf["rules"], policy=fconf.get("policy", "fail")
         )
+    if ftype == "row":
+        # embulk-filter-row: per-row predicate chain (conditions AND/OR)
+        from .operators.rowops import row_filter
+
+        return row_filter(
+            df, fconf.get("conditions", []), fconf.get("condition", "AND")
+        )
+    if ftype == "column":
+        # embulk-filter-column: keep+reorder / add / drop with src+default
+        from .operators.rowops import column_ops
+
+        return column_ops(
+            df,
+            fconf.get("columns"),
+            fconf.get("add_columns"),
+            fconf.get("drop_columns"),
+        )
+    if ftype == "typecast":
+        # embulk-filter-typecast: re-type with the coercion-setter matrix
+        from .operators.rowops import typecast_columns
+
+        return typecast_columns(df, fconf["columns"])
+    if ftype == "add_time":
+        # embulk-filter-add_time: materialize an event-time column
+        from .operators.rowops import add_time
+
+        return add_time(df, fconf)
+    if ftype == "expand_json":
+        # embulk-filter-expand_json: one json column → typed columns
+        from .operators.rowops import expand_json
+
+        return expand_json(
+            df,
+            fconf.get("json_column_name", "record"),
+            fconf.get("expanded_columns", []),
+            fconf.get("root"),
+            fconf.get("keep_expanding_json_column", False),
+        )
     raise ValueError(f"unknown filter type: {ftype}")
 
 
@@ -480,7 +518,7 @@ def run_resumable(
     hook for tests)."""
     import hashlib as _hashlib
 
-    from .sources.files import read_csv, read_json
+    from .sources.files import read_csv, read_json, read_regexp
 
     in_conf = config["in"]
     if in_conf.get("type", "file") != "file":
@@ -501,7 +539,9 @@ def run_resumable(
         if k in in_conf and k not in parser:
             parser[k] = in_conf[k]
     ptype = parser.get("type", "csv")
-    read_group = read_csv if ptype == "csv" else read_json
+    read_group = {"csv": read_csv, "json": read_json, "regexp": read_regexp}.get(
+        ptype, read_json
+    )
 
     n_done = 0
     is_lake = out_conf.get("type") == "lake"

@@ -240,6 +240,38 @@ def read_json(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
     return spark.read.text(paths).select(F.col("value").alias("record"))
 
 
+def parse_regexp_column(
+    df: DataFrame, col: F.Column, pattern: str, columns: list[dict]
+) -> DataFrame:
+    """Named/positional-group regex → typed columns over a string Column
+    (the embulk-parser-regex ecosystem plugin). Capture group ``i+1`` maps
+    to ``columns[i]`` (Java regex counts named groups positionally too).
+    Lines not matching the pattern are skipped, the plugin's default
+    invalid-line policy; extracted text coerces with the engine's
+    string-setter semantics so a non-numeric capture nulls instead of
+    erroring, and timestamp columns honor per-column format/timezone.
+    All JVM: rlike gate + one regexp_extract per column, codegen'd."""
+    from ..functions.coerce import coerce
+
+    exprs = []
+    for i, c in enumerate(columns):
+        raw = F.regexp_extract(col, pattern, i + 1)
+        etype = c["type"]
+        if etype in ("string", "json", "timestamp"):
+            out = raw  # timestamps parsed below with their own format
+        else:
+            out = coerce(raw, "string", etype)
+        exprs.append(out.alias(c["name"]))
+    matched = df.filter(col.rlike(pattern)).select(*exprs)
+    return _apply_timestamp_formats(matched, columns)
+
+
+def read_regexp(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
+    """Parser ``type: regexp``: one record per matching line."""
+    df = spark.read.text(paths)
+    return parse_regexp_column(df, F.col("value"), parser["format"], parser["columns"])
+
+
 def read_input_files(
     spark: SparkSession, in_config: dict, last_path: str | None = None
 ) -> tuple[DataFrame, dict]:
@@ -262,6 +294,8 @@ def read_input_files(
         return read_csv(spark, paths, parser), diff
     if ptype == "json":
         return read_json(spark, paths, parser), diff
+    if ptype == "regexp":
+        return read_regexp(spark, paths, parser), diff
     if ptype in ("parquet", "orc"):
         # columnar self-describing inputs (the embulk-input-parquet /
         # embulk-parser-orc ecosystem plugins): schema comes from the

@@ -1,0 +1,271 @@
+"""Ecosystem filter plugins (row / column / typecast / add_time /
+expand_json) and the regexp parser."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from embulk_spark.operators.rowops import (
+    add_time,
+    column_ops,
+    expand_json,
+    row_filter,
+    typecast_columns,
+)
+from embulk_spark.pipeline import apply_filter
+from embulk_spark.sources.files import parse_regexp_column, read_regexp
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, name="alpha", score=3.5, ts=dt.datetime(2026, 1, 1, 0, 0, 0)),
+            Row(id=2, name="beta", score=None, ts=dt.datetime(2026, 1, 2, 0, 0, 0)),
+            Row(id=3, name="gamma", score=9.0, ts=dt.datetime(2026, 1, 3, 0, 0, 0)),
+            Row(id=4, name=None, score=1.0, ts=dt.datetime(2026, 1, 4, 0, 0, 0)),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter-row
+# ---------------------------------------------------------------------------
+
+def test_row_filter_and(frame):
+    out = row_filter(
+        frame,
+        [
+            {"column": "score", "operator": ">=", "argument": 3},
+            {"column": "name", "operator": "start_with", "argument": "a"},
+        ],
+    )
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_row_filter_or_and_not(frame):
+    out = row_filter(
+        frame,
+        [
+            {"column": "name", "operator": "==", "argument": "beta"},
+            {"column": "score", "operator": ">", "argument": 5, "not": True},
+        ],
+        condition="OR",
+    )
+    # not(score>5) keeps score<=5 and NULL scores → ids 1,2,4; OR beta adds nothing new
+    assert sorted(r.id for r in out.collect()) == [1, 2, 4]
+
+
+def test_row_filter_null_timestamp_regexp(frame):
+    out = row_filter(frame, [{"column": "name", "operator": "IS NOT NULL"}])
+    assert out.count() == 3
+    out = row_filter(
+        frame,
+        [{"column": "ts", "operator": ">", "argument": "2026-01-02 00:00:00"}],
+    )
+    assert sorted(r.id for r in out.collect()) == [3, 4]
+    out = row_filter(frame, [{"column": "name", "operator": "regexp", "argument": "a$"}])
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_row_filter_unknown_operator(frame):
+    with pytest.raises(ValueError):
+        row_filter(frame, [{"column": "id", "operator": "~~", "argument": 1}])
+
+
+# ---------------------------------------------------------------------------
+# filter-column
+# ---------------------------------------------------------------------------
+
+def test_column_keep_reorder_default(frame):
+    out = column_ops(
+        frame,
+        columns=[
+            {"name": "name"},
+            {"name": "id"},
+            {"name": "source", "type": "string", "default": "crawl"},
+        ],
+    )
+    assert out.columns == ["name", "id", "source"]
+    assert out.select("source").distinct().collect()[0][0] == "crawl"
+
+
+def test_column_add_src_and_drop(frame):
+    out = column_ops(
+        frame,
+        add_columns=[{"name": "label", "src": "name"}],
+        drop_columns=[{"name": "ts"}, "score"],
+    )
+    assert out.columns == ["id", "name", "label"]
+    assert out.filter("label = name OR (label IS NULL AND name IS NULL)").count() == 4
+
+
+# ---------------------------------------------------------------------------
+# filter-typecast
+# ---------------------------------------------------------------------------
+
+def test_typecast_setter_semantics(spark):
+    df = spark.createDataFrame(
+        [Row(n="42", f="1.5", b="true", t="2026-02-03 04:05:06", junk="xx")]
+    )
+    out = typecast_columns(
+        df,
+        [
+            {"name": "n", "type": "long"},
+            {"name": "f", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "t", "type": "timestamp"},
+            {"name": "junk", "type": "long"},
+        ],
+    ).collect()[0]
+    assert out.n == 42 and out.f == 1.5 and out.b is True
+    assert out.t == dt.datetime(2026, 2, 3, 4, 5, 6)
+    assert out.junk is None  # setter policy: failed cast nulls, never errors
+
+
+def test_typecast_numeric_down_and_up(frame):
+    out = typecast_columns(
+        frame, [{"name": "score", "type": "long"}, {"name": "id", "type": "string"}]
+    )
+    rows = {r.id: r.score for r in out.collect()}
+    assert rows["1"] == 4  # 3.5 rounds half-up like LongColumnSetter
+    assert rows["2"] is None
+
+
+# ---------------------------------------------------------------------------
+# filter-add_time
+# ---------------------------------------------------------------------------
+
+def test_add_time_from_value_and_column(frame):
+    out = add_time(
+        frame,
+        {
+            "to_column": {"name": "ingest_ts", "type": "timestamp"},
+            "from_value": {"value": "2026-08-20 00:00:00"},
+        },
+    )
+    assert out.select("ingest_ts").distinct().collect()[0][0] == dt.datetime(
+        2026, 8, 20
+    )
+    out = add_time(
+        frame,
+        {"to_column": {"name": "t2", "type": "timestamp"}, "from_column": {"name": "ts"}},
+    )
+    assert out.filter("t2 = ts").count() == 4
+
+
+# ---------------------------------------------------------------------------
+# filter-expand_json
+# ---------------------------------------------------------------------------
+
+def test_expand_json_with_root_and_types(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, record='{"meta": {"n": "7", "when": "2026-01-05 00:00:00", "tag": "x"}}'),
+            Row(id=2, record='{"meta": {"n": "bad", "tag": "y"}}'),
+        ]
+    )
+    out = expand_json(
+        df,
+        "record",
+        [
+            {"name": "n", "type": "long"},
+            {"name": "when", "type": "timestamp"},
+            {"name": "tag", "type": "string"},
+        ],
+        root="/meta",
+    )
+    assert out.columns == ["id", "n", "when", "tag"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].n == 7 and rows[1].when == dt.datetime(2026, 1, 5)
+    assert rows[2].n is None and rows[2].when is None and rows[2].tag == "y"
+
+
+def test_expand_json_keep(spark):
+    df = spark.createDataFrame([Row(record='{"a": 1}')])
+    out = expand_json(df, "record", [{"name": "a", "type": "long"}], keep=True)
+    assert out.columns == ["record", "a"]
+
+
+# ---------------------------------------------------------------------------
+# parser-regexp
+# ---------------------------------------------------------------------------
+
+CLF_PATTERN = (
+    r'^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d+) (\d+|-)'
+)
+CLF_COLUMNS = [
+    {"name": "host", "type": "string"},
+    {"name": "time", "type": "timestamp", "format": "%d/%b/%Y:%H:%M:%S %z"},
+    {"name": "method", "type": "string"},
+    {"name": "path", "type": "string"},
+    {"name": "code", "type": "long"},
+    {"name": "size", "type": "long"},
+]
+
+LOG_LINES = [
+    '10.0.0.1 - - [05/Feb/2026:10:00:00 +0000] "GET /index.html HTTP/1.1" 200 512',
+    '10.0.0.2 - - [05/Feb/2026:10:00:01 +0000] "POST /submit HTTP/1.1" 302 -',
+    "this line does not match at all",
+]
+
+
+def test_parse_regexp_clf(spark, tmp_path):
+    p = tmp_path / "access.log"
+    p.write_text("\n".join(LOG_LINES) + "\n")
+    out = read_regexp(
+        spark, [str(p)], {"format": CLF_PATTERN, "columns": CLF_COLUMNS}
+    ).orderBy("host")
+    rows = out.collect()
+    assert len(rows) == 2  # the junk line is skipped
+    assert rows[0].host == "10.0.0.1" and rows[0].code == 200 and rows[0].size == 512
+    assert rows[0].method == "GET" and rows[0].path == "/index.html"
+    assert rows[0].time == dt.datetime(2026, 2, 5, 10, 0, 0)
+    assert rows[1].size is None  # "-" nulls through the long setter
+
+
+def test_parse_regexp_column_on_frame(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(line="k=alpha v=12"), Row(line="k=beta v=nope")])
+    out = parse_regexp_column(
+        df,
+        F.col("line"),
+        r"^k=(\w+) v=(\w+)$",
+        [{"name": "k", "type": "string"}, {"name": "v", "type": "long"}],
+    )
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {"alpha": 12, "beta": None}
+
+
+# ---------------------------------------------------------------------------
+# pipeline dispatch
+# ---------------------------------------------------------------------------
+
+def test_apply_filter_dispatch(frame):
+    out = apply_filter(
+        frame,
+        {
+            "type": "row",
+            "conditions": [{"column": "id", "operator": "<=", "argument": 2}],
+        },
+    )
+    assert out.count() == 2
+    out = apply_filter(frame, {"type": "typecast", "columns": [{"name": "id", "type": "string"}]})
+    assert dict(out.dtypes)["id"] == "string"
+    out = apply_filter(
+        frame,
+        {
+            "type": "add_time",
+            "to_column": {"name": "at"},
+            "from_value": {"value": "2026-01-01 00:00:00"},
+        },
+    )
+    assert "at" in out.columns
+    out = apply_filter(frame, {"type": "column", "drop_columns": [{"name": "ts"}]})
+    assert "ts" not in out.columns
