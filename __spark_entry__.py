@@ -145,6 +145,120 @@ def _q_filter_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_filter_row_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-row: AND-combined predicate chain with a negated
+    regexp condition (operators/rowops.py:row_filter) — pure Column
+    predicates, pushed to the parquet scan by Catalyst."""
+    from embulk_spark.operators.rowops import row_filter
+
+    ev = _t(spark, sf_dir, "events")
+    out = row_filter(
+        ev,
+        [
+            {"column": "event_type", "operator": "start_with", "argument": "p"},
+            {"column": "value", "operator": ">=", "argument": 50.0},
+            {"column": "props", "operator": "regexp",
+             "argument": '"k": 1[0-9]}', "not": True},
+        ],
+        "AND",
+    )
+    return out.select("event_id", "event_type", "value")
+
+
+def _q_filter_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-column: keep+reorder with src copy and typed default,
+    then add_columns (operators/rowops.py:column_ops)."""
+    from embulk_spark.operators.rowops import column_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return column_ops(
+        ev,
+        columns=[
+            {"name": "event_id"},
+            {"name": "kind", "src": "event_type"},
+            {"name": "site", "type": "string", "default": "cc"},
+        ],
+        add_columns=[{"name": "kind_copy", "src": "kind"}],
+    )
+
+
+def _q_filter_typecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-typecast: re-type columns with the coercion-setter
+    matrix (operators/rowops.py:typecast_columns) — double→long rounds
+    half-away-from-zero, string→boolean is TRUE-set-or-null, timestamp→
+    long is epoch seconds, all reference *ColumnSetter semantics."""
+    from embulk_spark.operators.rowops import typecast_columns
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "value", "ts", "event_type"
+    )
+    out = typecast_columns(
+        ev,
+        [
+            {"name": "value", "type": "long"},
+            {"name": "ts", "type": "long"},
+            {"name": "event_type", "type": "boolean"},
+        ],
+    )
+    return out
+
+
+def _q_filter_add_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-add_time: event-time column from another column and
+    from a fixed value (operators/rowops.py:add_time)."""
+    from embulk_spark.operators.rowops import add_time
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = add_time(ev, {"to_column": {"name": "etime"},
+                        "from_column": {"name": "ts"}})
+    out = add_time(
+        out,
+        {"to_column": {"name": "batch_time"},
+         "from_value": {"value": "2024-06-01 12:00:00",
+                        "format": "%Y-%m-%d %H:%M:%S"}},
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("etime")).alias("etime_us"),
+        F.unix_micros(F.col("batch_time")).alias("batch_time_us"),
+    )
+
+
+def _q_filter_expand_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-expand_json: one JSON column → typed top-level
+    columns via get_json_object + setter coercion
+    (operators/rowops.py:expand_json)."""
+    from embulk_spark.operators.rowops import expand_json
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    return expand_json(ev, "props", [{"name": "k", "type": "long"}])
+
+
+def _q_parser_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-parser-regexp: named-group line parsing → typed columns
+    (sources/files.py:parse_regexp_column); non-matching lines skipped,
+    captures coerced with string-setter semantics. Fixture: rebuild a
+    log-ish line from documents, parse it back."""
+    from embulk_spark.sources.files import parse_regexp_column
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            " ", F.col("doc_id"), F.col("lang"), F.col("n_chars")
+        ).alias("value")
+    )
+    return parse_regexp_column(
+        lines,
+        F.col("value"),
+        r"^(\d+) ([a-z]+) (\d+)$",
+        [
+            {"name": "doc_id", "type": "long"},
+            {"name": "lang", "type": "string"},
+            {"name": "n_chars", "type": "long"},
+        ],
+    )
+
+
 def _q_coerce_setters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-column-setter coercions (spi/util/dynamic/*.java)."""
     from embulk_spark.functions.coerce import (
@@ -2594,6 +2708,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_zorder_scan": _q_lake_zorder_scan,
         "filter_remove_columns": _q_filter_remove_columns,
         "filter_rename": _q_filter_rename,
+        "filter_row_predicate": _q_filter_row_predicate,
+        "filter_column_ops": _q_filter_column_ops,
+        "filter_typecast": _q_filter_typecast,
+        "filter_add_time": _q_filter_add_time,
+        "filter_expand_json": _q_filter_expand_json,
+        "parser_regexp": _q_parser_regexp,
         "coerce_setters": _q_coerce_setters,
         "preview_sample": _q_preview_sample,
         "parse_json_column": _q_parse_json_column,
@@ -3035,6 +3155,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "filter_rename": """
         SELECT event_id, event_type AS type, value AS v FROM events
+        """,
+        "filter_row_predicate": """
+        SELECT event_id, event_type, value FROM events
+        WHERE starts_with(event_type, 'p') AND value >= 50.0
+          AND NOT regexp_matches(props, '"k": 1[0-9]}')
+        """,
+        "filter_column_ops": """
+        SELECT event_id, event_type AS kind, 'cc' AS site,
+               event_type AS kind_copy
+        FROM events
+        """,
+        "filter_typecast": """
+        SELECT event_id,
+               CASE WHEN isnan(value) OR NOT isfinite(value) THEN NULL
+                    ELSE round(value, 0)::bigint END AS value,
+               (epoch_us(ts) // 1000000)::bigint AS ts,
+               CASE WHEN event_type IN ('true','True','TRUE','yes','Yes','YES',
+                                        't','T','y','Y','on','On','ON','1')
+                    THEN TRUE ELSE NULL END AS event_type
+        FROM events
+        """,
+        "filter_add_time": """
+        SELECT event_id, epoch_us(ts) AS etime_us,
+               epoch_us(TIMESTAMP '2024-06-01 12:00:00') AS batch_time_us
+        FROM events
+        """,
+        "filter_expand_json": """
+        SELECT event_id, json_extract(props, '$.k')::bigint AS k FROM events
+        """,
+        "parser_regexp": """
+        WITH lines AS (
+          SELECT doc_id::varchar || ' ' || lang || ' ' || n_chars::varchar
+                 AS value
+          FROM documents
+        )
+        SELECT regexp_extract(value, '^(\\d+) ([a-z]+) (\\d+)$', 1)::bigint
+                 AS doc_id,
+               regexp_extract(value, '^(\\d+) ([a-z]+) (\\d+)$', 2) AS lang,
+               regexp_extract(value, '^(\\d+) ([a-z]+) (\\d+)$', 3)::bigint
+                 AS n_chars
+        FROM lines
+        WHERE regexp_matches(value, '^(\\d+) ([a-z]+) (\\d+)$')
         """,
         "coerce_setters": """
         SELECT event_id,

@@ -48,6 +48,9 @@ _SPARK_TO_EMBULK = {
     T.FloatType(): "double",
     T.StringType(): "string",
     T.TimestampType(): "timestamp",
+    # parquet written without session-tz binding reads back as NTZ; the
+    # engine pins the session tz to UTC so both are the same instant
+    T.TimestampNTZType(): "timestamp",
 }
 
 
