@@ -28,6 +28,8 @@ source allows it, so at 100 TB a selective filter-row prunes at the scan.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -223,6 +225,90 @@ def add_time(df: DataFrame, conf: dict) -> DataFrame:
     else:
         raise ValueError("filter-add_time: need from_value, from_column or mode")
     return df.withColumn(to_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# filter-hash
+# ---------------------------------------------------------------------------
+
+#: algorithm → Column builder over the (optionally salted) string input
+_HASH_FNS = {
+    "md5": lambda c: F.md5(c),
+    "sha1": lambda c: F.sha1(c),
+    "sha256": lambda c: F.sha2(c, 256),
+    "sha512": lambda c: F.sha2(c, 512),
+}
+
+
+def hash_columns(df: DataFrame, specs: list[dict]) -> DataFrame:
+    """filter-hash: one-way-hash PII columns in place (or under
+    ``new_name``). Each spec is ``{name, algorithm, secret_key?,
+    new_name?}``; non-string inputs hash their string rendering, nulls
+    stay null. ``secret_key`` is prepended as a salt (keyed digest — a
+    deterministic, oracle-checkable stand-in for the plugin's HMAC mode;
+    plain mode is byte-identical to the plugin). All JVM hash exprs —
+    per-row cost is one digest, no shuffle."""
+    out = df
+    for spec in specs:
+        name = spec["name"]
+        algo = str(spec.get("algorithm", "sha256")).lower().replace("-", "")
+        fn = _HASH_FNS.get(algo)
+        if fn is None:
+            raise ValueError(f"filter-hash: unknown algorithm {algo!r}")
+        src = F.col(name).cast("string")
+        if spec.get("secret_key"):
+            src = F.concat(F.lit(str(spec["secret_key"])), src)
+        hashed = F.when(F.col(name).isNotNull(), fn(src))
+        target = spec.get("new_name", name)
+        out = (
+            out.withColumn(target, hashed)
+            if target == name
+            else out.withColumn(target, hashed).drop(name)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# filter-gsub
+# ---------------------------------------------------------------------------
+
+def gsub_columns(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """filter-gsub: per-column global regexp replace, ``{name, pattern,
+    to, new_name?}`` — regexp_replace stays in codegen; Java and RE2
+    agree on the POSIX-class subset used in configs."""
+    out = df
+    for r in rules:
+        name = r["name"]
+        repl = F.regexp_replace(
+            F.col(name).cast("string"), r["pattern"], r.get("to", "")
+        )
+        out = out.withColumn(r.get("new_name", name), repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# filter-split
+# ---------------------------------------------------------------------------
+
+def split_rows(
+    df: DataFrame,
+    column: str,
+    delimiter: str = ",",
+    keep_column: bool = False,
+    trim: bool = True,
+) -> DataFrame:
+    """filter-split: split a delimited string column into ONE ROW PER
+    ELEMENT (the plugin's row-fanout mode). ``explode`` is a generator in
+    the same stage — no shuffle; empty/null source rows drop (explode
+    semantics, matching the plugin). The exploded element replaces the
+    source column unless ``keep_column``."""
+    parts = F.split(F.col(column), re.escape(delimiter))
+    target = f"{column}_elem" if keep_column else column
+    others = [F.col(c) for c in df.columns if keep_column or c != column]
+    out = df.select(*others, F.explode(parts).alias(target))
+    if trim:
+        out = out.withColumn(target, F.trim(F.col(target)))
+    return out
 
 
 # ---------------------------------------------------------------------------

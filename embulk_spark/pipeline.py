@@ -383,6 +383,27 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         from .operators.rowops import add_time
 
         return add_time(df, fconf)
+    if ftype == "hash":
+        # embulk-filter-hash: one-way digest for PII columns
+        from .operators.rowops import hash_columns
+
+        return hash_columns(df, fconf["columns"])
+    if ftype == "gsub":
+        # per-column global regexp replace
+        from .operators.rowops import gsub_columns
+
+        return gsub_columns(df, fconf["columns"])
+    if ftype == "split":
+        # embulk-filter-split: delimited column → one row per element
+        from .operators.rowops import split_rows
+
+        return split_rows(
+            df,
+            fconf["target_key"],
+            fconf.get("delimiter", ","),
+            fconf.get("keep_input", False),
+            fconf.get("trim", True),
+        )
     if ftype == "expand_json":
         # embulk-filter-expand_json: one json column → typed columns
         from .operators.rowops import expand_json
@@ -518,7 +539,7 @@ def run_resumable(
     hook for tests)."""
     import hashlib as _hashlib
 
-    from .sources.files import read_csv, read_json, read_regexp
+    from .sources.files import read_csv, read_json, read_ltsv, read_regexp
 
     in_conf = config["in"]
     if in_conf.get("type", "file") != "file":
@@ -539,9 +560,12 @@ def run_resumable(
         if k in in_conf and k not in parser:
             parser[k] = in_conf[k]
     ptype = parser.get("type", "csv")
-    read_group = {"csv": read_csv, "json": read_json, "regexp": read_regexp}.get(
-        ptype, read_json
-    )
+    read_group = {
+        "csv": read_csv,
+        "json": read_json,
+        "regexp": read_regexp,
+        "ltsv": read_ltsv,
+    }.get(ptype, read_json)
 
     n_done = 0
     is_lake = out_conf.get("type") == "lake"

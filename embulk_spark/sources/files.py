@@ -272,6 +272,43 @@ def read_regexp(spark: SparkSession, paths: list[str], parser: dict) -> DataFram
     return parse_regexp_column(df, F.col("value"), parser["format"], parser["columns"])
 
 
+def parse_ltsv_column(
+    df: DataFrame, col: F.Column, columns: list[dict]
+) -> DataFrame:
+    """LTSV (Labeled Tab-Separated Values, the embulk-parser-ltsv
+    ecosystem plugin): each line is ``label:value<TAB>label:value...``.
+    One tab-split per line, then each declared column pulls the LAST
+    field carrying its label (duplicate labels: last occurrence wins,
+    matching the plugin's hash-backed rows — str_to_map can't express
+    this: ANSI mode rejects duplicate map keys) and coerces with the
+    string-setter semantics; absent labels null out. All JVM array HOFs,
+    no shuffle."""
+    from ..functions.coerce import coerce
+
+    fields = F.split(col, "\t")
+    exprs = []
+    for c in columns:
+        prefix = c["name"] + ":"
+        mine = F.filter(fields, lambda x: x.startswith(prefix))
+        raw = F.when(
+            F.size(mine) > 0,
+            F.substring(F.element_at(mine, -1), len(prefix) + 1, 1 << 30),
+        )
+        etype = c.get("type", "string")
+        if etype in ("string", "json", "timestamp"):
+            out = raw
+        else:
+            out = coerce(raw, "string", etype)
+        exprs.append(out.alias(c["name"]))
+    return _apply_timestamp_formats(df.select(*exprs), columns)
+
+
+def read_ltsv(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
+    """Parser ``type: ltsv``: one record per line."""
+    df = spark.read.text(paths)
+    return parse_ltsv_column(df, F.col("value"), parser["columns"])
+
+
 def read_input_files(
     spark: SparkSession, in_config: dict, last_path: str | None = None
 ) -> tuple[DataFrame, dict]:
@@ -296,6 +333,8 @@ def read_input_files(
         return read_json(spark, paths, parser), diff
     if ptype == "regexp":
         return read_regexp(spark, paths, parser), diff
+    if ptype == "ltsv":
+        return read_ltsv(spark, paths, parser), diff
     if ptype in ("parquet", "orc"):
         # columnar self-describing inputs (the embulk-input-parquet /
         # embulk-parser-orc ecosystem plugins): schema comes from the

@@ -269,3 +269,92 @@ def test_apply_filter_dispatch(frame):
     assert "at" in out.columns
     out = apply_filter(frame, {"type": "column", "drop_columns": [{"name": "ts"}]})
     assert "ts" not in out.columns
+
+
+# ---------------------------------------------------------------------------
+# filter-hash / filter-gsub / filter-split / ltsv parser
+# ---------------------------------------------------------------------------
+
+def test_hash_columns_plain_and_salted(frame):
+    import hashlib
+
+    from embulk_spark.operators.rowops import hash_columns
+
+    out = hash_columns(
+        frame,
+        [
+            {"name": "name", "algorithm": "sha256"},
+            {"name": "id", "algorithm": "md5", "secret_key": "s3",
+             "new_name": "id_h"},
+        ],
+    ).collect()
+    by_id = {}
+    for r in out:
+        assert not hasattr(r, "id")  # renamed away
+        by_id[r.id_h] = r
+    exp_name = hashlib.sha256(b"alpha").hexdigest()
+    exp_id = hashlib.md5(b"s31").hexdigest()
+    assert exp_id in by_id and by_id[exp_id].name == exp_name
+    # null input stays null
+    assert any(r.name is None for r in out)
+
+
+def test_hash_columns_unknown_algo(frame):
+    from embulk_spark.operators.rowops import hash_columns
+
+    with pytest.raises(ValueError):
+        hash_columns(frame, [{"name": "name", "algorithm": "crc99"}]).collect()
+
+
+def test_gsub_columns(frame):
+    from embulk_spark.operators.rowops import gsub_columns
+
+    out = gsub_columns(frame, [{"name": "name", "pattern": "[aeiou]", "to": "*"}])
+    got = {r.id: r.name for r in out.collect()}
+    assert got[1] == "*lph*" and got[3] == "g*mm*"
+
+
+def test_split_rows(spark):
+    from embulk_spark.operators.rowops import split_rows
+
+    df = spark.createDataFrame(
+        [Row(id=1, tags="a, b ,c"), Row(id=2, tags="x"), Row(id=3, tags=None)]
+    )
+    out = split_rows(df, "tags")
+    got = sorted((r.id, r.tags) for r in out.collect())
+    assert got == [(1, "a"), (1, "b"), (1, "c"), (2, "x")]  # null row drops
+    kept = split_rows(df, "tags", keep_column=True)
+    assert set(kept.columns) == {"id", "tags", "tags_elem"}
+
+
+def test_parse_ltsv(spark, tmp_path):
+    from embulk_spark.sources.files import read_ltsv
+
+    p = tmp_path / "log.ltsv"
+    p.write_text(
+        "host:h1\tcode:200\tsize:12\n"
+        "host:h2\tcode:404\n"              # size absent → null
+        "host:h3\tcode:xx\tsize:9\tcode:500\n"  # dup label: last wins
+    )
+    out = read_ltsv(
+        spark, [str(p)],
+        {"columns": [
+            {"name": "host", "type": "string"},
+            {"name": "code", "type": "long"},
+            {"name": "size", "type": "long"},
+        ]},
+    )
+    got = {r.host: (r.code, r.size) for r in out.collect()}
+    assert got == {"h1": (200, 12), "h2": (404, None), "h3": (500, 9)}
+
+
+def test_pipeline_dispatch_new_filters(spark):
+    df = spark.createDataFrame([Row(id=1, email="a@b.c", tags="x,y")])
+    out = apply_filter(df, {"type": "hash", "columns": [
+        {"name": "email", "algorithm": "sha256"}]})
+    assert out.collect()[0].email != "a@b.c"
+    out = apply_filter(df, {"type": "gsub", "columns": [
+        {"name": "email", "pattern": "@.*", "to": "@redacted"}]})
+    assert out.collect()[0].email == "a@redacted"
+    out = apply_filter(df, {"type": "split", "target_key": "tags"})
+    assert out.count() == 2
