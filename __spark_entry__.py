@@ -217,10 +217,12 @@ def _q_filter_add_time(spark: SparkSession, sf_dir: str) -> DataFrame:
          "from_value": {"value": "2024-06-01 12:00:00",
                         "format": "%Y-%m-%d %H:%M:%S"}},
     )
+    # events.ts is TIMESTAMP_NTZ in the parquet; session tz is UTC, so the
+    # NTZ→TZ cast is identity on the instant and unix_micros can apply.
     return out.select(
         "event_id",
-        F.unix_micros(F.col("etime")).alias("etime_us"),
-        F.unix_micros(F.col("batch_time")).alias("batch_time_us"),
+        F.unix_micros(F.col("etime").cast("timestamp")).alias("etime_us"),
+        F.unix_micros(F.col("batch_time").cast("timestamp")).alias("batch_time_us"),
     )
 
 
@@ -577,6 +579,17 @@ def _q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return repetition_report(docs, "text", "doc_id")
+
+
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleanup (Raffel et al. 2020 §2.2): line-level rules
+    (terminal punctuation, ≥5 words, boilerplate phrases) + page-level
+    flags (lorem ipsum, code brace) and the keep verdict — pure Column
+    array HOFs, zero shuffles (functions/textops.py::c4_report)."""
+    from embulk_spark.functions.textops import c4_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_report(docs, "text", "doc_id")
 
 
 def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,6 +1502,24 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media)
 
 
+def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract with the REAL vendored PNG codec
+    (functions/multimodal.py::decode_png — chunk walk, zlib inflate,
+    5-filter unfilter): synth real PNGs whose dims/pixels are pure
+    arithmetic in doc_id, decode them back. Full DuckDB oracle on
+    (width, height, mean) — n_bytes is dropped because a zlib stream's
+    length is not SQL arithmetic."""
+    from embulk_spark.functions.multimodal import decode_image_features, synth_png_col
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"), synth_png_col(F.col("doc_id")).alias("media")
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plumbing path for containers with no vendored codec (deterministic
     fake backend behind _decode_backend — rows-only check)."""
@@ -1798,6 +1829,112 @@ def _q_asof_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "click_value",
         F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
+def _q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack parser (sources/msgpack.py, the embulk-parser-msgpack
+    analogue with the vendored pure-Python codec): pack `documents` rows
+    into per-group msgpack streams (map rows, sequence files), parse them
+    back through the mapInPandas scanner. The oracle recomputes every
+    field from `documents` — width-selection or map-decode bugs break
+    parity (doc_id spans fixint→uint16, score exercises float64)."""
+    import pandas as pd
+
+    from embulk_spark.sources.msgpack import pack_one, parse_msgpack_blobs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        (F.col("doc_id") / F.lit(4.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("flag"),
+        (F.col("doc_id") % 16).alias("grp"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = b"".join(
+            pack_one(
+                {
+                    "doc_id": int(r.doc_id),
+                    "lang": r.lang,
+                    "text": r.text,
+                    "score": float(r.score),
+                    "flag": bool(r.flag),
+                }
+            )
+            for r in pdf.itertuples()
+        )
+        return pd.DataFrame({"blob": [blob]})
+
+    blobs = docs.groupBy("grp").applyInPandas(_pack, "blob BINARY")
+    return parse_msgpack_blobs(
+        blobs,
+        "blob",
+        {
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": "string"},
+                {"name": "text", "type": "string"},
+                {"name": "score", "type": "double"},
+                {"name": "flag", "type": "boolean"},
+            ]
+        },
+    )
+
+
+def _q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File parser (sources/avro.py, vendored
+    pure-Python OCF codec — deflate blocks, zigzag varints, null unions):
+    write `documents` rows into per-group container blobs, parse them
+    back. The oracle recomputes the packed fields from `documents`; the
+    null-union branch is exercised by blanking lang on every 7th row."""
+    import pandas as pd
+
+    from embulk_spark.sources.avro import parse_avro_blobs, write_container
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0, F.col("lang")).alias("lang"),
+        "text",
+        (F.col("doc_id") * F.lit(0.125)).alias("score"),
+        (F.col("doc_id") % 16).alias("grp"),
+    )
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "text", "type": "string"},
+            {"name": "score", "type": "double"},
+        ],
+    }
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = [
+            {
+                "doc_id": int(r.doc_id),
+                "lang": None if r.lang is None else str(r.lang),
+                "text": r.text,
+                "score": float(r.score),
+            }
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {"blob": [write_container(schema, recs, codec="deflate")]}
+        )
+
+    blobs = docs.groupBy("grp").applyInPandas(_pack, "blob BINARY")
+    return parse_avro_blobs(
+        blobs,
+        "blob",
+        {
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": "string"},
+                {"name": "text", "type": "string"},
+                {"name": "score", "type": "double"},
+            ]
+        },
     )
 
 
@@ -2729,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "pii_redact": _q_pii_redact,
         "repetition_filters": _q_repetition_filters,
+        "c4_filters": _q_c4_filters,
         "corpus_mixture": _q_corpus_mixture,
         "stratified_sample": _q_stratified_sample,
         "sample_exact_k": _q_sample_exact_k,
@@ -2751,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_banded": _q_embedding_neardup_banded,
         "multimodal_sniff": _q_multimodal_sniff,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_png": _q_multimodal_decode_png,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_frames": _q_multimodal_frames,
         "audio_meta": _q_audio_meta,
@@ -2764,6 +2903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "session_stats": _q_session_stats,
         "asof_join_attrib": _q_asof_join_attrib,
+        "avro_roundtrip": _q_avro_roundtrip,
+        "msgpack_roundtrip": _q_msgpack_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "debezium_parse": _q_debezium_parse,
         "dsir_weights": _q_dsir_weights,
@@ -3314,6 +3455,41 @@ def oracle_sql() -> dict[str, str]:
           len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4
         FROM p
         """,
+        # c4_filters: the SAME line/page rules as textops.c4_cols, line
+        # arrays via DuckDB list lambdas; sentence count = terminal-mark
+        # splits minus one (both engines agree on '' → 0 sentences)
+        "c4_filters": r"""
+        WITH l AS (
+          SELECT doc_id, text,
+            list_filter(
+              list_transform(string_split(text, chr(10)), x -> trim(x)),
+              x -> x <> ''
+                AND regexp_matches(x, '[.!?"”]$')
+                AND len(list_filter(string_split_regex(x, '\s+'),
+                                    w -> w <> '')) >= 5
+                AND NOT contains(lower(x), 'javascript')
+                AND NOT contains(lower(x), 'terms of use')
+                AND NOT contains(lower(x), 'privacy policy')
+                AND NOT contains(lower(x), 'cookie policy')
+                AND NOT contains(lower(x), 'uses cookies')
+            ) AS kept
+          FROM documents
+        ), c AS (
+          -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+          SELECT doc_id,
+                 coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                 len(kept) AS n_kept_lines,
+                 len(string_split_regex(
+                   coalesce(array_to_string(kept, chr(10)), ''),
+                   '[.!?]')) - 1 AS n_sentences,
+                 (contains(lower(text), 'lorem ipsum')
+                  OR contains(text, '{')) AS page_flagged
+          FROM l
+        )
+        SELECT doc_id, clean_text, n_kept_lines, n_sentences, page_flagged,
+               (n_sentences >= 3 AND NOT page_flagged) AS c4_keep
+        FROM c
+        """,
         "repetition_filters": """
         WITH base AS (
           SELECT doc_id,
@@ -3619,6 +3795,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, 'bmp' AS container, w AS width, h AS height,
                s / (3.0 * w * h) AS mean_luma,
                54 + h * ((3 * w + 3) // 4 * 4) AS n_bytes
+        FROM sums
+        """,
+        # multimodal_decode_png: REAL vendored PNG codec; same contract as
+        # the BMP oracle — recompute the synth ramp arithmetically, so the
+        # decoder must agree with the encoder through zlib + chunk CRCs.
+        "multimodal_decode_png": """
+        WITH g AS (
+          SELECT doc_id, 3 + doc_id % 14 AS w, 3 + (doc_id * 5) % 12 AS h
+          FROM documents
+        ),
+        sums AS (
+          SELECT doc_id, w, h,
+                 sum((2 * x.range + y.range + doc_id) % 256
+                     + (x.range + 3 * y.range + 4 * doc_id) % 256
+                     + (x.range + y.range + 7 * doc_id) % 256) AS s
+          FROM g, range(17) x, range(15) y
+          WHERE x.range < w AND y.range < h
+          GROUP BY doc_id, w, h
+        )
+        SELECT doc_id AS id, 'png' AS container, w AS width, h AS height,
+               s / (3.0 * w * h) AS mean_luma
         FROM sums
         """,
         # multimodal_decode_fake / multimodal_frames: the stubbed codec
@@ -4032,6 +4229,22 @@ def oracle_sql() -> dict[str, str]:
                c.click_value, epoch_us(c.ts) AS click_ts_us
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # msgpack_roundtrip: the parse side must invert the pack side
+        # through the real wire format; the oracle just recomputes the
+        # packed fields from documents.
+        "msgpack_roundtrip": """
+        SELECT doc_id, lang, text,
+               doc_id / 4.0 AS score,
+               (doc_id % 3 = 0) AS flag
+        FROM documents
+        """,
+        "avro_roundtrip": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 != 0 THEN lang END AS lang,
+               text,
+               doc_id * 0.125 AS score
+        FROM documents
         """,
         "warc_roundtrip": """
         SELECT 'https://crawl.test/d' || doc_id AS url,

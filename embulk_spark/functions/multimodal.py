@@ -190,6 +190,159 @@ def synth_bmp_col(id_col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# real codec: PNG (vendored, stdlib zlib only)
+# ---------------------------------------------------------------------------
+
+#: PNG color type → channels per pixel (bit depth 8 only; palette (3) is
+#: out of scope for the vendored tier — it decodes via the fake backend
+#: like every other unsupported container).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixel, color_type: int = 2) -> bytes:
+    """Build a real PNG (8-bit, non-interlaced, all rows filter 0,
+    one zlib IDAT). ``pixel(x, y)`` returns a tuple with
+    ``_PNG_CHANNELS[color_type]`` components."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        for x in range(width):
+            px = pixel(x, y)
+            raw += bytes(v & 0xFF for v in (px if isinstance(px, tuple) else (px,)))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, float]:
+    """REAL decode of an 8-bit non-interlaced PNG (gray / RGB / gray+alpha
+    / RGBA): chunk walk, zlib inflate, full 5-filter unfilter (None / Sub /
+    Up / Average / Paeth per the PNG spec), then (width, height, mean over
+    all channel bytes). Exact integer sum with ONE double division —
+    bit-identical across engines (same discipline as decode_bmp24).
+    Raises ValueError on anything outside that profile."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth} color={ctype})")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG (compression/filter/interlace)")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ctype]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    rows = raw.reshape(height, stride + 1)
+    prev = np.zeros(stride, dtype=np.uint8)
+    total = 0
+    for y in range(height):
+        f, cur = rows[y, 0], rows[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-lane cumulative sum, uint8 wrap
+            for lane in range(ch):
+                np.add.accumulate(cur[lane::ch], out=cur[lane::ch])
+        elif f == 2:  # Up
+            cur += prev
+        elif f == 3:  # Average (sequential left-dependency per lane)
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        total += int(cur.sum(dtype=np.int64))
+        prev = cur
+    return int(width), int(height), total / (float(ch) * width * height)
+
+
+def synth_png_dims(doc_id: int) -> tuple[int, int]:
+    return 3 + doc_id % 14, 3 + (doc_id * 5) % 12
+
+
+def synth_png_bytes(doc_id: int) -> bytes:
+    """Deterministic real PNG for a doc id: dims and a linear RGB ramp
+    that are pure arithmetic in doc_id, so a SQL oracle recomputes the
+    decoded features without re-encoding the binary (the PNG sibling of
+    synth_bmp_bytes — same contract, different container)."""
+    w, h = synth_png_dims(doc_id)
+    return encode_png(
+        w,
+        h,
+        lambda x, y: (
+            (2 * x + y + doc_id) % 256,
+            (x + 3 * y + 4 * doc_id) % 256,
+            (x + y + 7 * doc_id) % 256,
+        ),
+    )
+
+
+def synth_png_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real PNG bytes (fixture source for the real
+    decode path)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_png_bytes(int(i)))
+
+    return _mk(id_col)
+
+
+# ---------------------------------------------------------------------------
 # decode backend (stub boundary)
 # ---------------------------------------------------------------------------
 
@@ -222,6 +375,14 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
     if b[:2] == b"BM":
         # vendored real codec — no library needed
         return decode_bmp24(b)
+    if b[:8] == _PNG_SIG:
+        try:
+            return decode_png(b)
+        except ValueError:
+            # outside the vendored profile (palette/16-bit/interlaced) or
+            # PNG-magic synthetic bytes: fall to the deterministic fake
+            # tier, like every other container without a vendored codec
+            pass
     if not HAVE_PIL:
         return _fake_image_decode(b)
     raise NotImplementedError(  # pragma: no cover

@@ -98,6 +98,77 @@ def quality_features(text: Column) -> list[Column]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# C4-style page cleanup (Raffel et al. 2020 §2.2 heuristics, re-expressed
+# as pure JVM Columns — per-row array HOFs, no Python, no shuffle)
+# ---------------------------------------------------------------------------
+
+#: a kept line must end in terminal punctuation (incl. closing quotes)
+C4_TERMINAL_RE = '[.!?"”]$'
+#: line-level drop phrases (lowercase substring match)
+C4_LINE_DROP_PHRASES = (
+    "javascript", "terms of use", "privacy policy", "cookie policy",
+    "uses cookies",
+)
+#: page-level drop markers
+C4_PAGE_DROP_PHRASES = ("lorem ipsum", "{")
+
+
+def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
+    """The lines of ``text`` that survive C4's line rules: non-empty after
+    trim, terminal punctuation, ≥ ``min_words`` whitespace words, and no
+    boilerplate phrase. Array column; order preserved."""
+    from functools import reduce
+    from operator import or_
+
+    def keep(l: Column) -> Column:
+        words = F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))
+        low = F.lower(l)
+        no_phrase = ~reduce(or_, (low.contains(p) for p in C4_LINE_DROP_PHRASES))
+        return (
+            (l != F.lit(""))
+            & l.rlike(C4_TERMINAL_RE)
+            & (F.size(words) >= min_words)
+            & no_phrase
+        )
+
+    return F.filter(_nonempty_lines(text), keep)
+
+
+def c4_cols(
+    text: Column, min_words: int = 5, min_sentences: int = 3
+) -> list[Column]:
+    """C4 cleanup as feature columns: the cleaned page (kept lines
+    re-joined), kept-line and sentence counts, page-level flags, and the
+    final keep verdict (enough sentences, no lorem-ipsum, no code brace).
+    Everything is engine-parity SQL arithmetic for the oracle."""
+    kept = c4_kept_lines(text, min_words)
+    clean = F.array_join(kept, "\n")
+    # sentence count over the CLEANED text: terminal-mark splits
+    n_sentences = F.size(F.split(clean, "[.!?]")) - 1
+    from functools import reduce
+    from operator import or_
+
+    low = F.lower(text)
+    page_flagged = reduce(or_, (low.contains(p) for p in C4_PAGE_DROP_PHRASES))
+    return [
+        clean.alias("clean_text"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        page_flagged.alias("page_flagged"),
+        (
+            (n_sentences >= min_sentences) & ~page_flagged
+        ).alias("c4_keep"),
+    ]
+
+
+def c4_report(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """Per-document C4 cleanup report (the `queries()` surface): keep
+    columns + the c4_cols features. Narrow per-row map — at 100 TB this
+    runs inside the scan stage with zero shuffles."""
+    return df.select(*keep_cols, *c4_cols(F.col(text_col)))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     Stable across engines (md5 of utf-8 bytes)."""

@@ -327,6 +327,16 @@ def read_input_files(
         cols = parser.get("columns") or []
         empty = spark.createDataFrame([], _declared_schema(cols))
         return _apply_timestamp_formats(empty, cols), diff
+    # decoder chain for container formats (zip/tar/xz —
+    # embulk-decoder-commons-compress; gzip/bzip2 single streams are
+    # handled natively by Spark's codec-by-extension, same as the
+    # reference's DecodersInternal wrap). Declared like Embulk:
+    #   in: {decoders: [{type: archive}], parser: {...}}
+    dec_types = {d.get("type") for d in in_config.get("decoders", [])}
+    if dec_types & {"archive", "commons-compress", "zip", "tar", "xz"}:
+        from .archives import read_archive
+
+        return read_archive(spark, paths, parser), diff
     if ptype == "csv":
         return read_csv(spark, paths, parser), diff
     if ptype == "json":
@@ -335,6 +345,14 @@ def read_input_files(
         return read_regexp(spark, paths, parser), diff
     if ptype == "ltsv":
         return read_ltsv(spark, paths, parser), diff
+    if ptype == "msgpack":
+        from .msgpack import read_msgpack
+
+        return read_msgpack(spark, paths, parser), diff
+    if ptype == "avro":
+        from .avro import read_avro
+
+        return read_avro(spark, paths, parser), diff
     if ptype in ("parquet", "orc"):
         # columnar self-describing inputs (the embulk-input-parquet /
         # embulk-parser-orc ecosystem plugins): schema comes from the

@@ -621,3 +621,51 @@ def stream_events(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_warc(
+    spark: SparkSession,
+    table: ParquetLakeTable,
+    warc_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    path_glob: str = "*.warc*",
+    quarantine_rules: list[dict] | None = None,
+) -> None:
+    """Tail a DIRECTORY OF CRAWL ARCHIVES into the lake: Structured
+    Streaming over ``binaryFile`` (each newly-arrived .warc/.warc.gz is
+    one source row → one task, Embulk's FileInputPlugin unit), per
+    micro-batch parse → change events → the same idempotent
+    ``apply_epoch`` keyed by ``batch_id``.
+
+    This closes the crawl loop end-to-end: the Common-Crawl delivery
+    model IS "new archive files appear in a prefix" — no binlog exists,
+    so the file-arrival log is the change log. Checkpoint + the
+    committed-epoch set give exactly-once across restarts (a re-delivered
+    batch no-ops), identical to :func:`stream_events`; revisit records
+    drop per ISO 28500 so re-crawled-but-unchanged pages cost nothing
+    (sources/warc.py::warc_change_events)."""
+    from ..sources.warc import parse_warc_blobs, warc_change_events
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", path_glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_dir)
+        .select("content")
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        events = warc_change_events(parse_warc_blobs(batch_df))
+        apply_epoch(
+            table, events, int(batch_id), quarantine_rules=quarantine_rules
+        )
+
+    q = (
+        reader.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -305,3 +305,139 @@ def test_resample_wav_roundtrip(spark):
         assert meta[i]["n_frames"] == want_frames
         xs = [synth_wav_sample(i, j) for j in range(0, n, k)]
         assert feats[i]["peak"] == max(abs(x) for x in xs)
+
+
+# ---------------------------------------------------------------------------
+# real PNG codec
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_color_types():
+    from embulk_spark.functions.multimodal import decode_png, encode_png
+
+    # gray(0), rgb(2), gray+alpha(4), rgba(6): mean must be the exact
+    # integer sum of every channel byte over one double division
+    cases = {
+        0: lambda x, y: (x + 2 * y,),
+        2: lambda x, y: (x, y, x + y),
+        4: lambda x, y: (x * 3, 255 - y),
+        6: lambda x, y: (x, y, x ^ y, 128),
+    }
+    for ctype, px in cases.items():
+        w, h = 7, 5
+        data = encode_png(w, h, px, color_type=ctype)
+        gw, gh, mean = decode_png(data)
+        ch = len(px(0, 0))
+        want = sum(
+            v & 0xFF for y in range(h) for x in range(w) for v in px(x, y)
+        ) / (ch * 1.0 * w * h)
+        assert (gw, gh) == (w, h)
+        assert mean == pytest.approx(want, abs=1e-12)
+
+
+def test_png_unfilter_sub_up_avg_paeth():
+    """Hand-filter rows with every filter type and check the decoder
+    reconstructs the exact pixel bytes (via the mean)."""
+    import struct
+    import zlib
+
+    from embulk_spark.functions.multimodal import (
+        _png_chunk, _PNG_SIG, decode_png,
+    )
+
+    w, h, ch = 4, 5, 3
+    pix = [
+        [((x * 7 + y * 13 + c * 3) % 256) for x in range(w) for c in range(ch)]
+        for y in range(h)
+    ]
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y, filt in enumerate([0, 1, 2, 3, 4]):
+        row = pix[y]
+        raw.append(filt)
+        for i in range(w * ch):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if filt == 0:
+                enc = row[i]
+            elif filt == 1:
+                enc = row[i] - a
+            elif filt == 2:
+                enc = row[i] - b
+            elif filt == 3:
+                enc = row[i] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = row[i] - pred
+            raw.append(enc & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    gw, gh, mean = decode_png(data)
+    want = sum(sum(r) for r in pix) / (ch * 1.0 * w * h)
+    assert (gw, gh, mean) == (w, h, pytest.approx(want))
+
+
+def test_png_rejects_out_of_profile():
+    import struct
+    import zlib
+
+    from embulk_spark.functions.multimodal import (
+        _png_chunk, _PNG_SIG, decode_png, encode_png,
+    )
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNGnope")
+    # 16-bit depth rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # truncated pixel data
+    good = encode_png(3, 3, lambda x, y: (x, y, 0))
+    with pytest.raises(ValueError):
+        decode_png(good[:40])
+
+
+def test_png_synth_decodes_through_map_in_pandas(spark):
+    from embulk_spark.functions.multimodal import (
+        decode_image_features, synth_png_bytes, synth_png_col, synth_png_dims,
+    )
+
+    df = spark.range(0, 12).select(
+        F.col("id"), synth_png_col(F.col("id")).alias("media")
+    )
+    got = {r["id"]: r for r in decode_image_features(df).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        w, h = synth_png_dims(i)
+        want = sum(
+            ((2 * x + y + i) % 256 + (x + 3 * y + 4 * i) % 256
+             + (x + y + 7 * i) % 256)
+            for x in range(w) for y in range(h)
+        ) / (3.0 * w * h)
+        r = got[i]
+        assert (r["container"], r["width"], r["height"]) == ("png", w, h)
+        assert r["mean_luma"] == pytest.approx(want, abs=1e-9)
+        assert r["n_bytes"] == len(synth_png_bytes(i))
+
+
+def test_png_magic_fake_bytes_fall_back_to_fake_tier():
+    """synth_media_col's PNG-magic + text payload is NOT a valid PNG; the
+    backend must keep routing it to the deterministic fake (the
+    multimodal_decode_fake oracle depends on this)."""
+    from embulk_spark.functions.multimodal import (
+        _decode_backend, _fake_image_decode,
+    )
+
+    b = b"\x89PNG\r\n\x1a\x0a" + b"hello world, not chunks"
+    assert _decode_backend(b) == _fake_image_decode(b)

@@ -328,3 +328,47 @@ def test_normalize_text_idempotent(spark, texts):
     assert {r.i: r.n for r in once.collect()} == {
         r.i: r.n for r in twice.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleanup
+# ---------------------------------------------------------------------------
+
+def test_c4_line_rules(spark):
+    from embulk_spark.functions.textops import c4_report
+
+    text = "\n".join([
+        "This is a perfectly fine sentence with enough words.",   # kept
+        "Too short.",                                              # <5 words
+        "No terminal punctuation here at all",                     # no punct
+        "Enable javascript to view this page properly.",           # phrase
+        "Please read our privacy policy before continuing today.", # phrase
+        "Another good long sentence should also survive here!",    # kept
+        "   ",                                                     # blank
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    r = c4_report(df, "text", "doc_id").collect()[0]
+    assert r["n_kept_lines"] == 2
+    assert "javascript" not in r["clean_text"]
+    assert r["n_sentences"] == 2
+    assert not r["page_flagged"]
+    # 2 sentences < default 3 → dropped
+    assert not r["c4_keep"]
+
+
+def test_c4_page_flags(spark):
+    from embulk_spark.functions.textops import c4_report
+
+    good = " ".join(
+        f"Sentence number {i} has plenty of words in it." for i in range(4)
+    )
+    rows = [
+        (1, good),
+        (2, good + " Lorem Ipsum dolor sit amet."),
+        (3, good + "\nvar x = { a: 1 };"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in c4_report(df, "text", "doc_id").collect()}
+    assert got[1]["c4_keep"]
+    assert got[2]["page_flagged"] and not got[2]["c4_keep"]
+    assert got[3]["page_flagged"] and not got[3]["c4_keep"]
