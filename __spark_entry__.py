@@ -261,6 +261,57 @@ def _q_parser_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_parser_poslen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-parser-poslen: fixed-width records → typed columns
+    (sources/files.py:parse_poslen_column). Fixture: render documents
+    fields into padded slots with format_string (pure JVM), slice them
+    back out; trim + string-setter coercion give the plugin's
+    null-on-bad-numeric policy."""
+    from embulk_spark.sources.files import parse_poslen_column
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.format_string("%08d%-6s%010d", "doc_id", "lang", "n_chars").alias("value")
+    )
+    return parse_poslen_column(
+        lines,
+        F.col("value"),
+        [
+            {"name": "doc_id", "type": "long", "pos": 0, "len": 8},
+            {"name": "lang", "type": "string", "pos": 8, "len": 6},
+            {"name": "n_chars", "type": "long", "pos": 14, "len": 10},
+        ],
+    )
+
+
+def _q_filter_join_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-join_file: broadcast lookup join against a small
+    master table (operators/rowops.py:join_file) — the stream side never
+    shuffles; the side is first-wins deduped on its key. Fixture: map
+    lang → script family over documents."""
+    from embulk_spark.operators.rowops import join_file
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return join_file(
+        docs,
+        {
+            "on": [{"base": "lang", "file": "code"}],
+            "columns": [
+                {"name": "code", "type": "string"},
+                {"name": "family", "type": "string"},
+            ],
+            "data": [
+                {"code": "en", "family": "germanic"},
+                {"code": "de", "family": "germanic"},
+                {"code": "fr", "family": "romance"},
+                {"code": "es", "family": "romance"},
+                {"code": "en", "family": "zz-dup-loses"},
+            ],
+            "prefix": "m_",
+        },
+    )
+
+
 def _q_coerce_setters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-column-setter coercions (spi/util/dynamic/*.java)."""
     from embulk_spark.functions.coerce import (
@@ -2851,6 +2902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_add_time": _q_filter_add_time,
         "filter_expand_json": _q_filter_expand_json,
         "parser_regexp": _q_parser_regexp,
+        "parser_poslen": _q_parser_poslen,
+        "filter_join_file": _q_filter_join_file,
         "coerce_setters": _q_coerce_setters,
         "preview_sample": _q_preview_sample,
         "parse_json_column": _q_parse_json_column,
@@ -3338,6 +3391,32 @@ def oracle_sql() -> dict[str, str]:
                  AS n_chars
         FROM lines
         WHERE regexp_matches(value, '^(\\d+) ([a-z]+) (\\d+)$')
+        """,
+        # parser_poslen: rebuild the fixed-width line with printf, slice
+        # with substring (1-based), trim pads, cast back — same
+        # null-on-bad-numeric policy both sides (input here is clean)
+        "parser_poslen": """
+        WITH lines AS (
+          SELECT printf('%08d%-6s%010d', doc_id, lang, n_chars) AS value
+          FROM documents
+        )
+        SELECT trim(substring(value, 1, 8))::bigint AS doc_id,
+               trim(substring(value, 9, 6)) AS lang,
+               trim(substring(value, 15, 10))::bigint AS n_chars
+        FROM lines
+        """,
+        # filter_join_file: LEFT JOIN against the inline master; the
+        # duplicate 'en' row loses first-wins (min over payload struct)
+        "filter_join_file": """
+        WITH master(code, family) AS (
+          VALUES ('en', 'germanic'), ('de', 'germanic'),
+                 ('fr', 'romance'), ('es', 'romance'),
+                 ('en', 'zz-dup-loses')
+        ), dedup AS (
+          SELECT code, min(family) AS family FROM master GROUP BY code
+        )
+        SELECT d.doc_id, d.lang, m.family AS m_family
+        FROM documents d LEFT JOIN dedup m ON d.lang = m.code
         """,
         "coerce_setters": """
         SELECT event_id,

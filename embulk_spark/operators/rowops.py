@@ -345,3 +345,85 @@ def expand_json(
             out = coerce(raw, "string", etype)
         exprs.append(out.alias(name))
     return df.select(*exprs)
+
+
+def base64_columns(df: DataFrame, specs: list[dict]) -> DataFrame:
+    """filter-base64 (ecosystem): per-column base64 ``encode``/``decode``.
+    Encode maps string/binary → base64 text; decode maps base64 text →
+    UTF-8 string (the plugin's contract — it round-trips text payloads,
+    e.g. opaque cookie/token fields). Invalid base64 nulls out via
+    ``try_to_binary``, matching the engine's null-on-bad-value setter
+    policy. Pure JVM Column exprs, codegen'd."""
+    out = {}
+    for spec in specs:
+        name = spec["name"]
+        if spec.get("encode"):
+            out[name] = F.base64(F.col(name).cast("binary"))
+        elif spec.get("decode"):
+            out[name] = F.try_to_binary(F.col(name), F.lit("base64")).cast("string")
+    return df.select(
+        *[out[c].alias(c) if c in out else F.col(c) for c in df.columns]
+    )
+
+
+def join_file(df: DataFrame, conf: dict) -> DataFrame:
+    """filter-join_file (ecosystem): enrich the stream with columns from a
+    SMALL side table — a master/lookup file (countries, UA strings, host
+    → owner maps) — joined on key equality.
+
+    Spark-first shape: the side is read through the ordinary parser chain
+    (``file_path_prefix`` + ``parser``, or inline ``data`` rows) and
+    **explicitly broadcast** — at 100 TB the stream side never shuffles;
+    the lookup rides to every executor once. Left join (the plugin's
+    default: unmatched rows keep nulls); ``join: inner`` drops them.
+    ``prefix`` namespaces the joined columns (plugin's
+    ``joined_columns_prefix``). Duplicate keys on the side would fan out
+    the stream, so the side is deduped first-wins on the key — one agg
+    over the (tiny) side, never the stream."""
+    spark = df.sparkSession
+    on = conf.get("on") or [
+        {"base": conf["base_column"]["name"], "file": conf["counter_column"]["name"]}
+    ]
+    prefix = conf.get("prefix", conf.get("joined_columns_prefix", ""))
+    if conf.get("data") is not None:
+        from ..sources.files import _declared_schema
+
+        side = spark.createDataFrame(
+            [tuple(r[c["name"]] for c in conf["columns"]) for r in conf["data"]],
+            _declared_schema(conf["columns"]),
+        )
+    else:
+        from ..sources.files import read_input_files
+
+        side, _ = read_input_files(
+            spark,
+            {
+                "path_prefix": conf["file_path_prefix"],
+                "parser": conf.get(
+                    "parser", {"type": "csv", "columns": conf.get("columns", [])}
+                ),
+            },
+        )
+    file_keys = [p["file"] for p in on]
+    # first-wins on the side key: deterministic min_by on a stable struct
+    payload = [c for c in side.columns if c not in file_keys]
+    if payload:
+        side = side.groupBy(*file_keys).agg(
+            *[
+                F.min_by(c, F.struct(*[F.col(p) for p in payload])).alias(c)
+                for c in payload
+            ]
+        )
+    else:
+        side = side.dropDuplicates(file_keys)
+    renamed = side.select(
+        *[F.col(k).alias(f"__jf_{k}") for k in file_keys],
+        *[F.col(c).alias(prefix + c) for c in payload],
+    )
+    cond = None
+    for p in on:
+        eq = df[p["base"]] == renamed[f"__jf_{p['file']}"]
+        cond = eq if cond is None else cond & eq
+    how = conf.get("join", "left")
+    joined = df.join(F.broadcast(renamed), cond, how)
+    return joined.drop(*[f"__jf_{k}" for k in file_keys])

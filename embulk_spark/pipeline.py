@@ -393,6 +393,17 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         from .operators.rowops import gsub_columns
 
         return gsub_columns(df, fconf["columns"])
+    if ftype == "base64":
+        # embulk-filter-base64: per-column encode/decode
+        from .operators.rowops import base64_columns
+
+        return base64_columns(df, fconf["columns"])
+    if ftype == "join_file":
+        # embulk-filter-join_file: broadcast lookup join against a small
+        # master file — the stream side never shuffles
+        from .operators.rowops import join_file
+
+        return join_file(df, fconf)
     if ftype == "split":
         # embulk-filter-split: delimited column → one row per element
         from .operators.rowops import split_rows

@@ -309,6 +309,52 @@ def read_ltsv(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
     return parse_ltsv_column(df, F.col("value"), parser["columns"])
 
 
+def parse_poslen_column(
+    df: DataFrame, col: F.Column, columns: list[dict], trim: bool = True
+) -> DataFrame:
+    """Fixed-width records (the embulk-parser-poslen ecosystem plugin):
+    each declared column carries a 0-based byte ``pos`` and a ``len``;
+    the slice coerces with the string-setter semantics (bad numerics
+    null out, reference default-value policy). COBOL/mainframe dumps and
+    Apache-style padded logs are the usual carriers. ``trim`` strips the
+    pad spaces before coercion (the plugin's default; ``trim: false``
+    keeps raw slices for strings). Pure ``substring`` Columns — codegen'd
+    JVM, no shuffle, and Catalyst prunes unreferenced slices at the scan
+    when only some columns survive downstream."""
+    from ..functions.coerce import coerce
+
+    exprs = []
+    for c in columns:
+        pos = int(c.get("pos", c.get("position", 0)))
+        length = int(c.get("len", c.get("length", 0)))
+        raw = F.substring(col, pos + 1, length)
+        if trim:
+            raw = F.trim(raw)
+        etype = c.get("type", "string")
+        if etype in ("string", "json", "timestamp"):
+            out = raw
+        else:
+            out = coerce(raw, "string", etype)
+        exprs.append(out.alias(c["name"]))
+    return _apply_timestamp_formats(df.select(*exprs), columns)
+
+
+def read_poslen(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
+    """Parser ``type: poslen``: one fixed-width record per line."""
+    df = spark.read.text(paths)
+    return parse_poslen_column(
+        df, F.col("value"), parser["columns"], trim=parser.get("trim", True)
+    )
+
+
+def read_none(spark: SparkSession, paths: list[str], parser: dict) -> DataFrame:
+    """embulk-parser-none: no parsing — every line passes through as one
+    string column (default name ``payload``), for pipelines whose filters
+    do the real work (gsub/split/regex_replace chains over raw logs)."""
+    name = parser.get("column_name", "payload")
+    return spark.read.text(paths).select(F.col("value").alias(name))
+
+
 def read_input_files(
     spark: SparkSession, in_config: dict, last_path: str | None = None
 ) -> tuple[DataFrame, dict]:
@@ -345,6 +391,10 @@ def read_input_files(
         return read_regexp(spark, paths, parser), diff
     if ptype == "ltsv":
         return read_ltsv(spark, paths, parser), diff
+    if ptype == "poslen":
+        return read_poslen(spark, paths, parser), diff
+    if ptype == "none":
+        return read_none(spark, paths, parser), diff
     if ptype == "msgpack":
         from .msgpack import read_msgpack
 

@@ -358,3 +358,110 @@ def test_pipeline_dispatch_new_filters(spark):
     assert out.collect()[0].email == "a@redacted"
     out = apply_filter(df, {"type": "split", "target_key": "tags"})
     assert out.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# parser-poslen / parser-none
+# ---------------------------------------------------------------------------
+
+def test_parse_poslen(spark, tmp_path):
+    from embulk_spark.sources.files import read_poslen
+
+    p = tmp_path / "fixed.dat"
+    p.write_text(
+        "0001alpha     0200\n"
+        "0002beta      04xx\n"   # bad numeric tail → null
+        "0003          0500\n"   # blank name → '' after trim
+    )
+    cols = [
+        {"name": "id", "type": "long", "pos": 0, "len": 4},
+        {"name": "name", "type": "string", "pos": 4, "len": 10},
+        {"name": "code", "type": "long", "pos": 14, "len": 4},
+    ]
+    out = read_poslen(spark, [str(p)], {"columns": cols})
+    got = {r.id: (r.name, r.code) for r in out.collect()}
+    assert got == {1: ("alpha", 200), 2: ("beta", None), 3: ("", 500)}
+    # trim: false keeps the pad bytes on strings
+    raw = read_poslen(spark, [str(p)], {"columns": cols, "trim": False})
+    assert raw.collect()[0].name == "alpha     "
+
+
+def test_parser_none_passthrough(spark, tmp_path):
+    from embulk_spark.sources.files import read_input_files
+
+    p = tmp_path / "raw.log"
+    p.write_text("line one\nline two\n")
+    df, _ = read_input_files(
+        spark, {"path_prefix": str(p), "parser": {"type": "none"}}
+    )
+    assert df.columns == ["payload"]
+    assert {r.payload for r in df.collect()} == {"line one", "line two"}
+
+
+# ---------------------------------------------------------------------------
+# filter-base64 / filter-join_file
+# ---------------------------------------------------------------------------
+
+def test_base64_roundtrip(spark):
+    df = spark.createDataFrame([Row(id=1, tok="hello"), Row(id=2, tok=None)])
+    enc = apply_filter(df, {"type": "base64", "columns": [
+        {"name": "tok", "encode": True}]})
+    assert {r.tok for r in enc.collect()} == {"aGVsbG8=", None}
+    dec = apply_filter(enc, {"type": "base64", "columns": [
+        {"name": "tok", "decode": True}]})
+    assert {r.tok for r in dec.collect()} == {"hello", None}
+    # invalid base64 nulls out (setter policy), never errors
+    bad = spark.createDataFrame([Row(tok="!!not-base64!!")])
+    out = apply_filter(bad, {"type": "base64", "columns": [
+        {"name": "tok", "decode": True}]})
+    assert out.collect()[0].tok is None
+
+
+def test_join_file_inline_broadcast(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, host="a.com"), Row(id=2, host="b.org"), Row(id=3, host="nix")]
+    )
+    conf = {
+        "type": "join_file",
+        "on": [{"base": "host", "file": "domain"}],
+        "columns": [
+            {"name": "domain", "type": "string"},
+            {"name": "owner", "type": "string"},
+        ],
+        "data": [
+            {"domain": "a.com", "owner": "alice"},
+            {"domain": "b.org", "owner": "bob"},
+            {"domain": "a.com", "owner": "zed"},  # dup key: first-wins (min)
+        ],
+        "prefix": "m_",
+    }
+    out = apply_filter(df, conf)
+    got = {r.id: r.m_owner for r in out.collect()}
+    assert got == {1: "alice", 2: "bob", 3: None}
+    # the lookup side must be broadcast — the stream never shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # inner drops unmatched
+    inner = apply_filter(df, {**conf, "join": "inner"})
+    assert {r.id for r in inner.collect()} == {1, 2}
+
+
+def test_join_file_from_csv(spark, tmp_path):
+    side = tmp_path / "master.csv"
+    side.write_text("a.com,alice\nb.org,bob\n")
+    df = spark.createDataFrame([Row(host="a.com"), Row(host="c.net")])
+    out = apply_filter(df, {
+        "type": "join_file",
+        "on": [{"base": "host", "file": "domain"}],
+        "file_path_prefix": str(side),
+        "parser": {
+            "type": "csv",
+            "header_line": False,
+            "columns": [
+                {"name": "domain", "type": "string"},
+                {"name": "owner", "type": "string"},
+            ],
+        },
+    })
+    got = {r.host: r.owner for r in out.collect()}
+    assert got == {"a.com": "alice", "c.net": None}
