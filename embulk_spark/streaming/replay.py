@@ -246,6 +246,54 @@ def apply_epoch(
     return m
 
 
+def route_epoch(
+    tables: dict[str, ParquetLakeTable],
+    epoch_df: DataFrame,
+    epoch_id: int,
+    *,
+    table_col: str = "table",
+    quarantine_rules: list[dict] | None = None,
+    strict: bool = False,
+) -> dict:
+    """Multi-table binlog fan-out: ONE interleaved change stream (a real
+    binlog/WAL carries every table's events in commit order, tagged by
+    ``table_col`` — the shape parse_debezium/parse_maxwell/parse_canal
+    emit) routed to per-destination lake tables in one pass.
+
+    Exactly-once composes PER (table, epoch): each destination keeps its
+    own committed-epoch set, so a crash between table A's commit and
+    table B's resumes by re-routing the same epoch — A skips as a
+    duplicate, B applies. No cross-table transaction is needed because
+    epochs are idempotent units (same contract Kafka Connect sinks get
+    from per-topic offsets).
+
+    The epoch frame is persisted once and each destination filters its
+    slice from memory — k tables cost k in-memory scans of O(batch),
+    never k reads of the source. Events naming an unregistered table are
+    COUNTED (``unrouted_rows``) and dropped unless ``strict`` raises —
+    the reference's stop-on-invalid-record policy applied at table
+    granularity."""
+    epoch_df = epoch_df.persist()
+    try:
+        report: dict = {"epoch_id": epoch_id, "tables": {}}
+        known = list(tables)
+        unrouted = epoch_df.filter(~F.col(table_col).isin(known)).count()
+        if unrouted and strict:
+            raise ValueError(
+                f"epoch {epoch_id}: {unrouted} events name tables outside "
+                f"the routing map {sorted(known)}"
+            )
+        report["unrouted_rows"] = unrouted
+        for name, table in tables.items():
+            slice_df = epoch_df.filter(F.col(table_col) == name).drop(table_col)
+            report["tables"][name] = apply_epoch(
+                table, slice_df, epoch_id, quarantine_rules=quarantine_rules
+            )
+        return report
+    finally:
+        epoch_df.unpersist()
+
+
 def _sync_signature_index(table, signature_index, epoch: int, m: dict) -> None:
     """Bring an epoch-committed side index (SignatureIndex or BloomIndex —
     both speak commit_empty_epoch / update_from_lake_epoch /

@@ -1,0 +1,100 @@
+"""Multi-table binlog fan-out (streaming/replay.py::route_epoch).
+
+A real binlog/WAL interleaves every table's commits in one ordered
+stream (the shape the Debezium/Maxwell/Canal parsers emit, tagged by
+``table``); the router applies each table's slice to its own lake with
+per-(table, epoch) exactly-once — the reference's analogue is one
+BulkLoader transaction per output (exec/BulkLoader.java:318-370), here
+collapsed into one pass over the stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_spark.sources.events import change_stream
+from embulk_spark.streaming.lake import ParquetLakeTable
+from embulk_spark.streaming.replay import apply_epoch, route_epoch
+
+N_EVENTS, N_URLS, N_EPOCHS = 1200, 150, 3
+
+
+@pytest.fixture(scope="module")
+def tagged_stream(spark):
+    """One interleaved stream: each event deterministically tagged with a
+    destination table by url hash (a url's whole history stays on one
+    table, as a binlog's per-table rows do)."""
+    ev = change_stream(spark, N_EVENTS, N_URLS, N_EPOCHS, num_partitions=4)
+    return ev.withColumn(
+        "table",
+        F.when(F.crc32(F.col("url")) % 2 == 0, F.lit("pages_a")).otherwise(
+            F.lit("pages_b")
+        ),
+    ).persist()
+
+
+def _mk_tables(spark, tmp_path):
+    return {
+        "pages_a": ParquetLakeTable(spark, str(tmp_path / "a")),
+        "pages_b": ParquetLakeTable(spark, str(tmp_path / "b")),
+    }
+
+
+def test_route_matches_per_table_replay(spark, tmp_path, tagged_stream):
+    routed = _mk_tables(spark, tmp_path / "routed")
+    control = _mk_tables(spark, tmp_path / "control")
+    for e in range(N_EPOCHS):
+        epoch = tagged_stream.filter(F.col("epoch") == e)
+        rep = route_epoch(routed, epoch, e)
+        assert rep["unrouted_rows"] == 0
+        for name, tbl in control.items():
+            apply_epoch(
+                tbl, epoch.filter(F.col("table") == name).drop("table"), e
+            )
+    for name in routed:
+        got = {
+            (r.url, r.seq, r.text)
+            for r in routed[name].published().select("url", "seq", "text").collect()
+        }
+        want = {
+            (r.url, r.seq, r.text)
+            for r in control[name].published().select("url", "seq", "text").collect()
+        }
+        assert got == want and len(got) > 0
+    # no url leaked to both tables
+    a = {r.url for r in routed["pages_a"].published().select("url").collect()}
+    b = {r.url for r in routed["pages_b"].published().select("url").collect()}
+    assert not (a & b)
+
+
+def test_route_resumes_per_table_after_partial_crash(spark, tmp_path, tagged_stream):
+    tables = _mk_tables(spark, tmp_path)
+    epoch0 = tagged_stream.filter(F.col("epoch") == 0)
+    # simulated crash: table A committed epoch 0, table B did not
+    apply_epoch(
+        tables["pages_a"],
+        epoch0.filter(F.col("table") == "pages_a").drop("table"),
+        0,
+    )
+    rep = route_epoch(tables, epoch0, 0)
+    assert rep["tables"]["pages_a"].get("skipped_duplicate_epoch")
+    assert not rep["tables"]["pages_b"].get("skipped_duplicate_epoch")
+    # re-delivery of the whole epoch is a full no-op
+    rep2 = route_epoch(tables, epoch0, 0)
+    assert all(m.get("skipped_duplicate_epoch") for m in rep2["tables"].values())
+
+
+def test_route_counts_and_strict_unrouted(spark, tmp_path, tagged_stream):
+    tables = {"pages_a": ParquetLakeTable(spark, str(tmp_path / "only_a"))}
+    epoch0 = tagged_stream.filter(F.col("epoch") == 0)
+    n_b = epoch0.filter(F.col("table") == "pages_b").count()
+    rep = route_epoch(tables, epoch0, 0)
+    assert rep["unrouted_rows"] == n_b > 0
+    with pytest.raises(ValueError, match="unrouted|name tables"):
+        route_epoch(
+            {"pages_a": ParquetLakeTable(spark, str(tmp_path / "strict_a"))},
+            epoch0,
+            0,
+            strict=True,
+        )
