@@ -312,6 +312,78 @@ def _q_filter_join_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_parser_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-parser-grok (sources/grok.py): grok compiles ONCE on the
+    driver to a java regex + typed columns, parsing is the codegen'd
+    regexp_extract chain. Fixture: render an apache-ish access line from
+    documents, parse it back with named %{...:field:type} refs."""
+    from embulk_spark.sources.grok import parse_grok_column
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.format_string(
+            "10.0.0.%d GET /doc/%d %d", F.col("doc_id") % 256, "doc_id", "n_chars"
+        ).alias("value")
+    )
+    return parse_grok_column(
+        lines,
+        F.col("value"),
+        "%{IPV4:clientip} %{WORD:verb} %{URIPATH:path} %{INT:size:int}",
+    )
+
+
+def _q_parser_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-parser-xml (sources/xml.py): repeated <row> elements → one
+    record each, pure regexp_extract_all/explode — no XML lib, no
+    Python. Fixture: render documents rows into an XML fragment (lang is
+    [a-z]+ so no entity escaping enters the fixture), parse back: @id
+    attribute + child elements, absent <views> on every 5th row → null."""
+    from embulk_spark.sources.xml import parse_xml_column
+
+    docs = _t(spark, sf_dir, "documents")
+    xml = docs.select(
+        F.concat(
+            F.lit('<page id="'), F.col("doc_id"), F.lit('">'),
+            F.lit("<lang>"), F.col("lang"), F.lit("</lang>"),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(F.lit("<views>"), F.col("n_chars"), F.lit("</views>")),
+            ).otherwise(F.lit("")),
+            F.lit("</page>"),
+        ).alias("value")
+    )
+    return parse_xml_column(
+        xml,
+        F.col("value"),
+        "page",
+        [
+            {"name": "@id", "type": "long"},
+            {"name": "lang", "type": "string"},
+            {"name": "views", "type": "long"},
+        ],
+    )
+
+
+def _q_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-eval (operators/rowops.py:eval_columns): the ecosystem's
+    per-row Ruby interpreters re-expressed as Catalyst SQL exprs —
+    codegen'd, constant-folded, predicate pushed to the scan."""
+    from embulk_spark.operators.rowops import eval_columns
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return eval_columns(
+        ev,
+        {
+            "where": "value > 0 AND event_type IN ('click', 'view')",
+            "columns": [
+                {"name": "value_sq", "expr": "round(value * value, 4)"},
+                {"name": "kind", "expr": "upper(event_type)"},
+            ],
+            "drop": ["event_type"],
+        },
+    )
+
+
 def _q_coerce_setters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-column-setter coercions (spi/util/dynamic/*.java)."""
     from embulk_spark.functions.coerce import (
@@ -2903,7 +2975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_expand_json": _q_filter_expand_json,
         "parser_regexp": _q_parser_regexp,
         "parser_poslen": _q_parser_poslen,
+        "parser_grok": _q_parser_grok,
+        "parser_xml": _q_parser_xml,
         "filter_join_file": _q_filter_join_file,
+        "filter_eval": _q_filter_eval,
         "coerce_setters": _q_coerce_setters,
         "preview_sample": _q_preview_sample,
         "parse_json_column": _q_parse_json_column,
@@ -3404,6 +3479,28 @@ def oracle_sql() -> dict[str, str]:
                trim(substring(value, 9, 6)) AS lang,
                trim(substring(value, 15, 10))::bigint AS n_chars
         FROM lines
+        """,
+        # parser_grok: recompute the rendered access-line fields directly
+        "parser_grok": """
+        SELECT '10.0.0.' || (doc_id % 256)::varchar AS clientip,
+               'GET' AS verb,
+               '/doc/' || doc_id::varchar AS path,
+               n_chars AS size
+        FROM documents
+        """,
+        # parser_xml: @id attribute + children; every 5th row has no
+        # <views> child → null
+        "parser_xml": """
+        SELECT doc_id AS id, lang,
+               CASE WHEN doc_id % 5 <> 0 THEN n_chars END AS views
+        FROM documents
+        """,
+        "filter_eval": """
+        SELECT event_id, value,
+               round(value * value, 4) AS value_sq,
+               upper(event_type) AS kind
+        FROM events
+        WHERE value > 0 AND event_type IN ('click', 'view')
         """,
         # filter_join_file: LEFT JOIN against the inline master; the
         # duplicate 'en' row loses first-wins (min over payload struct)

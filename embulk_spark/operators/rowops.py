@@ -366,6 +366,31 @@ def base64_columns(df: DataFrame, specs: list[dict]) -> DataFrame:
     )
 
 
+def eval_columns(df: DataFrame, conf: dict) -> DataFrame:
+    """filter-eval (the embulk-filter-ruby / -eval / -calc ecosystem
+    family): per-row computed columns and a row predicate, declared as
+    expressions in the config.
+
+    The reference plugins interpret Ruby per row — the canonical slow
+    path. The Spark-first re-expression is Catalyst SQL (``F.expr``):
+    the expression compiles ONCE into whole-stage codegen, constant-folds,
+    and a selective ``where`` pushes down to the scan like any built-in
+    predicate. Config: ``where`` (SQL boolean over the row), ``columns``
+    (``{name, expr}`` — add or replace in place), ``drop``."""
+    if conf.get("where"):
+        df = df.filter(F.expr(conf["where"]))
+    existing = list(df.columns)
+    for spec in conf.get("columns") or []:
+        name, expr = spec["name"], F.expr(spec["expr"])
+        if name in existing:
+            df = df.withColumn(name, expr)
+        else:
+            df = df.select("*", expr.alias(name))
+    if conf.get("drop"):
+        df = df.drop(*conf["drop"])
+    return df
+
+
 def join_file(df: DataFrame, conf: dict) -> DataFrame:
     """filter-join_file (ecosystem): enrich the stream with columns from a
     SMALL side table — a master/lookup file (countries, UA strings, host

@@ -393,6 +393,12 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         from .operators.rowops import gsub_columns
 
         return gsub_columns(df, fconf["columns"])
+    if ftype == "eval":
+        # ecosystem filter-ruby/-eval family → Catalyst SQL expressions
+        # (codegen'd, pushdown-able — never a per-row interpreter)
+        from .operators.rowops import eval_columns
+
+        return eval_columns(df, fconf)
     if ftype == "base64":
         # embulk-filter-base64: per-column encode/decode
         from .operators.rowops import base64_columns

@@ -393,6 +393,14 @@ def read_input_files(
         return read_ltsv(spark, paths, parser), diff
     if ptype == "poslen":
         return read_poslen(spark, paths, parser), diff
+    if ptype == "grok":
+        from .grok import read_grok
+
+        return read_grok(spark, paths, parser), diff
+    if ptype == "xml":
+        from .xml import read_xml
+
+        return read_xml(spark, paths, parser), diff
     if ptype == "none":
         return read_none(spark, paths, parser), diff
     if ptype == "msgpack":
