@@ -98,6 +98,24 @@ CHECKS = {
         "must": [r"Project"],
         "must_not": [r"ArrowEvalPython", r"BatchEvalPython", r"mapInPandas"],
     },
+    "filter_join_file": {
+        "why": "the lookup side must broadcast — the stream side never "
+               "shuffles for a master-file enrichment at any scale",
+        "must": [r"BroadcastHashJoin"],
+        "must_not": [r"SortMergeJoin", r"CartesianProduct"],
+    },
+    "parser_grok": {
+        "why": "grok compiles on the driver; parsing is codegen'd regex "
+               "extraction — no interpreter, no Python in the data path",
+        "must": [r"Project"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython", r"Exchange"],
+    },
+    "parser_xml": {
+        "why": "row split is a same-stage generator (explode) over JVM "
+               "regexp — one narrow pass, no shuffle, no Python",
+        "must": [r"Generate"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython", r"Exchange"],
+    },
     "ann_cosine_topk": {
         "why": "brute-force cosine is JVM-side (zip_with/aggregate) with a "
                "TakeOrdered top-k; no Python, no full sort",
