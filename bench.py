@@ -202,6 +202,7 @@ def main() -> None:
         "dedup_exact",
         "text_quality",
         "repetition_filters",
+        "c4_filters",
         "minhash_near_dups",
         "paragraph_dedup",
         "incremental_neardup",
