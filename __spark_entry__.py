@@ -715,6 +715,18 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_report(docs, "text", "doc_id")
 
 
+def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 App. A, published MassiveWeb
+    thresholds): word count/length bounds, symbol ratios, bullet/ellipsis
+    line shape, alpha-word fraction, stop-word hits, keep verdict — pure
+    Column array HOFs, zero shuffles (functions/textops.py::gopher_report).
+    min_words lowered to 10 so the synthetic docs exercise both sides."""
+    from embulk_spark.functions.textops import gopher_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_report(docs, "text", "doc_id", min_words=10)
+
+
 def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus composition report: doc/token/char counts
     + in-group exact-dup rate — one hash agg with map-side combine
@@ -2995,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "repetition_filters": _q_repetition_filters,
         "c4_filters": _q_c4_filters,
+        "gopher_filters": _q_gopher_filters,
         "corpus_mixture": _q_corpus_mixture,
         "stratified_sample": _q_stratified_sample,
         "sample_exact_k": _q_sample_exact_k,
@@ -3665,6 +3678,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, clean_text, n_kept_lines, n_sentences, page_flagged,
                (n_sentences >= 3 AND NOT page_flagged) AS c4_keep
         FROM c
+        """,
+        # gopher_filters: identical rule arithmetic via DuckDB list
+        # lambdas; words lowercase-split like textops._nonempty_words
+        "gopher_filters": r"""
+        WITH w AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '') AS words,
+            list_filter(
+              list_transform(string_split(text, chr(10)), x -> trim(x)),
+              x -> x <> '') AS lines
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+            len(words) AS n_words,
+            round(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                  / greatest(len(words), 1), 6) AS mean_word_len,
+            len(string_split(text, '#')) - 1 AS n_hash,
+            len(string_split(text, '...')) - 1 AS n_ellipsis,
+            round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+                  / greatest(len(lines), 1), 6) AS bullet_line_frac,
+            round(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))
+                  / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+            round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                  / greatest(len(words), 1), 6) AS alpha_word_frac,
+            (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
+            ) AS stop_hits
+          FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, bullet_line_frac,
+               ellipsis_line_frac, alpha_word_frac, stop_hits,
+               (n_words >= 10 AND n_words <= 100000) AS ok_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                 AS ok_mean_word_len,
+               (round(n_hash / greatest(n_words, 1), 6) <= 0.1
+                AND round(n_ellipsis / greatest(n_words, 1), 6) <= 0.1)
+                 AS ok_symbol_ratio,
+               (bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3)
+                 AS ok_line_shape,
+               (alpha_word_frac >= 0.8) AS ok_alpha_words,
+               (stop_hits >= 2) AS ok_stop_words,
+               ((n_words >= 10 AND n_words <= 100000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND (round(n_hash / greatest(n_words, 1), 6) <= 0.1
+                     AND round(n_ellipsis / greatest(n_words, 1), 6) <= 0.1)
+                AND (bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3)
+                AND alpha_word_frac >= 0.8 AND stop_hits >= 2)
+                 AS gopher_keep
+        FROM f
         """,
         "repetition_filters": """
         WITH base AS (

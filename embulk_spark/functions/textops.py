@@ -169,6 +169,106 @@ def c4_report(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
     return df.select(*keep_cols, *c4_cols(F.col(text_col)))
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+# Appendix A "Quality filtering" — the published MassiveWeb thresholds),
+# re-expressed as pure JVM Columns. Every rule is SQL arithmetic, so the
+# whole report is DuckDB-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+#: a document must contain at least MIN_STOP_HITS of these words
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_cols(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> list[Column]:
+    """Gopher quality features + per-rule flags + the keep verdict:
+
+    - word count in [50, 100k]; mean word length in [3, 10] chars
+    - symbol-to-word ratio ≤ 0.1 for ``#`` and ``...`` each
+    - ≤90% of lines start with a bullet; ≤30% end with an ellipsis
+    - ≥80% of words contain at least one alphabetic character
+    - ≥2 hits of the 8-stop-word set (any multiplicity counts once
+      per word occurrence; the paper requires two "of" the set — we
+      count distinct members present, the common reading)
+    """
+    words = _nonempty_words(text)
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    n_hash = F.size(F.split(text, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    lines = _nonempty_lines(text)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))) / n_lines, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    # _nonempty_words already lowercases
+    stop_hits = sum(
+        F.when(F.array_contains(words, w), 1).otherwise(0)
+        for w in GOPHER_STOP_WORDS
+    )
+    sym_ok = (
+        (F.round(n_hash / F.greatest(n_words, F.lit(1)), 6) <= max_symbol_word_ratio)
+        & (
+            F.round(n_ellipsis / F.greatest(n_words, F.lit(1)), 6)
+            <= max_symbol_word_ratio
+        )
+    )
+    rule_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    rule_lines = (bullet_frac <= max_bullet_line_frac) & (
+        ellipsis_frac <= max_ellipsis_line_frac
+    )
+    rule_alpha = alpha_frac >= min_alpha_word_frac
+    rule_stop = stop_hits >= min_stop_hits
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        rule_words.alias("ok_word_count"),
+        rule_wl.alias("ok_mean_word_len"),
+        sym_ok.alias("ok_symbol_ratio"),
+        rule_lines.alias("ok_line_shape"),
+        rule_alpha.alias("ok_alpha_words"),
+        rule_stop.alias("ok_stop_words"),
+        (
+            rule_words & rule_wl & sym_ok & rule_lines & rule_alpha & rule_stop
+        ).alias("gopher_keep"),
+    ]
+
+
+def gopher_report(df: DataFrame, text_col: str, *keep_cols: str, **thresholds):
+    """Per-document Gopher quality report (the `queries()` surface).
+    Narrow per-row map over array HOFs — zero shuffles, runs inside the
+    scan stage at any scale."""
+    return df.select(*keep_cols, *gopher_cols(F.col(text_col), **thresholds))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     Stable across engines (md5 of utf-8 bytes)."""

@@ -372,3 +372,32 @@ def test_c4_page_flags(spark):
     assert got[1]["c4_keep"]
     assert got[2]["page_flagged"] and not got[2]["c4_keep"]
     assert got[3]["page_flagged"] and not got[3]["c4_keep"]
+
+
+def test_gopher_rules(spark):
+    from embulk_spark.functions.textops import gopher_report
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs off "
+        "to be with that other fox which seems to have fun with it."
+    )
+    rows = [
+        (1, good),
+        (2, "tiny doc"),                                   # word count floor
+        (3, " ".join(["supercalifragilistic"] * 30)),      # mean len > 10, no stops
+        (4, good + " ##### " * 20),                        # hash symbol ratio
+        (5, "\n".join(["- bullet line"] * 10) + "\n" + good),  # all-bullet lines
+        (6, " ".join(["12345"] * 30)),                     # no alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in gopher_report(df, "text", "doc_id", min_words=10).collect()
+    }
+    assert got[1]["gopher_keep"]
+    assert not got[2]["ok_word_count"] and not got[2]["gopher_keep"]
+    assert not got[3]["ok_mean_word_len"] and not got[3]["ok_stop_words"]
+    assert not got[4]["ok_symbol_ratio"]
+    assert not got[5]["ok_line_shape"]
+    assert not got[6]["ok_alpha_words"]
+    assert got[1]["stop_hits"] >= 2 and got[1]["alpha_word_frac"] >= 0.8
