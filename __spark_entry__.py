@@ -284,6 +284,22 @@ def _q_parser_poslen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-input-jdbc incremental contract (sources/cursor.py): rows
+    strictly after the (ts, event_id) cursor tuple — the lexicographic
+    predicate pushes into the parquet scan, the next cursor is one
+    max(struct) agg, never an ORDER BY."""
+    from embulk_spark.sources.cursor import incremental_scan
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    out, _ = incremental_scan(ev, ["ts", "event_id"], ["2024-01-15 12:00:00", 0])
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+
+
 def _q_filter_join_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embulk-filter-join_file: broadcast lookup join against a small
     master table (operators/rowops.py:join_file) — the stream side never
@@ -2991,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_xml": _q_parser_xml,
         "filter_join_file": _q_filter_join_file,
         "filter_eval": _q_filter_eval,
+        "incremental_cursor": _q_incremental_cursor,
         "coerce_setters": _q_coerce_setters,
         "preview_sample": _q_preview_sample,
         "parse_json_column": _q_parse_json_column,
@@ -3514,6 +3531,14 @@ def oracle_sql() -> dict[str, str]:
                upper(event_type) AS kind
         FROM events
         WHERE value > 0 AND event_type IN ('click', 'view')
+        """,
+        # incremental_cursor: strictly-after tuple comparison, same
+        # lexicographic expansion
+        "incremental_cursor": """
+        SELECT event_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-15 12:00:00'
+           OR (ts = TIMESTAMP '2024-01-15 12:00:00' AND event_id > 0)
         """,
         # filter_join_file: LEFT JOIN against the inline master; the
         # duplicate 'en' row loses first-wins (min over payload struct)

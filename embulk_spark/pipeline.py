@@ -477,7 +477,16 @@ def _input_frame(
     if itype == "config":
         return inline_records(spark, in_conf), {}
     if itype == "parquet":
-        return spark.read.parquet(in_conf["path"]), {}
+        df = spark.read.parquet(in_conf["path"])
+        inc = in_conf.get("incremental_columns")
+        if in_conf.get("incremental") and inc:
+            # embulk-input-jdbc incremental contract: resume strictly
+            # after the remembered last_record tuple (sources/cursor.py)
+            from .sources.cursor import incremental_scan
+
+            last = (diff_in or {}).get("last_record") or in_conf.get("last_record")
+            return incremental_scan(df, inc, last)
+        return df, {}
     raise ValueError(f"unknown input type: {itype}")
 
 

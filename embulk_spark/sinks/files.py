@@ -74,6 +74,118 @@ def write_parquet(df: DataFrame, out_config: dict) -> None:
     df.write.mode(out_config.get("mode", "overwrite")).parquet(_out_dir(out_config))
 
 
+#: Spark type name → Avro primitive for the formatter-avro schema map
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def _binary_rows(df: DataFrame, out_config: dict):
+    """Shared shape for the binary formatters (avro/msgpack): timestamps
+    render canonical first (byte-determinism), then each partition
+    yields its row dicts. Nullable handling: pandas NaN → None, integral
+    columns restored to int (pandas widens nullable longs to float)."""
+    import pandas as pd
+
+    df2 = _formatted(df, out_config.get("formatter", {}))
+    int_cols = {
+        f.name for f in df2.schema.fields if f.dataType.typeName() in ("long", "integer")
+    }
+
+    def rows_of(pdf: pd.DataFrame) -> list[dict]:
+        recs = []
+        for r in pdf.itertuples(index=False):
+            d = {}
+            for k, v in zip(pdf.columns, r):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    d[k] = None
+                elif k in int_cols:
+                    d[k] = int(v)
+                elif isinstance(v, bytearray):
+                    d[k] = bytes(v)
+                else:
+                    d[k] = v
+            recs.append(d)
+        return recs
+
+    return df2, rows_of
+
+
+def _write_partition_files(
+    df2: DataFrame, out_dir: str, suffix: str, blob_of
+) -> None:
+    """FileOutputPlugin unit: ONE output file per task, written by the
+    executor (deterministic part-<partition> names; local-FS contract
+    like the reference's file output — object stores would swap in
+    their client here). Empty partitions emit nothing."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith("part-"):
+            os.unlink(os.path.join(out_dir, f))
+
+    def _write(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [pdf for pdf in it if len(pdf)]
+        n = 0
+        if chunks:
+            blob = blob_of(pd.concat(chunks, ignore_index=True))
+            with open(os.path.join(out_dir, f"part-{pid:05d}{suffix}"), "wb") as fh:
+                fh.write(blob)
+            n = sum(len(c) for c in chunks)
+        yield pd.DataFrame({"n": [n]})
+
+    df2.mapInPandas(_write, "n long").agg(F.sum("n")).head()
+
+
+def write_avro(df: DataFrame, out_config: dict) -> None:
+    """formatter-avro (ecosystem): Object Container Files via the
+    vendored pure-Python OCF writer (sources/avro.py), nullable columns
+    as ["null", T] unions, deflate when an encoder is configured."""
+    from ..sources.avro import write_container
+
+    df2, rows_of = _binary_rows(df, out_config)
+    fields = []
+    for f in df2.schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.typeName())
+        if t is None:
+            raise ValueError(f"formatter-avro: unsupported type {f.dataType}")
+        fields.append({"name": f.name, "type": ["null", t] if f.nullable else t})
+    schema = {"type": "record", "name": "record", "fields": fields}
+    codec = "deflate" if _encoder_codec(out_config) else "null"
+    _write_partition_files(
+        df2,
+        _out_dir(out_config),
+        ".avro",
+        lambda pdf: write_container(schema, rows_of(pdf), codec=codec),
+    )
+
+
+def write_msgpack(df: DataFrame, out_config: dict) -> None:
+    """formatter-msgpack (ecosystem): map-encoded row stream per file
+    (the parser's `row_encoding: map`, `file_encoding: sequence`)."""
+    from ..sources.msgpack import pack_one
+
+    df2, rows_of = _binary_rows(df, out_config)
+    _write_partition_files(
+        df2,
+        _out_dir(out_config),
+        ".msgpack",
+        lambda pdf: b"".join(pack_one(r) for r in rows_of(pdf)),
+    )
+
+
 def _out_dir(out_config: dict) -> str:
     # Embulk writes prefix+%03d+suffix flat files; Spark's equivalent unit
     # is the prefix directory (part files inside). Strip a trailing
@@ -105,6 +217,10 @@ def write_output(df: DataFrame, out_config: dict) -> dict:
             df.write.mode(out_config.get("mode", "overwrite")).orc(
                 _out_dir(out_config)
             )
+        elif fmt == "avro":
+            write_avro(df, out_config)
+        elif fmt == "msgpack":
+            write_msgpack(df, out_config)
         else:
             raise ValueError(f"unknown formatter type: {fmt}")
         return {"type": "file", "path_prefix": out_config["path_prefix"]}

@@ -820,3 +820,39 @@ def test_orc_and_parquet_columnar_roundtrip(spark, tmp_path):
     assert back2.columns == ["id", "s"]
     assert dict(back2.dtypes)["id"] == "string"
     assert {tuple(r) for r in back2.collect()} == {("1", "a"), ("2", "b"), ("3", None)}
+
+
+def test_binary_formatters_roundtrip(spark, tmp_path):
+    """formatter-avro / formatter-msgpack: write with the sink, read back
+    with the matching parser — field-exact round trip incl. nulls."""
+    from pyspark.sql import Row
+
+    from embulk_spark.sinks.files import write_output
+    from embulk_spark.sources.files import read_input_files
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="alpha", score=1.5, ok=True),
+            Row(id=2, name=None, score=None, ok=False),
+            Row(id=3, name="gamma", score=-0.25, ok=None),
+        ]
+    ).repartition(2)
+    want = {(1, "alpha", 1.5, True), (2, None, None, False), (3, "gamma", -0.25, None)}
+    cols = [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+    ]
+    for fmt in ("avro", "msgpack"):
+        out = str(tmp_path / fmt)
+        write_output(
+            df,
+            {"type": "file", "path_prefix": out, "formatter": {"type": fmt}},
+        )
+        back, _ = read_input_files(
+            spark,
+            {"path_prefix": out + "/part-", "parser": {"type": fmt, "columns": cols}},
+        )
+        got = {(r.id, r.name, r.score, r.ok) for r in back.collect()}
+        assert got == want, fmt

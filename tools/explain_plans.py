@@ -98,6 +98,13 @@ CHECKS = {
         "must": [r"Project"],
         "must_not": [r"ArrowEvalPython", r"BatchEvalPython", r"mapInPandas"],
     },
+    "incremental_cursor": {
+        "why": "the resume predicate must reach the parquet scan as a "
+               "pushed filter — an incremental run over 100 TB reads only "
+               "row groups whose min/max straddle the cursor",
+        "must": [r"PushedFilters: \[[^\]]*GreaterThan"],
+        "must_not": [r"ArrowEvalPython", r"Exchange hashpartitioning"],
+    },
     "filter_join_file": {
         "why": "the lookup side must broadcast — the stream side never "
                "shuffles for a master-file enrichment at any scale",
