@@ -731,6 +731,27 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_report(docs, "text", "doc_id")
 
 
+def _q_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script detection (functions/textops.py::script_report):
+    per-block letter counts → dominant script + purity, pure JVM
+    regexp_count. Fixture mixes deterministic non-latin suffixes into
+    the latin documents so every branch discriminates."""
+    from embulk_spark.functions.textops import script_report
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(" привет мир словами" * 40))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" 你好世界汉字很多" * 40))
+            .when(F.col("doc_id") % 4 == 3, F.lit(" مرحبا بالعالم" * 40))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_report(mixed, "text", "doc_id")
+
+
 def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 App. A, published MassiveWeb
     thresholds): word count/length bounds, symbol ratios, bullet/ellipsis
@@ -3025,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": _q_repetition_filters,
         "c4_filters": _q_c4_filters,
         "gopher_filters": _q_gopher_filters,
+        "script_id": _q_script_id,
         "corpus_mixture": _q_corpus_mixture,
         "stratified_sample": _q_stratified_sample,
         "sample_exact_k": _q_sample_exact_k,
@@ -3702,6 +3724,60 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, clean_text, n_kept_lines, n_sentences, page_flagged,
                (n_sentences >= 3 AND NOT page_flagged) AS c4_keep
+        FROM c
+        """,
+        # script_id: same unicode-block classes via RE2; CASE chain in
+        # declaration order replicates the tie-break priority
+        "script_id": """
+        WITH m AS (
+          SELECT doc_id,
+            text || CASE
+              WHEN doc_id % 4 = 1 THEN repeat(' привет мир словами', 40)
+              WHEN doc_id % 4 = 2 THEN repeat(' 你好世界汉字很多', 40)
+              WHEN doc_id % 4 = 3 THEN repeat(' مرحبا بالعالم', 40)
+              ELSE '' END AS text
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS n_latin,
+            len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS n_cyrillic,
+            len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS n_greek,
+            len(regexp_extract_all(text, '[؀-ۿ]')) AS n_arabic,
+            len(regexp_extract_all(text, '[֐-׿]')) AS n_hebrew,
+            len(regexp_extract_all(text, '[ऀ-ॿ]')) AS n_devanagari,
+            len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS n_cjk
+          FROM m
+        )
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+               n_devanagari, n_cjk,
+               CASE
+                 WHEN n_latin > 0 AND n_latin = greatest(n_latin, n_cyrillic,
+                   n_greek, n_arabic, n_hebrew, n_devanagari, n_cjk)
+                   THEN 'latin'
+                 WHEN n_cyrillic > 0 AND n_cyrillic = greatest(n_latin,
+                   n_cyrillic, n_greek, n_arabic, n_hebrew, n_devanagari,
+                   n_cjk) THEN 'cyrillic'
+                 WHEN n_greek > 0 AND n_greek = greatest(n_latin, n_cyrillic,
+                   n_greek, n_arabic, n_hebrew, n_devanagari, n_cjk)
+                   THEN 'greek'
+                 WHEN n_arabic > 0 AND n_arabic = greatest(n_latin,
+                   n_cyrillic, n_greek, n_arabic, n_hebrew, n_devanagari,
+                   n_cjk) THEN 'arabic'
+                 WHEN n_hebrew > 0 AND n_hebrew = greatest(n_latin,
+                   n_cyrillic, n_greek, n_arabic, n_hebrew, n_devanagari,
+                   n_cjk) THEN 'hebrew'
+                 WHEN n_devanagari > 0 AND n_devanagari = greatest(n_latin,
+                   n_cyrillic, n_greek, n_arabic, n_hebrew, n_devanagari,
+                   n_cjk) THEN 'devanagari'
+                 WHEN n_cjk > 0 AND n_cjk = greatest(n_latin, n_cyrillic,
+                   n_greek, n_arabic, n_hebrew, n_devanagari, n_cjk)
+                   THEN 'cjk'
+                 ELSE 'unknown' END AS script,
+               round(greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                              n_hebrew, n_devanagari, n_cjk)
+                     / greatest(n_latin + n_cyrillic + n_greek + n_arabic
+                                + n_hebrew + n_devanagari + n_cjk, 1), 6)
+                 AS script_purity
         FROM c
         """,
         # gopher_filters: identical rule arithmetic via DuckDB list

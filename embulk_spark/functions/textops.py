@@ -81,6 +81,57 @@ def lang_id_sql(text: Column) -> Column:
     return out
 
 
+#: Unicode-block ranges for script detection (multilingual complement to
+#: the latin marker-word lang-ID — a CJK/Cyrillic/Arabic page scores 0 on
+#: every latin profile; its SCRIPT is still decidable from raw chars).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"A-Za-zÀ-ɏ",
+    "cyrillic": r"Ѐ-ӿ",
+    "greek": r"Ͱ-Ͽ",
+    "arabic": r"؀-ۿ",
+    "hebrew": r"֐-׿",
+    "devanagari": r"ऀ-ॿ",
+    "cjk": r"一-鿿぀-ヿ가-힯",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script letter counts as pure JVM regexp_count Columns."""
+    return {
+        name: F.regexp_count(text, F.lit(f"[{rng}]"))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def script_id(text: Column) -> Column:
+    """Dominant Unicode script: highest letter count wins, declaration
+    order breaks ties, zero letters → 'unknown'. Codegen'd Columns —
+    at 100 TB this is part of the scan stage, no shuffle."""
+    counts = script_counts(text)
+    best = F.greatest(*counts.values())
+    out = F.lit("unknown")
+    for name in reversed(list(SCRIPT_RANGES)):
+        out = F.when((counts[name] > 0) & (counts[name] == best), F.lit(name)).otherwise(out)
+    return out
+
+
+def script_report(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """Per-document script profile: per-script counts, dominant script,
+    and the dominant-script letter fraction (a purity signal — mixed-
+    script pages are a spam/boilerplate marker in web corpora)."""
+    text = F.col(text_col)
+    counts = script_counts(text)
+    total = sum(counts.values())
+    return df.select(
+        *keep_cols,
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        script_id(text).alias("script"),
+        F.round(
+            F.greatest(*counts.values()) / F.greatest(total, F.lit(1)), 6
+        ).alias("script_purity"),
+    )
+
+
 def quality_features(text: Column) -> list[Column]:
     """Quality-scoring feature columns: char/token lengths, mean token
     length, punctuation & alpha ratios, stopword ratio (en markers)."""

@@ -401,3 +401,25 @@ def test_gopher_rules(spark):
     assert not got[5]["ok_line_shape"]
     assert not got[6]["ok_alpha_words"]
     assert got[1]["stop_hits"] >= 2 and got[1]["alpha_word_frac"] >= 0.8
+
+
+def test_script_detection(spark):
+    from embulk_spark.functions.textops import script_report
+
+    rows = [
+        (1, "The quick brown fox."),
+        (2, "Привет мир как дела"),
+        (3, "你好世界这是中文"),
+        (4, "مرحبا بالعالم"),
+        (5, "Hello мир"),          # latin wins the tie-ish mix (5 vs 3)
+        (6, "1234 ... !!"),        # no letters at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.script, r.script_purity) for r in
+           script_report(df, "text", "doc_id").collect()}
+    assert got[1][0] == "latin" and got[1][1] == 1.0
+    assert got[2][0] == "cyrillic"
+    assert got[3][0] == "cjk"
+    assert got[4][0] == "arabic"
+    assert got[5][0] == "latin" and 0 < got[5][1] < 1
+    assert got[6] == ("unknown", 0.0)
