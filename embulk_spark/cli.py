@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
                          '\'{"key_sql": "lang", "key_name": "lang", '
                          '"measures": {"bytes": "octet_length(html)"}}\' '
                          "(must match an existing view's pinned meta)")
+    sp.add_argument("--route", default=None,
+                    help="multi-table binlog fan-out: JSON map of "
+                         "table-tag → lake path; events route by "
+                         "--route-col with per-(table, epoch) "
+                         "exactly-once (streaming/replay.py::route_epoch). "
+                         "The positional `table` arg is ignored.")
+    sp.add_argument("--route-col", default="table",
+                    help="column carrying the destination table tag")
 
     sp = sub.add_parser(
         "changes",
@@ -408,6 +416,36 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "replay":
         from .streaming.lake import ParquetLakeTable
         from .streaming.replay import replay_batches, stream_events
+
+        if args.route:
+            from pyspark.sql import functions as F
+
+            from .streaming.replay import route_epoch
+
+            qrules = (
+                json.loads(args.quarantine_rules) if args.quarantine_rules else None
+            )
+            tables = {
+                name: ParquetLakeTable(spark, path, n_buckets=args.buckets)
+                for name, path in json.loads(args.route).items()
+            }
+            events = spark.read.parquet(args.events)
+            epochs = sorted(
+                r["epoch"]
+                for r in events.select("epoch").distinct().collect()
+            )
+            if args.max_epochs is not None:
+                epochs = epochs[: args.max_epochs]
+            for e in epochs:
+                rep = route_epoch(
+                    tables,
+                    events.filter(F.col("epoch") == e).drop("epoch"),
+                    int(e),
+                    table_col=args.route_col,
+                    quarantine_rules=qrules,
+                )
+                print(json.dumps(rep, default=str))
+            return 0
 
         table = ParquetLakeTable(
             spark, args.table, n_buckets=args.buckets, ref=args.ref

@@ -98,3 +98,27 @@ def test_route_counts_and_strict_unrouted(spark, tmp_path, tagged_stream):
             0,
             strict=True,
         )
+
+
+def test_cli_route_replay(spark, tmp_path, tagged_stream, capsys):
+    import json
+
+    from embulk_spark import cli
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    events_dir = str(tmp_path / "ev")
+    tagged_stream.write.parquet(events_dir)
+    routes = {"pages_a": str(tmp_path / "ra"), "pages_b": str(tmp_path / "rb")}
+    rc = cli.main([
+        "replay", events_dir, "ignored",
+        "--route", json.dumps(routes), "--master", "local[4]",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == N_EPOCHS
+    total = tagged_stream.count()
+    a = ParquetLakeTable(spark, routes["pages_a"])
+    b = ParquetLakeTable(spark, routes["pages_b"])
+    assert a.published().count() > 0 and b.published().count() > 0
+    assert set(a.committed_epochs()) == set(range(N_EPOCHS))
+    assert total > 0
