@@ -260,6 +260,49 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
             out = out.drop("n_chars_m", "n_tokens", "mean_token_len",
                            "punct_ratio", "alpha_ratio", "stopword_ratio")
         return out
+    if ftype == "c4":
+        # C4 page cleanup (Raffel et al. §2.2) as a config filter:
+        # rewrites `column` to the kept lines; `keep_only: true` drops
+        # pages failing the page-level verdict; features optional
+        from .functions.textops import c4_cols
+
+        feats = c4_cols(
+            F.col(fconf.get("column", "text")),
+            min_words=int(fconf.get("min_words_per_line", 5)),
+            min_sentences=int(fconf.get("min_sentences", 3)),
+        )
+        out = df.select("*", *feats)
+        if fconf.get("keep_only", True):
+            out = out.filter(F.col("c4_keep"))
+        out = out.withColumn(fconf.get("column", "text"), F.col("clean_text"))
+        if not fconf.get("keep_features", False):
+            out = out.drop("clean_text", "n_kept_lines", "n_sentences",
+                           "page_flagged", "c4_keep")
+        return out
+    if ftype == "gopher":
+        # Gopher quality rules (Rae et al. App. A) as a config filter:
+        # drops documents failing the keep verdict; thresholds override
+        # the published defaults (min_words/max_words/...)
+        from .functions.textops import gopher_cols
+
+        known = {
+            "min_words", "max_words", "min_mean_word_len",
+            "max_mean_word_len", "max_symbol_word_ratio",
+            "max_bullet_line_frac", "max_ellipsis_line_frac",
+            "min_alpha_word_frac", "min_stop_hits",
+        }
+        kw = {k: fconf[k] for k in known if k in fconf}
+        feats = gopher_cols(F.col(fconf.get("column", "text")), **kw)
+        out = df.select("*", *feats).filter(F.col("gopher_keep"))
+        if not fconf.get("keep_features", False):
+            out = out.drop(
+                "n_words", "mean_word_len", "bullet_line_frac",
+                "ellipsis_line_frac", "alpha_word_frac", "stop_hits",
+                "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+                "ok_line_shape", "ok_alpha_words", "ok_stop_words",
+                "gopher_keep",
+            )
+        return out
     if ftype == "pii_redact":
         # PII scrubbing (functions/textops.py::redact_pii): rewrite
         # `column` with email/phone/ipv4 matches replaced by <TAG>;
