@@ -617,7 +617,7 @@ def run_resumable(
     if out_conf.get("type") not in ("file", "lake"):
         raise ValueError("run_resumable requires a file or lake output")
 
-    paths = list_input_files(in_conf["path_prefix"], in_conf.get("last_path"))
+    paths = list_input_files(in_conf["path_prefix"], in_conf.get("last_path"), spark)
     groups = [
         paths[i:i + files_per_commit]
         for i in range(0, len(paths), files_per_commit)

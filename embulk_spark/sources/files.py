@@ -38,11 +38,32 @@ from ..functions.coerce import EMBULK_TO_SPARK, string_to_timestamp
 NEWLINES = {"CRLF": "\r\n", "LF": "\n", "CR": "\r"}
 
 
-def list_input_files(path_prefix: str, last_path: str | None = None) -> list[str]:
+def list_input_files(
+    path_prefix: str, last_path: str | None = None, spark: SparkSession | None = None
+) -> list[str]:
     """Enumerate input files for a ``path_prefix``, honoring the
     ``last_path`` cursor: only files strictly after it (lexicographic)
-    are new — embulk-input-file's incremental contract."""
-    paths = sorted(p for p in _glob.glob(path_prefix + "*") if os.path.isfile(p))
+    are new — embulk-input-file's incremental contract.
+
+    Prefixes with a URI scheme (``s3a://`` / ``hdfs://`` / ``file://`` —
+    the embulk-input-s3/-gcs/-hdfs family) enumerate through the Hadoop
+    FileSystem API of the live session, so object-store inputs get the
+    same cursor semantics as local disk; enumeration is one driver-side
+    LIST per run (the same cost the reference pays), the data itself is
+    only ever read by executors."""
+    if "://" in path_prefix and spark is not None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path_prefix + "*")
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath)
+        paths = sorted(
+            str(s.getPath()) for s in (statuses or []) if s.isFile()
+        )
+    else:
+        paths = sorted(
+            p for p in _glob.glob(path_prefix + "*") if os.path.isfile(p)
+        )
     if last_path:
         paths = [p for p in paths if p > last_path]
     return paths
@@ -360,7 +381,7 @@ def read_input_files(
 ) -> tuple[DataFrame, dict]:
     """The composed file-input chain. Returns (frame, config_diff_in)
     where the diff carries the ``last_path`` cursor for the next run."""
-    paths = list_input_files(in_config["path_prefix"], last_path)
+    paths = list_input_files(in_config["path_prefix"], last_path, spark)
     diff = {"last_path": max(paths) if paths else last_path}
     parser = dict(in_config.get("parser", {"type": "csv", "columns": []}))
     # guessed charset/newline land at the in: level (guess_bytes); the

@@ -856,3 +856,25 @@ def test_binary_formatters_roundtrip(spark, tmp_path):
         )
         got = {(r.id, r.name, r.score, r.ok) for r in back.collect()}
         assert got == want, fmt
+
+
+def test_list_input_files_uri_scheme(spark, tmp_path):
+    """Object-store-style prefixes (here file://, same Hadoop FS API as
+    s3a://) enumerate with the cursor contract instead of silently
+    matching nothing."""
+    from embulk_spark.sources.files import list_input_files, read_input_files
+
+    for n in ("a.csv", "b.csv", "c.csv"):
+        (tmp_path / n).write_text("x\n1\n")
+    prefix = "file://" + str(tmp_path) + "/"
+    paths = list_input_files(prefix, None, spark)
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["a.csv", "b.csv", "c.csv"]
+    after = list_input_files(prefix, paths[0], spark)
+    assert [p.rsplit("/", 1)[1] for p in after] == ["b.csv", "c.csv"]
+    df, diff = read_input_files(
+        spark,
+        {"path_prefix": prefix,
+         "parser": {"type": "csv", "header_line": True,
+                    "columns": [{"name": "x", "type": "long"}]}},
+    )
+    assert df.count() == 3 and diff["last_path"].endswith("c.csv")
