@@ -151,3 +151,46 @@ def test_read_debezium_files_and_lake_replay_parity(spark, tmp_path):
     assert set(final) == {"u1"}
     assert bytes(final["u1"].html) == b"yo"
     assert str(final["u1"].warc_ts) == "1970-01-01 00:00:03"
+
+
+def test_stream_binlog_directory_tail(spark, tmp_path):
+    """stream_binlog: Debezium jsonl files appearing in a prefix are
+    tailed into the lake with exactly-once batches; a restart with the
+    same checkpoint re-delivers nothing."""
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import stream_binlog
+
+    d = tmp_path / "binlog"
+    d.mkdir()
+    (d / "00001.jsonl").write_text(
+        "\n".join(
+            [
+                _env("c", after=ROW, pos=1, ts_ms=1),
+                _env("u", after={**ROW, "lang": "de"}, pos=2, ts_ms=2),
+                _env(
+                    "c",
+                    after={**ROW, "url": "https://b.test/2"},
+                    pos=3,
+                    ts_ms=3,
+                ),
+            ]
+        )
+        + "\n"
+    )
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    stream_binlog(spark, table, str(d), ckpt)
+    pub = {(r.url, r.lang) for r in table.published().select("url", "lang").collect()}
+    assert pub == {("https://a.test/1", "de"), ("https://b.test/2", "en")}
+    n_epochs_1 = len(table.committed_epochs())
+    # new file arrives: delete for b.test
+    (d / "00002.jsonl").write_text(
+        _env("d", before={**ROW, "url": "https://b.test/2"}, pos=9, ts_ms=9) + "\n"
+    )
+    stream_binlog(spark, table, str(d), ckpt)
+    pub2 = {r.url for r in table.published().select("url").collect()}
+    assert pub2 == {"https://a.test/1"}
+    # restart with same checkpoint and no new files: no-op
+    stream_binlog(spark, table, str(d), ckpt)
+    assert {r.url for r in table.published().select("url").collect()} == pub2
+    assert len(table.committed_epochs()) > n_epochs_1
