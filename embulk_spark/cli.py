@@ -109,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
                          "The positional `table` arg is ignored.")
     sp.add_argument("--route-col", default="table",
                     help="column carrying the destination table tag")
+    sp.add_argument("--source-format", default="events",
+                    choices=["events", "debezium", "maxwell", "canal", "warc"],
+                    help="with --checkpoint: what the events dir holds — "
+                         "parquet change events (default), binlog envelope "
+                         "jsonl files (stream_binlog), or .warc archives "
+                         "(stream_warc)")
 
     sp = sub.add_parser(
         "changes",
@@ -491,11 +497,26 @@ def main(argv: list[str] | None = None) -> int:
         qrules = json.loads(args.quarantine_rules) if args.quarantine_rules else None
         wrules = json.loads(args.wap_rules) if args.wap_rules else None
         if args.checkpoint:
-            stream_events(
-                spark, table, args.events, args.checkpoint,
-                signature_index=idx, bloom_index=bloom, term_index=tidx,
-                agg_view=aview, quarantine_rules=qrules, wap_rules=wrules,
-            )
+            if args.source_format in ("debezium", "maxwell", "canal"):
+                from .streaming.replay import stream_binlog
+
+                stream_binlog(
+                    spark, table, args.events, args.checkpoint,
+                    wire_format=args.source_format, quarantine_rules=qrules,
+                )
+            elif args.source_format == "warc":
+                from .streaming.replay import stream_warc
+
+                stream_warc(
+                    spark, table, args.events, args.checkpoint,
+                    quarantine_rules=qrules,
+                )
+            else:
+                stream_events(
+                    spark, table, args.events, args.checkpoint,
+                    signature_index=idx, bloom_index=bloom, term_index=tidx,
+                    agg_view=aview, quarantine_rules=qrules, wap_rules=wrules,
+                )
         else:
             events = spark.read.parquet(args.events)
             metrics = replay_batches(

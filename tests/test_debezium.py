@@ -194,3 +194,20 @@ def test_stream_binlog_directory_tail(spark, tmp_path):
     stream_binlog(spark, table, str(d), ckpt)
     assert {r.url for r in table.published().select("url").collect()} == pub2
     assert len(table.committed_epochs()) > n_epochs_1
+
+
+def test_cli_stream_binlog(spark, tmp_path):
+    from embulk_spark import cli
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    d = tmp_path / "bl"
+    d.mkdir()
+    (d / "x.jsonl").write_text(_env("c", after=ROW, pos=1) + "\n")
+    rc = cli.main([
+        "replay", str(d), str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--source-format", "debezium", "--master", "local[4]",
+    ])
+    assert rc == 0
+    t = ParquetLakeTable(spark, str(tmp_path / "t"))
+    assert {r.url for r in t.published().select("url").collect()} == {ROW["url"]}
