@@ -76,6 +76,7 @@ def parse_debezium(
     value_col: str = "value",
     *,
     keep_cols: list[str] | None = None,
+    with_source_table: bool = False,
 ) -> DataFrame:
     """Parse a column of Debezium JSON envelopes into typed change rows.
 
@@ -120,10 +121,14 @@ def parse_debezium(
         F.lower(F.col("e.source.snapshot")).isin("true", "last", "incremental"),
         F.lit(False),
     )
+    # with_source_table: surface source.table for multi-table routing
+    extra = [F.col("e.source.table").alias("table")] if with_source_table else []
+    extra_names = ["table"] if with_source_table else []
     return (
         parsed.filter(op_in.isin(*OP_MAP))
         .select(
             *[F.col(c) for c in (keep_cols or [])],
+            *extra,
             op_out.alias("op"),
             seq.alias("seq"),
             F.col("e.source.ts_ms").alias("src_ts_ms"),
@@ -132,7 +137,8 @@ def parse_debezium(
         )
         .filter(F.col("row").isNotNull())
         .select(
-            *(keep_cols or []), "op", "seq", "src_ts_ms", "is_snapshot", "row.*"
+            *(keep_cols or []), *extra_names,
+            "op", "seq", "src_ts_ms", "is_snapshot", "row.*"
         )
     )
 
@@ -143,14 +149,19 @@ PAGE_ROW_DDL = "url STRING, warc_ts BIGINT, html STRING, lang STRING"
 
 
 def debezium_change_events(
-    df: DataFrame, value_col: str = "value"
+    df: DataFrame, value_col: str = "value", *, with_table: bool = False
 ) -> DataFrame:
     """North-rule adapter: Debezium envelopes of the Common-Crawl page
     table → the engine's canonical change-event frame
     ``(seq, op, url, warc_ts, html, lang)`` — directly replayable by
     ``streaming.replay.replay_batches`` / ``LakeTable.merge_epoch``.
-    Wire→engine type mends: epoch-millis → timestamp, base64 → binary."""
-    return parse_debezium(df, PAGE_ROW_DDL, value_col).select(
+    Wire→engine type mends: epoch-millis → timestamp, base64 → binary.
+    ``with_table`` keeps the envelope's source.table tag for
+    multi-table routing (replay.route_epoch)."""
+    return parse_debezium(
+        df, PAGE_ROW_DDL, value_col, with_source_table=with_table
+    ).select(
+        *(["table"] if with_table else []),
         "seq",
         "op",
         "url",
@@ -202,6 +213,7 @@ def parse_maxwell(
     value_col: str = "value",
     *,
     keep_cols: list[str] | None = None,
+    with_source_table: bool = False,
 ) -> DataFrame:
     """Maxwell JSON lines → the SAME typed change-row contract as
     :func:`parse_debezium` (op/seq/src_ts_ms/is_snapshot + row image),
@@ -228,10 +240,13 @@ def parse_maxwell(
         + F.coalesce(F.col("e.xoffset"), F.lit(0)),
         F.col("e.ts"),
     )
+    extra = [F.col("e.table").alias("table")] if with_source_table else []
+    extra_names = ["table"] if with_source_table else []
     return (
         parsed.filter(t.isin(*MAXWELL_OP_MAP))
         .select(
             *(keep_cols or []),
+            *extra,
             op_out.alias("op"),
             seq.alias("seq"),
             (F.col("e.ts") * 1000).alias("src_ts_ms"),
@@ -240,16 +255,21 @@ def parse_maxwell(
         )
         .filter(F.col("row").isNotNull())
         .select(
-            *(keep_cols or []), "op", "seq", "src_ts_ms", "is_snapshot",
-            "row.*",
+            *(keep_cols or []), *extra_names,
+            "op", "seq", "src_ts_ms", "is_snapshot", "row.*",
         )
     )
 
 
-def maxwell_change_events(df: DataFrame, value_col: str = "value") -> DataFrame:
+def maxwell_change_events(
+    df: DataFrame, value_col: str = "value", *, with_table: bool = False
+) -> DataFrame:
     """North-rule adapter: Maxwell lines of the page table → the
     canonical change-event frame (same wire types as Debezium's)."""
-    return parse_maxwell(df, PAGE_ROW_DDL, value_col).select(
+    return parse_maxwell(
+        df, PAGE_ROW_DDL, value_col, with_source_table=with_table
+    ).select(
+        *(["table"] if with_table else []),
         "seq",
         "op",
         "url",
@@ -265,6 +285,7 @@ def parse_canal(
     value_col: str = "value",
     *,
     keep_cols: list[str] | None = None,
+    with_source_table: bool = False,
 ) -> DataFrame:
     """Alibaba Canal flatMessage JSON → the same typed change-row
     contract. Canal batches MULTIPLE rows per envelope (``data`` is an
@@ -313,8 +334,10 @@ def parse_canal(
         F.col("_row").getItem(f.name).try_cast(f.dataType).alias(f.name)
         for f in row.fields
     ]
+    extra = [F.col("e.table").alias("table")] if with_source_table else []
     return parsed.select(
         *(keep_cols or []),
+        *extra,
         op_out.alias("op"),
         (F.col("e.id") * F.lit(1 << 20) + F.col("_i")).alias("seq"),
         F.coalesce(F.col("e.es"), F.col("e.ts")).alias("src_ts_ms"),
@@ -323,10 +346,15 @@ def parse_canal(
     )
 
 
-def canal_change_events(df: DataFrame, value_col: str = "value") -> DataFrame:
+def canal_change_events(
+    df: DataFrame, value_col: str = "value", *, with_table: bool = False
+) -> DataFrame:
     """North-rule adapter: Canal flatMessages of the page table → the
     canonical change-event frame."""
-    return parse_canal(df, PAGE_ROW_DDL, value_col).select(
+    return parse_canal(
+        df, PAGE_ROW_DDL, value_col, with_source_table=with_table
+    ).select(
+        *(["table"] if with_table else []),
         "seq",
         "op",
         "url",

@@ -681,7 +681,7 @@ _WIRE_ADAPTERS = {
 
 def stream_binlog(
     spark: SparkSession,
-    table: ParquetLakeTable,
+    table: ParquetLakeTable | None,
     binlog_dir: str,
     checkpoint_dir: str,
     *,
@@ -689,6 +689,7 @@ def stream_binlog(
     path_glob: str = "*.jsonl*",
     max_files_per_trigger: int | None = None,
     quarantine_rules: list[dict] | None = None,
+    route: dict[str, ParquetLakeTable] | None = None,
 ) -> None:
     """Tail a DIRECTORY OF BINLOG DUMP FILES into the lake: the no-Kafka
     deployment shape — Debezium server / Maxwell / Canal writing envelope
@@ -698,7 +699,14 @@ def stream_binlog(
     same idempotent ``apply_epoch`` keyed by ``batch_id``. Checkpoint +
     the committed-epoch set give exactly-once across restarts, identical
     to :func:`stream_events`/:func:`stream_warc`. Line parsing is the
-    codegen'd from_json chain — no Python between file bytes and MERGE."""
+    codegen'd from_json chain — no Python between file bytes and MERGE.
+
+    ``route`` (wire-tag → lake table) switches to multi-table fan-out:
+    the envelope's own table tag (Debezium ``source.table``, Maxwell /
+    Canal ``table``) routes each slice through :func:`route_epoch` with
+    per-(table, batch) exactly-once — ONE stream, many destinations,
+    the real one-binlog-many-tables deployment. ``table`` is ignored
+    when routing."""
     from ..sources import debezium as wire
 
     if wire_format not in _WIRE_ADAPTERS:
@@ -712,9 +720,15 @@ def stream_binlog(
     lines = reader.load(binlog_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        events = adapter(batch_df).withColumn(
+        events = adapter(batch_df, with_table=bool(route)).withColumn(
             "schema_change", F.lit(None).cast("string")
         )
+        if route:
+            route_epoch(
+                route, events, int(batch_id),
+                quarantine_rules=quarantine_rules,
+            )
+            return
         if wire_format == "canal":
             # canal carries DDL in-band (isDdl flatMessages) — fold the
             # derived op='S' events in so schema evolution rides the tail

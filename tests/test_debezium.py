@@ -211,3 +211,38 @@ def test_cli_stream_binlog(spark, tmp_path):
     assert rc == 0
     t = ParquetLakeTable(spark, str(tmp_path / "t"))
     assert {r.url for r in t.published().select("url").collect()} == {ROW["url"]}
+
+
+def test_stream_binlog_routed(spark, tmp_path):
+    """One Debezium stream carrying two tables (source.table) routed to
+    two lakes with per-(table, batch) exactly-once."""
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import stream_binlog
+
+    def env_t(op, tbl, after=None, before=None, pos=None):
+        v = json.loads(_env(op, after=after, before=before, pos=pos))
+        v["source"]["table"] = tbl
+        return json.dumps(v)
+
+    d = tmp_path / "bl"
+    d.mkdir()
+    (d / "1.jsonl").write_text(
+        "\n".join(
+            [
+                env_t("c", "pages", ROW, pos=1),
+                env_t("c", "assets", {**ROW, "url": "https://img/1"}, pos=2),
+                env_t("d", "assets", before={**ROW, "url": "https://img/1"}, pos=3),
+            ]
+        )
+        + "\n"
+    )
+    tables = {
+        "pages": ParquetLakeTable(spark, str(tmp_path / "p"), n_buckets=2),
+        "assets": ParquetLakeTable(spark, str(tmp_path / "a"), n_buckets=2),
+    }
+    stream_binlog(spark, None, str(d), str(tmp_path / "ck"), route=tables)
+    assert {r.url for r in tables["pages"].published().select("url").collect()} == {
+        ROW["url"]
+    }
+    assert tables["assets"].published().count() == 0  # insert then delete
+    assert len(tables["assets"].committed_epochs()) == 1
