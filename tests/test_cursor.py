@@ -89,3 +89,18 @@ def test_cursor_via_pipeline_configdiff_loop(spark, tmp_path):
     for f in glob.glob(str(tmp_path / "out2") + "/*.csv"):
         rows += [l for l in open(f).read().splitlines() if l and "updated_at" not in l]
     assert len(rows) == 1 and rows[0].endswith("e")
+
+
+def test_cursor_predicate_exhaustive_small_domain(spark):
+    """Every cursor over the 3×3 tuple domain: the Column predicate
+    must agree with Python tuple comparison exactly (the reference's
+    ORDER BY (a,b) WHERE (a,b) > (x,y) contract)."""
+    rows = [(a, b) for a in range(3) for b in range(3)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    for cur in rows:
+        got = {
+            (r.a, r.b)
+            for r in df.filter(cursor_predicate(df, ["a", "b"], list(cur))).collect()
+        }
+        want = {t for t in rows if t > cur}
+        assert got == want, cur
