@@ -169,6 +169,31 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
+        "delete",
+        help="predicate DELETE as a CDC commit: matching live rows "
+             "tombstone via the idempotent epoch path (GDPR/RTBF); "
+             "physical purge happens at the next compaction",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("condition", help="SQL predicate over the row schema")
+    sp.add_argument("--epoch", type=int, required=True)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
+        "update",
+        help="predicate UPDATE as a CDC commit: matching live rows get "
+             "--set expressions applied as newer full-image events "
+             "(backfills/re-tagging); html rewrites re-extract text",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("condition", help="SQL predicate over the row schema")
+    sp.add_argument("--set", required=True, dest="set_exprs",
+                    help='JSON map column → SQL expr, e.g. '
+                         '\'{"lang": "\'de\'"}\'')
+    sp.add_argument("--epoch", type=int, required=True)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
         "rollback",
         help="restore a lake table to an earlier snapshot (publishes a "
              "new snapshot; the undone epochs replay through the normal "
@@ -578,6 +603,26 @@ def main(argv: list[str] | None = None) -> int:
             "n_tokens": manifest["total_tokens"],
             "version": manifest.get("version", 0),
         }))
+        return 0
+
+    if args.cmd == "delete":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        print(json.dumps(table.delete_where(args.condition, args.epoch),
+                         default=str))
+        return 0
+
+    if args.cmd == "update":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        print(json.dumps(
+            table.update_where(
+                args.condition, json.loads(args.set_exprs), args.epoch
+            ),
+            default=str,
+        ))
         return 0
 
     if args.cmd == "rollback":

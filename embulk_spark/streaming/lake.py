@@ -1559,6 +1559,61 @@ class ParquetLakeTable:
         out["delete_where"] = str(condition)
         return out
 
+    def update_where(
+        self, condition, set_exprs: dict, epoch_id: int, *,
+        stage: bool = False, buckets: list[int] | None = None,
+        extract: bool | None = None,
+    ) -> dict:
+        """Predicate UPDATE as a first-class CDC commit (backfills,
+        re-tagging, compliance rewrites over the lake): matching live
+        rows become full-image U events at (warc_ts, seq+1) — outranking
+        the current winner, outranked by any later real change — routed
+        through the SAME idempotent ``merge_epoch`` path: epoch-keyed,
+        resumable, duplicate-delivery-safe, WAP-stageable, O(change-set)
+        on disk (merge-on-read; no base rewrite).
+
+        ``set_exprs``: column → SQL string or Column over the matched
+        row. Keys/order columns (url, warc_ts, seq) are immutable — an
+        identity rewrite would corrupt newer-wins resolution; change of
+        identity is a delete+insert. ``extract`` defaults to True iff
+        ``html`` is rewritten (text recomputes through the normal
+        extraction path); untouched html carries its stored text through
+        at zero extraction cost."""
+        bad = {"url", "warc_ts", "seq", "is_deleted"} & set(set_exprs)
+        if bad:
+            raise ValueError(f"update_where cannot set {sorted(bad)}")
+        if extract is None:
+            extract = "html" in set_exprs
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        victims = (
+            self.read(buckets=buckets)
+            .filter(~F.col("is_deleted"))
+            .filter(cond)
+        )
+        sets = {
+            k: (F.expr(v) if isinstance(v, str) else v)
+            for k, v in set_exprs.items()
+        }
+        skip = {"url", "warc_ts", "seq", "is_deleted", "op"}
+        if extract:
+            skip = skip | {"text"}  # recomputed from the (new) html
+        payload = [
+            (sets.get(c, F.col(c))).alias(c)
+            for c in victims.columns
+            if c not in skip
+        ]
+        ev = victims.select(
+            (F.col("seq") + 1).alias("seq"),
+            F.lit("U").alias("op"),
+            "url",
+            "warc_ts",
+            *payload,
+        )
+        out = self.merge_epoch(ev, epoch_id, extract=extract, stage=stage)
+        out["update_where"] = str(condition)
+        out["update_set"] = sorted(set_exprs)
+        return out
+
     def apply_snapshot(
         self,
         snapshot: DataFrame,

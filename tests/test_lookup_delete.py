@@ -112,3 +112,73 @@ def test_delete_where_bucket_restriction(table, spark):
     assert m["delete_keys"] == 1
     assert table.lookup_urls([url]).count() == 0
     assert table.published().count() == 39
+
+
+def test_update_where_rewrites_live_rows(table, spark):
+    """Predicate UPDATE: matching rows get the set_exprs applied as a
+    newer full-image U event; untouched columns carry through; the
+    commit is idempotent and O(change-set)."""
+    m = table.update_where(
+        F.col("url").startswith("https://h1."), {"lang": "'de'"}, 1
+    )
+    assert m["update_where"] and m["update_set"] == ["lang"]
+    pub = {r.url: (r.lang, bytes(r.html)) for r in table.published().collect()}
+    assert len(pub) == 40
+    for url, (lang, html) in pub.items():
+        assert lang == ("de" if url.startswith("https://h1.") else "en")
+        assert html.startswith(b"<doc ")  # html untouched
+    # duplicate delivery skips
+    assert table.update_where(
+        F.col("url").startswith("https://h1."), {"lang": "'xx'"}, 1
+    ).get("skipped_duplicate_epoch")
+    # a later real change outranks the synthetic update
+    ev = _events(spark, [(50, "U", "https://h1.test/p1", b"<doc new>", "fr")])
+    table.merge_epoch(ev, 2, extract=False)
+    got = {r.url: r.lang for r in table.published().collect()}
+    assert got["https://h1.test/p1"] == "fr"
+
+
+def test_update_where_key_columns_rejected(table):
+    with pytest.raises(ValueError, match="cannot set"):
+        table.update_where("true", {"url": "'x'"}, 9)
+
+
+def test_update_where_html_triggers_reextract(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "t2"), n_buckets=4)
+    rows = [(i, "I", f"https://e.test/p{i}", f"<p>old {i}</p>".encode(), "en")
+            for i in range(6)]
+    t.merge_epoch(_events(spark, rows), 0)  # extract=True: text computed
+    old_text = {r.url: r.text for r in t.published().collect()}
+    assert all("old" in v for v in old_text.values())
+    t.update_where(
+        "url = 'https://e.test/p3'",
+        {"html": "cast('<p>new body</p>' as binary)"},
+        1,
+    )
+    got = {r.url: (bytes(r.html), r.text) for r in t.published().collect()}
+    assert got["https://e.test/p3"][0] == b"<p>new body</p>"
+    assert "new body" in got["https://e.test/p3"][1]  # text re-extracted
+    for url, (h, txt) in got.items():
+        if url != "https://e.test/p3":
+            assert txt == old_text[url]
+
+
+def test_cli_update_and_delete(table, capsys):
+    import json
+
+    from embulk_spark import cli
+
+    rc = cli.main([
+        "update", table.path, "url like 'https://h2.%'",
+        "--set", json.dumps({"lang": "'fr'"}), "--epoch", "7",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    rc = cli.main([
+        "delete", table.path, "url like 'https://h3.%'",
+        "--epoch", "8", "--master", "local[4]",
+    ])
+    assert rc == 0
+    langs = {r.url: r.lang for r in table.published().collect()}
+    assert all(not u.startswith("https://h3.") for u in langs)
+    assert {v for u, v in langs.items() if u.startswith("https://h2.")} == {"fr"}
