@@ -2166,6 +2166,53 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_binlog_route_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table binlog routing semantics, oracle-checkable: synthesize
+    a Debezium topic from `documents` whose envelopes carry
+    ``source.table`` (pages/assets by doc parity), parse with
+    ``with_table=True`` (the route tag path stream_binlog/route_epoch
+    consume), then resolve latest-per-(table, url). The stateful
+    exactly-once side is pytest's job (tests/test_routing.py); THIS pins
+    that the tag survives the wire and partitions the key space."""
+    from embulk_spark.sources.debezium import (
+        PAGE_ROW_DDL,
+        debezium_change_events,
+        debezium_envelope_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base_ms = 1704067200000
+    page = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://r.test/d"), (F.col("doc_id") % 50)).alias("url"),
+        (F.lit(base_ms) + F.col("doc_id") * 1000).alias("ts_ms"),
+        F.base64(F.col("lang").cast("binary")).alias("html"),
+        "lang",
+    )
+    values = page.select(
+        debezium_envelope_col(
+            F.lit("c"),
+            F.struct(
+                "url", F.col("ts_ms").alias("warc_ts"), "html", "lang"
+            ),
+            pos=F.col("doc_id"),
+            ts_ms=F.col("ts_ms"),
+            table=F.when(F.col("doc_id") % 2 == 0, F.lit("pages")).otherwise(
+                F.lit("assets")
+            ),
+        ).alias("value")
+    )
+    ev = debezium_change_events(values, with_table=True)
+    return (
+        ev.groupBy("table", "url")
+        .agg(
+            F.max_by("lang", "seq").alias("last_lang"),
+            F.max("seq").alias("last_seq"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def _q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium envelope source (sources/debezium.py): synthesize a
     binlog-tail topic from `documents` with pure JVM Columns — snapshot
@@ -3086,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": _q_avro_roundtrip,
         "msgpack_roundtrip": _q_msgpack_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "binlog_route_latest": _q_binlog_route_latest,
         "debezium_parse": _q_debezium_parse,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
@@ -4600,6 +4648,23 @@ def oracle_sql() -> dict[str, str]:
                'text/html; charset=utf-8' AS content_type,
                '<html><body>' || text || '</body></html>' AS html
         FROM documents
+        """,
+        # binlog_route_latest: recompute tag + latest-per-(table, url)
+        # straight from documents (seq == pos == doc_id)
+        "binlog_route_latest": """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'pages' ELSE 'assets' END
+                   AS "table",
+                 'https://r.test/d' || (doc_id % 50)::varchar AS url,
+                 lang
+          FROM documents
+        )
+        SELECT "table", url,
+               arg_max(lang, doc_id) AS last_lang,
+               max(doc_id) AS last_seq,
+               count(*) AS n_events
+        FROM m GROUP BY "table", url
         """,
         "debezium_parse": """
         WITH n AS (SELECT count(*) AS n FROM documents),

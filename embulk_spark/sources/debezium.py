@@ -515,6 +515,7 @@ def debezium_envelope_col(
     ts_ms: Column | None = None,
     snapshot: Column | None = None,
     schemas_enable: Column | None = None,
+    table: Column | None = None,
 ) -> Column:
     """Synthesize one envelope as a JSON string Column — pure JVM
     (``to_json`` over a struct; fixtures never pay Python to BUILD wire
@@ -536,6 +537,8 @@ def debezium_envelope_col(
         src_fields.append(pos.cast("long").alias("pos"))
     if snapshot is not None:
         src_fields.append(snapshot.alias("snapshot"))
+    if table is not None:
+        src_fields.append(table.alias("table"))
     parts.append(F.struct(*src_fields).alias("source"))
     parts.append(op.alias("op"))
     if ts_ms is not None:
