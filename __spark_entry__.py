@@ -226,6 +226,28 @@ def _q_filter_add_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_filter_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-flatten_json (operators/rowops.py:flatten_json):
+    one row per element of a JSON array — synthesize a 2-element items
+    array per event (pure JVM concat), flatten it back."""
+    from embulk_spark.operators.rowops import flatten_json
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit('{"items": [{"k": "a", "v": '),
+            F.col("event_id"),
+            F.lit('}, {"k": "b", "v": '),
+            F.col("event_id") * 2,
+            F.lit("}]}"),
+        ).alias("rec"),
+    )
+    return flatten_json(
+        ev, "rec", "/items",
+        [{"name": "k", "type": "string"}, {"name": "v", "type": "long"}],
+    )
+
+
 def _q_filter_expand_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embulk-filter-expand_json: one JSON column → typed top-level
     columns via get_json_object + setter coercion
@@ -3069,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_typecast": _q_filter_typecast,
         "filter_add_time": _q_filter_add_time,
         "filter_expand_json": _q_filter_expand_json,
+        "filter_flatten_json": _q_filter_flatten_json,
         "parser_regexp": _q_parser_regexp,
         "parser_poslen": _q_parser_poslen,
         "parser_grok": _q_parser_grok,
@@ -3601,6 +3624,11 @@ def oracle_sql() -> dict[str, str]:
                upper(event_type) AS kind
         FROM events
         WHERE value > 0 AND event_type IN ('click', 'view')
+        """,
+        "filter_flatten_json": """
+        SELECT event_id, 'a' AS k, event_id AS v FROM events
+        UNION ALL
+        SELECT event_id, 'b' AS k, event_id * 2 AS v FROM events
         """,
         # incremental_cursor: strictly-after tuple comparison, same
         # lexicographic expansion

@@ -347,6 +347,47 @@ def expand_json(
     return df.select(*exprs)
 
 
+def flatten_json(
+    df: DataFrame,
+    json_column: str,
+    array_root: str,
+    expanded: list[dict],
+    keep: bool = False,
+) -> DataFrame:
+    """filter-flatten_json (ecosystem): one row per ELEMENT of a JSON
+    array inside ``json_column`` — the 1→N companion to
+    :func:`expand_json`'s 1→1 object expansion. ``array_root`` is an
+    RFC 6901 pointer to the array; each element's fields coerce to the
+    declared ``expanded`` columns with setter semantics. Rows whose
+    pointer resolves to nothing (or not an array) drop — the plugin's
+    skip-invalid default. JVM all the way: get_json_object pointer walk
+    → from_json(array<struct>) → same-stage explode."""
+    from ..functions.coerce import string_to_timestamp
+    from ..sources.files import _declared_schema, json_pointer_to_path
+
+    src: Column = F.get_json_object(
+        F.col(json_column), json_pointer_to_path(array_root)
+    )
+    struct = _declared_schema(expanded)
+    arr = F.from_json(src, T.ArrayType(struct))
+    keep_cols = [c for c in df.columns if keep or c != json_column]
+    flat = df.select(*keep_cols, F.explode(arr).alias("_e")).select(
+        *keep_cols, "_e.*"
+    )
+    exprs = [F.col(c) for c in keep_cols]
+    for c in expanded:
+        name = c["name"]
+        if c["type"] == "timestamp":
+            exprs.append(
+                string_to_timestamp(
+                    F.col(name), c.get("format"), c.get("timezone")
+                ).alias(name)
+            )
+        else:
+            exprs.append(F.col(name))
+    return flat.select(*exprs)
+
+
 def base64_columns(df: DataFrame, specs: list[dict]) -> DataFrame:
     """filter-base64 (ecosystem): per-column base64 ``encode``/``decode``.
     Encode maps string/binary → base64 text; decode maps base64 text →

@@ -442,6 +442,17 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         from .operators.rowops import eval_columns
 
         return eval_columns(df, fconf)
+    if ftype == "flatten_json":
+        # embulk-filter-flatten_json: one row per element of a JSON array
+        from .operators.rowops import flatten_json
+
+        return flatten_json(
+            df,
+            fconf.get("json_column_name", "record"),
+            fconf.get("array_root", "/"),
+            fconf.get("expanded_columns", []),
+            fconf.get("keep_expanding_json_column", False),
+        )
     if ftype == "base64":
         # embulk-filter-base64: per-column encode/decode
         from .operators.rowops import base64_columns

@@ -465,3 +465,30 @@ def test_join_file_from_csv(spark, tmp_path):
     })
     got = {r.host: r.owner for r in out.collect()}
     assert got == {"a.com": "alice", "c.net": None}
+
+
+def test_flatten_json_array(spark):
+    from embulk_spark.operators.rowops import flatten_json
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, rec='{"items": [{"sku": "a", "qty": 2}, {"sku": "b", "qty": 3}]}'),
+            Row(id=2, rec='{"items": []}'),
+            Row(id=3, rec='{"other": 1}'),     # pointer misses → dropped
+            Row(id=4, rec="not json"),         # garbage → dropped
+        ]
+    )
+    out = flatten_json(
+        df, "rec", "/items",
+        [{"name": "sku", "type": "string"}, {"name": "qty", "type": "long"}],
+    )
+    got = {(r.id, r.sku, r.qty) for r in out.collect()}
+    assert got == {(1, "a", 2), (1, "b", 3)}
+    assert out.columns == ["id", "sku", "qty"]
+    # dispatch via pipeline config
+    out2 = apply_filter(df, {
+        "type": "flatten_json", "json_column_name": "rec",
+        "array_root": "/items",
+        "expanded_columns": [{"name": "sku", "type": "string"}],
+    })
+    assert {r.sku for r in out2.collect()} == {"a", "b"}
