@@ -2657,6 +2657,36 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_url_rules(urls, _synth_url_rules_df(spark), mode="block")
 
 
+def _q_scd2_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal join against the SCD-2 dimension (operators/scd.py:
+    scd2_join): facts = events probed 30 minutes after their own ts —
+    each picks the dimension version valid at that instant (hash
+    equi-join + validity filter, never a range nested-loop). Left join:
+    probes past the last version still match it (open valid_to);
+    there are no pre-first-version probes by construction, which the
+    row count pins."""
+    from embulk_spark.operators.scd import scd2_history, scd2_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_history(ev, ["user_id"], "ts", ["event_type"], tie_cols=["event_id"])
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("probe_ts"),
+    )
+    out = scd2_join(
+        facts, dim, keys=["user_id"], ts_col="probe_ts", how="left",
+        dim_prefix="d_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("probe_ts").cast("timestamp")).alias("probe_ts_us"),
+        F.col("d_event_type").alias("dim_type"),
+        F.col("d_version").cast("long").alias("dim_version"),
+    )
+
+
 def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history (operators/scd.py): the events change stream
     folded into per-user validity intervals — consecutive same-type
@@ -3171,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "url_filter": _q_url_filter,
         "scd2_history": _q_scd2_history,
+        "scd2_join_asof": _q_scd2_join_asof,
         "pagerank": _q_pagerank,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
@@ -4983,6 +5014,43 @@ def oracle_sql() -> dict[str, str]:
             OR (kind = 'prefix' AND kd.canon LIKE pattern || '%')
           )
         )
+        """,
+        # scd2_join_asof: rebuild the dim CTE (same as scd2_history),
+        # probe each event 30 min later with the validity predicate
+        "scd2_join_asof": """
+        WITH ordered AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS prev_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        chg AS (
+          SELECT * FROM ordered
+          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+        ),
+        dim AS (
+          SELECT user_id, event_type,
+                 ts AS valid_from,
+                 lead(ts) OVER w2 AS valid_to,
+                 row_number() OVER w2 AS version
+          FROM chg
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        facts AS (
+          SELECT event_id, user_id,
+                 ts + INTERVAL 30 MINUTE AS probe_ts
+          FROM events
+        )
+        SELECT f.event_id, f.user_id,
+               epoch_us(f.probe_ts) AS probe_ts_us,
+               d.event_type AS dim_type,
+               d.version AS dim_version
+        FROM facts f
+        LEFT JOIN dim d
+          ON f.user_id = d.user_id
+         AND f.probe_ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.probe_ts < d.valid_to)
         """,
         "scd2_history": """
         WITH ordered AS (

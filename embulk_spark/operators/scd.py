@@ -78,3 +78,58 @@ def scd2_history(
         F.row_number().over(w).alias("version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    how: str = "inner",
+    broadcast_dim: bool = False,
+    dim_prefix: str = "",
+) -> DataFrame:
+    """Temporal (as-of) join of a fact stream against an SCD-2 dimension:
+    each fact row picks THE dimension version valid at its ``ts_col``
+    (``valid_from <= ts < valid_to``, open ``valid_to`` = current).
+
+    Scale shape: because a key's versions PARTITION time, the range
+    predicate matches at most one version — so this stays a plain
+    hash equi-join on ``keys`` with a post-join validity filter (fan-out
+    bounded by versions-per-key, typically a handful), never a
+    nested-loop range join. ``broadcast_dim`` for dimension-sized
+    histories skips the shuffle entirely. ``how='left'`` keeps facts
+    predating every version (dim columns null). ``dim_prefix``
+    namespaces dimension attributes on collisions."""
+    if how not in ("inner", "left"):
+        raise ValueError("scd2_join supports how='inner'|'left'")
+    fact_cols = set(facts.columns)
+    clash = [
+        c for c in dim.columns if c not in keys and (dim_prefix + c) in fact_cols
+    ]
+    if clash:
+        raise ValueError(
+            f"dimension columns {clash} collide with fact columns — "
+            f"pass dim_prefix to namespace them"
+        )
+    renamed = dim.select(
+        *[F.col(k).alias(f"__d_{k}") for k in keys],
+        *[F.col(c).alias(dim_prefix + c) for c in dim.columns if c not in keys],
+    )
+    side = F.broadcast(renamed) if broadcast_dim else renamed
+    cond = None
+    for k in keys:
+        eq = facts[k] == side[f"__d_{k}"]
+        cond = eq if cond is None else cond & eq
+    vf = F.col(dim_prefix + "valid_from")
+    vt = F.col(dim_prefix + "valid_to")
+    valid = (F.col(ts_col) >= vf) & (vt.isNull() | (F.col(ts_col) < vt))
+    if how == "inner":
+        return facts.join(side, cond, "inner").filter(valid).drop(
+            *[f"__d_{k}" for k in keys]
+        )
+    # left: validity must live in the join condition, not a post-filter
+    return facts.join(side, cond & valid, "left").drop(
+        *[f"__d_{k}" for k in keys]
+    )

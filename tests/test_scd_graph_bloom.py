@@ -201,3 +201,44 @@ def test_bloom_definite_negative_contract(spark):
     # and every true member is flagged
     flagged = {r.id for r in probed.filter("maybe_present").collect()}
     assert exact <= flagged
+
+
+def test_scd2_join_picks_valid_version(spark):
+    import datetime as dt
+
+    from embulk_spark.operators.scd import scd2_history, scd2_join
+
+    t = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, "a", t(2026, 1, 1), 1),
+            (1, "b", t(2026, 1, 10), 2),
+            (2, "x", t(2026, 1, 5), 3),
+        ],
+        "uid LONG, attr STRING, ts TIMESTAMP, seq LONG",
+    )
+    dim = scd2_history(ev, ["uid"], "ts", ["attr"], tie_cols=["seq"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(2026, 1, 2)),    # inside v1
+            (101, 1, t(2026, 1, 10)),   # exactly at v2.valid_from → v2
+            (102, 1, t(2026, 2, 1)),    # open current version → v2
+            (103, 2, t(2026, 1, 1)),    # before any version → null (left)
+            (104, 3, t(2026, 1, 1)),    # unknown key → null (left)
+        ],
+        "fid LONG, uid LONG, fts TIMESTAMP",
+    )
+    out = scd2_join(facts, dim, keys=["uid"], ts_col="fts", how="left")
+    got = {r.fid: (r.attr, r.version) for r in out.collect()}
+    assert got == {
+        100: ("a", 1), 101: ("b", 2), 102: ("b", 2),
+        103: (None, None), 104: (None, None),
+    }
+    inner = scd2_join(facts, dim, keys=["uid"], ts_col="fts", how="inner")
+    assert {r.fid for r in inner.collect()} == {100, 101, 102}
+    # collision guard
+    import pytest as _pt
+
+    facts2 = facts.withColumnRenamed("fts", "valid_from")
+    with _pt.raises(ValueError, match="collide"):
+        scd2_join(facts2, dim, keys=["uid"], ts_col="valid_from")
