@@ -642,6 +642,55 @@ def guess_csv_dialect(text: str, *, all_strings: bool = False) -> dict:
     return out
 
 
+#: LTSV line: label:value fields, tab-separated (labeled-tsv.org grammar;
+#: the embulk-guess-ltsv ecosystem plugin sits before csv in its chain)
+_LTSV_LINE = re.compile(r"^[A-Za-z0-9_.\-]+:[^\t\n]*(\t[A-Za-z0-9_.\-]+:[^\t\n]*)*$")
+
+
+def guess_ltsv(text: str) -> dict | None:
+    """embulk-guess-ltsv: every sampled line matches ``label:value``
+    tab-separated fields AND at least two lines agree on ≥1 label →
+    ``{type: ltsv, columns}`` with per-label cell-type guesses (the same
+    lattice csv columns get); else None and the chain falls through to
+    csv. A lone-colon CSV ("a:1,b:2" has no tab and one field) is
+    rejected by requiring ≥2 labels per line or ≥2 sample lines."""
+    lines = [l for l in text.split("\n") if l.strip()][:-1] or [
+        l for l in text.split("\n") if l.strip()
+    ]
+    if not lines or any(not _LTSV_LINE.match(l) for l in lines):
+        return None
+    rows = []
+    for l in lines:
+        row = {}
+        for field in l.split("\t"):
+            k, _, v = field.partition(":")
+            row[k] = v
+        rows.append(row)
+    if len(rows) < 2 and max(len(r) for r in rows) < 2:
+        return None
+    labels: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in labels:
+                labels.append(k)
+    columns = []
+    for k in labels:
+        merged: str | None = None
+        fmt = None
+        for r in rows:
+            if k not in r or r[k] == "":
+                continue
+            t = guess_type(r[k])
+            if isinstance(t, tuple):
+                t, fmt = t
+            merged = merge_type(merged, t)
+        col = {"name": k, "type": merged or "string"}
+        if col["type"] == "timestamp" and fmt:
+            col["format"] = fmt
+        columns.append(col)
+    return {"type": "ltsv", "columns": columns}
+
+
 def guess_bytes(sample: bytes, config: dict | None = None) -> dict:
     """The guess chain gzip→bzip2→json→csv (build.gradle:197), iterated to
     a fixed point ≤10 times (GuessExecutor.java:142-195). Returns a config
@@ -661,6 +710,8 @@ def guess_bytes(sample: bytes, config: dict | None = None) -> dict:
             text = sample.decode("utf-8", errors="replace")
             if _try_json(text):
                 cfg["parser"] = {"type": "json"}
+            elif (ltsv := guess_ltsv(text)) is not None:
+                cfg["parser"] = ltsv
             else:
                 # csv_all_strings: same dialect guess, all columns string —
                 # selected via config like the reference's guess plugin list

@@ -397,3 +397,38 @@ def test_csv_null_marker_line_not_stripped_as_comment():
     assert d["comment_line_marker"] == "#"
     # the '#N/A,5' row survived: 4 data rows means val column saw '5'
     assert d["null_string"] == "#N/A" or len(d["columns"]) == 2
+
+
+def test_guess_ltsv_detected_before_csv():
+    from embulk_spark.functions.guess import guess_bytes, guess_ltsv
+
+    sample = (
+        b"host:h1\tcode:200\tsize:12\n"
+        b"host:h2\tcode:404\tsize:3\n"
+        b"host:h3\tcode:500\tsize:\n"
+    )
+    cfg = guess_bytes(sample)
+    assert cfg["parser"]["type"] == "ltsv"
+    cols = {c["name"]: c["type"] for c in cfg["parser"]["columns"]}
+    assert cols == {"host": "string", "code": "long", "size": "long"}
+    # a csv sample must NOT be claimed by the ltsv guess
+    assert guess_ltsv("a,b,c\n1,2,3\n") is None
+    # colon-bearing single-field csv line is rejected too
+    assert guess_ltsv("note:this is prose without structure") is None
+
+
+def test_guess_ltsv_roundtrips_through_run(spark, tmp_path):
+    from embulk_spark.pipeline import guess, run
+
+    p = tmp_path / "acc.ltsv"
+    p.write_text(
+        "host:h1\tcode:200\nhost:h2\tcode:404\nhost:h9\tcode:301\n"
+    )
+    cfg = guess(spark, {"in": {"path_prefix": str(p)}})
+    assert cfg["in"]["parser"]["type"] == "ltsv"
+    out = tmp_path / "out"
+    run(spark, {**cfg, "out": {"type": "file", "path_prefix": str(out)}})
+    import glob
+
+    body = "".join(open(f).read() for f in glob.glob(str(out) + "/*.csv"))
+    assert "h1,200" in body and "h2,404" in body
