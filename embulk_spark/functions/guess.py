@@ -707,6 +707,17 @@ def guess_bytes(sample: bytes, config: dict | None = None) -> dict:
         if "newline" not in cfg:
             cfg["newline"] = guess_newline(sample)
         if "parser" not in cfg:
+            # binary container magics first (self-describing formats need
+            # no dialect guess — embulk-guess stops at the type)
+            if sample[:4] == b"Obj\x01":
+                cfg["parser"] = {"type": "avro"}
+                break
+            if sample[:4] == b"PAR1":
+                cfg["parser"] = {"type": "parquet"}
+                break
+            if sample[:3] == b"ORC":
+                cfg["parser"] = {"type": "orc"}
+                break
             text = sample.decode("utf-8", errors="replace")
             if _try_json(text):
                 cfg["parser"] = {"type": "json"}

@@ -432,3 +432,17 @@ def test_guess_ltsv_roundtrips_through_run(spark, tmp_path):
 
     body = "".join(open(f).read() for f in glob.glob(str(out) + "/*.csv"))
     assert "h1,200" in body and "h2,404" in body
+
+
+def test_guess_binary_container_magics():
+    from embulk_spark.functions.guess import guess_bytes
+    from embulk_spark.sources.avro import write_container
+
+    blob = write_container(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "x", "type": "long"}]},
+        [{"x": i} for i in range(10)],
+    )
+    assert guess_bytes(blob)["parser"]["type"] == "avro"
+    assert guess_bytes(b"PAR1" + b"\0" * 64)["parser"]["type"] == "parquet"
+    assert guess_bytes(b"ORC" + b"\0" * 64)["parser"]["type"] == "orc"
