@@ -460,6 +460,22 @@ def main(argv: list[str] | None = None) -> int:
                 name: ParquetLakeTable(spark, path, n_buckets=args.buckets)
                 for name, path in json.loads(args.route).items()
             }
+            if args.checkpoint:
+                # routed STREAMING tail: the envelope's own table tag
+                # routes each micro-batch (stream_binlog route mode)
+                if args.source_format not in ("debezium", "maxwell", "canal"):
+                    ap.error(
+                        "--route with --checkpoint requires a binlog "
+                        "--source-format (debezium|maxwell|canal)"
+                    )
+                from .streaming.replay import stream_binlog
+
+                stream_binlog(
+                    spark, None, args.events, args.checkpoint,
+                    wire_format=args.source_format, route=tables,
+                    quarantine_rules=qrules,
+                )
+                return 0
             events = spark.read.parquet(args.events)
             epochs = sorted(
                 r["epoch"]

@@ -666,7 +666,18 @@ def guess_ltsv(text: str) -> dict | None:
             k, _, v = field.partition(":")
             row[k] = v
         rows.append(row)
-    if len(rows) < 2 and max(len(r) for r in rows) < 2:
+    # evidence gate: a lone "token:rest" per line is indistinguishable
+    # from prose/CSV (timestamps, urls) — require multi-field lines OR
+    # a label recurring across rows before claiming LTSV
+    multi_field = any(len(r) >= 2 for r in rows)
+    label_counts: dict[str, int] = {}
+    for r in rows:
+        for k in r:
+            label_counts[k] = label_counts.get(k, 0) + 1
+    recurring = any(n >= 2 for n in label_counts.values())
+    # all-digit "labels" are clock times ("12:30"), not LTSV labels
+    named = all(not k.isdigit() for k in label_counts)
+    if not named or not (multi_field or (len(rows) >= 2 and recurring)):
         return None
     labels: list[str] = []
     for r in rows:

@@ -420,13 +420,9 @@ def eval_columns(df: DataFrame, conf: dict) -> DataFrame:
     (``{name, expr}`` — add or replace in place), ``drop``."""
     if conf.get("where"):
         df = df.filter(F.expr(conf["where"]))
-    existing = list(df.columns)
     for spec in conf.get("columns") or []:
-        name, expr = spec["name"], F.expr(spec["expr"])
-        if name in existing:
-            df = df.withColumn(name, expr)
-        else:
-            df = df.select("*", expr.alias(name))
+        # withColumn adds-or-replaces; later specs may reference earlier
+        df = df.withColumn(spec["name"], F.expr(spec["expr"]))
     if conf.get("drop"):
         df = df.drop(*conf["drop"])
     return df

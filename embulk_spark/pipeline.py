@@ -446,10 +446,12 @@ def apply_filter(df: DataFrame, fconf: dict) -> DataFrame:
         # embulk-filter-flatten_json: one row per element of a JSON array
         from .operators.rowops import flatten_json
 
+        # RFC 6901: the ROOT pointer is the empty string (maps to '$');
+        # '/' would address the empty-string key
         return flatten_json(
             df,
             fconf.get("json_column_name", "record"),
-            fconf.get("array_root", "/"),
+            fconf.get("array_root", ""),
             fconf.get("expanded_columns", []),
             fconf.get("keep_expanding_json_column", False),
         )
@@ -522,7 +524,8 @@ def apply_filters(df: DataFrame, filters: list[dict] | None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _input_frame(
-    spark: SparkSession, in_conf: dict, diff_in: dict | None
+    spark: SparkSession, in_conf: dict, diff_in: dict | None,
+    *, for_preview: bool = False,
 ) -> tuple[DataFrame, dict]:
     itype = in_conf.get("type", "file")
     if itype == "file":
@@ -539,7 +542,8 @@ def _input_frame(
             from .sources.cursor import incremental_scan
 
             last = (diff_in or {}).get("last_record") or in_conf.get("last_record")
-            return incremental_scan(df, inc, last)
+            # preview throws the ConfigDiff away — skip the cursor agg job
+            return incremental_scan(df, inc, last, compute_cursor=not for_preview)
         return df, {}
     raise ValueError(f"unknown input type: {itype}")
 
@@ -708,7 +712,7 @@ def run_resumable(
 def preview(spark: SparkSession, config: dict, n: int = PREVIEW_ROWS) -> DataFrame:
     """First ``n`` rows after filters; side-effect free
     (exec/PreviewExecutor.java:66 forPreview session ≈ we never touch out:)."""
-    df, _ = _input_frame(spark, config["in"], None)
+    df, _ = _input_frame(spark, config["in"], None, for_preview=True)
     return apply_filters(df, config.get("filters")).limit(n)
 
 

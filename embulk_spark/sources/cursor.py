@@ -54,16 +54,22 @@ def incremental_scan(
     df: DataFrame,
     incremental_columns: list[str],
     last_record: list | None = None,
+    *,
+    compute_cursor: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Rows strictly after ``last_record`` in ``incremental_columns``
     order, plus the next run's ConfigDiff (``{"last_record": [...]}``).
 
     The cursor advances only when rows qualify (an empty increment
     re-emits the old cursor, the reference's behavior); values serialize
-    JSON-safe (timestamps → ISO strings)."""
+    JSON-safe (timestamps → ISO strings). ``compute_cursor=False`` skips
+    the max(struct) aggregation job entirely (preview/read-only paths
+    that throw the ConfigDiff away must not pay a table scan for it)."""
     out = df
     if last_record is not None:
         out = df.filter(cursor_predicate(df, incremental_columns, last_record))
+    if not compute_cursor:
+        return out, {"last_record": list(last_record) if last_record else None}
     row = out.agg(
         F.max(F.struct(*[F.col(c) for c in incremental_columns])).alias("m")
     ).head()

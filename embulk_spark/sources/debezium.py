@@ -456,7 +456,7 @@ def ddl_to_schema_changes(sql: str) -> list[dict]:
 
 
 def canal_schema_change_events(
-    df: DataFrame, value_col: str = "value"
+    df: DataFrame, value_col: str = "value", *, with_table: bool = False
 ) -> DataFrame:
     """Canal DDL flatMessages (``isDdl: true``, ``sql`` carries the
     statement) → the engine's op='S' schema-change events, replayable by
@@ -470,6 +470,7 @@ def canal_schema_change_events(
             T.StructField("type", T.StringType()),
             T.StructField("es", T.LongType()),
             T.StructField("id", T.LongType()),
+            T.StructField("table", T.StringType()),
             T.StructField("isDdl", T.BooleanType()),
             T.StructField("sql", T.StringType()),
         ]
@@ -479,7 +480,7 @@ def canal_schema_change_events(
         df.filter(v.isNotNull() & (F.trim(v) != ""))
         .select(F.from_json(v, env_s).alias("e"))
         .filter(F.coalesce(F.col("e.isDdl"), F.lit(False)))
-        .select("e.id", "e.es", "e.sql")
+        .select("e.id", "e.es", "e.table", "e.sql")
     )
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -490,11 +491,14 @@ def canal_schema_change_events(
             lambda s: [_json.dumps(p) for p in ddl_to_schema_changes(s)]
         )
 
+    tcol = [F.col("table")] if with_table else []
     return (
         ddl.select(
-            "id", "es", F.posexplode(_parse(F.col("sql"))).alias("_i", "payload")
+            "id", "es", "table",
+            F.posexplode(_parse(F.col("sql"))).alias("_i", "payload"),
         )
         .select(
+            *tcol,
             (F.col("id") * F.lit(1 << 20) + F.col("_i")).alias("seq"),
             F.lit("S").alias("op"),
             F.lit(None).cast("string").alias("url"),

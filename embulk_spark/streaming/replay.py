@@ -277,7 +277,11 @@ def route_epoch(
     try:
         report: dict = {"epoch_id": epoch_id, "tables": {}}
         known = list(tables)
-        unrouted = epoch_df.filter(~F.col(table_col).isin(known)).count()
+        # NULL tags are unrouted too (isin is NULL for NULL input —
+        # a bare ~isin filter would silently drop them uncounted)
+        unrouted = epoch_df.filter(
+            F.col(table_col).isNull() | ~F.col(table_col).isin(known)
+        ).count()
         if unrouted and strict:
             raise ValueError(
                 f"epoch {epoch_id}: {unrouted} events name tables outside "
@@ -723,16 +727,22 @@ def stream_binlog(
         events = adapter(batch_df, with_table=bool(route)).withColumn(
             "schema_change", F.lit(None).cast("string")
         )
+        if wire_format == "canal":
+            # canal carries DDL in-band (isDdl flatMessages) — fold the
+            # derived op='S' events in so schema evolution rides the
+            # tail; in route mode each DDL keeps its envelope's table
+            # tag and evolves only its own destination
+            events = events.unionByName(
+                wire.canal_schema_change_events(
+                    batch_df, with_table=bool(route)
+                )
+            )
         if route:
             route_epoch(
                 route, events, int(batch_id),
                 quarantine_rules=quarantine_rules,
             )
             return
-        if wire_format == "canal":
-            # canal carries DDL in-band (isDdl flatMessages) — fold the
-            # derived op='S' events in so schema evolution rides the tail
-            events = events.unionByName(wire.canal_schema_change_events(batch_df))
         apply_epoch(
             table, events, int(batch_id), quarantine_rules=quarantine_rules
         )

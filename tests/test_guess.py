@@ -446,3 +446,14 @@ def test_guess_binary_container_magics():
     assert guess_bytes(blob)["parser"]["type"] == "avro"
     assert guess_bytes(b"PAR1" + b"\0" * 64)["parser"]["type"] == "parquet"
     assert guess_bytes(b"ORC" + b"\0" * 64)["parser"]["type"] == "orc"
+
+
+def test_guess_ltsv_rejects_clock_times_and_disjoint_labels():
+    from embulk_spark.functions.guess import guess_bytes, guess_ltsv
+
+    # headerless CSV whose first field looks like a clock time
+    assert guess_ltsv("12:30,alpha\n13:45,beta\n14:00,gamma\n") is None
+    cfg = guess_bytes(b"12:30,alpha\n13:45,beta\n14:00,gamma\n")
+    assert cfg["parser"]["type"] == "csv"
+    # single-label disjoint lines (prose with colons) reject too
+    assert guess_ltsv("note:one thing\nother:two thing\n") is None

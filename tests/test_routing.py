@@ -122,3 +122,26 @@ def test_cli_route_replay(spark, tmp_path, tagged_stream, capsys):
     assert a.published().count() > 0 and b.published().count() > 0
     assert set(a.committed_epochs()) == set(range(N_EPOCHS))
     assert total > 0
+
+
+def test_route_counts_null_tags_as_unrouted(spark, tmp_path, tagged_stream):
+    from pyspark.sql import functions as F
+
+    epoch0 = tagged_stream.filter(F.col("epoch") == 0).withColumn(
+        "table",
+        F.when(F.col("seq") % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("table")
+        ),
+    )
+    n_null = epoch0.filter(F.col("table").isNull()).count()
+    tables = {
+        "pages_a": ParquetLakeTable(spark, str(tmp_path / "na")),
+        "pages_b": ParquetLakeTable(spark, str(tmp_path / "nb")),
+    }
+    rep = route_epoch(tables, epoch0, 0)
+    assert rep["unrouted_rows"] == n_null > 0
+    with pytest.raises(ValueError):
+        route_epoch(
+            {"pages_a": ParquetLakeTable(spark, str(tmp_path / "sa"))},
+            epoch0, 0, strict=True,
+        )

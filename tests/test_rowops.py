@@ -492,3 +492,23 @@ def test_flatten_json_array(spark):
         "expanded_columns": [{"name": "sku", "type": "string"}],
     })
     assert {r.sku for r in out2.collect()} == {"a", "b"}
+
+
+def test_flatten_json_root_array_default(spark):
+    """Config omitting array_root flattens a ROOT-level array (RFC 6901
+    root = empty pointer, not '/')."""
+    df = spark.createDataFrame([Row(rec='[{"v": 1}, {"v": 2}]')])
+    out = apply_filter(df, {
+        "type": "flatten_json", "json_column_name": "rec",
+        "expanded_columns": [{"name": "v", "type": "long"}],
+    })
+    assert sorted(r.v for r in out.collect()) == [1, 2]
+
+
+def test_eval_same_column_twice_last_wins(spark):
+    df = spark.createDataFrame([Row(x=1)])
+    out = apply_filter(df, {"type": "eval", "columns": [
+        {"name": "y", "expr": "x + 1"},
+        {"name": "y", "expr": "y * 10"},  # references the first
+    ]})
+    assert out.collect()[0].y == 20
