@@ -1103,6 +1103,52 @@ def _q_maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wal2json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json v2 wire format (sources/debezium.py::parse_wal2json —
+    PostgreSQL logical decoding, public plugin docs): synthesize v2
+    action lines from the events table with pure-JVM to_json (columns
+    as {name,value} entry arrays, LSN hex pair, include-timestamp
+    rendering), parse back through the format parser, return the typed
+    change rows. Oracle: the same mapping computed directly in SQL — a
+    lossless wire round-trip."""
+    from embulk_spark.sources.debezium import parse_wal2json
+
+    ev = _t(spark, sf_dir, "events")
+
+    def entry(name: str, col) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("name"), col.cast("string").alias("value")
+        )
+
+    lines = ev.select(
+        F.to_json(F.struct(
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .when(F.col("event_type") == "view", F.lit("I"))
+            .otherwise(F.lit("U")).alias("action"),
+            F.lit("public").alias("schema"),
+            F.lit("events").alias("table"),
+            F.date_format(
+                F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'"
+            ).alias("timestamp"),
+            F.concat(
+                F.lit("0/"), F.conv(F.col("event_id"), 10, 16)
+            ).alias("lsn"),
+            F.array(
+                entry("user_id", F.col("user_id")),
+                entry("value", F.col("value")),
+                entry("props", F.col("props")),
+            ).alias("columns"),
+        )).alias("value")
+    )
+    out = parse_wal2json(
+        lines, "user_id BIGINT, value DOUBLE, props STRING"
+    )
+    return out.select(
+        "op", "seq", "src_ts_ms", "user_id",
+        F.col("value").alias("v"), "props",
+    )
+
+
 def _q_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canal flatMessage wire format (sources/debezium.py::parse_canal):
     synthesize Canal JSON (stringified values, batched data arrays) from
@@ -3095,6 +3141,43 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id", ["event_type"])
 
 
+def _q_jdbc_mode_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-output-jdbc write modes (sinks/jdbc_modes.py; plugin contract
+    = the public embulk-output-jdbc docs; reference transaction shape
+    spi/OutputPlugin.java:56-76): bootstrap the table with mode=insert
+    from `customer`, merge one change-set derived from `orders`
+    (per-customer order totals replace acctbal; customers without orders
+    carry through — cold buckets by reference), and retry the same
+    txn_id to pin the resumed-transaction no-op. Final state ==
+    anti-join ∪ change-set."""
+    import tempfile
+
+    from embulk_spark.sinks.jdbc_modes import JdbcModeTable
+
+    work = tempfile.mkdtemp(prefix="embulk_spark_jdbcmode_")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+    )
+    table = JdbcModeTable(spark, f"{work}/t", n_buckets=8)
+    table.write(cust, "insert", merge_keys=["custkey"], txn_id="bootstrap")
+    inc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("acctbal"))
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.lit("merged").alias("name"),
+            F.col("acctbal").cast("double"),
+        )
+    )
+    table.write(inc, "merge", merge_keys=["custkey"], txn_id="delta-1")
+    # duplicate delivery of the committed transaction: must skip
+    table.write(inc, "merge", merge_keys=["custkey"], txn_id="delta-1")
+    return table.load()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_per_key": _q_cdc_latest_per_key,
@@ -3106,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
         "maxwell_parse": _q_maxwell_parse,
         "canal_parse": _q_canal_parse,
+        "wal2json_parse": _q_wal2json_parse,
         "stream_enrich_join": _q_stream_enrich_join,
         "lake_bulk_import": _q_lake_bulk_import,
         "lake_clone": _q_lake_clone,
@@ -3218,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "incremental_agg_view": _q_incremental_agg_view,
+        "jdbc_mode_merge": _q_jdbc_mode_merge,
     }
 
 
@@ -4351,6 +4436,15 @@ def oracle_sql() -> dict[str, str]:
                user_id, value AS v, props
         FROM events
         """,
+        "wal2json_parse": """
+        SELECT CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'view' THEN 'I'
+                    ELSE 'U' END AS op,
+               event_id AS seq,
+               epoch_us(ts) // 1000 AS src_ts_ms,
+               user_id, value AS v, props
+        FROM events
+        """,
         "stream_enrich_join": """
         WITH ch AS (
           SELECT event_id AS seq, 'user://' || user_id AS url, ts AS warc_ts
@@ -5299,6 +5393,21 @@ def oracle_sql() -> dict[str, str]:
                sum(octet_length(encode(t)))::BIGINT AS bytes,
                count(*)::BIGINT AS n_rows
         FROM fin GROUP BY lang
+        """,
+        "jdbc_mode_merge": """
+        WITH inc AS (
+          SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                 'merged' AS name,
+                 ROUND(SUM(o_totalprice), 2) AS acctbal
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(c_custkey AS BIGINT) AS custkey,
+               c_name AS name,
+               ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT custkey FROM inc)
+        UNION ALL
+        SELECT custkey, name, acctbal FROM inc
         """,
     }
 

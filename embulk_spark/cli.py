@@ -110,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--route-col", default="table",
                     help="column carrying the destination table tag")
     sp.add_argument("--source-format", default="events",
-                    choices=["events", "debezium", "maxwell", "canal", "warc"],
+                    choices=["events", "debezium", "maxwell", "canal",
+                             "wal2json", "warc"],
                     help="with --checkpoint: what the events dir holds — "
                          "parquet change events (default), binlog envelope "
                          "jsonl files (stream_binlog), or .warc archives "
@@ -463,10 +464,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.checkpoint:
                 # routed STREAMING tail: the envelope's own table tag
                 # routes each micro-batch (stream_binlog route mode)
-                if args.source_format not in ("debezium", "maxwell", "canal"):
+                if args.source_format not in ("debezium", "maxwell", "canal", "wal2json"):
                     ap.error(
                         "--route with --checkpoint requires a binlog "
-                        "--source-format (debezium|maxwell|canal)"
+                        "--source-format (debezium|maxwell|canal|wal2json)"
                     )
                 from .streaming.replay import stream_binlog
 
@@ -538,7 +539,7 @@ def main(argv: list[str] | None = None) -> int:
         qrules = json.loads(args.quarantine_rules) if args.quarantine_rules else None
         wrules = json.loads(args.wap_rules) if args.wap_rules else None
         if args.checkpoint:
-            if args.source_format in ("debezium", "maxwell", "canal"):
+            if args.source_format in ("debezium", "maxwell", "canal", "wal2json"):
                 from .streaming.replay import stream_binlog
 
                 stream_binlog(

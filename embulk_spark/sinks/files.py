@@ -299,6 +299,23 @@ def write_output(df: DataFrame, out_config: dict) -> dict:
             "rows": report.get("rows_written", report.get("rows_imported")),
             "config_diff": {"epoch": epoch + 1},
         }
+    if otype == "jdbc_table":
+        # embulk-output-jdbc analogue: six write modes with staged-load +
+        # single-transaction publication (sinks/jdbc_modes.py)
+        from .jdbc_modes import JdbcModeTable
+
+        table = JdbcModeTable(
+            df.sparkSession,
+            out_config["path"],
+            n_buckets=int(out_config.get("n_buckets", 16)),
+        )
+        report = table.write(
+            df,
+            out_config.get("mode", "insert"),
+            merge_keys=out_config.get("merge_keys"),
+            txn_id=out_config.get("txn_id"),
+        )
+        return {"type": "jdbc_table", "path": out_config["path"], **report}
     if otype == "stdout":
         df.show(truncate=False)
         return {"type": "stdout"}

@@ -122,9 +122,171 @@ class _Reader:
             return self.raw(self.long()).decode("utf-8", "replace")
         raise ValueError(f"unsupported avro schema {schema!r}")
 
+    def read_resolved(self, w, r):
+        """Decode one value written under schema ``w``, resolved to
+        reader schema ``r`` per the Avro spec's Schema Resolution rules:
+        field matching by name or reader alias, missing reader fields
+        from defaults, extra writer fields decoded-and-dropped, numeric/
+        string-bytes promotions, enum default symbols, per-branch union
+        matching."""
+        if isinstance(w, list):  # writer union: branch picked by index
+            idx = self.long()
+            if not 0 <= idx < len(w):
+                raise ValueError(f"avro union index {idx} out of range")
+            return self.read_resolved(w[idx], r)
+        if isinstance(r, list):  # reader union: first matching branch
+            for br in r:
+                if _resolvable(w, br):
+                    return self.read_resolved(w, br)
+            raise ValueError(
+                f"no reader union branch matches writer schema {w!r}"
+            )
+        wt = w["type"] if isinstance(w, dict) else w
+        rt = r["type"] if isinstance(r, dict) else r
+        if wt == "record" and rt == "record":
+            rfields = {f["name"]: f for f in r["fields"]}
+            aliases = {
+                a: f["name"]
+                for f in r["fields"]
+                for a in f.get("aliases", ())
+            }
+            out, seen = {}, set()
+            for wf in w["fields"]:
+                tgt = (
+                    wf["name"]
+                    if wf["name"] in rfields
+                    else aliases.get(wf["name"])
+                )
+                if tgt is None:
+                    self.read(wf["type"])  # decode & drop
+                else:
+                    out[tgt] = self.read_resolved(
+                        wf["type"], rfields[tgt]["type"]
+                    )
+                    seen.add(tgt)
+            for rf in r["fields"]:
+                if rf["name"] not in seen:
+                    if "default" not in rf:
+                        raise ValueError(
+                            f"reader field {rf['name']!r} absent in writer "
+                            "schema and has no default"
+                        )
+                    out[rf["name"]] = _default_value(
+                        rf["type"], rf["default"]
+                    )
+            return out
+        if wt == "array" and rt == "array":
+            out = []
+            while True:
+                n = self.long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    self.long()
+                for _ in range(n):
+                    out.append(self.read_resolved(w["items"], r["items"]))
+            return out
+        if wt == "map" and rt == "map":
+            out = {}
+            while True:
+                n = self.long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    self.long()
+                for _ in range(n):
+                    k = self.raw(self.long()).decode("utf-8")
+                    out[k] = self.read_resolved(w["values"], r["values"])
+            return out
+        if wt == "enum" and rt == "enum":
+            sym = w["symbols"][self.long()]
+            if sym in r["symbols"]:
+                return sym
+            if "default" in r:  # enum default symbol (Avro ≥1.9)
+                return r["default"]
+            raise ValueError(f"enum symbol {sym!r} not in reader schema")
+        if wt == "fixed" and rt == "fixed":
+            if w["size"] != r["size"]:
+                raise ValueError("fixed size mismatch in schema resolution")
+            return self.raw(w["size"])
+        v = self.read(w)  # primitive: decode as written, then promote
+        if rt == wt:
+            return v
+        if rt in _PROMOTIONS.get(wt, ()):
+            if rt in ("float", "double"):
+                return float(v)
+            if rt == "long":
+                return int(v)
+            if rt == "bytes":
+                return v.encode("utf-8")
+            if rt == "string":
+                return v.decode("utf-8", "replace")
+        raise ValueError(
+            f"writer schema {wt!r} does not resolve to reader {rt!r}"
+        )
 
-def iter_container(data: bytes):
-    """Yield decoded records from an Object Container File blob."""
+
+#: spec promotion lattice (writer type → allowed reader types)
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _resolvable(w, r) -> bool:
+    """Can a value written as ``w`` resolve to reader branch ``r``?
+    (Used for reader-union branch selection.)"""
+    if isinstance(w, list):
+        return any(_resolvable(br, r) for br in w)
+    if isinstance(r, list):
+        return any(_resolvable(w, br) for br in r)
+    wt = w["type"] if isinstance(w, dict) else w
+    rt = r["type"] if isinstance(r, dict) else r
+    return wt == rt or rt in _PROMOTIONS.get(wt, ())
+
+
+def _default_value(schema, default):
+    """Materialize a reader-field JSON default under its schema (spec:
+    bytes/fixed defaults are ISO-8859-1 strings; union defaults belong
+    to the FIRST branch)."""
+    if isinstance(schema, list):
+        return _default_value(schema[0], default)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t in ("bytes", "fixed"):
+        return default.encode("iso-8859-1")
+    if t == "array":
+        return [_default_value(schema["items"], x) for x in default]
+    if t == "map":
+        return {
+            k: _default_value(schema["values"], v)
+            for k, v in default.items()
+        }
+    if t == "record":
+        return {
+            f["name"]: _default_value(
+                f["type"], default.get(f["name"], f.get("default"))
+            )
+            for f in schema["fields"]
+        }
+    if t in ("float", "double"):
+        return float(default)
+    return default
+
+
+def iter_container(data: bytes, reader_schema: dict | None = None):
+    """Yield decoded records from an Object Container File blob. With
+    ``reader_schema``, each record is decoded under the file's writer
+    schema and RESOLVED to the reader schema (spec Schema Resolution):
+    renamed fields via aliases, new fields from defaults, dropped
+    fields skipped, int→long→float→double / string↔bytes promotions —
+    the read-side half of schema evolution for Avro inputs."""
     if data[:4] != AVRO_MAGIC:
         raise ValueError("not an avro object container file")
     r = _Reader(data, 4)
@@ -152,7 +314,10 @@ def iter_container(data: bytes):
             block = zlib.decompress(block, wbits=-15)  # raw deflate per spec
         br = _Reader(block)
         for _ in range(count):
-            yield br.read(schema)
+            if reader_schema is not None:
+                yield br.read_resolved(schema, reader_schema)
+            else:
+                yield br.read(schema)
         if r.raw(16) != sync:
             raise ValueError("avro sync marker mismatch")
 
@@ -185,6 +350,12 @@ def _encode(schema, v) -> bytes:
             return b"".join(
                 _encode(f["type"], v[f["name"]]) for f in schema["fields"]
             )
+        if t == "enum":
+            return _zz(schema["symbols"].index(v))
+        if t == "fixed":
+            if len(v) != schema["size"]:
+                raise ValueError("fixed value size mismatch")
+            return bytes(v)
         if t == "array":
             body = b"".join(_encode(schema["items"], x) for x in v)
             return (_zz(len(v)) + body + _zz(0)) if v else _zz(0)
@@ -251,6 +422,7 @@ def parse_avro_blobs(df: DataFrame, blob_col: str, parser: dict) -> DataFrame:
     schema = _declared_schema(columns)
     names = [c["name"] for c in columns]
     types = [c["type"] for c in columns]
+    reader_schema = parser.get("reader_schema")
 
     src = df.select(F.col(blob_col).alias("_blob"))
 
@@ -258,7 +430,7 @@ def parse_avro_blobs(df: DataFrame, blob_col: str, parser: dict) -> DataFrame:
         for pdf in batches:
             rows = []
             for blob in pdf["_blob"]:
-                for rec in iter_container(bytes(blob)):
+                for rec in iter_container(bytes(blob), reader_schema):
                     if not isinstance(rec, dict):
                         rec = {"value": rec}
                     rows.append(

@@ -364,6 +364,112 @@ def canal_change_events(
     )
 
 
+def parse_wal2json(
+    df: DataFrame,
+    row_ddl: str,
+    value_col: str = "value",
+    *,
+    keep_cols: list[str] | None = None,
+    with_source_table: bool = False,
+) -> DataFrame:
+    """PostgreSQL logical decoding via wal2json **format-version 2**
+    (one JSON action per line; public plugin docs) → the same typed
+    change-row contract as :func:`parse_debezium`.
+
+    v2 renders each row as ``columns: [{name, type, value}, ...]`` —
+    and, for deletes, the replica-identity image as ``identity: [...]``
+    — so the parse is one ``from_json`` (scalar values of any JSON type
+    land in the string field verbatim), ``map_from_entries``, then one
+    ``try_cast`` per declared column. ``B``/``C`` (begin/commit), ``T``
+    (truncate) and ``M`` (message) actions are filtered out.
+
+    ``seq``: the LSN ``hi/lo`` pair packed as ``hi·2^32 + lo`` — the WAL
+    byte offset, Postgres's own total order; falls back to ``xid`` when
+    the stream was produced without ``include-lsn``. ``src_ts_ms`` from
+    the ``include-timestamp`` field (``+00`` offset form). No snapshot
+    marker exists in this wire format: ``is_snapshot`` is always false
+    (initial-load rows arrive as plain inserts)."""
+    row = T.StructType.fromDDL(row_ddl)
+    cell = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        )
+    )
+    env_s = T.StructType(
+        [
+            T.StructField("action", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("lsn", T.StringType()),
+            T.StructField("xid", T.LongType()),
+            T.StructField("columns", cell),
+            T.StructField("identity", cell),
+        ]
+    )
+    v = F.col(value_col)
+    env = F.from_json(v, env_s)
+    a = F.col("e.action")
+    parsed = (
+        df.filter(v.isNotNull() & (F.trim(v) != ""))
+        .select(*[F.col(c) for c in (keep_cols or [])], env.alias("e"))
+        .filter(a.isin("I", "U", "D"))
+        .select(
+            *(keep_cols or []),
+            "e",
+            F.map_from_entries(
+                F.coalesce(F.col("e.columns"), F.col("e.identity"))
+            ).alias("_m"),
+        )
+        .filter(F.col("_m").isNotNull())
+    )
+    lsn_seq = (
+        F.conv(F.split(F.col("e.lsn"), "/")[0], 16, 10).cast("long")
+        * F.lit(1 << 32)
+        + F.conv(F.split(F.col("e.lsn"), "/")[1], 16, 10).cast("long")
+    )
+    cells = [
+        F.col("_m").getItem(f.name).try_cast(f.dataType).alias(f.name)
+        for f in row.fields
+    ]
+    extra = [F.col("e.table").alias("table")] if with_source_table else []
+    return parsed.select(
+        *(keep_cols or []),
+        *extra,
+        F.col("e.action").alias("op"),
+        F.coalesce(lsn_seq, F.col("e.xid")).alias("seq"),
+        F.unix_millis(F.to_timestamp(F.col("e.timestamp"))).alias("src_ts_ms"),
+        F.lit(False).alias("is_snapshot"),
+        *cells,
+    )
+
+
+def _pg_bytea(col: Column) -> Column:
+    """Postgres hex-format bytea (``\\x48...``) → binary; NULL-safe."""
+    return F.unhex(F.regexp_replace(col, r"^\\x", ""))
+
+
+def wal2json_change_events(
+    df: DataFrame, value_col: str = "value", *, with_table: bool = False
+) -> DataFrame:
+    """North-rule adapter: wal2json v2 lines of the page table → the
+    canonical change-event frame (html arrives as hex bytea)."""
+    return parse_wal2json(
+        df, PAGE_ROW_DDL, value_col, with_source_table=with_table
+    ).select(
+        *(["table"] if with_table else []),
+        "seq",
+        "op",
+        "url",
+        F.timestamp_millis(F.col("warc_ts")).alias("warc_ts"),
+        _pg_bytea(F.col("html")).alias("html"),
+        "lang",
+    )
+
+
 #: MySQL → engine type lattice for DDL-driven evolution (the engine's
 #: six-type model, reference spi/type — everything maps into it).
 _MYSQL_TYPE_MAP = [

@@ -680,6 +680,7 @@ _WIRE_ADAPTERS = {
     "debezium": "debezium_change_events",
     "maxwell": "maxwell_change_events",
     "canal": "canal_change_events",
+    "wal2json": "wal2json_change_events",
 }
 
 

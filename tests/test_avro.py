@@ -76,3 +76,128 @@ def test_read_avro_with_declared_columns(spark, tmp_path):
     assert by_id[1].name == "alpha" and by_id[1].tags == '["x","y"]'
     assert by_id[-(2**40)].name is None
     assert all(r.missing is None for r in got)
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution"): reader-schema
+# evolution against files written under an older/newer writer schema
+# ---------------------------------------------------------------------------
+
+W_SCHEMA = {
+    "type": "record",
+    "name": "Page",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "title", "type": "string"},
+        {"name": "score", "type": "float"},
+        {"name": "legacy", "type": "string"},  # dropped by the reader
+        {"name": "opt", "type": ["null", "int"]},
+        {"name": "kind", "type": {"type": "enum", "name": "K",
+                                  "symbols": ["A", "B", "NEW"]}},
+    ],
+}
+
+W_RECORDS = [
+    {"id": 7, "title": "t1", "score": 1.5, "legacy": "x", "opt": 3,
+     "kind": "A"},
+    {"id": 8, "title": "t2", "score": 2.5, "legacy": "y", "opt": None,
+     "kind": "NEW"},
+]
+
+
+def _resolve_all(reader):
+    blob = write_container(W_SCHEMA, W_RECORDS)
+    return list(iter_container(blob, reader_schema=reader))
+
+
+def test_resolution_promotions_defaults_aliases_drops():
+    reader = {
+        "type": "record",
+        "name": "Page",
+        "fields": [
+            {"name": "id", "type": "long"},              # int → long
+            {"name": "headline", "type": "string",
+             "aliases": ["title"]},                      # renamed field
+            {"name": "score", "type": "double"},         # float → double
+            {"name": "opt", "type": ["null", "long"]},   # union promote
+            {"name": "lang", "type": "string",
+             "default": "und"},                          # new w/ default
+            {"name": "weights", "type": {"type": "array",
+                                         "items": "double"},
+             "default": [1.0]},                          # complex default
+            {"name": "kind",
+             "type": {"type": "enum", "name": "K", "symbols": ["A", "B"],
+                      "default": "A"}},                  # enum default
+        ],
+    }
+    out = _resolve_all(reader)
+    assert out[0] == {
+        "id": 7, "headline": "t1", "score": 1.5, "opt": 3, "lang": "und",
+        "weights": [1.0], "kind": "A",
+    }
+    # unknown writer symbol falls to the reader's enum default; null
+    # union branch survives; 'legacy' is gone
+    assert out[1]["kind"] == "A" and out[1]["opt"] is None
+    assert "legacy" not in out[1]
+    assert isinstance(out[0]["id"], int) and isinstance(out[0]["score"], float)
+
+
+def test_resolution_string_bytes_promotions():
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "string"},
+                    {"name": "b", "type": "bytes"}]}
+    blob = write_container(w, [{"s": "héllo", "b": b"\x01\x02"}])
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "bytes"},
+                    {"name": "b", "type": "string"}]}
+    (rec,) = iter_container(blob, reader_schema=r)
+    assert rec["s"] == "héllo".encode() and rec["b"] == "\x01\x02"
+
+
+def test_resolution_missing_default_errors():
+    reader = {
+        "type": "record", "name": "Page",
+        "fields": [{"name": "nope", "type": "string"}],
+    }
+    blob = write_container(W_SCHEMA, W_RECORDS)
+    with pytest.raises(ValueError, match="no default"):
+        list(iter_container(blob, reader_schema=reader))
+
+
+def test_resolution_incompatible_primitive_errors():
+    reader = {
+        "type": "record", "name": "Page",
+        "fields": [{"name": "score", "type": "long"}],  # float → long: no
+    }
+    blob = write_container(W_SCHEMA, W_RECORDS)
+    with pytest.raises(ValueError, match="does not resolve"):
+        list(iter_container(blob, reader_schema=reader))
+
+
+def test_read_avro_reader_schema_end_to_end(spark, tmp_path):
+    """parser config: reader_schema + declared columns compose — the
+    evolved shape lands as typed Spark columns."""
+    from embulk_spark.sources.avro import read_avro
+
+    p = tmp_path / "f.avro"
+    p.write_bytes(write_container(W_SCHEMA, W_RECORDS))
+    reader = {
+        "type": "record", "name": "Page",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "headline", "type": "string", "aliases": ["title"]},
+            {"name": "lang", "type": "string", "default": "und"},
+        ],
+    }
+    out = read_avro(
+        spark, [str(p)],
+        {"reader_schema": reader,
+         "columns": [
+             {"name": "id", "type": "long"},
+             {"name": "headline", "type": "string"},
+             {"name": "lang", "type": "string"},
+         ]},
+    ).orderBy("id").collect()
+    assert [(r["id"], r["headline"], r["lang"]) for r in out] == [
+        (7, "t1", "und"), (8, "t2", "und"),
+    ]

@@ -1,8 +1,9 @@
-"""Maxwell and Canal binlog wire formats parse to the SAME typed
+"""Maxwell, Canal, and wal2json wire formats parse to the SAME typed
 change-row contract as the Debezium parser, so replay is
-format-agnostic: op mapping, seq packing, batch explode (canal),
-all-strings casting (canal), minimal old-image (maxwell), garbage
-tolerance, and lake-replay parity across all three formats.
+format-agnostic: op mapping, seq packing (xid/lsn), batch explode
+(canal), all-strings casting (canal), minimal old-image (maxwell),
+delete identity image + hex bytea (wal2json), garbage tolerance, and
+lake-replay parity across all four formats.
 """
 
 from __future__ import annotations
@@ -16,6 +17,8 @@ from embulk_spark.sources.debezium import (
     maxwell_change_events,
     parse_canal,
     parse_maxwell,
+    parse_wal2json,
+    wal2json_change_events,
 )
 
 URL = "https://a.test/1"
@@ -38,6 +41,36 @@ def _cn(type_, rows, *, id_=1, es=TSMS, is_ddl=False):
         "database": "db", "table": "pages", "type": type_, "es": es,
         "ts": es + 5, "id": id_, "isDdl": is_ddl, "data": rows,
     })
+
+
+def _wj(action, row=None, *, lsn="0/1", xid=None,
+        ts="2024-01-01 00:00:00.123456+00", identity=None):
+    d = {"action": action, "schema": "public", "table": "pages",
+         "timestamp": ts}
+    if lsn is not None:
+        d["lsn"] = lsn
+    if xid is not None:
+        d["xid"] = xid
+    if row is not None:
+        d["columns"] = [
+            {"name": k, "type": "text", "value": v} for k, v in row.items()
+        ]
+    if identity is not None:
+        d["identity"] = [
+            {"name": k, "type": "text", "value": v}
+            for k, v in identity.items()
+        ]
+    return json.dumps(d)
+
+
+def _pg_row(r):
+    """wal2json renders bytea hex (``\\x..``) where the others base64."""
+    import base64
+
+    out = dict(r)
+    if out.get("html") is not None:
+        out["html"] = "\\x" + base64.b64decode(out["html"]).hex()
+    return out
 
 
 ROW = {"url": URL, "warc_ts": TSMS, "html": "PGI+", "lang": "en"}
@@ -156,9 +189,40 @@ def test_canal_ddl_drives_lake_schema_evolution(spark, tmp_path):
     assert row["score"] == 0.7
 
 
-def test_three_formats_replay_to_identical_state(spark, tmp_path):
-    """The same logical change sequence in Debezium, Maxwell, and Canal
-    wire formats must produce byte-identical lake states."""
+def test_wal2json_ops_seq_identity_and_bytea(spark):
+    lines = [
+        _wj("I", _pg_row(ROW), lsn="0/10"),
+        _wj("U", _pg_row({**ROW, "lang": "de"}), lsn="A/2"),
+        # delete: replica-identity image only, no columns
+        _wj("D", None, identity={"url": URL, "warc_ts": TSMS}, lsn="0/30"),
+        # transaction markers / truncate / logical message: filtered
+        _wj("B", None, lsn="0/5"),
+        _wj("C", None, lsn="0/35"),
+        _wj("T", None, lsn="0/36"),
+        _wj("M", None, lsn="0/37"),
+        # no lsn (include-lsn off): seq falls back to xid
+        _wj("I", _pg_row({**ROW, "url": URL + "x"}), lsn=None, xid=777),
+        "not json at all",
+        "",
+    ]
+    out = parse_wal2json(_df(spark, lines), DDL).collect()
+    # LSN hi/lo packs as hi·2^32+lo ("0/10"→16, "A/2"→10·2^32+2), xid
+    # fallback when include-lsn is off; B/C/T/M and garbage drop
+    assert {(r["seq"], r["op"]) for r in out} == {
+        (16, "I"), (10 * (1 << 32) + 2, "U"), (48, "D"), (777, "I")
+    }
+    assert {r["src_ts_ms"] for r in out} == {TSMS + 123}
+    # delete row image comes from identity; columns absent → lang null
+    d = [r for r in out if r["op"] == "D"][0]
+    assert d["url"] == URL and d["warc_ts"] == TSMS and d["lang"] is None
+    # bytea hex decodes through the adapter
+    ev = wal2json_change_events(_df(spark, [lines[0]]))
+    assert bytes(ev.collect()[0]["html"]) == b"<b>"
+
+
+def test_wire_formats_replay_to_identical_state(spark, tmp_path):
+    """The same logical change sequence in Debezium, Maxwell, Canal, and
+    wal2json wire formats must produce byte-identical lake states."""
     from embulk_spark.sources.debezium import debezium_change_events
     from embulk_spark.streaming.lake import ParquetLakeTable
 
@@ -186,11 +250,19 @@ def test_three_formats_replay_to_identical_state(spark, tmp_path):
             id_=s)
         for o, r, s in logical
     ]
+    wj_lines = [
+        _wj({"I": "I", "U": "U", "D": "D"}[o],
+            _pg_row(r) if o != "D" else None,
+            identity=_pg_row(r) if o == "D" else None,
+            lsn=f"0/{s:X}")
+        for o, r, s in logical
+    ]
     states = []
     for name, lines, adapter in (
         ("dz", dz_lines, debezium_change_events),
         ("mx", mx_lines, maxwell_change_events),
         ("cn", cn_lines, canal_change_events),
+        ("wj", wj_lines, wal2json_change_events),
     ):
         ev = adapter(_df(spark, lines))
         table = ParquetLakeTable(spark, str(tmp_path / name), n_buckets=2,
@@ -200,6 +272,6 @@ def test_three_formats_replay_to_identical_state(spark, tmp_path):
             (r["url"], r["lang"], r["text"], r["warc_ts"])
             for r in table.published().collect()
         ))
-    assert states[0] == states[1] == states[2]
+    assert states[0] == states[1] == states[2] == states[3]
     assert len(states[0]) == 1  # url2 deleted; url1 survives as 'de'
     assert states[0][0][1] == "de"

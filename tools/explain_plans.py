@@ -666,6 +666,69 @@ def check_snapshot_diff(spark) -> tuple[str, str, list[str], list[str]]:
     return why, plan, verdicts, failures
 
 
+def check_jdbc_merge(spark) -> tuple[str, str, list[str], list[str]]:
+    """sinks/jdbc_modes.py merge mode: the read side must (a) scan ONLY
+    the hot-bucket leaves (driver-side pruning — cold leaves carry into
+    the new manifest by reference, never read), and (b) remove
+    overwritten keys with a BROADCAST anti-join on the deduped change-set
+    keys — the table side never shuffles. At 100 TB a change-set touching
+    k of B buckets reads k/B of the table; a shuffled anti-join or an
+    unpruned scan would make every merge O(table)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from embulk_spark.sinks.jdbc_modes import JdbcModeTable, _leaf_bkt
+
+    work = tempfile.mkdtemp(prefix="explain_jdbcmerge_")
+    try:
+        t = JdbcModeTable(spark, os.path.join(work, "t"), n_buckets=8)
+        base = spark.range(0, 400).select(
+            F.col("id"), F.col("id").cast("string").alias("v")
+        )
+        t.write(base, "insert", merge_keys=["id"])
+        man = t._manifest()
+        inc = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+        merged, read_leaves, keep = t.merge_frame(inc, man, ["id"])
+        plan = plan_of(merged)
+        hot = {r[0] for r in inc.select(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8))
+        ).distinct().collect()}
+        pruned_ok = (
+            all(_leaf_bkt(lf) in hot for lf in read_leaves)
+            and len(read_leaves) + len(keep) == len(man["leaves"])
+            and len(keep) > 0
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    failures: list[str] = []
+    verdicts: list[str] = [
+        f"- [{'x' if pruned_ok else ' '}] driver-side leaf pruning: read "
+        f"⊆ hot buckets, cold leaves carried by reference"
+    ]
+    if not pruned_ok:
+        failures.append("jdbc_merge: leaf pruning broken")
+    for pat in (r"BroadcastHashJoin[^\n]*LeftAnti",):
+        ok = re.search(pat, plan) is not None
+        verdicts.append(f"- [{'x' if ok else ' '}] must match `{pat}`")
+        if not ok:
+            failures.append(f"jdbc_merge: missing {pat}")
+    for pat in (r"CartesianProduct", r"BroadcastNestedLoop",
+                r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython"):
+        ok = re.search(pat, plan) is None
+        verdicts.append(f"- [{'x' if ok else ' '}] must NOT match `{pat}`")
+        if not ok:
+            failures.append(f"jdbc_merge: unexpectedly matched {pat}")
+    why = (
+        "jdbc merge = hot-leaf scan + broadcast anti-join + union: the "
+        "table side is pruned to the buckets the change-set hashes into "
+        "and never crosses an exchange; overwritten keys drop via a "
+        "broadcast LeftAnti on the deduped incoming keys"
+    )
+    return why, plan, verdicts, failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "EXPLAIN.md"))
@@ -717,6 +780,7 @@ def main() -> int:
     for title, check in (
         ("replay_epoch_pruning", check_epoch_pruning),
         ("snapshot_diff_events", check_snapshot_diff),
+        ("jdbc_mode_merge_plan", check_jdbc_merge),
     ):
         why, plan, verdicts, fails = check(spark)
         failures += fails
