@@ -298,6 +298,81 @@ def route_epoch(
         epoch_df.unpersist()
 
 
+def route_epoch_atomic(
+    catalog,
+    epoch_df: DataFrame,
+    epoch_id: int,
+    *,
+    table_col: str = "table",
+    quarantine_rules: list[dict] | None = None,
+    strict: bool = False,
+    audit_rules: dict[str, list[dict]] | None = None,
+) -> dict:
+    """:func:`route_epoch` with CROSS-TABLE atomic visibility: the same
+    one-pass fan-out, but each destination's slice stages through a
+    ``LakeCatalog`` transaction (streaming/catalog.py) and the epoch
+    becomes visible to catalog readers in ONE pointer flip.
+
+    Plain ``route_epoch`` is exactly-once per (table, epoch) but a crash
+    between two tables' commits leaves a window where per-table readers
+    disagree about the epoch boundary. Here the heavy jobs still run
+    per-table (staged, invisible), and only the catalog flip publishes —
+    a crashed run leaves either nothing visible or a recoverable intent
+    (``catalog.recover()`` rolls forward; per-epoch idempotence makes
+    the replay of the same batch a no-op). Empty slices stage an empty
+    epoch so EVERY routed table records the epoch — re-delivery skips
+    uniformly. Cost over route_epoch: only the deferred snapshot
+    publishes + one catalog version file — the data jobs are identical,
+    so the 100 TB shape is unchanged.
+
+    ``audit_rules`` (table → WAP rules) gate the whole transaction:
+    one failing table blocks every destination with all stages intact."""
+    known = sorted(catalog.head()["tables"]) if catalog.head() else []
+    epoch_df = epoch_df.persist()
+    try:
+        report: dict = {"epoch_id": epoch_id, "tables": {}}
+        unrouted = epoch_df.filter(
+            F.col(table_col).isNull() | ~F.col(table_col).isin(known)
+        ).count()
+        if unrouted and strict:
+            raise ValueError(
+                f"epoch {epoch_id}: {unrouted} events name tables outside "
+                f"the catalog {known}"
+            )
+        report["unrouted_rows"] = unrouted
+        txn = catalog.transaction()
+        for name in known:
+            slice_df = epoch_df.filter(F.col(table_col) == name).drop(table_col)
+            tbl = catalog.table(name)
+            # same per-slice preprocessing as apply_epoch: wire DDL
+            # first (driver-side, tiny), then dead-letter quarantine —
+            # quarantine rows land outside the transaction by design
+            # (the dead-letter table is operational telemetry, not part
+            # of the atomic cross-table view)
+            schema_events = (
+                slice_df.filter(F.col("op") == "S")
+                .select("seq", "schema_change")
+                .collect()
+            )
+            for row in sorted(schema_events, key=lambda r: r["seq"]):
+                if row["schema_change"]:
+                    apply_schema_change(tbl, row["schema_change"])
+            data = slice_df.filter(F.col("op") != "S")
+            n_bad = 0
+            if quarantine_rules:
+                data, n_bad = quarantine_epoch(
+                    tbl, data, epoch_id, quarantine_rules
+                )
+            m = txn.merge_epoch(name, data, epoch_id)
+            if quarantine_rules:
+                m["quarantined_rows"] = n_bad
+            report["tables"][name] = m
+        report["commit"] = txn.commit(audit_rules=audit_rules)
+        return report
+    finally:
+        epoch_df.unpersist()
+
+
 def _sync_signature_index(table, signature_index, epoch: int, m: dict) -> None:
     """Bring an epoch-committed side index (SignatureIndex or BloomIndex —
     both speak commit_empty_epoch / update_from_lake_epoch /

@@ -145,3 +145,89 @@ def test_route_counts_null_tags_as_unrouted(spark, tmp_path, tagged_stream):
             {"pages_a": ParquetLakeTable(spark, str(tmp_path / "sa"))},
             epoch0, 0, strict=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# catalog-atomic routing (route_epoch_atomic): cross-table visibility
+# flips in ONE catalog pointer move
+# ---------------------------------------------------------------------------
+
+def _mk_catalog(spark, tmp_path):
+    from embulk_spark.streaming.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    cat.create_table("pages_a")
+    cat.create_table("pages_b")
+    return cat
+
+
+def test_route_atomic_matches_plain_route(spark, tmp_path, tagged_stream):
+    from embulk_spark.streaming.replay import route_epoch_atomic
+
+    cat = _mk_catalog(spark, tmp_path)
+    control = _mk_tables(spark, tmp_path / "control")
+    for e in range(N_EPOCHS):
+        epoch = tagged_stream.filter(F.col("epoch") == e)
+        rep = route_epoch_atomic(cat, epoch, e)
+        assert rep["unrouted_rows"] == 0
+        assert set(rep["commit"]["pins"]) == {"pages_a", "pages_b"}
+        route_epoch(control, epoch, e)
+    for name in ("pages_a", "pages_b"):
+        got = {
+            (r.url, r.seq)
+            for r in cat.read(name).select("url", "seq").collect()
+        }
+        want = {
+            (r.url, r.seq)
+            for r in control[name].published().select("url", "seq").collect()
+        }
+        assert got == want
+
+
+def test_route_atomic_snapshot_isolation_and_redelivery(
+    spark, tmp_path, tagged_stream
+):
+    from embulk_spark.streaming.replay import route_epoch_atomic
+
+    cat = _mk_catalog(spark, tmp_path)
+    e0 = tagged_stream.filter(F.col("epoch") == 0)
+    before = cat.snapshot()
+    v_before = cat.catalog_version()
+    route_epoch_atomic(cat, e0, 0)
+    # a snapshot captured BEFORE the flip still reads the empty tables —
+    # no torn cross-table window ever existed
+    assert before.read("pages_a").count() == 0
+    assert before.read("pages_b").count() == 0
+    assert cat.read("pages_a").count() > 0
+    # re-delivery of the committed epoch: every table skips, data stable
+    n_a = cat.read("pages_a").count()
+    rep = route_epoch_atomic(cat, e0, 0)
+    assert all(
+        m.get("skipped_duplicate_epoch") for m in rep["tables"].values()
+    )
+    assert cat.read("pages_a").count() == n_a
+    assert cat.catalog_version() >= v_before + 1
+
+
+def test_route_atomic_audit_blocks_every_table(spark, tmp_path, tagged_stream):
+    import pytest as _pytest
+
+    from embulk_spark.streaming.replay import route_epoch_atomic
+
+    cat = _mk_catalog(spark, tmp_path)
+    e0 = tagged_stream.filter(F.col("epoch") == 0)
+    with _pytest.raises(ValueError, match="audit"):
+        route_epoch_atomic(
+            cat, e0, 0,
+            audit_rules={"pages_a": [
+                # impossible rule: every row violates → audit fails
+                {"check": "expr", "expr": "url IS NULL", "name": "no_rows"},
+            ]},
+        )
+    # NOTHING became visible in either table
+    assert cat.read("pages_a").count() == 0
+    assert cat.read("pages_b").count() == 0
+    # roll the intent forward after the bad rule is retired
+    cat.recover()
+    assert cat.read("pages_a").count() > 0
+    assert cat.read("pages_b").count() > 0
