@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
                          "parquet change events (default), binlog envelope "
                          "jsonl files (stream_binlog), or .warc archives "
                          "(stream_warc)")
+    sp.add_argument("--txn-align", action="store_true",
+                    help="wal2json only: defer rows whose source "
+                         "transaction's commit marker hasn't arrived, so "
+                         "every epoch is a prefix of committed source "
+                         "transactions")
 
     sp = sub.add_parser(
         "changes",
@@ -474,7 +479,7 @@ def main(argv: list[str] | None = None) -> int:
                 stream_binlog(
                     spark, None, args.events, args.checkpoint,
                     wire_format=args.source_format, route=tables,
-                    quarantine_rules=qrules,
+                    quarantine_rules=qrules, txn_align=args.txn_align,
                 )
                 return 0
             events = spark.read.parquet(args.events)
@@ -545,6 +550,7 @@ def main(argv: list[str] | None = None) -> int:
                 stream_binlog(
                     spark, table, args.events, args.checkpoint,
                     wire_format=args.source_format, quarantine_rules=qrules,
+                    txn_align=args.txn_align,
                 )
             elif args.source_format == "warc":
                 from .streaming.replay import stream_warc

@@ -371,6 +371,7 @@ def parse_wal2json(
     *,
     keep_cols: list[str] | None = None,
     with_source_table: bool = False,
+    with_txn: bool = False,
 ) -> DataFrame:
     """PostgreSQL logical decoding via wal2json **format-version 2**
     (one JSON action per line; public plugin docs) → the same typed
@@ -436,6 +437,10 @@ def parse_wal2json(
         for f in row.fields
     ]
     extra = [F.col("e.table").alias("table")] if with_source_table else []
+    if with_txn:
+        # the grouping xid for transaction-boundary alignment
+        # (streaming/txn_align.py); NULL when include-xids was off
+        extra.append(F.col("e.xid").alias("txn_xid"))
     return parsed.select(
         *(keep_cols or []),
         *extra,
@@ -453,20 +458,39 @@ def _pg_bytea(col: Column) -> Column:
 
 
 def wal2json_change_events(
-    df: DataFrame, value_col: str = "value", *, with_table: bool = False
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    with_table: bool = False,
+    with_txn: bool = False,
 ) -> DataFrame:
     """North-rule adapter: wal2json v2 lines of the page table → the
     canonical change-event frame (html arrives as hex bytea)."""
     return parse_wal2json(
-        df, PAGE_ROW_DDL, value_col, with_source_table=with_table
+        df, PAGE_ROW_DDL, value_col,
+        with_source_table=with_table, with_txn=with_txn,
     ).select(
         *(["table"] if with_table else []),
+        *(["txn_xid"] if with_txn else []),
         "seq",
         "op",
         "url",
         F.timestamp_millis(F.col("warc_ts")).alias("warc_ts"),
         _pg_bytea(F.col("html")).alias("html"),
         "lang",
+    )
+
+
+def wal2json_txn_markers(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Committed xids in a batch of wal2json v2 lines: ``C`` actions
+    carry the transaction's xid (``include-transaction`` +
+    ``include-xids``). One from_json over two fields — cheap enough to
+    run alongside the event parse on the same lines."""
+    env = F.from_json(F.col(value_col), "action string, xid long")
+    return (
+        df.select(env.alias("e"))
+        .filter((F.col("e.action") == "C") & F.col("e.xid").isNotNull())
+        .select(F.col("e.xid").alias("xid"))
     )
 
 

@@ -23,6 +23,7 @@ EmbulkRunner.java:252-258) compressed into the stream itself.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 
@@ -770,6 +771,7 @@ def stream_binlog(
     max_files_per_trigger: int | None = None,
     quarantine_rules: list[dict] | None = None,
     route: dict[str, ParquetLakeTable] | None = None,
+    txn_align: bool = False,
 ) -> None:
     """Tail a DIRECTORY OF BINLOG DUMP FILES into the lake: the no-Kafka
     deployment shape — Debezium server / Maxwell / Canal writing envelope
@@ -786,12 +788,30 @@ def stream_binlog(
     Canal ``table``) routes each slice through :func:`route_epoch` with
     per-(table, batch) exactly-once — ONE stream, many destinations,
     the real one-binlog-many-tables deployment. ``table`` is ignored
-    when routing."""
+    when routing.
+
+    ``txn_align`` (wal2json only): never apply a partial SOURCE
+    transaction — rows whose ``C`` commit marker hasn't arrived yet
+    (the file tail cut mid-transaction) defer to a later batch via
+    :class:`~embulk_spark.streaming.txn_align.TxnAligner`, so every
+    epoch commit is a prefix of committed source transactions."""
     from ..sources import debezium as wire
 
     if wire_format not in _WIRE_ADAPTERS:
         raise ValueError(
             f"wire_format {wire_format!r} not in {sorted(_WIRE_ADAPTERS)}"
+        )
+    if txn_align and wire_format != "wal2json":
+        raise ValueError(
+            "txn_align needs commit markers in the wire format "
+            "(wal2json v2 with include-transaction)"
+        )
+    aligner = None
+    if txn_align:
+        from .txn_align import TxnAligner
+
+        aligner = TxnAligner(
+            spark, os.path.join(checkpoint_dir, "txn_align")
         )
     adapter = getattr(wire, _WIRE_ADAPTERS[wire_format])
     reader = spark.readStream.format("text").option("pathGlobFilter", path_glob)
@@ -800,7 +820,14 @@ def stream_binlog(
     lines = reader.load(binlog_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        events = adapter(batch_df, with_table=bool(route)).withColumn(
+        if aligner is not None:
+            raw = adapter(batch_df, with_table=bool(route), with_txn=True)
+            events = aligner.align(
+                raw, wire.wal2json_txn_markers(batch_df), int(batch_id)
+            ).drop("txn_xid")
+        else:
+            events = adapter(batch_df, with_table=bool(route))
+        events = events.withColumn(
             "schema_change", F.lit(None).cast("string")
         )
         if wire_format == "canal":
