@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
                          "jsonl files (stream_binlog), or .warc archives "
                          "(stream_warc)")
     sp.add_argument("--txn-align", action="store_true",
-                    help="wal2json only: defer rows whose source "
+                    help="wal2json/maxwell: defer rows whose source "
                          "transaction's commit marker hasn't arrived, so "
                          "every epoch is a prefix of committed source "
                          "transactions")
@@ -183,6 +183,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table", help="lake table path")
     sp.add_argument("condition", help="SQL predicate over the row schema")
     sp.add_argument("--epoch", type=int, required=True)
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
+        "purge",
+        help="PHYSICAL right-to-be-forgotten: remove every stored version "
+             "of the given urls from disk — victim buckets rewrite, all "
+             "deltas fold, history expires, orphans delete, quarantine "
+             "rewrites (lake.purge_keys)",
+    )
+    sp.add_argument("table", help="lake table path")
+    sp.add_argument("urls", nargs="+", help="merge keys to purge")
+    sp.add_argument("--keep-history", action="store_true",
+                    help="skip snapshot expiry + orphan delete (NOT "
+                         "compliant until you expire later)")
+    sp.add_argument("--drop-tags", action="store_true",
+                    help="release tag refs pinning pre-purge snapshots")
     sp.add_argument("--master", default=None)
 
     sp = sub.add_parser(
@@ -634,6 +650,20 @@ def main(argv: list[str] | None = None) -> int:
         table = ParquetLakeTable(spark, args.table)
         print(json.dumps(table.delete_where(args.condition, args.epoch),
                          default=str))
+        return 0
+
+    if args.cmd == "purge":
+        from .streaming.lake import ParquetLakeTable
+
+        table = ParquetLakeTable(spark, args.table)
+        print(json.dumps(
+            table.purge_keys(
+                args.urls,
+                expire_history=not args.keep_history,
+                drop_tags=args.drop_tags,
+            ),
+            default=str,
+        ))
         return 0
 
     if args.cmd == "update":

@@ -1614,6 +1614,93 @@ class ParquetLakeTable:
         out["update_set"] = sorted(set_exprs)
         return out
 
+    def purge_keys(
+        self,
+        urls: list[str] | str,
+        *,
+        expire_history: bool = True,
+        drop_tags: bool = False,
+        purge_quarantine: bool = True,
+    ) -> dict:
+        """PHYSICAL right-to-be-forgotten: remove every stored version of
+        the given keys from disk — not just their visibility.
+
+        ``delete_where`` is the logical half (O(change-set) tombstones;
+        bytes stay until compaction). Compliance needs the bytes gone:
+
+        1. the keys' hash buckets fold via a PARTIAL compaction with the
+           keys dropped — every delta group folds (so no delta file
+           retains a version), cold base buckets carry by reference:
+           O(victim buckets + all deltas), never O(table);
+        2. history that could still serve the keys expires
+           (``expire_snapshots(keep_last=1)``) and the orphaned files
+           delete immediately (no grace: the point IS the bytes);
+        3. quarantine dead-letter dirs rewrite in place (a rejected
+           event is still the person's data);
+        4. the epoch change feed folds away (``changes_between`` cursors
+           over pre-purge epochs invalidate — a feed that could replay
+           the purged rows would defeat the purge).
+
+        Refuses when tags pin pre-purge snapshots (they would keep
+        serving the keys) unless ``drop_tags``; refuses when branches
+        exist (their refs pin files independently — purge each branch,
+        or fold it first). Iceberg analogue: DELETE + expire_snapshots +
+        rewrite_data_files + remove_orphan_files as ONE compliance verb."""
+        keys = sorted({urls} if isinstance(urls, str) else set(urls))
+        if not keys:
+            raise ValueError("purge_keys needs at least one key")
+        bd = self._branches_dir()
+        branches = sorted(os.listdir(bd)) if os.path.isdir(bd) else []
+        if branches:
+            raise ValueError(
+                f"branches {branches} pin their own snapshots; purge or "
+                "remove them first (a purge that leaves a branch serving "
+                "the keys is not a purge)"
+            )
+        tags = self.tags()
+        if tags and not drop_tags:
+            raise ValueError(
+                f"tags {sorted(tags)} pin pre-purge snapshots; pass "
+                "drop_tags=True to release them"
+            )
+        for t in sorted(tags):
+            self.drop_tag(t)
+        snap = self.current_snapshot()
+        nb = self._nb(snap)
+        vb = sorted(self._buckets_of_keys(keys, nb))
+        rep = self.compact(buckets=vb, drop_keys=keys)
+        out = {
+            "purged_keys": len(keys),
+            "buckets_rewritten": vb,
+            "compaction": rep,
+            "tags_dropped": sorted(tags),
+        }
+        if purge_quarantine:
+            qroot = os.path.join(self.path, "quarantine")
+            rewritten = []
+            if os.path.isdir(qroot):
+                for ep in sorted(os.listdir(qroot)):
+                    d = os.path.join(qroot, ep)
+                    if not os.path.isdir(d):
+                        continue
+                    q = self.spark.read.parquet(d)
+                    if "url" not in q.columns:
+                        continue
+                    if q.filter(F.col("url").isin(keys)).limit(1).count():
+                        kept = q.filter(~F.col("url").isin(keys))
+                        tmp = f"{d}.purge{uuid.uuid4().hex[:8]}"
+                        kept.write.parquet(tmp)
+                        old = f"{d}.old{uuid.uuid4().hex[:8]}"
+                        os.rename(d, old)
+                        os.rename(tmp, d)
+                        shutil.rmtree(old, ignore_errors=True)
+                        rewritten.append(ep)
+            out["quarantine_rewritten"] = rewritten
+        if expire_history:
+            out["expired"] = self.expire_snapshots(keep_last=1)
+            out["orphans"] = self.cleanup_orphans(grace_seconds=0.0)
+        return out
+
     def apply_snapshot(
         self,
         snapshot: DataFrame,
@@ -2110,6 +2197,7 @@ class ParquetLakeTable:
         *,
         buckets: list[int] | None = None,
         retain_epochs: set[int] | None = None,
+        drop_keys: list[str] | None = None,
     ) -> dict:
         """Merge base∪deltas into a fresh bucketed base (one row per url).
         ``tombstone_retention_ts``: drop tombstones older than this
@@ -2136,7 +2224,7 @@ class ParquetLakeTable:
             try:
                 return self._compact_once(
                     tombstone_retention_ts, buckets,
-                    retain_epochs=retain_epochs,
+                    retain_epochs=retain_epochs, drop_keys=drop_keys,
                 )
             except CommitConflict:
                 continue
@@ -2354,6 +2442,7 @@ class ParquetLakeTable:
         *,
         from_snap: dict | None = None,
         retain_epochs: set[int] | None = None,
+        drop_keys: list[str] | None = None,
     ) -> dict:
         snap = from_snap or self.current_snapshot()
         if buckets is None and retain_epochs:
@@ -2364,12 +2453,16 @@ class ParquetLakeTable:
         if buckets is not None:
             return self._compact_partial(
                 snap, tombstone_retention_ts, buckets,
-                retain_epochs=retain_epochs,
+                retain_epochs=retain_epochs, drop_keys=drop_keys,
             )
         t0 = time.perf_counter()
         # read exactly the captured version: a delta committed between the
         # two reads must NOT be folded (it stays in the delta list)
         merged = self.read(version=snap["version"])
+        if drop_keys:
+            # physical purge path (purge_keys): the fold writes a base
+            # with every version of these keys gone
+            merged = merged.filter(~F.col("url").isin(list(drop_keys)))
         if tombstone_retention_ts:
             merged = merged.filter(
                 (~F.col("is_deleted"))
@@ -2400,6 +2493,7 @@ class ParquetLakeTable:
         buckets: list[int],
         *,
         retain_epochs: set[int] | None = None,
+        drop_keys: list[str] | None = None,
     ) -> dict:
         """Fold the captured deltas into ``buckets``' base slices only.
 
@@ -2423,6 +2517,12 @@ class ParquetLakeTable:
             if tombstone_retention_ts else None
         )
         retain = set(retain_epochs or ())
+        if retain and drop_keys:
+            raise ValueError(
+                "drop_keys cannot combine with retain_epochs: a retained "
+                "delta group may hold a purged key's rows — purge folds "
+                "every group"
+            )
         if retain:
             # same re-anchoring as compact_hot: this snap may be a
             # CommitConflict-retry re-capture newer than the caller's
@@ -2444,8 +2544,45 @@ class ParquetLakeTable:
             snap, [(int(d["schema_v"]), d["files"]) for d in fold_groups]
         )
         if delta is None:
-            # nothing foldable: partial compaction is a no-op
-            return {"compaction": True, "partial": True, "noop": True}
+            if not drop_keys:
+                # nothing foldable: partial compaction is a no-op
+                return {"compaction": True, "partial": True, "noop": True}
+            # purge with zero pending deltas: the victim base buckets
+            # still rewrite (the purge is ABOUT the base bytes)
+            base_hot = self._base_df(snap, hot)
+            if base_hot is None:
+                return {"compaction": True, "partial": True, "noop": True}
+            merged_hot = base_hot.filter(
+                ~F.col("url").isin(list(drop_keys))
+            )
+            hot_base, hot_rows = self._write_bucketed_base(
+                merged_hot, snap, nb, "compact",
+                approx_bytes=self._approx_input_bytes(snap, hot),
+            )
+            new_base = {
+                b: e for b, e in snap["base"].items() if int(b) not in hot_set
+            }
+            new_base.update(hot_base)
+            total_rows = sum(
+                int(e.get("rows") or 0) for e in new_base.values()
+            )
+            metrics = {
+                "compaction": True,
+                "partial": True,
+                "buckets_folded": hot,
+                "base_rows": total_rows,
+                "deltas_folded": 0,
+                "deltas_retained": len(snap["deltas"]),
+                "residual_rows": 0,
+                "bytes_rewritten": self._entry_bytes(hot_base.values()),
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+            return self._commit(
+                snap, None, metrics=metrics, lineage=[],
+                new_base=new_base, new_base_rows=total_rows,
+                folded_deltas=[],
+                expect_base_of=snap,
+            )
         delta = delta.persist()
         try:
             hot_col = F.col("bkt").isin(hot)
@@ -2454,6 +2591,13 @@ class ParquetLakeTable:
                 delta.filter(hot_col) if base_hot is None
                 else base_hot.unionByName(delta.filter(hot_col))
             )
+            if drop_keys:
+                # purge_keys guarantees the key set hashes inside the
+                # hot buckets, so filtering the hot merge removes every
+                # stored version; the cold residual cannot contain them
+                merged_hot = merged_hot.filter(
+                    ~F.col("url").isin(list(drop_keys))
+                )
             residual = dedup_latest(delta.filter(~hot_col))
             if retention is not None:
                 # retention applies ONLY where base and deltas merged: a
