@@ -475,3 +475,47 @@ def refresh_from_changes(
         manifest["synced_epochs"].sort()
     new_tomb = tomb.join(changed_ids, id_col, "left_anti").unionByName(gone)
     return _commit_tombstones(spark, path, manifest, new_tomb, version_cols)
+
+
+def purge_corpus_keys(spark, path: str, ids: list) -> dict:
+    """Compliance purge of an export (the consumer-side half of
+    ``lake.purge_keys``): the documents' rows leave the shard FILES —
+    affected shards rewrite via :func:`refresh_corpus_shards`, cold
+    shards untouched — and the ``_tombstones`` sidecar drops any trace
+    of the ids (a purged key recorded in the sidecar is still that
+    key's data on disk).
+
+    Distinct from a CDC delete: a delete RECORDS a tombstone so future
+    feed refreshes keep the doc out; a purge removes every byte,
+    including the record that the doc ever existed. A later
+    ``refresh_from_changes`` can resurrect a purged key only if the
+    upstream lake still serves it — run ``lake.purge_keys`` first.
+    Cost: O(affected shards + sidecar), never O(corpus)."""
+    from pyspark.sql import types as T
+
+    if not ids:
+        raise ValueError("purge_corpus_keys needs at least one id")
+    mpath = os.path.join(path, MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    id_col = manifest["id_col"]
+    schema = T.StructType.fromJson(manifest["schema"])
+    id_type = next(f.dataType for f in schema if f.name == id_col)
+    iddf = spark.createDataFrame(
+        [(i,) for i in ids], T.StructType([T.StructField(id_col, id_type)])
+    )
+    manifest = refresh_corpus_shards(spark, path, deletes=iddf)
+    rel = _tombstone_dir(manifest)
+    purged_tombstones = 0
+    if rel:
+        tomb = spark.read.parquet(os.path.join(path, rel))
+        hit = tomb.filter(F.col(id_col).isin(ids))
+        purged_tombstones = hit.count()
+        if purged_tombstones:
+            kept = tomb.filter(~F.col(id_col).isin(ids))
+            manifest = _commit_tombstones(
+                spark, path, manifest, kept,
+                manifest.get("version_cols", []),
+            )
+    manifest["purged_tombstones"] = purged_tombstones
+    return manifest

@@ -296,3 +296,45 @@ def test_replay_keeps_export_in_lockstep(spark, tmp_path):
     assert got_shards == ref["shards"]
     assert got["synced_epochs"] == [0, 1, 2]
     assert verify_corpus_shards(spark, export)["ok"]
+
+
+def test_purge_corpus_keys_removes_rows_and_sidecar_traces(spark, tmp_path):
+    """Compliance purge of an export: purged docs leave the shard files
+    AND the _tombstones sidecar; untouched shards stay byte-identical."""
+    import json as _json
+    import os as _os
+
+    from embulk_spark.sinks.corpus import (
+        _commit_tombstones,
+        purge_corpus_keys,
+    )
+
+    path = str(tmp_path / "c")
+    write_corpus_shards(_docs(spark, 30), path, n_shards=4)
+    # a prior CDC delete left doc 5 recorded in the sidecar
+    with open(_os.path.join(path, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    tomb = spark.createDataFrame([(5, 1), (6, 2)], "doc_id long, seq long")
+    _commit_tombstones(spark, path, manifest, tomb, ["seq"])
+
+    m = purge_corpus_keys(spark, path, [5, 7])
+    assert m["purged_tombstones"] == 1  # doc 5's sidecar row
+    assert verify_corpus_shards(spark, path)["ok"]
+    # doc 7's row is out of the corpus
+    from embulk_spark.sinks.corpus import _load_export
+
+    left = {r["doc_id"] for r in _load_export(spark, path, m).collect()}
+    assert 7 not in left and 5 not in left and len(left) == 28
+    # sidecar keeps the unrelated tombstone, loses the purged one
+    rel = m["tombstones"]
+    side = {r["doc_id"] for r in
+            spark.read.parquet(_os.path.join(path, rel)).collect()}
+    assert side == {6}
+    # no file anywhere under the export still carries the purged text
+    needle = b"doc text number 7"
+    for root, _d, files in _os.walk(path):
+        for fn in files:
+            if fn.endswith((".parquet", ".json", ".jsonl")):
+                with open(_os.path.join(root, fn), "rb") as f:
+                    blob = f.read()
+                assert needle not in blob or b"number 17" in blob or b"number 27" in blob

@@ -134,3 +134,117 @@ def test_stream_binlog_txn_align_end_to_end(spark, tmp_path):
         {r["url"] for r in table.published().collect()}
         == {r["url"] for r in control.published().collect()}
     )
+
+
+def test_stream_binlog_txn_align_maxwell(spark, tmp_path):
+    """Maxwell's commit flag drives the same alignment: the flag row is
+    the txn's last event, so the group releases with it."""
+    src = tmp_path / "mx"
+    src.mkdir()
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=2)
+    ck = str(tmp_path / "ck")
+
+    def mx(typ, url, xid, xoff, commit=False):
+        d = {"database": "db", "table": "pages", "type": typ,
+             "ts": 1704067200, "xid": xid, "xoffset": xoff,
+             "data": {"url": url, "warc_ts": 1704067200000,
+                      "html": "PGI+", "lang": "en"}}
+        if commit:
+            d["commit"] = True
+        return json.dumps(d)
+
+    # file 1: txn 7 complete (commit on last row); txn 8 cut mid-way
+    (src / "a.jsonl").write_text("\n".join([
+        mx("insert", "u1", 7, 0),
+        mx("insert", "u2", 7, 1, commit=True),
+        mx("insert", "u3", 8, 0),
+    ]) + "\n")
+    stream_binlog(spark, table, str(src), ck,
+                  wire_format="maxwell", txn_align=True)
+    assert {r["url"] for r in table.published().collect()} == {"u1", "u2"}
+
+    # file 2: txn 8's commit-flagged tail row
+    (src / "b.jsonl").write_text(
+        mx("update", "u4", 8, 1, commit=True) + "\n"
+    )
+    stream_binlog(spark, table, str(src), ck,
+                  wire_format="maxwell", txn_align=True)
+    assert {r["url"] for r in table.published().collect()} == {
+        "u1", "u2", "u3", "u4"
+    }
+
+
+# ---------------------------------------------------------------------------
+# property: ANY batch split of a txn stream yields exactly the committed
+# transactions' events, each released no earlier than its commit marker
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def txn_streams(draw):
+    """A wal2json-shaped line list: n txns of 1-3 events each, the last
+    0-2 txns left OPEN (no C marker), plus random cut points."""
+    n_txn = draw(st.integers(1, 4))
+    n_open = draw(st.integers(0, min(2, n_txn)))
+    lines, seq = [], 0
+    committed = set()
+    for x in range(n_txn):
+        xid = 100 + x
+        lines.append(_line("B", xid))
+        for _ in range(draw(st.integers(1, 3))):
+            lines.append(_line("I", xid, f"u{seq}", lsn=f"0/{seq + 1:X}"))
+            seq += 1
+        if x < n_txn - n_open:
+            lines.append(_line("C", xid))
+            committed.add(xid)
+    n_cuts = draw(st.integers(0, min(3, max(0, len(lines) - 1))))
+    cuts = sorted(draw(st.lists(
+        st.integers(1, max(1, len(lines) - 1)),
+        min_size=n_cuts, max_size=n_cuts, unique=True,
+    )))
+    return lines, cuts, committed
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(txn_streams())
+def test_any_split_releases_exactly_committed_txns(spark, tmp_path_factory, s):
+    lines, cuts, committed = s
+    al = TxnAligner(spark, str(tmp_path_factory.mktemp("al")))
+    batches, prev = [], 0
+    for c in cuts + [len(lines)]:
+        if c > prev:
+            batches.append(lines[prev:c])
+            prev = c
+    released = []
+    marks_seen: set[int] = set()
+    for i, b in enumerate(batches):
+        marks_seen |= {
+            json.loads(ln)["xid"] for ln in b
+            if json.loads(ln)["action"] == "C"
+        }
+        ready = al.align(
+            _events(spark, b), wal2json_txn_markers(_lines_df(spark, b)), i
+        ).collect()
+        # nothing releases before its commit marker has arrived
+        assert {r["txn_xid"] for r in ready} <= marks_seen
+        released.extend((r["txn_xid"], r["url"]) for r in ready)
+    want = {
+        (xid, url)
+        for xid, url in [
+            (json.loads(ln)["xid"],
+             json.loads(ln)["columns"][0]["value"])
+            for ln in lines if json.loads(ln).get("columns")
+        ]
+        if xid in committed
+    }
+    assert set(released) == want
+    assert len(released) == len(set(released)), "no duplicate releases"
+    # open txns stay pending
+    assert set(al.open_txns()) == {
+        json.loads(ln)["xid"] for ln in lines
+        if json.loads(ln)["action"] == "I"
+    } - committed
