@@ -3141,6 +3141,73 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id", ["event_type"])
 
 
+def _q_filter_hash_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-hash (operators/rowops.py::hash_columns): one-way
+    digests for PII columns — plain md5 rename-aside plus a salted
+    sha256 in place, nulls passing through. Oracle: DuckDB's md5/sha256
+    produce the same lowercase hex."""
+    from embulk_spark.operators.rowops import hash_columns
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    out = hash_columns(ev, [
+        {"name": "user_id", "algorithm": "sha256", "secret_key": "pepper"},
+        {"name": "props", "algorithm": "md5", "new_name": "props_md5"},
+    ])
+    return out.select("event_id", "user_id", "props_md5")
+
+
+def _q_filter_gsub_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-gsub (rowops.py::gsub_columns): global regexp
+    replace staying in codegen; replaced-into-new-name keeps the
+    original."""
+    from embulk_spark.operators.rowops import gsub_columns
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gsub_columns(docs, [
+        {"name": "text", "pattern": "[aeiou]", "to": "_",
+         "new_name": "devoweled"},
+    ])
+    return out.select(
+        "doc_id", F.length("devoweled").alias("n"),
+        F.substring("devoweled", 1, 40).alias("head"),
+    )
+
+
+def _q_filter_split_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-split (rowops.py::split_rows): delimited column →
+    one row per element, explode in the same stage (no shuffle)."""
+    from embulk_spark.operators.rowops import split_rows
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 50").select(
+        "doc_id", F.col("text").alias("word")
+    )
+    return split_rows(docs, "word", delimiter=" ", trim=True)
+
+
+def _q_parser_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-parser-ltsv (sources/files.py::parse_ltsv_column):
+    label:value TSV lines with DUPLICATE-LABEL-LAST-WINS — the line
+    carries a decoy `value:` field before the real one. Oracle: the
+    direct column mapping (the decoy must lose)."""
+    from embulk_spark.sources.files import parse_ltsv_column
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            "\t",
+            F.concat(F.lit("event_id:"), F.col("event_id").cast("string")),
+            F.lit("value:DECOY"),
+            F.concat(F.lit("etype:"), F.col("event_type")),
+            F.concat(F.lit("value:"), F.col("value").cast("string")),
+        ).alias("line")
+    )
+    return parse_ltsv_column(lines, F.col("line"), [
+        {"name": "event_id", "type": "long"},
+        {"name": "etype", "type": "string"},
+        {"name": "value", "type": "double"},
+    ])
+
+
 def _q_jdbc_mode_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embulk-output-jdbc write modes (sinks/jdbc_modes.py; plugin contract
     = the public embulk-output-jdbc docs; reference transaction shape
@@ -3303,6 +3370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "incremental_agg_view": _q_incremental_agg_view,
         "jdbc_mode_merge": _q_jdbc_mode_merge,
+        "filter_hash_cols": _q_filter_hash_cols,
+        "filter_gsub_cols": _q_filter_gsub_cols,
+        "filter_split_rows": _q_filter_split_rows,
+        "parser_ltsv": _q_parser_ltsv,
     }
 
 
@@ -5408,6 +5479,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_custkey NOT IN (SELECT custkey FROM inc)
         UNION ALL
         SELECT custkey, name, acctbal FROM inc
+        """,
+        "filter_hash_cols": """
+        SELECT event_id,
+               CASE WHEN user_id IS NOT NULL
+                    THEN sha256('pepper' || CAST(user_id AS VARCHAR)) END
+                 AS user_id,
+               CASE WHEN props IS NOT NULL THEN md5(props) END AS props_md5
+        FROM events
+        """,
+        "filter_gsub_cols": """
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[aeiou]', '_', 'g'))
+                    AS INTEGER) AS n,
+               substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40)
+                 AS head
+        FROM documents
+        """,
+        "filter_split_rows": """
+        SELECT doc_id, trim(w) AS word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 50)
+        """,
+        "parser_ltsv": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               event_type AS etype,
+               CAST(value AS DOUBLE) AS value
+        FROM events
         """,
     }
 
