@@ -135,6 +135,15 @@ class BloomIndex:
     epoch delivery is additionally skipped outright (same contract as
     the lake, reference analogue exec/BulkLoader.java:154-159).
 
+    Compliance note: a Bloom filter stores only hash bits — no raw
+    values — and CANNOT unlearn (bit_or is monotone), so it has no
+    ``purge_ids`` like SignatureIndex/TermIndex. The purge story after
+    ``lake.purge_keys`` is a REBUILD from the purged lake (drop the
+    index dir, replay the lake's committed epochs through
+    ``update_from_lake_epoch``); until then the filter answers
+    maybe-present for purged values, which costs a false positive, not
+    a data leak.
+
     Add-only by construction: a delete cannot clear bits shared with
     other members. That errs in the safe direction for dedup (a deleted
     document may still probe "maybe present"; verify-on-positive gives

@@ -196,6 +196,13 @@ class SignatureIndex:
                 raise
         return {"epoch": epoch, "skipped_duplicate_epoch": False}
 
+    def purge_ids(self, ids: list) -> dict:
+        """Compliance purge: every stored signature row of the ids leaves
+        the index (see :func:`purge_epoch_dirs`); run after
+        ``lake.purge_keys`` on the upstream table."""
+        eps = purge_epoch_dirs(self.spark, self._deltas, ids, self.id_col)
+        return {"epochs_rewritten": eps, "ids": len(ids)}
+
     def commit_empty_epoch(self, epoch: int) -> dict:
         """Mark an epoch with no signature changes committed (keeps the
         index's epoch set aligned with the table's for empty batches).
@@ -334,3 +341,38 @@ class SignatureIndex:
             .filter(F.col("jaccard_est") >= threshold)
             .distinct()
         )
+
+
+def purge_epoch_dirs(
+    spark, deltas_dir: str, ids: list, id_col: str = "id"
+) -> list[int]:
+    """Compliance helper shared by the epoch-committed side indexes
+    (SignatureIndex here, TermIndex in termindex.py): rewrite every
+    ``epoch=N`` delta dir that holds rows of the given ``id``s without
+    them — in place, via write-aside + rename, preserving empty
+    commit-marker dirs. Derived data (signatures, term stats) keyed by a
+    purged url is still that url on disk; ``lake.purge_keys`` upstream
+    plus this keeps the whole deployment clean. Bloom fingerprints
+    (operators/bloom.py) are additive and cannot unlearn — their purge
+    story is a rebuild from the purged lake, documented there."""
+    import shutil as _shutil
+
+    rewritten = []
+    for d in sorted(os.listdir(deltas_dir)):
+        if not d.startswith("epoch="):
+            continue
+        full = os.path.join(deltas_dir, d)
+        if not _parquet_files(full):
+            continue  # empty commit marker: nothing stored
+        df = spark.read.parquet(full)
+        if not df.filter(F.col(id_col).isin(ids)).limit(1).count():
+            continue
+        kept = df.filter(~F.col(id_col).isin(ids))
+        tmp = f"{full}.purge{uuid.uuid4().hex[:8]}"
+        kept.write.parquet(tmp)
+        old = f"{full}.old{uuid.uuid4().hex[:8]}"
+        os.rename(full, old)
+        os.rename(tmp, full)
+        _shutil.rmtree(old, ignore_errors=True)
+        rewritten.append(int(d.split("=", 1)[1]))
+    return rewritten

@@ -185,6 +185,15 @@ class TermIndex:
             raise
         return {"epoch": epoch, "committed": True}
 
+    def purge_ids(self, ids: list) -> dict:
+        """Compliance purge: every stored (id, term, tf) row of the ids
+        leaves the index (incremental.purge_epoch_dirs); run after
+        ``lake.purge_keys`` on the upstream table."""
+        from .incremental import purge_epoch_dirs
+
+        eps = purge_epoch_dirs(self.spark, self._deltas, ids)
+        return {"epochs_rewritten": eps, "ids": len(ids)}
+
     def commit_empty_epoch(self, epoch: int) -> dict:
         """Mark an epoch with no document changes committed (keeps the
         index's epoch set aligned with the table's for empty batches)."""

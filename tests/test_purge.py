@@ -131,3 +131,47 @@ def test_purge_with_pending_deltas_folds_them(spark, tmp_path):
         assert feed.filter(F.col("url").isin(victims)).count() == 0
     except Exception:
         pass  # cursor-too-old is equally compliant
+
+
+def test_side_index_purge_cascade(spark, tmp_path):
+    """Signature and term indexes hold derived rows keyed by the doc id;
+    the purge cascade removes every stored row of the ids from every
+    epoch dir, keeps other docs intact, and preserves empty commit
+    markers (committed_epochs unchanged)."""
+    from embulk_spark.operators.incremental import SignatureIndex
+    from embulk_spark.operators.termindex import TermIndex
+
+    docs0 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(3, "quick quick dog")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    sig = SignatureIndex(spark, str(tmp_path / "sig"), k=8, bands=2)
+    term = TermIndex(spark, str(tmp_path / "ti"), id_col="doc_id",
+                     id_type="bigint")
+    for idx in (sig, term):
+        idx.update_epoch(docs0, "text", 0)
+        idx.update_epoch(docs1, "text", 1)
+        idx.update_epoch(empty, "text", 2)
+
+    rep = sig.purge_ids([1])
+    assert rep["epochs_rewritten"] == [0]
+    assert {r["doc_id"] for r in sig.signatures().collect()} == {2, 3}
+    assert sig.committed_epochs() == {0, 1, 2}
+
+    rep = term.purge_ids([1, 3])
+    assert rep["epochs_rewritten"] == [0, 1]
+    assert {r["id"] for r in term.live_docs().collect()} == {2}
+    assert term.committed_epochs() == {0, 1, 2}
+    # derived rows of the ids are gone from the delta files themselves
+    for idx_path in ("sig", "ti"):
+        root = str(tmp_path / idx_path / "deltas")
+        df = spark.read.option("basePath", root).parquet(root)
+        if idx_path == "sig":
+            assert df.filter(F.col("doc_id") == 1).count() == 0
+        else:
+            assert df.filter(F.col("id").isin([1, 3])).count() == 0
