@@ -200,6 +200,7 @@ def maxwell_schema(row_ddl: str) -> T.StructType:
             T.StructField("ts", T.LongType()),       # epoch SECONDS
             T.StructField("xid", T.LongType()),
             T.StructField("xoffset", T.LongType()),
+            T.StructField("commit", T.BooleanType()),
             T.StructField("position", T.StringType()),
             T.StructField("data", row),
             T.StructField("old", row),
@@ -214,6 +215,7 @@ def parse_maxwell(
     *,
     keep_cols: list[str] | None = None,
     with_source_table: bool = False,
+    with_txn: bool = False,
 ) -> DataFrame:
     """Maxwell JSON lines → the SAME typed change-row contract as
     :func:`parse_debezium` (op/seq/src_ts_ms/is_snapshot + row image),
@@ -242,6 +244,10 @@ def parse_maxwell(
     )
     extra = [F.col("e.table").alias("table")] if with_source_table else []
     extra_names = ["table"] if with_source_table else []
+    if with_txn:
+        # grouping xid for transaction-boundary alignment (txn_align.py)
+        extra.append(F.col("e.xid").alias("txn_xid"))
+        extra_names.append("txn_xid")
     return (
         parsed.filter(t.isin(*MAXWELL_OP_MAP))
         .select(
@@ -261,15 +267,33 @@ def parse_maxwell(
     )
 
 
+def maxwell_txn_markers(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Committed xids in a batch of Maxwell lines: the LAST row of each
+    transaction carries ``"commit": true`` (public Maxwell docs), so a
+    txn is committed exactly when its flag row has arrived."""
+    env = F.from_json(F.col(value_col), "xid long, commit boolean")
+    return (
+        df.select(env.alias("e"))
+        .filter(F.col("e.commit") & F.col("e.xid").isNotNull())
+        .select(F.col("e.xid").alias("xid"))
+    )
+
+
 def maxwell_change_events(
-    df: DataFrame, value_col: str = "value", *, with_table: bool = False
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    with_table: bool = False,
+    with_txn: bool = False,
 ) -> DataFrame:
     """North-rule adapter: Maxwell lines of the page table → the
     canonical change-event frame (same wire types as Debezium's)."""
     return parse_maxwell(
-        df, PAGE_ROW_DDL, value_col, with_source_table=with_table
+        df, PAGE_ROW_DDL, value_col,
+        with_source_table=with_table, with_txn=with_txn,
     ).select(
         *(["table"] if with_table else []),
+        *(["txn_xid"] if with_txn else []),
         "seq",
         "op",
         "url",
@@ -491,6 +515,112 @@ def wal2json_txn_markers(df: DataFrame, value_col: str = "value") -> DataFrame:
         df.select(env.alias("e"))
         .filter((F.col("e.action") == "C") & F.col("e.xid").isNotNull())
         .select(F.col("e.xid").alias("xid"))
+    )
+
+
+def parse_mongo_oplog(
+    df: DataFrame,
+    row_ddl: str,
+    value_col: str = "value",
+    *,
+    ns: str | None = None,
+    keep_cols: list[str] | None = None,
+    with_source_table: bool = False,
+) -> DataFrame:
+    """MongoDB replica-set oplog entries (public ``oplog.rs`` format:
+    ``op`` i/u/d/n/c, ``ns`` db.collection, ``ts`` as Extended-JSON
+    ``$timestamp {t, i}``, ``o``/``o2`` documents) → the same typed
+    change-row contract as the other wire parsers, with MINIMAL row
+    images for ``$set`` updates:
+
+    - ``i``: full document from ``o``;
+    - ``u`` carrying ``o.$set``: PARTIAL image — only the set fields are
+      non-null, untouched columns arrive NULL. This is the
+      binlog_row_image=minimal shape: resolve downstream with
+      ``operators/merge.py::patch_latest_per_key`` (per-column latest
+      setter), not whole-row latest-wins;
+    - ``u`` without ``$set`` (replace-style): full document from ``o``,
+      key fields joined in from ``o2``;
+    - ``d``: tombstone, key from ``o``;
+    - ``n`` (noop) / ``c`` (command) drop; ``ns=`` filters to one
+      collection.
+
+    ``seq``: ``ts.t·2^32 + ts.i`` — the oplog timestamp's own total
+    order. The $set-NULL ambiguity (a true SET col=NULL is
+    indistinguishable from "not updated") is inherent to minimal
+    images; see patch_latest_per_key's contract."""
+    row = T.StructType.fromDDL(row_ddl)
+    o_schema = T.StructType(list(row.fields) + [T.StructField("$set", row)])
+    env_s = T.StructType(
+        [
+            T.StructField(
+                "ts",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "$timestamp",
+                            T.StructType(
+                                [
+                                    T.StructField("t", T.LongType()),
+                                    T.StructField("i", T.LongType()),
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            ),
+            T.StructField("op", T.StringType()),
+            T.StructField("ns", T.StringType()),
+            T.StructField("o", o_schema),
+            T.StructField("o2", row),
+        ]
+    )
+    v = F.col(value_col)
+    env = F.from_json(v, env_s)
+    parsed = (
+        df.filter(v.isNotNull() & (F.trim(v) != ""))
+        .select(*[F.col(c) for c in (keep_cols or [])], env.alias("e"))
+        .filter(F.col("e.op").isin("i", "u", "d"))
+    )
+    if ns is not None:
+        parsed = parsed.filter(F.col("e.ns") == ns)
+    op = F.col("e.op")
+    oset = F.col("e.o").getField("$set")
+    is_set = oset.isNotNull()
+    tsf = F.col("e.ts").getField("$timestamp")
+    cells = []
+    for f in row.fields:
+        img = (
+            F.when(op == "i", F.col("e.o").getField(f.name))
+            .when((op == "u") & is_set, oset.getField(f.name))
+            .when((op == "u") & ~is_set, F.col("e.o").getField(f.name))
+            .when(op == "d", F.col("e.o").getField(f.name))
+        )
+        # o2 carries the key fields of an update; payload fields there
+        # are null, so coalesce is key-join + image in one expression
+        cells.append(
+            F.coalesce(F.col("e.o2").getField(f.name), img).alias(f.name)
+        )
+    extra = (
+        [F.substring_index(F.col("e.ns"), ".", -1).alias("table")]
+        if with_source_table else []
+    )
+    op_out = (
+        F.when(op == "i", F.lit("I"))
+        .when(op == "u", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    return parsed.select(
+        *(keep_cols or []),
+        *extra,
+        op_out.alias("op"),
+        (tsf.getField("t") * F.lit(1 << 32) + F.coalesce(
+            tsf.getField("i"), F.lit(0)
+        )).alias("seq"),
+        (tsf.getField("t") * 1000).alias("src_ts_ms"),
+        F.lit(False).alias("is_snapshot"),
+        ((op == "u") & is_set).alias("is_partial"),
+        *cells,
     )
 
 

@@ -275,3 +275,73 @@ def test_wire_formats_replay_to_identical_state(spark, tmp_path):
     assert states[0] == states[1] == states[2] == states[3]
     assert len(states[0]) == 1  # url2 deleted; url1 survives as 'de'
     assert states[0][0][1] == "de"
+
+
+def _mo(op, o=None, o2=None, *, t=1700000000, i=1, ns="web.pages"):
+    return json.dumps({
+        "ts": {"$timestamp": {"t": t, "i": i}},
+        "op": op, "ns": ns,
+        **({"o": o} if o is not None else {}),
+        **({"o2": o2} if o2 is not None else {}),
+    })
+
+
+def test_mongo_oplog_ops_images_and_ns_filter(spark):
+    from embulk_spark.sources.debezium import parse_mongo_oplog
+
+    lines = [
+        _mo("i", {"url": "u1", "warc_ts": TSMS, "lang": "en"}, i=1),
+        # $set partial: only lang touched; key rides in o2
+        _mo("u", {"$set": {"lang": "de"}}, {"url": "u1"}, i=2),
+        # replace-style update: full doc in o, key in o2
+        _mo("u", {"url": "u2", "warc_ts": TSMS + 1, "lang": "fr"},
+            {"url": "u2"}, i=3),
+        _mo("d", {"url": "u1"}, i=4),
+        _mo("n", {"msg": "noop"}, i=5),                       # dropped
+        _mo("c", {"create": "pages"}, i=6),                   # dropped
+        _mo("i", {"url": "ux"}, ns="other.coll", i=7),        # ns-filtered
+        "garbage line",
+    ]
+    out = parse_mongo_oplog(
+        _df(spark, lines), "url STRING, warc_ts BIGINT, lang STRING",
+        ns="web.pages",
+    ).collect()
+    by_seq = {r["seq"] - (1700000000 << 32): r for r in out}
+    assert sorted(by_seq) == [1, 2, 3, 4]
+    assert by_seq[1]["op"] == "I" and by_seq[1]["lang"] == "en"
+    p = by_seq[2]
+    assert p["op"] == "U" and p["is_partial"]
+    assert p["url"] == "u1" and p["lang"] == "de" and p["warc_ts"] is None
+    r = by_seq[3]
+    assert r["op"] == "U" and not r["is_partial"] and r["lang"] == "fr"
+    d = by_seq[4]
+    assert d["op"] == "D" and d["url"] == "u1"
+    assert {r["src_ts_ms"] for r in out} == {1700000000 * 1000}
+
+
+def test_mongo_oplog_set_stream_through_patch_merge(spark):
+    """$set partial updates resolve with the column-level patch merge:
+    each column keeps its latest setter, a delete fences history."""
+    from embulk_spark.operators.merge import patch_latest_per_key
+    from embulk_spark.sources.debezium import parse_mongo_oplog
+
+    lines = [
+        _mo("i", {"url": "u1", "warc_ts": 10, "lang": "en"}, i=1),
+        _mo("u", {"$set": {"lang": "de"}}, {"url": "u1"}, i=2),
+        _mo("u", {"$set": {"warc_ts": 99}}, {"url": "u1"}, i=3),
+        _mo("i", {"url": "u2", "warc_ts": 20, "lang": "fr"}, i=4),
+        _mo("d", {"url": "u2"}, i=5),
+        _mo("u", {"$set": {"lang": "it"}}, {"url": "u2"}, i=6),
+    ]
+    ev = parse_mongo_oplog(
+        _df(spark, lines), "url STRING, warc_ts BIGINT, lang STRING"
+    ).withColumn("op", F.when(F.col("op") == "D", "D").otherwise("U"))
+    final = patch_latest_per_key(
+        ev, key="url", order=["seq"], payload=["warc_ts", "lang"]
+    )
+    got = {r["url"]: (r["warc_ts"], r["lang"], r["is_deleted"])
+           for r in final.collect()}
+    # u1: lang from seq 2, warc_ts from seq 3 — per-column latest setter
+    assert got["u1"] == (99, "de", False)
+    # u2: delete fences the insert; the later $set rebuilds lang only
+    assert got["u2"] == (None, "it", False)
