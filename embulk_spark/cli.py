@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
                          "The positional `table` arg is ignored.")
     sp.add_argument("--route-col", default="table",
                     help="column carrying the destination table tag")
+    sp.add_argument("--route-catalog", default=None,
+                    help="with --route (batch mode): commit the fan-out "
+                         "through a LakeCatalog at this path — every "
+                         "epoch becomes visible across ALL destinations "
+                         "in one atomic pointer flip "
+                         "(replay.route_epoch_atomic); table paths live "
+                         "under <catalog>/tables/")
     sp.add_argument("--source-format", default="events",
                     choices=["events", "debezium", "maxwell", "canal",
                              "wal2json", "warc"],
@@ -478,10 +485,14 @@ def main(argv: list[str] | None = None) -> int:
             qrules = (
                 json.loads(args.quarantine_rules) if args.quarantine_rules else None
             )
-            tables = {
-                name: ParquetLakeTable(spark, path, n_buckets=args.buckets)
-                for name, path in json.loads(args.route).items()
-            }
+            tables = (
+                {}
+                if args.route_catalog
+                else {
+                    name: ParquetLakeTable(spark, path, n_buckets=args.buckets)
+                    for name, path in json.loads(args.route).items()
+                }
+            )
             if args.checkpoint:
                 # routed STREAMING tail: the envelope's own table tag
                 # routes each micro-batch (stream_binlog route mode)
@@ -505,14 +516,36 @@ def main(argv: list[str] | None = None) -> int:
             )
             if args.max_epochs is not None:
                 epochs = epochs[: args.max_epochs]
+            cat = None
+            if args.route_catalog:
+                # atomic mode: ignore the per-table route map, register
+                # each destination in a LakeCatalog, and flip every
+                # epoch into view with ONE catalog pointer move
+                from .streaming.catalog import LakeCatalog
+                from .streaming.replay import route_epoch_atomic
+
+                cat = LakeCatalog(spark, args.route_catalog)
+                have = set(cat.head()["tables"])
+                for name, path in json.loads(args.route).items():
+                    if name not in have:
+                        cat.create_table(name, n_buckets=args.buckets)
             for e in epochs:
-                rep = route_epoch(
-                    tables,
-                    events.filter(F.col("epoch") == e).drop("epoch"),
-                    int(e),
-                    table_col=args.route_col,
-                    quarantine_rules=qrules,
-                )
+                if cat is not None:
+                    rep = route_epoch_atomic(
+                        cat,
+                        events.filter(F.col("epoch") == e).drop("epoch"),
+                        int(e),
+                        table_col=args.route_col,
+                        quarantine_rules=qrules,
+                    )
+                else:
+                    rep = route_epoch(
+                        tables,
+                        events.filter(F.col("epoch") == e).drop("epoch"),
+                        int(e),
+                        table_col=args.route_col,
+                        quarantine_rules=qrules,
+                    )
                 print(json.dumps(rep, default=str))
             return 0
 

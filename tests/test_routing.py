@@ -231,3 +231,35 @@ def test_route_atomic_audit_blocks_every_table(spark, tmp_path, tagged_stream):
     cat.recover()
     assert cat.read("pages_a").count() > 0
     assert cat.read("pages_b").count() > 0
+
+
+def test_cli_route_catalog_atomic(spark, tmp_path, tagged_stream, capsys):
+    import json as _json
+
+    from embulk_spark import cli
+    from embulk_spark.streaming.catalog import LakeCatalog
+
+    events_dir = str(tmp_path / "ev")
+    tagged_stream.write.parquet(events_dir)
+    cat_dir = str(tmp_path / "cat")
+    rc = cli.main([
+        "replay", events_dir, "ignored",
+        "--route", _json.dumps({"pages_a": "x", "pages_b": "y"}),
+        "--route-catalog", cat_dir, "--master", "local[4]",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == N_EPOCHS
+    assert all("commit" in _json.loads(l) for l in lines)
+    cat = LakeCatalog(spark, cat_dir)
+    got = (
+        cat.read("pages_a").count() + cat.read("pages_b").count()
+    )
+    control = _mk_tables(spark, tmp_path / "ctrl")
+    for e in range(N_EPOCHS):
+        route_epoch(
+            control, tagged_stream.filter(F.col("epoch") == e).drop("epoch"), e
+        )
+    want = sum(t.published().count() for t in control.values())
+    assert got == want
