@@ -130,3 +130,53 @@ def test_url_hll_seeded_by_import(spark, tmp_path):
     table.bulk_import(df, epoch_id=0, extract=False)
     est = table.url_cardinality()
     assert est is not None and 350 <= est <= 650
+
+
+def test_snapshot_handoff_equals_continuous_replay(spark, tmp_path):
+    """The Debezium bootstrap contract: a consistent snapshot taken at
+    stream order S imported as the base, then the tail replayed — with
+    OVERLAP (some events ≤ S redelivered) — must equal a continuous
+    replay of the whole stream. The imported baseline carries the
+    snapshot rows' true (warc_ts, seq), so overlapping redelivery loses
+    by order instead of regressing state."""
+    from embulk_spark.operators.merge import dedup_latest
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.replay import replay_batches
+
+    events = change_stream(spark, 1500, 200, 3, num_partitions=4).cache()
+    data = events.filter("op <> 'S'")
+    # handoff point: everything in epoch 0 is inside the snapshot
+    S = data.filter("epoch = 0").agg(F.max("seq")).collect()[0][0]
+
+    # consistent snapshot at S: winner per url over events with seq <= S
+    snap_rows = dedup_latest(
+        data.filter(F.col("seq") <= S)
+        .select("url", "warc_ts", "seq", "op", "html", "lang")
+    ).select(
+        "url", "warc_ts", "seq", "html",
+        F.lit(None).cast("string").alias("text"),
+        "lang", "op",
+    )
+    boot = ParquetLakeTable(spark, str(tmp_path / "boot"), n_buckets=4,
+                            compact_min_deltas=10_000)
+    boot.bulk_import(snap_rows, epoch_id=0)
+    # tail from S — with deliberate overlap back into the snapshot range
+    overlap_lo = int(S * 0.8)
+    tail = events.filter(
+        (F.col("seq") > overlap_lo) | (F.col("op") == "S")
+    ).withColumn("epoch", F.greatest(F.col("epoch"), F.lit(1)))
+    replay_batches(boot, tail)
+
+    control = ParquetLakeTable(spark, str(tmp_path / "cont"), n_buckets=4,
+                               compact_min_deltas=10_000)
+    replay_batches(control, events)
+
+    got = sorted(
+        (r["url"], r["seq"], r["text"])
+        for r in boot.published().select("url", "seq", "text").collect()
+    )
+    want = sorted(
+        (r["url"], r["seq"], r["text"])
+        for r in control.published().select("url", "seq", "text").collect()
+    )
+    assert got == want and len(got) > 0
