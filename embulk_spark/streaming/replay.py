@@ -790,8 +790,9 @@ def stream_binlog(
     the real one-binlog-many-tables deployment. ``table`` is ignored
     when routing.
 
-    ``txn_align`` (wal2json only): never apply a partial SOURCE
-    transaction — rows whose ``C`` commit marker hasn't arrived yet
+    ``txn_align`` (wal2json / maxwell): never apply a partial SOURCE
+    transaction — rows whose commit marker (wal2json ``C`` action,
+    Maxwell ``commit: true`` flag row) hasn't arrived yet
     (the file tail cut mid-transaction) defer to a later batch via
     :class:`~embulk_spark.streaming.txn_align.TxnAligner`, so every
     epoch commit is a prefix of committed source transactions."""
@@ -801,10 +802,10 @@ def stream_binlog(
         raise ValueError(
             f"wire_format {wire_format!r} not in {sorted(_WIRE_ADAPTERS)}"
         )
-    if txn_align and wire_format != "wal2json":
+    if txn_align and wire_format not in ("wal2json", "maxwell"):
         raise ValueError(
             "txn_align needs commit markers in the wire format "
-            "(wal2json v2 with include-transaction)"
+            "(wal2json v2 include-transaction, or Maxwell's commit flag)"
         )
     aligner = None
     if txn_align:
@@ -822,9 +823,12 @@ def stream_binlog(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if aligner is not None:
             raw = adapter(batch_df, with_table=bool(route), with_txn=True)
-            events = aligner.align(
-                raw, wire.wal2json_txn_markers(batch_df), int(batch_id)
-            ).drop("txn_xid")
+            markers = (
+                wire.maxwell_txn_markers(batch_df)
+                if wire_format == "maxwell"
+                else wire.wal2json_txn_markers(batch_df)
+            )
+            events = aligner.align(raw, markers, int(batch_id)).drop("txn_xid")
         else:
             events = adapter(batch_df, with_table=bool(route))
         events = events.withColumn(
