@@ -496,6 +496,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.checkpoint:
                 # routed STREAMING tail: the envelope's own table tag
                 # routes each micro-batch (stream_binlog route mode)
+                if args.route_catalog:
+                    ap.error(
+                        "--route-catalog is batch-mode only (atomic "
+                        "catalog flips per epoch); drop --checkpoint"
+                    )
                 if args.source_format not in ("debezium", "maxwell", "canal", "wal2json"):
                     ap.error(
                         "--route with --checkpoint requires a binlog "

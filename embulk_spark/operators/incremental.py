@@ -355,7 +355,7 @@ def purge_epoch_dirs(
     plus this keeps the whole deployment clean. Bloom fingerprints
     (operators/bloom.py) are additive and cannot unlearn — their purge
     story is a rebuild from the purged lake, documented there."""
-    import shutil as _shutil
+    from ..streaming.lake import rewrite_dir_excluding
 
     rewritten = []
     for d in sorted(os.listdir(deltas_dir)):
@@ -367,12 +367,6 @@ def purge_epoch_dirs(
         df = spark.read.parquet(full)
         if not df.filter(F.col(id_col).isin(ids)).limit(1).count():
             continue
-        kept = df.filter(~F.col(id_col).isin(ids))
-        tmp = f"{full}.purge{uuid.uuid4().hex[:8]}"
-        kept.write.parquet(tmp)
-        old = f"{full}.old{uuid.uuid4().hex[:8]}"
-        os.rename(full, old)
-        os.rename(tmp, full)
-        _shutil.rmtree(old, ignore_errors=True)
+        rewrite_dir_excluding(spark, full, id_col, ids)
         rewritten.append(int(d.split("=", 1)[1]))
     return rewritten

@@ -115,6 +115,24 @@ def _atomic_create_json(path: str, payload: dict) -> None:
         os.unlink(tmp)
 
 
+def rewrite_dir_excluding(spark, d: str, col: str, keys: list) -> None:
+    """Rewrite a parquet directory in place WITHOUT the rows whose
+    ``col`` is in ``keys`` (write-aside → rename-old-aside → rename-in →
+    rmtree). NULL ``col`` rows are KEPT — three-valued ``~isin`` would
+    silently delete them. Shared by the purge cascades (quarantine dirs
+    here, side-index epoch dirs in operators/incremental.py)."""
+    df = spark.read.parquet(d)
+    kept = df.filter(
+        F.col(col).isNull() | ~F.col(col).isin(list(keys))
+    )
+    tmp = f"{d}.purge{uuid.uuid4().hex[:8]}"
+    kept.write.parquet(tmp)
+    old = f"{d}.old{uuid.uuid4().hex[:8]}"
+    os.rename(d, old)
+    os.rename(tmp, d)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class ParquetLakeTable:
     """Merge-on-read snapshot table over local/posix parquet.
 
@@ -1663,15 +1681,28 @@ class ParquetLakeTable:
                 f"tags {sorted(tags)} pin pre-purge snapshots; pass "
                 "drop_tags=True to release them"
             )
+        staged = self.staged_epochs()
+        if staged:
+            # a staged WAP change-set may carry the keys' rows: its files
+            # are orphan-protected and a later publish would resurrect
+            # the purged data — the purge must not report success over it
+            raise ValueError(
+                f"staged epochs {sorted(staged)} exist; publish or abort "
+                "them first (a staged change-set could re-publish the "
+                "purged keys)"
+            )
+        # victim buckets derive INSIDE the compaction from its own
+        # captured snapshot (compact → _compact_once with buckets=None +
+        # drop_keys), so a concurrent rebucket retries with the fresh
+        # layout instead of leaving un-rewritten buckets
+        rep = self.compact(drop_keys=keys)
+        # tags drop only after the rewrite succeeded: a failed purge must
+        # not destroy retention leases as a side effect
         for t in sorted(tags):
             self.drop_tag(t)
-        snap = self.current_snapshot()
-        nb = self._nb(snap)
-        vb = sorted(self._buckets_of_keys(keys, nb))
-        rep = self.compact(buckets=vb, drop_keys=keys)
         out = {
             "purged_keys": len(keys),
-            "buckets_rewritten": vb,
+            "buckets_rewritten": rep.get("buckets_folded"),
             "compaction": rep,
             "tags_dropped": sorted(tags),
         }
@@ -1687,13 +1718,7 @@ class ParquetLakeTable:
                     if "url" not in q.columns:
                         continue
                     if q.filter(F.col("url").isin(keys)).limit(1).count():
-                        kept = q.filter(~F.col("url").isin(keys))
-                        tmp = f"{d}.purge{uuid.uuid4().hex[:8]}"
-                        kept.write.parquet(tmp)
-                        old = f"{d}.old{uuid.uuid4().hex[:8]}"
-                        os.rename(d, old)
-                        os.rename(tmp, d)
-                        shutil.rmtree(old, ignore_errors=True)
+                        rewrite_dir_excluding(self.spark, d, "url", keys)
                         rewritten.append(ep)
             out["quarantine_rewritten"] = rewritten
         if expire_history:
@@ -2445,6 +2470,14 @@ class ParquetLakeTable:
         drop_keys: list[str] | None = None,
     ) -> dict:
         snap = from_snap or self.current_snapshot()
+        if drop_keys and buckets is None:
+            # purge path: the victim buckets MUST derive from the same
+            # snapshot this fold captures — a stale caller-computed set
+            # under a concurrent rebucket would leave un-rewritten
+            # buckets (and an unfiltered residual) holding the keys
+            buckets = sorted(
+                self._buckets_of_keys(list(drop_keys), self._nb(snap))
+            )
         if buckets is None and retain_epochs:
             # a retained "full" fold = all-bucket partial fold (the full
             # path by definition folds every group; silently ignoring the

@@ -328,7 +328,7 @@ def route_epoch_atomic(
 
     ``audit_rules`` (table → WAP rules) gate the whole transaction:
     one failing table blocks every destination with all stages intact."""
-    known = sorted(catalog.head()["tables"]) if catalog.head() else []
+    known = sorted(catalog.head()["tables"])  # head always exists (v0 boot)
     epoch_df = epoch_df.persist()
     try:
         report: dict = {"epoch_id": epoch_id, "tables": {}}
@@ -344,7 +344,9 @@ def route_epoch_atomic(
         txn = catalog.transaction()
         for name in known:
             slice_df = epoch_df.filter(F.col(table_col) == name).drop(table_col)
-            tbl = catalog.table(name)
+            # the transaction's cached handle: one head read per table
+            # per txn (merge_epoch below reuses it), not one per call
+            tbl = txn._table(name)
             # same per-slice preprocessing as apply_epoch: wire DDL
             # first (driver-side, tiny), then dead-letter quarantine —
             # quarantine rows land outside the transaction by design
@@ -849,10 +851,16 @@ def stream_binlog(
                 route, events, int(batch_id),
                 quarantine_rules=quarantine_rules,
             )
-            return
-        apply_epoch(
-            table, events, int(batch_id), quarantine_rules=quarantine_rules
-        )
+        else:
+            apply_epoch(
+                table, events, int(batch_id),
+                quarantine_rules=quarantine_rules,
+            )
+        if aligner is not None:
+            # drop superseded pending generations (one spare covers an
+            # in-flight retry) — a long tail must not accumulate one
+            # pending dir per micro-batch forever
+            aligner.cleanup(keep_last=2)
 
     q = (
         lines.writeStream.foreachBatch(_apply)

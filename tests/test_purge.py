@@ -175,3 +175,62 @@ def test_side_index_purge_cascade(spark, tmp_path):
             assert df.filter(F.col("doc_id") == 1).count() == 0
         else:
             assert df.filter(F.col("id").isin([1, 3])).count() == 0
+
+
+def test_purge_refuses_staged_epochs(spark, tmp_path):
+    """A staged WAP change-set could re-publish the purged keys after the
+    purge reported success — the purge must refuse instead."""
+    import datetime as dt
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=2,
+                             compact_min_deltas=10_000)
+    ev = spark.createDataFrame(
+        [(1, "U", "http://a", dt.datetime(2024, 1, 1), b"<p>x</p>", "en",
+          None)],
+        "seq long, op string, url string, warc_ts timestamp, html binary, "
+        "lang string, schema_change string",
+    )
+    table.merge_epoch(ev, 0)
+    table.merge_epoch(
+        ev.withColumn("seq", F.col("seq") + 1), 1, stage=True
+    )
+    with pytest.raises(ValueError, match="staged"):
+        table.purge_keys(["http://a"])
+    # abort the stage → purge proceeds
+    table.abort_staged(1)
+    rep = table.purge_keys(["http://a"])
+    assert rep["purged_keys"] == 1
+    assert _grep_parquet_for(table.path, b"http://a") == []
+
+
+def test_quarantine_purge_keeps_null_url_rows(spark, tmp_path):
+    """NULL-url dead-letter rows are unrelated telemetry; the purge
+    rewrite must keep them (three-valued ~isin would drop them)."""
+    import datetime as dt
+
+    from embulk_spark.streaming.replay import apply_epoch
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=2,
+                             compact_min_deltas=10_000)
+    ts = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, "U", "http://victim", ts, None, "en", None),   # html null
+            (2, "U", None, ts, b"<p>ok</p>", "en", None),      # url null
+            (3, "U", "http://keep", ts, b"<p>ok</p>", "en", None),
+        ],
+        "seq long, op string, url string, warc_ts timestamp, html binary, "
+        "lang string, schema_change string",
+    )
+    apply_epoch(
+        table, ev, 0,
+        quarantine_rules=[
+            {"column": "url", "check": "not_null"},
+            {"column": "html", "check": "not_null"},
+        ],
+    )
+    qdir = os.path.join(table.path, "quarantine", "e00000000")
+    assert spark.read.parquet(qdir).count() == 2  # victim + null-url row
+    table.purge_keys(["http://victim"])
+    left = spark.read.parquet(qdir).collect()
+    assert len(left) == 1 and left[0]["url"] is None
