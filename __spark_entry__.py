@@ -3208,6 +3208,28 @@ def _q_parser_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def _q_filter_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embulk-filter-base64 (rowops.py::base64_columns): per-column
+    encode/decode with the null-on-bad-value setter policy (invalid
+    base64 → NULL via try_to_binary). Oracle: DuckDB's
+    to_base64/from_base64 over the same bytes; the invalid column is
+    NULL on both sides."""
+    from embulk_spark.operators.rowops import base64_columns
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("props").alias("enc_src"),
+        F.base64(F.col("event_type").cast("binary")).alias("dec_src"),
+        # '!' can never appear in base64: decode must null out
+        F.concat(F.col("event_type"), F.lit("!!")).alias("bad_b64"),
+    )
+    return base64_columns(ev, [
+        {"name": "enc_src", "encode": True},
+        {"name": "dec_src", "decode": True},
+        {"name": "bad_b64", "decode": True},
+    ])
+
+
 def _q_jdbc_mode_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embulk-output-jdbc write modes (sinks/jdbc_modes.py; plugin contract
     = the public embulk-output-jdbc docs; reference transaction shape
@@ -3370,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "incremental_agg_view": _q_incremental_agg_view,
         "jdbc_mode_merge": _q_jdbc_mode_merge,
+        "filter_base64": _q_filter_base64,
         "filter_hash_cols": _q_filter_hash_cols,
         "filter_gsub_cols": _q_filter_gsub_cols,
         "filter_split_rows": _q_filter_split_rows,
@@ -5479,6 +5502,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_custkey NOT IN (SELECT custkey FROM inc)
         UNION ALL
         SELECT custkey, name, acctbal FROM inc
+        """,
+        "filter_base64": """
+        SELECT event_id,
+               to_base64(encode(props)) AS enc_src,
+               event_type AS dec_src,
+               CAST(NULL AS VARCHAR) AS bad_b64
+        FROM events
         """,
         "filter_hash_cols": """
         SELECT event_id,
