@@ -355,13 +355,18 @@ def purge_epoch_dirs(
     plus this keeps the whole deployment clean. Bloom fingerprints
     (operators/bloom.py) are additive and cannot unlearn — their purge
     story is a rebuild from the purged lake, documented there."""
-    from ..streaming.lake import rewrite_dir_excluding
+    from ..streaming.lake import (
+        is_swap_leftover,
+        recover_dir_swap,
+        rewrite_dir_excluding,
+    )
 
     rewritten = []
     for d in sorted(os.listdir(deltas_dir)):
-        if not d.startswith("epoch="):
+        if not d.startswith("epoch=") or is_swap_leftover(d):
             continue
         full = os.path.join(deltas_dir, d)
+        recover_dir_swap(full)
         if not _parquet_files(full):
             continue  # empty commit marker: nothing stored
         df = spark.read.parquet(full)

@@ -156,6 +156,12 @@ class JdbcModeTable:
             "merge_keys": merge_keys,
             "n_buckets": self.n_buckets,
         }
+        # Bucket layout is a table property, not a handle property: once a
+        # manifest exists its n_buckets wins, so a handle reopened with a
+        # different constructor value can never stage leaves under one
+        # bucketing while merge pruning assumes another (which would carry
+        # conflicting keys by reference without reading them).
+        self.n_buckets = man.get("n_buckets") or self.n_buckets
         direct = mode.endswith("_direct")
         if txn_id is not None and not direct and txn_id in man["txns"]:
             return {"mode": mode, "skipped_duplicate_txn": True, "rows": 0}
@@ -164,7 +170,14 @@ class JdbcModeTable:
             # preserve the table definition: coerce incoming to it
             df = self._coerce_to(df, man["schema_ddl"])
 
-        keys = man.get("merge_keys") or merge_keys
+        # replace re-creates the table: the caller's merge_keys (like its
+        # schema) supersede the old manifest's, and the committed payload
+        # must match what the staged leaves were actually bucketed on.
+        keys = (
+            merge_keys
+            if mode == "replace"
+            else (man.get("merge_keys") or merge_keys)
+        )
         if mode in ("insert", "insert_direct"):
             new_leaves, n = self._stage(df, keys)
             keep = list(man["leaves"])

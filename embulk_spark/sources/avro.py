@@ -238,15 +238,50 @@ _PROMOTIONS = {
 }
 
 
+#: named-type kinds: the spec matches these by fullname/alias, not kind
+_NAMED_KINDS = {"record", "enum", "fixed"}
+
+
+def _fullname(s: dict) -> str | None:
+    """Avro fullname of a named-type schema dict (spec: a dotted ``name``
+    is already full; else ``namespace.name``)."""
+    n = s.get("name")
+    if n is None or "." in n or not s.get("namespace"):
+        return n
+    return f"{s['namespace']}.{n}"
+
+
+def _names_match(w: dict, r: dict) -> bool:
+    """Spec named-type match: reader fullname equals writer fullname, or
+    writer fullname is among the reader's aliases (relative aliases
+    resolve against the reader's namespace)."""
+    wn, rn = _fullname(w), _fullname(r)
+    if wn is None or rn is None:
+        return wn == rn
+    if wn == rn:
+        return True
+    ns = rn.rsplit(".", 1)[0] if "." in rn else None
+    aliases = {
+        a if "." in a or not ns else f"{ns}.{a}"
+        for a in r.get("aliases", ())
+    }
+    return wn in aliases
+
+
 def _resolvable(w, r) -> bool:
     """Can a value written as ``w`` resolve to reader branch ``r``?
-    (Used for reader-union branch selection.)"""
+    (Used for reader-union branch selection.) Named types (record /
+    enum / fixed) match by fullname or reader alias, per the spec — a
+    bare kind match would decode into the wrong branch of a reader
+    union holding two record (or enum) branches."""
     if isinstance(w, list):
         return any(_resolvable(br, r) for br in w)
     if isinstance(r, list):
         return any(_resolvable(w, br) for br in r)
     wt = w["type"] if isinstance(w, dict) else w
     rt = r["type"] if isinstance(r, dict) else r
+    if wt in _NAMED_KINDS and rt in _NAMED_KINDS:
+        return wt == rt and _names_match(w, r)
     return wt == rt or rt in _PROMOTIONS.get(wt, ())
 
 

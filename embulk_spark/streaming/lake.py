@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -115,12 +116,58 @@ def _atomic_create_json(path: str, payload: dict) -> None:
         os.unlink(tmp)
 
 
+def recover_dir_swap(d: str) -> None:
+    """Heal a crashed :func:`rewrite_dir_excluding` swap on ``d``.
+
+    The swap is write-aside(``.purge<hex>``) → rename ``d`` aside
+    (``.old<hex>``) → rename the purge copy in → rmtree old. Crash
+    windows and their repair:
+
+    - between the two renames (``d`` missing, filtered copy complete
+      because it was fully written before the first rename): roll
+      FORWARD — rename the ``.purge`` copy to ``d``;
+    - ``d`` missing with only an ``.old`` sibling (filtered copy lost):
+      roll BACK — rename ``.old`` to ``d``;
+    - ``d`` present: any ``.old``/``.purge`` siblings are garbage from a
+      completed or aborted swap (incl. a partial write-aside) — remove.
+
+    Idempotent and safe to call any time; callers that enumerate a
+    parent directory (quarantine / side-index epoch dirs) must also skip
+    the sibling names so a leftover is never read as live data."""
+    parent, name = os.path.split(os.path.normpath(d))
+    try:
+        sibs = os.listdir(parent or ".")
+    except FileNotFoundError:
+        return
+    olds = [s for s in sibs if s.startswith(name + ".old")]
+    purges = [s for s in sibs if s.startswith(name + ".purge")]
+    if not os.path.isdir(d):
+        if purges:
+            purges.sort(
+                key=lambda s: os.path.getmtime(os.path.join(parent, s))
+            )
+            os.rename(os.path.join(parent, purges.pop()), d)
+        elif olds:
+            olds.sort(key=lambda s: os.path.getmtime(os.path.join(parent, s)))
+            os.rename(os.path.join(parent, olds.pop()), d)
+    for s in olds + purges:
+        shutil.rmtree(os.path.join(parent, s), ignore_errors=True)
+
+
+def is_swap_leftover(name: str) -> bool:
+    """True for ``<d>.old<hex>`` / ``<d>.purge<hex>`` sibling names a
+    crashed swap may leave next to a live dir."""
+    return bool(re.search(r"\.(old|purge)[0-9a-f]{8}$", name))
+
+
 def rewrite_dir_excluding(spark, d: str, col: str, keys: list) -> None:
     """Rewrite a parquet directory in place WITHOUT the rows whose
     ``col`` is in ``keys`` (write-aside → rename-old-aside → rename-in →
     rmtree). NULL ``col`` rows are KEPT — three-valued ``~isin`` would
     silently delete them. Shared by the purge cascades (quarantine dirs
-    here, side-index epoch dirs in operators/incremental.py)."""
+    here, side-index epoch dirs in operators/incremental.py). Heals any
+    leftover from a previously crashed swap first."""
+    recover_dir_swap(d)
     df = spark.read.parquet(d)
     kept = df.filter(
         F.col(col).isNull() | ~F.col(col).isin(list(keys))
@@ -1711,7 +1758,10 @@ class ParquetLakeTable:
             rewritten = []
             if os.path.isdir(qroot):
                 for ep in sorted(os.listdir(qroot)):
+                    if is_swap_leftover(ep):
+                        continue  # healed below by recover_dir_swap
                     d = os.path.join(qroot, ep)
+                    recover_dir_swap(d)
                     if not os.path.isdir(d):
                         continue
                     q = self.spark.read.parquet(d)

@@ -201,3 +201,67 @@ def test_read_avro_reader_schema_end_to_end(spark, tmp_path):
     assert [(r["id"], r["headline"], r["lang"]) for r in out] == [
         (7, "t1", "und"), (8, "t2", "und"),
     ]
+
+
+def test_union_named_branches_match_by_fullname():
+    """A reader union with two record branches must pick the branch whose
+    fullname (or alias) matches the writer record — not the first record
+    branch (spec: named types match by name, not kind)."""
+    cat = {"type": "record", "name": "Cat", "fields": [
+        {"name": "meow", "type": "string"}]}
+    dog = {"type": "record", "name": "Dog", "fields": [
+        {"name": "bark", "type": "string"}]}
+    w_schema = {"type": "record", "name": "Pet", "fields": [
+        {"name": "p", "type": dog}]}
+    blob = write_container(w_schema, [{"p": {"bark": "woof"}}])
+
+    # reader union lists Cat FIRST; writer wrote a Dog — must resolve to
+    # the Dog branch (kind-only matching would pick Cat and mis-decode)
+    reader = {"type": "record", "name": "Pet", "fields": [
+        {"name": "p", "type": [
+            {"type": "record", "name": "Cat", "fields": [
+                {"name": "meow", "type": "string",
+                 "default": "?"}]},
+            {"type": "record", "name": "Dog", "fields": [
+                {"name": "bark", "type": "string"}]},
+        ]}]}
+    out = list(iter_container(blob, reader_schema=reader))
+    assert out == [{"p": {"bark": "woof"}}]
+
+    # reader renamed Dog → Hound with an alias: still matches
+    reader_alias = {"type": "record", "name": "Pet", "fields": [
+        {"name": "p", "type": [
+            {"type": "record", "name": "Hound", "aliases": ["Dog"],
+             "fields": [{"name": "bark", "type": "string"}]},
+        ]}]}
+    out = list(iter_container(blob, reader_schema=reader_alias))
+    assert out == [{"p": {"bark": "woof"}}]
+
+    # no name-matching branch at all → error, not silent wrong-branch
+    reader_none = {"type": "record", "name": "Pet", "fields": [
+        {"name": "p", "type": [
+            {"type": "record", "name": "Cat", "fields": [
+                {"name": "meow", "type": "string", "default": "?"}]},
+        ]}]}
+    with pytest.raises(ValueError):
+        list(iter_container(blob, reader_schema=reader_none))
+
+
+def test_union_named_branches_namespace_fullname():
+    """Namespaced fullname matching: writer com.ex.Dog resolves only to
+    the reader branch with the same fullname."""
+    w_schema = {"type": "record", "name": "Pet", "fields": [
+        {"name": "p", "type": {
+            "type": "record", "name": "Dog", "namespace": "com.ex",
+            "fields": [{"name": "bark", "type": "string"}]}}]}
+    blob = write_container(w_schema, [{"p": {"bark": "arf"}}])
+    reader = {"type": "record", "name": "Pet", "fields": [
+        {"name": "p", "type": [
+            {"type": "record", "name": "Dog", "namespace": "other",
+             "fields": [{"name": "bark", "type": "string",
+                         "default": "-"}]},
+            {"type": "record", "name": "Dog", "namespace": "com.ex",
+             "fields": [{"name": "bark", "type": "string"}]},
+        ]}]}
+    out = list(iter_container(blob, reader_schema=reader))
+    assert out == [{"p": {"bark": "arf"}}]

@@ -124,3 +124,56 @@ def test_history_records_every_commit(spark, tmp_path, base):
     hist = t.history()
     assert [h["version"] for h in hist] == [1, 2]
     assert hist[1]["txns"] == ["a", "b"]
+
+def test_reopened_handle_repins_n_buckets(spark, tmp_path):
+    """A handle reopened with a different n_buckets must adopt the
+    manifest's layout: staging with the constructor's value while merge
+    pruning uses the manifest's would carry conflicting keys by
+    reference without reading them (silent stale duplicates)."""
+    path = str(tmp_path / "t")
+    t8 = JdbcModeTable(spark, path, n_buckets=8)
+    big = spark.range(0, 400).select(
+        F.col("id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.col("id").cast("double").alias("score"),
+    )
+    t8.write(big, "merge", merge_keys=["id"])
+
+    # reopen with a DIFFERENT constructor bucket count and keep writing
+    t16 = JdbcModeTable(spark, path, n_buckets=16)
+    t16.write(_df(spark, [(7, "seven", -7.0)]), "insert")
+    assert t16.n_buckets == 8  # re-pinned from the manifest
+    t16.write(_df(spark, [(7, "SEVEN", 70.0)]), "merge", merge_keys=["id"])
+
+    out = t16.load()
+    assert out.count() == 400  # no duplicate id anywhere
+    assert out.groupBy("id").count().filter("count > 1").count() == 0
+    assert {r["name"] for r in out.filter("id = 7").collect()} == {"SEVEN"}
+    # every bucketed leaf in the live manifest is within the pinned layout
+    man = t16._manifest()
+    assert man["n_buckets"] == 8
+    bkts = {
+        int(lf.rsplit("bkt=", 1)[1])
+        for lf in man["leaves"]
+        if "bkt=" in lf
+    }
+    assert bkts and max(bkts) < 8
+
+
+def test_replace_records_caller_merge_keys(spark, tmp_path, base):
+    """replace re-creates the table: the committed merge_keys must be
+    the caller's (matching the staged bucketing), not the old
+    manifest's."""
+    t = JdbcModeTable(spark, str(tmp_path / "t"))
+    t.write(base, "merge_direct", merge_keys=["id"])
+    inc = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    t.write(inc, "replace", merge_keys=["k"])
+    assert t._manifest()["merge_keys"] == ["k"]
+    # subsequent merges on the new keys behave (no silent dupes)
+    t.write(
+        spark.createDataFrame([(2, "Y2"), (3, "z")], "k long, v string"),
+        "merge",
+        merge_keys=["k"],
+    )
+    out = {r["k"]: r["v"] for r in t.load().collect()}
+    assert out == {1: "x", 2: "Y2", 3: "z"}

@@ -234,3 +234,82 @@ def test_quarantine_purge_keeps_null_url_rows(spark, tmp_path):
     table.purge_keys(["http://victim"])
     left = spark.read.parquet(qdir).collect()
     assert len(left) == 1 and left[0]["url"] is None
+
+
+# -- crashed dir-swap recovery (rewrite_dir_excluding) ---------------------
+
+
+def _mkdir_rows(spark, d, rows):
+    spark.createDataFrame(rows, "url string, v long").write.parquet(d)
+
+
+def test_recover_dir_swap_rolls_forward_between_renames(spark, tmp_path):
+    """Crash between rename-aside and rename-in: live dir missing, old
+    data in .old<hex>, complete filtered copy in .purge<hex> → roll
+    FORWARD to the filtered copy."""
+    import os
+
+    from embulk_spark.streaming.lake import recover_dir_swap
+
+    d = str(tmp_path / "ep")
+    _mkdir_rows(spark, d, [("a", 1), ("b", 2)])
+    _mkdir_rows(spark, d + ".purge0badc0de", [("b", 2)])  # filtered copy
+    os.rename(d, d + ".old0badc0de")  # crash after first rename
+
+    recover_dir_swap(d)
+    assert {r["url"] for r in spark.read.parquet(d).collect()} == {"b"}
+    assert not os.path.exists(d + ".old0badc0de")
+    assert not os.path.exists(d + ".purge0badc0de")
+
+
+def test_recover_dir_swap_cleans_partial_writeaside(spark, tmp_path):
+    """Crash during the write-aside (live dir intact, partial .purge):
+    the partial copy is garbage and is removed; live data untouched."""
+    import os
+
+    from embulk_spark.streaming.lake import recover_dir_swap
+
+    d = str(tmp_path / "ep")
+    _mkdir_rows(spark, d, [("a", 1), ("b", 2)])
+    os.makedirs(d + ".purgedeadbeef")
+    with open(d + ".purgedeadbeef/part-partial.parquet", "wb") as f:
+        f.write(b"torn")
+
+    recover_dir_swap(d)
+    assert {r["url"] for r in spark.read.parquet(d).collect()} == {"a", "b"}
+    assert not os.path.exists(d + ".purgedeadbeef")
+
+
+def test_recover_dir_swap_rolls_back_orphaned_old(spark, tmp_path):
+    """Live dir missing with only an .old sibling (filtered copy lost):
+    roll BACK to the original data."""
+    import os
+
+    from embulk_spark.streaming.lake import recover_dir_swap
+
+    d = str(tmp_path / "ep")
+    _mkdir_rows(spark, d, [("a", 1)])
+    os.rename(d, d + ".oldfeedface")
+
+    recover_dir_swap(d)
+    assert {r["url"] for r in spark.read.parquet(d).collect()} == {"a"}
+
+
+def test_rewrite_dir_excluding_heals_then_purges(spark, tmp_path):
+    """A purge re-run over a previously crashed swap heals the dir and
+    applies the purge instead of failing on the missing path."""
+    import os
+
+    from embulk_spark.streaming.lake import rewrite_dir_excluding
+
+    d = str(tmp_path / "ep")
+    _mkdir_rows(spark, d, [("a", 1), ("b", 2), ("c", 3)])
+    _mkdir_rows(spark, d + ".purge0badc0de", [("b", 2), ("c", 3)])
+    os.rename(d, d + ".old0badc0de")  # crashed mid-swap
+
+    rewrite_dir_excluding(spark, d, "url", ["c"])
+    assert {r["url"] for r in spark.read.parquet(d).collect()} == {"b"}
+    leftovers = [
+        p for p in os.listdir(tmp_path) if ".old" in p or ".purge" in p
+    ]
+    assert leftovers == []
