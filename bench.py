@@ -90,11 +90,15 @@ def main() -> None:
     # show up as steal%, OR as unattributed guest sys% inflation with
     # near-zero steal (vCPU preemption is invisible to the guest's steal
     # clock) - measured 3-6x replay swings at 0.6% steal but 40-57% sys.
-    # Discipline: measure steal AND sys over each attempt, retry while
-    # either says interference (same replay in a clean window runs at
-    # ~15-20% sys), keep the best.
+    # PRE-REGISTERED attempt policy (pinned in BENCH/BASELINE.md so
+    # cross-round numbers are immune to cherry-picking claims): ALWAYS
+    # run exactly BENCH_ATTEMPTS (default 3) replay attempts — no
+    # data-dependent early stop, no retry-until-clean — and report the
+    # best AND the median plus every attempt's steal%/sys%, so a reader
+    # can re-derive either statistic and see the interference record.
+    n_attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     attempts: list[dict] = []
-    for attempt in range(4):
+    for attempt in range(n_attempts):
         table_dir = os.path.join(workdir, f"table{attempt}")
         table = ParquetLakeTable(spark, table_dir, n_buckets=cpus)
         c0 = _cpu_times()
@@ -120,9 +124,8 @@ def main() -> None:
             ],
         })
         shutil.rmtree(table_dir, ignore_errors=True)
-        if attempts[-1]["steal_pct"] <= 2.0 and attempts[-1]["sys_pct"] <= 25.0:
-            break
     best = min(attempts, key=lambda a: a["seconds"])
+    median_sec = sorted(a["seconds"] for a in attempts)[len(attempts) // 2]
     replay_sec = best["seconds"]
     timings["cdc_replay"] = replay_sec
     events_per_sec = n_total / replay_sec
@@ -257,8 +260,14 @@ def main() -> None:
                 "sf": sf,
                 "cdc_replay_events": n_total,
                 "cdc_replay_events_per_sec": round(events_per_sec, 1),
+                "cdc_replay_events_per_sec_median": round(
+                    n_total / median_sec, 1
+                ),
                 "cdc_replay_epoch_seconds": epoch_seconds,
                 "cdc_replay_attempts": attempts,
+                "cdc_replay_attempt_policy": (
+                    f"fixed {n_attempts} attempts, best+median reported"
+                ),
                 "snapdiff_changed_keys": snapdiff_changed_keys,
                 "snapdiff_write_bytes": snapdiff_bytes,
                 "snapdiff_control_write_amplification": snapdiff_bytes_ratio,

@@ -514,11 +514,17 @@ def main(argv: list[str] | None = None) -> int:
                     quarantine_rules=qrules, txn_align=args.txn_align,
                 )
                 return 0
+            from .streaming.replay import list_epoch_partitions
+
             events = spark.read.parquet(args.events)
-            epochs = sorted(
-                r["epoch"]
-                for r in events.select("epoch").distinct().collect()
-            )
+            # epoch list from the partition layout (one FS listing, no
+            # Spark job); distinct-scan only for unpartitioned logs
+            epochs = list_epoch_partitions(args.events)
+            if epochs is None:
+                epochs = sorted(
+                    r["epoch"]
+                    for r in events.select("epoch").distinct().collect()
+                )
             if args.max_epochs is not None:
                 epochs = epochs[: args.max_epochs]
             cat = None

@@ -33,6 +33,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,13 +51,24 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; component is
     the smallest id in the connected component (deterministic labels).
 
     Raises after ``max_iter`` non-converged rounds rather than returning a
     partial clustering — a silent under-merge would let near-duplicates
-    survive keep-one dedup."""
+    survive keep-one dedup.
+
+    ``reliable_checkpoint_dir``: persist each round's labels as a
+    reliable parquet checkpoint and resume label propagation from the
+    last completed round on re-invocation over the same pairs (see
+    graph.checkpoint_round — min-label propagation restarted from any
+    intermediate label state converges to the same fixpoint, so resuming
+    mid-propagation is sound; the converged-detection round re-runs
+    once, costing one extra join over the small label frame)."""
+    from .graph import checkpoint_round, last_completed_round
+
     edges = symmetrize(pairs, id_a, id_b).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -63,7 +76,14 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    start = 0
+    done = last_completed_round(reliable_checkpoint_dir, max_iter)
+    if done is not None:
+        labels = pairs.sparkSession.read.parquet(
+            os.path.join(reliable_checkpoint_dir, f"round={done}")
+        ).select("id", "comp")
+        start = done
+    for _round in range(start, max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -74,7 +94,9 @@ def connected_components(
             F.col("comp").alias("old_comp"),
             F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = checkpoint_round(
+            stepped, reliable_checkpoint_dir, _round + 1
+        )
         changed = stepped.filter(F.col("comp") < F.col("old_comp")).count()
         labels = stepped.select("id", "comp")
         if changed == 0:
@@ -92,6 +114,7 @@ def dup_clusters(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every document in a near-dup cluster of ≥2 docs:
     MinHash LSH pairs at ``threshold`` estimated Jaccard, then connected
@@ -102,9 +125,12 @@ def dup_clusters(
     pairs = minhash_near_dups(
         df, text_col, id_col, k=k, bands=bands, threshold=threshold
     )
-    return connected_components(pairs, "id_a", "id_b").withColumnRenamed(
-        "id", id_col
-    )
+    return connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        reliable_checkpoint_dir=reliable_checkpoint_dir,
+    ).withColumnRenamed("id", id_col)
 
 
 def keep_canonical(

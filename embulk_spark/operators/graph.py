@@ -29,8 +29,49 @@ whole job is O(iters) shuffles of the edge list regardless of N.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def checkpoint_round(
+    df: DataFrame, ckpt_dir: str | None, k: int
+) -> DataFrame:
+    """Truncate iterative lineage after round ``k``: ``localCheckpoint``
+    when no dir is given (fast, executor-memory blocks — fine on
+    local[*]), else a RELIABLE parquet checkpoint under
+    ``ckpt_dir/round=k``. At cluster scale localCheckpoint blocks die
+    with their executor and kill the whole iterative job; the reliable
+    variant survives executor loss AND lets a restarted driver resume
+    from the last completed round (``last_completed_round``) instead of
+    replaying rounds 1..k. Completeness = parquet ``_SUCCESS`` marker
+    (mode("overwrite") clears a torn previous attempt first)."""
+    if ckpt_dir is None:
+        return df.localCheckpoint(eager=True)
+    path = os.path.join(ckpt_dir, f"round={k}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def last_completed_round(ckpt_dir: str | None, upto: int) -> int | None:
+    """Highest round ≤ ``upto`` with a fully-committed checkpoint in
+    ``ckpt_dir`` (``_SUCCESS`` present), or None."""
+    if ckpt_dir is None or not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith("round="):
+            continue
+        try:
+            k = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if k <= upto and os.path.exists(
+            os.path.join(ckpt_dir, name, "_SUCCESS")
+        ):
+            best = k if best is None else max(best, k)
+    return best
 
 
 def pagerank(
@@ -40,6 +81,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` damped PageRank rounds over the
     distinct directed edge list ``edges``.
@@ -47,6 +89,14 @@ def pagerank(
     Nodes = every id appearing as src or dst. Dangling nodes (no
     out-edges) redistribute their rank uniformly each round, so total
     rank stays 1.
+
+    ``reliable_checkpoint_dir``: persist each round's ranks as a
+    reliable parquet checkpoint and RESUME from the last completed
+    round on a re-invocation over the same edge list — restart-level
+    durability for long iterative jobs where ``localCheckpoint``'s
+    executor-memory blocks would restart the job from round 0 on any
+    executor loss. The edge/degree frames are recomputed on resume
+    (one cheap pass); round state is what's expensive to lose.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -65,8 +115,18 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
+    start = 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    done = last_completed_round(reliable_checkpoint_dir, iters)
+    if done is not None:
+        spark = edges.sparkSession
+        ranks = spark.read.parquet(
+            os.path.join(reliable_checkpoint_dir, f"round={done}")
+        )
+        if done == iters:
+            return ranks
+        start = done
+    for _round in range(start, iters):
         with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
         # contributions along edges from non-dangling nodes
         contrib = (
@@ -95,6 +155,8 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+        )
+        ranks = checkpoint_round(
+            ranks, reliable_checkpoint_dir, _round + 1
         )
     return ranks

@@ -441,6 +441,27 @@ def _export_synced_epochs(export_path: str) -> set:
         return {int(e) for e in _json.load(f).get("synced_epochs", [])}
 
 
+def list_epoch_partitions(path: str) -> list[int] | None:
+    """Epoch ids of an ``epoch=N``-partitioned event log from ONE
+    filesystem listing — no Spark job. Returns None when the path is not
+    laid out that way (caller falls back to a distinct scan). At 10^10
+    events the alternative — ``select epoch .distinct()`` — is a full
+    file-listing + scan job before any epoch's real work starts; the
+    partition layout already IS the epoch list."""
+    try:
+        names = os.listdir(path)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    eps = []
+    for n in names:
+        if n.startswith("epoch="):
+            try:
+                eps.append(int(n.split("=", 1)[1]))
+            except ValueError:
+                return None
+    return sorted(eps) if eps else None
+
+
 def _auto_pipeline_depth(spark: SparkSession) -> int:
     """Overlap epochs only when the host has CPU headroom for it.
 

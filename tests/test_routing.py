@@ -263,3 +263,53 @@ def test_cli_route_catalog_atomic(spark, tmp_path, tagged_stream, capsys):
         )
     want = sum(t.published().count() for t in control.values())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# routed CLI epoch discovery: partition listing, not a Spark job
+# ---------------------------------------------------------------------------
+
+def test_list_epoch_partitions_is_pure_fs(tmp_path):
+    """Epoch list comes from ONE os.listdir of the epoch=-partitioned
+    log — no Spark session, no job — and falls back to None for logs
+    not laid out that way."""
+    import os
+
+    from embulk_spark.streaming.replay import list_epoch_partitions
+
+    d = tmp_path / "ev"
+    for e in (3, 0, 11):
+        os.makedirs(d / f"epoch={e}")
+    assert list_epoch_partitions(str(d)) == [0, 3, 11]
+    # unpartitioned dir → None (caller falls back to a distinct scan)
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    (flat / "part-0.parquet").write_bytes(b"")
+    assert list_epoch_partitions(str(flat)) is None
+    assert list_epoch_partitions(str(tmp_path / "missing")) is None
+    # a malformed epoch= dir disqualifies the fast path entirely
+    os.makedirs(d / "epoch=__HIVE_DEFAULT_PARTITION__")
+    assert list_epoch_partitions(str(d)) is None
+
+
+def test_cli_route_replay_partitioned_log(spark, tmp_path, tagged_stream, capsys):
+    """Routed replay over an epoch=-partitioned log: same final state as
+    the flat-log path, with the epoch list derived from the partition
+    layout."""
+    import json
+
+    from embulk_spark import cli
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    events_dir = str(tmp_path / "evp")
+    tagged_stream.write.partitionBy("epoch").parquet(events_dir)
+    routes = {"pages_a": str(tmp_path / "pa"), "pages_b": str(tmp_path / "pb")}
+    rc = cli.main([
+        "replay", events_dir, "ignored",
+        "--route", json.dumps(routes), "--master", "local[4]",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == N_EPOCHS
+    a = ParquetLakeTable(spark, routes["pages_a"])
+    assert set(a.committed_epochs()) == set(range(N_EPOCHS))
