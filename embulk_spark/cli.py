@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from . import pipeline as P
@@ -32,6 +33,47 @@ from .session import get_spark
 def _add_common(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("config", help="pipeline YAML config")
     sp.add_argument("--master", default=None, help="spark master (default env/local)")
+
+
+def _cmd_example(base: str) -> int:
+    """``example`` subcommand (reference cli/EmbulkExample.java): write a
+    gzipped sample csv plus a seed config whose parser section is left
+    for ``guess`` to fill, then print the three commands to try. The
+    sample exercises the guesser's interesting paths: timestamps, a
+    quoted field with an embedded doubled quote, and a NULL marker."""
+    import gzip
+
+    csv_dir = os.path.join(base, "csv")
+    os.makedirs(csv_dir, exist_ok=True)
+    print(f"Creating {base} directory...")
+    print(f"  Creating {base}/")
+    print(f"  Creating {csv_dir}/")
+    sample = os.path.join(csv_dir, "sample_01.csv.gz")
+    print(f"  Creating {sample}")
+    rows = (
+        "id,account,time,purchase,comment\n"
+        "1,50214,2026-02-03 08:14:27,20260203,spark\n"
+        "2,19633,2026-02-03 09:41:05,20260203,spark pyspark\n"
+        '3,28745,2026-02-04 12:30:44,20260204,"csv ""quoted"" field"\n'
+        "4,33912,2026-02-05 16:08:19,20260205,NULL\n"
+        "\n"
+    )
+    with gzip.open(sample, "wb") as f:
+        f.write(rows.encode("utf-8"))
+    seed = os.path.join(base, "seed.yml")
+    print(f"  Creating {seed}")
+    prefix = os.path.abspath(os.path.join(csv_dir, "sample_"))
+    with open(seed, "w") as f:
+        f.write("in:\n  type: file\n")
+        f.write(f"  path_prefix: '{prefix}'\nout:\n  type: stdout\n")
+    print("")
+    print("Run following subcommands to try embulk_spark:")
+    print("")
+    print(f"   1. python -m embulk_spark guess {seed} -o config.yml")
+    print("   2. python -m embulk_spark preview config.yml")
+    print("   3. python -m embulk_spark run config.yml")
+    print("")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -441,7 +483,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--grace-seconds", type=float, default=3600.0)
     sp.add_argument("--keep-snapshots", type=int, default=10)
 
+    sp = sub.add_parser(
+        "example",
+        help="create a sample csv + seed config to try the "
+             "guess/preview/run loop (reference cli/Command.java:7, "
+             "cli/EmbulkExample.java)",
+    )
+    sp.add_argument("path", nargs="?", default="embulk-example",
+                    help="directory to create (default: embulk-example)")
+
     args = ap.parse_args(argv)
+    if args.cmd == "example":
+        # no Spark session needed: pure file generation
+        return _cmd_example(args.path)
     spark = get_spark(f"embulk_spark_{args.cmd}", master=args.master)
 
     if args.cmd == "run":

@@ -48,59 +48,24 @@ PREVIEW_ROWS = 15  # exec/PreviewExecutor.java:45-47
 # config handling
 # ---------------------------------------------------------------------------
 
-#: Liquid subset: {{ var }} / {{ env.NAME }} with an optional
-#: `| default: "x"` filter, and {% include 'name' %} → _name.yml.liquid
-#: (the reference's include filesystem pattern, EmbulkRunner.java:393).
-_LIQUID_VAR = re.compile(
-    r"\{\{-?\s*([A-Za-z_][\w.]*)\s*"
-    r"(?:\|\s*default:\s*(?:'([^']*)'|\"([^\"]*)\"|([^}\s]+)))?\s*-?\}\}"
-)
-_LIQUID_INCLUDE = re.compile(r"\{%-?\s*include\s+'([^']+)'\s*-?%\}")
-
-
 def render_liquid(
     text: str,
     params: dict | None = None,
     include_dir: str | None = None,
 ) -> str:
-    """Render the Liquid template subset the reference applies to
+    """Render the Liquid templating the reference applies to
     ``*.yml.liquid`` configs (EmbulkRunner.java:369-405): template data is
     ``{'env': ENV}`` merged with ``params``; ``include`` resolves
     ``_<name>.yml.liquid`` next to the config. Unknown variables render
-    to their ``default:`` filter value, else empty — Liquid's lax mode."""
+    empty — Liquid's lax mode. The engine (functions/liquid.py) covers
+    the block language real configs use: ``{% if/elsif/else %}``,
+    ``{% unless %}``, ``{% for %}`` with ``forloop``, ``{% case/when %}``,
+    ``{% assign %}``, ``{% comment %}``, filters (default/upcase/…)."""
+    from .functions.liquid import render
+
     data: dict = {"env": dict(os.environ)}
     data.update(params or {})
-
-    def run(t: str, depth: int) -> str:
-        if depth > 5:
-            raise ValueError("liquid include nesting too deep")
-
-        def inc(m: re.Match) -> str:
-            fp = os.path.join(include_dir or ".", f"_{m.group(1)}.yml.liquid")
-            with open(fp) as f:
-                return run(f.read(), depth + 1)
-
-        t = _LIQUID_INCLUDE.sub(inc, t)
-
-        def sub(m: re.Match) -> str:
-            cur: Any = data
-            for part in m.group(1).split("."):
-                if isinstance(cur, dict) and part in cur:
-                    cur = cur[part]
-                else:
-                    cur = None
-                    break
-            if cur is None:
-                default = next(
-                    (g for g in (m.group(2), m.group(3), m.group(4)) if g is not None),
-                    "",
-                )
-                return default
-            return str(cur)
-
-        return _LIQUID_VAR.sub(sub, t)
-
-    return run(text, 0)
+    return render(text, data, include_dir)
 
 
 def load_config(path_or_text: str, template_params: dict | None = None) -> dict:

@@ -108,6 +108,15 @@ def read_csv(
     at spi/util/LineDecoder.java:24-35)."""
     columns = parser["columns"]
     schema = _declared_schema(columns)
+    if "allow_extra_columns" in parser or "allow_optional_columns" in parser:
+        # explicit column-count policies take the text path: Spark's csv
+        # source is silently lenient in both directions, so enforcing
+        # (or selectively allowing) count mismatches needs a probe parse
+        return _read_csv_count_policy(
+            spark, paths, parser, schema,
+            int(parser.get("skip_header_lines",
+                           1 if parser.get("header_line") else 0)),
+        )
     reader = (
         spark.read.schema(schema)
         .option("delimiter", parser.get("delimiter", ","))
@@ -157,11 +166,12 @@ def read_csv(
     return _apply_timestamp_formats(df, columns)
 
 
-def _read_csv_skip_n(
-    spark: SparkSession, paths: list[str], parser: dict, schema, skip: int
+def _csv_body_lines(
+    spark: SparkSession, paths: list[str], parser: dict, skip: int
 ) -> DataFrame:
-    """General skip_header_lines>1: text + per-file line index, then parse
-    with from_csv. Stays distributed (no driver materialization)."""
+    """One ``value`` column of data lines: comment lines stripped, then
+    ``skip`` header lines removed per file. Stays distributed (no driver
+    materialization)."""
     from pyspark.sql.window import Window
 
     txt = spark.read.text(paths).withColumn("_f", F.input_file_name())
@@ -176,8 +186,15 @@ def _read_csv_skip_n(
             # '#N/A,...' is a data row under marker '#' (see read_csv)
             keep = keep | F.col("value").startswith(nullstr)
         txt = txt.filter(keep)
-    w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
-    body = txt.withColumn("_i", F.row_number().over(w)).filter(F.col("_i") > skip)
+    if skip:
+        w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
+        txt = txt.withColumn("_i", F.row_number().over(w)).filter(
+            F.col("_i") > skip
+        )
+    return txt.select("value")
+
+
+def _csv_opts(parser: dict) -> dict:
     opts = {
         "delimiter": parser.get("delimiter", ","),
         "quote": parser.get("quote", '"'),
@@ -185,8 +202,98 @@ def _read_csv_skip_n(
     }
     if parser.get("null_string"):
         opts["nullValue"] = parser["null_string"]
+    return opts
+
+
+def _read_csv_skip_n(
+    spark: SparkSession, paths: list[str], parser: dict, schema, skip: int
+) -> DataFrame:
+    """General skip_header_lines>1: text + per-file line index, then parse
+    with from_csv. Stays distributed (no driver materialization)."""
+    body = _csv_body_lines(spark, paths, parser, skip)
     parsed = body.select(
-        F.from_csv(F.col("value"), schema.simpleString(), opts).alias("r")
+        F.from_csv(
+            F.col("value"), schema.simpleString(), _csv_opts(parser)
+        ).alias("r")
+    ).select("r.*")
+    return _apply_timestamp_formats(parsed, parser["columns"])
+
+
+def _read_csv_count_policy(
+    spark: SparkSession, paths: list[str], parser: dict, schema, skip: int
+) -> DataFrame:
+    """embulk-parser-csv column-count policies (public plugin contract,
+    declared /root/reference/build.gradle:30):
+
+    - ``allow_extra_columns`` (default false): a record with MORE fields
+      than the schema keeps the declared prefix; extras are dropped.
+      When false such a record is INVALID.
+    - ``allow_optional_columns`` (default false): a record with FEWER
+      fields than the schema null-fills the missing trailing columns.
+      When false such a record is INVALID.
+
+    Invalid records are skipped (Embulk logs-and-skips), or abort the
+    run when ``stop_on_invalid_record`` — the same policy the typed
+    parse applies to unparseable values.
+
+    Mechanics: the exact field count comes from masking quoted sections
+    (so quoted delimiters don't count) with a regexp built from the
+    dialect's quote/escape, then counting delimiters — pure JVM Columns,
+    one pass, no Python, no shuffle. A from_csv-based probe can't do
+    this: univocity parses an unquoted empty trailing token as null
+    regardless of nullValue, making ``a,b,`` indistinguishable from
+    ``a,b``."""
+    import re as _re
+
+    n = len(schema)
+    body = _csv_body_lines(spark, paths, parser, skip)
+    q = parser.get("quote", '"')
+    esc = parser.get("escape", '"')
+    delim = parser.get("delimiter", ",")
+    if q:
+        if esc and esc != q:
+            qre = (
+                _re.escape(q)
+                + f"(?:[^{_re.escape(q)}{_re.escape(esc)}]|{_re.escape(esc)}.)*"
+                + _re.escape(q)
+            )
+        else:  # quote-doubling dialect: "([^"]|"")*"
+            qre = (
+                _re.escape(q)
+                + f"(?:[^{_re.escape(q)}]|{_re.escape(q)}{_re.escape(q)})*"
+                + _re.escape(q)
+            )
+        masked = F.regexp_replace(F.col("value"), qre, "Q")
+    else:
+        masked = F.col("value")
+    n_fields = F.size(F.split(masked, _re.escape(delim), -1))
+    probed = body.withColumn("_nf", n_fields)
+    has_extra = F.col("_nf") > n
+    is_short = F.col("_nf") < n
+    bad = F.lit(False)
+    if not parser.get("allow_extra_columns", False):
+        bad = bad | has_extra
+    if not parser.get("allow_optional_columns", False):
+        bad = bad | is_short
+    if parser.get("stop_on_invalid_record"):
+        body = probed.withColumn(
+            "_ok",
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(
+                        F.lit("invalid record (column count): "),
+                        F.col("value"),
+                    )
+                ),
+            ).otherwise(F.lit(True)),
+        ).filter("_ok").select("value")
+    else:
+        body = probed.filter(~bad).select("value")
+    parsed = body.select(
+        F.from_csv(
+            F.col("value"), schema.simpleString(), _csv_opts(parser)
+        ).alias("r")
     ).select("r.*")
     return _apply_timestamp_formats(parsed, parser["columns"])
 

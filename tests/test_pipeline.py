@@ -457,6 +457,82 @@ def test_liquid_params_win_and_render_api():
     assert out == "x=n1 y=override"
 
 
+def test_liquid_if_for_case_blocks(monkeypatch):
+    """Full-Liquid block tags (EmbulkRunner.java:369-405 runs the real
+    Liquid gem): if/elsif/else, unless, for with forloop, case/when,
+    assign, comment, multi-clause conditions."""
+    monkeypatch.setenv("STAGE", "prod")
+    t = (
+        "{% if env.STAGE == 'prod' %}P{% elsif env.STAGE == 'dev' %}D"
+        "{% else %}N{% endif %}"
+        "|{% unless env.NOPE %}U{% endunless %}"
+        "|{% for c in cols %}{{ forloop.index }}{{ c }}"
+        "{% unless forloop.last %},{% endunless %}{% endfor %}"
+        "|{% case env.STAGE %}{% when 'dev', 'test' %}d"
+        "{% when 'prod' %}p{% else %}x{% endcase %}"
+        "|{% assign z = 'hi' | upcase %}{{ z }}"
+        "|{% comment %}gone{% endcomment %}end"
+        "|{% if env.STAGE == 'prod' and cols contains 'b' %}AND{% endif %}"
+        "|{% if env.STAGE == 'zz' or 2 > 1 %}OR{% endif %}"
+        "|{% for c in missing %}X{% else %}EMPTY{% endfor %}"
+    )
+    out = P.render_liquid(t, params={"cols": ["a", "b"]})
+    assert out == "P|U|1a,2b|p|HI|end|AND|OR|EMPTY"
+
+
+def test_liquid_conditional_config_runs_end_to_end(spark, tmp_path, monkeypatch):
+    """A guessed-config round-trip under conditionals: a .yml.liquid
+    config whose filter chain is stamped out by {% for %} and whose
+    output path switches on {% if %} loads and RUNS."""
+    src = tmp_path / "in_data.csv"
+    src.write_text("id,name,score\n1,ann,2.5\n2,bo,1.0\n")
+    monkeypatch.setenv("RUN_STAGE", "prod")
+    cfg_path = tmp_path / "pipe.yml.liquid"
+    cfg_path.write_text(
+        "in:\n"
+        "  type: file\n"
+        f"  path_prefix: {tmp_path}/in_\n"
+        "  parser:\n"
+        "    type: csv\n"
+        "    header_line: true\n"
+        "    columns:\n"
+        "{% for c in columns %}"
+        "      - {name: {{ c.name }}, type: {{ c.type }}}\n"
+        "{% endfor %}"
+        "filters:\n"
+        "{% if env.RUN_STAGE == 'prod' %}"
+        "  - {type: rename, columns: {name: who}}\n"
+        "{% else %}"
+        "  - {type: remove_columns, remove: [score]}\n"
+        "{% endif %}"
+        "out:\n"
+        "  type: file\n"
+        "{% if env.RUN_STAGE == 'prod' %}"
+        f"  path_prefix: {tmp_path}/out_prod\n"
+        "{% else %}"
+        f"  path_prefix: {tmp_path}/out_dev\n"
+        "{% endif %}"
+        "  formatter: {type: csv}\n"
+    )
+    cfg = P.load_config(
+        str(cfg_path),
+        template_params={
+            "columns": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": "string"},
+                {"name": "score", "type": "double"},
+            ]
+        },
+    )
+    assert cfg["filters"] == [{"type": "rename", "columns": {"name": "who"}}]
+    assert cfg["out"]["path_prefix"].endswith("out_prod")
+    P.run(spark, cfg)
+    import glob
+
+    files = glob.glob(f"{tmp_path}/out_prod*")
+    assert files, "prod output written"
+
+
 def test_json_root_digit_key_fallback(spark, tmp_path):
     """All-digit pointer token resolving an OBJECT key (not array index)."""
     from embulk_spark.sources.files import read_json
@@ -878,3 +954,108 @@ def test_list_input_files_uri_scheme(spark, tmp_path):
                     "columns": [{"name": "x", "type": "long"}]}},
     )
     assert df.count() == 3 and diff["last_path"].endswith("c.csv")
+
+
+# ---------------------------------------------------------------------------
+# embulk-parser-csv column-count policies (allow_extra_columns /
+# allow_optional_columns; plugin contract declared build.gradle:30)
+# ---------------------------------------------------------------------------
+
+def _count_policy_file(tmp_path):
+    p = tmp_path / "cp.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,ann,2.5\n"
+        "2,bo\n"                  # short (2 fields)
+        "3,cy,1.0,EXTRA\n"        # extra (4 fields)
+        "4,dee,\n"                # 3 fields, last empty: VALID
+        '5,"e,e",3.5\n'           # quoted delimiter: 3 fields
+        '6,"f""f",4.5,"x,y"\n'    # doubled quote + quoted extra
+    )
+    return str(p)
+
+
+_CP_COLS = [
+    {"name": "id", "type": "long"},
+    {"name": "name", "type": "string"},
+    {"name": "score", "type": "double"},
+]
+
+
+def test_csv_count_policy_strict_skips_both(spark, tmp_path):
+    from embulk_spark.sources.files import read_csv
+
+    p = _count_policy_file(tmp_path)
+    cfg = {"columns": _CP_COLS, "header_line": True,
+           "allow_extra_columns": False}
+    got = sorted(tuple(r) for r in read_csv(spark, [p], cfg).collect())
+    # trailing-empty row 4 has exactly 3 fields and MUST survive;
+    # quoted delimiters don't inflate the count
+    assert got == [(1, "ann", 2.5), (4, "dee", None), (5, "e,e", 3.5)]
+
+
+def test_csv_count_policy_allow_extra(spark, tmp_path):
+    from embulk_spark.sources.files import read_csv
+
+    p = _count_policy_file(tmp_path)
+    cfg = {"columns": _CP_COLS, "header_line": True,
+           "allow_extra_columns": True}
+    got = sorted(tuple(r) for r in read_csv(spark, [p], cfg).collect())
+    assert got == [
+        (1, "ann", 2.5), (3, "cy", 1.0), (4, "dee", None),
+        (5, "e,e", 3.5), (6, 'f"f', 4.5),
+    ]
+
+
+def test_csv_count_policy_allow_optional(spark, tmp_path):
+    from embulk_spark.sources.files import read_csv
+
+    p = _count_policy_file(tmp_path)
+    cfg = {"columns": _CP_COLS, "header_line": True,
+           "allow_optional_columns": True}
+    got = sorted(tuple(r) for r in read_csv(spark, [p], cfg).collect())
+    assert got == [
+        (1, "ann", 2.5), (2, "bo", None), (4, "dee", None), (5, "e,e", 3.5),
+    ]
+
+
+def test_csv_count_policy_stop_on_invalid(spark, tmp_path):
+    import pytest as _pytest
+
+    from embulk_spark.sources.files import read_csv
+
+    p = _count_policy_file(tmp_path)
+    cfg = {"columns": _CP_COLS, "header_line": True,
+           "allow_extra_columns": False, "stop_on_invalid_record": True}
+    with _pytest.raises(Exception, match="invalid record"):
+        read_csv(spark, [p], cfg).collect()
+
+
+def test_example_subcommand_guess_run_roundtrip(spark, tmp_path, capsys):
+    """`example` generates a sample corpus + seed config that the
+    guess → run loop completes on (reference cli/EmbulkExample.java:
+    the first command a new user types)."""
+    from embulk_spark import cli
+
+    base = str(tmp_path / "ex")
+    rc = cli.main(["example", base])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "seed.yml" in out and "sample_01.csv.gz" in out
+
+    seed = P.load_config(str(tmp_path / "ex" / "seed.yml"))
+    guessed = P.guess(spark, seed)
+    cols = {c["name"]: c["type"] for c in guessed["in"]["parser"]["columns"]}
+    assert cols["id"] == "long" and cols["time"] == "timestamp"
+    assert cols["comment"] == "string"
+    # run end-to-end into a file sink (stdout in the seed; override)
+    guessed["out"] = {
+        "type": "file",
+        "path_prefix": str(tmp_path / "out_"),
+        "formatter": {"type": "csv"},
+    }
+    P.run(spark, guessed)
+    import glob
+
+    files = glob.glob(str(tmp_path / "out_*"))
+    assert files
