@@ -1760,6 +1760,31 @@ def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract with the REAL vendored baseline JPEG
+    codec (functions/jpeg.py — marker walk, huffman entropy decode with
+    byte-unstuffing, dequantize, IDCT): synth real JPEGs whose BLOCK-
+    CONSTANT pixels make the lossy round trip closed-form (only the DC
+    coefficient survives; recon = clamp(2·round_half_away((v−128)/2) +
+    128) under Q00=16), so the DuckDB oracle recomputes the decoded
+    mean arithmetically — the decoder must agree with the encoder
+    through the actual bitstream. n_bytes dropped (huffman stream
+    length is not SQL arithmetic)."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_jpeg_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plumbing path for containers with no vendored codec (deterministic
     fake backend behind _decode_backend — rows-only check)."""
@@ -3343,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_sniff": _q_multimodal_sniff,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_png": _q_multimodal_decode_png,
+        "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_frames": _q_multimodal_frames,
         "audio_meta": _q_audio_meta,
@@ -4449,6 +4475,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, 'png' AS container, w AS width, h AS height,
                s / (3.0 * w * h) AS mean_luma
         FROM sums
+        """,
+        # multimodal_decode_jpeg: REAL vendored baseline JPEG codec; the
+        # fixture is block-constant so the lossy round trip is exact:
+        # only DC survives — dc = round-half-away((v-128)/2) (Q00=16,
+        # DC=8·(v-128) under T.81 DCT scaling), recon = clamp(2·dc+128).
+        # The mean is the exact integer pixel sum with ONE double
+        # division, matching the decoder's arithmetic bit-for-bit.
+        "multimodal_decode_jpeg": """
+        WITH g AS (
+          SELECT doc_id,
+                 1 + doc_id % 3 AS bw,
+                 1 + (doc_id * 5) % 3 AS bh
+          FROM documents
+        ),
+        blocks AS (
+          SELECT doc_id, bw, bh,
+                 (17 * x.range + 31 * y.range + doc_id) % 256 AS v
+          FROM g, range(3) x, range(3) y
+          WHERE x.range < bw AND y.range < bh
+        ),
+        recon AS (
+          SELECT doc_id, bw, bh,
+                 LEAST(255, GREATEST(0,
+                   2 * (CASE WHEN v >= 128
+                             THEN floor((v - 128) / 2.0 + 0.5)
+                             ELSE -floor((128 - v) / 2.0 + 0.5) END)
+                   + 128)) AS pv
+          FROM blocks
+        )
+        SELECT doc_id AS id, 'jpeg' AS container,
+               (8 * bw)::int AS width, (8 * bh)::int AS height,
+               sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
+        FROM recon
+        GROUP BY doc_id, bw, bh
         """,
         # multimodal_decode_fake / multimodal_frames: the stubbed codec
         # backend digests md5(UPPERCASE-HEX(bytes)) — ASCII-safe, so DuckDB

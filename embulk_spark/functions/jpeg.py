@@ -1,0 +1,608 @@
+"""Vendored baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+The dominant web image container gets a REAL decoder — same vendoring
+discipline as the PNG/BMP/Avro codecs (spec re-implementation from the
+public standard, no library): marker walk, DQT/DHT/SOF0/SOS/DRI
+parsing, huffman entropy decode with byte-unstuffing and restart
+markers, dequantize + inverse zigzag, IDCT via precomputed basis
+matrices (numpy, vectorized per block batch), level shift + clamp.
+Supports grayscale and 3-component YCbCr at any sampling factors up to
+4 (4:4:4, 4:2:2, 4:2:0, …). Raises ValueError on anything outside
+baseline (progressive SOF2, arithmetic coding, 12-bit) so the caller's
+fake-tier fallback stays honest.
+
+The encoder half is deliberately narrow — grayscale, no subsampling,
+standard Annex-K tables — because its job is FIXTURES: synthesizing
+deterministic real JPEGs whose decode features a SQL oracle can
+recompute. JPEG is lossy, so the fixture images are BLOCK-CONSTANT
+(every 8×8 block one value): a constant block survives the
+DCT→quantize→dequantize→IDCT round trip in closed form —
+only the DC coefficient is nonzero, and the reconstructed flat value is
+
+    recon(v) = clamp(2 * round_half_away((v - 128) / 2) + 128)
+
+with the standard luminance table's Q[0,0] = 16 (DC = 8·(v−128) for a
+constant block under T.81's DCT scaling; quantized with round-half-away;
+IDCT of a lone DC is flat DC·Q00/8). That closed form is what the
+DuckDB oracle evaluates, so the decoder must agree with the encoder
+through the real bitstream — huffman, stuffing, zigzag and all.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# spec constants (ITU-T T.81 Annex K — public standard tables)
+# ---------------------------------------------------------------------------
+
+#: K.1 luminance quantization table, natural (row-major) order
+STD_LUMA_QT = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+#: K.3.1 / K.3.2 typical luminance huffman tables: (BITS counts, values)
+STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+STD_DC_VALS = list(range(12))
+STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+_Z = []
+for s in range(15):
+    ks = range(s + 1)
+    for i in (ks if s % 2 else reversed(ks)):
+        r, c = i, s - i
+        if r < 8 and c < 8:
+            _Z.append((r, c))
+ZIGZAG = _Z
+
+#: orthonormal DCT-II basis A[u, x] = C(u)/2 · cos((2x+1)uπ/16);
+#: forward block DCT = A @ f @ A.T, inverse = A.T @ S @ A
+_A = np.zeros((8, 8))
+for u in range(8):
+    cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+    for x in range(8):
+        _A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+def _round_half_away(x: float) -> int:
+    return int(np.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+# ---------------------------------------------------------------------------
+# encoder (grayscale baseline — fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def _build_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 C.2 canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else (v + (1 << cat) - 1)
+    return cat, bits
+
+
+def _block_at(img: np.ndarray, bx: int, by: int) -> np.ndarray:
+    """8×8 block with edge replication for partial / out-of-plane blocks
+    (common encoder choice; MCU grids can extend past the plane)."""
+    h, w = img.shape
+    ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, h - 1)
+    xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, w - 1)
+    return img[np.ix_(ys, xs)].astype(np.float64)
+
+
+def _encode_block(bw, blk, pred, qt, dc_codes, ac_codes) -> int:
+    """DCT → quantize → huffman one block; returns the new DC pred."""
+    S = _A @ (blk - 128.0) @ _A.T
+    # snap float-DCT noise (±1e-12) so integer-valued coefficients
+    # quantize deterministically at exact .5 boundaries — the
+    # closed-form oracle depends on round-half-away of exact ratios
+    S = np.round(S * 1048576.0) / 1048576.0
+    q = np.array(
+        [
+            [_round_half_away(S[r, c] / qt[r, c]) for c in range(8)]
+            for r in range(8)
+        ],
+        dtype=np.int64,
+    )
+    diff = int(q[0, 0]) - pred
+    cat, bits = _magnitude(diff)
+    code, ln = dc_codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(bits, cat)
+    zz = [int(q[r, c]) for (r, c) in ZIGZAG[1:]]
+    last_nz = -1
+    for i, v in enumerate(zz):
+        if v:
+            last_nz = i
+    run = 0
+    for i, v in enumerate(zz):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(bits, cat)
+        run = 0
+    if last_nz < 62:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return int(q[0, 0])
+
+
+def _headers(width: int, height: int, comps: list[tuple[int, int, int]],
+             restart_interval: int = 0) -> bytes:
+    """SOI..SOS headers; comps = [(id, h_factor, v_factor)], all on the
+    Annex-K luminance tables (legal, fixture-grade)."""
+    out = bytearray(b"\xFF\xD8")
+    out += (
+        b"\xFF\xE0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zzq = bytes(int(STD_LUMA_QT[r, c]) for (r, c) in ZIGZAG)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + zzq
+    out += b"\xFF\xC0" + struct.pack(
+        ">HBHHB", 8 + 3 * len(comps), 8, height, width, len(comps)
+    )
+    for cid, hf, vf in comps:
+        out += bytes([cid, (hf << 4) | vf, 0])
+    for cls, bits, vals in (
+        (0x00, STD_DC_BITS, STD_DC_VALS),
+        (0x10, STD_AC_BITS, STD_AC_VALS),
+    ):
+        out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([cls]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, _, _ in comps:
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3F\x00"
+    return bytes(out)
+
+
+def encode_jpeg_gray(
+    width: int, height: int, pix_fn, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF, one 8-bit grayscale component, no subsampling,
+    Annex-K tables. ``pix_fn(x, y) -> 0..255``. ``restart_interval``
+    emits DRI + RSTn markers every that many MCUs (decoder-path
+    fixture)."""
+    dc_codes = _build_huff_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_huff_codes(STD_AC_BITS, STD_AC_VALS)
+    img = np.fromfunction(
+        np.vectorize(lambda y, x: pix_fn(int(x), int(y))), (height, width)
+    ).astype(np.float64)
+
+    out = bytearray(_headers(width, height, [(1, 1, 1)], restart_interval))
+    bw = _BitWriter()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.buf
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                pred = 0
+            pred = _encode_block(
+                bw, _block_at(img, bx, by), pred, STD_LUMA_QT,
+                dc_codes, ac_codes,
+            )
+            mcu += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def encode_jpeg_color420(width: int, height: int, rgb_fn) -> bytes:
+    """Baseline JFIF, 3-component YCbCr with 4:2:0 subsampling (Y 2×2,
+    chroma 1×1) — the dominant web-photo layout; decoder-path fixture.
+    ``rgb_fn(x, y) -> (r, g, b)``. JFIF BT.601 full-range conversion;
+    chroma planes are 2×2 box-averaged."""
+    dc_codes = _build_huff_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_huff_codes(STD_AC_BITS, STD_AC_VALS)
+    rgb = np.zeros((height, width, 3))
+    for y in range(height):
+        for x in range(width):
+            rgb[y, x] = rgb_fn(x, y)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    Cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cw, chh = (width + 1) // 2, (height + 1) // 2
+    # pad to even then 2x2 box average
+    Yp = np.pad(Y, ((0, height % 2), (0, width % 2)), mode="edge")
+    Cbp = np.pad(Cb, ((0, height % 2), (0, width % 2)), mode="edge")
+    Crp = np.pad(Cr, ((0, height % 2), (0, width % 2)), mode="edge")
+    cb = Cbp.reshape(chh, 2, cw, 2).mean(axis=(1, 3))
+    cr = Crp.reshape(chh, 2, cw, 2).mean(axis=(1, 3))
+
+    out = bytearray(
+        _headers(width, height, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+    )
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for byy in range(2):
+                for bxx in range(2):
+                    preds[0] = _encode_block(
+                        bw, _block_at(Yp, mx * 2 + bxx, my * 2 + byy),
+                        preds[0], STD_LUMA_QT, dc_codes, ac_codes,
+                    )
+            preds[1] = _encode_block(
+                bw, _block_at(cb, mx, my), preds[1], STD_LUMA_QT,
+                dc_codes, ac_codes,
+            )
+            preds[2] = _encode_block(
+                bw, _block_at(cr, mx, my), preds[2], STD_LUMA_QT,
+                dc_codes, ac_codes,
+            )
+    bw.flush()
+    out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder (general baseline)
+# ---------------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical huffman decode via (length-indexed min/max code) — the
+    T.81 F.2.2.3 DECODE procedure."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, br: "_BitReader") -> int:
+        code = br.bit()
+        length = 1
+        while length <= 16:
+            if code <= self.maxcode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+            code = (code << 1) | br.bit()
+            length += 1
+        raise ValueError("invalid huffman code")
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing; stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else None
+                )
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                    self.acc, self.n = 0xFF, 8
+                else:
+                    # marker reached: pad with 1-bits, don't consume
+                    # (F.2.2.5 — the final partial MCU drains on padding)
+                    self.acc, self.n = 0xFF, 8
+            else:
+                self.pos += 1
+                self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive_extend(self, cat: int) -> int:
+        if cat == 0:
+            return 0
+        v = 0
+        for _ in range(cat):
+            v = (v << 1) | self.bit()
+        if v < (1 << (cat - 1)):
+            v -= (1 << cat) - 1
+        return v
+
+    def align_restart(self) -> int:
+        """Byte-align and consume an RSTn marker; returns n."""
+        self.n = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            n = self.data[self.pos + 1] - 0xD0
+            self.pos += 2
+            return n
+        raise ValueError("expected restart marker")
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, float]:
+    """REAL baseline JPEG decode → (width, height, mean over the luma
+    component's reconstructed samples, cropped to the image size). Exact
+    integer sum with ONE double division — the BMP/PNG discipline.
+    Raises ValueError for non-baseline streams (progressive, arithmetic,
+    12-bit) and malformed data."""
+    if len(data) < 4 or data[0:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i : i + n]
+                if len(raw) != n:
+                    raise ValueError("bad DQT")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = (
+                        struct.unpack_from(">H", raw, 2 * k)[0] if pq else raw[k]
+                    )
+                qts[tq] = tbl
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("bad DHT")
+                (ac_tabs if cls else dc_tabs)[tid] = _HuffTable(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append({
+                    "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
+                })
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                data, pos + 2 + seglen, frame, scan, qts, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("no SOS in JPEG")
+
+
+def _decode_scan(
+    data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
+) -> tuple[int, int, float]:
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if not w or not h:
+        raise ValueError("zero-dimension JPEG")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks across, padded to MCU grid
+        c["bh"] = mcuy * c["v"]
+        planes[c["id"]] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.int64)
+
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    next_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                got = br.align_restart()
+                if got != next_rst:
+                    raise ValueError("restart marker out of sequence")
+                next_rst = (next_rst + 1) & 7
+                preds = {c["id"]: 0 for c in comps}
+            for comp, td, ta in scan:
+                qt = qts.get(comp["tq"])
+                dct = dc_tabs.get(td)
+                act = ac_tabs.get(ta)
+                if qt is None or dct is None or act is None:
+                    raise ValueError("missing table")
+                for byy in range(comp["v"]):
+                    for bxx in range(comp["h"]):
+                        S = np.zeros((8, 8), dtype=np.float64)
+                        cat = dct.decode(br)
+                        if cat > 11:
+                            raise ValueError("bad DC category")
+                        diff = br.receive_extend(cat)
+                        preds[comp["id"]] += diff
+                        S[0, 0] = preds[comp["id"]] * qt[0, 0]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            rr, cc = ZIGZAG[k]
+                            S[rr, cc] = br.receive_extend(s) * qt[rr, cc]
+                            k += 1
+                        blk = _A.T @ S @ _A
+                        px = np.clip(np.floor(blk + 128.5), 0, 255).astype(
+                            np.int64
+                        )
+                        by0 = (my * comp["v"] + byy) * 8
+                        bx0 = (mx * comp["h"] + bxx) * 8
+                        planes[comp["id"]][by0 : by0 + 8, bx0 : bx0 + 8] = px
+            mcu_count += 1
+    # luma = the first scan component, cropped to its nominal resolution
+    c0 = scan[0][0]
+    cw = (w * c0["h"] + hmax - 1) // hmax
+    ch = (h * c0["v"] + vmax - 1) // vmax
+    luma = planes[c0["id"]][:ch, :cw]
+    total = int(luma.sum(dtype=np.int64))
+    return int(w), int(h), total / float(cw * ch)
+
+
+# ---------------------------------------------------------------------------
+# SQL-recomputable synth fixture (block-constant images)
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Multiples of 8 so every block is full (no edge replication in the
+    closed form)."""
+    return 8 * (1 + doc_id % 3), 8 * (1 + (doc_id * 5) % 3)
+
+
+def synth_block_value(bx: int, by: int, doc_id: int) -> int:
+    return (17 * bx + 31 * by + doc_id) % 256
+
+
+def synth_jpeg_bytes(doc_id: int) -> bytes:
+    """Deterministic real baseline JPEG: block-constant grayscale whose
+    decoded mean is closed-form (see module docstring), so a SQL oracle
+    recomputes it without a decoder."""
+    w, h = synth_jpeg_dims(doc_id)
+    return encode_jpeg_gray(
+        w, h, lambda x, y: synth_block_value(x // 8, y // 8, doc_id)
+    )
+
+
+def reconstructed_flat_value(v: int) -> int:
+    """Closed-form round trip of a constant block value under the
+    standard luminance table (Q00 = 16): what the decoder must produce."""
+    dc = _round_half_away((v - 128) / 2.0)
+    return max(0, min(255, 2 * dc + 128))

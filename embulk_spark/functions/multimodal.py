@@ -342,6 +342,20 @@ def synth_png_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_jpeg_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real baseline JPEG bytes (fixture source
+    for the vendored JPEG decoder, functions/jpeg.py): block-constant
+    grayscale images whose lossy round trip is closed-form, so the SQL
+    oracle recomputes the decoded features arithmetically."""
+    from .jpeg import synth_jpeg_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 # ---------------------------------------------------------------------------
 # decode backend (stub boundary)
 # ---------------------------------------------------------------------------
@@ -383,7 +397,19 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
             # PNG-magic synthetic bytes: fall to the deterministic fake
             # tier, like every other container without a vendored codec
             pass
+    if b[:2] == b"\xFF\xD8":
+        try:
+            # vendored real baseline decoder (functions/jpeg.py): huffman
+            # + dequant + IDCT, grayscale/YCbCr, subsampling, restarts
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(b)
+        except ValueError:
+            # progressive/arithmetic or JPEG-magic synthetic bytes: fake
+            # tier, same policy as the PNG profile boundary
+            pass
     if not HAVE_PIL:
+        # GIF / WebP / non-baseline JPEG: no vendored codec — fake tier
         return _fake_image_decode(b)
     raise NotImplementedError(  # pragma: no cover
         "real PIL decode path: Image.open(io.BytesIO(b)) → size + mean luma; "
