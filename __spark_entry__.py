@@ -4277,6 +4277,11 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings, q WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
+        # ann_lsh_topk: multi-probe semantics (operators/ann.py::
+        # lsh_probe_buckets) — probe the n_probes = 2·P+1 = 9 buckets
+        # minimizing the summed |margin| of flipped sign bits (cost
+        # rounded to 6 decimals, ties by bucket id), then exact cosine
+        # within the probed buckets.
         "ann_lsh_topk": """
         WITH p AS (SELECT vec_id pid, embedding::double[] pv FROM embeddings WHERE vec_id IN (1,2,3,4)),
         q AS (SELECT embedding::double[] qv FROM embeddings WHERE vec_id = 0),
@@ -4286,15 +4291,27 @@ def oracle_sql() -> dict[str, str]:
                           THEN (1::bigint << (p.pid - 1)) ELSE 0 END) AS bucket_id
           FROM embeddings e, p WHERE e.vec_id <> 0 GROUP BY e.vec_id, ev
         ),
+        m AS (
+          SELECT p.pid, list_dot_product(q.qv, p.pv) AS margin FROM p, q
+        ),
         qb AS (
-          SELECT sum(CASE WHEN list_dot_product(q.qv, p.pv) > 0
-                          THEN (1::bigint << (p.pid - 1)) ELSE 0 END) AS qbucket
-          FROM p, q
+          SELECT sum(CASE WHEN margin > 0
+                          THEN (1::bigint << (pid - 1)) ELSE 0 END) AS qbucket
+          FROM m
+        ),
+        probes AS (
+          SELECT cand.range AS bucket
+          FROM range(16) cand, qb
+          ORDER BY round((SELECT sum(CASE WHEN (xor(cand.range, qb.qbucket) >> (m.pid - 1)) & 1 = 1
+                                          THEN abs(m.margin) ELSE 0 END)
+                          FROM m), 6) ASC,
+                   cand.range ASC
+          LIMIT 9
         )
         SELECT b.vec_id,
                round(list_dot_product(ev, qv)
                      / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-        FROM b, q, qb WHERE b.bucket_id = qb.qbucket
+        FROM b, q WHERE b.bucket_id IN (SELECT bucket FROM probes)
         ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
         """,
         "ann_ivf_topk": """
