@@ -1,0 +1,207 @@
+"""Scale-growth ("flatness") bench: the single strongest 100×-credibility
+artifact (VERDICT r2 item 2) — prove the O(Δ)-per-epoch claims stay flat
+while the table grows ≥10×.
+
+Protocol: a change stream of K epochs with a CONSTANT per-epoch Δ drawn
+from a url space much larger than one epoch (so almost every event keys
+a new url and the table grows ~linearly, ≥10× from the early-epoch
+window to the late one). Per epoch, four components run and are timed
+separately:
+
+  (a) replay        — ``merge_epoch`` (dedup → extract → delta write →
+                      atomic commit) on the epoch-pruned slice
+  (b) neardup fold  — ``SignatureIndex.update_from_lake_epoch``
+                      (MinHash/LSH of the epoch's changed docs only)
+  (c) agg-view fold — ``AggView.update_from_lake_epoch`` (signed group
+                      deltas from pre/post winners of changed urls)
+  (d) compact_hot   — partial compaction of the buckets where deltas
+                      concentrate (O(hot buckets + Δ))
+
+DESIGN_SCALE.md argues each is O(Δ + touched slices), independent of
+cumulative table size. The gate: for each component, the median
+per-epoch wall time over the LAST quarter of epochs must be within
+±20% of the median over epochs 4..K/4 (skipping warm-up), while
+url cardinality grows ≥10× between those windows.
+
+Usage: python bench/flatness.py [--epochs 24] [--events-per-epoch 350000]
+       [--cpus 32]
+Appends a section to BENCH/BASELINE.md and writes BENCH/FLATNESS.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
+
+from scaling import _cpu_times  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--events-per-epoch", type=int, default=350_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--url-mult", type=int, default=18,
+                    help="url-space size = url_mult × events_per_epoch")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from embulk_spark.operators.aggview import AggView
+    from embulk_spark.operators.incremental import SignatureIndex
+    from embulk_spark.session import get_spark
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        "flatness",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+        extra_conf=(
+            {"spark.local.dir": os.path.join(scratch, "spark_flat")}
+            if scratch
+            else {}
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="flatness_", dir=scratch)
+    K = args.epochs
+    epb = args.events_per_epoch
+    n_events = K * epb
+    n_urls = args.url_mult * epb
+
+    events_path = os.path.join(work, "events")
+    stream = change_stream(
+        spark, n_events, n_urls, K, num_partitions=2 * args.cpus
+    )
+    stream.write.partitionBy("epoch").mode("overwrite").parquet(events_path)
+    events = spark.read.parquet(events_path)
+
+    table = ParquetLakeTable(
+        spark, os.path.join(work, "table"), n_buckets=args.cpus,
+        # flatness measures the EXPLICIT compact_hot leg; disable the
+        # automatic full-compaction trigger so (a) stays pure replay
+        compact_min_deltas=10_000,
+    )
+    sig = SignatureIndex(
+        spark, os.path.join(work, "sig"), id_col="url", id_type="string",
+        order_cols=["warc_ts", "seq"],
+    )
+    view = AggView(
+        spark, os.path.join(work, "view"),
+        key_sql="parse_url(url, 'HOST')",
+        measures={"n_rows": "1", "text_bytes": "length(text)"},
+    )
+
+    per_epoch: list[dict] = []
+    sizes: dict[int, int] = {}
+    c0 = _cpu_times()
+    for e in range(K):
+        ev = events.filter(F.col("epoch") == e).drop("epoch")
+        row = {"epoch": e}
+        t0 = time.perf_counter()
+        m = table.merge_epoch(ev, e)
+        row["replay_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sig.update_from_lake_epoch(table, e)
+        row["neardup_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        view.update_from_lake_epoch(table, e)
+        row["aggview_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        table.compact_hot()
+        row["compact_s"] = round(time.perf_counter() - t0, 3)
+        row["keys_in_batch"] = m.get("keys_in_batch")
+        per_epoch.append(row)
+        if e % 4 == 3 or e == K - 1:
+            # size checkpoint OUTSIDE the timed region
+            sizes[e] = table.published().count()
+        print(json.dumps(row), flush=True)
+    c1 = _cpu_times()
+    jif = max(1, c1[0] - c0[0])
+    steal = round(100 * (c1[1] - c0[1]) / jif, 1)
+    syspct = round(100 * (c1[2] - c0[2]) / jif, 1)
+
+    early = range(3, max(4, K // 4))
+    late = range(K - max(1, K // 4), K)
+    gates = {}
+    for comp in ("replay_s", "neardup_s", "aggview_s", "compact_s"):
+        em = statistics.median(per_epoch[e][comp] for e in early)
+        lm = statistics.median(per_epoch[e][comp] for e in late)
+        gates[comp] = {
+            "early_median_s": round(em, 3),
+            "late_median_s": round(lm, 3),
+            "ratio": round(lm / em, 3) if em else None,
+            "flat_within_20pct": bool(em and 0.8 <= lm / em <= 1.2),
+        }
+    first_ck = min(sizes)
+    growth = round(sizes[K - 1] / sizes[first_ck], 1)
+    report = {
+        "epochs": K,
+        "events_per_epoch": epb,
+        "url_space": n_urls,
+        "cpus": args.cpus,
+        "table_rows_checkpoints": {str(k): v for k, v in sorted(sizes.items())},
+        "growth_factor_first_to_last_checkpoint": growth,
+        "per_epoch": per_epoch,
+        "gates": gates,
+        "host_steal_pct": steal,
+        "host_sys_pct": syspct,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "FLATNESS.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    lines = [
+        "",
+        "## Scale-growth flatness (O(Δ) per epoch while the table grows)",
+        "",
+        f"{K} epochs × {epb:,} events, url space {n_urls:,} (constant Δ, "
+        f"~all-new keys), {args.cpus} cores, steal {steal}% / sys {syspct}%. "
+        f"Table grew {growth}× between the first and last checkpoint "
+        f"({sizes[first_ck]:,} → {sizes[K-1]:,} live rows). Per-epoch wall "
+        "medians, early window (epochs "
+        f"{early.start}–{early.stop - 1}) vs late ({late.start}–{late.stop - 1}):",
+        "",
+        "| component | early median s | late median s | late/early | flat ±20% |",
+        "|---|---|---|---|---|",
+    ]
+    label = {
+        "replay_s": "replay (merge_epoch)",
+        "neardup_s": "incremental neardup fold",
+        "aggview_s": "agg-view fold",
+        "compact_s": "compact_hot",
+    }
+    for comp, g in gates.items():
+        lines.append(
+            f"| {label[comp]} | {g['early_median_s']} | {g['late_median_s']} "
+            f"| {g['ratio']} | {'PASS' if g['flat_within_20pct'] else 'FAIL'} |"
+        )
+    lines += [
+        "",
+        "Full per-epoch series in `BENCH/FLATNESS.json`. The gate pins the "
+        "DESIGN_SCALE.md claim: per-epoch cost tracks Δ, not cumulative "
+        "table size — the property that makes the 10^10-event design "
+        "point a linear extrapolation instead of a hope.",
+        "",
+    ]
+    with open(args.out, "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"growth": growth, "gates": gates}))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,12 +18,16 @@ Two layers:
   (``decode_image_features``, ``resize_images``, ``sample_frames``): real
   Spark plumbing — explicit output schemas, ``mapInPandas`` with
   Arrow-batched pandas iterators, one Python invocation per batch. The
-  actual codec call is isolated in ``_decode_backend``: when a real decoder
-  library (PIL) is importable it is used; in this container it is not, so a
-  clearly-marked DETERMINISTIC FAKE decodes instead (pure function of the
-  bytes: stable across partitioning/retries, so tests and exactly-once
-  replay semantics hold). Swapping in the real backend changes no schema,
-  no partitioning, no batch shape.
+  actual codec call is isolated in ``_decode_backend``: BMP, PNG and
+  baseline JPEG decode for REAL via vendored spec re-implementations
+  (``decode_bmp24`` / ``decode_png`` / ``functions/jpeg.py`` — the three
+  containers covering the overwhelming majority of web images); when a
+  real decoder library (PIL) is importable it covers the rest; in this
+  container it is not, so the remaining containers (GIF, WebP,
+  non-baseline JPEG) take a clearly-marked DETERMINISTIC FAKE (pure
+  function of the bytes: stable across partitioning/retries, so tests
+  and exactly-once replay semantics hold). Swapping backends changes no
+  schema, no partitioning, no batch shape.
 
 At 100 TB scale the plumbing is the part that matters: media bytes never
 hit the driver, flow Arrow-batched through Python only in the decode

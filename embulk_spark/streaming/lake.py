@@ -1679,6 +1679,15 @@ class ParquetLakeTable:
         out["update_set"] = sorted(set_exprs)
         return out
 
+    def purge_txns(self) -> set[str]:
+        """Transaction ids of completed purges (redelivery guard)."""
+        d = os.path.join(self.path, "purge_txns")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            n[:-5] for n in os.listdir(d) if n.endswith(".json")
+        }
+
     def purge_keys(
         self,
         urls: list[str] | str,
@@ -1686,6 +1695,7 @@ class ParquetLakeTable:
         expire_history: bool = True,
         drop_tags: bool = False,
         purge_quarantine: bool = True,
+        txn_id: str | None = None,
     ) -> dict:
         """PHYSICAL right-to-be-forgotten: remove every stored version of
         the given keys from disk — not just their visibility.
@@ -1710,10 +1720,22 @@ class ParquetLakeTable:
         serving the keys) unless ``drop_tags``; refuses when branches
         exist (their refs pin files independently — purge each branch,
         or fold it first). Iceberg analogue: DELETE + expire_snapshots +
-        rewrite_data_files + remove_orphan_files as ONE compliance verb."""
+        rewrite_data_files + remove_orphan_files as ONE compliance verb.
+
+        ``txn_id``: redelivery guard for at-least-once admin pipelines
+        (the same contract as epoch ids on ``merge_epoch``). A purge is
+        NOT an epoch — blindly re-running a COMPLETED purge after later
+        commits would erase data written since (a new request, not a
+        redelivery). With a txn_id the completion is recorded
+        (create-exclusive sidecar, written only after the purge fully
+        finished) and a redelivery skips; a crash mid-purge leaves the
+        txn unrecorded, so the redelivery correctly re-runs the
+        incomplete purge."""
         keys = sorted({urls} if isinstance(urls, str) else set(urls))
         if not keys:
             raise ValueError("purge_keys needs at least one key")
+        if txn_id is not None and txn_id in self.purge_txns():
+            return {"skipped_duplicate_txn": True, "txn_id": txn_id}
         bd = self._branches_dir()
         branches = sorted(os.listdir(bd)) if os.path.isdir(bd) else []
         if branches:
@@ -1774,6 +1796,14 @@ class ParquetLakeTable:
         if expire_history:
             out["expired"] = self.expire_snapshots(keep_last=1)
             out["orphans"] = self.cleanup_orphans(grace_seconds=0.0)
+        if txn_id is not None:
+            d = os.path.join(self.path, "purge_txns")
+            os.makedirs(d, exist_ok=True)
+            _atomic_create_json(
+                os.path.join(d, f"{txn_id}.json"),
+                {"keys": len(keys), "completed": True},
+            )
+            out["txn_id"] = txn_id
         return out
 
     def apply_snapshot(

@@ -313,3 +313,43 @@ def test_rewrite_dir_excluding_heals_then_purges(spark, tmp_path):
         p for p in os.listdir(tmp_path) if ".old" in p or ".purge" in p
     ]
     assert leftovers == []
+
+
+def test_purge_txn_guard_makes_redelivery_safe(spark, tmp_path):
+    """purge_keys(txn_id=...) records completion and skips a redelivery —
+    so an at-least-once admin pipeline can never erase data written
+    AFTER the purge by blindly re-running it (the crash-fuzz double-
+    fault scenario)."""
+    import datetime
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    def ev(spark, e, urls):
+        rows = [
+            (e * 10 + i, "U", u, datetime.datetime(2026, 6, e, 12, i),
+             f"<html>{u} v{e}</html>".encode(), "en")
+            for i, u in enumerate(urls)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "seq long, op string, url string, warc_ts timestamp, "
+            "html binary, lang string",
+        )
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    t.merge_epoch(ev(spark, 1, ["a", "b", "c"]), 1)
+    r1 = t.purge_keys(["b"], txn_id="gdpr-42")
+    assert r1.get("txn_id") == "gdpr-42"
+    assert "gdpr-42" in t.purge_txns()
+    # the purged key re-enters via a later epoch
+    t.merge_epoch(ev(spark, 2, ["b"]), 2)
+    # blind redelivery of the SAME purge request: must skip, not erase
+    r2 = t.purge_keys(["b"], txn_id="gdpr-42")
+    assert r2["skipped_duplicate_txn"]
+    urls = {r["url"] for r in t.published().collect()}
+    assert urls == {"a", "b", "c"}
+    # a NEW txn id is a new request and purges again
+    r3 = t.purge_keys(["b"], txn_id="gdpr-43")
+    assert not r3.get("skipped_duplicate_txn")
+    urls = {r["url"] for r in t.published().collect()}
+    assert urls == {"a", "c"}
