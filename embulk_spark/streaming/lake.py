@@ -3576,7 +3576,8 @@ class ParquetLakeTable:
         return os.path.join(self.path, "branches")
 
     def create_branch(
-        self, name: str, *, at_version: int | None = None
+        self, name: str, *, at_version: int | None = None,
+        if_not_exists: bool = False,
     ) -> dict:
         """Fork a branch from this ref's snapshot ``at_version`` (default:
         current head). The branch is an independent snapshot namespace
@@ -3586,16 +3587,43 @@ class ParquetLakeTable:
         never see it until :meth:`fast_forward`. Use cases: multi-epoch
         backfill audited as a whole, schema-migration rehearsal, an
         always-auditable staging lane (Iceberg's audit-branch workflow).
-        Create-exclusive: an existing name raises."""
+
+        Crash-safe: the seed snapshot writes FIRST, ``BRANCH.json`` is
+        the create-exclusive commit point last — a crash in between
+        leaves an invisible torn dir (``branches()`` ignores dirs with
+        no BRANCH.json) that a redelivery completes. An existing name
+        raises; ``if_not_exists=True`` skips instead (the redelivery
+        contract for at-least-once admin pipelines — CREATE BRANCH IF
+        NOT EXISTS)."""
         if not name or name == "main" or "/" in name or name.startswith("."):
             raise ValueError(f"invalid branch name {name!r}")
+        bdir = os.path.join(self._branches_dir(), name)
+        if os.path.exists(os.path.join(bdir, "BRANCH.json")):
+            if if_not_exists:
+                with open(os.path.join(bdir, "BRANCH.json")) as f:
+                    meta = json.load(f)
+                return {
+                    "branch": name,
+                    "fork_version": meta.get("fork_version"),
+                    "skipped_existing": True,
+                }
+            raise ValueError(f"branch {name!r} already exists")
         snap = (
             self.snapshot_at(at_version) if at_version is not None
             else self.current_snapshot()
         )
-        bdir = os.path.join(self._branches_dir(), name)
         sdir = os.path.join(bdir, "snapshots")
         os.makedirs(sdir, exist_ok=True)
+        # seed first: the fork snapshot, verbatim (snapshots are self-
+        # contained manifests, so the branch never reads main's snapshot
+        # dir again). Idempotent under redelivery: a leftover seed from
+        # a crashed attempt is the same immutable content.
+        try:
+            _atomic_create_json(
+                os.path.join(sdir, f"v{snap['version']:08d}.json"), snap
+            )
+        except FileExistsError:
+            pass
         meta = {
             "name": name,
             "fork_ref": self.ref,
@@ -3603,11 +3631,6 @@ class ParquetLakeTable:
             "created_at": time.time(),
         }
         _atomic_create_json(os.path.join(bdir, "BRANCH.json"), meta)
-        # seed: the fork snapshot, verbatim (snapshots are self-contained
-        # manifests, so the branch never reads main's snapshot dir again)
-        _atomic_create_json(
-            os.path.join(sdir, f"v{snap['version']:08d}.json"), snap
-        )
         return {"branch": name, "fork_version": snap["version"]}
 
     def branch(self, name: str) -> "ParquetLakeTable":

@@ -185,3 +185,45 @@ def test_cli_branch_workflow(spark, tmp_path, capsys):
     assert {(r.url, r.seq) for r in table.published().collect()} == {
         (r.url, r.seq) for r in br.published().collect()
     }
+
+
+def test_create_branch_crash_safe_and_redeliverable(spark, tmp_path):
+    """Seed-first write order: a crash between the seed snapshot and
+    BRANCH.json leaves an INVISIBLE torn dir that a redelivery
+    completes; if_not_exists makes redelivery of a completed create a
+    skip (CREATE BRANCH IF NOT EXISTS)."""
+    import datetime
+    import os
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    rows = [(1, "U", "a", datetime.datetime(2026, 7, 1), b"<html>x</html>",
+             "en")]
+    ev = spark.createDataFrame(
+        rows, "seq long, op string, url string, warc_ts timestamp, "
+              "html binary, lang string")
+    t.merge_epoch(ev, 1)
+
+    # simulate the crash window: seed written, BRANCH.json not
+    snap = t.current_snapshot()
+    bdir = os.path.join(t.path, "branches", "audit")
+    os.makedirs(os.path.join(bdir, "snapshots"))
+    import json as _json
+
+    with open(os.path.join(bdir, "snapshots",
+                           f"v{snap['version']:08d}.json"), "w") as f:
+        _json.dump(snap, f)
+    assert "audit" not in t.branches()  # torn dir is invisible
+
+    # redelivery completes the create despite the leftover seed
+    r = t.create_branch("audit", if_not_exists=True)
+    assert r["branch"] == "audit" and "audit" in t.branches()
+    # redelivery of the COMPLETED create skips
+    r2 = t.create_branch("audit", if_not_exists=True)
+    assert r2["skipped_existing"]
+    # and without the flag, a duplicate create raises a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        t.create_branch("audit")

@@ -61,7 +61,7 @@ def _extra_sequences(spark):
         ],
         "branch_fast_forward": [
             ("merge1", lambda t: t.merge_epoch(ev(1), 1)),
-            ("mkbranch", lambda t: t.create_branch("audit")),
+            ("mkbranch", lambda t: t.create_branch("audit", if_not_exists=True)),
             ("merge2b", lambda t: t.branch("audit").merge_epoch(ev(2), 2)),
             ("ff", lambda t: t.fast_forward("audit")),
             ("merge3", lambda t: t.merge_epoch(ev(3), 3)),
@@ -108,8 +108,11 @@ def main() -> int:
                 "seconds": round(time.time() - t1, 1),
             }
             report["total_interleavings"] += n
-        except AssertionError as e:
-            report["sequences"][name] = {"ok": False, "error": str(e)[:500]}
+        except Exception as e:  # a sequence failure must not kill the sweep
+            report["sequences"][name] = {
+                "ok": False,
+                "error": f"{type(e).__name__}: {e}"[:500],
+            }
             report["failures"] += 1
         print(
             f"{name}: {report['sequences'][name]}",
