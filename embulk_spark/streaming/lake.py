@@ -3718,6 +3718,30 @@ class ParquetLakeTable:
             while True:
                 cur = self.current_snapshot()
                 if cur["version"] != meta["fork_version"]:
+                    # redelivery check BEFORE conflicting: a fast_forward
+                    # that committed and crashed before returning must
+                    # skip on redelivery, not refuse its own work — scan
+                    # the ref's history since the fork for the adoption
+                    # record of exactly this branch head
+                    for v in range(
+                        meta["fork_version"] + 1, cur["version"] + 1
+                    ):
+                        try:
+                            m = (
+                                self.snapshot_at(v).get("metrics") or {}
+                            )
+                        except (OSError, ValueError, KeyError):
+                            continue
+                        if (
+                            m.get("fast_forward") == name
+                            and m.get("from_branch_version")
+                            == head["version"]
+                        ):
+                            return {
+                                "fast_forward": name,
+                                "version": v,
+                                "skipped_duplicate": True,
+                            }
                     raise CommitConflict(
                         f"{self.ref} advanced past the fork point "
                         f"(v{meta['fork_version']} → v{cur['version']}) — "

@@ -227,3 +227,39 @@ def test_create_branch_crash_safe_and_redeliverable(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already exists"):
         t.create_branch("audit")
+
+
+def test_fast_forward_redelivery_skips(spark, tmp_path):
+    """A fast_forward that committed but crashed before returning must
+    SKIP on redelivery (the adoption record is in the ref's history),
+    while a genuinely-advanced main still conflicts."""
+    import datetime
+
+    import pytest as _pytest
+
+    from embulk_spark.streaming.lake import CommitConflict, ParquetLakeTable
+
+    def ev(e, url):
+        rows = [(e * 10, "U", url, datetime.datetime(2026, 7, e, 9, 0),
+                 f"<html>{url} v{e}</html>".encode(), "en")]
+        return spark.createDataFrame(
+            rows, "seq long, op string, url string, warc_ts timestamp, "
+                  "html binary, lang string")
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    t.merge_epoch(ev(1, "a"), 1)
+    t.create_branch("audit")
+    t.branch("audit").merge_epoch(ev(2, "b"), 2)
+    r1 = t.fast_forward("audit")
+    assert r1.get("epochs_adopted") == [2]
+    # redelivery (crash after commit, before return): skip, not conflict
+    r2 = t.fast_forward("audit")
+    assert r2["skipped_duplicate"] and r2["version"] == r1["version"]
+    # redelivery still skips after main advances further
+    t.merge_epoch(ev(3, "c"), 3)
+    r3 = t.fast_forward("audit")
+    assert r3["skipped_duplicate"]
+    # but NEW branch work after main advanced is a real conflict
+    t.branch("audit").merge_epoch(ev(4, "d"), 4)
+    with _pytest.raises(CommitConflict):
+        t.fast_forward("audit")
