@@ -92,8 +92,17 @@ class AggView:
         cols += [f"{m} {self.measure_type}" for m in sorted(self.measures)]
         return ", ".join(cols)
 
-    def _aggregate(self, rows: DataFrame) -> DataFrame:
+    def _aggregate(self, rows: DataFrame, *, projected: bool = False) -> DataFrame:
+        """``projected=True``: ``rows`` already carries the key and
+        per-row measure values as columns (the read(project=) fast
+        path); just sum per key."""
         live = rows.filter(~F.col("is_deleted"))
+        if projected:
+            aggs = [
+                F.sum(F.col(name).cast(self.measure_type)).alias(name)
+                for name in sorted(self.measures)
+            ]
+            return live.groupBy(F.col(self.key_name)).agg(*aggs)
         aggs = [
             F.sum(F.expr(sql).cast(self.measure_type)).alias(name)
             for name, sql in sorted(self.measures.items())
@@ -148,14 +157,29 @@ class AggView:
             r["bkt"] for r in changed.select("bkt").distinct().collect()
         )
         urls = changed.select("url").distinct()
-        post = table.read(buckets=bkts, version=v).join(
-            urls, "url", "left_semi"
+        # Two pushdowns below the winner resolution (bench/flatness.py
+        # measured the fold growing 2.2× over a 4.4× table growth
+        # without them):
+        # - keys= applies the changed-url semi-join to the RAW rows, so
+        #   the max_by agg runs over the changed urls' own version
+        #   chains, not the whole bucket slice;
+        # - project= computes the key and per-row measure values BEFORE
+        #   the dedup, so the heavy payload columns (html, multi-KB per
+        #   row) prune out of the scan and the agg buffers carry a few
+        #   bytes per row instead of page payloads.
+        project = {
+            self.key_name: F.expr(self.key_sql).cast(self.key_type),
+            **{
+                m: F.expr(sql)
+                for m, sql in sorted(self.measures.items())
+            },
+        }
+        post = table.read(buckets=bkts, version=v, keys=urls, project=project)
+        pre = table.read(
+            buckets=bkts, version=v - 1, keys=urls, project=project
         )
-        pre = table.read(buckets=bkts, version=v - 1).join(
-            urls, "url", "left_semi"
-        )
-        a_post = self._aggregate(post)
-        a_pre = self._aggregate(pre)
+        a_post = self._aggregate(post, projected=True)
+        a_pre = self._aggregate(pre, projected=True)
         k = self.key_name
         joined = a_post.alias("p").join(
             a_pre.alias("q"),

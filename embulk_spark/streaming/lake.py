@@ -628,6 +628,7 @@ class ParquetLakeTable:
         *,
         version: int | None = None,
         project: dict[str, Column] | None = None,
+        keys: DataFrame | None = None,
     ) -> DataFrame:
         """Merged state including tombstones; ``buckets`` prunes;
         ``version`` time-travels to an older snapshot (files are
@@ -642,7 +643,16 @@ class ParquetLakeTable:
         hold the few projected bytes instead of full html/text payloads,
         and untouched payload columns prune out of the scan entirely —
         at 10^10 rows the difference between hashing a table and
-        re-materializing one."""
+        re-materializing one.
+
+        ``keys``: a one-column ``url`` frame; rows restrict to those
+        urls via a left-semi join applied to the RAW rows BEFORE the
+        dedup (sound: the per-url winner among a url's own rows is the
+        winner, period). This is the incremental-fold fast path
+        (aggview): the max_by aggregation then runs over the keys' own
+        version chains instead of the whole bucket slice, and Spark's
+        runtime bloom-filter join injection can skip parquet row groups
+        on the scan side — O(Δ-rows aggregated), not O(slice)."""
         snap = (
             self.snapshot_at(version) if version is not None
             else self.current_snapshot()
@@ -650,6 +660,12 @@ class ParquetLakeTable:
         cur = self.schema(snap)
         base = self._base_df(snap, buckets)
         delta = self._delta_df(snap, buckets)
+        if keys is not None:
+            kdf = keys.select("url").distinct()
+            if base is not None:
+                base = base.join(kdf, "url", "left_semi")
+            if delta is not None:
+                delta = delta.join(kdf, "url", "left_semi")
         if project is not None:
             keep = [F.col("url"), F.col("warc_ts"), F.col("seq"),
                     F.col("is_deleted")]
