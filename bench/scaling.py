@@ -236,6 +236,22 @@ def main() -> None:
         print("capacity", json.dumps(cap), flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # preserve custom sections other tools appended (flatness bench,
+    # round-headline notes) across this file's full rewrite
+    preserved = ""
+    if os.path.exists(args.out):
+        prev = open(args.out).read()
+        for marker in ("\n## Round-3", "\n## Scale-growth flatness"):
+            i = prev.find(marker)
+            if i >= 0:
+                ends = [
+                    k for k in (
+                        prev.find("\n## ", i + 1),
+                        prev.find("\n```json", i),
+                    )
+                    if k > i
+                ]
+                preserved += prev[i: min(ends) if ends else len(prev)]
     lo, hi = HEADLINE
     lines = [
         "# BENCH/BASELINE — measured throughput & scaling efficiency",
@@ -257,9 +273,19 @@ def main() -> None:
         "the guest's vCPUs are preempted without a paravirt steal clock tick,",
         "and the slowdown surfaces only as unattributed guest **sys%**",
         "inflation (40-57% sys vs ~15-20% in clean windows) with 3-6x replay",
-        "swings on identical configs. bench.py therefore gates its best-of-N",
-        "attempts on steal% AND sys%; treat any leg with sys% far above ~20%",
+        "swings on identical configs. Treat any leg with sys% far above ~20%",
         "as poisoned regardless of steal.",
+        "",
+        "**Pre-registered attempt policy (round 3 onward):** `bench.py` runs",
+        "exactly 3 replay attempts (`BENCH_ATTEMPTS`, default 3) — no",
+        "data-dependent early stop, no retry-until-clean — and reports BOTH",
+        "the best and the median events/sec plus every attempt's seconds /",
+        "steal% / sys% in `cdc_replay_attempts`. The headline remains the",
+        "best attempt (the estimator least biased by co-tenant interference",
+        "on a machine we don't control), but the fixed attempt count and the",
+        "published per-attempt record make the selection rule immune to",
+        "cherry-picking claims: any reader can recompute the median or apply",
+        "their own cleanliness gate from the recorded attempts.",
         "",
         f"**Headline (north-rule N vs 4N): N={lo} vs 4N={hi} cores.**",
         f"Efficiency = (tp_{hi}/tp_{lo}) / {hi // lo}; gate >= 0.8. Both",
@@ -344,6 +370,11 @@ def main() -> None:
         "",
         f"Generated {time.strftime('%Y-%m-%d %H:%M:%S')} on a 32-vCPU,"
         " 128 GiB sandbox VM.",
+        "",
+    ]
+    if preserved:
+        lines.append(preserved)
+    lines += [
         "",
         "```json",
         json.dumps(results, indent=2),
