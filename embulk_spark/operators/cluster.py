@@ -67,7 +67,12 @@ def connected_components(
     intermediate label state converges to the same fixpoint, so resuming
     mid-propagation is sound; the converged-detection round re-runs
     once, costing one extra join over the small label frame)."""
-    from .graph import checkpoint_round, last_completed_round
+    from .graph import (
+        checkpoint_manifest_gate,
+        checkpoint_round,
+        edge_fingerprint,
+        last_completed_round,
+    )
 
     edges = symmetrize(pairs, id_a, id_b).localCheckpoint(eager=True)
     labels = (
@@ -77,12 +82,32 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     start = 0
-    done = last_completed_round(reliable_checkpoint_dir, max_iter)
+    # max_iter deliberately NOT in the fingerprint: min-label propagation
+    # from any intermediate state converges to the same fixpoint, so a
+    # prior run's rounds are valid regardless of its cap. Edge content
+    # must match exactly (stale-dir resume → wrong components, silently).
+    resume_ok = checkpoint_manifest_gate(
+        reliable_checkpoint_dir,
+        {
+            "kind": "connected_components",
+            **edge_fingerprint(edges, "src", "dst"),
+        },
+    )
+    done = (
+        last_completed_round(reliable_checkpoint_dir, max_iter)
+        if resume_ok
+        else None
+    )
     if done is not None:
         labels = pairs.sparkSession.read.parquet(
             os.path.join(reliable_checkpoint_dir, f"round={done}")
         ).select("id", "comp")
-        start = done
+        # cap at max_iter-1: a prior run that converged exactly at round
+        # max_iter leaves round=max_iter checkpointed; resuming with
+        # start=max_iter would skip the loop body and raise
+        # "did not converge" for a run that in fact converged. Re-running
+        # the converged round is idempotent (changed==0 → return).
+        start = min(done, max_iter - 1)
     for _round in range(start, max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")

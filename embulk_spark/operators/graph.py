@@ -29,10 +29,55 @@ whole job is O(iters) shuffles of the edge list regardless of N.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def edge_fingerprint(e: DataFrame, *cols: str) -> dict:
+    """Order-independent content fingerprint of a distinct edge list:
+    row count + bit-XOR of per-row xxhash64 (no overflow, no sort). One
+    cheap agg over an already-checkpointed frame."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("h"),
+    ).collect()[0]
+    return {"n_edges": int(row["n"]), "edge_hash": int(row["h"] or 0)}
+
+
+def checkpoint_manifest_gate(ckpt_dir: str | None, fingerprint: dict) -> bool:
+    """Resume guard for reliable round checkpoints: ``round=K`` dirs are
+    only trustworthy for the SAME job (same edge list, same per-round
+    params). Without this, reusing a checkpoint dir across a different
+    input silently resumes from stale label/rank state and returns wrong
+    results with no error.
+
+    Returns True when a ``_MANIFEST.json`` matching ``fingerprint``
+    exists (resume allowed). Otherwise clears any stale ``round=`` dirs
+    (they belong to a different job), pins the new fingerprint, and
+    returns False (start fresh)."""
+    if ckpt_dir is None:
+        return False
+    mp = os.path.join(ckpt_dir, "_MANIFEST.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            if json.load(f) == fingerprint:
+                return True
+    if os.path.isdir(ckpt_dir):
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("round="):
+                shutil.rmtree(
+                    os.path.join(ckpt_dir, name), ignore_errors=True
+                )
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fingerprint, f)
+    os.replace(tmp, mp)
+    return False
 
 
 def checkpoint_round(
@@ -117,7 +162,23 @@ def pagerank(
 
     start = 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    done = last_completed_round(reliable_checkpoint_dir, iters)
+    # iters is deliberately NOT in the fingerprint: each round's math is
+    # independent of the total, so a prior run's rounds are a valid
+    # prefix for any iters. Edge content + damping must match exactly.
+    resume_ok = checkpoint_manifest_gate(
+        reliable_checkpoint_dir,
+        {
+            "kind": "pagerank",
+            "n_nodes": n,
+            "damping": damping,
+            **edge_fingerprint(e, "src", "dst"),
+        },
+    )
+    done = (
+        last_completed_round(reliable_checkpoint_dir, iters)
+        if resume_ok
+        else None
+    )
     if done is not None:
         spark = edges.sparkSession
         ranks = spark.read.parquet(

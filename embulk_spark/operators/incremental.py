@@ -356,11 +356,16 @@ def purge_epoch_dirs(
     (operators/bloom.py) are additive and cannot unlearn — their purge
     story is a rebuild from the purged lake, documented there."""
     from ..streaming.lake import (
+        heal_swap_leftovers,
         is_swap_leftover,
         recover_dir_swap,
         rewrite_dir_excluding,
     )
 
+    # heal missing-base-dir crash states first (crash between the two
+    # renames leaves only .old/.purge leftovers in the listing — skipping
+    # them by name without this would leave the epoch dir gone for good)
+    heal_swap_leftovers(deltas_dir)
     rewritten = []
     for d in sorted(os.listdir(deltas_dir)):
         if not d.startswith("epoch=") or is_swap_leftover(d):

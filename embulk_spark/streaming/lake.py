@@ -160,6 +160,30 @@ def is_swap_leftover(name: str) -> bool:
     return bool(re.search(r"\.(old|purge)[0-9a-f]{8}$", name))
 
 
+def swap_leftover_base(name: str) -> str:
+    """Base dir name a ``.old<hex>``/``.purge<hex>`` leftover belongs to."""
+    return re.sub(r"\.(old|purge)[0-9a-f]{8}$", "", name)
+
+
+def heal_swap_leftovers(parent: str) -> None:
+    """Heal every crashed :func:`rewrite_dir_excluding` swap under
+    ``parent`` BEFORE enumerating it. Callers that merely skip leftover
+    names while iterating never reach the crash state where the base dir
+    itself is missing (crash between rename-aside and rename-in): the
+    base name is absent from the listing, so per-name
+    ``recover_dir_swap`` calls keyed on listed names never fire and the
+    kept rows stay invisible. Deriving the base path from each leftover
+    name and healing it first makes those states reachable."""
+    try:
+        names = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for base in sorted(
+        {swap_leftover_base(n) for n in names if is_swap_leftover(n)}
+    ):
+        recover_dir_swap(os.path.join(parent, base))
+
+
 def rewrite_dir_excluding(spark, d: str, col: str, keys: list) -> None:
     """Rewrite a parquet directory in place WITHOUT the rows whose
     ``col`` is in ``keys`` (write-aside → rename-old-aside → rename-in →
@@ -1795,9 +1819,13 @@ class ParquetLakeTable:
             qroot = os.path.join(self.path, "quarantine")
             rewritten = []
             if os.path.isdir(qroot):
+                # heal missing-base-dir crash states first: a leftover
+                # whose base dir is gone would otherwise be skipped by
+                # name and never rolled forward/back
+                heal_swap_leftovers(qroot)
                 for ep in sorted(os.listdir(qroot)):
                     if is_swap_leftover(ep):
-                        continue  # healed below by recover_dir_swap
+                        continue  # garbage next to a live dir: ignored
                     d = os.path.join(qroot, ep)
                     recover_dir_swap(d)
                     if not os.path.isdir(d):
@@ -3640,6 +3668,20 @@ class ParquetLakeTable:
             )
         except FileExistsError:
             pass
+        # a redelivery after a crash between seed write and BRANCH.json
+        # may pick a DIFFERENT fork snapshot (head advanced, or a lower
+        # explicit at_version): the prior attempt's seed would then be
+        # the max-version file and branches()/fast_forward would take it
+        # as the head, diverging from fork_version. Drop every seed that
+        # is not the chosen fork BEFORE committing BRANCH.json (the dir
+        # is invisible until BRANCH.json exists, so this is safe).
+        for f in os.listdir(sdir):
+            if (
+                f.startswith("v")
+                and f.endswith(".json")
+                and f != f"v{snap['version']:08d}.json"
+            ):
+                os.unlink(os.path.join(sdir, f))
         meta = {
             "name": name,
             "fork_ref": self.ref,

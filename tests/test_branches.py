@@ -263,3 +263,38 @@ def test_fast_forward_redelivery_skips(spark, tmp_path):
     t.branch("audit").merge_epoch(ev(4, "d"), 4)
     with _pytest.raises(CommitConflict):
         t.fast_forward("audit")
+
+
+def test_create_branch_redelivery_drops_stale_seed(spark, tmp_path):
+    """Regression (r3 ADVICE #4): a crash between the seed-snapshot
+    write and BRANCH.json, followed by a retry that forks at a LOWER
+    at_version, used to leave the first attempt's higher-version seed in
+    snapshots/ — branches()/fast_forward take the max-version file as
+    the branch head, which then silently includes data past the
+    requested fork point."""
+    import json
+
+    table, _ = _table(spark, str(tmp_path / "t"))  # several commits
+    head = table.current_snapshot()["version"]
+    assert head >= 2
+    lower = head - 1
+
+    # simulate the crashed first attempt: seed of the CURRENT head
+    # written, BRANCH.json never committed
+    bdir = os.path.join(table._branches_dir(), "audit")
+    sdir = os.path.join(bdir, "snapshots")
+    os.makedirs(sdir)
+    with open(os.path.join(sdir, f"v{head:08d}.json"), "w") as f:
+        json.dump(table.current_snapshot(), f)
+
+    # redelivery picks an explicit lower fork point
+    out = table.create_branch("audit", at_version=lower)
+    assert out["fork_version"] == lower
+    info = table.branches()["audit"]
+    assert info["fork_version"] == lower
+    assert info["head_version"] == lower  # stale head-seed removed
+    # the branch handle serves the fork state, not the stale head
+    br = table.branch("audit")
+    want = {(r.url, r.seq)
+            for r in table.published(version=lower).collect()}
+    assert {(r.url, r.seq) for r in br.published().collect()} == want

@@ -295,6 +295,50 @@ def test_recover_dir_swap_rolls_back_orphaned_old(spark, tmp_path):
     assert {r["url"] for r in spark.read.parquet(d).collect()} == {"a"}
 
 
+def test_purge_epoch_dirs_heals_missing_base_dir(spark, tmp_path):
+    """Regression (r3 ADVICE #1): a crash between rename-aside and
+    rename-in leaves the epoch dir MISSING with only .old/.purge
+    leftovers in the listing. The enumerating caller used to skip
+    leftover names without deriving the base path, so the missing dir
+    was never rolled forward — its kept rows stayed invisible and later
+    purges silently skipped the epoch."""
+    import os
+
+    from embulk_spark.operators.incremental import purge_epoch_dirs
+
+    root = str(tmp_path / "deltas")
+    os.makedirs(root)
+    d = os.path.join(root, "epoch=0")
+    _mkdir_rows(spark, d, [("a", 1), ("b", 2), ("c", 3)])
+    # crashed swap: filtered copy complete, base dir renamed aside
+    _mkdir_rows(spark, d + ".purge0badc0de", [("b", 2), ("c", 3)])
+    os.rename(d, d + ".old0badc0de")
+    assert not os.path.isdir(d)  # the state the old code never healed
+
+    rewritten = purge_epoch_dirs(spark, root, ["c"], id_col="url")
+    assert rewritten == [0]
+    assert {r["url"] for r in spark.read.parquet(d).collect()} == {"b"}
+    assert [p for p in os.listdir(root) if ".old" in p or ".purge" in p] == []
+
+
+def test_heal_swap_leftovers_rolls_back_lost_copy(spark, tmp_path):
+    """heal_swap_leftovers with only an .old sibling (filtered copy
+    lost) rolls the base dir BACK so no rows are lost."""
+    import os
+
+    from embulk_spark.streaming.lake import heal_swap_leftovers
+
+    root = str(tmp_path / "q")
+    os.makedirs(root)
+    d = os.path.join(root, "ep1")
+    _mkdir_rows(spark, d, [("a", 1), ("b", 2)])
+    os.rename(d, d + ".oldfeedface")
+
+    heal_swap_leftovers(root)
+    assert {r["url"] for r in spark.read.parquet(d).collect()} == {"a", "b"}
+    assert os.listdir(root) == ["ep1"]
+
+
 def test_rewrite_dir_excluding_heals_then_purges(spark, tmp_path):
     """A purge re-run over a previously crashed swap heals the dir and
     applies the purge instead of failing on the missing path."""

@@ -321,3 +321,93 @@ def test_connected_components_reliable_checkpoint_resume(spark, tmp_path):
     }
     assert got == clean
     assert clean[5] == 1 and clean[12] == 10
+
+
+def test_connected_components_resume_after_exact_max_iter_convergence(
+    spark, tmp_path
+):
+    """Regression (r3 ADVICE #2): a run that converges exactly at round
+    max_iter leaves round=max_iter checkpointed; re-invoking used to set
+    start=max_iter, skip the loop body, and raise 'did not converge' for
+    a run that in fact converged. Resume now re-runs the (idempotent)
+    converged round and returns via changed==0."""
+    from embulk_spark.operators.cluster import connected_components
+
+    # chain 1-2-3: changed rounds 1,2; round 3 detects convergence —
+    # exactly max_iter=3
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ck = str(tmp_path / "cc")
+    first = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, max_iter=3, reliable_checkpoint_dir=ck
+        ).collect()
+    }
+    assert first == {1: 1, 2: 1, 3: 1}
+    import os
+
+    assert os.path.exists(os.path.join(ck, "round=3", "_SUCCESS"))
+    again = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, max_iter=3, reliable_checkpoint_dir=ck
+        ).collect()
+    }
+    assert again == first
+
+
+def test_checkpoint_manifest_refuses_stale_state(spark, tmp_path):
+    """Regression (r3 ADVICE #3): reusing a reliable_checkpoint_dir
+    across a DIFFERENT edge list (or different damping) used to silently
+    resume from stale round state and return wrong ranks/components.
+    The manifest gate now detects the mismatch, clears the stale rounds,
+    and starts fresh."""
+    import os
+
+    from embulk_spark.operators.cluster import connected_components
+
+    ck = str(tmp_path / "pr")
+    edges_a = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    pagerank(edges_a, iters=3, reliable_checkpoint_dir=ck)
+    assert os.path.exists(os.path.join(ck, "round=3", "_SUCCESS"))
+
+    # same dir, different graph: must NOT resume from graph A's rounds
+    edges_b = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 10), (10, 30)],
+        "src long, dst long",
+    )
+    clean_b = {r.node: r.rank for r in pagerank(edges_b, iters=3).collect()}
+    got_b = {
+        r.node: r.rank
+        for r in pagerank(
+            edges_b, iters=3, reliable_checkpoint_dir=ck
+        ).collect()
+    }
+    assert got_b.keys() == clean_b.keys()
+    assert all(abs(got_b[k] - clean_b[k]) < 1e-12 for k in clean_b)
+
+    # different damping over the SAME edges: also a different job
+    clean_d = {
+        r.node: r.rank
+        for r in pagerank(edges_b, iters=3, damping=0.5).collect()
+    }
+    got_d = {
+        r.node: r.rank
+        for r in pagerank(
+            edges_b, iters=3, damping=0.5, reliable_checkpoint_dir=ck
+        ).collect()
+    }
+    assert all(abs(got_d[k] - clean_d[k]) < 1e-12 for k in clean_d)
+
+    # connected_components shares the gate: stale pagerank-shaped state
+    # in the same dir is refused, fresh labels computed
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    comp = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, reliable_checkpoint_dir=ck
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 3, 4: 3}
