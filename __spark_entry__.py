@@ -3292,7 +3292,44 @@ def _q_jdbc_mode_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.load()
 
 
+# Driver-rotation note (round 4): the correctness driver samples the
+# FIRST 50 registry keys each round. Rounds 1-3 all drew from the same
+# prefix, so 64 keys had only local-gate evidence (committed
+# CORRECTNESS_LOCAL logs) and zero driver-side checks. queries() now
+# lists those never-driver-checked keys FIRST (registry order preserved
+# within each group) so CORRECTNESS_r04 finally covers them. Keys NOT
+# reached by this round's 50-key sample (the rotation tail) go first
+# next round — keep rotating until lifetime driver coverage is 129/129.
+_DRIVER_ROTATION_FIRST = [
+    "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
+    "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
+    "incremental_neardup", "incremental_term_df", "simhash_near_dups",
+    "ann_ivf_topk", "embedding_neardup_banded", "multimodal_decode_png",
+    "multimodal_decode_jpeg", "multimodal_decode_fake", "audio_meta",
+    "audio_features", "join_shipping_priority", "dup_clusters",
+    "dedup_keep_canonical", "sessionize_events", "session_stats",
+    "asof_join_attrib", "avro_roundtrip", "msgpack_roundtrip",
+    "warc_roundtrip", "binlog_route_latest", "debezium_parse",
+    "dsir_weights", "lm_perplexity", "substring_dedup", "text_normalize",
+    "html_extract", "vocab_topk", "ccnet_buckets", "corpus_export",
+    "doc_chunks", "token_packing", "semantic_dedup", "url_filter",
+    "scd2_history", "scd2_join_asof", "pagerank", "bloom_dedup",
+    "metrics_rollup", "hll_distinct", "link_extract", "anchor_topk",
+    "length_quantiles", "interval_window_counts", "data_quality",
+    "bm25_scores", "heavy_hitters", "group_split", "quality_classifier",
+    "bpe_merges", "bpe_encode", "incremental_agg_view", "jdbc_mode_merge",
+    "filter_base64", "filter_hash_cols", "filter_gsub_cols",
+    "filter_split_rows", "parser_ltsv",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    reg = _query_registry()
+    first = {k: reg[k] for k in _DRIVER_ROTATION_FIRST}
+    return {**first, **{k: v for k, v in reg.items() if k not in first}}
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_per_key": _q_cdc_latest_per_key,
         "cdc_patch_merge": _q_cdc_patch_merge,
