@@ -1785,6 +1785,54 @@ def _q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract with the REAL vendored GIF codec
+    (functions/gif.py — header/LSD/palette walk, extension skip, full
+    variable-width LZW decompress, palette map): synth real GIFs whose
+    palette entries and pixel indices are pure arithmetic in doc_id,
+    decode them back. Full DuckDB oracle on (width, height, mean) —
+    n_bytes dropped because an LZW stream's length is not SQL
+    arithmetic."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_gif_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_gif_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
+def _q_multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract with the REAL vendored VP8L
+    (lossless WebP) codec (functions/vp8l.py — RIFF walk, LSB-first bit
+    reader, simple + normal prefix codes with code-length codes, LZ77
+    backrefs): synth real lossless WebPs whose pixels are pure
+    arithmetic in doc_id (odd rows duplicate the row above — emitted as
+    LZ77 references, so the copy path is exercised by construction).
+    Full DuckDB oracle on (width, height, mean); mean is over R,G,B
+    (alpha excluded). n_bytes dropped (entropy-coded stream length is
+    not SQL arithmetic)."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_webp_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_webp_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plumbing path for containers with no vendored codec (deterministic
     fake backend behind _decode_backend — rows-only check)."""
@@ -3305,7 +3353,8 @@ _DRIVER_ROTATION_FIRST = [
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
     "incremental_neardup", "incremental_term_df", "simhash_near_dups",
     "ann_ivf_topk", "embedding_neardup_banded", "multimodal_decode_png",
-    "multimodal_decode_jpeg", "multimodal_decode_fake", "audio_meta",
+    "multimodal_decode_jpeg", "multimodal_decode_gif",
+    "multimodal_decode_webp", "multimodal_decode_fake", "audio_meta",
     "audio_features", "join_shipping_priority", "dup_clusters",
     "dedup_keep_canonical", "sessionize_events", "session_stats",
     "asof_join_attrib", "avro_roundtrip", "msgpack_roundtrip",
@@ -3406,6 +3455,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_png": _q_multimodal_decode_png,
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
+        "multimodal_decode_gif": _q_multimodal_decode_gif,
+        "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_frames": _q_multimodal_frames,
         "audio_meta": _q_audio_meta,
@@ -4431,7 +4482,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id,
-               CASE WHEN left(hex(media),16) = '89504E470D0A1A0A' THEN 'png'
+               CASE WHEN left(hex(media),8) = '52494646'
+                         AND substr(hex(media),17,8) = '57454250' THEN 'webp'
+                    WHEN left(hex(media),16) = '89504E470D0A1A0A' THEN 'png'
                     WHEN left(hex(media),6)  = 'FFD8FF' THEN 'jpeg'
                     WHEN left(hex(media),12) IN ('474946383761','474946383961') THEN 'gif'
                     WHEN left(hex(media),8)  = '52494646' THEN 'riff'
@@ -4442,7 +4495,9 @@ def oracle_sql() -> dict[str, str]:
                     WHEN left(hex(media),4)  = '424D' THEN 'bmp'
                     WHEN substr(hex(media),9,8) = '66747970' THEN 'mp4'
                     ELSE 'bin' END AS container,
-               CASE WHEN left(hex(media),16) = '89504E470D0A1A0A' THEN 'image'
+               CASE WHEN left(hex(media),8) = '52494646'
+                         AND substr(hex(media),17,8) = '57454250' THEN 'image'
+                    WHEN left(hex(media),16) = '89504E470D0A1A0A' THEN 'image'
                     WHEN left(hex(media),6)  = 'FFD8FF' THEN 'image'
                     WHEN left(hex(media),12) IN ('474946383761','474946383961') THEN 'image'
                     WHEN left(hex(media),8)  = '52494646' THEN 'audio'
@@ -4563,6 +4618,55 @@ def oracle_sql() -> dict[str, str]:
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_decode_gif: REAL vendored GIF codec; the fixture's
+        # palette and indices are arithmetic in doc_id, so the oracle
+        # recomputes the decode through palette[(2x+3y+doc)%256] — the
+        # decoder must agree with the encoder through the LZW stream.
+        "multimodal_decode_gif": """
+        WITH g AS (
+          SELECT doc_id, 3 + doc_id % 13 AS w, 3 + (doc_id * 7) % 11 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, w, h,
+                 (2 * x.range + 3 * y.range + doc_id) % 256 AS i
+          FROM g, range(15) x, range(13) y
+          WHERE x.range < w AND y.range < h
+        ),
+        sums AS (
+          SELECT doc_id, w, h,
+                 sum((3 * i + doc_id) % 256 + (5 * i + 2 * doc_id) % 256
+                     + (7 * i + 11 * doc_id) % 256) AS s
+          FROM px GROUP BY doc_id, w, h
+        )
+        SELECT doc_id AS id, 'gif' AS container, w AS width, h AS height,
+               s / (3.0 * w * h) AS mean_luma
+        FROM sums
+        """,
+        # multimodal_decode_webp: REAL vendored VP8L codec; odd rows
+        # duplicate the row above (the encoder emits them as LZ77
+        # references), so the oracle's ye = y - y%2 folds the copy.
+        # Mean over R,G,B — alpha (constant 255) excluded.
+        "multimodal_decode_webp": """
+        WITH g AS (
+          SELECT doc_id, 3 + doc_id % 12 AS w, 3 + (doc_id * 3) % 10 AS h
+          FROM documents
+        ),
+        sums AS (
+          SELECT doc_id, w, h,
+                 sum((x.range + 2 * (y.range - y.range % 2) + doc_id) % 256
+                     + (2 * x.range + (y.range - y.range % 2)
+                        + 3 * doc_id) % 256
+                     + (x.range + (y.range - y.range % 2)
+                        + 5 * doc_id) % 256) AS s
+          FROM g, range(14) x, range(12) y
+          WHERE x.range < w AND y.range < h
+          GROUP BY doc_id, w, h
+        )
+        SELECT doc_id AS id, 'webp' AS container, w AS width, h AS height,
+               s / (3.0 * w * h) AS mean_luma
+        FROM sums
         """,
         # multimodal_decode_fake / multimodal_frames: the stubbed codec
         # backend digests md5(UPPERCASE-HEX(bytes)) — ASCII-safe, so DuckDB

@@ -1,0 +1,291 @@
+"""Vendored GIF codec (decode + fixture encoder) — clean-room from the
+public GIF89a specification (CompuServe, 1990; also W3C's reference
+copy). No library code consulted; stdlib-only.
+
+Profile (same vendoring discipline as functions/jpeg.py — real decode of
+the dominant web profile, honest ``ValueError`` outside it so callers
+fall to the declared fake tier):
+
+- GIF87a / GIF89a, global and/or local color table, any palette size;
+- first image frame only (features come from frame 0 — animation frames
+  add nothing to (width, height, mean) extraction);
+- full LZW decode: variable code width 3..12 bits, clear / EOI codes,
+  the KwKwK self-referencing case, deferred-clear (dictionary parked at
+  4096 until an explicit clear);
+- extensions (graphic control, comment, application, plain text) are
+  skipped per spec sub-block framing;
+- interlaced frames raise ValueError (row order changes nothing for the
+  mean, but dims+mean must come from a decode we fully implement, not a
+  partial one).
+
+Feature contract matches decode_bmp24/decode_png/decode_jpeg:
+``(width, height, mean over the R,G,B bytes of every pixel)`` with one
+exact integer sum and ONE double division — bit-identical across
+engines, so a SQL oracle over the synth fixtures recomputes it.
+
+Reference analogue: Embulk's magic-byte compression guess + decoder
+chain (embulk-guess-gzip/-bzip2, exec/GuessExecutor.java:265-278) —
+binary sniff → real codec → typed columns.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "decode_gif",
+    "encode_gif",
+    "synth_gif_bytes",
+    "synth_gif_dims",
+]
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF variant: LSB-first codes, variable width, clear/EOI)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """LSB-first bit reader over the concatenated image sub-blocks."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated GIF LZW stream")
+            self.bitbuf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.bitbuf & ((1 << n) - 1)
+        self.bitbuf >>= n
+        self.nbits -= n
+        return v
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytearray:
+    """Standard GIF LZW: roots 0..2^N-1, clear=2^N, EOI=2^N+1, first code
+    width N+1, width grows when the next free slot reaches 2^width (cap
+    12 bits / 4096 entries — deferred clear past that)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    br = _BitReader(data)
+    out = bytearray()
+    # dict as list of bytes; rebuilt on clear
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < expect:
+        code = br.read(width)
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code after clear not a root")
+            s = table[code]
+        elif code < len(table):
+            s = table[code]
+        elif code == len(table):
+            s = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} beyond dictionary")
+        out += s
+        if prev is not None and len(table) < 4096:
+            table.append(prev + s[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = s
+    if len(out) < expect:
+        raise ValueError(
+            f"LZW stream ended early ({len(out)} of {expect} pixels)"
+        )
+    return out[:expect]
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Literal-code LZW encoder for the fixture writer: one clear, then
+    every pixel as its root code, EOI last. Emits each code at the width
+    the DECODER will read it at, tracking the decoder's dictionary
+    growth exactly (an entry is added while processing every code after
+    the first since clear; width bumps when the table fills 2^width;
+    growth parks at 4096 — deferred clear). Spec-conforming output, just
+    not compressed."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bitbuf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table_len = clear + 2
+    emit(clear, width)
+    for k, idx in enumerate(indices):
+        emit(idx, width)
+        if k >= 1 and table_len < 4096:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# container walk
+# ---------------------------------------------------------------------------
+
+
+def decode_gif(data: bytes) -> tuple[int, int, float]:
+    """REAL decode of the first frame of a GIF87a/89a: header + logical
+    screen descriptor, global/local color table, extension skip, full
+    LZW decompress, palette map → (width, height, mean over R,G,B).
+    Raises ValueError outside the vendored profile (see module doc)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF with no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                sz = data[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        # image descriptor
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if w == 0 or h == 0:
+            raise ValueError("bad GIF frame dimensions")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF (outside vendored profile)")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = data[pos : pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame with no color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF (no LZW min code size)")
+        min_code = data[pos]
+        pos += 1
+        sub = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF pixel sub-blocks")
+            sz = data[pos]
+            pos += 1
+            if sz == 0:
+                break
+            sub += data[pos : pos + sz]
+            if len(data) < pos + sz:
+                raise ValueError("truncated GIF pixel sub-block")
+            pos += sz
+        indices = _lzw_decode(bytes(sub), min_code, w * h)
+        npal = len(pal) // 3
+        total = 0
+        for idx in indices:
+            if idx >= npal:
+                raise ValueError(f"palette index {idx} out of range")
+            off = 3 * idx
+            total += pal[off] + pal[off + 1] + pal[off + 2]
+        return w, h, total / (3.0 * w * h)
+    raise ValueError("truncated GIF (no image block)")
+
+
+def encode_gif(width: int, height: int, palette: bytes, index_fn) -> bytes:
+    """Build a real single-frame GIF89a: 256-entry global color table,
+    one non-interlaced image, literal-code LZW. ``palette`` is 768 bytes
+    (256×RGB); ``index_fn(x, y) -> int`` gives the pixel's palette
+    index."""
+    if len(palette) != 768:
+        raise ValueError("encode_gif wants a full 256-entry palette")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    indices = bytes(
+        index_fn(x, y) & 0xFF for y in range(height) for x in range(width)
+    )
+    out.append(8)  # LZW min code size
+    stream = _lzw_encode(indices, 8)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures (closed-form SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def synth_gif_dims(doc_id: int) -> tuple[int, int]:
+    return 3 + doc_id % 13, 3 + (doc_id * 7) % 11
+
+
+def synth_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic real GIF for a doc id: dims, palette entries and
+    pixel indices are all pure arithmetic in doc_id, so a SQL oracle
+    recomputes the decoded (width, height, mean) without touching the
+    binary — the decoder must agree with the encoder through the actual
+    LZW bitstream (the BMP/PNG/JPEG fixture contract)."""
+    w, h = synth_gif_dims(doc_id)
+    palette = bytes(
+        c
+        for i in range(256)
+        for c in (
+            (3 * i + doc_id) % 256,
+            (5 * i + 2 * doc_id) % 256,
+            (7 * i + 11 * doc_id) % 256,
+        )
+    )
+    return encode_gif(
+        w, h, palette, lambda x, y: (2 * x + 3 * y + doc_id) % 256
+    )

@@ -18,16 +18,17 @@ Two layers:
   (``decode_image_features``, ``resize_images``, ``sample_frames``): real
   Spark plumbing — explicit output schemas, ``mapInPandas`` with
   Arrow-batched pandas iterators, one Python invocation per batch. The
-  actual codec call is isolated in ``_decode_backend``: BMP, PNG and
-  baseline JPEG decode for REAL via vendored spec re-implementations
-  (``decode_bmp24`` / ``decode_png`` / ``functions/jpeg.py`` — the three
-  containers covering the overwhelming majority of web images); when a
-  real decoder library (PIL) is importable it covers the rest; in this
-  container it is not, so the remaining containers (GIF, WebP,
-  non-baseline JPEG) take a clearly-marked DETERMINISTIC FAKE (pure
-  function of the bytes: stable across partitioning/retries, so tests
-  and exactly-once replay semantics hold). Swapping backends changes no
-  schema, no partitioning, no batch shape.
+  actual codec call is isolated in ``_decode_backend``: BMP, PNG,
+  baseline JPEG, GIF and lossless WebP decode for REAL via vendored
+  spec re-implementations (``decode_bmp24`` / ``decode_png`` /
+  ``functions/jpeg.py`` / ``functions/gif.py`` / ``functions/vp8l.py``
+  — the containers covering the overwhelming majority of web images);
+  when a real decoder library (PIL) is importable it covers the rest;
+  in this container it is not, so the remaining profiles (lossy-VP8
+  WebP, AVIF, progressive JPEG) take a clearly-marked DETERMINISTIC
+  FAKE (pure function of the bytes: stable across partitioning/retries,
+  so tests and exactly-once replay semantics hold). Swapping backends
+  changes no schema, no partitioning, no batch shape.
 
 At 100 TB scale the plumbing is the part that matters: media bytes never
 hit the driver, flow Arrow-batched through Python only in the decode
@@ -72,11 +73,23 @@ _FTYP_HEX = "66747970"
 MAGIC_PREFIXES.append(("424D", "bmp", "image"))
 
 
+#: RIFF refinement: bytes 9-12 'WEBP' (hex chars 17-24) → image, not the
+#: generic RIFF/audio bucket. Same trick as the 'ftyp' offset match.
+_WEBP_HEX = "57454250"
+
+
 def modality_of(b: Column) -> Column:
     """Container + modality from magic bytes; NULL input → NULL,
     unrecognized → ('bin', 'unknown'). Returns a 2-field struct column."""
     h = F.hex(b)
     expr = F.when(b.isNull(), F.lit(None).cast("struct<container:string,modality:string>"))
+    expr = expr.when(
+        (F.substring(h, 1, 8) == "52494646")
+        & (F.substring(h, 17, 8) == _WEBP_HEX),
+        F.struct(
+            F.lit("webp").alias("container"), F.lit("image").alias("modality")
+        ),
+    )
     for prefix, container, modality in MAGIC_PREFIXES:
         expr = expr.when(
             F.substring(h, 1, len(prefix)) == prefix,
@@ -346,6 +359,30 @@ def synth_png_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_gif_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real GIF bytes (fixture source for the
+    vendored LZW decoder, functions/gif.py)."""
+    from .gif import synth_gif_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_gif_bytes(int(i)))
+
+    return _mk(id_col)
+
+
+def synth_webp_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real lossless-WebP bytes (fixture source
+    for the vendored VP8L decoder, functions/vp8l.py)."""
+    from .vp8l import synth_webp_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_webp_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 def synth_jpeg_col(id_col: Column) -> Column:
     """Arrow-batched synth of real baseline JPEG bytes (fixture source
     for the vendored JPEG decoder, functions/jpeg.py): block-constant
@@ -412,8 +449,29 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
             # progressive/arithmetic or JPEG-magic synthetic bytes: fake
             # tier, same policy as the PNG profile boundary
             pass
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            # vendored real decoder (functions/gif.py): full LZW,
+            # global/local palettes, extension skip; first frame
+            from .gif import decode_gif
+
+            return decode_gif(b)
+        except ValueError:
+            # interlaced / GIF-magic synthetic bytes: fake tier
+            pass
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        try:
+            # vendored real VP8L decoder (functions/vp8l.py): prefix
+            # codes, color cache, LZ77 — untransformed lossless profile
+            from .vp8l import decode_webp
+
+            return decode_webp(b)
+        except ValueError:
+            # lossy VP8 / VP8X / transformed streams: fake tier
+            pass
     if not HAVE_PIL:
-        # GIF / WebP / non-baseline JPEG: no vendored codec — fake tier
+        # VP8-lossy WebP / AVIF / non-baseline JPEG: no vendored codec —
+        # fake tier
         return _fake_image_decode(b)
     raise NotImplementedError(  # pragma: no cover
         "real PIL decode path: Image.open(io.BytesIO(b)) → size + mean luma; "

@@ -1,0 +1,499 @@
+"""Vendored WebP-lossless (VP8L) codec (decode + fixture encoder) —
+clean-room from the public bitstream specification (RFC 9649, "WebP
+Image Format", §3 lossless bitstream; originally the Google "WebP
+Lossless Bitstream Specification"). No libwebp code consulted;
+stdlib-only.
+
+Profile (the honest-``ValueError``-outside-it discipline of
+functions/jpeg.py and functions/gif.py):
+
+- RIFF/WEBP container with a VP8L chunk (lossy ``VP8 `` and extended
+  ``VP8X`` reject → the declared fake tier);
+- untransformed streams (no predictor / color / subtract-green /
+  color-indexing transform — the four transform bits reject). The
+  entropy image (meta prefix codes) also rejects;
+- everything else is REAL: LSB-first bit reader, simple and
+  normal-form prefix codes (code-length codes, repeat codes 16/17/18,
+  the max_symbol short-circuit), canonical prefix decode, optional
+  color cache (0x1e35a7bd multiplicative hash), literals, and LZ77
+  backward references with the full length/distance prefix coding and
+  the 120-entry 2D distance map.
+
+Feature contract matches the other vendored codecs:
+``(width, height, mean over the R,G,B channel bytes)`` (alpha excluded
+— it is storage, not luminance) with one exact integer sum and ONE
+double division, so the SQL oracle over the synth fixtures recomputes
+the decode arithmetically and the decoder must agree with the encoder
+through the actual entropy-coded bitstream.
+
+Prefix-code bit order: canonical codes (DEFLATE convention — codes
+assigned in order of (length, symbol)) are written/read most
+significant code bit first through the LSB-first byte stream, matching
+the spec's tree-walk reading one bit at a time.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "decode_webp",
+    "encode_vp8l",
+    "synth_webp_bytes",
+    "synth_webp_dims",
+]
+
+#: kCodeLengthCodeOrder — the order code-length-code lengths appear in
+#: the stream (RFC 9649 §3.7.1.2).
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+#: 2D distance map for LZ77 distance codes 1..120 (RFC 9649 §3.6.2.3):
+#: (dx, dy) neighborhood offsets; linear distance = dy*width + dx,
+#: clamped to ≥1. Codes >120 are plain distances minus 120.
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (LSB-first stream; prefix codes MSB-of-code-first)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated VP8L stream")
+            self.bitbuf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.bitbuf & ((1 << n) - 1)
+        self.bitbuf >>= n
+        self.nbits -= n
+        return v
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.bitbuf |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.bitbuf & 0xFF)
+            self.bitbuf >>= 8
+            self.nbits -= 8
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.out)
+        if self.nbits:
+            out.append(self.bitbuf & 0xFF)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes (shared by encoder and decoder)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), DEFLATE-style canonical assignment:
+    codes increase with (length, symbol)."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixCode:
+    """Decode-side prefix code: either a 0-bit trivial code (single
+    symbol) or a canonical tree walked one bit at a time."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [s for s, ln in enumerate(lengths) if ln]
+        if not nz:
+            raise ValueError("empty prefix code")
+        if len(nz) == 1:
+            self.single: int | None = nz[0]
+            self.table: dict[tuple[int, int], int] = {}
+            return
+        self.single = None
+        kraft = sum(2.0 ** -ln for ln in lengths if ln)
+        if abs(kraft - 1.0) > 1e-12:
+            raise ValueError(f"incomplete prefix code (Kraft {kraft})")
+        self.table = {
+            (ln, code): sym
+            for sym, (code, ln) in _canonical_codes(lengths).items()
+        }
+        self.max_len = max(ln for ln in lengths if ln)
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code in VP8L stream")
+
+
+class _TwoSymbolCode(_PrefixCode):
+    """Simple-form 2-symbol code: stream order assigns code 0 to the
+    first listed symbol, 1 to the second (not canonical symbol order)."""
+
+    def __init__(self, sym0: int, sym1: int) -> None:
+        self.single = None
+        self.table = {(1, 0): sym0, (1, 1): sym1}
+        self.max_len = 1
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        sym0 = br.read(8 if first_8bit else 1)
+        if num_symbols == 2:
+            sym1 = br.read(8)
+            return _TwoSymbolCode(sym0, sym1)
+        lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:
+            raise ValueError("simple-code symbol out of range")
+        lengths[sym0] = 1
+        return _PrefixCode(lengths)
+    num_code_lengths = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_code_lengths):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.read(1):  # use max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_code.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            if code_len == 16:
+                repeat, fill = 3 + br.read(2), prev_len
+            elif code_len == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("prefix-code repeat overflows alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _PrefixCode(lengths)
+
+
+def _prefix_decode_value(br: _BitReader, sym: int) -> int:
+    """LZ77 length/distance prefix coding (RFC 9649 §3.6.2.2)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_encode_value(value: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_decode_value: value → (sym, extra_bits_value,
+    extra_bits_count)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    sym = 4
+    while True:
+        extra = (sym - 2) >> 1
+        offset = (2 + (sym & 1)) << extra
+        if offset + 1 <= value <= offset + (1 << extra):
+            return sym, value - offset - 1, extra
+        sym += 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _cache_index(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode of an untransformed VP8L payload (the bytes after the
+    chunk header): header, 5 prefix codes, literals + color cache + LZ77
+    → (width, height, mean over R,G,B bytes)."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if br.read(1):
+        raise ValueError("VP8L transform (outside vendored profile)")
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad color-cache size {cache_bits}")
+    if br.read(1):
+        raise ValueError("VP8L entropy image (outside vendored profile)")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_code = _read_prefix_code(br, 256 + 24 + cache_size)
+    red_code = _read_prefix_code(br, 256)
+    blue_code = _read_prefix_code(br, 256)
+    alpha_code = _read_prefix_code(br, 256)
+    dist_code = _read_prefix_code(br, 40)
+
+    n = width * height
+    pixels: list[tuple[int, int, int, int]] = []  # (a, r, g, b)
+    cache = [0] * cache_size
+
+    def push(px: tuple[int, int, int, int]) -> None:
+        pixels.append(px)
+        if cache_size:
+            a, r, g, b = px
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            cache[_cache_index(argb, cache_bits)] = argb
+
+    while len(pixels) < n:
+        s = green_code.read(br)
+        if s < 256:
+            g = s
+            r = red_code.read(br)
+            b = blue_code.read(br)
+            a = alpha_code.read(br)
+            push((a, r, g, b))
+        elif s < 256 + 24:
+            length = _prefix_decode_value(br, s - 256)
+            dsym = dist_code.read(br)
+            dcode = _prefix_decode_value(br, dsym)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = max(dy * width + dx, 1)
+            if dist > len(pixels):
+                raise ValueError("LZ77 distance before image start")
+            if len(pixels) + length > n:
+                raise ValueError("LZ77 copy past image end")
+            base = len(pixels) - dist
+            for i in range(length):
+                push(pixels[base + i])
+        else:
+            idx = s - 256 - 24
+            argb = cache[idx]
+            push(
+                (
+                    (argb >> 24) & 0xFF,
+                    (argb >> 16) & 0xFF,
+                    (argb >> 8) & 0xFF,
+                    argb & 0xFF,
+                )
+            )
+    total = sum(r + g + b for _a, r, g, b in pixels)
+    return width, height, total / (3.0 * width * height)
+
+
+def decode_webp(data: bytes) -> tuple[int, int, float]:
+    """RIFF walk → VP8L chunk → :func:`decode_vp8l`. Lossy ``VP8 `` and
+    extended ``VP8X`` containers raise ValueError (fake tier)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8L":
+            return decode_vp8l(body)
+        if tag in (b"VP8 ", b"VP8X"):
+            raise ValueError(
+                f"WebP {tag.decode().strip()} (outside vendored profile)"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP with no VP8L chunk")
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+# ---------------------------------------------------------------------------
+
+#: green/literal code lengths: 232 symbols at 8 bits + 48 at 9 bits —
+#: Kraft-complete over the 280-symbol (no color cache) alphabet, and the
+#: length symbols 256..279 all land in the 9-bit band.
+_GREEN_LENGTHS = [8] * 232 + [9] * 48
+_GREEN_CODES = _canonical_codes(_GREEN_LENGTHS)
+_BYTE_LENGTHS = [8] * 256
+_BYTE_CODES = _canonical_codes(_BYTE_LENGTHS)
+
+
+def _write_green_code(bw: _BitWriter) -> None:
+    """Normal-form prefix code for the 280-symbol green alphabet: CL
+    code over symbols {8→'0', 9→'1'}, lengths written literally."""
+    bw.write(0, 1)  # not simple
+    bw.write(12 - 4, 4)  # num_code_lengths = 12 (through symbol 9)
+    for sym in _CL_ORDER[:12]:
+        bw.write(1 if sym in (8, 9) else 0, 3)
+    bw.write(0, 1)  # no max_symbol short-circuit
+    for ln in _GREEN_LENGTHS:
+        bw.write(0 if ln == 8 else 1, 1)
+
+
+def _write_byte_code(bw: _BitWriter) -> None:
+    """Normal-form all-8-bit code for a 256-symbol alphabet: CL code
+    over {8→'0', 16→'1'}, one literal '8' then 85 repeat-16s (3 copies
+    each, extra bits 0) = 256 lengths."""
+    bw.write(0, 1)  # not simple
+    bw.write(19 - 4, 4)  # num_code_lengths = 19 (through symbol 16)
+    for sym in _CL_ORDER:
+        bw.write(1 if sym in (8, 16) else 0, 3)
+    bw.write(0, 1)  # no max_symbol short-circuit
+    bw.write(0, 1)  # literal length 8 (CL code '0')
+    for _ in range(85):
+        bw.write(1, 1)  # repeat-16 (CL code '1')
+        bw.write(0, 2)  # 3 copies of previous length
+    # 1 + 85*3 = 256 symbols
+
+
+def _write_single_symbol_code(bw: _BitWriter, sym: int) -> None:
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    if sym < 2:
+        bw.write(0, 1)  # first symbol in 1 bit
+        bw.write(sym, 1)
+    else:
+        bw.write(1, 1)  # first symbol in 8 bits
+        bw.write(sym, 8)
+
+
+def _emit(bw: _BitWriter, codes: dict[int, tuple[int, int]], sym: int) -> None:
+    code, ln = codes[sym]
+    for i in range(ln - 1, -1, -1):  # MSB of the code first
+        bw.write((code >> i) & 1, 1)
+
+
+def encode_vp8l(width: int, height: int, pixel) -> bytes:
+    """Build a real untransformed VP8L WebP: ``pixel(x, y) -> (r, g, b)``
+    (alpha fixed 255). EVEN rows are entropy-coded literals; every ODD
+    row must equal the row above it and is emitted as one LZ77 backward
+    reference (length=width, distance code 1 = (0,1) — the row above),
+    so the decoder's reference-copy path is exercised by construction."""
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("bad dimensions")
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version 0
+    bw.write(0, 1)  # no transform
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no entropy image
+    _write_green_code(bw)
+    _write_byte_code(bw)  # red
+    _write_byte_code(bw)  # blue
+    _write_single_symbol_code(bw, 255)  # alpha: constant 255, 0 bits/px
+    _write_single_symbol_code(bw, 0)  # distance: always code 1 ((0,1))
+
+    len_sym, len_extra, len_extra_bits = _prefix_encode_value(width)
+    for y in range(height):
+        if y % 2 == 1:
+            # whole row = row above: one backref, 0 distance bits
+            _emit(bw, _GREEN_CODES, 256 + len_sym)
+            bw.write(len_extra, len_extra_bits)
+            continue
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            _emit(bw, _GREEN_CODES, g & 0xFF)
+            _emit(bw, _BYTE_CODES, r & 0xFF)
+            _emit(bw, _BYTE_CODES, b & 0xFF)
+            # alpha: single-symbol code, zero bits
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures (closed-form SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def synth_webp_dims(doc_id: int) -> tuple[int, int]:
+    return 3 + doc_id % 12, 3 + (doc_id * 3) % 10
+
+
+def synth_webp_bytes(doc_id: int) -> bytes:
+    """Deterministic real lossless WebP for a doc id: dims and pixels
+    are pure arithmetic in doc_id (odd rows duplicate the row above —
+    the encoder's LZ77 invariant), so a SQL oracle recomputes the
+    decoded (width, height, mean) without touching the binary."""
+    w, h = synth_webp_dims(doc_id)
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        ye = y - (y % 2)
+        return (
+            (x + 2 * ye + doc_id) % 256,
+            (2 * x + ye + 3 * doc_id) % 256,
+            (x + ye + 5 * doc_id) % 256,
+        )
+
+    return encode_vp8l(w, h, px)

@@ -1,0 +1,396 @@
+"""Vendored GIF (functions/gif.py) and lossless-WebP/VP8L
+(functions/vp8l.py) codecs: fixture round trips against independent
+arithmetic, the LZW and prefix-code edge cases the fixtures don't
+exercise (KwKwK, dictionary growth, color cache, 2D distance map, plain
+distances, two-symbol simple codes), the honest ValueError profile
+boundaries, and backend routing through decode_image_features."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from embulk_spark.functions.gif import (
+    _lzw_decode,
+    decode_gif,
+    encode_gif,
+    synth_gif_bytes,
+    synth_gif_dims,
+)
+from embulk_spark.functions.vp8l import (
+    _BitWriter,
+    _BYTE_CODES,
+    _GREEN_CODES,
+    _emit,
+    _prefix_decode_value,
+    _prefix_encode_value,
+    _write_byte_code,
+    _write_green_code,
+    _write_single_symbol_code,
+    decode_vp8l,
+    decode_webp,
+    encode_vp8l,
+    synth_webp_bytes,
+    synth_webp_dims,
+)
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def _gif_oracle(doc_id: int) -> tuple[int, int, float]:
+    w, h = synth_gif_dims(doc_id)
+    s = 0
+    for y in range(h):
+        for x in range(w):
+            i = (2 * x + 3 * y + doc_id) % 256
+            s += (
+                (3 * i + doc_id) % 256
+                + (5 * i + 2 * doc_id) % 256
+                + (7 * i + 11 * doc_id) % 256
+            )
+    return w, h, s / (3.0 * w * h)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 7, 63, 255, 256, 1023])
+def test_gif_fixture_roundtrip_matches_arithmetic(doc_id):
+    assert decode_gif(synth_gif_bytes(doc_id)) == _gif_oracle(doc_id)
+
+
+def test_gif_lzw_dictionary_growth_and_deferred_clear():
+    """5600 px > 4096 dictionary entries: crosses every width bump
+    (9→10→11→12 bits) and parks at the full table (deferred clear)."""
+    pal = bytes(c for i in range(256) for c in (i, 255 - i, (2 * i) % 256))
+    data = encode_gif(80, 70, pal, lambda x, y: (x * x + 3 * y) % 256)
+    w, h, m = decode_gif(data)
+    s = sum(
+        v + (255 - v) + (2 * v) % 256
+        for y in range(70)
+        for x in range(80)
+        for v in [(x * x + 3 * y) % 256]
+    )
+    assert (w, h, m) == (80, 70, s / (3.0 * 80 * 70))
+
+
+def test_gif_lzw_kwkwk_case():
+    """The self-referencing code (code == next free entry): stream
+    [clear, A, 258] must decode to A,A,A (entry 258 = 'AA' built from
+    its own first byte)."""
+    bits = []
+    for code in (256, 65, 258):  # clear, 'A', KwKwK
+        for i in range(9):
+            bits.append((code >> i) & 1)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        by.append(b)
+    out = _lzw_decode(bytes(by), 8, 3)
+    assert bytes(out) == b"AAA"
+
+
+def test_gif_skips_extensions_and_uses_local_palette():
+    """A GIF89a with a graphic-control extension and a LOCAL color table
+    decodes via the local palette."""
+    pal_g = bytes(768)  # global: all black
+    base = encode_gif(4, 3, pal_g, lambda x, y: (x + y) % 256)
+    # splice: header+LSD+GCT | ext | image with local table
+    hdr = base[: 13 + 768]
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, 4-byte block, term
+    img = bytearray(base[13 + 768 : -1])  # image descriptor..terminator
+    img[9] = 0x87  # local color table flag + size 7 (256 entries)
+    pal_l = bytes(c for i in range(256) for c in (i, i, i))
+    img = bytes(img[:10]) + pal_l + bytes(img[10:])
+    w, h, m = decode_gif(bytes(hdr) + ext + img + b"\x3b")
+    want = sum(3 * ((x + y) % 256) for y in range(3) for x in range(4))
+    assert (w, h, m) == (4, 3, want / (3.0 * 4 * 3))
+
+
+def test_gif_rejects_interlace_and_garbage():
+    pal = bytes(768)
+    data = bytearray(encode_gif(4, 3, pal, lambda x, y: 0))
+    data[13 + 768 + 9] |= 0x40  # interlace flag in image descriptor
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(data))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF00a" + bytes(20))
+    with pytest.raises(ValueError):
+        decode_gif(bytes(encode_gif(4, 3, pal, lambda x, y: 0))[:40])
+
+
+# ---------------------------------------------------------------------------
+# VP8L / WebP
+# ---------------------------------------------------------------------------
+
+
+def _webp_oracle(doc_id: int) -> tuple[int, int, float]:
+    w, h = synth_webp_dims(doc_id)
+    s = 0
+    for y in range(h):
+        ye = y - (y % 2)
+        for x in range(w):
+            s += (
+                (x + 2 * ye + doc_id) % 256
+                + (2 * x + ye + 3 * doc_id) % 256
+                + (x + ye + 5 * doc_id) % 256
+            )
+    return w, h, s / (3.0 * w * h)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 5, 100, 255, 999])
+def test_webp_fixture_roundtrip_matches_arithmetic(doc_id):
+    assert decode_webp(synth_webp_bytes(doc_id)) == _webp_oracle(doc_id)
+
+
+def test_vp8l_prefix_value_coding_inverts():
+    from embulk_spark.functions.vp8l import _BitReader
+
+    for v in list(range(1, 300)) + [1000, 4096]:
+        sym, extra, nbits = _prefix_encode_value(v)
+        bw = _BitWriter()
+        bw.write(extra, nbits)
+        br = _BitReader(bw.bytes() + b"\x00")
+        assert _prefix_decode_value(br, sym) == v, (v, sym, extra, nbits)
+
+
+def _hand_stream(width, height, body_bits) -> bytes:
+    """Wrap hand-written post-header bits into a full WebP container."""
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    body_bits(bw)
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_vp8l_color_cache_hit():
+    """Hand-written stream with the color cache enabled: a literal pixel
+    (a=255, r=20, g=10, b=30), then a cache-symbol reference to it. The
+    green code is a NORMAL code over the 284-symbol alphabet with two
+    length-1 symbols — literal green 10 and the pixel's cache slot —
+    terminated early via the max_symbol short-circuit, so the repeat-17/
+    18 zero runs, the code-length code, and the cache lookup all run."""
+    from embulk_spark.functions.vp8l import _cache_index
+
+    argb = (0xFF << 24) | (20 << 16) | (10 << 8) | 30
+    slot = _cache_index(argb, 2)
+    cache_sym = 256 + 24 + slot
+
+    def body(bw):
+        bw.write(0, 1)  # no transform
+        bw.write(1, 1)  # color cache present
+        bw.write(2, 4)  # cache_bits = 2 (4 entries)
+        bw.write(0, 1)  # no entropy image
+        # green: normal code. CL lengths: sym1→1 ('0'), 17→2 ('10'),
+        # 18→2 ('11') — Kraft-complete.
+        bw.write(0, 1)  # not simple
+        bw.write(0, 4)  # num_code_lengths = 4 (through order pos 3 = sym 1)
+        bw.write(2, 3)  # order[0] = 17 → len 2
+        bw.write(2, 3)  # order[1] = 18 → len 2
+        bw.write(0, 3)  # order[2] = 0  → unused
+        bw.write(1, 3)  # order[3] = 1  → len 1
+        bw.write(1, 1)  # use max_symbol (counts CL-code READS, not
+        # output symbols): 17,17,1,18,18,1 = 6 reads below
+        bw.write(4, 3)  # length_nbits = 2 + 2*4 = 10
+        bw.write(6 - 2, 10)
+        # symbol lengths: 10 zeros, len1 at sym 10, zeros, len1 at cache_sym
+        bw.write(1, 1); bw.write(0, 1)  # CL 17 (code '10', MSB first)
+        bw.write(3, 3)  # 3+3 = 6 zeros
+        bw.write(1, 1); bw.write(0, 1)  # CL 17
+        bw.write(1, 3)  # 3+1 = 4 zeros (total 10)
+        bw.write(0, 1)  # CL 1 → lengths[10] = 1
+        zeros = cache_sym - 11
+        while zeros:
+            take = min(zeros, 138)
+            bw.write(1, 1); bw.write(1, 1)  # CL 18 (code '11')
+            bw.write(take - 11, 7)
+            zeros -= take
+        bw.write(0, 1)  # CL 1 → lengths[cache_sym] = 1
+        for sym in (20, 30, 255):  # red, blue, alpha: single-symbol
+            _write_single_symbol_code(bw, sym)
+        _write_single_symbol_code(bw, 0)  # distance (unused)
+        # pixels: canonical over {10, cache_sym} → sym10='0', cache='1'
+        bw.write(0, 1)  # literal green 10 (r/b/a read 0 bits)
+        bw.write(1, 1)  # cache hit
+
+    w, h, m = decode_webp(_hand_stream(2, 1, body))
+    assert (w, h) == (2, 1)
+    assert m == (20 + 10 + 30) / 3.0
+
+
+def test_vp8l_plain_distance_and_dist_map_row_above():
+    """encode_vp8l's backrefs use distance code 1 ((0,1) = row above):
+    decode a fixture whose odd rows duplicate even rows and check a
+    manual pixel; then a hand-check that plain codes (>120) would map
+    to linear distances."""
+    data = encode_vp8l(5, 4, lambda x, y: ((x + y) % 256, x, y % 256))
+    w, h, m = decode_webp(data)
+    ps = 0
+    for y in range(4):
+        ye = y - y % 2
+        for x in range(5):
+            ps += ((x + ye) % 256) + x + (ye % 256)
+    assert (w, h, m) == (5, 4, ps / (3.0 * 5 * 4))
+    # plain distance: code 121+w-1 → linear distance w (dist_map bypass)
+    from embulk_spark.functions.vp8l import _DIST_MAP
+
+    assert _DIST_MAP[0] == (0, 1) and _DIST_MAP[1] == (1, 0)
+
+
+def test_vp8l_two_symbol_simple_code():
+    """Hand-written stream with a 2-symbol simple green code (stream
+    order: first listed symbol gets code 0): 2×1 image, two literals.
+    Red/blue/alpha are single-symbol codes (0 bits each)."""
+
+    def body(bw):
+        bw.write(0, 1)  # no transform
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no entropy image
+        # green: simple, two symbols 7 and 3
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(7, 8)
+        bw.write(3, 8)
+        for sym in (50, 60, 255):  # red, blue, alpha single-symbol
+            _write_single_symbol_code(bw, sym)
+        _write_single_symbol_code(bw, 0)  # distance (unused)
+        bw.write(0, 1)  # green sym0 = 7
+        bw.write(1, 1)  # green sym1 = 3
+
+    w, h, m = decode_webp(_hand_stream(2, 1, body))
+    # pixels: (r=50,g=7,b=60) and (r=50,g=3,b=60)
+    assert (w, h) == (2, 1)
+    assert m == (50 + 7 + 60 + 50 + 3 + 60) / 6.0
+
+
+def test_vp8l_rejects_out_of_profile():
+    with pytest.raises(ValueError, match="not a WebP"):
+        decode_webp(b"RIFFxxxxWAVE")
+    # lossy VP8 chunk
+    lossy = (
+        b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(ValueError, match="VP8"):
+        decode_webp(lossy)
+
+    def with_transform(bw):
+        bw.write(1, 1)  # transform present
+        bw.write(0, 2)  # predictor transform
+
+    with pytest.raises(ValueError, match="transform"):
+        decode_webp(_hand_stream(2, 2, with_transform))
+
+    def with_entropy_image(bw):
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)  # entropy image
+
+    with pytest.raises(ValueError, match="entropy image"):
+        decode_webp(_hand_stream(2, 2, with_entropy_image))
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_vp8l(b"\x30\x00\x00")
+
+
+def test_vp8l_normal_code_writers_are_kraft_complete():
+    """The fixture encoder's normal-form code writers must round-trip
+    through the decoder's code reader (Kraft equality enforced there)."""
+    from embulk_spark.functions.vp8l import _BitReader, _read_prefix_code
+
+    bw = _BitWriter()
+    _write_green_code(bw)
+    code = _read_prefix_code(_BitReader(bw.bytes() + b"\x00" * 8), 280)
+    assert code.single is None
+    bw2 = _BitWriter()
+    _write_byte_code(bw2)
+    code2 = _read_prefix_code(_BitReader(bw2.bytes() + b"\x00" * 8), 256)
+    assert code2.single is None
+    # spot: symbol 0 has an 8-bit canonical code in both
+    assert _GREEN_CODES[0][1] == 8 and _BYTE_CODES[0][1] == 8
+    assert _GREEN_CODES[279][1] == 9
+
+
+# ---------------------------------------------------------------------------
+# backend routing (Spark plumbing)
+# ---------------------------------------------------------------------------
+
+
+def test_backend_routes_gif_and_webp():
+    from embulk_spark.functions.multimodal import (
+        _decode_backend,
+        _fake_image_decode,
+    )
+
+    g = synth_gif_bytes(42)
+    assert _decode_backend(g) == decode_gif(g)
+    wp = synth_webp_bytes(42)
+    assert _decode_backend(wp) == decode_webp(wp)
+    # GIF-magic garbage falls to the fake tier, not an exception
+    junk = b"GIF89a" + b"\x00" * 16
+    assert _decode_backend(junk) == _fake_image_decode(junk)
+    # lossy WebP falls to the fake tier
+    lossy = (
+        b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    assert _decode_backend(lossy) == _fake_image_decode(lossy)
+
+
+def test_webp_sniffed_as_image(spark):
+    """RIFF+WEBP refines to ('webp','image') JVM-side; RIFF+WAVE stays
+    ('riff','audio')."""
+    from embulk_spark.functions.multimodal import (
+        encode_wav_pcm16,
+        media_meta_cols,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, synth_webp_bytes(3)),
+        (2, encode_wav_pcm16(8000, 1, [0] * 16)),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {
+        r.id: (r.container, r.modality)
+        for r in df.select(
+            "id", *media_meta_cols(F.col("media"))
+        ).collect()
+    }
+    assert got[1] == ("webp", "image")
+    assert got[2] == ("riff", "audio")
+
+
+def test_decode_image_features_gif_webp_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_gif_col,
+        synth_webp_col,
+    )
+
+    ids = spark.range(0, 24).select(F.col("id"))
+    for col_fn, oracle, container in (
+        (synth_gif_col, _gif_oracle, "gif"),
+        (synth_webp_col, _webp_oracle, "webp"),
+    ):
+        media = ids.select("id", col_fn(F.col("id")).alias("media"))
+        got = {
+            r.id: (r.container, r.width, r.height, r.mean_luma)
+            for r in decode_image_features(media).collect()
+        }
+        assert len(got) == 24
+        for i in range(24):
+            w, h, m = oracle(i)
+            assert got[i] == (container, w, h, m)
