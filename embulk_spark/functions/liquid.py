@@ -10,11 +10,16 @@ implements the block-structured core of the language:
 
 - output: ``{{ expr }}`` with the filters configs actually use:
   ``default``, ``upcase``, ``downcase``, ``append``, ``prepend``,
-  ``replace``, ``size``, ``join``, ``split``
+  ``replace``, ``size``, ``join``, ``split``, ``date`` (strftime over
+  epoch numbers, ISO-ish strings, or ``now``/``today`` — the
+  date-stamped-path workhorse)
 - tags: ``if`` / ``elsif`` / ``else`` / ``endif``, ``unless`` /
   ``endunless``, ``for ... in ...`` (+ ``forloop.index`` /
   ``first`` / ``last`` / ``length``, ``else`` on empty), ``assign``,
-  ``case`` / ``when``, ``comment`` / ``endcomment``, ``include``
+  ``case`` / ``when``, ``comment`` / ``endcomment``, ``include``,
+  ``capture`` / ``endcapture``, ``cycle`` (with optional group name),
+  ``raw`` / ``endraw`` (verbatim passthrough), ``increment`` /
+  ``decrement`` (their own counter namespace, Liquid semantics)
 - conditions: ``== != > < >= <= contains`` over variables, quoted
   strings, numbers, ``true/false/nil/empty``, combined with
   ``and`` / ``or`` (Liquid's right-to-left evaluation)
@@ -164,7 +169,48 @@ def _apply_filter(value: Any, name: str, args: list[Any]) -> Any:
         return sep.join(str(x) for x in (value or []))
     if name == "split":
         return str(value or "").split(str(args[0]) if args else " ")
+    if name == "date":
+        return _date_filter(value, str(args[0]) if args else "%Y-%m-%d")
     raise LiquidError(f"unsupported liquid filter: {name!r}")
+
+
+def _date_filter(value: Any, fmt: str) -> Any:
+    """Liquid's ``date`` filter: strftime over ``now``/``today``, epoch
+    numbers (UTC), or common ISO-ish strings. Unparseable input passes
+    through unchanged (the gem's behavior)."""
+    import datetime
+
+    if value in ("now", "today"):
+        dt = datetime.datetime.now()
+    elif isinstance(value, bool):
+        return value
+    elif isinstance(value, (int, float)):
+        dt = datetime.datetime.fromtimestamp(
+            float(value), datetime.timezone.utc
+        )
+    elif isinstance(value, str):
+        dt = None
+        for f in (
+            "%Y-%m-%d %H:%M:%S",
+            "%Y-%m-%dT%H:%M:%S",
+            "%Y-%m-%d",
+            "%Y/%m/%d",
+        ):
+            try:
+                dt = datetime.datetime.strptime(value, f)
+                break
+            except ValueError:
+                continue
+        if dt is None:
+            if _NUM.match(value):
+                dt = datetime.datetime.fromtimestamp(
+                    float(value), datetime.timezone.utc
+                )
+            else:
+                return value
+    else:
+        return value
+    return dt.strftime(fmt)
 
 
 def _output(expr: str, scope: dict) -> str:
@@ -217,9 +263,27 @@ def _split_outside_quotes(s: str, sep: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+_RAW_BLOCK = re.compile(
+    r"\{%-?\s*raw\s*-?%\}(.*?)\{%-?\s*endraw\s*-?%\}", re.DOTALL
+)
+
+
 def _tokenize(text: str) -> list[tuple[str, str]]:
     """[(kind, payload)]: kind ∈ literal|output|tag. Whitespace-control
-    markers trim the adjacent literal."""
+    markers trim the adjacent literal. ``{% raw %}…{% endraw %}`` blocks
+    are lifted out FIRST — their content is a verbatim literal, never
+    scanned for ``{{``/``{%``."""
+    segments = _RAW_BLOCK.split(text)
+    out: list[tuple[str, str]] = []
+    for seg_i, seg in enumerate(segments):
+        if seg_i % 2 == 1:  # raw-block payload: verbatim
+            out.append(("literal", seg))
+            continue
+        out.extend(_tokenize_plain(seg))
+    return out
+
+
+def _tokenize_plain(text: str) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     for piece in _TOKEN.split(text):
         if not piece:
@@ -339,6 +403,22 @@ def _parse(tokens: list, i: int, until: set[str]) -> tuple[list, int, str]:
             nodes.append(("assign", (m.group(1), m.group(2))))
             i += 1
             continue
+        if word == "capture":
+            if not re.match(r"\w+\Z", rest):
+                raise LiquidError(f"malformed capture tag: {payload!r}")
+            body, i, _ = _parse(tokens, i + 1, {"endcapture"})
+            nodes.append(("capture", (rest, body)))
+            continue
+        if word == "cycle":
+            nodes.append(("cycle", rest))
+            i += 1
+            continue
+        if word in ("increment", "decrement"):
+            if not re.match(r"\w+\Z", rest):
+                raise LiquidError(f"malformed {word} tag: {payload!r}")
+            nodes.append((word, rest))
+            i += 1
+            continue
         if word == "include":
             m = re.match(r"(?:'([^']+)'|\"([^\"]+)\")\Z", rest)
             if not m:
@@ -423,6 +503,39 @@ def _render_nodes(
                 scope[name] = _output(expr, scope)  # filtered → string
             else:
                 scope[name] = _atom(expr, scope)
+        elif kind == "capture":
+            name, body = payload
+            scope[name] = _render_nodes(body, scope, include_dir, depth)
+        elif kind == "cycle":
+            # `cycle ['group':] v1, v2, …` — the counter lives in the
+            # render-level state dict (shared by reference through the
+            # per-iteration scope copies), keyed by the group name or,
+            # absent one, by the value list itself (Liquid semantics).
+            head, sep, tail = payload.partition(":")
+            if sep and re.match(r"\s*(['\"]?)\w+\1\s*\Z", head):
+                group, vals_src = head.strip().strip("'\""), tail
+            else:
+                group, vals_src = payload, payload
+            vals = [
+                _atom(v, scope)
+                for v in _split_outside_quotes(vals_src, ",")
+                if v.strip()
+            ]
+            if vals:
+                counters = scope["__liquid_state__"].setdefault("cycle", {})
+                n = counters.get(group, 0)
+                counters[group] = n + 1
+                v = vals[n % len(vals)]
+                out.append("" if v is None else str(v))
+        elif kind in ("increment", "decrement"):
+            counters = scope["__liquid_state__"].setdefault("counter", {})
+            if kind == "increment":  # emits 0,1,2,… then bumps
+                v = counters.get(payload, 0)
+                counters[payload] = v + 1
+            else:  # decrement emits -1,-2,… (Liquid's off-by-one)
+                v = counters.get(payload, 0) - 1
+                counters[payload] = v
+            out.append(str(v))
         elif kind == "include":
             if depth > 5:
                 raise LiquidError("liquid include nesting too deep")
@@ -448,4 +561,9 @@ def render(
     nodes, i, term = _parse(tokens, 0, set())
     if term:
         raise LiquidError(f"unexpected {term!r} tag")
-    return _render_nodes(nodes, dict(scope), include_dir, depth)
+    root = dict(scope)
+    # shared mutable render state (cycle / increment counters): the
+    # nested dict rides by reference through every per-iteration scope
+    # copy, so counters advance across loop iterations
+    root.setdefault("__liquid_state__", {})
+    return _render_nodes(nodes, root, include_dir, depth)

@@ -117,17 +117,47 @@ def read_csv(
             int(parser.get("skip_header_lines",
                            1 if parser.get("header_line") else 0)),
         )
+    mode = "FAILFAST" if parser.get("stop_on_invalid_record") else "PERMISSIVE"
     reader = (
         spark.read.schema(schema)
         .option("delimiter", parser.get("delimiter", ","))
         .option("quote", parser.get("quote", '"'))
         .option("escape", parser.get("escape", '"'))
         .option("charset", parser.get("charset", "UTF-8"))
-        .option(
-            "mode",
-            "FAILFAST" if parser.get("stop_on_invalid_record") else "PERMISSIVE",
-        )
     )
+    if parser.get("trim_if_not_quoted"):
+        # embulk-parser-csv trim_if_not_quoted (CsvTokenizer contract,
+        # declared build.gradle:30): unquoted values lose surrounding
+        # whitespace, quoted values keep it — univocity's whitespace
+        # options have exactly that quoted/unquoted distinction
+        reader = reader.option("ignoreLeadingWhiteSpace", "true").option(
+            "ignoreTrailingWhiteSpace", "true"
+        )
+    qiq = parser.get("quotes_in_quoted_fields")
+    if qiq is not None:
+        if qiq == "ACCEPT_STRAY_QUOTES_ASSUMING_NO_DELIMITERS_IN_FIELDS":
+            # stray quotes become field content; the field ends at the
+            # next delimiter — univocity STOP_AT_DELIMITER
+            reader = reader.option(
+                "unescapedQuoteHandling", "STOP_AT_DELIMITER"
+            )
+        elif qiq == "ACCEPT_ONLY_RFC4180_ESCAPED":
+            # strict RFC 4180: a record with a stray (unescaped) quote
+            # is INVALID — skipped, or aborts under
+            # stop_on_invalid_record. univocity's RAISE_ERROR aborts the
+            # whole file read (not a per-record malformed row), so the
+            # per-record policy takes the text path: mask proper quoted
+            # sections, flag records with leftover quote chars.
+            return _read_csv_strict_quotes(
+                spark, paths, parser, schema,
+                int(parser.get("skip_header_lines",
+                               1 if parser.get("header_line") else 0)),
+            )
+        else:
+            raise ValueError(
+                f"unknown quotes_in_quoted_fields policy {qiq!r}"
+            )
+    reader = reader.option("mode", mode)
     if parser.get("null_string"):
         reader = reader.option("nullValue", parser["null_string"])
     marker = parser.get("comment_line_marker")
@@ -202,6 +232,14 @@ def _csv_opts(parser: dict) -> dict:
     }
     if parser.get("null_string"):
         opts["nullValue"] = parser["null_string"]
+    if parser.get("trim_if_not_quoted"):
+        opts["ignoreLeadingWhiteSpace"] = "true"
+        opts["ignoreTrailingWhiteSpace"] = "true"
+    if (
+        parser.get("quotes_in_quoted_fields")
+        == "ACCEPT_STRAY_QUOTES_ASSUMING_NO_DELIMITERS_IN_FIELDS"
+    ):
+        opts["unescapedQuoteHandling"] = "STOP_AT_DELIMITER"
     return opts
 
 
@@ -211,6 +249,70 @@ def _read_csv_skip_n(
     """General skip_header_lines>1: text + per-file line index, then parse
     with from_csv. Stays distributed (no driver materialization)."""
     body = _csv_body_lines(spark, paths, parser, skip)
+    parsed = body.select(
+        F.from_csv(
+            F.col("value"), schema.simpleString(), _csv_opts(parser)
+        ).alias("r")
+    ).select("r.*")
+    return _apply_timestamp_formats(parsed, parser["columns"])
+
+
+def _quoted_section_regex(parser: dict) -> str | None:
+    """Regex matching one properly-quoted CSV section under the
+    dialect's quote/escape (quote-doubling or distinct-escape), for
+    masking quoted content before structural probes. None when the
+    dialect has no quote char."""
+    import re as _re
+
+    q = parser.get("quote", '"')
+    if not q:
+        return None
+    esc = parser.get("escape", '"')
+    if esc and esc != q:
+        return (
+            _re.escape(q)
+            + f"(?:[^{_re.escape(q)}{_re.escape(esc)}]|{_re.escape(esc)}.)*"
+            + _re.escape(q)
+        )
+    return (  # quote-doubling dialect: "([^"]|"")*"
+        _re.escape(q)
+        + f"(?:[^{_re.escape(q)}]|{_re.escape(q)}{_re.escape(q)})*"
+        + _re.escape(q)
+    )
+
+
+def _read_csv_strict_quotes(
+    spark: SparkSession, paths: list[str], parser: dict, schema, skip: int
+) -> DataFrame:
+    """quotes_in_quoted_fields = ACCEPT_ONLY_RFC4180_ESCAPED (the
+    embulk-parser-csv default policy, CsvTokenizer contract declared
+    build.gradle:30): a record whose text still contains a quote char
+    after every properly-quoted section is masked has a STRAY quote and
+    is invalid — skipped (Embulk logs-and-skips), or aborts under
+    stop_on_invalid_record."""
+    body = _csv_body_lines(spark, paths, parser, skip)
+    qre = _quoted_section_regex(parser)
+    q = parser.get("quote", '"')
+    if qre:
+        masked = F.regexp_replace(F.col("value"), qre, "Q")
+        bad = F.instr(masked, q) > 0
+    else:
+        bad = F.lit(False)
+    if parser.get("stop_on_invalid_record"):
+        body = body.withColumn(
+            "_ok",
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(
+                        F.lit("invalid record (stray quote): "),
+                        F.col("value"),
+                    )
+                ),
+            ).otherwise(F.lit(True)),
+        ).filter("_ok").select("value")
+    else:
+        body = body.filter(~bad).select("value")
     parsed = body.select(
         F.from_csv(
             F.col("value"), schema.simpleString(), _csv_opts(parser)
@@ -247,22 +349,9 @@ def _read_csv_count_policy(
 
     n = len(schema)
     body = _csv_body_lines(spark, paths, parser, skip)
-    q = parser.get("quote", '"')
-    esc = parser.get("escape", '"')
     delim = parser.get("delimiter", ",")
-    if q:
-        if esc and esc != q:
-            qre = (
-                _re.escape(q)
-                + f"(?:[^{_re.escape(q)}{_re.escape(esc)}]|{_re.escape(esc)}.)*"
-                + _re.escape(q)
-            )
-        else:  # quote-doubling dialect: "([^"]|"")*"
-            qre = (
-                _re.escape(q)
-                + f"(?:[^{_re.escape(q)}]|{_re.escape(q)}{_re.escape(q)})*"
-                + _re.escape(q)
-            )
+    qre = _quoted_section_regex(parser)
+    if qre:
         masked = F.regexp_replace(F.col("value"), qre, "Q")
     else:
         masked = F.col("value")

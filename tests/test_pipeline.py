@@ -1059,3 +1059,145 @@ def test_example_subcommand_guess_run_roundtrip(spark, tmp_path, capsys):
 
     files = glob.glob(str(tmp_path / "out_*"))
     assert files
+
+
+# ---------------------------------------------------------------------------
+# embulk-parser-csv micro-dialect: trim_if_not_quoted /
+# quotes_in_quoted_fields (CsvTokenizer contract, build.gradle:30)
+# ---------------------------------------------------------------------------
+
+def test_csv_trim_if_not_quoted(spark, tmp_path):
+    from embulk_spark.sources.files import read_csv
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "id,name\n"
+        "1,  padded  \n"
+        '2,"  kept  "\n'
+    )
+    cols = [{"name": "id", "type": "long"},
+            {"name": "name", "type": "string"}]
+    # default: whitespace survives
+    got = {r.id: r.name for r in read_csv(
+        spark, [str(p)], {"columns": cols, "header_line": True}
+    ).collect()}
+    assert got == {1: "  padded  ", 2: "  kept  "}
+    # trim_if_not_quoted: unquoted trims, quoted keeps
+    got = {r.id: r.name for r in read_csv(
+        spark, [str(p)],
+        {"columns": cols, "header_line": True, "trim_if_not_quoted": True},
+    ).collect()}
+    assert got == {1: "padded", 2: "  kept  "}
+
+
+def test_csv_trim_if_not_quoted_text_path(spark, tmp_path):
+    """The option must survive the from_csv text path too
+    (skip_header_lines > 1)."""
+    from embulk_spark.sources.files import read_csv
+
+    p = tmp_path / "t2.csv"
+    p.write_text(
+        "garbage line\n"
+        "id,name\n"
+        "1,  padded  \n"
+    )
+    cols = [{"name": "id", "type": "long"},
+            {"name": "name", "type": "string"}]
+    got = {r.id: r.name for r in read_csv(
+        spark, [str(p)],
+        {"columns": cols, "skip_header_lines": 2,
+         "trim_if_not_quoted": True},
+    ).collect()}
+    assert got == {1: "padded"}
+
+
+def test_csv_stray_quotes_policy(spark, tmp_path):
+    from embulk_spark.sources.files import read_csv
+
+    p = tmp_path / "q.csv"
+    # row 2's quoted field contains a stray (unescaped) quote
+    p.write_text(
+        "id,name\n"
+        '1,"ok"\n'
+        '2,"it"s bad"\n'
+        '3,"esc""aped"\n'
+    )
+    cols = [{"name": "id", "type": "long"},
+            {"name": "name", "type": "string"}]
+    # lenient policy: stray quote becomes content
+    got = {r.id: r.name for r in read_csv(
+        spark, [str(p)],
+        {"columns": cols, "header_line": True,
+         "quotes_in_quoted_fields":
+             "ACCEPT_STRAY_QUOTES_ASSUMING_NO_DELIMITERS_IN_FIELDS"},
+    ).collect()}
+    assert got[1] == "ok" and got[3] == 'esc"aped'
+    assert "it" in got[2] and "bad" in got[2]
+    # strict RFC 4180 without stop_on_invalid_record: bad record skipped
+    got = {r.id: r.name for r in read_csv(
+        spark, [str(p)],
+        {"columns": cols, "header_line": True,
+         "quotes_in_quoted_fields": "ACCEPT_ONLY_RFC4180_ESCAPED"},
+    ).collect()}
+    assert 1 in got and 3 in got and 2 not in got
+    # strict + stop_on_invalid_record: abort
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_csv(
+            spark, [str(p)],
+            {"columns": cols, "header_line": True,
+             "stop_on_invalid_record": True,
+             "quotes_in_quoted_fields": "ACCEPT_ONLY_RFC4180_ESCAPED"},
+        ).collect()
+    # unknown policy name rejects loudly
+    with _pytest.raises(ValueError, match="quotes_in_quoted_fields"):
+        read_csv(
+            spark, [str(p)],
+            {"columns": cols, "header_line": True,
+             "quotes_in_quoted_fields": "WHATEVER"},
+        )
+
+
+def test_liquid_longtail_tags_and_date_filter():
+    """Round-4 long-tail Liquid surface (EmbulkRunner.java:369-405 runs
+    the full gem): date filter (date-stamped output paths), capture,
+    cycle (anonymous + named group), raw, increment/decrement with their
+    own counter namespace."""
+    out = P.render_liquid(
+        "out/{{ d | date: '%Y/%m/%d' }}/part", params={"d": "2026-12-31"}
+    )
+    assert out == "out/2026/12/31/part"
+    assert P.render_liquid("{{ 0 | date: '%Y-%m-%d' }}", params={}) == \
+        "1970-01-01"
+    assert P.render_liquid("{{ 'junk' | date: '%Y' }}", params={}) == "junk"
+
+    out = P.render_liquid(
+        "{% capture p %}pre-{{ x }}{% endcapture %}[{{ p }}]/[{{ p }}]",
+        params={"x": 3},
+    )
+    assert out == "[pre-3]/[pre-3]"
+
+    out = P.render_liquid(
+        "{% for i in xs %}{% cycle 'odd', 'even' %} {% endfor %}",
+        params={"xs": [1, 2, 3]},
+    )
+    assert out == "odd even odd "
+    out = P.render_liquid(
+        "{% for i in xs %}{% cycle 'g': 'a', 'b' %}"
+        "{% cycle 'g': 'a', 'b' %}{% endfor %}",
+        params={"xs": [1, 2]},
+    )
+    assert out == "abab"  # named group shares one counter
+
+    out = P.render_liquid(
+        "{% raw %}{{ untouched }} {% if %}{% endraw %}ok", params={}
+    )
+    assert out == "{{ untouched }} {% if %}ok"
+
+    out = P.render_liquid(
+        "{% increment c %}{% increment c %}{% decrement d %}"
+        "{% assign c = 9 %}{% increment c %}{{ c }}",
+        params={},
+    )
+    assert out == "01-129"
