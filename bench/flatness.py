@@ -54,6 +54,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--url-mult", type=int, default=40,
                     help="url-space size = url_mult × events_per_epoch")
+    ap.add_argument(
+        "--clustered-buckets", type=int, default=0,
+        help="CLUSTERED-Δ leg (the 10^10-scale design point): each "
+        "epoch's events filter to a ROTATING window of this many table "
+        "buckets (choose ≤5%% of --n-buckets), so bucket pruning bounds "
+        "the agg-view fold's touched slices and its RAW per-epoch cost "
+        "must gate flat — the regime uniform Δ can't show. "
+        "events-per-epoch is the KEPT Δ target; generation is scaled "
+        "up by n_buckets/window internally.")
+    ap.add_argument("--n-buckets", type=int, default=None,
+                    help="table bucket count (default: --cpus)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -79,18 +90,39 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="flatness_", dir=scratch)
     K = args.epochs
     epb = args.events_per_epoch
-    n_events = K * epb
-    n_urls = args.url_mult * epb
+    nb = args.n_buckets or args.cpus
+    win = args.clustered_buckets
+    if win:
+        # scale generation so the KEPT per-epoch Δ ≈ events_per_epoch
+        # after the bucket-window filter keeps win/nb of the stream
+        gen_mult = max(1, nb // win)
+        n_events = K * epb * gen_mult
+        n_urls = args.url_mult * epb * gen_mult
+    else:
+        n_events = K * epb
+        n_urls = args.url_mult * epb
 
     events_path = os.path.join(work, "events")
     stream = change_stream(
         spark, n_events, n_urls, K, num_partitions=2 * args.cpus
     )
+    if win:
+        # rotating bucket window: epoch e's changes land in table
+        # buckets [(e·win) mod nb, …] — clustered Δ in BUCKET space, the
+        # locality the 10^10-scale design point has (a re-crawl touches
+        # a bounded slice of the key space per sync). The filter is on
+        # url only, so Catalyst evaluates it below the html pandas-UDF
+        # projection and discarded rows never synthesize payloads.
+        b = F.pmod(F.xxhash64(F.col("url")), F.lit(nb))
+        start = F.pmod(F.col("epoch") * win, F.lit(nb))
+        stream = stream.filter(
+            F.pmod(b - start + nb, F.lit(nb)) < win
+        )
     stream.write.partitionBy("epoch").mode("overwrite").parquet(events_path)
     events = spark.read.parquet(events_path)
 
     table = ParquetLakeTable(
-        spark, os.path.join(work, "table"), n_buckets=args.cpus,
+        spark, os.path.join(work, "table"), n_buckets=nb,
         # flatness measures the EXPLICIT compact_hot leg; disable the
         # automatic full-compaction trigger so (a) stays pure replay
         compact_min_deltas=10_000,
@@ -195,6 +227,8 @@ def main() -> None:
         "events_per_epoch": epb,
         "url_space": n_urls,
         "cpus": args.cpus,
+        "n_buckets": nb,
+        "clustered_window_buckets": win or None,
         "table_rows_checkpoints": {str(k): v for k, v in sorted(sizes.items())},
         "growth_factor_first_to_last_checkpoint": growth,
         "per_epoch": per_epoch,
@@ -203,15 +237,34 @@ def main() -> None:
         "host_sys_pct": syspct,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "FLATNESS.json"), "w") as f:
+    json_name = "FLATNESS_CLUSTERED.json" if win else "FLATNESS.json"
+    with open(os.path.join(REPO, "BENCH", json_name), "w") as f:
         json.dump(report, f, indent=2)
 
+    if win:
+        head = (
+            "## Scale-growth flatness, CLUSTERED Δ (the design-point "
+            "regime: bucket pruning bounds touched slices)"
+        )
+        setup = (
+            f"{K} epochs, kept Δ ≈ {epb:,} events/epoch, each epoch's "
+            f"changes confined to a ROTATING window of {win} of the "
+            f"table's {nb} buckets ({100.0 * win / nb:.1f}% — the "
+            "host-clustered locality a re-crawl/sync has at the 10^10 "
+            "design point), "
+        )
+    else:
+        head = "## Scale-growth flatness (O(Δ) per epoch while the table grows)"
+        setup = (
+            f"{K} epochs × {epb:,} events, url space {n_urls:,} "
+            "(constant Δ, ~all-new keys), "
+        )
     lines = [
         "",
-        "## Scale-growth flatness (O(Δ) per epoch while the table grows)",
+        head,
         "",
-        f"{K} epochs × {epb:,} events, url space {n_urls:,} (constant Δ, "
-        f"~all-new keys), {args.cpus} cores, steal {steal}% / sys {syspct}%. "
+        setup
+        + f"{args.cpus} cores, steal {steal}% / sys {syspct}%. "
         f"Table grew {growth}× between the first and last checkpoint "
         f"({sizes[first_ck]:,} → {sizes[K-1]:,} live rows). Per-epoch wall "
         "medians, early window (epochs "
@@ -233,24 +286,42 @@ def main() -> None:
             f"| {g['late_median']} | {g['ratio']} "
             f"| {'PASS' if g['flat_within_20pct'] else 'FAIL'} |"
         )
-    lines += [
-        "",
-        "Full per-epoch series in `BENCH/FLATNESS.json`. Replay, the "
-        "neardup fold and compaction pin the DESIGN_SCALE.md claim: "
-        "per-epoch cost tracks Δ, not cumulative table size. The "
-        "agg-view fold's documented complexity is O(Δ + touched "
-        "slices); this bench's Δ is UNIFORM over the key space — the "
-        "worst case, where every bucket is touched and the "
-        "touched-slice term is the whole live table — so its raw "
-        "per-key cost grows with the table by design, while the "
-        "per-touched-GB gate verifies the claimed cost model exactly. "
-        "At the 10^10 design point Δ/table is 10^-4-10^-5 with "
-        "host-clustered locality, where bucket + file-stats pruning "
-        "bound the touched slices; reading the prior values of N "
-        "uniformly random keys from a sort-clustered lake with no "
-        "point index is Ω(touched row groups) for ANY engine.",
-        "",
-    ]
+    if win:
+        lines += [
+            "",
+            "Full per-epoch series in `BENCH/FLATNESS_CLUSTERED.json`. "
+            "This is the companion to the uniform-Δ run below/above: "
+            "with Δ clustered in bucket space, the agg-view fold's "
+            "O(Δ + touched slices) term is bounded by the window's "
+            f"{win}/{nb} bucket slices instead of the whole table, so "
+            "its RAW per-epoch cost must gate flat — converting the "
+            "uniform-Δ run's documented worst case into a measured "
+            "bound at the design-point locality. (aggview_per_gb is "
+            "reported for completeness but is not the gate here: the "
+            "denominator is the whole-table volume, which grows while "
+            "the touched window does not.)",
+            "",
+        ]
+    else:
+        lines += [
+            "",
+            "Full per-epoch series in `BENCH/FLATNESS.json`. Replay, the "
+            "neardup fold and compaction pin the DESIGN_SCALE.md claim: "
+            "per-epoch cost tracks Δ, not cumulative table size. The "
+            "agg-view fold's documented complexity is O(Δ + touched "
+            "slices); this bench's Δ is UNIFORM over the key space — the "
+            "worst case, where every bucket is touched and the "
+            "touched-slice term is the whole live table — so its raw "
+            "per-key cost grows with the table by design, while the "
+            "per-touched-GB gate verifies the claimed cost model exactly. "
+            "At the 10^10 design point Δ/table is 10^-4-10^-5 with "
+            "host-clustered locality, where bucket + file-stats pruning "
+            "bound the touched slices (measured in the CLUSTERED-Δ "
+            "section); reading the prior values of N "
+            "uniformly random keys from a sort-clustered lake with no "
+            "point index is Ω(touched row groups) for ANY engine.",
+            "",
+        ]
     with open(args.out, "a") as f:
         f.write("\n".join(lines))
     print(json.dumps({"growth": growth, "gates": gates}))
