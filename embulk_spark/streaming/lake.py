@@ -88,123 +88,22 @@ WIDEN_LATTICE = {
 }
 
 
-class CommitConflict(Exception):
-    """Raised when a guarded commit (compaction / schema DDL / rebucket)
-    finds that the snapshot state it derived its output from changed under
-    it. Delta commits set-merge and rebase freely; only commits that
-    WHOLESALE-REPLACE a snapshot section (base, schema_v, n_buckets) must
-    recompute from the new snapshot instead of clobbering a concurrent
-    writer's work (e.g. two processes compacting: the loser's stale base
-    would drop the winner's folded delta rows). The one delta-commit case:
-    a delta hashed under a bucket layout that a concurrent rebucket
-    replaced conflicts too — its bkt values belong to the old layout."""
 
+from .lake_util import (  # noqa: F401  (re-exported public surface)
+    CommitConflict,
+    _atomic_create_json,
+    _ddl_of,
+    heal_swap_leftovers,
+    is_swap_leftover,
+    recover_dir_swap,
+    rewrite_dir_excluding,
+    swap_leftover_base,
+)
+from .lake_scan import ScanPlanMixin
+from .lake_compact import CompactionMixin
+from .lake_admin import MaintenanceMixin
 
-def _atomic_create_json(path: str, payload: dict) -> None:
-    """Create-exclusive commit: fails with FileExistsError if ``path``
-    already exists (os.link never overwrites), unlike rename. This is the
-    cross-process half of optimistic concurrency — a second writer that
-    raced to the same snapshot version loses and must rebase."""
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)
-    finally:
-        os.unlink(tmp)
-
-
-def recover_dir_swap(d: str) -> None:
-    """Heal a crashed :func:`rewrite_dir_excluding` swap on ``d``.
-
-    The swap is write-aside(``.purge<hex>``) → rename ``d`` aside
-    (``.old<hex>``) → rename the purge copy in → rmtree old. Crash
-    windows and their repair:
-
-    - between the two renames (``d`` missing, filtered copy complete
-      because it was fully written before the first rename): roll
-      FORWARD — rename the ``.purge`` copy to ``d``;
-    - ``d`` missing with only an ``.old`` sibling (filtered copy lost):
-      roll BACK — rename ``.old`` to ``d``;
-    - ``d`` present: any ``.old``/``.purge`` siblings are garbage from a
-      completed or aborted swap (incl. a partial write-aside) — remove.
-
-    Idempotent and safe to call any time; callers that enumerate a
-    parent directory (quarantine / side-index epoch dirs) must also skip
-    the sibling names so a leftover is never read as live data."""
-    parent, name = os.path.split(os.path.normpath(d))
-    try:
-        sibs = os.listdir(parent or ".")
-    except FileNotFoundError:
-        return
-    olds = [s for s in sibs if s.startswith(name + ".old")]
-    purges = [s for s in sibs if s.startswith(name + ".purge")]
-    if not os.path.isdir(d):
-        if purges:
-            purges.sort(
-                key=lambda s: os.path.getmtime(os.path.join(parent, s))
-            )
-            os.rename(os.path.join(parent, purges.pop()), d)
-        elif olds:
-            olds.sort(key=lambda s: os.path.getmtime(os.path.join(parent, s)))
-            os.rename(os.path.join(parent, olds.pop()), d)
-    for s in olds + purges:
-        shutil.rmtree(os.path.join(parent, s), ignore_errors=True)
-
-
-def is_swap_leftover(name: str) -> bool:
-    """True for ``<d>.old<hex>`` / ``<d>.purge<hex>`` sibling names a
-    crashed swap may leave next to a live dir."""
-    return bool(re.search(r"\.(old|purge)[0-9a-f]{8}$", name))
-
-
-def swap_leftover_base(name: str) -> str:
-    """Base dir name a ``.old<hex>``/``.purge<hex>`` leftover belongs to."""
-    return re.sub(r"\.(old|purge)[0-9a-f]{8}$", "", name)
-
-
-def heal_swap_leftovers(parent: str) -> None:
-    """Heal every crashed :func:`rewrite_dir_excluding` swap under
-    ``parent`` BEFORE enumerating it. Callers that merely skip leftover
-    names while iterating never reach the crash state where the base dir
-    itself is missing (crash between rename-aside and rename-in): the
-    base name is absent from the listing, so per-name
-    ``recover_dir_swap`` calls keyed on listed names never fire and the
-    kept rows stay invisible. Deriving the base path from each leftover
-    name and healing it first makes those states reachable."""
-    try:
-        names = os.listdir(parent)
-    except FileNotFoundError:
-        return
-    for base in sorted(
-        {swap_leftover_base(n) for n in names if is_swap_leftover(n)}
-    ):
-        recover_dir_swap(os.path.join(parent, base))
-
-
-def rewrite_dir_excluding(spark, d: str, col: str, keys: list) -> None:
-    """Rewrite a parquet directory in place WITHOUT the rows whose
-    ``col`` is in ``keys`` (write-aside → rename-old-aside → rename-in →
-    rmtree). NULL ``col`` rows are KEPT — three-valued ``~isin`` would
-    silently delete them. Shared by the purge cascades (quarantine dirs
-    here, side-index epoch dirs in operators/incremental.py). Heals any
-    leftover from a previously crashed swap first."""
-    recover_dir_swap(d)
-    df = spark.read.parquet(d)
-    kept = df.filter(
-        F.col(col).isNull() | ~F.col(col).isin(list(keys))
-    )
-    tmp = f"{d}.purge{uuid.uuid4().hex[:8]}"
-    kept.write.parquet(tmp)
-    old = f"{d}.old{uuid.uuid4().hex[:8]}"
-    os.rename(d, old)
-    os.rename(tmp, d)
-    shutil.rmtree(old, ignore_errors=True)
-
-
-class ParquetLakeTable:
+class ParquetLakeTable(ScanPlanMixin, CompactionMixin, MaintenanceMixin):
     """Merge-on-read snapshot table over local/posix parquet.
 
     ``compact_min_deltas`` / ``compact_ratio``: a commit triggers compaction
@@ -719,522 +618,6 @@ class ParquetLakeTable:
             .filter(~F.col("is_deleted"))
             .drop("is_deleted", "bkt")
         )
-
-    # ------------------------------------------------------------------
-    # stats-pruned scans (streaming/filestats.py — Iceberg scan planning)
-    # ------------------------------------------------------------------
-
-    def _write_time_name(
-        self, snap: dict, logical: str, schema_v: int
-    ) -> str | None:
-        """The column name that held ``logical``'s data in files written
-        at ``schema_v`` — the inverse of _normalize's forward rename/drop
-        chain. None ⇒ the column didn't exist then (or was dropped on the
-        way): those files read NULL for it."""
-        changes = sorted(
-            [dict(r, _op="rename") for r in snap["renames"]]
-            + [dict(d, _op="drop") for d in snap.get("drops", [])],
-            key=lambda c: c["schema_v"],
-        )
-        phys = T.StructType.fromDDL(snap["schemas"][str(schema_v)]).fieldNames()
-        for p in phys:
-            name: str | None = p
-            for c in changes:
-                if c["schema_v"] <= schema_v:
-                    continue
-                if c["_op"] == "rename" and c["from"] == name:
-                    name = c["to"]
-                elif c["_op"] == "drop" and c["name"] == name:
-                    name = None
-                    break
-            if name == logical:
-                return p
-        return None
-
-    def _resolved_filters(
-        self, snap: dict, filters: list[tuple], schema_v: int
-    ) -> list[tuple]:
-        """Predicates rewritten to a file group's write-time column names
-        and the encoded comparison domain (filestats.encode_value)."""
-        from .filestats import encode_value
-
-        cur = {f.name: f.dataType for f in self.schema(snap).fields}
-        out = []
-        for col, op, val in filters:
-            if col not in cur:
-                raise ValueError(f"unknown column {col!r} in scan filter")
-            out.append((
-                self._write_time_name(snap, col, schema_v),
-                op,
-                encode_value(cur[col], val),
-            ))
-        return out
-
-    def _buckets_of_keys(self, keys, nb: int) -> set[int]:
-        """Hash buckets of a key list — one driver-local job over the
-        keys (Spark's xxhash64, never re-implemented host-side: no
-        drift)."""
-        kdf = self.spark.createDataFrame([(u,) for u in keys], "url string")
-        return {
-            r["b"]
-            for r in kdf.select(
-                bucket_of(F.col("url"), nb).alias("b")
-            ).distinct().collect()
-        }
-
-    def _key_keep_fn(self, snap: dict, keys: set | None):
-        """Strong merge-key file-keep rule as a reusable predicate
-        ``(stats_entry, schema_v) -> bool``: can this file hold ANY
-        version of any probe key? A bloom negative OR a url-min/max miss
-        (per key) is definitive even in dirty buckets and among deltas —
-        every version of a key lives only in files containing it. No
-        signal degrades to keep. ``keys=None`` keeps everything."""
-        from .filestats import bloom_maybe_contains, could_match, encode_value
-
-        wt_cache: dict[int, str | None] = {}
-
-        def skeep(st_entry: dict | None, schema_v: int) -> bool:
-            if keys is None:
-                return True
-            if schema_v not in wt_cache:
-                wt_cache[schema_v] = self._write_time_name(
-                    snap, "url", schema_v
-                )
-            wt = wt_cache[schema_v]
-            kb = (st_entry or {}).get("kb")
-            for u in keys:
-                if kb is not None and not bloom_maybe_contains(kb, u):
-                    continue
-                if (
-                    st_entry is not None
-                    and wt is not None
-                    and not could_match(
-                        st_entry, [(wt, "=", encode_value(T.StringType(), u))]
-                    )
-                ):
-                    continue
-                return True
-            return False
-
-        return skeep
-
-    def scan_plan(
-        self, filters: list[tuple], *, version: int | None = None
-    ) -> dict:
-        """Plan a predicate scan from manifest stats alone (no data IO).
-
-        ``filters``: conjunctive ``(column, op, value)`` triples, op in
-        =/</<=/>/>= (plus ``in`` on the merge key ``url``), evaluated
-        against the MERGED latest state. Sound pruning under MOR (see
-        streaming/filestats.py):
-
-        * skip a bucket iff NO file covering it could match;
-        * in kept buckets WITHOUT pending delta coverage ("clean"),
-          additionally skip non-matching base files (the base holds one
-          row per key, so no other version hides there);
-        * delta files are never stat-pruned — any one covering a kept
-          bucket may supersede a matching row — they only vote on kept
-          buckets.
-
-        EXCEPT for equality on the merge key itself: ``("url","=",v)`` /
-        ``("url","in",[...])`` prune per-FILE everywhere, deltas and
-        dirty buckets included — every version of a key lives only in
-        files containing that key, so a file whose bloom says "absent"
-        (or whose url min/max excludes every probe key) cannot hold ANY
-        version of it. Buckets additionally restrict to the keys' hash
-        buckets.
-
-        Files without stats degrade to "could match" + "covers all
-        buckets". Returns the group list scan_where reads plus skip
-        accounting."""
-        from .filestats import could_match, file_bucket_cover
-
-        snap = (
-            self.snapshot_at(version) if version is not None
-            else self.current_snapshot()
-        )
-        nb = self._nb(snap)
-        # conjunction of url-equality filters → one effective key set
-        keys: set | None = None
-        attr: list[tuple] = []
-        for f in filters:
-            col, op, val = f
-            if col == "url" and op in ("=", "in"):
-                s = {val} if op == "=" else set(val)
-                keys = s if keys is None else keys & s
-            else:
-                attr.append(f)
-        rf_cache: dict[int, list[tuple]] = {}
-
-        def rf(schema_v: int) -> list[tuple]:
-            if schema_v not in rf_cache:
-                rf_cache[schema_v] = self._resolved_filters(
-                    snap, attr, schema_v
-                )
-            return rf_cache[schema_v]
-
-        skeep = self._key_keep_fn(snap, keys)
-        kept: set[int] = set()
-        dirty: set[int] = set()  # buckets with any delta coverage
-        delta_cover: list[tuple[dict, str, int, int]] = []
-        for d in snap["deltas"]:
-            st = self.group_stats(d) or {}
-            for f in d["files"]:
-                lo, hi = file_bucket_cover(st.get(f), nb)
-                dirty.update(range(lo, hi + 1))
-                delta_cover.append((d, f, lo, hi))
-                if could_match(st.get(f), rf(int(d["schema_v"]))):
-                    kept.update(range(lo, hi + 1))
-        base_match: dict[str, list[str]] = {}
-        for b, entry in snap["base"].items():
-            st = self.group_stats(entry) or {}
-            hits = [
-                f for f in entry["files"]
-                if could_match(st.get(f), rf(int(entry["schema_v"])))
-            ]
-            base_match[b] = hits
-            if hits:
-                kept.add(int(b))
-        if keys is not None:
-            kept &= self._buckets_of_keys(keys, nb) if keys else set()
-
-        groups: list[tuple[int, list[str]]] = []
-        base_read = 0
-        base_total = sum(len(e["files"]) for e in snap["base"].values())
-        for b, entry in snap["base"].items():
-            if int(b) not in kept:
-                continue
-            st = self.group_stats(entry) or {}
-            sv = int(entry["schema_v"])
-            files = (
-                entry["files"] if int(b) in dirty  # dirty: every version
-                else base_match[b]                  # clean: file-granular
-            )
-            files = [f for f in files if skeep(st.get(f), sv)]
-            if files:
-                groups.append((sv, files))
-                base_read += len(files)
-        delta_read = 0
-        by_group: dict[int, list[str]] = {}
-        for d, f, lo, hi in delta_cover:
-            if any(b in kept for b in range(lo, hi + 1)) and skeep(
-                (self.group_stats(d) or {}).get(f), int(d["schema_v"])
-            ):
-                by_group.setdefault(id(d), []).append(f)
-        for d in snap["deltas"]:
-            files = by_group.get(id(d), [])
-            if files:
-                groups.append((int(d["schema_v"]), files))
-                delta_read += len(files)
-        return {
-            "filters": [list(f) for f in filters],
-            "probe_keys": sorted(keys) if keys is not None else None,
-            "version": snap["version"],
-            "n_buckets": nb,
-            "buckets_kept": sorted(kept),
-            "buckets_clean": sorted(set(range(nb)) - dirty),
-            "base_files_total": base_total,
-            "base_files_read": base_read,
-            "delta_files_total": len(delta_cover),
-            "delta_files_read": delta_read,
-            "files_skipped": (base_total - base_read)
-            + (len(delta_cover) - delta_read),
-            "groups": groups,
-        }
-
-    def _pred_column(self, filters: list[tuple], cur: T.StructType):
-        ops = {
-            "=": lambda c, v: c == v, "<": lambda c, v: c < v,
-            "<=": lambda c, v: c <= v, ">": lambda c, v: c > v,
-            ">=": lambda c, v: c >= v,
-        }
-        types = {f.name: f.dataType for f in cur.fields}
-        cond = F.lit(True)
-        for col, op, val in filters:
-            if op == "in":
-                cond = cond & F.col(col).isin(list(val))
-                continue
-            lit = F.lit(val)
-            if isinstance(val, str) and isinstance(
-                types[col], (T.TimestampType, T.DateType)
-            ):
-                lit = lit.cast(types[col])
-            cond = cond & ops[op](F.col(col), lit)
-        return cond
-
-    def scan_where(
-        self,
-        filters: list[tuple],
-        *,
-        version: int | None = None,
-        published: bool = True,
-    ) -> DataFrame:
-        """Predicate read over the merged latest state that touches ONLY
-        the files scan_plan kept — semantically identical to
-        ``published().filter(pred)`` (or ``read().filter(pred)`` with
-        ``published=False``), physically O(matching buckets + their
-        files). The predicate ALSO runs post-merge, so stats only ever
-        skip IO, never decide rows."""
-        snap = (
-            self.snapshot_at(version) if version is not None
-            else self.current_snapshot()
-        )
-        cur = self.schema(snap)
-        plan = self.scan_plan(filters, version=version)
-        df = self._read_file_groups(snap, plan["groups"])
-        if df is None:
-            out = self._empty(cur)
-        else:
-            kept = plan["buckets_kept"]
-            if len(kept) < plan["n_buckets"]:
-                # rows a wide delta file carries for pruned buckets can't
-                # match — drop them before the merge shuffle
-                df = df.filter(F.col("bkt").isin(kept))
-            out = dedup_latest(df)
-        out = out.filter(self._pred_column(filters, cur))
-        if published:
-            out = out.filter(~F.col("is_deleted")).drop("is_deleted", "bkt")
-        return out
-
-    def changes_between(
-        self, since_epoch: int, until_epoch: int | None = None
-    ) -> DataFrame:
-        """Incremental change-feed read (the lake as a CDC *source* for
-        downstream consumers — Iceberg's incremental scan re-expressed):
-        one net row per url touched in epochs (since_epoch, until_epoch],
-        the (warc_ts, seq)-winner within that range, deletes included as
-        ``is_deleted`` tombstone rows. A consumer applying consecutive
-        ranges in order reconstructs the table exactly (same MOR
-        resolution as ``read``).
-
-        Cost is O(change-set): only the range's delta files are scanned —
-        never the base — so a downstream consumer of a 100 TB table pays
-        for its lag, not the table. Raises when part of the range has been
-        folded into the base by compaction (the consumer's cursor is too
-        old → full refresh), mirroring Iceberg's incremental read failing
-        over expired snapshots."""
-        snap = self.current_snapshot()
-
-        def in_range(e: int) -> bool:
-            return e > since_epoch and (until_epoch is None or e <= until_epoch)
-
-        wanted = {e for e in snap["committed_epochs"] if in_range(int(e))}
-        # residual groups (partial compaction) carry epoch_id None: their
-        # rows left the feed's serving range when their epochs were folded
-        groups = [
-            (int(d["schema_v"]), d["files"])
-            for d in snap["deltas"]
-            if d.get("epoch_id") is not None and in_range(int(d["epoch_id"]))
-        ]
-        available = {
-            int(d["epoch_id"]) for d in snap["deltas"]
-            if d.get("epoch_id") is not None and in_range(int(d["epoch_id"]))
-        }
-        # a residual group (epoch_id None) records which epochs it folded;
-        # when the fold touched NO base bucket (pure binpack —
-        # feed_complete) the residual holds the folded epochs' ENTIRE
-        # per-url net change-set, so it serves the feed exactly when its
-        # whole folded set lies inside the requested range (a lagging
-        # cursor older than the fold). A residual from a hot fold is
-        # NOT servable — its hot-bucket winners went into the base — and
-        # partial range coverage would re-deliver consumed epochs'
-        # winners; both cases fall through to cursor-too-old below.
-        for d in snap["deltas"]:
-            if d.get("epoch_id") is not None or not d.get("feed_complete"):
-                continue
-            fe = {int(e) for e in d.get("folded_epochs", ())}
-            if fe and all(in_range(e) for e in fe):
-                groups.append((int(d["schema_v"]), d["files"]))
-                available |= fe
-        # empty-batch epochs commit no delta group; they are committed but
-        # contribute no rows and must not count as "compacted away"
-        folded = wanted - available - self._empty_epochs()
-        if folded:
-            raise ValueError(
-                f"epochs {sorted(folded)} were compacted into the base — "
-                "incremental cursor too old; do a full refresh (read()) "
-                "and restart the feed from the current epoch"
-            )
-        df = self._read_file_groups(snap, groups)
-        if df is None:
-            return self._empty(self.schema(snap))
-        return dedup_latest(df)
-
-    def consume_changes(self, out_dir: str) -> dict:
-        """Exactly-once incremental feed CONSUMER step: read the net
-        changes between this consumer's cursor and the table head, land
-        them as one parquet range directory under ``out_dir``, and
-        advance the cursor — crash-safe at every boundary. Each call
-        drains whatever committed since the last call (poll it from cron
-        or a driver loop: the CDC-out daemon).
-
-        Protocol: the range content is deterministic (same MOR resolution
-        as any read), the range dir is named by its epoch bounds, and the
-        cursor file updates by atomic rename AFTER the range lands — a
-        crash between the two re-computes the identical range, sees the
-        directory already present, and just advances the cursor. A cursor
-        older than the compaction horizon raises (changes_between's
-        contract): remove ``out_dir`` and restart from a full read."""
-        os.makedirs(out_dir, exist_ok=True)
-        cur_path = os.path.join(out_dir, "_cursor.json")
-        since = -1
-        if os.path.exists(cur_path):
-            with open(cur_path) as f:
-                since = int(json.load(f)["since_epoch"])
-        # a crash between the range rename and the cursor advance leaves a
-        # landed range for this cursor; ADOPT it (advance the cursor to
-        # its recorded upper bound) instead of computing a fresh,
-        # OVERLAPPING range to a newer head — exactly-once means epochs
-        # 5-9 must not ship twice just because epoch 10 committed before
-        # the retry
-        stale = sorted(
-            (d for d in os.listdir(out_dir)
-             if d.startswith(f"range_{since}_")),
-            key=lambda d: int(d.rsplit("_", 1)[1]),  # NUMERIC: 12 > 9
-        )
-        if stale:
-            target = os.path.join(out_dir, stale[-1])
-            head = int(stale[-1].rsplit("_", 1)[1])
-            # racing consumers can land several ranges from this cursor
-            # with different heads; the widest supersedes the others
-            # (same lower bound → strict subsets) — drop them so no
-            # downstream ever sees overlapping ranges
-            for d in stale[:-1]:
-                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
-        else:
-            head = max(
-                (int(e) for e in self.committed_epochs()), default=None
-            )
-            if head is None or head <= since:
-                return {"since_epoch": since, "rows": 0, "noop": True}
-            target = os.path.join(out_dir, f"range_{since}_{head}")
-            feed = self.changes_between(since, head)
-            scratch = os.path.join(out_dir, f"_tmp_{uuid.uuid4().hex}")
-            feed.write.mode("overwrite").parquet(scratch)
-            try:
-                os.rename(scratch, target)
-            except OSError:
-                # a concurrent consumer landed this range first
-                shutil.rmtree(scratch, ignore_errors=True)
-                if not os.path.isdir(target):
-                    raise
-        rows = self.spark.read.parquet(target).count()
-        tmp = cur_path + f".tmp{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"since_epoch": head}, f)
-        os.rename(tmp, cur_path)
-        return {"since_epoch": since, "until_epoch": head,
-                "rows": rows, "out": target}
-
-    def apply_changes(
-        self, changes: DataFrame, epoch_id: int, *, evolve: bool = False
-    ) -> dict:
-        """Apply a change-feed range (the output of ``changes_between`` /
-        ``consume_changes``: net winner rows per url, tombstones included,
-        text already extracted) as ONE idempotent epoch commit — no
-        re-deduplication, no re-extraction, no per-event processing. This
-        is the replica half of lake-to-lake replication
-        (``streaming/replicate.py``): a downstream mirror pays
-        O(change-set) write cost per sync, never O(table) and never the
-        upstream's extraction CPU.
-
-        Rows are normalized to THIS table's current schema (columns the
-        replica doesn't declare are dropped, missing declared columns
-        null) and re-bucketed under its layout — source and replica may
-        use different bucket counts. Duplicate delivery skips on
-        ``epoch_id`` exactly like ``merge_epoch``; MOR winner resolution
-        makes a re-applied range a semantic no-op either way.
-
-        ``evolve=True`` propagates ADDITIVE schema evolution: a feed
-        column the replica doesn't declare triggers ``add_column`` (same
-        name and type) before the apply — the Debezium/Fivetran-style
-        default for downstream mirrors. Renames and drops are DDL
-        decisions, not inferable from a column list — apply the same
-        ``rename_column``/``drop_column`` to the replica.
-        """
-        snap = self.current_snapshot()
-        if epoch_id in set(snap["committed_epochs"]):
-            return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
-        if evolve:
-            declared = set(self.schema(snap).fieldNames())
-            for f in changes.schema.fields:
-                if f.name not in declared and f.name != "bkt":
-                    self.add_column(f.name, f.dataType.simpleString())
-            snap = self.current_snapshot()  # re-capture past the DDLs
-        cur = self.schema(snap)
-        nb = self._nb(snap)
-        have = set(changes.columns)
-        rows = changes.select(
-            *[
-                (F.col(f.name).cast(f.dataType) if f.name in have
-                 else F.lit(None).cast(f.dataType)).alias(f.name)
-                for f in cur.fields
-            ]
-        ).withColumn("bkt", bucket_of(F.col("url"), nb))
-
-        rel_dir = f"data/e{epoch_id:08d}_{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.path, rel_dir)
-        from pyspark.sql import Observation
-
-        obs = Observation(f"replica_epoch_{epoch_id}")
-        rows.observe(
-            obs,
-            F.count(F.lit(1)).alias("keys"),
-            F.sum(F.col("is_deleted").cast("long")).alias("deletes"),
-            F.max("warc_ts").alias("max_ts"),
-        ).write.mode("overwrite").parquet(out_dir)
-        stats = obs.get
-        files, rows_written, nbytes = self._list_files(rel_dir)
-        if rows_written == 0:
-            return self._commit(
-                snap, epoch_id,
-                metrics={"epoch_id": epoch_id, "replicated": True,
-                         "rows_in": 0, "empty_batch": True},
-                lineage=[],
-            )
-        metrics = {
-            "epoch_id": epoch_id,
-            "replicated": True,
-            "keys_in_batch": int(stats["keys"]),
-            "delete_keys": int(stats["deletes"] or 0),
-            "rows_written": rows_written,
-            "delta_files": len(files),
-            "delta_bytes": nbytes,
-            "max_warc_ts": str(stats["max_ts"]),
-            "delta_dir": rel_dir,
-        }
-        delta_group = {
-            "files": files,
-            "schema_v": snap["schema_v"],
-            "rows": rows_written,
-            "epoch_id": epoch_id,
-        }
-        self._attach_stats(delta_group, self._maybe_stats(files))
-        out = self._commit(
-            snap, epoch_id, metrics=metrics, lineage=[],
-            new_delta=delta_group, expect_nb=nb,
-        )
-        self.maybe_compact()
-        return out
-
-    def _empty_epochs(self) -> set[int]:
-        """Epochs committed with empty batches (no delta group ever
-        existed) — recorded in each snapshot's commit metrics."""
-        out: set[int] = set()
-        for fn in self._snapshot_files():
-            try:
-                m = self.snapshot_at(int(fn[1:9])).get("metrics") or {}
-            except (OSError, ValueError, KeyError):
-                continue
-            if m.get("empty_batch") and m.get("epoch_id") is not None:
-                out.add(int(m["epoch_id"]))
-            # fast_forward carries adopted empty epochs as a list (the
-            # branch's per-epoch snapshots are not in this ref's dir)
-            out |= {int(e) for e in m.get("empty_epochs", ())}
-        # a rollback can un-commit an epoch whose original (historical)
-        # commit was empty — history says "was empty once", the CURRENT
-        # snapshot says whether it counts
-        return out & self.committed_epochs()
 
     # ------------------------------------------------------------------
     # MERGE commit (merge-on-read: append the deduped change-set)
@@ -2269,643 +1652,6 @@ class ParquetLakeTable:
                     continue
 
     # ------------------------------------------------------------------
-    # compaction: fold deltas into the hash-bucketed base
-    # ------------------------------------------------------------------
-
-    def maybe_compact(self) -> dict | None:
-        snap = self.current_snapshot()
-        delta_rows = sum(d["rows"] for d in snap["deltas"])
-        if len(snap["deltas"]) < self.compact_min_deltas:
-            return None
-        if self.compact_mode == "hot":
-            # per-bucket trigger lives inside compact_hot; the min_deltas
-            # gate above bounds how often the O(Δ) selection scan runs.
-            # The newest feed_retain_epochs epochs are exempt from any
-            # fold so the incremental feed keeps serving them per-epoch.
-            if not self._compact_lock.acquire(blocking=False):
-                return None
-            try:
-                retain = self._feed_retain_set(snap)
-                out = self.compact_hot(retain_epochs=retain)
-                if out is None:
-                    foldable_rows = sum(
-                        d["rows"] for d in snap["deltas"]
-                        if d.get("epoch_id") is None
-                        or int(d["epoch_id"]) not in retain
-                    )
-                    if foldable_rows > 0:
-                        # no bucket justifies a base fold — binpack the
-                        # aged-out delta groups into one deduped residual
-                        # so the manifest and small-file count stay
-                        # bounded (base untouched)
-                        out = self.compact(buckets=[], retain_epochs=retain)
-                return out
-            finally:
-                self._compact_lock.release()
-        if delta_rows < self.compact_ratio * max(1, snap["base_rows"]):
-            return None
-        if not self._compact_lock.acquire(blocking=False):
-            return None  # a pipelined sibling is already compacting
-        try:
-            retain = self._feed_retain_set(snap)
-            if retain:
-                # full-mode auto fold = an all-bucket partial fold that
-                # carries the newest epochs' groups untouched, so the
-                # incremental feed keeps serving them per-epoch (same
-                # base-rewrite cost; only aged-out groups fold)
-                return self.compact(
-                    buckets=list(range(self._nb(snap))),
-                    retain_epochs=retain,
-                )
-            return self.compact()
-        finally:
-            self._compact_lock.release()
-
-    @property
-    def feed_retain_epochs(self) -> int:
-        """Defaults to the CURRENT compact_min_deltas (tracked live, so
-        tuning the trigger post-construction keeps the feed horizon in
-        sync) unless set explicitly at construction."""
-        return (
-            self.compact_min_deltas if self._feed_retain_epochs is None
-            else self._feed_retain_epochs
-        )
-
-    def _feed_retain_set(self, snap: dict) -> set[int]:
-        """Committed epochs young enough that auto-compaction must keep
-        their delta groups individually servable by the incremental feed
-        (the newest ``feed_retain_epochs`` of the epoch sequence)."""
-        if self.feed_retain_epochs <= 0:
-            return set()
-        eps = sorted(int(e) for e in snap["committed_epochs"])
-        return set(eps[-self.feed_retain_epochs:])
-
-    def compact(
-        self,
-        tombstone_retention_ts: str | None = None,
-        *,
-        buckets: list[int] | None = None,
-        retain_epochs: set[int] | None = None,
-        drop_keys: list[str] | None = None,
-    ) -> dict:
-        """Merge base∪deltas into a fresh bucketed base (one row per url).
-        ``tombstone_retention_ts``: drop tombstones older than this
-        watermark — safe once events that late can no longer arrive.
-        Retries from a fresh snapshot if a concurrent compaction (another
-        process) replaced the base while this one ran.
-
-        ``buckets``: PARTIAL compaction — fold the deltas into only these
-        buckets' base slices (Iceberg's `rewrite_data_files ... WHERE` /
-        binpack-with-filter). Delta rows outside the set are rewritten as
-        one per-url-deduped *residual* delta group instead of touching
-        their base buckets, so the rewrite costs O(selected base slice +
-        all deltas) — never O(table). At 100 TB with a hot-domain change
-        stream this is the only affordable shape: the cold 99% of the base
-        is carried forward by reference (same files, byte-identical).
-        Residual groups carry ``epoch_id: None`` plus the folded epoch
-        set; changes_between serves a range from the residual when the
-        range fully covers that set, and raises "cursor too old"
-        otherwise. ``retain_epochs``: delta groups of these epochs are
-        carried forward untouched (never folded) — auto maintenance
-        passes the newest ``feed_retain_epochs`` epochs here so pollers
-        keep exact per-epoch feed service."""
-        while True:
-            try:
-                return self._compact_once(
-                    tombstone_retention_ts, buckets,
-                    retain_epochs=retain_epochs, drop_keys=drop_keys,
-                )
-            except CommitConflict:
-                continue
-
-    def compact_hot(
-        self,
-        *,
-        ratio: float | None = None,
-        max_buckets: int | None = None,
-        tombstone_retention_ts: str | None = None,
-        retain_epochs: set[int] | None = None,
-    ) -> dict | None:
-        """Partial-compact the buckets where deltas concentrate: fold
-        bucket ``b`` when its pending delta rows ≥ ``ratio`` × its base
-        rows (the global ``compact_ratio`` trigger applied per bucket —
-        rewrite amplification bounded to 1/ratio per delta row folded).
-        ``max_buckets`` caps the fold to the hottest ones by delta volume.
-        Returns None when no deltas exist or no bucket qualifies.
-
-        Per-bucket delta volume comes from ONE O(Δ) column-pruned scan of
-        the delta files (bkt only); the base is never read for selection.
-        On a skewed change stream (the north rule's hot-domain case) this
-        keeps compaction cost proportional to the hot set: the zipf head's
-        buckets fold every few epochs while the cold tail's base files are
-        never rewritten."""
-        r = self.compact_ratio if ratio is None else ratio
-        base_retain = set(retain_epochs or ())
-        while True:
-            snap = self.current_snapshot()
-            # re-anchor retention to THIS capture: an epoch committed by a
-            # pipelined sibling between the caller's snapshot and this
-            # retry is inside the current newest-N window and must not be
-            # folded out of the feed (only when retention was asked for —
-            # an empty set means an explicit fold-everything call)
-            retain = base_retain | (
-                self._feed_retain_set(snap) if base_retain else set()
-            )
-            fold_groups = [
-                d for d in snap["deltas"]
-                if d.get("epoch_id") is None
-                or int(d["epoch_id"]) not in retain
-            ]
-            if not fold_groups:
-                return None
-            # selection counts only what a fold could actually absorb —
-            # retained (feed-servable) epochs' rows don't make a bucket hot
-            delta = self._read_file_groups(
-                snap,
-                [(int(d["schema_v"]), d["files"]) for d in fold_groups],
-            )
-            if delta is None:
-                return None
-            cnt = {
-                int(row["bkt"]): int(row["n"])
-                for row in delta.groupBy("bkt").agg(
-                    F.count(F.lit(1)).alias("n")
-                ).collect()
-            }
-            base_rows = {
-                int(b): int(e.get("rows") or 0)
-                for b, e in snap["base"].items()
-            }
-            hot = [
-                b for b, n in cnt.items()
-                if n >= r * max(1, base_rows.get(b, 0))
-            ]
-            if not hot:
-                return None
-            hot.sort(key=lambda b: cnt[b], reverse=True)
-            if max_buckets is not None:
-                hot = hot[:max_buckets]
-            try:
-                return self._compact_once(
-                    tombstone_retention_ts, sorted(hot), from_snap=snap,
-                    retain_epochs=retain,
-                )
-            except CommitConflict:
-                continue  # concurrent base change: re-select and retry
-
-    def _approx_input_bytes(
-        self, snap: dict, buckets: list[int] | None = None
-    ) -> int:
-        """Manifest-derived on-disk bytes a fold will rewrite: the base
-        entries (optionally only ``buckets``) plus every pending delta
-        group (deltas aren't bucket-splittable in the manifest; they're
-        small relative to the base by the time a fold triggers). Drives
-        target_file_bytes output sizing — an estimate, not accounting."""
-        want = None if buckets is None else {int(b) for b in buckets}
-        base = [
-            e
-            for b, e in snap.get("base", {}).items()
-            if want is None or int(b) in want
-        ]
-        return self._entry_bytes(base) + self._entry_bytes(
-            snap.get("deltas", [])
-        )
-
-    def _write_bucketed_base(
-        self, merged: DataFrame, snap: dict, nb: int, prefix: str,
-        approx_bytes: int | None = None,
-    ) -> tuple[dict, int]:
-        """One distributed job writing ``merged`` as a fresh bucketed base
-        (bkt column already assigned under ``nb``); returns the manifest
-        base map + total rows. Shared by compaction and rebucket.
-
-        Salted repartition: one task per (bucket, salt) instead of one per
-        bucket, so the rewrite saturates the cluster even when nb < cores
-        and a bucket never becomes a straggler task (the reference's
-        scatter fan-out generalized,
-        exec/LocalExecutorPlugin.java:58-70,444-454). Url-sort within each
-        task: every written file's parquet row-groups then hold disjoint
-        url ranges, so a point lookup (lookup_urls) touches ONE row-group
-        per file via min/max stats instead of scanning the bucket — free
-        here (the shuffle already paid), O(bucket/row-groups) at read
-        time."""
-        rel_dir = f"data/{prefix}_{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.path, rel_dir)
-        from ..operators.merge import salted_repartition
-
-        if self.target_file_bytes and approx_bytes is not None:
-            # bytes-proportional output: ~1 file per write partition, so
-            # n_parts ≈ files ≈ input_bytes / target (≥1 per bucket)
-            import math
-
-            n_parts = max(
-                nb, math.ceil(approx_bytes / self.target_file_bytes)
-            )
-        else:
-            n_parts = max(
-                nb,
-                int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            )
-        sort_cols = [c for c in self.sort_columns if c in merged.columns]
-        if sort_cols and self.cluster_mode == "zorder" and len(sort_cols) >= 2:
-            # Morton clustering (streaming/zorder.py): files become
-            # hyper-rectangles in sort-column space so manifest stats
-            # prune on ANY of the columns. One extra quantile pass over
-            # the merge (like the range branch's sampling pass, also
-            # maintenance-only); the write is still ONE range shuffle.
-            from .zorder import quantile_edges, with_z_column
-
-            edges = quantile_edges(merged, sort_cols)
-            salted = with_z_column(
-                merged.withColumn("bucket", F.col("bkt")), sort_cols, edges
-            )
-            salted = salted.repartitionByRange(n_parts, "bucket", "_z")
-            salted = salted.sortWithinPartitions("bucket", "_z", "url").drop(
-                "_z"
-            )
-        elif sort_cols:
-            # Iceberg write sort-order: range-partition on (bucket,
-            # *sort_columns) so a bucket's files hold DISJOINT sort-key
-            # ranges — per-file manifest stats then skip whole files for
-            # predicates on those columns (scan_where). The range
-            # sampling pass re-runs the upstream merge once; acceptable
-            # inside maintenance, which is why the hot epoch path never
-            # takes this branch. Skew safety comes from the range
-            # partitioner itself (a hot (bucket, key) spreads across
-            # consecutive partitions).
-            salted = merged.withColumn(
-                "bucket", F.col("bkt")
-            ).repartitionByRange(n_parts, "bucket", *sort_cols)
-            salted = salted.sortWithinPartitions("bucket", *sort_cols, "url")
-        else:
-            spread = max(1, n_parts // nb)
-            salted = salted_repartition(
-                merged.withColumn("bucket", F.col("bkt")), n_parts,
-                key="bucket", spread=spread,
-            )
-            salted = salted.sortWithinPartitions("bucket", "url")
-        salted.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
-        new_base: dict[str, dict] = {}
-        total_rows = 0
-        import pyarrow.parquet as pq
-
-        for entry in sorted(os.listdir(out_dir)):
-            if not entry.startswith("bucket="):
-                continue
-            b = int(entry.split("=")[1])
-            bdir = os.path.join(out_dir, entry)
-            files, rows = [], 0
-            for fn in sorted(os.listdir(bdir)):
-                if fn.endswith(".parquet"):
-                    fp = os.path.join(bdir, fn)
-                    files.append(os.path.relpath(fp, self.path))
-                    rows += pq.ParquetFile(fp).metadata.num_rows
-            new_base[str(b)] = {
-                "files": files, "schema_v": snap["schema_v"], "rows": rows,
-            }
-            total_rows += rows
-        all_files = [f for e in new_base.values() for f in e["files"]]
-        fstats = self._maybe_stats(all_files)
-        if fstats:
-            for e in new_base.values():
-                self._attach_stats(
-                    e, {f: fstats[f] for f in e["files"] if f in fstats}
-                )
-        return new_base, total_rows
-
-    def _entry_bytes(self, entries) -> int:
-        """Total on-disk bytes of base-map entries' files (compaction IO
-        accounting: what the fold actually rewrote)."""
-        total = 0
-        for e in entries:
-            for f in e["files"]:
-                fp = os.path.join(self.path, f)
-                if os.path.exists(fp):
-                    total += os.path.getsize(fp)
-        return total
-
-    def _compact_once(
-        self,
-        tombstone_retention_ts: str | None = None,
-        buckets: list[int] | None = None,
-        *,
-        from_snap: dict | None = None,
-        retain_epochs: set[int] | None = None,
-        drop_keys: list[str] | None = None,
-    ) -> dict:
-        snap = from_snap or self.current_snapshot()
-        if drop_keys and buckets is None:
-            # purge path: the victim buckets MUST derive from the same
-            # snapshot this fold captures — a stale caller-computed set
-            # under a concurrent rebucket would leave un-rewritten
-            # buckets (and an unfiltered residual) holding the keys
-            buckets = sorted(
-                self._buckets_of_keys(list(drop_keys), self._nb(snap))
-            )
-        if buckets is None and retain_epochs:
-            # a retained "full" fold = all-bucket partial fold (the full
-            # path by definition folds every group; silently ignoring the
-            # retain set would drop the retained epochs from the feed)
-            buckets = list(range(self._nb(snap)))
-        if buckets is not None:
-            return self._compact_partial(
-                snap, tombstone_retention_ts, buckets,
-                retain_epochs=retain_epochs, drop_keys=drop_keys,
-            )
-        t0 = time.perf_counter()
-        # read exactly the captured version: a delta committed between the
-        # two reads must NOT be folded (it stays in the delta list)
-        merged = self.read(version=snap["version"])
-        if drop_keys:
-            # physical purge path (purge_keys): the fold writes a base
-            # with every version of these keys gone
-            merged = merged.filter(~F.col("url").isin(list(drop_keys)))
-        if tombstone_retention_ts:
-            merged = merged.filter(
-                (~F.col("is_deleted"))
-                | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
-            )
-        new_base, total_rows = self._write_bucketed_base(
-            merged, snap, self._nb(snap), "compact",
-            approx_bytes=self._approx_input_bytes(snap),
-        )
-        metrics = {
-            "compaction": True,
-            "base_rows": total_rows,
-            "deltas_folded": len(snap["deltas"]),
-            "bytes_rewritten": self._entry_bytes(new_base.values()),
-            "seconds": round(time.perf_counter() - t0, 3),
-        }
-        return self._commit(
-            snap, None, metrics=metrics, lineage=[],
-            new_base=new_base, new_base_rows=total_rows,
-            folded_deltas=snap["deltas"],
-            expect_base_of=snap,
-        )
-
-    def _compact_partial(
-        self,
-        snap: dict,
-        tombstone_retention_ts: str | None,
-        buckets: list[int],
-        *,
-        retain_epochs: set[int] | None = None,
-        drop_keys: list[str] | None = None,
-    ) -> dict:
-        """Fold the captured deltas into ``buckets``' base slices only.
-
-        One pass over the deltas (persisted, split hot/cold), the base
-        read limited to the selected buckets. Cold delta rows are deduped
-        per url (the winner survives — same (warc_ts, seq) resolution as
-        every read, so collapsing losers is semantics-preserving) and
-        written back as one residual group; cold BASE buckets are carried
-        forward by reference. Iceberg analogue: rewrite_data_files with a
-        partition filter."""
-        t0 = time.perf_counter()
-        hot = sorted({int(b) for b in buckets})
-        hot_set = set(hot)
-        nb = self._nb(snap)
-        bad = [b for b in hot if b < 0 or b >= nb]
-        if bad:
-            raise ValueError(f"buckets {bad} outside [0, {nb})")
-        retention = (
-            (~F.col("is_deleted"))
-            | (F.col("warc_ts") >= F.lit(tombstone_retention_ts))
-            if tombstone_retention_ts else None
-        )
-        retain = set(retain_epochs or ())
-        if retain and drop_keys:
-            raise ValueError(
-                "drop_keys cannot combine with retain_epochs: a retained "
-                "delta group may hold a purged key's rows — purge folds "
-                "every group"
-            )
-        if retain:
-            # same re-anchoring as compact_hot: this snap may be a
-            # CommitConflict-retry re-capture newer than the caller's
-            retain |= self._feed_retain_set(snap)
-        if retain and tombstone_retention_ts:
-            raise ValueError(
-                "tombstone_retention_ts cannot combine with retain_epochs: "
-                "a retained group may hold an older (late-data) live row "
-                "for a url whose tombstone would be retired before the "
-                "fold ever sees that row — fold fully, then expire"
-            )
-        # retained (feed-servable) epochs' groups ride through untouched —
-        # neither folded into the base nor binpacked into the residual
-        fold_groups = [
-            d for d in snap["deltas"]
-            if d.get("epoch_id") is None or int(d["epoch_id"]) not in retain
-        ]
-        delta = self._read_file_groups(
-            snap, [(int(d["schema_v"]), d["files"]) for d in fold_groups]
-        )
-        if delta is None:
-            if not drop_keys:
-                # nothing foldable: partial compaction is a no-op
-                return {"compaction": True, "partial": True, "noop": True}
-            # purge with zero pending deltas: the victim base buckets
-            # still rewrite (the purge is ABOUT the base bytes)
-            base_hot = self._base_df(snap, hot)
-            if base_hot is None:
-                return {"compaction": True, "partial": True, "noop": True}
-            merged_hot = base_hot.filter(
-                ~F.col("url").isin(list(drop_keys))
-            )
-            hot_base, hot_rows = self._write_bucketed_base(
-                merged_hot, snap, nb, "compact",
-                approx_bytes=self._approx_input_bytes(snap, hot),
-            )
-            new_base = {
-                b: e for b, e in snap["base"].items() if int(b) not in hot_set
-            }
-            new_base.update(hot_base)
-            total_rows = sum(
-                int(e.get("rows") or 0) for e in new_base.values()
-            )
-            metrics = {
-                "compaction": True,
-                "partial": True,
-                "buckets_folded": hot,
-                "base_rows": total_rows,
-                "deltas_folded": 0,
-                "deltas_retained": len(snap["deltas"]),
-                "residual_rows": 0,
-                "bytes_rewritten": self._entry_bytes(hot_base.values()),
-                "seconds": round(time.perf_counter() - t0, 3),
-            }
-            return self._commit(
-                snap, None, metrics=metrics, lineage=[],
-                new_base=new_base, new_base_rows=total_rows,
-                folded_deltas=[],
-                expect_base_of=snap,
-            )
-        delta = delta.persist()
-        try:
-            hot_col = F.col("bkt").isin(hot)
-            base_hot = self._base_df(snap, hot)
-            merged_hot = dedup_latest(
-                delta.filter(hot_col) if base_hot is None
-                else base_hot.unionByName(delta.filter(hot_col))
-            )
-            if drop_keys:
-                # purge_keys guarantees the key set hashes inside the
-                # hot buckets, so filtering the hot merge removes every
-                # stored version; the cold residual cannot contain them
-                merged_hot = merged_hot.filter(
-                    ~F.col("url").isin(list(drop_keys))
-                )
-            residual = dedup_latest(delta.filter(~hot_col))
-            if retention is not None:
-                # retention applies ONLY where base and deltas merged: a
-                # residual tombstone may be guarding a live row in a cold
-                # (carried-forward) base bucket — dropping it would
-                # resurrect that row. Cold tombstones retire when their
-                # bucket eventually folds.
-                merged_hot = merged_hot.filter(retention)
-            hot_base, hot_rows = self._write_bucketed_base(
-                merged_hot, snap, nb, "compact",
-                approx_bytes=self._approx_input_bytes(snap, hot),
-            )
-            # residual write: no shuffle (the dedup agg already placed
-            # rows); bkt+url sort within tasks so the bkt IN filter on
-            # future reads prunes at row-group granularity
-            rel_dir = f"data/resid_{uuid.uuid4().hex[:8]}"
-            residual.sortWithinPartitions("bkt", "url").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.path, rel_dir))
-            res_files, res_rows, _ = self._list_files(rel_dir)
-            res_stats = self._maybe_stats(res_files)
-        finally:
-            delta.unpersist()
-        new_delta = (
-            {
-                "files": res_files,
-                "schema_v": snap["schema_v"],
-                "rows": res_rows,
-                # no single source epoch: these rows span every folded
-                # epoch's cold-bucket remainder. None keeps them out of
-                # changes_between's serving range (feed over folded epochs
-                # raises, exactly as after a full compaction) and out of
-                # the side-index epoch sync (g.get("epoch_id") == e never
-                # matches).
-                "epoch_id": None,
-                "folded_epochs": sorted(
-                    {
-                        int(d["epoch_id"]) for d in fold_groups
-                        if d.get("epoch_id") is not None
-                    }
-                    | {
-                        int(e) for d in fold_groups
-                        for e in d.get("folded_epochs", ())
-                    }
-                ),
-                # the residual is the folded epochs' COMPLETE net
-                # change-set only when this fold touched no base bucket
-                # AND every absorbed prior residual was itself complete
-                # (an incomplete ancestor is missing hot rows forever;
-                # a pre-flag residual's hotness is unknown → not complete)
-                "feed_complete": not hot and all(
-                    d.get("epoch_id") is not None
-                    or d.get("feed_complete", False)
-                    for d in fold_groups
-                ),
-                **(
-                    {"stats_ref": self._write_manifest(res_stats)}
-                    if res_stats else {}
-                ),
-            }
-            if res_rows else None
-        )
-        new_base = {
-            b: e for b, e in snap["base"].items() if int(b) not in hot_set
-        }
-        new_base.update(hot_base)
-        total_rows = sum(int(e.get("rows") or 0) for e in new_base.values())
-        res_bytes = sum(
-            os.path.getsize(os.path.join(self.path, f))
-            for f in res_files if os.path.exists(os.path.join(self.path, f))
-        )
-        metrics = {
-            "compaction": True,
-            "partial": True,
-            "buckets_folded": hot,
-            "base_rows": total_rows,
-            "deltas_folded": len(fold_groups),
-            "deltas_retained": len(snap["deltas"]) - len(fold_groups),
-            "residual_rows": res_rows,
-            "bytes_rewritten": self._entry_bytes(hot_base.values()) + res_bytes,
-            "seconds": round(time.perf_counter() - t0, 3),
-        }
-        return self._commit(
-            snap, None, metrics=metrics, lineage=[],
-            new_base=new_base, new_base_rows=total_rows,
-            new_delta=new_delta,
-            folded_deltas=fold_groups,
-            expect_base_of=snap,
-        )
-
-    def rebucket(self, new_n_buckets: int) -> dict:
-        """Partition evolution (Iceberg's bucket-spec evolution, executed
-        as one rewrite): re-hash the whole table — base AND deltas folded
-        — into ``new_n_buckets`` and commit atomically. The bucket count
-        chosen at table creation is wrong two orders of magnitude later;
-        without this, a 10^10-row table is stuck with buckets sized for
-        10^8 (stragglers in compaction, coarse lookup pruning).
-
-        Semantics: readers of any pre-rebucket snapshot (time travel,
-        in-flight reads pinned to a captured version) still see the old
-        layout — files are immutable and the manifest records n_buckets
-        per snapshot. A concurrent epoch/compaction commit aborts this
-        rewrite (its delta/base was produced under the OLD hashing and
-        set-merge rebase cannot re-hash it); we retry from the fresh
-        snapshot, and the abandoned files become cleanup_orphans() fodder.
-        Staged (WAP) epochs hold old-layout change-sets too — publish or
-        abort them first; a stale stage that survives anyway is rejected
-        at publish time (n_buckets recorded in the staged manifest)."""
-        if new_n_buckets < 1:
-            raise ValueError("new_n_buckets must be >= 1")
-        while True:
-            snap = self.current_snapshot()
-            if self._nb(snap) == new_n_buckets:
-                return {"rebucket": True, "noop": True,
-                        "n_buckets": new_n_buckets}
-            staged = self.staged_epochs()
-            if staged:
-                raise ValueError(
-                    f"staged epochs {sorted(staged)} hold change-sets under "
-                    f"the current bucketing; publish or abort them before "
-                    f"rebucketing"
-                )
-            merged = (
-                self.read(version=snap["version"])
-                .drop("bkt")
-                .withColumn("bkt", bucket_of(F.col("url"), new_n_buckets))
-            )
-            new_base, total_rows = self._write_bucketed_base(
-                merged, snap, new_n_buckets, "rebucket",
-                approx_bytes=self._approx_input_bytes(snap),
-            )
-            metrics = {
-                "rebucket": True,
-                "n_buckets": new_n_buckets,
-                "base_rows": total_rows,
-                "deltas_folded": len(snap["deltas"]),
-            }
-            try:
-                out = self._commit(
-                    snap, None, metrics=metrics, lineage=[],
-                    new_base=new_base, new_base_rows=total_rows,
-                    folded_deltas=snap["deltas"],
-                    expect_base_of=snap, expect_deltas_of=snap,
-                    n_buckets=new_n_buckets,
-                )
-            except CommitConflict:
-                continue  # concurrent commit; rewrite from fresh snapshot
-            self.n_buckets = new_n_buckets
-            return out
-
-    # ------------------------------------------------------------------
     # schema evolution (add / rename / widen) — manifest-only, no rewrite
     # ------------------------------------------------------------------
 
@@ -3086,764 +1832,3 @@ class ParquetLakeTable:
                 continue
 
 
-    # ------------------------------------------------------------------
-    # maintenance: orphan cleanup & snapshot expiry
-    # ------------------------------------------------------------------
-
-    def _referenced_files(self, snaps: list[dict]) -> set[str]:
-        refs: set[str] = set()
-        for snap in snaps:
-            for entry in snap["base"].values():
-                refs.update(entry["files"])
-            for d in snap["deltas"]:
-                refs.update(d["files"])
-        return refs
-
-    def cleanup_orphans(self, grace_seconds: float = 3600.0) -> dict:
-        """Delete data files referenced by NO retained snapshot — debris of
-        crashes between a delta write and its commit. Files younger than
-        ``grace_seconds`` are kept (they may belong to an in-flight
-        pipelined epoch). Reference semantics: Embulk's ``cleanup``
-        command removing intermediate data of failed transactions
-        (exec/BulkLoader.java:471-505, cli/Command.java:5)."""
-        # EVERY ref pins files, whichever ref runs the GC: main's
-        # snapshots/staged, this handle's (if a branch), and every
-        # branch's — a branch handle must never treat main-only files
-        # as orphans (or vice versa)
-        bd = self._branches_dir()
-        snap_dirs = {os.path.join(self.path, "snapshots"), self._snap_dir}
-        staged_dirs = {os.path.join(self.path, "staged"), self._staged_dir}
-        if os.path.isdir(bd):
-            for n in sorted(os.listdir(bd)):
-                snap_dirs.add(os.path.join(bd, n, "snapshots"))
-                staged_dirs.add(os.path.join(bd, n, "staged"))
-        snaps = []
-        for d in sorted(snap_dirs):
-            if not os.path.isdir(d):
-                continue
-            for fn in sorted(os.listdir(d)):
-                if fn.startswith("v") and fn.endswith(".json"):
-                    with open(os.path.join(d, fn)) as f:
-                        snaps.append(json.load(f))
-        refs = self._referenced_files(snaps)
-        mrefs = {
-            e["stats_ref"]
-            for snap in snaps
-            for e in list(snap["base"].values()) + snap["deltas"]
-            if e.get("stats_ref")
-        }
-        # staged (WAP) epochs are deliberately not in any snapshot yet —
-        # their files are referenced by the staged manifests, not orphans
-        for d in staged_dirs:
-            if not os.path.isdir(d):
-                continue
-            for fn in sorted(os.listdir(d)):
-                if fn.startswith("e") and fn.endswith(".json"):
-                    with open(os.path.join(d, fn)) as f:
-                        man = json.load(f)
-                    if man.get("delta"):
-                        refs.update(man["delta"]["files"])
-                        if man["delta"].get("stats_ref"):
-                            mrefs.add(man["delta"]["stats_ref"])
-        now = time.time()
-        removed, kept_young = [], 0
-        for root, _dirs, fns in os.walk(self._data_dir):
-            for fn in fns:
-                fp = os.path.join(root, fn)
-                rel = os.path.relpath(fp, self.path)
-                if rel in refs or not fn.endswith(".parquet"):
-                    continue
-                if now - os.path.getmtime(fp) < grace_seconds:
-                    kept_young += 1
-                    continue
-                os.remove(fp)
-                removed.append(rel)
-        # drop now-empty data directories
-        for root, dirs, fns in os.walk(self._data_dir, topdown=False):
-            if root != self._data_dir and not dirs and not fns:
-                os.rmdir(root)
-        # stats manifest sidecars referenced by NO retained snapshot or
-        # staged epoch (debris of expired snapshots / crashed writes) go
-        # the same way, under the same grace window
-        man_removed = 0
-        mdir = os.path.join(self.path, "manifests")
-        if os.path.isdir(mdir):
-            for fn in sorted(os.listdir(mdir)):
-                rel = f"manifests/{fn}"
-                fp = os.path.join(mdir, fn)
-                if rel in mrefs or not fn.endswith(".json"):
-                    continue
-                if now - os.path.getmtime(fp) < grace_seconds:
-                    kept_young += 1
-                    continue
-                os.remove(fp)
-                man_removed += 1
-        return {"orphans_removed": len(removed), "kept_in_grace": kept_young,
-                "manifests_removed": man_removed}
-
-    def rollback_to(self, version: int) -> dict:
-        """Restore the table to snapshot ``version``'s state by publishing
-        a NEW snapshot carrying that state (Iceberg rollback semantics:
-        history is never rewritten, so time travel and concurrent readers
-        stay consistent, and create-exclusive versioning keeps the
-        rollback linearizable with in-flight epoch commits).
-
-        Epochs undone by the rollback leave ``committed_epochs``, so a
-        subsequent replay re-applies exactly the undone epochs through the
-        normal idempotent path — "roll back the bad batch, fix, replay" is
-        the reference's resume story inverted (exec/BulkLoader.java:584-659
-        re-runs uncommitted tasks; rollback un-commits them).
-
-        Refused when the target snapshot has been expired or any of its
-        data files were collected (``cleanup_orphans`` after expiry)."""
-        try:
-            target = self.snapshot_at(version)
-        except FileNotFoundError:
-            raise ValueError(
-                f"snapshot v{version} does not exist (expired?) — "
-                "cannot roll back past expire_snapshots"
-            )
-        missing = [
-            f
-            for f in sorted(self._referenced_files([target]))
-            if not os.path.exists(os.path.join(self.path, f))
-        ]
-        if missing:
-            raise ValueError(
-                f"snapshot v{version} references {len(missing)} collected "
-                f"data file(s) (first: {missing[0]}) — unrecoverable after "
-                "cleanup_orphans"
-            )
-        with self._commit_lock:
-            while True:
-                cur = self.current_snapshot()
-                if cur["version"] == version:
-                    return {"rolled_back_to": version, "noop": True}
-                committed_at = time.time()
-                new_snap = {
-                    "version": cur["version"] + 1,
-                    "epoch_id": None,
-                    "committed_epochs": target["committed_epochs"],
-                    "schema_v": target["schema_v"],
-                    "schemas": target["schemas"],
-                    "renames": target["renames"],
-                    "drops": target.get("drops", []),
-                    "base": target["base"],
-                    "base_rows": target["base_rows"],
-                    "deltas": target["deltas"],
-                    # the sketch is monotone state: it rolls back with the
-                    # epoch set and re-merges when the epochs replay
-                    "url_hll": target.get("url_hll") or {},
-                    # properties are CURRENT-state config, not data state:
-                    # a rollback restores rows, not knobs
-                    "properties": cur.get("properties") or {},
-                    "metrics": {
-                        "op": "rollback",
-                        "to_version": version,
-                        "committed_at": committed_at,
-                    },
-                    "lineage": [],
-                    "committed_at": committed_at,
-                }
-                try:
-                    _atomic_create_json(
-                        self._snap_path(new_snap["version"]), new_snap
-                    )
-                    return {
-                        "rolled_back_to": version,
-                        "new_version": new_snap["version"],
-                        "uncommitted_epochs": sorted(
-                            set(cur["committed_epochs"])
-                            - set(target["committed_epochs"])
-                        ),
-                    }
-                except FileExistsError:
-                    continue  # concurrent commit took the version: rebase
-
-    def bulk_import(
-        self,
-        source,
-        epoch_id: int,
-        *,
-        extract: bool = True,
-    ) -> dict:
-        """Initial bulk load (Hudi bootstrap / Iceberg ``add_files`` — and
-        the reference's one-shot bulk-load identity, EmbulkRunner's run
-        path): a snapshot-shaped ``source`` (a DataFrame or a parquet
-        path; duplicates per url resolved by the usual (warc_ts, seq)
-        order) lands DIRECTLY as the hash-bucketed base in ONE distributed
-        job — no per-event delta commits, no compaction debt, no replay.
-        At 100 TB this is the difference between one bucketed write and
-        10^10 events ground through the epoch machinery.
-
-        Requires an EMPTY base (no prior base, no pending deltas): on a
-        populated table new rows must reconcile against existing state,
-        which is ``merge_epoch``'s job. Imported rows get ``seq`` 0 unless
-        the source carries one, so any later change event outranks its
-        imported baseline. ``op``/``is_deleted`` columns are honored
-        (a changelog dump imports with its tombstones intact); other
-        missing payload columns null-fill against the current schema.
-        ``extract=True`` fills ``text`` from ``html`` (Arrow-batched UDF)
-        where the source didn't provide it. Idempotent by ``epoch_id``
-        through the same committed-epoch set as streaming commits."""
-        t0 = time.perf_counter()
-        snap = self.current_snapshot()
-        if epoch_id in set(snap["committed_epochs"]):
-            return {"epoch_id": epoch_id, "skipped_duplicate_epoch": True}
-        if snap["base"] or snap["deltas"]:
-            raise ValueError(
-                "bulk_import requires an empty table (base and deltas); "
-                "route incremental rows through merge_epoch"
-            )
-        approx_bytes = None
-        if isinstance(source, str):
-            total = 0
-            for root, _dirs, fns in os.walk(source):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f))
-                    for f in fns if f.endswith(".parquet")
-                )
-            approx_bytes = total or None
-            source = self.spark.read.parquet(source)
-        cur = self.schema(snap)
-        nb = self._nb(snap)
-        df = source.filter(F.col("url").isNotNull())
-        if "is_deleted" not in df.columns and "op" in df.columns:
-            df = df.withColumn("is_deleted", F.col("op") == "D")
-        if "seq" not in df.columns:
-            df = df.withColumn("seq", F.lit(0).cast("long"))
-        for field in cur.fields:
-            if field.name not in df.columns:
-                df = df.withColumn(
-                    field.name, F.lit(None).cast(field.dataType)
-                )
-        df = df.withColumn(
-            "is_deleted", F.coalesce(F.col("is_deleted"), F.lit(False))
-        )
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
-        )
-        merged = dedup_latest(df)
-        if extract and "html" in merged.columns and "text" in merged.columns:
-            merged = merged.withColumn(
-                "text",
-                F.coalesce(F.col("text"), extract_text(F.col("html"))),
-            )
-        merged = merged.withColumn("bkt", bucket_of(F.col("url"), nb))
-        new_base, total_rows = self._write_bucketed_base(
-            merged, snap, nb, "import", approx_bytes=approx_bytes
-        )
-        hll_regs = None
-        if self.url_hll:
-            from ..operators.sketch import hll_sketch
-
-            files = [f for e in new_base.values() for f in e["files"]]
-            urls = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in files]
-            ).select("url")
-            hll_regs = {
-                str(r["bucket"]): int(r["rho"])
-                for r in hll_sketch(urls, "url", []).collect()
-            }
-        lineage = [
-            {"bucket": int(b), "rows": e["rows"], "files": len(e["files"])}
-            for b, e in sorted(
-                new_base.items(), key=lambda kv: int(kv[0])
-            )
-        ]
-        metrics = {
-            "import": True,
-            "epoch_id": epoch_id,
-            "rows_imported": total_rows,
-            "base_files": sum(len(e["files"]) for e in new_base.values()),
-            "bytes_written": self._entry_bytes(new_base.values()),
-            "seconds": round(time.perf_counter() - t0, 3),
-        }
-        return self._commit(
-            snap, epoch_id, metrics=metrics, lineage=lineage,
-            new_base=new_base, new_base_rows=total_rows,
-            expect_base_of=snap, expect_nb=nb, hll_regs=hll_regs,
-        )
-
-    def clone_to(self, dest_path: str, *, version: int | None = None) -> dict:
-        """Zero-copy shallow clone (Delta ``SHALLOW CLONE`` / Iceberg
-        snapshot-ref table): materialize an INDEPENDENT table at
-        ``dest_path`` whose v0 snapshot carries this table's state at
-        ``version`` (default: current). Data files and stats-manifest
-        sidecars are HARD-LINKED, not copied — O(files) metadata ops,
-        zero data bytes moved — and because a hard link pins the inode,
-        the clone survives the source's ``cleanup_orphans``/compaction
-        (Delta's documented vacuum-breaks-clones hazard doesn't apply;
-        blocks free only when BOTH tables drop the file). Cross-device
-        destinations degrade to a copy per file.
-
-        The clone keeps ``committed_epochs`` (duplicate-delivery
-        protection carries over: replaying the source's stream against
-        the clone skips already-applied epochs), schema history, bucket
-        layout, and the url HLL; it starts with fresh history (no tags,
-        branches, staged epochs, or old snapshots). Writes to either
-        table never affect the other — dev/test sandboxes over a
-        production lake for the price of the metadata. On an object
-        store, implement with absolute-URI manifests instead; the posix
-        form expresses the same O(metadata) contract."""
-        snap = (
-            self.snapshot_at(version) if version is not None
-            else self.current_snapshot()
-        )
-        dest_path = os.path.abspath(dest_path)
-        if os.path.abspath(self.path) == dest_path:
-            raise ValueError("clone destination is the table itself")
-        dest_snap_dir = os.path.join(dest_path, "snapshots")
-        if os.path.isdir(dest_snap_dir) and any(
-            f.endswith(".json") for f in os.listdir(dest_snap_dir)
-        ):
-            raise ValueError(
-                f"{dest_path} is already a table — clone needs a fresh dir"
-            )
-        refs = sorted(self._referenced_files([snap]))
-        missing = [
-            f for f in refs
-            if not os.path.exists(os.path.join(self.path, f))
-        ]
-        if missing:
-            raise ValueError(
-                f"snapshot v{snap['version']} references {len(missing)} "
-                f"collected data file(s) (first: {missing[0]}) — "
-                "unrecoverable after cleanup_orphans"
-            )
-        groups = list(snap["base"].values()) + list(snap["deltas"])
-        refs += sorted(
-            {g["stats_ref"] for g in groups if g.get("stats_ref")}
-        )
-        os.makedirs(dest_snap_dir, exist_ok=True)
-        bytes_shared, copied = 0, 0
-        for rel in refs:
-            src = os.path.join(self.path, rel)
-            dst = os.path.join(dest_path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(src, dst)
-            except FileExistsError:
-                pass  # rerun after a partial clone crash: same content
-            except OSError:
-                import shutil
-
-                shutil.copy2(src, dst)  # cross-device: degrade to copy
-                copied += 1
-            bytes_shared += os.path.getsize(src)
-        committed_at = time.time()
-        clone_snap = {
-            "version": 0,
-            "epoch_id": None,
-            "committed_epochs": snap["committed_epochs"],
-            "schema_v": snap["schema_v"],
-            "schemas": snap["schemas"],
-            "renames": snap["renames"],
-            "drops": snap.get("drops", []),
-            "n_buckets": self._nb(snap),
-            "base": snap["base"],
-            "base_rows": snap["base_rows"],
-            "deltas": snap["deltas"],
-            "url_hll": snap.get("url_hll") or {},
-            "properties": snap.get("properties") or {},
-            "metrics": {
-                "clone": True,
-                "cloned_from": os.path.abspath(self.path),
-                "clone_source_version": snap["version"],
-                "committed_at": committed_at,
-            },
-            "lineage": [],
-            "committed_at": committed_at,
-        }
-        try:
-            _atomic_create_json(
-                os.path.join(dest_snap_dir, "v00000000.json"), clone_snap
-            )
-        except FileExistsError:
-            raise ValueError(
-                f"{dest_path} gained a snapshot mid-clone — clone needs a "
-                "fresh dir"
-            )
-        return {
-            "cloned_to": dest_path,
-            "clone_source_version": snap["version"],
-            "files_linked": len(refs) - copied,
-            "files_copied": copied,
-            "bytes_shared": bytes_shared,
-        }
-
-    def verify_against_events(
-        self, events: DataFrame, *, extract: bool = True
-    ) -> dict:
-        """Anti-entropy check: recompute the expected final state from the
-        RAW event log (one batch dedup + extraction — deliberately not
-        the replay path's per-epoch machinery) and diff it against
-        ``published()``. Returns mismatch counts; 0/0/0 certifies the
-        epoch-commit/resume/compaction/rebucket pipeline reproduced the
-        log exactly. O(log + table) — a maintenance job, not a hot path;
-        text comparison is by md5 so the join carries digests, not
-        documents."""
-        data = events.filter(F.col("op") != "S")
-        latest = dedup_latest(
-            data.select("url", "warc_ts", "seq", "op", "html", "lang")
-        )
-        expect = latest.filter(F.col("op") != "D").select(
-            "url", "seq",
-            F.md5(
-                extract_text(F.col("html")).cast("binary")
-            ).alias("_txt") if extract else F.lit(None).alias("_txt"),
-        )
-        got = self.published().select(
-            "url", "seq",
-            F.md5(F.col("text").cast("binary")).alias("_txt")
-            if extract else F.lit(None).alias("_txt"),
-        )
-        j = expect.alias("e").join(got.alias("g"), "url", "full")
-        report = j.agg(
-            F.sum(F.when(F.col("g.seq").isNull(), 1).otherwise(0)).alias("missing"),
-            F.sum(F.when(F.col("e.seq").isNull(), 1).otherwise(0)).alias("extra"),
-            F.sum(
-                F.when(
-                    F.col("e.seq").isNotNull() & F.col("g.seq").isNotNull()
-                    & (
-                        (F.col("e.seq") != F.col("g.seq"))
-                        | ~F.col("e._txt").eqNullSafe(F.col("g._txt"))
-                    ),
-                    1,
-                ).otherwise(0)
-            ).alias("mismatched"),
-            F.count(F.lit(1)).alias("urls_checked"),
-        ).collect()[0]
-        out = {k: int(report[k] or 0) for k in
-               ("missing", "extra", "mismatched", "urls_checked")}
-        out["ok"] = not (out["missing"] or out["extra"] or out["mismatched"])
-        return out
-
-    # ------------------------------------------------------------------
-    # tags: immutable named snapshot refs (Iceberg tag refs)
-    # ------------------------------------------------------------------
-
-    def _tags_dir(self) -> str:
-        d = os.path.join(self.path, "tags")
-        os.makedirs(d, exist_ok=True)
-        return d
-
-    def tag(self, name: str, version: int | None = None) -> dict:
-        """Pin a snapshot under an immutable name (audit/release refs:
-        ``prod-2026-08``, ``eval-corpus-v3``). Tagged snapshots survive
-        ``expire_snapshots``, so their data files stay live for
-        ``cleanup_orphans`` — a tag is a retention lease, exactly
-        Iceberg's tag-ref semantics. Create-exclusive: re-tagging an
-        existing name raises (drop it first); tags never move."""
-        if not name or "/" in name or name.startswith("."):
-            raise ValueError(f"invalid tag name {name!r}")
-        v = int(version) if version is not None \
-            else self.current_snapshot()["version"]
-        if not os.path.exists(self._snap_path(v)):
-            raise ValueError(f"snapshot v{v} does not exist (expired?)")
-        _atomic_create_json(
-            os.path.join(self._tags_dir(), f"{name}.json"),
-            {"name": name, "version": v, "created_at": time.time()},
-        )
-        return {"tag": name, "version": v}
-
-    def tags(self) -> dict[str, int]:
-        out = {}
-        for fn in sorted(os.listdir(self._tags_dir())):
-            if fn.endswith(".json"):
-                with open(os.path.join(self._tags_dir(), fn)) as f:
-                    t = json.load(f)
-                out[t["name"]] = int(t["version"])
-        return out
-
-    def drop_tag(self, name: str) -> dict:
-        p = os.path.join(self._tags_dir(), f"{name}.json")
-        existed = os.path.exists(p)
-        if existed:
-            os.remove(p)
-        return {"tag": name, "dropped": existed}
-
-    def read_tag(self, name: str) -> DataFrame:
-        """Time-travel read by tag name (published rows, tombstones
-        filtered) — the named-release read path."""
-        tags = self.tags()
-        if name not in tags:
-            raise ValueError(f"unknown tag {name!r} (have {sorted(tags)})")
-        return self.published(version=tags[name])
-
-    def version_as_of(self, ts) -> int:
-        """Newest snapshot version whose commit wall-clock is ≤ ``ts``
-        (Iceberg's TIMESTAMP AS OF). ``ts`` is epoch seconds or a
-        datetime (naive = UTC). Driver-side metadata walk over the
-        snapshot log — O(retained snapshots), no data IO. Resolution is
-        by max qualifying VERSION, not max committed_at, so a wall-clock
-        step backwards between commits (NTP) can't make time travel
-        non-monotone; snapshots missing a clock (pre-feature files)
-        count as always-eligible. Raises if ``ts`` precedes the first
-        retained commit — expired history is a hard error, not a silent
-        older-state read."""
-        if isinstance(ts, datetime):
-            if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=timezone.utc)
-            ts = ts.timestamp()
-        # compare in whole microseconds: datetime carries µs resolution,
-        # so fromtimestamp(committed_at) can round a hair BELOW the stored
-        # float and a float/datetime pair naming the same instant would
-        # otherwise resolve to different versions
-        ts_us = round(float(ts) * 1e6)
-        best = None
-        for fn in self._snapshot_files():
-            with open(os.path.join(self._snap_dir, fn)) as f:
-                snap = json.load(f)
-            if round(float(snap.get("committed_at", 0.0)) * 1e6) <= ts_us:
-                v = int(snap["version"])
-                best = v if best is None else max(best, v)
-        if best is None:
-            raise ValueError(
-                f"no snapshot committed at or before ts={ts} "
-                "(history expired or table younger than ts)"
-            )
-        return best
-
-    def read_as_of(self, ts) -> DataFrame:
-        """Published rows as of a wall-clock instant (timestamp time
-        travel): ``published(version=version_as_of(ts))`` — the
-        audit/debug read path ("what did the table serve at 14:02?")."""
-        return self.published(version=self.version_as_of(ts))
-
-    # ------------------------------------------------------------------
-    # branches: named mutable refs + fast-forward publish (Iceberg
-    # branch semantics — the multi-epoch generalization of WAP)
-    # ------------------------------------------------------------------
-
-    def _branches_dir(self) -> str:
-        return os.path.join(self.path, "branches")
-
-    def create_branch(
-        self, name: str, *, at_version: int | None = None,
-        if_not_exists: bool = False,
-    ) -> dict:
-        """Fork a branch from this ref's snapshot ``at_version`` (default:
-        current head). The branch is an independent snapshot namespace
-        sharing the table's data files — open it with
-        ``ParquetLakeTable(spark, path, ref=name)`` (or :meth:`branch`)
-        and replay/compact/stage on it exactly like main; main's readers
-        never see it until :meth:`fast_forward`. Use cases: multi-epoch
-        backfill audited as a whole, schema-migration rehearsal, an
-        always-auditable staging lane (Iceberg's audit-branch workflow).
-
-        Crash-safe: the seed snapshot writes FIRST, ``BRANCH.json`` is
-        the create-exclusive commit point last — a crash in between
-        leaves an invisible torn dir (``branches()`` ignores dirs with
-        no BRANCH.json) that a redelivery completes. An existing name
-        raises; ``if_not_exists=True`` skips instead (the redelivery
-        contract for at-least-once admin pipelines — CREATE BRANCH IF
-        NOT EXISTS)."""
-        if not name or name == "main" or "/" in name or name.startswith("."):
-            raise ValueError(f"invalid branch name {name!r}")
-        bdir = os.path.join(self._branches_dir(), name)
-        if os.path.exists(os.path.join(bdir, "BRANCH.json")):
-            if if_not_exists:
-                with open(os.path.join(bdir, "BRANCH.json")) as f:
-                    meta = json.load(f)
-                return {
-                    "branch": name,
-                    "fork_version": meta.get("fork_version"),
-                    "skipped_existing": True,
-                }
-            raise ValueError(f"branch {name!r} already exists")
-        snap = (
-            self.snapshot_at(at_version) if at_version is not None
-            else self.current_snapshot()
-        )
-        sdir = os.path.join(bdir, "snapshots")
-        os.makedirs(sdir, exist_ok=True)
-        # seed first: the fork snapshot, verbatim (snapshots are self-
-        # contained manifests, so the branch never reads main's snapshot
-        # dir again). Idempotent under redelivery: a leftover seed from
-        # a crashed attempt is the same immutable content.
-        try:
-            _atomic_create_json(
-                os.path.join(sdir, f"v{snap['version']:08d}.json"), snap
-            )
-        except FileExistsError:
-            pass
-        # a redelivery after a crash between seed write and BRANCH.json
-        # may pick a DIFFERENT fork snapshot (head advanced, or a lower
-        # explicit at_version): the prior attempt's seed would then be
-        # the max-version file and branches()/fast_forward would take it
-        # as the head, diverging from fork_version. Drop every seed that
-        # is not the chosen fork BEFORE committing BRANCH.json (the dir
-        # is invisible until BRANCH.json exists, so this is safe).
-        for f in os.listdir(sdir):
-            if (
-                f.startswith("v")
-                and f.endswith(".json")
-                and f != f"v{snap['version']:08d}.json"
-            ):
-                os.unlink(os.path.join(sdir, f))
-        meta = {
-            "name": name,
-            "fork_ref": self.ref,
-            "fork_version": snap["version"],
-            "created_at": time.time(),
-        }
-        _atomic_create_json(os.path.join(bdir, "BRANCH.json"), meta)
-        return {"branch": name, "fork_version": snap["version"]}
-
-    def branch(self, name: str) -> "ParquetLakeTable":
-        """A handle committing to branch ``name`` (same table dir)."""
-        return ParquetLakeTable(
-            self.spark, self.path,
-            compact_min_deltas=self.compact_min_deltas,
-            compact_ratio=self.compact_ratio,
-            compact_mode=self.compact_mode,
-            url_hll=self.url_hll, ref=name,
-            feed_retain_epochs=self._feed_retain_epochs,
-        )
-
-    def branches(self) -> dict[str, dict]:
-        """name → {fork_version, head_version} for every branch ref."""
-        bd = self._branches_dir()
-        out: dict[str, dict] = {}
-        if not os.path.isdir(bd):
-            return out
-        for n in sorted(os.listdir(bd)):
-            mp = os.path.join(bd, n, "BRANCH.json")
-            sdir = os.path.join(bd, n, "snapshots")
-            if not os.path.exists(mp):
-                continue
-            with open(mp) as f:
-                meta = json.load(f)
-            heads = sorted(
-                f for f in os.listdir(sdir)
-                if f.startswith("v") and f.endswith(".json")
-            ) if os.path.isdir(sdir) else []
-            out[n] = {
-                "fork_version": int(meta["fork_version"]),
-                "head_version": int(heads[-1][1:9]) if heads else None,
-            }
-        return out
-
-    def drop_branch(self, name: str) -> dict:
-        """Delete a branch ref; its branch-only data files become
-        cleanup_orphans() fodder."""
-        bdir = os.path.join(self._branches_dir(), name)
-        existed = os.path.isdir(bdir)
-        if existed:
-            shutil.rmtree(bdir)
-        return {"branch": name, "dropped": existed}
-
-    def fast_forward(self, name: str) -> dict:
-        """Publish branch ``name``'s head as this ref's next snapshot —
-        atomic, manifest-only (no data moves: the branch wrote its files
-        into the shared data dir). Requires THIS ref to still be at the
-        branch's fork version (the ancestor condition of Iceberg's
-        fast_forward); if main advanced since the fork, raises
-        CommitConflict — re-branch from the new head and replay the
-        branch's epochs through the normal idempotent path."""
-        bdir = os.path.join(self._branches_dir(), name)
-        mp = os.path.join(bdir, "BRANCH.json")
-        if not os.path.exists(mp):
-            raise ValueError(f"unknown branch {name!r}")
-        with open(mp) as f:
-            meta = json.load(f)
-        sdir = os.path.join(bdir, "snapshots")
-        heads = sorted(
-            f for f in os.listdir(sdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        with open(os.path.join(sdir, heads[-1])) as f:
-            head = json.load(f)
-        if head["version"] == meta["fork_version"]:
-            return {"fast_forward": name, "noop": True}
-        # empty-batch markers live in snapshot metrics, and _empty_epochs
-        # scans only THIS ref's snapshot files — carry the branch's
-        # markers for the adopted epochs into the publish snapshot, or a
-        # later changes_between on main would count an adopted empty
-        # epoch as "compacted into the base" and raise
-        branch_empty: set[int] = set()
-        for fn in heads:
-            try:
-                with open(os.path.join(sdir, fn)) as f:
-                    m = json.load(f).get("metrics") or {}
-            except (OSError, ValueError):
-                continue
-            if m.get("empty_batch") and m.get("epoch_id") is not None:
-                branch_empty.add(int(m["epoch_id"]))
-            branch_empty |= {int(e) for e in m.get("empty_epochs", ())}
-        with self._commit_lock:
-            while True:
-                cur = self.current_snapshot()
-                if cur["version"] != meta["fork_version"]:
-                    # redelivery check BEFORE conflicting: a fast_forward
-                    # that committed and crashed before returning must
-                    # skip on redelivery, not refuse its own work — scan
-                    # the ref's history since the fork for the adoption
-                    # record of exactly this branch head
-                    for v in range(
-                        meta["fork_version"] + 1, cur["version"] + 1
-                    ):
-                        try:
-                            m = (
-                                self.snapshot_at(v).get("metrics") or {}
-                            )
-                        except (OSError, ValueError, KeyError):
-                            continue
-                        if (
-                            m.get("fast_forward") == name
-                            and m.get("from_branch_version")
-                            == head["version"]
-                        ):
-                            return {
-                                "fast_forward": name,
-                                "version": v,
-                                "skipped_duplicate": True,
-                            }
-                    raise CommitConflict(
-                        f"{self.ref} advanced past the fork point "
-                        f"(v{meta['fork_version']} → v{cur['version']}) — "
-                        f"re-branch and replay the branch's epochs"
-                    )
-                new = dict(head)
-                new["version"] = cur["version"] + 1
-                adopted = sorted(
-                    set(head["committed_epochs"])
-                    - set(cur["committed_epochs"])
-                )
-                new["metrics"] = {
-                    "fast_forward": name,
-                    "from_branch_version": head["version"],
-                    "empty_epochs": sorted(branch_empty & set(adopted)),
-                    "committed_at": time.time(),
-                }
-                new["committed_at"] = time.time()
-                try:
-                    _atomic_create_json(self._snap_path(new["version"]), new)
-                    return {
-                        "fast_forward": name,
-                        "version": new["version"],
-                        "epochs_adopted": adopted,
-                    }
-                except FileExistsError:
-                    continue  # racer took the version; recheck ancestor
-
-    def expire_snapshots(self, keep_last: int = 10) -> dict:
-        """Retain only the newest ``keep_last`` snapshots plus every
-        TAGGED snapshot; data files referenced solely by expired
-        snapshots become orphans (collect them with ``cleanup_orphans``).
-        Mirrors Iceberg's expire_snapshots maintenance action with
-        tag-ref retention."""
-        files = self._snapshot_files()
-        pinned = {f"v{v:08d}.json" for v in self.tags().values()}
-        candidates = files[:-keep_last] if keep_last > 0 else []
-        to_drop = [f for f in candidates if f not in pinned]
-        for f in to_drop:
-            os.remove(os.path.join(self._snap_dir, f))
-        return {"snapshots_expired": len(to_drop),
-                "snapshots_retained": len(files) - len(to_drop),
-                "snapshots_pinned_by_tags": len(pinned & set(candidates))}
-
-
-def _ddl_of(schema: T.StructType) -> str:
-    return ", ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields)
