@@ -250,6 +250,7 @@ def main() -> None:
 
     shutil.rmtree(workdir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
+    vs_prior = _diff_vs_prior_round(timings, sf)
     print(
         json.dumps(
             {
@@ -275,9 +276,93 @@ def main() -> None:
                 "host_sys_pct": best["sys_pct"],
                 "cpus": cpus,
                 "epochs": n_epochs,
+                "vs_prior_round": vs_prior,
             }
         )
     )
+
+
+def _diff_vs_prior_round(timings: dict, sf: float) -> dict | None:
+    """Auto-diff vs the newest committed BENCH_r{N}.json at the same sf:
+    EVERY per-query regression >15% is named (so round records can't
+    accidentally understate them — VERDICT r3 'What's wrong' #2), plus
+    the top improvements for context. Also writes the generated round
+    section to BENCH/ROUND_DIFF.md so the BASELINE.md round summary is
+    derived, not hand-summarized."""
+    import glob
+    import re
+
+    records = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not records:
+        return None
+    prior_path = records[-1]
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if "queries" not in prior and isinstance(prior.get("parsed"), dict):
+        # the driver's record wraps bench.py's JSON line under "parsed"
+        prior = prior["parsed"]
+    if prior.get("sf") != sf:
+        return {"prior": os.path.basename(prior_path),
+                "skipped": f"prior sf {prior.get('sf')} != {sf}"}
+    pq = prior.get("queries", {})
+    regressions, improvements = {}, {}
+    for q, now in timings.items():
+        was = pq.get(q)
+        if not was:
+            continue
+        ratio = round(now / was, 2)
+        if ratio > 1.15:
+            regressions[q] = {"prior_s": was, "now_s": now, "ratio": ratio}
+        elif ratio < 0.85:
+            improvements[q] = {"prior_s": was, "now_s": now, "ratio": ratio}
+    top_impr = dict(sorted(
+        improvements.items(), key=lambda kv: kv[1]["ratio"]
+    )[:10])
+    out = {
+        "prior": os.path.basename(prior_path),
+        "regressions_over_15pct": regressions,
+        "top_improvements": top_impr,
+        "n_compared": len([q for q in timings if q in pq]),
+    }
+    lines = [
+        f"# Round diff (generated by bench.py) — vs {out['prior']}, sf {sf}",
+        "",
+        f"{out['n_compared']} shared queries compared. Regressions >15% "
+        "are listed EXHAUSTIVELY; sub-second entries on this shared host "
+        "need a re-measurement note before being called real.",
+        "",
+        "## Regressions >15%",
+        "",
+    ]
+    if regressions:
+        lines += ["| query | prior s | now s | ratio |", "|---|---|---|---|"]
+        for q, d in sorted(regressions.items(),
+                           key=lambda kv: -kv[1]["ratio"]):
+            lines.append(
+                f"| {q} | {d['prior_s']} | {d['now_s']} | {d['ratio']} |"
+            )
+    else:
+        lines.append("none")
+    lines += ["", "## Top improvements", ""]
+    if top_impr:
+        lines += ["| query | prior s | now s | ratio |", "|---|---|---|---|"]
+        for q, d in top_impr.items():
+            lines.append(
+                f"| {q} | {d['prior_s']} | {d['now_s']} | {d['ratio']} |"
+            )
+    else:
+        lines.append("none")
+    lines.append("")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ROUND_DIFF.md"), "w") as f:
+        f.write("\n".join(lines))
+    return out
 
 
 if __name__ == "__main__":

@@ -65,8 +65,35 @@ def main() -> None:
         "up by n_buckets/window internally.")
     ap.add_argument("--n-buckets", type=int, default=None,
                     help="table bucket count (default: --cpus)")
+    ap.add_argument(
+        "--compact-mode", default=None, choices=["full", "hot"],
+        help="table compact_mode (maybe_compact routing during replay; "
+        "the timed compact_hot leg always does the per-bucket partial "
+        "fold regardless).")
+    ap.add_argument(
+        "--refit", default=None, metavar="FLATNESS_JSON",
+        help="recompute gates + the BASELINE.md section from an "
+        "existing run's per-epoch JSON instead of re-running (same "
+        "committed gate logic, no re-measurement).")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
+
+    if args.refit:
+        with open(args.refit) as f:
+            rep = json.load(f)
+        _finish(
+            args,
+            rep["epochs"],
+            rep["events_per_epoch"],
+            rep.get("n_buckets") or args.n_buckets or args.cpus,
+            rep.get("clustered_window_buckets") or 0,
+            rep["url_space"],
+            rep["per_epoch"],
+            {int(k): v for k, v in rep["table_rows_checkpoints"].items()},
+            rep["host_steal_pct"],
+            rep["host_sys_pct"],
+        )
+        return
 
     from pyspark.sql import functions as F
 
@@ -126,6 +153,7 @@ def main() -> None:
         # flatness measures the EXPLICIT compact_hot leg; disable the
         # automatic full-compaction trigger so (a) stays pure replay
         compact_min_deltas=10_000,
+        compact_mode=args.compact_mode,
     )
     sig = SignatureIndex(
         spark, os.path.join(work, "sig"), id_col="url", id_type="string",
@@ -177,16 +205,45 @@ def main() -> None:
     steal = round(100 * (c1[1] - c0[1]) / jif, 1)
     syspct = round(100 * (c1[2] - c0[2]) / jif, 1)
 
+    _finish(args, K, epb, nb, win, n_urls, per_epoch, sizes, steal, syspct)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _finish(
+    args, K, epb, nb, win, n_urls, per_epoch, sizes, steal, syspct
+) -> None:
     early = range(3, max(4, K // 3))
     late = range(K - max(1, K // 4), K)
     # replay / neardup / aggview are Δ-proportional by design, and Δ
     # (distinct keys per epoch) shrinks as the url space saturates —
     # normalize those to seconds per 100k keys so the gate measures
     # table-size dependence, not batch-size drift. compact_hot folds on
-    # a cadence (spiky), so its gate stays on the raw median.
+    # a ratio-triggered cadence, so per-epoch cost is SPIKY (fold epochs
+    # vs scan-only epochs): in the clustered leg a 7-epoch median
+    # aliases with the fold cadence, so the gate there is the AMORTIZED
+    # window cost per 100k keys (the actual LSM claim); the raw median
+    # is still reported for transparency.
+    comps = ["replay_s", "neardup_s", "aggview_s", "compact_s",
+             "aggview_per_gb"]
+    if win:
+        comps.insert(4, "compact_amortized")
     gates = {}
-    for comp in ("replay_s", "neardup_s", "aggview_s", "compact_s",
-                 "aggview_per_gb"):
+    for comp in comps:
+        if comp == "compact_amortized":
+            se = sum(per_epoch[e]["compact_s"] for e in early)
+            ke = sum(per_epoch[e]["keys_in_batch"] for e in early)
+            sl = sum(per_epoch[e]["compact_s"] for e in late)
+            kl = sum(per_epoch[e]["keys_in_batch"] for e in late)
+            em = 100_000 * se / max(1, ke)
+            lm = 100_000 * sl / max(1, kl)
+            gates[comp] = {
+                "unit": "window_s_per_100k_keys",
+                "early_median": round(em, 4),
+                "late_median": round(lm, 4),
+                "ratio": round(lm / em, 3) if em else None,
+                "flat_within_20pct": bool(em and lm / em <= 1.2),
+            }
+            continue
 
         def val(e):
             if comp == "aggview_per_gb":
@@ -218,7 +275,12 @@ def main() -> None:
             "early_median": round(em, 4),
             "late_median": round(lm, 4),
             "ratio": round(lm / em, 3) if em else None,
-            "flat_within_20pct": bool(em and lm / em <= 1.2),
+            # in the clustered leg the raw compact median is
+            # informational (spiky; the amortized row is the gate)
+            "flat_within_20pct": (
+                None if (win and comp == "compact_s")
+                else bool(em and lm / em <= 1.2)
+            ),
         }
     first_ck = min(sizes)
     growth = round(sizes[K - 1] / sizes[first_ck], 1)
@@ -278,13 +340,18 @@ def main() -> None:
         "neardup_s": "incremental neardup fold",
         "aggview_s": "agg-view fold (raw)",
         "aggview_per_gb": "agg-view fold per touched GB",
-        "compact_s": "compact_hot",
+        "compact_s": "compact_hot (raw per-epoch)",
+        "compact_amortized": "compact_hot amortized over window",
     }
     for comp, g in gates.items():
+        verdict = (
+            "— (spiky; amortized row is the gate)"
+            if g["flat_within_20pct"] is None
+            else ("PASS" if g["flat_within_20pct"] else "FAIL")
+        )
         lines.append(
             f"| {label[comp]} | {g['unit']} | {g['early_median']} "
-            f"| {g['late_median']} | {g['ratio']} "
-            f"| {'PASS' if g['flat_within_20pct'] else 'FAIL'} |"
+            f"| {g['late_median']} | {g['ratio']} | {verdict} |"
         )
     if win:
         lines += [
@@ -325,7 +392,6 @@ def main() -> None:
     with open(args.out, "a") as f:
         f.write("\n".join(lines))
     print(json.dumps({"growth": growth, "gates": gates}))
-    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

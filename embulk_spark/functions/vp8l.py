@@ -194,12 +194,14 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         num_symbols = br.read(1) + 1
         first_8bit = br.read(1)
         sym0 = br.read(8 if first_8bit else 1)
-        if num_symbols == 2:
-            sym1 = br.read(8)
-            return _TwoSymbolCode(sym0, sym1)
-        lengths = [0] * alphabet_size
         if sym0 >= alphabet_size:
             raise ValueError("simple-code symbol out of range")
+        if num_symbols == 2:
+            sym1 = br.read(8)
+            if sym1 >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            return _TwoSymbolCode(sym0, sym1)
+        lengths = [0] * alphabet_size
         lengths[sym0] = 1
         return _PrefixCode(lengths)
     num_code_lengths = 4 + br.read(4)

@@ -394,3 +394,24 @@ def test_decode_image_features_gif_webp_end_to_end(spark):
         for i in range(24):
             w, h, m = oracle(i)
             assert got[i] == (container, w, h, m)
+
+
+def test_vp8l_simple_code_symbol_out_of_range_rejects():
+    """Review-sweep regression (r4): a simple-form prefix code naming a
+    symbol outside the alphabet (e.g. symbol 200 on the 40-symbol
+    distance alphabet) must reject as a malformed stream, not decode
+    garbage."""
+    def body(bw):
+        bw.write(0, 1)  # no transform
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no entropy image
+        for sym in (10, 20, 30, 255):  # green/red/blue/alpha: fine
+            _write_single_symbol_code(bw, sym)
+        # distance: simple code, symbol 200 > alphabet 40
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(200, 8)
+
+    with pytest.raises(ValueError, match="out of range"):
+        decode_webp(_hand_stream(2, 1, body))
