@@ -1692,24 +1692,57 @@ def _q_guess_cell_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _data_planes(
+    spark: SparkSession, sf_dir: str, *, target_bucket_rows: int = 128,
+    multiple_of: int = 1,
+) -> list[list[float]]:
+    """AUTO-SIZED data-vector hyperplanes: the first
+    ``auto_plane_count(N)`` embeddings (vec_id 1..k). The round-4 sf1
+    leg caught the previous FIXED 4-plane fixture going super-linear
+    (14.7× at 10× rows: bucket occupancy grows with N, pair work
+    Σ bucket² with it); sizing k by log2(N/target) keeps the expected
+    bucket at ~target rows, so pair work stays ~N·target — the
+    operators/ann.py auto_plane_count contract, now exercised by the
+    query itself. At the oracle scales (sf0.01 N=500, sf0.1 N=2000) k
+    is exactly 4, so the pinned DuckDB SQL (vec_id IN (1,2,3,4))
+    remains the valid replica of what runs."""
+    from embulk_spark.operators.ann import auto_plane_count
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = auto_plane_count(emb.count(), target_bucket_rows)
+    k = -(-k // multiple_of) * multiple_of
+    rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH bucket self-join
-    (no O(N^2) cross join; see operators/ann.py)."""
+    (no O(N^2) cross join; see operators/ann.py). Plane count auto-sizes
+    with corpus size (see _data_planes)."""
     from embulk_spark.operators.ann import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, _planes(spark, sf_dir), threshold=0.35)
+    return embedding_near_dups(
+        emb, _data_planes(spark, sf_dir), threshold=0.35
+    )
 
 
 def _q_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-OR multi-probe variant (operators/ann.py): candidates when ANY
     band of sign bits agrees — the recall-extension the full-code
-    equality misses at bucket boundaries."""
+    equality misses at bucket boundaries. Plane count auto-sizes in
+    band-multiples (see _data_planes)."""
     from embulk_spark.operators.ann import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dups(
-        emb, _planes(spark, sf_dir), threshold=0.35, n_bands=2
+        emb, _data_planes(spark, sf_dir, multiple_of=2),
+        threshold=0.35, n_bands=2,
     )
 
 
