@@ -240,18 +240,26 @@ def main() -> None:
     # round-headline notes) across this file's full rewrite
     preserved = ""
     if os.path.exists(args.out):
+        import re as _re
+
         prev = open(args.out).read()
-        for marker in ("\n## Round-3", "\n## Scale-growth flatness"):
-            i = prev.find(marker)
-            if i >= 0:
-                ends = [
-                    k for k in (
-                        prev.find("\n## ", i + 1),
-                        prev.find("\n```json", i),
-                    )
-                    if k > i
-                ]
-                preserved += prev[i: min(ends) if ends else len(prev)]
+        # keep EVERY section other tools appended (round headlines,
+        # both flatness legs, the sf1 leg) — the previous
+        # first-match-only logic silently dropped a second
+        # "Scale-growth flatness" section and the sf1 section on
+        # rewrite (found round 4)
+        keep_prefixes = (
+            "## Round-", "## Scale-growth flatness", "## sf1 leg",
+        )
+        idxs = [m.start() for m in _re.finditer(r"\n## ", prev)]
+        for j, i in enumerate(idxs):
+            head = prev[i + 1 : prev.find("\n", i + 1)]
+            if not head.startswith(keep_prefixes):
+                continue
+            nxt = idxs[j + 1] if j + 1 < len(idxs) else len(prev)
+            jarr = prev.find("\n```json", i)
+            end = min([k for k in (nxt, jarr) if k > i] or [len(prev)])
+            preserved += prev[i:end]
     lo, hi = HEADLINE
     lines = [
         "# BENCH/BASELINE — measured throughput & scaling efficiency",
