@@ -1818,6 +1818,31 @@ def _q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image decode with the vendored PROGRESSIVE JPEG path
+    (functions/jpeg.py Annex-G scans: DC successive approximation, two
+    spectral AC bands, refinement passes): same block-constant closed
+    form as the baseline-JPEG fixture, reached through a completely
+    different bitstream — the DuckDB oracle recomputes the decoded mean
+    arithmetically, so every scan kind must compose to the exact
+    coefficients."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_progressive_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_jpeg_progressive_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3386,7 +3411,8 @@ _DRIVER_ROTATION_FIRST = [
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
     "incremental_neardup", "incremental_term_df", "simhash_near_dups",
     "ann_ivf_topk", "embedding_neardup_banded", "multimodal_decode_png",
-    "multimodal_decode_jpeg", "multimodal_decode_gif",
+    "multimodal_decode_jpeg", "multimodal_decode_progressive",
+    "multimodal_decode_gif",
     "multimodal_decode_webp", "multimodal_decode_fake", "audio_meta",
     "audio_features", "join_shipping_priority", "dup_clusters",
     "dedup_keep_canonical", "sessionize_events", "session_stats",
@@ -3488,6 +3514,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_png": _q_multimodal_decode_png,
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
+        "multimodal_decode_progressive": _q_multimodal_decode_progressive,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
@@ -4625,6 +4652,37 @@ def oracle_sql() -> dict[str, str]:
         # The mean is the exact integer pixel sum with ONE double
         # division, matching the decoder's arithmetic bit-for-bit.
         "multimodal_decode_jpeg": """
+        WITH g AS (
+          SELECT doc_id,
+                 1 + doc_id % 3 AS bw,
+                 1 + (doc_id * 5) % 3 AS bh
+          FROM documents
+        ),
+        blocks AS (
+          SELECT doc_id, bw, bh,
+                 (17 * x.range + 31 * y.range + doc_id) % 256 AS v
+          FROM g, range(3) x, range(3) y
+          WHERE x.range < bw AND y.range < bh
+        ),
+        recon AS (
+          SELECT doc_id, bw, bh,
+                 LEAST(255, GREATEST(0,
+                   2 * (CASE WHEN v >= 128
+                             THEN floor((v - 128) / 2.0 + 0.5)
+                             ELSE -floor((128 - v) / 2.0 + 0.5) END)
+                   + 128)) AS pv
+          FROM blocks
+        )
+        SELECT doc_id AS id, 'jpeg' AS container,
+               (8 * bw)::int AS width, (8 * bh)::int AS height,
+               sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
+        FROM recon
+        GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_decode_progressive: the SAME closed form —
+        # the Annex-G scan machinery must reach identical coefficients
+        # through a different bitstream.
+        "multimodal_decode_progressive": """
         WITH g AS (
           SELECT doc_id,
                  1 + doc_id % 3 AS bw,

@@ -155,20 +155,26 @@ def _block_at(img: np.ndarray, bx: int, by: int) -> np.ndarray:
     return img[np.ix_(ys, xs)].astype(np.float64)
 
 
-def _encode_block(bw, blk, pred, qt, dc_codes, ac_codes) -> int:
-    """DCT → quantize → huffman one block; returns the new DC pred."""
+def _quantize_block(blk: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """DCT → round-half-away quantize one 8×8 block (shared by the
+    baseline and progressive encoders)."""
     S = _A @ (blk - 128.0) @ _A.T
     # snap float-DCT noise (±1e-12) so integer-valued coefficients
     # quantize deterministically at exact .5 boundaries — the
     # closed-form oracle depends on round-half-away of exact ratios
     S = np.round(S * 1048576.0) / 1048576.0
-    q = np.array(
+    return np.array(
         [
             [_round_half_away(S[r, c] / qt[r, c]) for c in range(8)]
             for r in range(8)
         ],
         dtype=np.int64,
     )
+
+
+def _encode_block(bw, blk, pred, qt, dc_codes, ac_codes) -> int:
+    """DCT → quantize → huffman one block; returns the new DC pred."""
+    q = _quantize_block(blk, qt)
     diff = int(q[0, 0]) - pred
     cat, bits = _magnitude(diff)
     code, ln = dc_codes[cat]
@@ -324,6 +330,210 @@ def encode_jpeg_color420(width: int, height: int, rgb_fn) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (grayscale fixture generator, T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+#: flat custom AC table for progressive scans: every run/size symbol,
+#: ZRL, and the EOBn symbols (r ≤ 14) the Annex-K table lacks — all at
+#: length 9 (176 ≤ 2^9 codes: a legal, if uncompressed, canonical DHT).
+_PROG_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {0xF0}
+    | {r << 4 for r in range(15)}
+)
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved (G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _flush_eobrun(bw, ac_codes, state) -> None:
+    run = state["eobrun"]
+    if run:
+        r = run.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(run - (1 << r), r)
+        state["eobrun"] = 0
+    for b in state["eob_bits"]:
+        bw.put(b, 1)
+    state["eob_bits"] = []
+
+
+def _emit_ac_first_block(bw, ac_codes, zz, ss, se, al, state) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = _pt_ac(int(zz[k]), al)
+        if v == 0:
+            run += 1
+            continue
+        _flush_eobrun(bw, ac_codes, state)
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(bits, cat)
+        run = 0
+    if run:
+        state["eobrun"] += 1
+        if state["eobrun"] >= 0x3FFF:
+            _flush_eobrun(bw, ac_codes, state)
+
+
+def _emit_ac_refine_block(bw, ac_codes, zz, ss, se, al, state) -> None:
+    """Mirror of the decoder's refinement walk (G.1.2.3): history
+    coefficients' correction bits ride positionally after the code that
+    spans them; fully-EOB tails buffer into the open EOB run."""
+
+    def tmag(k: int) -> int:
+        return abs(int(zz[k])) >> al
+
+    k = ss
+    while k <= se:
+        # scan ahead for the next newly-significant coefficient
+        j, r, probe = k, 0, []
+        nxt = None
+        while j <= se:
+            t = tmag(j)
+            if t == 1:
+                nxt = j
+                break
+            if t == 0:
+                r += 1
+            else:
+                probe.append(t & 1)
+            j += 1
+        if nxt is None:
+            state["eob_bits"].extend(probe)
+            state["eobrun"] += 1
+            if state["eobrun"] >= 0x3FFF:
+                _flush_eobrun(bw, ac_codes, state)
+            return
+        _flush_eobrun(bw, ac_codes, state)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            zeros = 0
+            while zeros < 16:  # span consumes exactly 16 newly-zero slots
+                t = tmag(k)
+                if t == 0:
+                    zeros += 1
+                elif t > 1:
+                    bw.put(t & 1, 1)
+                k += 1
+            r -= 16
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if int(zz[nxt]) > 0 else 0, 1)
+        while k < nxt:  # correction bits for history coeffs in the run
+            t = tmag(k)
+            if t > 1:
+                bw.put(t & 1, 1)
+            k += 1
+        k = nxt + 1
+    # block ended exactly at a newly-significant coefficient: no EOB
+
+
+def encode_jpeg_gray_progressive(
+    width: int, height: int, pix_fn, *, dc_al: int = 1, split: int = 6,
+    ac_al: int = 1,
+) -> bytes:
+    """Progressive JFIF fixture (SOF2, one grayscale component): DC
+    first at ``Al=dc_al`` + DC refinement bits, AC spectral selection in
+    two bands split at ``split``, each band first at ``Al=ac_al`` then
+    refined to full precision — every Annex-G scan kind the decoder
+    implements. Coefficients are identical to the baseline encoder's
+    (shared ``_quantize_block``), so a fully-refined progressive stream
+    must decode bit-identically to the sequential one."""
+    zz_blocks = []
+    img = np.fromfunction(
+        np.vectorize(lambda y, x: pix_fn(int(x), int(y))), (height, width)
+    ).astype(np.float64)
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            q = _quantize_block(_block_at(img, bx, by), STD_LUMA_QT)
+            zz_blocks.append(
+                np.array([int(q[r, c]) for (r, c) in ZIGZAG], dtype=np.int64)
+            )
+    dc_codes = _build_huff_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    out = bytearray(b"\xFF\xD8")
+    out += (
+        b"\xFF\xE0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zzq = bytes(int(STD_LUMA_QT[r, c]) for (r, c) in ZIGZAG)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + zzq
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(STD_DC_VALS))
+    out += bytes([0x00]) + bytes(STD_DC_BITS) + bytes(STD_DC_VALS)
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(_PROG_AC_VALS))
+    out += bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+
+    def sos(ss, se, ah, al) -> bytes:
+        # Td=0 (std DC table), Ta=0 (the custom flat AC table)
+        return (
+            b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00])
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    # DC first
+    out += sos(0, 0, 0, dc_al)
+    bw = _BitWriter()
+    pred = 0
+    for zz in zz_blocks:
+        v = int(zz[0]) >> dc_al  # DC point transform: arithmetic shift
+        cat, bits = _magnitude(v - pred)
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(bits, cat)
+        pred = v
+    bw.flush()
+    out += bw.buf
+    # DC refinements down to full precision
+    for a in range(dc_al - 1, -1, -1):
+        out += sos(0, 0, a + 1, a)
+        bw = _BitWriter()
+        for zz in zz_blocks:
+            bw.put((int(zz[0]) >> a) & 1, 1)
+        bw.flush()
+        out += bw.buf
+    # AC: two spectral bands, first pass at ac_al then refinements
+    bands = [(1, split - 1), (split, 63)]
+    for lo, hi in bands:
+        out += sos(lo, hi, 0, ac_al)
+        bw = _BitWriter()
+        state = {"eobrun": 0, "eob_bits": []}
+        for zz in zz_blocks:
+            _emit_ac_first_block(bw, ac_codes, zz, lo, hi, ac_al, state)
+        _flush_eobrun(bw, ac_codes, state)
+        bw.flush()
+        out += bw.buf
+    for a in range(ac_al - 1, -1, -1):
+        for lo, hi in bands:
+            out += sos(lo, hi, a + 1, a)
+            bw = _BitWriter()
+            state = {"eobrun": 0, "eob_bits": []}
+            for zz in zz_blocks:
+                _emit_ac_refine_block(bw, ac_codes, zz, lo, hi, a, state)
+            _flush_eobrun(bw, ac_codes, state)
+            bw.flush()
+            out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder (general baseline)
 # ---------------------------------------------------------------------------
 
@@ -416,11 +626,17 @@ class _BitReader:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, float]:
-    """REAL baseline JPEG decode → (width, height, mean over the luma
-    component's reconstructed samples, cropped to the image size). Exact
-    integer sum with ONE double division — the BMP/PNG discipline.
-    Raises ValueError for non-baseline streams (progressive, arithmetic,
-    12-bit) and malformed data."""
+    """REAL JPEG decode → (width, height, mean over the luma component's
+    reconstructed samples, cropped to the image size). Exact integer sum
+    with ONE double division — the BMP/PNG discipline.
+
+    Baseline/extended-sequential (SOF0/1) decodes in one streaming scan;
+    PROGRESSIVE (SOF2, T.81 Annex G) accumulates coefficients across
+    scans — spectral selection, successive approximation (DC and AC
+    first + refinement passes, EOB runs, point transforms), restart
+    markers — then dequantizes + IDCTs once at EOI. Raises ValueError
+    for arithmetic coding, hierarchical/lossless frames, 12-bit, and
+    malformed data."""
     if len(data) < 4 or data[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -429,6 +645,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
     ac_tabs: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    coefs: dict | None = None  # progressive coefficient store
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -466,20 +683,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                     raise ValueError("bad DHT")
                 (ac_tabs if cls else dc_tabs)[tid] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit precision supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({
                     "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
                 })
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError("non-DCT/arithmetic JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -491,11 +709,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qts, dc_tabs, ac_tabs,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan, qts, dc_tabs,
+                    ac_tabs, restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _init_coef_store(frame)
+            pos = _progressive_scan(
+                data, pos + 2 + seglen, frame, scan, dc_tabs, ac_tabs,
+                restart_interval, coefs, ss, se, a >> 4, a & 0x0F,
             )
+            continue
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        return _finish_progressive(frame, coefs, qts)
     raise ValueError("no SOS in JPEG")
 
 
@@ -577,6 +807,255 @@ def _decode_scan(
 
 
 # ---------------------------------------------------------------------------
+# progressive decode (T.81 Annex G — spectral selection + successive
+# approximation over an accumulated coefficient store)
+# ---------------------------------------------------------------------------
+
+
+def _comp_block_dims(frame: dict, comp: dict) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil over the
+    component's NOMINAL resolution (not the MCU-padded grid)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * comp["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _init_coef_store(frame: dict) -> dict:
+    """cid → int32[(bh, bw, 64)] zigzag-order coefficients, MCU-padded
+    dims (interleaved DC scans cover the padded grid)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _ac_first_block(br, tab, blk, ss, se, al, eobrun) -> int:
+    """One block of a first AC scan (G.1.2.2): run/size codes, EOBn
+    runs, coefficients entered at ``<< al``. Returns the new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = tab.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += _receive(br, r)
+                return eobrun - 1  # current block is part of the run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index overflow")
+        blk[k] = br.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, tab, blk, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (G.1.2.3): correction bits for
+    history coefficients, ±1<<al insertions for newly-significant ones,
+    EOB spans with embedded correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = tab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += _receive(br, r)
+                    break  # common EOB tail below handles this block
+                # r == 15: ZRL — span 16 newly-zero coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement size")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _receive(br, n: int) -> int:
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | br.bit()
+    return v
+
+
+def _progressive_scan(
+    data, pos, frame, scan, dc_tabs, ac_tabs, restart_interval,
+    coefs, ss, se, ah, al,
+) -> int:
+    """Decode one progressive scan into the coefficient store; returns
+    the position of the next marker after the scan's entropy data."""
+    br = _BitReader(data, pos)
+    next_rst = 0
+    state = {"eobrun": 0}
+    preds = {c["id"]: 0 for c, _td, _ta in scan}
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal next_rst
+        if restart_interval and unit and unit % restart_interval == 0:
+            got = br.align_restart()
+            if got != next_rst:
+                raise ValueError("restart marker out of sequence")
+            next_rst = (next_rst + 1) & 7
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+
+        def dc_block(comp, tab, blk) -> None:
+            if ah == 0:
+                cat = tab.decode(br)
+                if cat > 11:
+                    raise ValueError("bad DC category")
+                preds[comp["id"]] += br.receive_extend(cat)
+                blk[0] = preds[comp["id"]] << al
+            elif br.bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+        if len(scan) == 1:  # non-interleaved: component's own grid
+            comp, td, _ta = scan[0]
+            tab = dc_tabs.get(td)
+            if tab is None:
+                raise ValueError("missing DC table")
+            bw_n, bh_n = _comp_block_dims(frame, comp)
+            unit = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    maybe_restart(unit)
+                    dc_block(comp, tab, coefs[comp["id"]][by, bx])
+                    unit += 1
+        else:  # interleaved MCU walk (padded grid, like baseline)
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    for comp, td, _ta in scan:
+                        tab = dc_tabs.get(td)
+                        if tab is None:
+                            raise ValueError("missing DC table")
+                        for byy in range(comp["v"]):
+                            for bxx in range(comp["h"]):
+                                dc_block(
+                                    comp, tab,
+                                    coefs[comp["id"]][
+                                        my * comp["v"] + byy,
+                                        mx * comp["h"] + bxx,
+                                    ],
+                                )
+                    unit += 1
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if ah == 0 and al > 13:
+            raise ValueError("bad AC point transform")
+        comp, _td, ta = scan[0]
+        tab = ac_tabs.get(ta)
+        if tab is None:
+            raise ValueError("missing AC table")
+        bw_n, bh_n = _comp_block_dims(frame, comp)
+        unit = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                maybe_restart(unit)
+                blk = coefs[comp["id"]][by, bx]
+                if ah == 0:
+                    state["eobrun"] = _ac_first_block(
+                        br, tab, blk, ss, se, al, state["eobrun"]
+                    )
+                else:
+                    state["eobrun"] = _ac_refine_block(
+                        br, tab, blk, ss, se, al, state["eobrun"]
+                    )
+                unit += 1
+
+    # skip to the next marker (consume trailing RSTs / fill bytes)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        p += 1
+    return p
+
+
+def _finish_progressive(frame, coefs, qts) -> tuple[int, int, float]:
+    """Dequantize + IDCT the accumulated coefficient store; same crop
+    and exact-integer-mean contract as the baseline path."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if not w or not h:
+        raise ValueError("zero-dimension JPEG")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    c0 = comps[0]
+    qt = qts.get(c0["tq"])
+    if qt is None:
+        raise ValueError("missing quantization table")
+    qt_zz = np.array([qt[r, c] for (r, c) in ZIGZAG], dtype=np.float64)
+    store = coefs[c0["id"]]
+    bh, bw = store.shape[:2]
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    natural = np.zeros(64, dtype=np.int64)
+    for k, (r, c) in enumerate(ZIGZAG):
+        natural[k] = r * 8 + c
+    for by in range(bh):
+        for bx in range(bw):
+            S = np.zeros(64, dtype=np.float64)
+            S[natural] = store[by, bx].astype(np.float64) * qt_zz
+            blk = _A.T @ S.reshape(8, 8) @ _A
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(blk + 128.5), 0, 255
+            ).astype(np.int64)
+    cw = (w * c0["h"] + hmax - 1) // hmax
+    ch = (h * c0["v"] + vmax - 1) // vmax
+    luma = plane[:ch, :cw]
+    return int(w), int(h), int(luma.sum(dtype=np.int64)) / float(cw * ch)
+
+
+# ---------------------------------------------------------------------------
 # SQL-recomputable synth fixture (block-constant images)
 # ---------------------------------------------------------------------------
 
@@ -597,6 +1076,19 @@ def synth_jpeg_bytes(doc_id: int) -> bytes:
     recomputes it without a decoder."""
     w, h = synth_jpeg_dims(doc_id)
     return encode_jpeg_gray(
+        w, h, lambda x, y: synth_block_value(x // 8, y // 8, doc_id)
+    )
+
+
+def synth_jpeg_progressive_bytes(doc_id: int) -> bytes:
+    """Deterministic real PROGRESSIVE JPEG (SOF2: DC successive
+    approximation + two spectral AC bands + refinements): same
+    block-constant pixels as :func:`synth_jpeg_bytes`, so the fully
+    refined decode reconstructs the identical closed form — one oracle,
+    two containers, and the Annex-G scan machinery must agree with the
+    baseline path through a completely different bitstream."""
+    w, h = synth_jpeg_dims(doc_id)
+    return encode_jpeg_gray_progressive(
         w, h, lambda x, y: synth_block_value(x // 8, y // 8, doc_id)
     )
 

@@ -19,16 +19,17 @@ Two layers:
   Spark plumbing — explicit output schemas, ``mapInPandas`` with
   Arrow-batched pandas iterators, one Python invocation per batch. The
   actual codec call is isolated in ``_decode_backend``: BMP, PNG,
-  baseline JPEG, GIF and lossless WebP decode for REAL via vendored
-  spec re-implementations (``decode_bmp24`` / ``decode_png`` /
-  ``functions/jpeg.py`` / ``functions/gif.py`` / ``functions/vp8l.py``
-  — the containers covering the overwhelming majority of web images);
-  when a real decoder library (PIL) is importable it covers the rest;
-  in this container it is not, so the remaining profiles (lossy-VP8
-  WebP, AVIF, progressive JPEG) take a clearly-marked DETERMINISTIC
-  FAKE (pure function of the bytes: stable across partitioning/retries,
-  so tests and exactly-once replay semantics hold). Swapping backends
-  changes no schema, no partitioning, no batch shape.
+  baseline AND progressive JPEG, GIF and lossless WebP decode for REAL
+  via vendored spec re-implementations (``decode_bmp24`` /
+  ``decode_png`` / ``functions/jpeg.py`` / ``functions/gif.py`` /
+  ``functions/vp8l.py`` — the containers covering the overwhelming
+  majority of web images); when a real decoder library (PIL) is
+  importable it covers the rest; in this container it is not, so the
+  remaining profiles (lossy-VP8 WebP, AVIF, arithmetic-coded JPEG)
+  take a clearly-marked DETERMINISTIC FAKE (pure function of the
+  bytes: stable across partitioning/retries, so tests and exactly-once
+  replay semantics hold). Swapping backends changes no schema, no
+  partitioning, no batch shape.
 
 At 100 TB scale the plumbing is the part that matters: media bytes never
 hit the driver, flow Arrow-batched through Python only in the decode
@@ -397,6 +398,18 @@ def synth_jpeg_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_jpeg_progressive_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real PROGRESSIVE JPEG bytes (SOF2 —
+    Annex-G scans; same closed-form pixels as synth_jpeg_col)."""
+    from .jpeg import synth_jpeg_progressive_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_progressive_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 # ---------------------------------------------------------------------------
 # decode backend (stub boundary)
 # ---------------------------------------------------------------------------
@@ -440,14 +453,16 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
             pass
     if b[:2] == b"\xFF\xD8":
         try:
-            # vendored real baseline decoder (functions/jpeg.py): huffman
-            # + dequant + IDCT, grayscale/YCbCr, subsampling, restarts
+            # vendored real decoder (functions/jpeg.py): baseline AND
+            # progressive (Annex-G) — huffman + dequant + IDCT,
+            # grayscale/YCbCr, subsampling, restarts, successive
+            # approximation
             from .jpeg import decode_jpeg
 
             return decode_jpeg(b)
         except ValueError:
-            # progressive/arithmetic or JPEG-magic synthetic bytes: fake
-            # tier, same policy as the PNG profile boundary
+            # arithmetic-coded / JPEG-magic synthetic bytes: fake tier,
+            # same policy as the PNG profile boundary
             pass
     if b[:6] in (b"GIF87a", b"GIF89a"):
         try:

@@ -12,6 +12,7 @@ import pytest
 
 from embulk_spark.functions.jpeg import (
     STD_LUMA_QT,
+    encode_jpeg_gray_progressive,
     _A,
     _block_at,
     _round_half_away,
@@ -113,11 +114,19 @@ def test_non_baseline_and_garbage_raise():
         decode_jpeg(b"\xFF\xD8\xFF\xE0not a real stream")
     with pytest.raises(ValueError):
         decode_jpeg(b"GIF89a")
-    # progressive SOF2 is detected and refused, not mis-decoded
+    # arithmetic-coded frames are detected and refused, not mis-decoded
+    blob = bytearray(synth_jpeg_bytes(1))
+    i = blob.find(b"\xFF\xC0")
+    blob[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(bytes(blob))
+    # a BASELINE stream merely relabeled SOF2 is malformed progressive
+    # (its sequential scan header Ss=0,Se=63 is not a legal DC scan) —
+    # rejected, never mis-decoded
     blob = bytearray(synth_jpeg_bytes(1))
     i = blob.find(b"\xFF\xC0")
     blob[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(blob))
 
 
@@ -154,3 +163,74 @@ def test_decode_image_features_jpeg_end_to_end(spark):
         assert (rows[i]["width"], rows[i]["height"]) == (w, h)
         _, _, mean = decode_jpeg(synth_jpeg_bytes(i))
         assert rows[i]["mean_luma"] == pytest.approx(mean, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2, Annex G) — round-4 extension
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (24, 16), (19, 21), (96, 80)])
+def test_progressive_parity_with_baseline(dims):
+    """A fully-refined progressive stream carries the SAME quantized
+    coefficients as the sequential one (shared _quantize_block), so the
+    decodes must be bit-identical — through DC successive approximation,
+    two spectral bands, EOB runs, and AC refinement."""
+    w, h = dims
+
+    def pix(x, y):
+        return (x * x * 3 + y * 17 + (x * y) % 31) % 256
+
+    base = decode_jpeg(encode_jpeg_gray(w, h, pix))
+    prog = decode_jpeg(encode_jpeg_gray_progressive(w, h, pix))
+    assert prog == base
+
+
+@pytest.mark.parametrize(
+    "dc_al,split,ac_al", [(0, 2, 0), (2, 10, 2), (1, 33, 3), (3, 6, 1)]
+)
+def test_progressive_scan_shapes(dc_al, split, ac_al):
+    """Every successive-approximation depth and spectral split must
+    compose to the exact coefficients (incl. the no-refinement Al=0
+    edge and deep 3-bit approximation)."""
+
+    def pix(x, y):
+        return (x * 31 + y * 7) % 256
+
+    base = decode_jpeg(encode_jpeg_gray(24, 16, pix))
+    prog = decode_jpeg(
+        encode_jpeg_gray_progressive(
+            24, 16, pix, dc_al=dc_al, split=split, ac_al=ac_al
+        )
+    )
+    assert prog == base
+
+
+def test_progressive_block_constant_closed_form():
+    """The progressive fixture's decode equals the SAME closed form as
+    the baseline fixture (only DC survives a block-constant image) —
+    the SQL-oracle contract."""
+    from embulk_spark.functions.jpeg import synth_jpeg_progressive_bytes
+
+    for doc_id in (0, 3, 7, 11):
+        w, h = synth_jpeg_dims(doc_id)
+        got = decode_jpeg(synth_jpeg_progressive_bytes(doc_id))
+        total = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                total += 64 * reconstructed_flat_value(
+                    synth_block_value(bx, by, doc_id)
+                )
+        assert got == (w, h, total / float(w * h))
+
+
+def test_progressive_backend_routes_real():
+    """_decode_backend real-decodes SOF2 now (it was a declared fake
+    tier through round 3)."""
+    from embulk_spark.functions.jpeg import encode_jpeg_gray_progressive
+    from embulk_spark.functions.multimodal import _decode_backend
+
+    data = encode_jpeg_gray_progressive(
+        24, 16, lambda x, y: (x * 5 + y * 3) % 256
+    )
+    assert _decode_backend(data) == decode_jpeg(data)
