@@ -9,9 +9,10 @@ functions/jpeg.py and functions/gif.py):
 
 - RIFF/WEBP container with a VP8L chunk (lossy ``VP8 `` and extended
   ``VP8X`` reject → the declared fake tier);
-- untransformed streams (no predictor / color / subtract-green /
-  color-indexing transform — the four transform bits reject). The
-  entropy image (meta prefix codes) also rejects;
+- the SUBTRACT-GREEN transform decodes for real (the transform real
+  encoders default to; zero-data inverse, RFC 9649 §3.5.3); the
+  predictor / color / color-indexing transforms and the entropy image
+  (meta prefix codes) reject;
 - everything else is REAL: LSB-first bit reader, simple and
   normal-form prefix codes (code-length codes, repeat codes 16/17/18,
   the max_symbol short-circuit), canonical prefix decode, optional
@@ -286,8 +287,18 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
-    if br.read(1):
-        raise ValueError("VP8L transform (outside vendored profile)")
+    subtract_green = False
+    while br.read(1):  # transform list
+        ttype = br.read(2)
+        if ttype == 2:  # subtract-green: no data, r/b stored minus g
+            if subtract_green:
+                raise ValueError("duplicate subtract-green transform")
+            subtract_green = True
+            continue
+        raise ValueError(
+            "VP8L predictor/color/indexing transform "
+            "(outside vendored profile)"
+        )
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -348,6 +359,13 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
                     argb & 0xFF,
                 )
             )
+    if subtract_green:
+        # inverse transform (RFC 9649 §3.5.3): green was subtracted
+        # from red and blue before entropy coding; add it back mod 256
+        pixels = [
+            (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+            for a, r, g, b in pixels
+        ]
     total = sum(r + g + b for _a, r, g, b in pixels)
     return width, height, total / (3.0 * width * height)
 
@@ -432,12 +450,16 @@ def _emit(bw: _BitWriter, codes: dict[int, tuple[int, int]], sym: int) -> None:
         bw.write((code >> i) & 1, 1)
 
 
-def encode_vp8l(width: int, height: int, pixel) -> bytes:
-    """Build a real untransformed VP8L WebP: ``pixel(x, y) -> (r, g, b)``
-    (alpha fixed 255). EVEN rows are entropy-coded literals; every ODD
-    row must equal the row above it and is emitted as one LZ77 backward
-    reference (length=width, distance code 1 = (0,1) — the row above),
-    so the decoder's reference-copy path is exercised by construction."""
+def encode_vp8l(
+    width: int, height: int, pixel, *, subtract_green: bool = False
+) -> bytes:
+    """Build a real VP8L WebP: ``pixel(x, y) -> (r, g, b)`` (alpha
+    fixed 255). EVEN rows are entropy-coded literals; every ODD row must
+    equal the row above it and is emitted as one LZ77 backward reference
+    (length=width, distance code 1 = (0,1) — the row above), so the
+    decoder's reference-copy path is exercised by construction.
+    ``subtract_green`` emits the transform real encoders default to
+    (r/b stored minus g; the decoder must invert it)."""
     if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
         raise ValueError("bad dimensions")
     bw = _BitWriter()
@@ -445,7 +467,10 @@ def encode_vp8l(width: int, height: int, pixel) -> bytes:
     bw.write(height - 1, 14)
     bw.write(0, 1)  # no alpha
     bw.write(0, 3)  # version 0
-    bw.write(0, 1)  # no transform
+    if subtract_green:
+        bw.write(1, 1)  # a transform follows
+        bw.write(2, 2)  # type 2 = subtract-green (no data)
+    bw.write(0, 1)  # end of transform list
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no entropy image
     _write_green_code(bw)
@@ -463,6 +488,8 @@ def encode_vp8l(width: int, height: int, pixel) -> bytes:
             continue
         for x in range(width):
             r, g, b = pixel(x, y)
+            if subtract_green:
+                r, b = (r - g) & 0xFF, (b - g) & 0xFF
             _emit(bw, _GREEN_CODES, g & 0xFF)
             _emit(bw, _BYTE_CODES, r & 0xFF)
             _emit(bw, _BYTE_CODES, b & 0xFF)

@@ -415,3 +415,25 @@ def test_vp8l_simple_code_symbol_out_of_range_rejects():
 
     with pytest.raises(ValueError, match="out of range"):
         decode_webp(_hand_stream(2, 1, body))
+
+
+def test_vp8l_subtract_green_transform():
+    """The subtract-green transform (the one real encoders default to)
+    decodes for real now: a stream carrying it must yield the same
+    features as the untransformed encoding of the same pixels; other
+    transform types still reject to the fake tier."""
+    def px(x, y):
+        ye = y - y % 2
+        return ((x * 7 + ye * 3) % 256, (x + ye * 11) % 256,
+                (x * 5 + ye) % 256)
+
+    plain = decode_webp(encode_vp8l(9, 7, px))
+    sg = decode_webp(encode_vp8l(9, 7, px, subtract_green=True))
+    assert sg == plain
+
+    def with_predictor(bw):
+        bw.write(1, 1)  # transform present
+        bw.write(0, 2)  # type 0 = predictor → still out of profile
+
+    with pytest.raises(ValueError, match="predictor"):
+        decode_webp(_hand_stream(2, 2, with_predictor))
