@@ -10,9 +10,12 @@ functions/jpeg.py and functions/gif.py):
 - RIFF/WEBP container with a VP8L chunk (lossy ``VP8 `` and extended
   ``VP8X`` reject → the declared fake tier);
 - the SUBTRACT-GREEN transform decodes for real (the transform real
-  encoders default to; zero-data inverse, RFC 9649 §3.5.3); the
-  predictor / color / color-indexing transforms and the entropy image
-  (meta prefix codes) reject;
+  encoders default to; zero-data inverse, RFC 9649 §3.5.3), and so
+  does COLOR-INDEXING (§3.5.5): the delta-coded palette rides as a
+  1-row entropy-coded sub-image and small palettes bundle sub-pixel
+  indices into the green channel (8/4/2 per byte for ≤2/≤4/≤16
+  colors) — the icon/logo profile. The predictor and cross-color
+  transforms and the entropy image (meta prefix codes) reject;
 - everything else is REAL: LSB-first bit reader, simple and
   normal-form prefix codes (code-length codes, repeat codes 16/17/18,
   the max_symbol short-circuit), canonical prefix decode, optional
@@ -275,30 +278,26 @@ def _cache_index(argb: int, cache_bits: int) -> int:
     return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
 
 
-def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
-    """REAL decode of an untransformed VP8L payload (the bytes after the
-    chunk header): header, 5 prefix codes, literals + color cache + LZ77
-    → (width, height, mean over R,G,B bytes)."""
-    if not payload or payload[0] != 0x2F:
-        raise ValueError("bad VP8L signature")
-    br = _BitReader(payload[1:])
-    width = br.read(14) + 1
-    height = br.read(14) + 1
-    br.read(1)  # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("unknown VP8L version")
-    subtract_green = False
-    while br.read(1):  # transform list
-        ttype = br.read(2)
-        if ttype == 2:  # subtract-green: no data, r/b stored minus g
-            if subtract_green:
-                raise ValueError("duplicate subtract-green transform")
-            subtract_green = True
-            continue
-        raise ValueError(
-            "VP8L predictor/color/indexing transform "
-            "(outside vendored profile)"
-        )
+def _pack_width_bits(palette_size: int) -> int:
+    """Sub-pixel packing for small palettes (RFC 9649 §3.5.5): indices
+    bundle into the green channel — 8/4/2 per byte for ≤2/≤4/≤16
+    colors."""
+    if palette_size <= 2:
+        return 3
+    if palette_size <= 4:
+        return 2
+    if palette_size <= 16:
+        return 1
+    return 0
+
+
+def _decode_entropy_coded_image(
+    br: _BitReader, width: int, height: int
+) -> list[tuple[int, int, int, int]]:
+    """One entropy-coded ARGB image (the shared core of the main image
+    and transform sub-images, which carry no transform list of their
+    own): optional color cache, 5 prefix codes, literals + LZ77 +
+    cache references. Returns row-major (a, r, g, b) pixels."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -359,13 +358,83 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
                     argb & 0xFF,
                 )
             )
-    if subtract_green:
-        # inverse transform (RFC 9649 §3.5.3): green was subtracted
-        # from red and blue before entropy coding; add it back mod 256
-        pixels = [
-            (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
-            for a, r, g, b in pixels
-        ]
+    return pixels
+
+
+def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode of a VP8L payload (the bytes after the chunk
+    header): header, transform list (subtract-green and color-indexing
+    supported; predictor/color reject), 5 prefix codes, literals +
+    color cache + LZ77 → (width, height, mean over R,G,B bytes)."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms: list[tuple] = []  # stream order (encode-time order)
+    eff_width = width  # color indexing may bundle sub-pixels
+    while br.read(1):  # transform list
+        ttype = br.read(2)
+        if any(t[0] == ttype for t in transforms):
+            raise ValueError("duplicate VP8L transform")
+        if ttype == 2:  # subtract-green: no data, r/b stored minus g
+            transforms.append((2,))
+            continue
+        if ttype == 3:  # color indexing: palette + optional packing
+            n_colors = br.read(8) + 1
+            # the palette rides as a 1-row entropy-coded sub-image,
+            # DELTA-coded per channel (each entry adds the previous)
+            raw = _decode_entropy_coded_image(br, n_colors, 1)
+            palette = []
+            prev = (0, 0, 0, 0)
+            for px in raw:
+                prev = tuple((prev[i] + px[i]) & 0xFF for i in range(4))
+                palette.append(prev)
+            wbits = _pack_width_bits(n_colors)
+            transforms.append((3, palette, wbits))
+            if wbits:
+                eff_width = (width + (1 << wbits) - 1) >> wbits
+            continue
+        raise ValueError(
+            "VP8L predictor/color transform (outside vendored profile)"
+        )
+    pixels = _decode_entropy_coded_image(br, eff_width, height)
+
+    # inverse transforms in REVERSE stream order
+    for t in reversed(transforms):
+        if t[0] == 2:
+            # RFC 9649 §3.5.3: green was subtracted from red and blue
+            # before entropy coding; add it back mod 256
+            pixels = [
+                (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+                for a, r, g, b in pixels
+            ]
+        else:
+            _ttype, palette, wbits = t
+            out: list[tuple[int, int, int, int]] = []
+            if wbits:
+                per = 1 << wbits
+                ibits = 8 >> wbits
+                mask = (1 << ibits) - 1
+                for y in range(height):
+                    row = pixels[y * eff_width : (y + 1) * eff_width]
+                    for x in range(width):
+                        g = row[x >> wbits][2]
+                        idx = (g >> ((x % per) * ibits)) & mask
+                        out.append(
+                            palette[idx] if idx < len(palette)
+                            else (0, 0, 0, 0)  # OOB index: spec'd zero
+                        )
+            else:
+                for _a, _r, g, _b in pixels:
+                    out.append(
+                        palette[g] if g < len(palette) else (0, 0, 0, 0)
+                    )
+            pixels = out
+            eff_width = width  # fully expanded now
     total = sum(r + g + b for _a, r, g, b in pixels)
     return width, height, total / (3.0 * width * height)
 
@@ -494,6 +563,90 @@ def encode_vp8l(
             _emit(bw, _BYTE_CODES, r & 0xFF)
             _emit(bw, _BYTE_CODES, b & 0xFF)
             # alpha: single-symbol code, zero bits
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_vp8l_palette(
+    width: int, height: int, palette: list, index_fn
+) -> bytes:
+    """Build a real color-indexed (palette) VP8L WebP: the transform
+    header carries the DELTA-coded palette as a 1-row sub-image, the
+    main image stores indices in the green channel with the spec's
+    sub-pixel packing for ≤16 colors. ``palette`` is [(r, g, b)] (alpha
+    255); ``index_fn(x, y) -> int``."""
+    n_colors = len(palette)
+    if not 1 <= n_colors <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version 0
+    bw.write(1, 1)  # a transform follows
+    bw.write(3, 2)  # type 3 = color indexing
+    bw.write(n_colors - 1, 8)
+
+    def emit_image(pixels) -> None:
+        """Literal-coded entropy image: flat green/byte codes, alpha as
+        a 2-symbol simple code over the values present."""
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no entropy image
+        _write_green_code(bw)
+        _write_byte_code(bw)  # red
+        _write_byte_code(bw)  # blue
+        alphas = sorted({a for a, _r, _g, _b in pixels})
+        if len(alphas) == 1:
+            _write_single_symbol_code(bw, alphas[0])
+        elif len(alphas) == 2:
+            bw.write(1, 1)  # simple, two symbols (codes 0 and 1 in
+            bw.write(1, 1)  # listed order)
+            bw.write(1, 1)  # 8-bit first symbol
+            bw.write(alphas[0], 8)
+            bw.write(alphas[1], 8)
+        else:
+            raise ValueError("fixture alpha plane must have ≤2 values")
+        _write_single_symbol_code(bw, 0)  # distance (unused)
+        for a, r, g, b in pixels:
+            _emit(bw, _GREEN_CODES, g & 0xFF)
+            _emit(bw, _BYTE_CODES, r & 0xFF)
+            _emit(bw, _BYTE_CODES, b & 0xFF)
+            if len(alphas) == 2:
+                bw.write(alphas.index(a), 1)
+
+    # palette sub-image: per-channel DELTAS of (255, r, g, b) entries
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for r, g, b in palette:
+        cur = (255, r & 0xFF, g & 0xFF, b & 0xFF)
+        deltas.append(tuple((cur[i] - prev[i]) & 0xFF for i in range(4)))
+        prev = cur
+    emit_image(deltas)
+
+    bw.write(0, 1)  # end of transform list
+    # main image: indices in green, packed per the palette size
+    wbits = _pack_width_bits(n_colors)
+    eff_width = (width + (1 << wbits) - 1) >> wbits if wbits else width
+    per = 1 << wbits
+    ibits = 8 >> wbits if wbits else 8
+    main = []
+    for y in range(height):
+        for px in range(eff_width):
+            g = 0
+            if wbits:
+                for j in range(per):
+                    x = px * per + j
+                    if x < width:
+                        g |= (index_fn(x, y) & ((1 << ibits) - 1)) << (
+                            j * ibits
+                        )
+            else:
+                g = index_fn(px, y) & 0xFF
+            main.append((255, 0, g, 0))
+    emit_image(main)
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

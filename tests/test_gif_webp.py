@@ -437,3 +437,40 @@ def test_vp8l_subtract_green_transform():
 
     with pytest.raises(ValueError, match="predictor"):
         decode_webp(_hand_stream(2, 2, with_predictor))
+
+
+def test_vp8l_color_indexing_all_packing_modes():
+    """The palette transform decodes for real: delta-coded palette
+    sub-image, sub-pixel packing at every width (1-bit/2-bit/4-bit/
+    none), non-multiple widths, and the single-color edge."""
+    from embulk_spark.functions.vp8l import encode_vp8l_palette
+
+    for n_colors, w, h in (
+        (2, 13, 5), (4, 9, 6), (5, 9, 6), (16, 10, 7),
+        (17, 10, 7), (200, 12, 9), (1, 6, 4),
+    ):
+        pal = [
+            ((3 * i + 7) % 256, (5 * i + 11) % 256, (7 * i + 13) % 256)
+            for i in range(n_colors)
+        ]
+
+        def idx(x, y, n=n_colors):
+            return (x * 3 + y * 5) % n
+
+        got = decode_webp(encode_vp8l_palette(w, h, pal, idx))
+        s = sum(sum(pal[idx(x, y)]) for y in range(h) for x in range(w))
+        assert got == (w, h, s / (3.0 * w * h)), (n_colors, w, h)
+
+
+def test_vp8l_palette_oob_index_decodes_to_zero():
+    """An index past the palette decodes as 0x00000000 (the spec's
+    deterministic out-of-range rule), never an exception."""
+    from embulk_spark.functions.vp8l import encode_vp8l_palette
+
+    # 20-color palette (no packing) but indices reach 25
+    pal = [(10, 20, 30)] * 20
+    data = encode_vp8l_palette(4, 2, pal, lambda x, y: 25 if x == 0 else 1)
+    w, h, m = decode_webp(data)
+    # rows: [0, 60, 60, 60] summed per row (OOB→0; idx 1→10+20+30)
+    assert (w, h) == (4, 2)
+    assert m == (0 + 60 * 3) * 2 / (3.0 * 4 * 2)
