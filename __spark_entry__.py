@@ -3407,6 +3407,19 @@ def _q_jdbc_mode_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reached by this round's 50-key sample (the rotation tail) go first
 # next round — keep rotating until lifetime driver coverage is 129/129.
 _DRIVER_ROTATION_FIRST = [
+    # slots 1-3: the r04 driver hash-FAILs, re-adjudicated first (the
+    # hugeint-floatification oracle bug is fixed; see the ::bigint
+    # casts in their SQL)
+    "substring_dedup", "corpus_export", "token_packing",
+    # slots 4-20: the 17 keys never driver-checked in r01-r04 — closes
+    # lifetime driver coverage at 132/132
+    "anchor_topk", "bm25_scores", "bpe_merges", "bpe_encode",
+    "data_quality", "filter_base64", "filter_gsub_cols",
+    "filter_hash_cols", "filter_split_rows", "group_split",
+    "heavy_hitters", "incremental_agg_view", "interval_window_counts",
+    "jdbc_mode_merge", "length_quantiles", "parser_ltsv",
+    "quality_classifier",
+    # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
     "incremental_neardup", "incremental_term_df", "simhash_near_dups",
@@ -3418,16 +3431,11 @@ _DRIVER_ROTATION_FIRST = [
     "dedup_keep_canonical", "sessionize_events", "session_stats",
     "asof_join_attrib", "avro_roundtrip", "msgpack_roundtrip",
     "warc_roundtrip", "binlog_route_latest", "debezium_parse",
-    "dsir_weights", "lm_perplexity", "substring_dedup", "text_normalize",
-    "html_extract", "vocab_topk", "ccnet_buckets", "corpus_export",
-    "doc_chunks", "token_packing", "semantic_dedup", "url_filter",
+    "dsir_weights", "lm_perplexity", "text_normalize",
+    "html_extract", "vocab_topk", "ccnet_buckets",
+    "doc_chunks", "semantic_dedup", "url_filter",
     "scd2_history", "scd2_join_asof", "pagerank", "bloom_dedup",
-    "metrics_rollup", "hll_distinct", "link_extract", "anchor_topk",
-    "length_quantiles", "interval_window_counts", "data_quality",
-    "bm25_scores", "heavy_hitters", "group_split", "quality_classifier",
-    "bpe_merges", "bpe_encode", "incremental_agg_view", "jdbc_mode_merge",
-    "filter_base64", "filter_hash_cols", "filter_gsub_cols",
-    "filter_split_rows", "parser_ltsv",
+    "metrics_rollup", "hll_distinct", "link_extract",
 ]
 
 
@@ -5324,8 +5332,13 @@ def oracle_sql() -> dict[str, str]:
           FROM isl2 GROUP BY doc_id, island
         ),
         agg AS (
+          -- ::bigint: DuckDB widens sum(BIGINT) to HUGEINT, which a
+          -- pandas fetch floatifies (12345 -> 12345.0) and a strict
+          -- value-hash then rejects against Spark's int64 (the r04
+          -- driver-gate failure mode). Every integer sum that reaches
+          -- an output column must be cast back down.
           SELECT doc_id, count(*) AS n_dup_spans,
-                 sum(sp_e - sp_s) AS n_tokens_dropped
+                 sum(sp_e - sp_s)::bigint AS n_tokens_dropped
           FROM spans GROUP BY doc_id
         ),
         tokidx AS (
@@ -5355,8 +5368,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT ('0x' || left(md5('shard1:' || CAST(doc_id AS VARCHAR)), 8)
                )::bigint % 8 AS shard,
                count(*) AS rows,
+               -- ::bigint — keep hugeint out of the output (see
+               -- substring_dedup note; r04 driver-gate failure mode)
                sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> ''))) AS n_tokens,
+                                   x -> x <> '')))::bigint AS n_tokens,
                CAST(sum(('0x' || left(md5(CAST(doc_id AS VARCHAR)
                                           || chr(31) || text), 15))::bigint)
                     AS VARCHAR) AS content_sum
@@ -5436,16 +5451,19 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         ),
         o AS (
+          -- ::bigint on the window sum — DuckDB widens sum(BIGINT) to
+          -- HUGEINT, which pandas floatifies and a strict value-hash
+          -- rejects vs Spark's int64 (the r04 driver-gate failure mode)
           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                  coalesce(sum(n_tokens) OVER (
                    ORDER BY bkt, okey, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS global_offset
+                 ), 0)::bigint AS global_offset
           FROM b
         )
         SELECT doc_id, n_tokens, global_offset,
-               global_offset // 512 AS seq_id,
-               global_offset % 512 AS offset_in_seq,
+               (global_offset // 512)::bigint AS seq_id,
+               (global_offset % 512)::bigint AS offset_in_seq,
                (global_offset % 512 + n_tokens) > 512 AS spans_boundary
         FROM o
         """,
@@ -5775,9 +5793,11 @@ def oracle_sql() -> dict[str, str]:
                checked FROM n
         UNION ALL
         SELECT 'event_id:unique',
+               -- ::bigint keeps hugeint (pandas-floatified) out of the
+               -- UNION'd violations column (r04 driver-gate failure mode)
                coalesce((SELECT sum(c) FROM (
                   SELECT count(*) AS c FROM events WHERE event_id IS NOT NULL
-                  GROUP BY event_id HAVING count(*) > 1)), 0),
+                  GROUP BY event_id HAVING count(*) > 1)), 0)::bigint,
                (SELECT count(*) FROM events WHERE event_id IS NOT NULL)
         """,
         "bpe_merges": _bpe_oracle(),

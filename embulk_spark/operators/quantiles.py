@@ -161,8 +161,12 @@ hist AS (
   SELECT {gsel}, bin, count(*)::bigint AS cnt FROM binned GROUP BY ALL
 ),
 cum AS (
-  SELECT *, sum(cnt) OVER (PARTITION BY {gsel} ORDER BY bin) AS cum,
-            sum(cnt) OVER (PARTITION BY {gsel}) AS n
+  -- ::bigint: sum(BIGINT) widens to HUGEINT, which a pandas fetch
+  -- floatifies (70 -> 70.0) and a strict value-hash then rejects
+  -- against Spark's int64 ``n`` output column (the r04 driver-gate
+  -- failure mode on substring_dedup/corpus_export/token_packing)
+  SELECT *, sum(cnt) OVER (PARTITION BY {gsel} ORDER BY bin)::bigint AS cum,
+            sum(cnt) OVER (PARTITION BY {gsel})::bigint AS n
   FROM hist
 ),
 probe AS (

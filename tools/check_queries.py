@@ -2,7 +2,15 @@
 entry on Spark and its oracle_sql() on DuckDB at the same sf, compare
 row count + order-insensitive values with columns sorted by name.
 
-Usage: python tools/check_queries.py [--json out.json] [sf_dir] [query ...]
+Usage: python tools/check_queries.py [--json out.json] [--dump-diff]
+       [sf_dir] [query ...]
+
+Strictness: beyond the order-insensitive value compare, any numeric-kind
+disagreement between the Spark and DuckDB pandas frames (int vs float on
+a non-all-null column) FAILS — the r04 driver gate proved a stricter
+hasher rejects e.g. DuckDB hugeint->70.0 vs Spark int64 70 even when the
+int-ified strings match. --dump-diff prints the canonical rows unique to
+each side on a value mismatch.
 
 --json writes a per-key log in the driver's CORRECTNESS_r{N}.json
 schema (rows_match / schema_match / hash_match / spark_rows /
@@ -48,11 +56,69 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _col_kind(s: pd.Series) -> str:
+    """Coarse value-kind of a pandas column: int/float/bool/other, or
+    'null' when every value is null (then any representation hashes
+    alike)."""
+    import numpy as np
+
+    d = s.dtype
+    if np.issubdtype(d, np.bool_):
+        return "bool"
+    if np.issubdtype(d, np.integer):
+        return "int"
+    if np.issubdtype(d, np.floating):
+        return "null" if s.isna().all() else "float"
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int,)):
+            return "int"
+        if isinstance(v, (float,)):
+            return "float"
+        return "other"
+    return "null"
+
+
+def kind_mismatches(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Numeric-kind disagreements the int-ifying norm_cell would hide
+    but a strict driver-side hasher rejects — the r04 failure mode
+    (DuckDB hugeint -> pandas float 70.0 vs Spark int64 70). All-null
+    columns are exempt (both render as null either way)."""
+    out = []
+    for c in got.columns:
+        kg, kw = _col_kind(got[c]), _col_kind(want[c])
+        if "null" in (kg, kw) or kg == kw:
+            continue
+        # int-with-nulls legitimately floatifies on BOTH sides via
+        # pandas; if one side kept ints it means the other side's nulls
+        # are the only difference-driver — still a real hazard.
+        out.append(f"{c}: spark={kg} oracle={kw}")
+    return out
+
+
+def dump_diff(name: str, g: list[tuple], w: list[tuple], cols: list[str], n: int = 20):
+    """Print up to n canonical rows unique to each side, column-labelled,
+    so a single gate log localizes a value divergence."""
+    gs, ws = set(g), set(w)
+    only_g, only_w = sorted(gs - ws)[:n], sorted(ws - gs)[:n]
+    print(f"  --dump-diff {name}: {len(gs - ws)} spark-only / {len(ws - gs)} oracle-only canonical rows")
+    for side, rows in (("spark ", only_g), ("oracle", only_w)):
+        for r in rows:
+            cells = ", ".join(f"{c}={v}" for c, v in zip(cols, r))
+            print(f"  {side}> {cells[:500]}")
+
+
 def main() -> int:
     import json
 
     argv = list(sys.argv[1:])
     json_out = None
+    want_dump = "--dump-diff" in argv
+    if want_dump:
+        argv.remove("--dump-diff")
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
@@ -117,8 +183,19 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch; first diffs:")
             for i in bad:
                 print(f"  spark : {g[i]}\n  duckdb: {w[i]}")
+            if want_dump:
+                dump_diff(name, g, w, sorted(got.columns))
             rec(name, rows_match=True, schema_match=True, hash_match=False,
                 spark_rows=len(got), oracle_rows=len(want))
+            failures += 1
+        elif kinds := kind_mismatches(got, want):
+            # values agree under the int-ifying normalization but the
+            # numeric kinds differ — a strict driver hasher fails this
+            # (r04: substring_dedup/corpus_export/token_packing)
+            print(f"FAIL {name}: numeric-kind mismatch: " + "; ".join(kinds))
+            rec(name, rows_match=True, schema_match=True, hash_match=False,
+                spark_rows=len(got), oracle_rows=len(want),
+                err="kind: " + "; ".join(kinds)[:260])
             failures += 1
         else:
             print(f"OK   {name}: {len(got)} rows")
