@@ -181,7 +181,10 @@ def _date_filter(value: Any, fmt: str) -> Any:
     import datetime
 
     if value in ("now", "today"):
-        dt = datetime.datetime.now()
+        # UTC, matching the epoch-number branch below — a naive local
+        # now() would let {{ 'now' | date }} and an epoch column
+        # disagree by a day near midnight (round-5 review fix)
+        dt = datetime.datetime.now(datetime.timezone.utc)
     elif isinstance(value, bool):
         return value
     elif isinstance(value, (int, float)):

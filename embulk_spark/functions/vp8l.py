@@ -292,18 +292,24 @@ def _pack_width_bits(palette_size: int) -> int:
 
 
 def _decode_entropy_coded_image(
-    br: _BitReader, width: int, height: int
+    br: _BitReader, width: int, height: int, *, top_level: bool = True
 ) -> list[tuple[int, int, int, int]]:
     """One entropy-coded ARGB image (the shared core of the main image
     and transform sub-images, which carry no transform list of their
     own): optional color cache, 5 prefix codes, literals + LZ77 +
-    cache references. Returns row-major (a, r, g, b) pixels."""
+    cache references. Returns row-major (a, r, g, b) pixels.
+
+    Only the MAIN spatially-coded image carries the meta-prefix
+    ("entropy image") bit — per the VP8L grammar (RFC 9649 §3.7.2.1 /
+    libwebp ReadHuffmanCodes allow_recursion=is_level0), transform
+    sub-images read color-cache-info and prefix codes only, so callers
+    pass ``top_level=False`` for them and the bit is never consumed."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"bad color-cache size {cache_bits}")
-    if br.read(1):
+    if top_level and br.read(1):
         raise ValueError("VP8L entropy image (outside vendored profile)")
     cache_size = (1 << cache_bits) if cache_bits else 0
     green_code = _read_prefix_code(br, 256 + 24 + cache_size)
@@ -387,7 +393,7 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
             n_colors = br.read(8) + 1
             # the palette rides as a 1-row entropy-coded sub-image,
             # DELTA-coded per channel (each entry adds the previous)
-            raw = _decode_entropy_coded_image(br, n_colors, 1)
+            raw = _decode_entropy_coded_image(br, n_colors, 1, top_level=False)
             palette = []
             prev = (0, 0, 0, 0)
             for px in raw:
@@ -590,11 +596,14 @@ def encode_vp8l_palette(
     bw.write(3, 2)  # type 3 = color indexing
     bw.write(n_colors - 1, 8)
 
-    def emit_image(pixels) -> None:
+    def emit_image(pixels, *, top_level: bool) -> None:
         """Literal-coded entropy image: flat green/byte codes, alpha as
-        a 2-symbol simple code over the values present."""
+        a 2-symbol simple code over the values present. Only the main
+        image carries the meta-prefix bit (see
+        _decode_entropy_coded_image) — transform sub-images must not."""
         bw.write(0, 1)  # no color cache
-        bw.write(0, 1)  # no entropy image
+        if top_level:
+            bw.write(0, 1)  # no entropy image
         _write_green_code(bw)
         _write_byte_code(bw)  # red
         _write_byte_code(bw)  # blue
@@ -624,7 +633,7 @@ def encode_vp8l_palette(
         cur = (255, r & 0xFF, g & 0xFF, b & 0xFF)
         deltas.append(tuple((cur[i] - prev[i]) & 0xFF for i in range(4)))
         prev = cur
-    emit_image(deltas)
+    emit_image(deltas, top_level=False)
 
     bw.write(0, 1)  # end of transform list
     # main image: indices in green, packed per the palette size
@@ -646,7 +655,7 @@ def encode_vp8l_palette(
             else:
                 g = index_fn(px, y) & 0xFF
             main.append((255, 0, g, 0))
-    emit_image(main)
+    emit_image(main, top_level=True)
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

@@ -86,7 +86,10 @@ def connected_components(
     # from any intermediate state converges to the same fixpoint, so a
     # prior run's rounds are valid regardless of its cap. Edge content
     # must match exactly (stale-dir resume → wrong components, silently).
-    resume_ok = checkpoint_manifest_gate(
+    # fingerprint only when a checkpoint dir exists — it is a full
+    # count+xxhash64 job over the edges, wasted when the gate would
+    # return False unconditionally (round-5 review fix)
+    resume_ok = reliable_checkpoint_dir is not None and checkpoint_manifest_gate(
         reliable_checkpoint_dir,
         {
             "kind": "connected_components",

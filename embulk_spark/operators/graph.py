@@ -58,7 +58,15 @@ def checkpoint_manifest_gate(ckpt_dir: str | None, fingerprint: dict) -> bool:
     Returns True when a ``_MANIFEST.json`` matching ``fingerprint``
     exists (resume allowed). Otherwise clears any stale ``round=`` dirs
     (they belong to a different job), pins the new fingerprint, and
-    returns False (start fresh)."""
+    returns False (start fresh).
+
+    Ownership contract: a checkpoint dir has a SINGLE WRITER — one
+    iterative job at a time (the same rule as a Structured Streaming
+    checkpointLocation). Two concurrent jobs with different
+    fingerprints would race this gate (one rmtree-ing round= dirs the
+    other is mid-writing); callers must give concurrent jobs distinct
+    dirs. The gate guards against stale *sequential* reuse, not
+    concurrent sharing."""
     if ckpt_dir is None:
         return False
     mp = os.path.join(ckpt_dir, "_MANIFEST.json")
@@ -165,7 +173,10 @@ def pagerank(
     # iters is deliberately NOT in the fingerprint: each round's math is
     # independent of the total, so a prior run's rounds are a valid
     # prefix for any iters. Edge content + damping must match exactly.
-    resume_ok = checkpoint_manifest_gate(
+    # fingerprint only when a checkpoint dir exists — it is a full
+    # count+xxhash64 job over the edges, wasted when the gate would
+    # return False unconditionally (round-5 review fix)
+    resume_ok = reliable_checkpoint_dir is not None and checkpoint_manifest_gate(
         reliable_checkpoint_dir,
         {
             "kind": "pagerank",

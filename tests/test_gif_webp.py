@@ -474,3 +474,89 @@ def test_vp8l_palette_oob_index_decodes_to_zero():
     # rows: [0, 60, 60, 60] summed per row (OOB→0; idx 1→10+20+30)
     assert (w, h) == (4, 2)
     assert m == (0 + 60 * 3) * 2 / (3.0 * 4 * 2)
+
+
+def test_vp8l_palette_subimage_carries_no_meta_prefix_bit():
+    """Grammar conformance regression (round-5 review fix): only the
+    MAIN spatially-coded image carries the meta-prefix ("entropy
+    image") bit — transform sub-images are color-cache-info + prefix
+    codes only (RFC 9649 §3.7.2.1; libwebp ReadHuffmanCodes
+    allow_recursion=is_level0). The stream here is hand-written from
+    the grammar, field by field, independently of encode_vp8l_palette,
+    so an encoder/decoder SHARED layout bug cannot make it pass."""
+
+    def build(spurious_meta_bit_in_subimage: bool) -> bytes:
+        bw = _BitWriter()
+        bw.write(1, 14)  # width - 1 = 1
+        bw.write(1, 14)  # height - 1 = 1
+        bw.write(0, 1)   # no alpha hint
+        bw.write(0, 3)   # version 0
+        bw.write(1, 1)   # a transform follows
+        bw.write(3, 2)   # type 3 = color indexing
+        bw.write(1, 8)   # n_colors - 1 = 1 (palette: 2 entries)
+        # ---- palette sub-image: 2 delta pixels (a,r,g,b) =
+        # (255,10,20,30), (0,30,30,30) for entries (10,20,30),(40,50,60)
+        bw.write(0, 1)   # no color cache
+        if spurious_meta_bit_in_subimage:
+            bw.write(0, 1)  # the pre-fix bug: sub-image meta bit
+        # green code: two-symbol simple {20, 30}
+        bw.write(1, 1); bw.write(1, 1); bw.write(1, 1)
+        bw.write(20, 8); bw.write(30, 8)
+        # red code: two-symbol simple {10, 30}
+        bw.write(1, 1); bw.write(1, 1); bw.write(1, 1)
+        bw.write(10, 8); bw.write(30, 8)
+        # blue code: single symbol 30
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(30, 8)
+        # alpha code: two-symbol simple listed as [255, 0]
+        bw.write(1, 1); bw.write(1, 1); bw.write(1, 1)
+        bw.write(255, 8); bw.write(0, 8)
+        # distance code: single symbol 0
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        # delta px0: g=20(bit 0), r=10(bit 0), b=(0 bits), a=255(bit 0)
+        bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        # delta px1: g=30(bit 1), r=30(bit 1), a=0(bit 1)
+        bw.write(1, 1); bw.write(1, 1); bw.write(1, 1)
+        # ---- end of transform list
+        bw.write(0, 1)
+        # ---- main image (top level): 2 colors -> 3 packing bits,
+        # eff_width 1; packed greens row0 = 0|1<<1 = 2, row1 = 1|1<<1 = 3
+        bw.write(0, 1)   # no color cache
+        bw.write(0, 1)   # no entropy image (the bit ONLY here)
+        # green code: two-symbol simple {2, 3}
+        bw.write(1, 1); bw.write(1, 1); bw.write(1, 1)
+        bw.write(2, 8); bw.write(3, 8)
+        # red code: single symbol 0 (1-bit first-symbol form)
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        # blue code: single symbol 0
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        # alpha code: single symbol 255
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+        # distance code: single symbol 0
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        # px(row0): g=2 (bit 0); px(row1): g=3 (bit 1)
+        bw.write(0, 1); bw.write(1, 1)
+        return b"\x2f" + bw.bytes()
+
+    # conformant stream decodes: pixels (10,20,30),(40,50,60)x3
+    assert decode_vp8l(build(False)) == (2, 2, (60 + 3 * 150) / 12.0)
+    # the old shared-bug layout must NOT silently decode to the same
+    # image anymore
+    try:
+        got = decode_vp8l(build(True))
+    except ValueError:
+        got = None
+    assert got != (2, 2, (60 + 3 * 150) / 12.0)
+
+
+def test_vp8l_palette_encoder_agrees_with_handwritten_stream():
+    """encode_vp8l_palette (post-fix: no meta bit in the palette
+    sub-image) decodes to the same image as the hand-written grammar
+    stream above — the two constructions are independent, so agreement
+    means the encoder's layout is the conformant one."""
+    from embulk_spark.functions.vp8l import encode_vp8l_palette
+
+    data = encode_vp8l_palette(
+        2, 2, [(10, 20, 30), (40, 50, 60)],
+        lambda x, y: 0 if (x, y) == (0, 0) else 1,
+    )
+    assert decode_webp(data) == (2, 2, (60 + 3 * 150) / 12.0)
