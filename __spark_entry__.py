@@ -5293,8 +5293,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "substring_dedup": r"""
         WITH t AS (
+          -- [ \t\n\x0B\f\r]: Java's \s spelled out — RE2's \s lacks
+          -- \x0B, so a vertical tab tokenizes differently under a bare
+          -- '\s+' (found by the round-5 cross-engine property fuzz)
           SELECT doc_id, text,
-                 list_filter(regexp_split_to_array(text, '\s+'),
+                 list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
                              x -> x <> '') AS toks
           FROM documents
         ),
@@ -5369,9 +5372,11 @@ def oracle_sql() -> dict[str, str]:
                )::bigint % 8 AS shard,
                count(*) AS rows,
                -- ::bigint — keep hugeint out of the output (see
-               -- substring_dedup note; r04 driver-gate failure mode)
-               sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> '')))::bigint AS n_tokens,
+               -- substring_dedup note; r04 driver-gate failure mode).
+               -- explicit Java-\s class: RE2 \s lacks \x0B (fuzz find)
+               sum(len(list_filter(
+                   regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                   x -> x <> '')))::bigint AS n_tokens,
                CAST(sum(('0x' || left(md5(CAST(doc_id AS VARCHAR)
                                           || chr(31) || text), 15))::bigint)
                     AS VARCHAR) AS content_sum
@@ -5438,9 +5443,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_packing": r"""
         WITH t AS (
+          -- explicit Java-\s class: RE2 \s lacks \x0B (fuzz find)
           SELECT doc_id,
-                 len(list_filter(regexp_split_to_array(text, '\s+'),
-                                 x -> x <> '')) AS n_tokens,
+                 len(list_filter(
+                     regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '')) AS n_tokens,
                  md5('pack1:' || CAST(doc_id AS VARCHAR)) AS okey
           FROM documents
         ),
