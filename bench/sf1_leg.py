@@ -116,6 +116,70 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(dest)
 
 
+def replay_leg(spark, cpus: int, scratch: str | None, src_sf: float) -> dict:
+    """The flagship replay headline at the 10× stream (VERDICT r4 ask
+    #5): same generator, epoch-partitioned layout, warm-up epoch and
+    fixed-attempts policy as bench.py, with n_events scaled by
+    N_COPIES. Reports events/s plus the ratio vs the latest round
+    record's cdc_replay so the headline has a scale-trend point."""
+    import statistics as _st
+
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    n_events = int(
+        os.environ.get(
+            "SF1_REPLAY_EVENTS",
+            str(N_COPIES * max(100_000, int(80_000_000 * src_sf))),
+        )
+    )
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
+    n_urls = max(2_000, n_events // 10)
+    workdir = tempfile.mkdtemp(prefix="sf1_replay_", dir=scratch)
+    try:
+        events_path = os.path.join(workdir, "events")
+        t0 = time.perf_counter()
+        stream = change_stream(
+            spark, n_events, n_urls, n_epochs, num_partitions=2 * cpus
+        )
+        stream.write.partitionBy("epoch").mode("overwrite").parquet(events_path)
+        events = spark.read.parquet(events_path)
+        n_total = events.count()
+        gen_s = round(time.perf_counter() - t0, 1)
+
+        warm = ParquetLakeTable(spark, os.path.join(workdir, "warm"),
+                                n_buckets=cpus)
+        replay_batches(warm, events, max_epochs=1)
+        shutil.rmtree(os.path.join(workdir, "warm"), ignore_errors=True)
+
+        n_attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+        secs = []
+        for attempt in range(n_attempts):
+            tdir = os.path.join(workdir, f"table{attempt}")
+            table = ParquetLakeTable(spark, tdir, n_buckets=cpus)
+            t0 = time.perf_counter()
+            replay_batches(table, events)
+            secs.append(round(time.perf_counter() - t0, 3))
+            shutil.rmtree(tdir, ignore_errors=True)
+        best, med = min(secs), _st.median(secs)
+        base = _latest_round_queries().get("cdc_replay")
+        return {
+            "n_events": n_total,
+            "generate_seconds": gen_s,
+            "attempts": secs,
+            "sf1_best_s": best,
+            "sf1_median_s": round(med, 3),
+            "events_per_sec_best": round(n_total / best, 1),
+            "events_per_sec_median": round(n_total / med, 1),
+            "sf01_s": base,
+            "ratio_vs_sf01": round(best / base, 1) if base else None,
+            "superlinear": bool(base and best / base > 10.0),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def _latest_round_queries() -> dict:
     records = sorted(
         glob.glob(os.path.join(REPO, "BENCH_r*.json")),
@@ -135,6 +199,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--no-replay", action="store_true",
+                    help="skip the 10x flagship-replay leg")
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
@@ -189,7 +255,18 @@ def main() -> None:
         }
         print(json.dumps({name: results[name]}), flush=True)
 
+    replay = None
+    if not args.no_replay:
+        src_sf = (
+            float(args.src.rstrip("/").rsplit("sf", 1)[-1])
+            if "sf" in args.src else 0.1
+        )
+        replay = replay_leg(spark, args.cpus, scratch, src_sf)
+        print(json.dumps({"cdc_replay_sf1": replay}), flush=True)
+
     superlinear = [q for q, r in results.items() if r["superlinear"]]
+    if replay and replay["superlinear"]:
+        superlinear.append("cdc_replay")
     report = {
         "protocol": (
             f"top-{args.top} most expensive queries from the latest round "
@@ -200,6 +277,7 @@ def main() -> None:
         "build_seconds": build_s,
         "cpus": args.cpus,
         "queries": results,
+        "cdc_replay": replay,
         "superlinear_queries": superlinear,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -226,6 +304,19 @@ def main() -> None:
             f"| {r['sf1_median_s']} | {r['ratio_vs_sf01']} "
             f"| {'FAIL' if r['superlinear'] else 'PASS'} |"
         )
+    if replay:
+        lines += [
+            "",
+            "Flagship replay at the 10× stream "
+            f"({replay['n_events']:,} events, same generator/warm-up/"
+            f"fixed-attempts protocol as bench.py): best "
+            f"{replay['sf1_best_s']} s = "
+            f"**{replay['events_per_sec_best']:,.0f} events/s** "
+            f"(median {replay['events_per_sec_median']:,.0f}), ratio vs "
+            f"the sf0.1 headline {replay['ratio_vs_sf01']}× "
+            f"(gate ≤ 10×: {'FAIL' if replay['superlinear'] else 'PASS'}). "
+            f"Attempts: {replay['attempts']}.",
+        ]
     lines += [
         "",
         (
