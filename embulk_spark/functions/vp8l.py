@@ -49,7 +49,12 @@ __all__ = [
 
 #: kCodeLengthCodeOrder — the order code-length-code lengths appear in
 #: the stream (RFC 9649 §3.7.1.2).
-_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+#: kCodeLengthCodeOrder (RFC 9649 §3.7.1.2 / libwebp vp8l_dec.c):
+#: repeat symbol 16 sits at index 8, BETWEEN 5 and 6 — a round-5
+#: libwebp-conformance find (the old in-repo order put 16 last; encoder
+#: and decoder shared it, so round trips passed while every emitted
+#: stream was unreadable by external decoders)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 #: 2D distance map for LZ77 distance codes 1..120 (RFC 9649 §3.6.2.3):
 #: (dx, dy) neighborhood offsets; linear distance = dy*width + dx,
@@ -484,8 +489,9 @@ def _write_green_code(bw: _BitWriter) -> None:
     """Normal-form prefix code for the 280-symbol green alphabet: CL
     code over symbols {8→'0', 9→'1'}, lengths written literally."""
     bw.write(0, 1)  # not simple
-    bw.write(12 - 4, 4)  # num_code_lengths = 12 (through symbol 9)
-    for sym in _CL_ORDER[:12]:
+    bw.write(13 - 4, 4)  # num_code_lengths = 13 (through symbol 9,
+    #                      which sits at _CL_ORDER index 12)
+    for sym in _CL_ORDER[:13]:
         bw.write(1 if sym in (8, 9) else 0, 3)
     bw.write(0, 1)  # no max_symbol short-circuit
     for ln in _GREEN_LENGTHS:

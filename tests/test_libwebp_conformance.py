@@ -1,0 +1,97 @@
+"""Conformance of the vendored VP8L codecs against the SYSTEM libwebp
+(reference implementation, used as a test oracle only — see
+tests/libwebp_oracle.py). This is the external check the in-repo round
+trips cannot provide: a shared encoder/decoder layout bug (like the
+round-5 sub-image meta-prefix fix) cannot survive the reference
+decoder reading our bytes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests import libwebp_oracle as oracle
+
+LIB = oracle.load()
+pytestmark = pytest.mark.skipif(LIB is None, reason="system libwebp absent")
+
+
+def test_encode_vp8l_streams_decode_exactly_under_libwebp():
+    from embulk_spark.functions.vp8l import encode_vp8l
+
+    for w, h, seed in ((1, 1, 0), (5, 4, 3), (12, 9, 7), (16, 10, 11)):
+        def px(x, y, s=seed):
+            ye = y - (y % 2)
+            return ((x * 13 + ye * 7 + s) % 256,
+                    (x * 5 + ye * 11 + s * 3) % 256,
+                    (x + ye + s * 7) % 256)
+
+        data = encode_vp8l(w, h, px)
+        gw, gh, got = oracle.decode_rgba(LIB, data)
+        assert (gw, gh) == (w, h)
+        want = [(*px(x, y), 255) for y in range(h) for x in range(w)]
+        assert got == want, (w, h, seed)
+
+
+def test_encode_vp8l_subtract_green_decodes_exactly_under_libwebp():
+    from embulk_spark.functions.vp8l import encode_vp8l
+
+    def px(x, y):
+        ye = y - (y % 2)
+        return ((x * 3 + ye) % 256, (x + 2 * ye) % 256, (5 * x + ye) % 256)
+
+    data = encode_vp8l(9, 6, px, subtract_green=True)
+    gw, gh, got = oracle.decode_rgba(LIB, data)
+    assert (gw, gh) == (9, 6)
+    assert got == [(*px(x, y), 255) for y in range(6) for x in range(9)]
+
+
+def test_encode_vp8l_palette_decodes_exactly_under_libwebp():
+    """The round-5 grammar fix under the reference decoder: every
+    packing width (1/2/4-bit and none), non-multiple widths, the
+    single-color edge — libwebp must reproduce the indexed pixels."""
+    from embulk_spark.functions.vp8l import encode_vp8l_palette
+
+    for n_colors, w, h in (
+        (2, 13, 5), (4, 9, 6), (5, 9, 6), (16, 10, 7),
+        (17, 10, 7), (200, 12, 9), (1, 6, 4),
+    ):
+        pal = [
+            ((3 * i + 7) % 256, (5 * i + 11) % 256, (7 * i + 13) % 256)
+            for i in range(n_colors)
+        ]
+
+        def idx(x, y, n=n_colors):
+            return (x * 3 + y * 5) % n
+
+        data = encode_vp8l_palette(w, h, pal, idx)
+        gw, gh, got = oracle.decode_rgba(LIB, data)
+        assert (gw, gh) == (w, h), (n_colors,)
+        want = [
+            (*pal[idx(x, y)], 255) for y in range(h) for x in range(w)
+        ]
+        assert got == want, (n_colors, w, h)
+
+
+def test_libwebp_lossless_streams_through_vendored_decoder():
+    """The other direction: reference-ENCODED lossless streams through
+    decode_webp. libwebp may emit transforms outside the vendored
+    profile (predictor/color/entropy-image) — the contract is exact
+    decode OR an honest ValueError, never a wrong answer."""
+    from embulk_spark.functions.vp8l import decode_webp
+
+    decoded = 0
+    for w, h, seed in ((4, 3, 1), (8, 5, 2), (16, 16, 3), (7, 11, 4)):
+        rgb = bytes(
+            ((x * 7 + y * 3 + seed * 11 + c * 5) % 256)
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        data = oracle.encode_lossless_rgb(LIB, w, h, rgb)
+        try:
+            gw, gh, mean = decode_webp(data)
+        except ValueError:
+            continue  # outside the vendored profile: honest rejection
+        decoded += 1
+        assert (gw, gh) == (w, h)
+        want = sum(rgb) / (3.0 * w * h)
+        assert abs(mean - want) < 1e-9, (w, h, seed)
