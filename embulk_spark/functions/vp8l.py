@@ -9,13 +9,20 @@ functions/jpeg.py and functions/gif.py):
 
 - RIFF/WEBP container with a VP8L chunk (lossy ``VP8 `` and extended
   ``VP8X`` reject → the declared fake tier);
-- the SUBTRACT-GREEN transform decodes for real (the transform real
-  encoders default to; zero-data inverse, RFC 9649 §3.5.3), and so
-  does COLOR-INDEXING (§3.5.5): the delta-coded palette rides as a
-  1-row entropy-coded sub-image and small palettes bundle sub-pixel
-  indices into the green channel (8/4/2 per byte for ≤2/≤4/≤16
-  colors) — the icon/logo profile. The predictor and cross-color
-  transforms and the entropy image (meta prefix codes) reject;
+- ALL FOUR transforms decode for real (round 5 closed the set):
+  SUBTRACT-GREEN (zero-data inverse, RFC 9649 §3.5.3), COLOR-INDEXING
+  (§3.5.5: delta-coded palette sub-image + sub-pixel bundling, 8/4/2
+  per byte for ≤2/≤4/≤16 colors), the PREDICTOR transform (§3.5.1:
+  per-tile mode sub-image, all 14 spatial predictors incl. Select and
+  the ClampAddSubtract pair, the black/L/T edge rules and the
+  rightmost-column TR wrap), and the CROSS-COLOR transform (§3.5.2:
+  per-tile signed green→red / green→blue / red→blue multipliers,
+  ``(t*c) >> 5`` fixed-point deltas). The ENTROPY IMAGE (meta prefix
+  codes, §3.7.2.1) decodes too: per-tile prefix-code groups over a
+  shared color cache. Conformance: every combination libwebp 1.2.4's
+  lossless encoder emits decodes byte-exactly in
+  tests/test_libwebp_conformance.py (the system library is the test
+  oracle);
 - everything else is REAL: LSB-first bit reader, simple and
   normal-form prefix codes (code-length codes, repeat codes 16/17/18,
   the max_symbol short-circuit), canonical prefix decode, optional
@@ -314,14 +321,31 @@ def _decode_entropy_coded_image(
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"bad color-cache size {cache_bits}")
+    # entropy image (meta prefix codes, §3.7.2.1): only the main image
+    # carries it; the meta index of a tile is (red<<8)|green of the
+    # entropy sub-image pixel, selecting one of several prefix-code
+    # GROUPS (the color cache is shared across groups)
+    meta = None
+    ebits = ew = 0
+    n_groups = 1
     if top_level and br.read(1):
-        raise ValueError("VP8L entropy image (outside vendored profile)")
+        ebits = br.read(3) + 2
+        ew = (width + (1 << ebits) - 1) >> ebits
+        eh = (height + (1 << ebits) - 1) >> ebits
+        epx = _decode_entropy_coded_image(br, ew, eh, top_level=False)
+        meta = [(px[1] << 8) | px[2] for px in epx]  # (a,R,G,b)
+        n_groups = max(meta) + 1
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green_code = _read_prefix_code(br, 256 + 24 + cache_size)
-    red_code = _read_prefix_code(br, 256)
-    blue_code = _read_prefix_code(br, 256)
-    alpha_code = _read_prefix_code(br, 256)
-    dist_code = _read_prefix_code(br, 40)
+    groups = [
+        (
+            _read_prefix_code(br, 256 + 24 + cache_size),  # green
+            _read_prefix_code(br, 256),  # red
+            _read_prefix_code(br, 256),  # blue
+            _read_prefix_code(br, 256),  # alpha
+            _read_prefix_code(br, 40),  # distance
+        )
+        for _ in range(n_groups)
+    ]
 
     n = width * height
     pixels: list[tuple[int, int, int, int]] = []  # (a, r, g, b)
@@ -335,6 +359,12 @@ def _decode_entropy_coded_image(
             cache[_cache_index(argb, cache_bits)] = argb
 
     while len(pixels) < n:
+        if meta is None:
+            green_code, red_code, blue_code, alpha_code, dist_code = groups[0]
+        else:
+            pos = len(pixels)
+            gi = meta[(pos // width >> ebits) * ew + ((pos % width) >> ebits)]
+            green_code, red_code, blue_code, alpha_code, dist_code = groups[gi]
         s = green_code.read(br)
         if s < 256:
             g = s
@@ -372,11 +402,117 @@ def _decode_entropy_coded_image(
     return pixels
 
 
-def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
-    """REAL decode of a VP8L payload (the bytes after the chunk
-    header): header, transform list (subtract-green and color-indexing
-    supported; predictor/color reject), 5 prefix codes, literals +
-    color cache + LZ77 → (width, height, mean over R,G,B bytes)."""
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _select(L, T, TL):
+    """Predictor 11 (RFC 9649 §3.5.1 Select, as amended): Manhattan
+    distance of L and T to the L+T-TL estimate; strict < prefers L."""
+    p = [L[i] + T[i] - TL[i] for i in range(4)]
+    pl = sum(abs(p[i] - L[i]) for i in range(4))
+    pt = sum(abs(p[i] - T[i]) for i in range(4))
+    return L if pl < pt else T
+
+
+def _cas_full(L, T, TL):
+    return tuple(_clip255(L[i] + T[i] - TL[i]) for i in range(4))
+
+
+def _cas_half(L, T, TL):
+    # Clip255(a + (a - b) / 2) with C TRUNCATING division (toward zero)
+    out = []
+    for i in range(4):
+        a = _avg2(L[i], T[i])
+        d = a - TL[i]
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(_clip255(a + half))
+    return tuple(out)
+
+
+_PREDICTORS = [
+    lambda L, T, TL, TR: (255, 0, 0, 0),  # 0: black (0xff000000)
+    lambda L, T, TL, TR: L,  # 1
+    lambda L, T, TL, TR: T,  # 2
+    lambda L, T, TL, TR: TR,  # 3
+    lambda L, T, TL, TR: TL,  # 4
+    lambda L, T, TL, TR: tuple(
+        _avg2(_avg2(L[i], TR[i]), T[i]) for i in range(4)
+    ),  # 5
+    lambda L, T, TL, TR: tuple(_avg2(L[i], TL[i]) for i in range(4)),  # 6
+    lambda L, T, TL, TR: tuple(_avg2(L[i], T[i]) for i in range(4)),  # 7
+    lambda L, T, TL, TR: tuple(_avg2(TL[i], T[i]) for i in range(4)),  # 8
+    lambda L, T, TL, TR: tuple(_avg2(T[i], TR[i]) for i in range(4)),  # 9
+    lambda L, T, TL, TR: tuple(
+        _avg2(_avg2(L[i], TL[i]), _avg2(T[i], TR[i])) for i in range(4)
+    ),  # 10
+    lambda L, T, TL, TR: _select(L, T, TL),  # 11
+    lambda L, T, TL, TR: _cas_full(L, T, TL),  # 12
+    lambda L, T, TL, TR: _cas_half(L, T, TL),  # 13
+]
+
+
+def _inverse_predictor(pixels, width, height, size_bits, sub, sub_w):
+    """Inverse predictor transform (§3.5.1): scan-order reconstruction;
+    residual + predictor mod 256 per channel. Edge rules: (0,0) uses
+    BLACK, the rest of row 0 uses L, column 0 uses T; the TR pixel of
+    the rightmost column wraps to the FIRST pixel of the current row
+    (the linearized (x+1, y-1) address)."""
+    out: list[tuple[int, int, int, int]] = []
+    for i, res in enumerate(pixels):
+        y, x = divmod(i, width)
+        if i == 0:
+            pred = (255, 0, 0, 0)
+        elif y == 0:
+            pred = out[i - 1]
+        elif x == 0:
+            pred = out[i - width]
+        else:
+            mode = sub[(y >> size_bits) * sub_w + (x >> size_bits)][2]
+            if mode >= len(_PREDICTORS):
+                raise ValueError(f"bad predictor mode {mode}")
+            L = out[i - 1]
+            T = out[i - width]
+            TL = out[i - width - 1]
+            TR = out[i - width + 1] if x + 1 < width else out[y * width]
+            pred = _PREDICTORS[mode](L, T, TL, TR)
+        out.append(tuple((res[c] + pred[c]) & 0xFF for c in range(4)))
+    return out
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    # (int8)t * (int8)c >> 5 — arithmetic shift (floor), §3.5.2
+    return (_s8(t & 0xFF) * _s8(c & 0xFF)) >> 5
+
+
+def _inverse_color_transform(pixels, width, height, size_bits, sub, sub_w):
+    """Inverse cross-color transform (§3.5.2): per-tile multipliers
+    green_to_red (blue byte), green_to_blue (green byte), red_to_blue
+    (red byte); red recovers first, blue uses the RECOVERED red."""
+    out = []
+    for i, (a, r, g, b) in enumerate(pixels):
+        y, x = divmod(i, width)
+        _ta, m_r2b, m_g2b, m_g2r = sub[
+            (y >> size_bits) * sub_w + (x >> size_bits)
+        ]
+        new_r = (r + _ct_delta(m_g2r, g)) & 0xFF
+        new_b = (b + _ct_delta(m_g2b, g) + _ct_delta(m_r2b, new_r)) & 0xFF
+        out.append((a, new_r, g, new_b))
+    return out
+
+
+def decode_vp8l_pixels(payload: bytes):
+    """Full-fidelity decode: (width, height, [(a, r, g, b)] row-major).
+    The conformance suite compares this pixel-exactly against the
+    system libwebp's RGBA output."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])
@@ -409,9 +545,15 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
             if wbits:
                 eff_width = (width + (1 << wbits) - 1) >> wbits
             continue
-        raise ValueError(
-            "VP8L predictor/color transform (outside vendored profile)"
-        )
+        # ttype 0 = predictor, 1 = cross-color: per-tile sub-image of
+        # modes/multipliers; the width the transform operates at is the
+        # CURRENT eff_width (transforms after color-indexing see the
+        # packed image), recorded for the inverse
+        size_bits = br.read(3) + 2
+        sub_w = (eff_width + (1 << size_bits) - 1) >> size_bits
+        sub_h = (height + (1 << size_bits) - 1) >> size_bits
+        sub = _decode_entropy_coded_image(br, sub_w, sub_h, top_level=False)
+        transforms.append((ttype, size_bits, sub, sub_w, eff_width))
     pixels = _decode_entropy_coded_image(br, eff_width, height)
 
     # inverse transforms in REVERSE stream order
@@ -423,6 +565,16 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
                 (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
                 for a, r, g, b in pixels
             ]
+        elif t[0] == 0:
+            _tt, size_bits, sub, sub_w, t_width = t
+            pixels = _inverse_predictor(
+                pixels, t_width, height, size_bits, sub, sub_w
+            )
+        elif t[0] == 1:
+            _tt, size_bits, sub, sub_w, t_width = t
+            pixels = _inverse_color_transform(
+                pixels, t_width, height, size_bits, sub, sub_w
+            )
         else:
             _ttype, palette, wbits = t
             out: list[tuple[int, int, int, int]] = []
@@ -446,6 +598,14 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
                     )
             pixels = out
             eff_width = width  # fully expanded now
+    return width, height, pixels
+
+
+def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
+    """Feature-contract decode: (width, height, mean over R,G,B bytes)
+    — one exact integer sum, ONE double division (the SQL-oracle
+    contract shared by the other vendored codecs)."""
+    width, height, pixels = decode_vp8l_pixels(payload)
     total = sum(r + g + b for _a, r, g, b in pixels)
     return width, height, total / (3.0 * width * height)
 

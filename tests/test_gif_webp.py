@@ -284,11 +284,14 @@ def test_vp8l_rejects_out_of_profile():
     with pytest.raises(ValueError, match="VP8"):
         decode_webp(lossy)
 
+    # predictor transform and entropy image are REAL since round 5
+    # (libwebp-conformance-validated) — a stream that declares one and
+    # then ends must still fail honestly, now as a truncation
     def with_transform(bw):
         bw.write(1, 1)  # transform present
         bw.write(0, 2)  # predictor transform
 
-    with pytest.raises(ValueError, match="transform"):
+    with pytest.raises(ValueError, match="truncated|prefix"):
         decode_webp(_hand_stream(2, 2, with_transform))
 
     def with_entropy_image(bw):
@@ -296,7 +299,7 @@ def test_vp8l_rejects_out_of_profile():
         bw.write(0, 1)
         bw.write(1, 1)  # entropy image
 
-    with pytest.raises(ValueError, match="entropy image"):
+    with pytest.raises(ValueError, match="truncated|prefix"):
         decode_webp(_hand_stream(2, 2, with_entropy_image))
 
     with pytest.raises(ValueError, match="signature"):
@@ -420,8 +423,9 @@ def test_vp8l_simple_code_symbol_out_of_range_rejects():
 def test_vp8l_subtract_green_transform():
     """The subtract-green transform (the one real encoders default to)
     decodes for real now: a stream carrying it must yield the same
-    features as the untransformed encoding of the same pixels; other
-    transform types still reject to the fake tier."""
+    features as the untransformed encoding of the same pixels. (All
+    four transforms are real since round 5 — a truncated predictor
+    declaration must still fail honestly.)"""
     def px(x, y):
         ye = y - y % 2
         return ((x * 7 + ye * 3) % 256, (x + ye * 11) % 256,
@@ -433,9 +437,9 @@ def test_vp8l_subtract_green_transform():
 
     def with_predictor(bw):
         bw.write(1, 1)  # transform present
-        bw.write(0, 2)  # type 0 = predictor → still out of profile
+        bw.write(0, 2)  # type 0 = predictor (real since round 5)
 
-    with pytest.raises(ValueError, match="predictor"):
+    with pytest.raises(ValueError, match="truncated|prefix"):
         decode_webp(_hand_stream(2, 2, with_predictor))
 
 

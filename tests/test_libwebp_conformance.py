@@ -95,3 +95,60 @@ def test_libwebp_lossless_streams_through_vendored_decoder():
         assert (gw, gh) == (w, h)
         want = sum(rgb) / (3.0 * w * h)
         assert abs(mean - want) < 1e-9, (w, h, seed)
+
+
+def test_vendored_decoder_pixel_exact_on_libwebp_lossless_output():
+    """Round 5 closed the VP8L transform set (predictor, cross-color,
+    subtract-green, color-indexing, entropy image): every stream the
+    reference lossless encoder emits for flat / gradient / blocky /
+    noise / palette / photo-like content must decode PIXEL-EXACTLY
+    (full RGBA compare, not just the mean)."""
+    import hashlib
+    import math
+    import struct
+
+    from embulk_spark.functions.vp8l import decode_vp8l_pixels
+
+    def payload(data):
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if tag == b"VP8L":
+                return data[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        raise ValueError("no VP8L chunk")
+
+    def patterns(w, h, seed):
+        def noise(x, y, c):
+            return hashlib.md5(f"{seed}:{x}:{y}:{c}".encode()).digest()[0]
+
+        yield "gradient", lambda x, y, c: (
+            x * 255 // max(1, w - 1) if c == 0
+            else y * 255 // max(1, h - 1) if c == 1 else (x + y) % 256
+        )
+        yield "flat", lambda x, y, c: (37, 180, 91)[c]
+        yield "blocks", lambda x, y, c: ((x // 8 + y // 8 + c) % 4) * 80
+        yield "noise", noise
+        yield "palette4", lambda x, y, c: [
+            (255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 0)
+        ][(x + 2 * y) % 4][c]
+        yield "photoish", lambda x, y, c: int(
+            127 + 100 * math.sin(x / 7.0 + c) * math.cos(y / 5.0)
+        ) & 0xFF
+
+    for w, h in [(40, 30), (97, 61), (160, 120), (13, 129)]:
+        for name, f in patterns(w, h, w * h):
+            rgb = bytes(
+                f(x, y, c) & 0xFF
+                for y in range(h) for x in range(w) for c in range(3)
+            )
+            data = oracle.encode_lossless_rgb(LIB, w, h, rgb)
+            lw, lh, want = oracle.decode_rgba(LIB, data)
+            gw, gh, got = decode_vp8l_pixels(payload(data))
+            got_rgba = [(r, g, b, a) for (a, r, g, b) in got]
+            assert (gw, gh) == (lw, lh) == (w, h), (name, w, h)
+            assert got_rgba == want, (
+                name, w, h,
+                sum(1 for p, q in zip(got_rgba, want) if p != q),
+            )
