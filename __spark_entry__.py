@@ -1891,6 +1891,30 @@ def _q_multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract with the REAL vendored lossy-VP8
+    key-frame decoder (functions/vp8.py — boolean arithmetic coder,
+    full token trees with the RFC 6386 probability tables, dequant,
+    integer IDCT/WHT, intra prediction, loop filter; conformance-locked
+    pixel-exact against the system libwebp): synth real lossy WebPs
+    whose MB-constant luma reconstructs EXACTLY (DC-pred + single Y2-DC
+    per MB), so the DuckDB oracle recomputes (width, height, luma mean)
+    as pure arithmetic in doc_id."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_vp8_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_vp8_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plumbing path for containers with no vendored codec (deterministic
     fake backend behind _decode_backend — rows-only check)."""
@@ -3419,6 +3443,8 @@ _DRIVER_ROTATION_FIRST = [
     "heavy_hitters", "incremental_agg_view", "interval_window_counts",
     "jdbc_mode_merge", "length_quantiles", "parser_ltsv",
     "quality_classifier",
+    # slot 21: the new real lossy-VP8 decode key (round 5)
+    "multimodal_decode_vp8",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3525,6 +3551,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_progressive": _q_multimodal_decode_progressive,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
+        "multimodal_decode_vp8": _q_multimodal_decode_vp8,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_frames": _q_multimodal_frames,
         "audio_meta": _q_audio_meta,
@@ -4765,6 +4792,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id AS id, 'webp' AS container, w AS width, h AS height,
                s / (3.0 * w * h) AS mean_luma
+        FROM sums
+        """,
+        # multimodal_decode_vp8: REAL vendored lossy-VP8 decoder; the
+        # fixture is MB-constant (exact reconstruction), so mean_luma =
+        # the plain average of the per-MB values. s/n equals the
+        # decoder's sum_pixels/(w*h) EXACTLY in IEEE (factor 256 is a
+        # power of two).
+        "multimodal_decode_vp8": """
+        WITH g AS (
+          SELECT doc_id,
+                 (1 + doc_id % 3) AS mbw,
+                 (1 + (doc_id * 7) % 2) AS mbh
+          FROM documents
+        ),
+        sums AS (
+          SELECT doc_id, mbw, mbh,
+                 sum(40 + (29 * x.range + 47 * y.range + doc_id) % 176)
+                   AS s,
+                 count(*) AS n
+          FROM g, range(3) x, range(2) y
+          WHERE x.range < mbw AND y.range < mbh
+          GROUP BY doc_id, mbw, mbh
+        )
+        SELECT doc_id AS id, 'webp' AS container,
+               (16 * mbw)::int AS width, (16 * mbh)::int AS height,
+               s / (1.0 * n) AS mean_luma
         FROM sums
         """,
         # multimodal_decode_fake / multimodal_frames: the stubbed codec

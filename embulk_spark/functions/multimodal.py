@@ -384,6 +384,18 @@ def synth_webp_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_vp8_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real LOSSY-WebP (VP8 key frame) bytes
+    (fixture source for the vendored VP8 decoder, functions/vp8.py)."""
+    from .vp8 import synth_vp8_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_vp8_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 def synth_jpeg_col(id_col: Column) -> Column:
     """Arrow-batched synth of real baseline JPEG bytes (fixture source
     for the vendored JPEG decoder, functions/jpeg.py): block-constant
@@ -482,11 +494,12 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
 
             return decode_webp(b)
         except ValueError:
-            # lossy VP8 / VP8X / transformed streams: fake tier
+            # VP8X / interframe / malformed streams: fake tier (lossy
+            # VP8 key frames and all four VP8L transforms are REAL as
+            # of round 5 — vp8.py / vp8l.py)
             pass
     if not HAVE_PIL:
-        # VP8-lossy WebP / AVIF / non-baseline JPEG: no vendored codec —
-        # fake tier
+        # AVIF / non-baseline JPEG / VP8X: no vendored codec — fake tier
         return _fake_image_decode(b)
     raise NotImplementedError(  # pragma: no cover
         "real PIL decode path: Image.open(io.BytesIO(b)) → size + mean luma; "

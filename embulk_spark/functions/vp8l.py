@@ -7,8 +7,9 @@ stdlib-only.
 Profile (the honest-``ValueError``-outside-it discipline of
 functions/jpeg.py and functions/gif.py):
 
-- RIFF/WEBP container with a VP8L chunk (lossy ``VP8 `` and extended
-  ``VP8X`` reject → the declared fake tier);
+- RIFF/WEBP container with a VP8L chunk; lossy ``VP8 `` chunks route
+  to the vendored key-frame decoder (functions/vp8.py, round 5);
+  extended ``VP8X`` rejects → the declared fake tier;
 - ALL FOUR transforms decode for real (round 5 closed the set):
   SUBTRACT-GREEN (zero-data inverse, RFC 9649 §3.5.3), COLOR-INDEXING
   (§3.5.5: delta-coded palette sub-image + sub-pixel bundling, 8/4/2
@@ -624,10 +625,14 @@ def decode_webp(data: bytes) -> tuple[int, int, float]:
             raise ValueError("truncated WebP chunk")
         if tag == b"VP8L":
             return decode_vp8l(body)
-        if tag in (b"VP8 ", b"VP8X"):
-            raise ValueError(
-                f"WebP {tag.decode().strip()} (outside vendored profile)"
-            )
+        if tag == b"VP8 ":
+            # lossy key frame — vendored VP8 decoder (functions/vp8.py);
+            # its feature stat is the codec-native LUMA mean
+            from .vp8 import decode_vp8
+
+            return decode_vp8(body)
+        if tag == b"VP8X":
+            raise ValueError("WebP VP8X (outside vendored profile)")
         pos += 8 + size + (size & 1)
     raise ValueError("WebP with no VP8L chunk")
 

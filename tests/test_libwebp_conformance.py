@@ -152,3 +152,75 @@ def test_vendored_decoder_pixel_exact_on_libwebp_lossless_output():
                 name, w, h,
                 sum(1 for p, q in zip(got_rgba, want) if p != q),
             )
+
+
+def test_vendored_vp8_decoder_plane_exact_on_libwebp_lossy_output():
+    """The round-5 lossy-VP8 key-frame decoder (functions/vp8.py): every
+    stream the reference LOSSY encoder emits — B_PRED and 16x16 MBs,
+    skip flags, probability updates, loop filter at real strengths —
+    must reconstruct the full Y, U and V planes PIXEL-EXACTLY."""
+    import hashlib
+    import math
+    import struct
+
+    from embulk_spark.functions.vp8 import decode_vp8_planes
+
+    def vp8_payload(data):
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if tag == b"VP8 ":
+                return data[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        raise ValueError("no VP8 chunk")
+
+    def patterns(w, h, seed):
+        def noise(x, y, c):
+            return hashlib.md5(f"{seed}:{x}:{y}:{c}".encode()).digest()[0]
+
+        yield lambda x, y, c: (126, 128, 129)[c]
+        yield lambda x, y, c: (
+            x * 255 // max(1, w - 1), y * 255 // max(1, h - 1), (x + y) % 256
+        )[c]
+        yield lambda x, y, c: ((x // 8 + y // 8 + c) % 4) * 80
+        yield lambda x, y, c: int(
+            127 + 100 * math.sin(x / 7.0 + c) * math.cos(y / 5.0)
+        ) & 0xFF
+        yield noise
+
+    for w, h in [(16, 16), (48, 32), (33, 17), (96, 80)]:
+        for f in patterns(w, h, w + h):
+            rgb = bytes(
+                f(x, y, c) & 0xFF
+                for y in range(h) for x in range(w) for c in range(3)
+            )
+            for q in (95.0, 60.0, 25.0):
+                data = oracle.encode_lossy_rgb(LIB, w, h, rgb, q)
+                lw, lh, y_ref = oracle.decode_luma(LIB, data)
+                gw, gh, y, u, v = decode_vp8_planes(vp8_payload(data))
+                assert (gw, gh) == (lw, lh) == (w, h)
+                nd = sum(1 for a, b in zip(y, y_ref) if a != b)
+                assert nd == 0, (w, h, q, nd)
+
+
+def test_vendored_vp8_fixtures_decode_exactly_under_libwebp():
+    """The other direction: our fixture encoder's streams through the
+    REFERENCE decoder — byte-real conformance for the bool encoder,
+    header/mode/token writing and the exact-reconstruction design."""
+    from embulk_spark.functions.vp8 import (
+        synth_vp8_bytes,
+        synth_vp8_dims,
+        synth_vp8_mb_value,
+    )
+
+    for doc_id in (0, 2, 7, 33, 100):
+        data = synth_vp8_bytes(doc_id)
+        w, h = synth_vp8_dims(doc_id)
+        lw, lh, y_ref = oracle.decode_luma(LIB, data)
+        assert (lw, lh) == (w, h)
+        exp = bytes(
+            synth_vp8_mb_value(x // 16, y // 16, doc_id)
+            for y in range(h) for x in range(w)
+        )
+        assert y_ref == exp, doc_id
