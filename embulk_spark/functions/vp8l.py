@@ -612,8 +612,11 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, float]:
 
 
 def decode_webp(data: bytes) -> tuple[int, int, float]:
-    """RIFF walk → VP8L chunk → :func:`decode_vp8l`. Lossy ``VP8 `` and
-    extended ``VP8X`` containers raise ValueError (fake tier)."""
+    """RIFF walk → VP8L (lossless, :func:`decode_vp8l`) or ``VP8 ``
+    (lossy key frame, functions/vp8.py) chunk. ``VP8X`` extended
+    containers decode their STILL frame (the inner VP8/VP8L chunk;
+    the ALPH alpha plane is transparency metadata our RGB/luma feature
+    stat excludes); animations (ANIM/ANMF) raise → fake tier."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP")
     pos = 12
@@ -631,8 +634,10 @@ def decode_webp(data: bytes) -> tuple[int, int, float]:
             from .vp8 import decode_vp8
 
             return decode_vp8(body)
-        if tag == b"VP8X":
-            raise ValueError("WebP VP8X (outside vendored profile)")
+        if tag in (b"ANIM", b"ANMF"):
+            raise ValueError("animated WebP (outside vendored profile)")
+        # VP8X / ALPH / ICCP / EXIF / XMP: metadata chunks — keep
+        # walking to the still frame's VP8/VP8L chunk
         pos += 8 + size + (size & 1)
     raise ValueError("WebP with no VP8L chunk")
 

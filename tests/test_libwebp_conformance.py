@@ -224,3 +224,48 @@ def test_vendored_vp8_fixtures_decode_exactly_under_libwebp():
             for y in range(h) for x in range(w)
         )
         assert y_ref == exp, doc_id
+
+
+def test_vp8x_extended_container_stills_decode():
+    """VP8X stills (alpha WebPs): the reference encoder's RGBA output
+    wraps VP8X+ALPH+VP8 (or VP8L) — the walk must reach the still
+    frame; animations still reject honestly."""
+    import ctypes
+    import struct
+
+    from embulk_spark.functions.vp8l import decode_webp
+
+    LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    w = h = 32
+    rgba = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((x * 8) % 256, (y * 8) % 256, (x + y) % 256,
+                  128 if (x + y) % 3 else 255)
+    )
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = LIB.WebPEncodeRGBA(rgba, w, h, 4 * w, 80.0, ctypes.byref(out))
+    assert n
+    try:
+        data = ctypes.string_at(out, n)
+    finally:
+        LIB.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+    assert data[12:16] == b"VP8X", "expected an extended container"
+    lw, lh, y_ref = oracle.decode_luma(LIB, data)
+    gw, gh, mean = decode_webp(data)
+    assert (gw, gh) == (lw, lh) == (w, h)
+    assert abs(mean - sum(y_ref) / (w * h)) < 1e-9
+
+    # a synthetic animation chunk still rejects
+    anim = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 10 + 8 + 6) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 10) + bytes(10)
+        + b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="animated"):
+        decode_webp(anim)

@@ -79,14 +79,15 @@ def test_vp8_rejects_out_of_profile():
         decode_vp8(bytes([0x00, 0, 0]) + b"\xde\xad\xbe" + bytes(10))
     with pytest.raises(ValueError, match="truncated"):
         decode_vp8(b"\x00")
-    # VP8X extended container still rejects to the fake tier
+    # a VP8X extended container with NO still frame inside rejects
+    # (the walk itself is real since round 5 — alpha stills decode)
     import struct as _st
 
     vp8x = (
         b"RIFF" + _st.pack("<I", 22) + b"WEBP"
         + b"VP8X" + _st.pack("<I", 10) + bytes(10)
     )
-    with pytest.raises(ValueError, match="VP8X"):
+    with pytest.raises(ValueError, match="no VP8L chunk"):
         decode_webp(vp8x)
 
 
