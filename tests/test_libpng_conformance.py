@@ -1,0 +1,162 @@
+"""Conformance of the vendored PNG codec (functions/multimodal.py)
+against the SYSTEM libpng16 (reference implementation, simplified API,
+test oracle only — same discipline as tests/test_libwebp_conformance.py).
+Both directions: our fixture encoder's bytes must read back pixel-exact
+under libpng, and libpng-WRITTEN files (whose filter heuristics choose
+Sub/Up/Average/Paeth per row) must decode to the exact channel mean
+under our full 5-filter unfilter."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import pytest
+
+_PATHS = [
+    "/usr/lib/x86_64-linux-gnu/libpng16.so.16",
+    "libpng16.so.16",
+    ctypes.util.find_library("png16") or "",
+]
+
+
+class _PngImage(ctypes.Structure):
+    _fields_ = [
+        ("opaque", ctypes.c_void_p),
+        ("version", ctypes.c_uint32),
+        ("width", ctypes.c_uint32),
+        ("height", ctypes.c_uint32),
+        ("format", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("colormap_entries", ctypes.c_uint32),
+        ("warning_or_error", ctypes.c_uint32),
+        ("message", ctypes.c_char * 64),
+    ]
+
+
+PNG_IMAGE_VERSION = 1
+FMT_GRAY, FMT_GA, FMT_RGB, FMT_RGBA = 0, 1, 2, 3
+
+
+def _load():
+    for p in _PATHS:
+        if not p:
+            continue
+        try:
+            lib = ctypes.CDLL(p)
+        except OSError:
+            continue
+        lib.png_image_begin_read_from_memory.restype = ctypes.c_int
+        lib.png_image_begin_read_from_memory.argtypes = [
+            ctypes.POINTER(_PngImage), ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.png_image_finish_read.restype = ctypes.c_int
+        lib.png_image_finish_read.argtypes = [
+            ctypes.POINTER(_PngImage), ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.png_image_write_to_memory.restype = ctypes.c_int
+        lib.png_image_write_to_memory.argtypes = [
+            ctypes.POINTER(_PngImage), ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.png_image_free.restype = None
+        lib.png_image_free.argtypes = [ctypes.POINTER(_PngImage)]
+        return lib
+    return None
+
+
+LIB = _load()
+pytestmark = pytest.mark.skipif(LIB is None, reason="system libpng absent")
+
+_CH = {FMT_GRAY: 1, FMT_GA: 2, FMT_RGB: 3, FMT_RGBA: 4}
+
+
+def png_read(data: bytes, fmt: int):
+    img = _PngImage()
+    img.version = PNG_IMAGE_VERSION
+    if not LIB.png_image_begin_read_from_memory(
+        ctypes.byref(img), data, len(data)
+    ):
+        raise ValueError(img.message.decode(errors="replace"))
+    img.format = fmt
+    n = img.width * img.height * _CH[fmt]
+    buf = ctypes.create_string_buffer(n)
+    ok = LIB.png_image_finish_read(
+        ctypes.byref(img), None, buf, 0, None
+    )
+    w, h = img.width, img.height
+    LIB.png_image_free(ctypes.byref(img))
+    if not ok:
+        raise ValueError("libpng finish_read failed")
+    return w, h, buf.raw
+
+
+def png_write(w: int, h: int, fmt: int, pixels: bytes) -> bytes:
+    img = _PngImage()
+    img.version = PNG_IMAGE_VERSION
+    img.width, img.height, img.format = w, h, fmt
+    size = ctypes.c_size_t(0)
+    LIB.png_image_write_to_memory(
+        ctypes.byref(img), None, ctypes.byref(size), 0, pixels, 0, None
+    )
+    buf = ctypes.create_string_buffer(size.value)
+    ok = LIB.png_image_write_to_memory(
+        ctypes.byref(img), buf, ctypes.byref(size), 0, pixels, 0, None
+    )
+    LIB.png_image_free(ctypes.byref(img))
+    if not ok:
+        raise ValueError("libpng write failed")
+    return buf.raw[: size.value]
+
+
+def test_encode_png_reads_back_pixel_exact_under_libpng():
+    from embulk_spark.functions.multimodal import encode_png
+
+    cases = [
+        (0, FMT_GRAY, lambda x, y: ((x * 7 + y * 3) % 256,)),
+        (2, FMT_RGB, lambda x, y: (x % 256, (y * 5) % 256, (x + y) % 256)),
+        (4, FMT_GA, lambda x, y: ((x * y) % 256, (x + 2 * y) % 256)),
+        (6, FMT_RGBA, lambda x, y: (x % 256, y % 256, (x ^ y) % 256,
+                                    (x * 3 + y) % 256)),
+    ]
+    for ctype, fmt, px in cases:
+        w, h = 13, 9
+        data = encode_png(w, h, px, color_type=ctype)
+        gw, gh, got = png_read(data, fmt)
+        assert (gw, gh) == (w, h)
+        want = bytes(
+            v & 0xFF for y in range(h) for x in range(w) for v in px(x, y)
+        )
+        assert got == want, ctype
+
+
+def test_libpng_written_files_through_vendored_decoder():
+    """libpng's own writer (adaptive per-row filter heuristics → the
+    Sub/Up/Average/Paeth unfilter paths) then our decode_png: the
+    channel mean must be exact."""
+    import hashlib
+
+    from embulk_spark.functions.multimodal import decode_png
+
+    def noise(x, y, c, seed):
+        return hashlib.md5(f"{seed}:{x}:{y}:{c}".encode()).digest()[0]
+
+    for w, h, fmt, f in [
+        (40, 30, FMT_RGB, lambda x, y, c: (
+            x * 255 // 39, y * 255 // 29, (x + y) % 256)[c]),
+        (64, 48, FMT_RGB, lambda x, y, c: noise(x, y, c, 5)),
+        (33, 21, FMT_GRAY, lambda x, y, c: (x * x + y * 3) % 256),
+        (24, 17, FMT_RGBA, lambda x, y, c: noise(x, y, c, 9)),
+        (16, 16, FMT_GA, lambda x, y, c: (x * 11 + y * 7 + c * 3) % 256),
+    ]:
+        ch = _CH[fmt]
+        pixels = bytes(
+            f(x, y, c) & 0xFF
+            for y in range(h) for x in range(w) for c in range(ch)
+        )
+        data = png_write(w, h, fmt, pixels)
+        gw, gh, mean = decode_png(data)
+        assert (gw, gh) == (w, h)
+        assert abs(mean - sum(pixels) / (ch * float(w * h))) < 1e-9, fmt
