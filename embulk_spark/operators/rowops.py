@@ -399,7 +399,14 @@ def base64_columns(df: DataFrame, specs: list[dict]) -> DataFrame:
     for spec in specs:
         name = spec["name"]
         if spec.get("encode"):
-            out[name] = F.base64(F.col(name).cast("binary"))
+            # Spark's base64() emits MIME chunking (CRLF every 76
+            # chars) for long payloads on this runtime; the plugin
+            # contract is RFC 4648 basic (java.util.Base64) — strip the
+            # breaks so >57-byte payloads round-trip byte-identically
+            # (found by the round-5 hypothesis property fuzz)
+            out[name] = F.regexp_replace(
+                F.base64(F.col(name).cast("binary")), "[\\r\\n]", ""
+            )
         elif spec.get("decode"):
             out[name] = F.try_to_binary(F.col(name), F.lit("base64")).cast("string")
     return df.select(
