@@ -35,8 +35,14 @@ LEGS = [
     ("bench", [sys.executable, os.path.join(REPO, "bench.py")]),
     ("scaling", [sys.executable, os.path.join(HERE, "scaling.py"),
                  "--capacity"]),
+    # --events-per-epoch 120000 --n-buckets 64 pins the r4
+    # clustered-leg protocol (window = 3/64 buckets ≈ 4.7% locality;
+    # the defaults — 350k Δ over 3/32 buckets — are a different,
+    # harsher design point whose gates are not cross-round comparable)
     ("flatness", [sys.executable, os.path.join(HERE, "flatness.py"),
-                  "--clustered-buckets", "3"]),
+                  "--clustered-buckets", "3",
+                  "--events-per-epoch", "120000",
+                  "--n-buckets", "64"]),
     ("sf1", [sys.executable, os.path.join(HERE, "sf1_leg.py")]),
 ]
 
