@@ -5439,8 +5439,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": r"""
         SELECT token, count(*) AS n_occurrences
         FROM (
+          -- explicit Java-\s class: RE2 \s lacks \x0B (fuzz find)
           SELECT unnest(list_filter(
-                   regexp_split_to_array(lower(text), '\s+'),
+                   regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                    x -> x <> '')) AS token
           FROM documents
         )
@@ -5479,9 +5480,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": r"""
         WITH t AS (
+          -- explicit Java-\s class: RE2 \s lacks \x0B (fuzz find)
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\s+'),
-                             x -> x <> '') AS toks
+                 list_filter(
+                     regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS toks
           FROM documents
         )
         SELECT doc_id,

@@ -553,3 +553,40 @@ def test_bpe_encode_matches_oracle_on_random_unicode(spark, docs):
     oracle's replace-until-fixpoint recursive CTE for arbitrary unicode
     (words = lower()ed [a-z] runs in both engines)."""
     _cross_check(spark, docs, "bpe_encode")
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_lists)
+def test_doc_chunks_matches_oracle_on_random_unicode(spark, docs):
+    """Strided token-window chunking: start-index arithmetic and list
+    slicing agree cross-engine for arbitrary token counts."""
+    _cross_check(spark, docs, "doc_chunks")
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_lists)
+def test_vocab_topk_matches_oracle_on_random_unicode(spark, docs):
+    """Corpus vocabulary induction: lowercased token counting and the
+    (count desc, token) boundary agree cross-engine (the lower()
+    translation gap is fenced by the generation strategy)."""
+    _cross_check(spark, docs, "vocab_topk")
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_lists)
+def test_text_normalize_matches_oracle_on_random_unicode(spark, docs):
+    """Normalization (whitespace folding etc.) and the changed-flag
+    agree cross-engine on exotic unicode."""
+    _cross_check(spark, docs, "text_normalize")
