@@ -14,9 +14,10 @@ fall to the declared fake tier):
   4096 until an explicit clear);
 - extensions (graphic control, comment, application, plain text) are
   skipped per spec sub-block framing;
-- interlaced frames raise ValueError (row order changes nothing for the
-  mean, but dims+mean must come from a decode we fully implement, not a
-  partial one).
+- interlaced frames decode (round 5): the four-pass row permutation
+  only reorders scanlines, and every pixel rides the LZW stream exactly
+  once, so the row-order-invariant (width, height, mean) contract needs
+  no de-interlacing pass.
 
 Feature contract matches decode_bmp24/decode_png/decode_jpeg:
 ``(width, height, mean over the R,G,B bytes of every pixel)`` with one
@@ -198,8 +199,11 @@ def decode_gif(data: bytes) -> tuple[int, int, float]:
         pos += 9
         if w == 0 or h == 0:
             raise ValueError("bad GIF frame dimensions")
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF (outside vendored profile)")
+        # interlace (0x40): the four-pass row permutation only reorders
+        # scanlines — the LZW stream carries every pixel exactly once,
+        # and the (width, height, mean) feature stat is row-order
+        # invariant, so the full decode below IS the interlaced decode
+        # (round 5; previously rejected out of caution)
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)

@@ -254,53 +254,30 @@ def encode_png(width: int, height: int, pixel, color_type: int = 2) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, float]:
-    """REAL decode of an 8-bit non-interlaced PNG (gray / RGB / gray+alpha
-    / RGBA): chunk walk, zlib inflate, full 5-filter unfilter (None / Sub /
-    Up / Average / Paeth per the PNG spec), then (width, height, mean over
-    all channel bytes). Exact integer sum with ONE double division —
-    bit-identical across engines (same discipline as decode_bmp24).
-    Raises ValueError on anything outside that profile."""
-    import struct
-    import zlib
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_unfilter_sum(raw, off, w_px, n_rows, ch, pal_sums):
+    """Unfilter ``n_rows`` scanlines of ``w_px`` pixels starting at
+    byte ``off`` of the inflated stream (full 5-filter set: None / Sub /
+    Up / Average / Paeth); returns (next_offset, value_sum). With
+    ``pal_sums`` the bytes are palette indices and each contributes its
+    precomputed r+g+b; else every channel byte contributes itself."""
     import numpy as np
 
-    if len(data) < 8 or data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, width = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError("truncated PNG chunk")
-        if tag == b"IHDR":
-            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or ctype not in _PNG_CHANNELS:
-                raise ValueError(f"unsupported PNG (depth={depth} color={ctype})")
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError("unsupported PNG (compression/filter/interlace)")
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    ch = _PNG_CHANNELS[ctype]
-    stride = width * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data length mismatch")
-    rows = raw.reshape(height, stride + 1)
+    stride = w_px * ch
     prev = np.zeros(stride, dtype=np.uint8)
     total = 0
-    for y in range(height):
-        f, cur = rows[y, 0], rows[y, 1:].copy()
+    for _y in range(n_rows):
+        if off + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        f = raw[off]
+        cur = raw[off + 1:off + 1 + stride].copy()
+        off += 1 + stride
         if f == 0:
             pass
         elif f == 1:  # Sub: per-lane cumulative sum, uint8 wrap
@@ -323,9 +300,90 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
                 cur[i] = (int(cur[i]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
-        total += int(cur.sum(dtype=np.int64))
+        if pal_sums is not None:
+            total += int(pal_sums[cur].sum(dtype=np.int64))
+        else:
+            total += int(cur.sum(dtype=np.int64))
         prev = cur
-    return int(width), int(height), total / (float(ch) * width * height)
+    return off, total
+
+
+def decode_png(data: bytes) -> tuple[int, int, float]:
+    """REAL decode of an 8-bit PNG: gray / RGB / gray+alpha / RGBA /
+    PALETTE (PLTE lookup, indices expand to RGB), non-interlaced AND
+    Adam7-interlaced (each of the 7 passes unfiltered on its own
+    geometry; the feature stat needs only the value SUM, and every
+    pixel belongs to exactly one pass, so passes sum without spatial
+    reassembly). Chunk walk, zlib inflate across split IDATs, full
+    5-filter unfilter, then (width, height, mean over all channel
+    bytes — palette means the expanded R,G,B). Exact integer sum with
+    ONE double division. Raises ValueError outside the profile
+    (bit depths != 8 — the low-bit-depth palette tier — stay out)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or (ctype not in _PNG_CHANNELS and ctype != 3):
+                raise ValueError(f"unsupported PNG (depth={depth} color={ctype})")
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise ValueError("unsupported PNG (compression/filter)")
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    pal_sums = None
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        # pad to 256 so any index is addressable (out-of-range indices
+        # are invalid per spec; render as 0 rather than raising)
+        pal_sums = np.zeros(256, dtype=np.int64)
+        sums = plte.sum(axis=1, dtype=np.int64)
+        pal_sums[: len(sums)] = sums
+        ch = 1
+        denom = 3.0
+    else:
+        ch = _PNG_CHANNELS[ctype]
+        denom = float(ch)
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    total = 0
+    off = 0
+    if interlace == 0:
+        off, total = _png_unfilter_sum(raw, 0, width, height, ch, pal_sums)
+    else:  # Adam7
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no scanlines at all
+            off, t = _png_unfilter_sum(raw, off, pw, ph, ch, pal_sums)
+            total += t
+    if off != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return int(width), int(height), total / (denom * width * height)
 
 
 def synth_png_dims(doc_id: int) -> tuple[int, int]:

@@ -9,7 +9,10 @@ functions/jpeg.py and functions/gif.py):
 
 - RIFF/WEBP container with a VP8L chunk; lossy ``VP8 `` chunks route
   to the vendored key-frame decoder (functions/vp8.py, round 5);
-  extended ``VP8X`` rejects → the declared fake tier;
+  extended ``VP8X`` containers decode their still frame (metadata
+  chunks skipped), and ANIMATED WebPs decode their FIRST frame's
+  still payload (ANMF sub-chunk walk) — the honest single-image
+  feature summary;
 - ALL FOUR transforms decode for real (round 5 closed the set):
   SUBTRACT-GREEN (zero-data inverse, RFC 9649 §3.5.3), COLOR-INDEXING
   (§3.5.5: delta-coded palette sub-image + sub-pixel bundling, 8/4/2
@@ -634,8 +637,27 @@ def decode_webp(data: bytes) -> tuple[int, int, float]:
             from .vp8 import decode_vp8
 
             return decode_vp8(body)
-        if tag in (b"ANIM", b"ANMF"):
-            raise ValueError("animated WebP (outside vendored profile)")
+        if tag == b"ANMF":
+            # animated WebP: decode the FIRST frame's still payload —
+            # the ANMF body is a 16-byte frame header (x/y/w/h 24-bit,
+            # duration, flags) followed by the frame's own chunk list
+            # (ALPH + VP8/VP8L); the feature stat is the first frame's
+            # (width, height, mean), the honest single-image summary
+            fpos = 16
+            while fpos + 8 <= len(body):
+                ftag = body[fpos : fpos + 4]
+                (fsize,) = struct.unpack_from("<I", body, fpos + 4)
+                fbody = body[fpos + 8 : fpos + 8 + fsize]
+                if len(fbody) != fsize:
+                    raise ValueError("truncated ANMF sub-chunk")
+                if ftag == b"VP8L":
+                    return decode_vp8l(fbody)
+                if ftag == b"VP8 ":
+                    from .vp8 import decode_vp8
+
+                    return decode_vp8(fbody)
+                fpos += 8 + fsize + (fsize & 1)
+            raise ValueError("ANMF frame with no still payload")
         # VP8X / ALPH / ICCP / EXIF / XMP: metadata chunks — keep
         # walking to the still frame's VP8/VP8L chunk
         pos += 8 + size + (size & 1)

@@ -114,8 +114,9 @@ def test_gif_rejects_interlace_and_garbage():
     pal = bytes(768)
     data = bytearray(encode_gif(4, 3, pal, lambda x, y: 0))
     data[13 + 768 + 9] |= 0x40  # interlace flag in image descriptor
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(data))
+    # interlace decodes for real since round 5 (row permutation is
+    # invisible to the row-order-invariant mean contract)
+    assert decode_gif(bytes(data)) == (4, 3, 0.0)
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"GIF00a" + bytes(20))
     with pytest.raises(ValueError):

@@ -179,3 +179,23 @@ def test_vendored_gif_decoder_matches_giflib_on_same_stream():
         gw, gh, mean = decode_gif(data)
         assert (gw, gh) == (w, h)
         assert abs(mean - want) < 1e-9, doc_id
+
+
+def test_interlaced_gif_mean_matches_giflib():
+    """Interlace only permutes row order; the LZW stream carries every
+    pixel once, so the (w, h, mean) decode is identical — validated by
+    summing giflib's slurped indices of the same interlaced stream."""
+    from embulk_spark.functions.gif import decode_gif, encode_gif
+
+    w, h = 16, 12
+    pal = bytes((i * 3) % 256 for i in range(256) for _ in range(3))
+    data = bytearray(encode_gif(w, h, pal, lambda x, y: (x + 2 * y) % 256))
+    # image descriptor: 13-byte header + 768 GCT; flag byte at +9
+    data[13 + 768 + 9] |= 0x40  # set interlace flag
+    data = bytes(data)
+    gw, gh, idx, gpal = gif_slurp(data)
+    assert (gw, gh) == (w, h)
+    want = sum(sum(gpal[i]) for i in idx) / (3.0 * w * h)
+    dw, dh, mean = decode_gif(data)
+    assert (dw, dh) == (w, h)
+    assert abs(mean - want) < 1e-9

@@ -160,3 +160,89 @@ def test_libpng_written_files_through_vendored_decoder():
         gw, gh, mean = decode_png(data)
         assert (gw, gh) == (w, h)
         assert abs(mean - sum(pixels) / (ch * float(w * h))) < 1e-9, fmt
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def test_palette_png_oracle_chain():
+    """Hand-built 8-bit palette PNG → libpng must read the expected
+    RGB (proves the fixture conformant) → our decode_png's mean must
+    equal the palette-expanded channel mean."""
+    import struct
+    import zlib
+
+    from embulk_spark.functions.multimodal import decode_png
+
+    w, h = 13, 9
+    pal = [((7 * i) % 256, (11 * i) % 256, (13 * i) % 256) for i in range(40)]
+    idx = [(x * 3 + y * 5) % 40 for y in range(h) for x in range(w)]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(idx[y * w:(y + 1) * w]) for y in range(h)
+    )
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", bytes(v for c in pal for v in c))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    gw, gh, got = png_read(data, FMT_RGB)
+    want_px = bytes(v for i in idx for v in pal[i])
+    assert (gw, gh) == (w, h) and got == want_px
+    dw, dh, mean = decode_png(data)
+    assert (dw, dh) == (w, h)
+    assert abs(mean - sum(want_px) / (3.0 * w * h)) < 1e-9
+
+
+def test_adam7_interlaced_png_oracle_chain():
+    """Hand-built Adam7-interlaced RGB PNG (7 passes, per-pass filter-0
+    scanlines) → libpng must de-interlace to the expected pixels →
+    our decode_png's pass-summed mean must match."""
+    import struct
+    import zlib
+
+    from embulk_spark.functions.multimodal import decode_png
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    for w, h in [(13, 9), (8, 8), (3, 2), (1, 1), (17, 5)]:
+        def px(x, y):
+            return ((x * 9 + y) % 256, (y * 7 + x) % 256, (x ^ y) % 256)
+
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for ry in range(ph):
+                raw.append(0)
+                y = y0 + ry * dy
+                for rx in range(pw):
+                    raw += bytes(px(x0 + rx * dx, y))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        gw, gh, got = png_read(data, FMT_RGB)
+        want_px = bytes(
+            v for y in range(h) for x in range(w) for v in px(x, y)
+        )
+        assert (gw, gh) == (w, h) and got == want_px, (w, h)
+        dw, dh, mean = decode_png(data)
+        assert (dw, dh) == (w, h)
+        assert abs(mean - sum(want_px) / (3.0 * w * h)) < 1e-9, (w, h)

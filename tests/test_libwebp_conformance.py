@@ -259,7 +259,8 @@ def test_vp8x_extended_container_stills_decode():
     assert (gw, gh) == (lw, lh) == (w, h)
     assert abs(mean - sum(y_ref) / (w * h)) < 1e-9
 
-    # a synthetic animation chunk still rejects
+    # an animation container with no frame still rejects honestly
+    # (ANMF first-frame decode is real since round 5)
     anim = (
         b"RIFF" + struct.pack("<I", 4 + 8 + 10 + 8 + 6) + b"WEBP"
         + b"VP8X" + struct.pack("<I", 10) + bytes(10)
@@ -267,7 +268,7 @@ def test_vp8x_extended_container_stills_decode():
     )
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="animated"):
+    with _pt.raises(ValueError, match="no VP8L chunk"):
         decode_webp(anim)
 
 
@@ -318,3 +319,47 @@ def test_vendored_vp8_decoder_exact_on_segmented_streams():
         assert (gw, gh) == (w, h)
         assert sum(1 for a, b in zip(y, y_ref) if a != b) == 0, (w, h, q)
     assert seg_seen >= 1, "no segmented stream produced — fixture drifted"
+
+
+def test_animated_webp_first_frame_decodes():
+    """A hand-built VP8X+ANIM+ANMF container wrapping one of our
+    (libwebp-conformant) VP8L stills: the walk must decode the first
+    frame's payload; an ANMF with no still payload still rejects."""
+    import struct
+
+    from embulk_spark.functions.vp8l import decode_webp, encode_vp8l
+
+    def px(x, y):
+        ye = y - y % 2
+        return ((x * 5 + ye) % 256, (x + 3 * ye) % 256, (2 * x + ye) % 256)
+
+    w, h = 10, 6
+    still = encode_vp8l(w, h, px)  # full RIFF; extract the VP8L chunk
+    assert still[12:16] == b"VP8L"
+    (vsize,) = struct.unpack_from("<I", still, 16)
+    vp8l_chunk = still[12:20 + vsize + (vsize & 1)]
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    vp8x = chunk(b"VP8X", bytes([0x02] + [0] * 3) + bytes(6))  # anim flag
+    anim = chunk(b"ANIM", bytes(6))
+    anmf_body = bytes(16) + vp8l_chunk
+    anmf = chunk(b"ANMF", anmf_body)
+    payload = b"WEBP" + vp8x + anim + anmf
+    data = b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    want = sum(sum(px(x, y)) for y in range(h) for x in range(w))
+    gw, gh, mean = decode_webp(data)
+    assert (gw, gh) == (w, h)
+    assert abs(mean - want / (3.0 * w * h)) < 1e-9
+
+    empty_anmf = chunk(b"ANMF", bytes(16))
+    payload2 = b"WEBP" + vp8x + anim + empty_anmf
+    data2 = b"RIFF" + struct.pack("<I", len(payload2)) + payload2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no still payload"):
+        decode_webp(data2)
