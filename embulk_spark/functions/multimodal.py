@@ -261,15 +261,23 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter_sum(raw, off, w_px, n_rows, ch, pal_sums):
+def _png_unfilter_sum(raw, off, w_px, n_rows, ch, pal_sums, depth=8):
     """Unfilter ``n_rows`` scanlines of ``w_px`` pixels starting at
     byte ``off`` of the inflated stream (full 5-filter set: None / Sub /
     Up / Average / Paeth); returns (next_offset, value_sum). With
-    ``pal_sums`` the bytes are palette indices and each contributes its
-    precomputed r+g+b; else every channel byte contributes itself."""
+    ``pal_sums`` the bytes are palette/gray sample values and each
+    contributes its precomputed weight; else every channel byte
+    contributes itself. ``depth`` < 8 (1/2/4-bit gray or palette,
+    single channel): pixels pack MSB-first into bytes, scanlines
+    byte-padded, and the filters' "corresponding byte" distance is ONE
+    BYTE (bpp rounds up to 1 per the spec)."""
     import numpy as np
 
-    stride = w_px * ch
+    if depth == 8:
+        stride = w_px * ch
+    else:
+        stride = (w_px * depth + 7) // 8
+        ch = 1  # filter byte-distance for sub-byte depths
     prev = np.zeros(stride, dtype=np.uint8)
     total = 0
     for _y in range(n_rows):
@@ -300,7 +308,15 @@ def _png_unfilter_sum(raw, off, w_px, n_rows, ch, pal_sums):
                 cur[i] = (int(cur[i]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
-        if pal_sums is not None:
+        if depth != 8:
+            # unpack MSB-first sub-byte samples, dropping row padding
+            bits = np.unpackbits(cur)
+            n = w_px * depth
+            vals = bits[:n].reshape(w_px, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+            samples = vals @ weights
+            total += int(pal_sums[samples].sum(dtype=np.int64))
+        elif pal_sums is not None:
             total += int(pal_sums[cur].sum(dtype=np.int64))
         else:
             total += int(cur.sum(dtype=np.int64))
@@ -339,7 +355,10 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or (ctype not in _PNG_CHANNELS and ctype != 3):
+            ok = (depth == 8 and (ctype in _PNG_CHANNELS or ctype == 3)) or (
+                depth in (1, 2, 4) and ctype in (0, 3)
+            )
+            if not ok:
                 raise ValueError(f"unsupported PNG (depth={depth} color={ctype})")
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG (compression/filter)")
@@ -365,6 +384,13 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
         pal_sums[: len(sums)] = sums
         ch = 1
         denom = 3.0
+    elif depth != 8:  # sub-byte GRAYSCALE: samples scale to 0..255
+        # (left-bit-replication per the spec: v * 255 / (2^d - 1))
+        pal_sums = (
+            np.arange(1 << depth, dtype=np.int64) * 255 // ((1 << depth) - 1)
+        )
+        ch = 1
+        denom = 1.0
     else:
         ch = _PNG_CHANNELS[ctype]
         denom = float(ch)
@@ -372,14 +398,18 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
     total = 0
     off = 0
     if interlace == 0:
-        off, total = _png_unfilter_sum(raw, 0, width, height, ch, pal_sums)
+        off, total = _png_unfilter_sum(
+            raw, 0, width, height, ch, pal_sums, depth
+        )
     else:  # Adam7
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass: no scanlines at all
-            off, t = _png_unfilter_sum(raw, off, pw, ph, ch, pal_sums)
+            off, t = _png_unfilter_sum(
+                raw, off, pw, ph, ch, pal_sums, depth
+            )
             total += t
     if off != len(raw):
         raise ValueError("PNG pixel data length mismatch")

@@ -246,3 +246,70 @@ def test_adam7_interlaced_png_oracle_chain():
         dw, dh, mean = decode_png(data)
         assert (dw, dh) == (w, h)
         assert abs(mean - sum(want_px) / (3.0 * w * h)) < 1e-9, (w, h)
+
+
+def test_sub8bit_png_oracle_chain():
+    """1/2/4-bit palette and grayscale PNGs (MSB-first packed samples,
+    byte-padded scanlines, filter byte-distance 1): hand-built fixtures
+    proven conformant by libpng reading them to the expected pixels,
+    then our decoder's mean must match. Gray samples left-bit-replicate
+    to 0..255 (v*255/(2^d-1)) per the spec."""
+    import struct
+    import zlib
+
+    from embulk_spark.functions.multimodal import decode_png
+
+    def pack_rows(idx_rows, depth):
+        out = bytearray()
+        for row in idx_rows:
+            out.append(0)  # filter None
+            acc = 0
+            nbits = 0
+            for v in row:
+                acc = (acc << depth) | v
+                nbits += depth
+                if nbits == 8:
+                    out.append(acc)
+                    acc = nbits = 0
+            if nbits:
+                out.append(acc << (8 - nbits))
+        return bytes(out)
+
+    for depth, ctype in [(1, 3), (2, 3), (4, 3), (1, 0), (2, 0), (4, 0)]:
+        w, h = 11, 7
+        nvals = 1 << depth
+        idx_rows = [
+            [(x * 3 + y) % nvals for x in range(w)] for y in range(h)
+        ]
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        chunks = _chunk(b"IHDR", ihdr)
+        if ctype == 3:
+            pal = [((5 * i) % 256, (9 * i) % 256, (11 * i) % 256)
+                   for i in range(nvals)]
+            chunks += _chunk(b"PLTE", bytes(v for c in pal for v in c))
+            want_vals = [sum(pal[v]) for row in idx_rows for v in row]
+            denom = 3.0
+        else:
+            scale = [v * 255 // (nvals - 1) for v in range(nvals)]
+            want_vals = [scale[v] for row in idx_rows for v in row]
+            denom = 1.0
+        chunks += _chunk(b"IDAT", zlib.compress(pack_rows(idx_rows, depth)))
+        chunks += _chunk(b"IEND", b"")
+        data = b"\x89PNG\r\n\x1a\n" + chunks
+        # libpng proves the fixture conformant
+        fmt = FMT_RGB if ctype == 3 else FMT_GRAY
+        gw, gh, got = png_read(data, fmt)
+        assert (gw, gh) == (w, h), (depth, ctype)
+        if ctype == 3:
+            want_px = bytes(
+                v for row in idx_rows for i in row for v in pal[i]
+            )
+        else:
+            want_px = bytes(scale[v] for row in idx_rows for v in row)
+        assert got == want_px, (depth, ctype)
+        # then our decoder's mean
+        dw, dh, mean = decode_png(data)
+        assert (dw, dh) == (w, h), (depth, ctype)
+        assert abs(mean - sum(want_vals) / (denom * w * h)) < 1e-9, (
+            depth, ctype,
+        )
