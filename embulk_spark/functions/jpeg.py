@@ -646,6 +646,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
     frame = None
     restart_interval = 0
     coefs: dict | None = None  # progressive coefficient store
+    arith_cond: dict = {}  # DAC conditioning, (kind, tbl) → bounds
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -683,7 +684,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                     raise ValueError("bad DHT")
                 (ac_tabs if cls else dc_tabs)[tid] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential-arith
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -694,10 +696,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                     "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
                 })
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9}
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                val = body[i + 1]
+                if tc == 0:
+                    arith_cond[("dc", tb)] = (val & 0x0F, val >> 4)
+                else:
+                    arith_cond[("ac", tb)] = val
+                i += 2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-DCT/arithmetic JPEG unsupported")
+            raise ValueError("non-sequential-DCT JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -709,6 +722,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
+            if frame.get("arith"):
+                from embulk_spark.functions.jpeg_arith import (
+                    _decode_scan_arith,
+                )
+                return _decode_scan_arith(
+                    data, pos + 2 + seglen, frame, scan, qts,
+                    arith_cond, restart_interval,
+                )
             if not frame["progressive"]:
                 return _decode_scan(
                     data, pos + 2 + seglen, frame, scan, qts, dc_tabs,

@@ -19,13 +19,15 @@ Two layers:
   Spark plumbing — explicit output schemas, ``mapInPandas`` with
   Arrow-batched pandas iterators, one Python invocation per batch. The
   actual codec call is isolated in ``_decode_backend``: BMP, PNG,
-  baseline AND progressive JPEG, GIF and lossless WebP decode for REAL
-  via vendored spec re-implementations (``decode_bmp24`` /
-  ``decode_png`` / ``functions/jpeg.py`` / ``functions/gif.py`` /
-  ``functions/vp8l.py`` — the containers covering the overwhelming
-  majority of web images); when a real decoder library (PIL) is
-  importable it covers the rest; in this container it is not, so the
-  remaining profiles (lossy-VP8 WebP, AVIF, arithmetic-coded JPEG)
+  baseline AND progressive AND sequential-arithmetic (SOF9) JPEG, GIF,
+  and BOTH WebP flavors (lossless VP8L + lossy VP8 key frames) decode
+  for REAL via vendored spec re-implementations (``decode_bmp24`` /
+  ``decode_png`` / ``functions/jpeg.py`` + ``jpeg_arith.py`` /
+  ``functions/gif.py`` / ``functions/vp8l.py`` + ``vp8.py`` — the
+  containers covering the overwhelming majority of web images); when a
+  real decoder library (PIL) is importable it covers the rest; in this
+  container it is not, so the remaining profiles (AVIF, 16-bit PNG,
+  progressive-arithmetic JPEG, VP8 interframes)
   take a clearly-marked DETERMINISTIC FAKE (pure function of the
   bytes: stable across partitioning/retries, so tests and exactly-once
   replay semantics hold). Swapping backends changes no schema, no
@@ -510,6 +512,19 @@ def synth_jpeg_progressive_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_jpeg_arith_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real ARITHMETIC-coded JPEG bytes (SOF9 —
+    T.81 Annex D QM coder; same closed-form pixels as
+    synth_jpeg_col)."""
+    from .jpeg_arith import synth_jpeg_arith_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_arith_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 # ---------------------------------------------------------------------------
 # decode backend (stub boundary)
 # ---------------------------------------------------------------------------
@@ -553,16 +568,17 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
             pass
     if b[:2] == b"\xFF\xD8":
         try:
-            # vendored real decoder (functions/jpeg.py): baseline AND
-            # progressive (Annex-G) — huffman + dequant + IDCT,
-            # grayscale/YCbCr, subsampling, restarts, successive
-            # approximation
+            # vendored real decoder (functions/jpeg.py + jpeg_arith.py):
+            # baseline, progressive (Annex-G) AND sequential-arithmetic
+            # (SOF9, Annex-D QM coder) — entropy decode + dequant +
+            # IDCT, grayscale/YCbCr, subsampling, restarts
             from .jpeg import decode_jpeg
 
             return decode_jpeg(b)
         except ValueError:
-            # arithmetic-coded / JPEG-magic synthetic bytes: fake tier,
-            # same policy as the PNG profile boundary
+            # progressive-arithmetic / lossless / 12-bit / JPEG-magic
+            # synthetic bytes: fake tier, same policy as the PNG
+            # profile boundary
             pass
     if b[:6] in (b"GIF87a", b"GIF89a"):
         try:

@@ -133,3 +133,91 @@ def test_varying_content_tracks_libjpeg_within_idct_tolerance():
         gw, gh, mean = decode_jpeg(data)
         assert (gw, gh) == (w, h)
         assert abs(mean - ref_mean) < 0.75, (w, h, mean, ref_mean)
+
+
+def test_arith_fixtures_decode_exactly_under_libjpeg():
+    """SOF9 arithmetic streams (QM coder, Annex D) through the
+    REFERENCE decoder's jinit_arith_decoder: block-constant fixtures
+    must reproduce the closed form byte-exactly — this adjudicates the
+    Table D.3 state machine, byteout/carry/stuffing, FLUSH, and the
+    F.1.4.4 DC/AC models against libjpeg-turbo."""
+    from embulk_spark.functions.jpeg import (
+        reconstructed_flat_value,
+        synth_block_value,
+        synth_jpeg_dims,
+    )
+    from embulk_spark.functions.jpeg_arith import synth_jpeg_arith_bytes
+
+    for doc_id in (0, 1, 5, 17, 100):
+        data = synth_jpeg_arith_bytes(doc_id)
+        w, h = synth_jpeg_dims(doc_id)
+        got = libjpeg_decode(data, w, h, 1)
+        want = bytes(
+            reconstructed_flat_value(synth_block_value(x // 8, y // 8, doc_id))
+            for y in range(h) for x in range(w)
+        )
+        assert got == want, doc_id
+
+
+def test_arith_varying_content_tracks_libjpeg():
+    """Varying-content SOF9 streams — gray (with restarts and a DAC
+    non-default-conditioning case) and 4:2:0 color — must decode under
+    the reference decoder to the same mean our decoder computes, within
+    IDCT tolerance."""
+    import numpy as np
+
+    from embulk_spark.functions.jpeg import decode_jpeg
+    from embulk_spark.functions.jpeg_arith import (
+        encode_jpeg_color420_arith,
+        encode_jpeg_gray_arith,
+    )
+
+    cases = [
+        encode_jpeg_gray_arith(40, 33, lambda x, y: (x * 7 + y * 13) % 256),
+        encode_jpeg_gray_arith(
+            64, 16, lambda x, y: (x * 3 + y * 11) % 256, restart_interval=3
+        ),
+        encode_jpeg_gray_arith(
+            48, 40, lambda x, y: (x * 11 + y * 5 + (x ^ y)) % 256,
+            dc_cond=(1, 2), kx=2,
+        ),
+    ]
+    dims = [(40, 33), (64, 16), (48, 40)]
+    for data, (w, h) in zip(cases, dims):
+        ref = libjpeg_decode(data, w, h, 1)
+        ref_mean = sum(ref) / (w * h)
+        gw, gh, mean = decode_jpeg(data)
+        assert (gw, gh) == (w, h)
+        assert abs(mean - ref_mean) < 0.75, (w, h, mean, ref_mean)
+
+    cdata = encode_jpeg_color420_arith(
+        34, 18, lambda x, y: ((x * 5) % 256, (y * 9) % 256, (x + y) % 256)
+    )
+    px = np.frombuffer(libjpeg_decode(cdata, 34, 18, 3), dtype=np.uint8)
+    # luma of libjpeg's RGB output vs our Y-plane mean (both BT.601)
+    rgb = px.reshape(18, 34, 3).astype(np.float64)
+    ref_y = (
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    ).mean()
+    _, _, mean = decode_jpeg(cdata)
+    assert abs(mean - ref_y) < 1.5
+
+
+def test_arith_random_content_differential_fuzz_under_libjpeg():
+    """Randomized images (high-entropy blocks stress the estimator's
+    deep states, carry chains and stacked-0xFF resolution): reference
+    and vendored decoders must agree on every stream."""
+    import random
+
+    from embulk_spark.functions.jpeg import decode_jpeg
+    from embulk_spark.functions.jpeg_arith import encode_jpeg_gray_arith
+
+    rng = random.Random(20260822)
+    for _ in range(5):
+        w, h = rng.randrange(8, 72), rng.randrange(8, 56)
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        data = encode_jpeg_gray_arith(w, h, lambda x, y: vals[y][x])
+        ref = libjpeg_decode(data, w, h, 1)
+        ref_mean = sum(ref) / (w * h)
+        _, _, mean = decode_jpeg(data)
+        assert abs(mean - ref_mean) < 0.05, (w, h, mean, ref_mean)
