@@ -1869,6 +1869,29 @@ def _q_multimodal_decode_arith(
     )
 
 
+def _q_multimodal_decode_prog_arith(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image decode with the vendored PROGRESSIVE-arithmetic JPEG path
+    (SOF10 — G.2 successive-approximation scans over the QM coder:
+    DC first/refine, banded AC first/refine): same block-constant
+    closed form, reached through the fourth and last 8-bit DCT
+    bitstream flavor."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_prog_arith_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_jpeg_prog_arith_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3471,8 +3494,9 @@ _DRIVER_ROTATION_FIRST = [
     "quality_classifier",
     # slot 21: the new real lossy-VP8 decode key (round 5)
     "multimodal_decode_vp8",
-    # slot 22: the new real arithmetic-JPEG (SOF9) decode key (round 5)
-    "multimodal_decode_arith",
+    # slots 22-23: the new real arithmetic-JPEG decode keys (round 5:
+    # SOF9 sequential + SOF10 progressive)
+    "multimodal_decode_arith", "multimodal_decode_prog_arith",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3578,6 +3602,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "multimodal_decode_progressive": _q_multimodal_decode_progressive,
         "multimodal_decode_arith": _q_multimodal_decode_arith,
+        "multimodal_decode_prog_arith": _q_multimodal_decode_prog_arith,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4716,6 +4741,37 @@ def oracle_sql() -> dict[str, str]:
         # The mean is the exact integer pixel sum with ONE double
         # division, matching the decoder's arithmetic bit-for-bit.
         "multimodal_decode_jpeg": """
+        WITH g AS (
+          SELECT doc_id,
+                 1 + doc_id % 3 AS bw,
+                 1 + (doc_id * 5) % 3 AS bh
+          FROM documents
+        ),
+        blocks AS (
+          SELECT doc_id, bw, bh,
+                 (17 * x.range + 31 * y.range + doc_id) % 256 AS v
+          FROM g, range(3) x, range(3) y
+          WHERE x.range < bw AND y.range < bh
+        ),
+        recon AS (
+          SELECT doc_id, bw, bh,
+                 LEAST(255, GREATEST(0,
+                   2 * (CASE WHEN v >= 128
+                             THEN floor((v - 128) / 2.0 + 0.5)
+                             ELSE -floor((128 - v) / 2.0 + 0.5) END)
+                   + 128)) AS pv
+          FROM blocks
+        )
+        SELECT doc_id AS id, 'jpeg' AS container,
+               (8 * bw)::int AS width, (8 * bh)::int AS height,
+               sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
+        FROM recon
+        GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_decode_prog_arith: the SAME closed form — the
+        # SOF10 G.2 successive-approximation scans over the QM coder
+        # must reach identical coefficients through a fourth bitstream.
+        "multimodal_decode_prog_arith": """
         WITH g AS (
           SELECT doc_id,
                  1 + doc_id % 3 AS bw,

@@ -684,8 +684,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                     raise ValueError("bad DHT")
                 (ac_tabs if cls else dc_tabs)[tid] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential-arith
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/SOF10 arithmetic
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -696,8 +696,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                     "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
                 })
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9}
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA)}
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             i = 0
             while i + 1 < len(body):
@@ -708,9 +708,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 else:
                     arith_cond[("ac", tb)] = val
                 i += 2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-sequential-DCT JPEG unsupported")
+            raise ValueError("non-DCT (lossless/hierarchical) JPEG "
+                             "unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -722,7 +723,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            if frame.get("arith"):
+            if frame.get("arith") and not frame["progressive"]:
                 from embulk_spark.functions.jpeg_arith import (
                     _decode_scan_arith,
                 )
@@ -739,10 +740,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
             a = body[3 + 2 * ns]
             if coefs is None:
                 coefs = _init_coef_store(frame)
-            pos = _progressive_scan(
-                data, pos + 2 + seglen, frame, scan, dc_tabs, ac_tabs,
-                restart_interval, coefs, ss, se, a >> 4, a & 0x0F,
-            )
+            if frame.get("arith"):
+                from embulk_spark.functions.jpeg_arith import (
+                    _progressive_scan_arith,
+                )
+                pos = _progressive_scan_arith(
+                    data, pos + 2 + seglen, frame, scan, arith_cond,
+                    restart_interval, coefs, ss, se, a >> 4, a & 0x0F,
+                )
+            else:
+                pos = _progressive_scan(
+                    data, pos + 2 + seglen, frame, scan, dc_tabs,
+                    ac_tabs, restart_interval, coefs, ss, se,
+                    a >> 4, a & 0x0F,
+                )
             continue
         pos += 2 + seglen
     if frame is not None and frame.get("progressive") and coefs is not None:

@@ -355,20 +355,27 @@ def _encode_dc(enc, st: bytearray, ctx: int, diff: int, lo: int, up: int):
     return _classify_dc(m, sign, lo, up)
 
 
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
 def _decode_ac_block(dec, st: bytearray, fixed: bytearray, kx: int,
-                     zz: np.ndarray) -> None:
-    """AC coefficients 1..63 into zigzag-order ``zz`` (F.2.4.2):
-    per-index EOB (bin 3(k-1)) and zero-run (+1) decisions, fixed sign
-    bin, magnitude category at +2 twice then the Kx-split X areas
+                     zz: np.ndarray, ss: int = 1, se: int = 63,
+                     al: int = 0) -> None:
+    """AC coefficients ``ss..se`` into zigzag-order ``zz`` (F.2.4.2,
+    and with ``al`` the G.2.1 first-scan point transform): per-index
+    EOB (bin 3(k-1)) and zero-run (+1) decisions, fixed sign bin,
+    magnitude category at +2 twice then the Kx-split X areas
     (189 / 217) with magnitude bits at +14."""
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):
             return  # EOB
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("AC index overflow")
             base = 3 * (k - 1)
         sign = dec.decode(fixed, 0)
@@ -391,31 +398,32 @@ def _decode_ac_block(dec, st: bytearray, fixed: bytearray, kx: int,
                 v |= m
             m >>= 1
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
         k += 1
 
 
 def _encode_ac_block(enc, st: bytearray, fixed: bytearray, kx: int,
-                     zz) -> None:
-    """Mirror of _decode_ac_block over zigzag coefficients 1..63."""
-    last_nz = 0
-    for i in range(63, 0, -1):
-        if zz[i]:
+                     zz, ss: int = 1, se: int = 63, al: int = 0) -> None:
+    """Mirror of _decode_ac_block over zigzag coefficients ``ss..se``
+    at point transform ``al``."""
+    last_nz = ss - 1
+    for i in range(se, ss - 1, -1):
+        if _pt(int(zz[i]), al):
             last_nz = i
             break
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if k > last_nz:
             enc.encode(st, base, 1)  # EOB
             return
         enc.encode(st, base, 0)
-        while zz[k] == 0:
+        while _pt(int(zz[k]), al) == 0:
             enc.encode(st, base + 1, 0)
             k += 1
             base = 3 * (k - 1)
         enc.encode(st, base + 1, 1)
-        v = int(zz[k])
+        v = _pt(int(zz[k]), al)
         sign = 1 if v < 0 else 0
         enc.encode(fixed, 0, sign)
         sz = (-v if sign else v) - 1
@@ -446,6 +454,77 @@ def _encode_ac_block(enc, st: bytearray, fixed: bytearray, kx: int,
             enc.encode(st, mbin, 1 if sz & mask else 0)
             mask >>= 1
         k += 1
+
+
+def _decode_ac_refine(dec, st: bytearray, fixed: bytearray,
+                      zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement (G.2.2 / Figure G.13):
+    per-index contexts — EOB flag (read only beyond kex, the previous
+    stage's last nonzero index), newly-nonzero at +1 with fixed-bin
+    sign, correction bit at +2 for history coefficients."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = 0
+    for i in range(se, 0, -1):
+        if zz[i]:
+            kex = i
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # EOB: no newly-significant coefficients remain
+        while True:
+            c = int(zz[k])
+            if c:
+                if dec.decode(st, base + 2):
+                    zz[k] = c + (p1 if c >= 0 else m1)
+                break
+            if dec.decode(st, base + 1):
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("AC refinement overflow")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def _encode_ac_refine(enc, st: bytearray, fixed: bytearray,
+                      zz, ss: int, se: int, al: int) -> None:
+    """Mirror of _decode_ac_refine (G.3.2 / Figure G.10): ke is this
+    stage's last significant index, kex the previous stage's; EOB=0
+    decisions for kex < k ≤ ke, a final EOB=1 when ke < se."""
+    ke = ss - 1
+    for i in range(se, ss - 1, -1):
+        if abs(int(zz[i])) >> al:
+            ke = i
+            break
+    kex = 0
+    for i in range(ke, 0, -1):
+        if abs(int(zz[i])) >> (al + 1):
+            kex = i
+            break
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)
+        while True:
+            v = abs(int(zz[k])) >> al
+            if v:
+                if v >> 1:  # history coefficient: correction bit
+                    enc.encode(st, base + 2, v & 1)
+                else:  # newly significant: sign via fixed bin
+                    enc.encode(st, base + 1, 1)
+                    enc.encode(fixed, 0, 1 if int(zz[k]) < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * (max(ke + 1, ss) - 1), 1)  # EOB
 
 
 # ---------------------------------------------------------------------------
@@ -557,6 +636,117 @@ def _decode_scan_arith(
     return int(w), int(h), total / float(cw * ch)
 
 
+def _progressive_scan_arith(
+    data, pos, frame, scan, cond, restart_interval, coefs, ss, se, ah, al,
+) -> int:
+    """Decode one PROGRESSIVE arithmetic scan (SOF10, G.2) into the
+    coefficient store; returns the position of the next marker. Scan
+    kinds: DC first (sequential DC model on point-transformed diffs),
+    DC refinement (one fixed-bin decision per block), AC first
+    (sequential AC model over the spectral band, values << Al), AC
+    refinement (_decode_ac_refine). Statistics reset per scan and per
+    restart segment, like the sequential path."""
+    dec = _QMDecoder(data, pos)
+    state = _ArithScanState(scan, cond)
+    next_rst = 0
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal dec, state, next_rst
+        if restart_interval and unit and unit % restart_interval == 0:
+            got, npos = _consume_restart(data, dec.pos)
+            if got != next_rst:
+                raise ValueError("restart marker out of sequence")
+            next_rst = (next_rst + 1) & 7
+            dec = _QMDecoder(data, npos)
+            state = _ArithScanState(scan, cond)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+
+        def dc_block(comp, td, blk) -> None:
+            if ah == 0:
+                lo, up = cond.get(("dc", td), _DEFAULT_DC_COND)
+                diff, nxt = _decode_dc(
+                    dec, state.dc_stats[td],
+                    state.dc_ctx[comp["id"]], lo, up,
+                )
+                state.dc_ctx[comp["id"]] = nxt
+                state.last_dc[comp["id"]] += diff
+                blk[0] = state.last_dc[comp["id"]] << al
+            elif dec.decode(state.fixed, 0):
+                blk[0] = int(blk[0]) | (1 << al)
+
+        if len(scan) == 1:  # non-interleaved: component's own grid
+            from embulk_spark.functions.jpeg import _comp_block_dims
+
+            comp, td, _ta = scan[0]
+            bw_n, bh_n = _comp_block_dims(frame, comp)
+            unit = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    maybe_restart(unit)
+                    dc_block(comp, td, coefs[comp["id"]][by, bx])
+                    unit += 1
+        else:  # interleaved MCU walk (padded grid, like baseline)
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    for comp, td, _ta in scan:
+                        for byy in range(comp["v"]):
+                            for bxx in range(comp["h"]):
+                                dc_block(
+                                    comp, td,
+                                    coefs[comp["id"]][
+                                        my * comp["v"] + byy,
+                                        mx * comp["h"] + bxx,
+                                    ],
+                                )
+                    unit += 1
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if ah == 0 and al > 13:
+            raise ValueError("bad AC point transform")
+        from embulk_spark.functions.jpeg import _comp_block_dims
+
+        comp, _td, ta = scan[0]
+        kx = cond.get(("ac", ta), _DEFAULT_AC_KX)
+        bw_n, bh_n = _comp_block_dims(frame, comp)
+        unit = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                maybe_restart(unit)
+                blk = coefs[comp["id"]][by, bx]
+                if ah == 0:
+                    _decode_ac_block(
+                        dec, state.ac_stats[ta], state.fixed, kx, blk,
+                        ss, se, al,
+                    )
+                else:
+                    _decode_ac_refine(
+                        dec, state.ac_stats[ta], state.fixed, blk,
+                        ss, se, al,
+                    )
+                unit += 1
+
+    # skip to the next marker (consume trailing RSTs / fill bytes)
+    p = dec.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("unterminated progressive scan")
+
+
 # ---------------------------------------------------------------------------
 # encoder (fixture generator + conformance vehicle)
 # ---------------------------------------------------------------------------
@@ -653,6 +843,87 @@ def encode_jpeg_gray_arith(
     return bytes(out)
 
 
+def encode_jpeg_gray_progressive_arith(
+    width: int, height: int, pix_fn, *, dc_al: int = 1, split: int = 6,
+    ac_al: int = 1,
+) -> bytes:
+    """PROGRESSIVE arithmetic JFIF fixture (SOF10, one grayscale
+    component): the same scan script as jpeg.encode_jpeg_gray_progressive
+    — DC first at ``Al=dc_al`` + DC refinements, AC spectral selection
+    in two bands split at ``split``, each first at ``Al=ac_al`` then
+    refined — every G.2 arithmetic scan kind. Coefficients come from
+    the shared ``_quantize_block``, so a fully-refined SOF10 stream
+    must decode bit-identically to both the SOF9 and the huffman
+    streams of the same image."""
+    img = np.fromfunction(
+        np.vectorize(lambda y, x: pix_fn(int(x), int(y))), (height, width)
+    ).astype(np.float64)
+    zz_blocks = []
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            q = _quantize_block(_block_at(img, bx, by), STD_LUMA_QT)
+            zz_blocks.append([int(q[r, c]) for (r, c) in ZIGZAG])
+
+    out = bytearray(b"\xFF\xD8")
+    out += (
+        b"\xFF\xE0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zzq = bytes(int(STD_LUMA_QT[r, c]) for (r, c) in ZIGZAG)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + zzq
+    out += b"\xFF\xCA" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+
+    def sos(ss, se, ah, al) -> bytes:
+        return (
+            b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00])
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    # DC first (sequential DC model on the point-transformed values)
+    out += sos(0, 0, 0, dc_al)
+    st = _ArithEncState(1)
+    for zz in zz_blocks:
+        v = zz[0] >> dc_al
+        diff = v - st.preds[0]
+        st.preds[0] = v
+        st.ctxs[0] = _encode_dc(
+            st.enc, st.dc_stats, st.ctxs[0], diff,
+            _DEFAULT_DC_COND[0], _DEFAULT_DC_COND[1],
+        )
+    out += st.enc.flush()
+    # DC refinements: one fixed-bin decision per block (G.3.1.2)
+    for a in range(dc_al - 1, -1, -1):
+        out += sos(0, 0, a + 1, a)
+        st = _ArithEncState(1)
+        for zz in zz_blocks:
+            st.enc.encode(st.fixed, 0, (zz[0] >> a) & 1)
+        out += st.enc.flush()
+    # AC: two spectral bands, first pass at ac_al then refinements
+    bands = [(1, split - 1), (split, 63)]
+    for lo, hi in bands:
+        out += sos(lo, hi, 0, ac_al)
+        st = _ArithEncState(1)
+        for zz in zz_blocks:
+            _encode_ac_block(
+                st.enc, st.ac_stats, st.fixed, _DEFAULT_AC_KX, zz,
+                lo, hi, ac_al,
+            )
+        out += st.enc.flush()
+    for a in range(ac_al - 1, -1, -1):
+        for lo, hi in bands:
+            out += sos(lo, hi, a + 1, a)
+            st = _ArithEncState(1)
+            for zz in zz_blocks:
+                _encode_ac_refine(
+                    st.enc, st.ac_stats, st.fixed, zz, lo, hi, a,
+                )
+            out += st.enc.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 def synth_jpeg_arith_bytes(doc_id: int) -> bytes:
     """Deterministic real SOF9 (arithmetic-coded) JPEG: the SAME
     block-constant closed form as jpeg.synth_jpeg_bytes, reached
@@ -666,6 +937,21 @@ def synth_jpeg_arith_bytes(doc_id: int) -> bytes:
 
     w, h = synth_jpeg_dims(doc_id)
     return encode_jpeg_gray_arith(
+        w, h, lambda x, y: synth_block_value(x // 8, y // 8, doc_id)
+    )
+
+
+def synth_jpeg_prog_arith_bytes(doc_id: int) -> bytes:
+    """Deterministic real SOF10 (progressive-arithmetic) JPEG: the SAME
+    block-constant closed form, reached through the G.2 successive-
+    approximation scan script over the QM coder."""
+    from embulk_spark.functions.jpeg import (
+        synth_block_value,
+        synth_jpeg_dims,
+    )
+
+    w, h = synth_jpeg_dims(doc_id)
+    return encode_jpeg_gray_progressive_arith(
         w, h, lambda x, y: synth_block_value(x // 8, y // 8, doc_id)
     )
 

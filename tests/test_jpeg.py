@@ -114,13 +114,13 @@ def test_non_baseline_and_garbage_raise():
         decode_jpeg(b"\xFF\xD8\xFF\xE0not a real stream")
     with pytest.raises(ValueError):
         decode_jpeg(b"GIF89a")
-    # PROGRESSIVE-arithmetic frames (SOF10) are detected and refused,
-    # not mis-decoded (sequential-arithmetic SOF9 is REAL now —
-    # tests/test_jpeg_arith.py)
+    # LOSSLESS frames (SOF3) are detected and refused, not mis-decoded
+    # (the whole 8-bit DCT family SOF0/1/2/9/10 is REAL now —
+    # tests/test_jpeg_arith.py covers the arithmetic members)
     blob = bytearray(synth_jpeg_bytes(1))
     i = blob.find(b"\xFF\xC0")
-    blob[i + 1] = 0xCA
-    with pytest.raises(ValueError, match="non-sequential-DCT"):
+    blob[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="non-DCT"):
         decode_jpeg(bytes(blob))
     # a BASELINE stream merely relabeled SOF2 is malformed progressive
     # (its sequential scan header Ss=0,Se=63 is not a legal DC scan) —

@@ -31,7 +31,9 @@ from embulk_spark.functions.jpeg_arith import (
     _QMEncoder,
     encode_jpeg_color420_arith,
     encode_jpeg_gray_arith,
+    encode_jpeg_gray_progressive_arith,
     synth_jpeg_arith_bytes,
+    synth_jpeg_prog_arith_bytes,
 )
 from embulk_spark.functions.jpeg import synth_block_value, synth_jpeg_dims
 
@@ -167,15 +169,77 @@ def test_dac_conditioning_roundtrip():
 
 
 # ---------------------------------------------------------------------------
+# progressive arithmetic (SOF10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "w,h,kw",
+    [
+        (40, 33, {}),
+        (57, 41, {"dc_al": 2, "ac_al": 2, "split": 10}),
+        (16, 16, {"dc_al": 0, "ac_al": 0}),  # first scans only
+        (24, 16, {"split": 2}),  # near-degenerate low band
+        (48, 40, {"split": 63}),  # near-degenerate high band
+    ],
+)
+def test_progressive_arith_parity_with_baseline(w, h, kw):
+    """A fully-refined SOF10 stream reaches the same coefficients as
+    the sequential huffman stream of the same image — every G.2 scan
+    kind (DC first/refine, AC first/refine over both bands) composes
+    exactly."""
+    f = lambda x, y: (x * 7 + y * 13 + (x * y) % 31) % 256  # noqa: E731
+    a = decode_jpeg(encode_jpeg_gray_progressive_arith(w, h, f, **kw))
+    b = decode_jpeg(encode_jpeg_gray(w, h, f))
+    assert a == b
+
+
+def test_progressive_arith_random_content_parity():
+    rng = random.Random(77)
+    for _ in range(3):
+        w, h = rng.randrange(8, 56), rng.randrange(8, 48)
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        f = lambda x, y: vals[y][x]  # noqa: E731
+        assert decode_jpeg(
+            encode_jpeg_gray_progressive_arith(w, h, f)
+        ) == decode_jpeg(encode_jpeg_gray(w, h, f))
+
+
+def test_prog_arith_fixture_closed_form():
+    for doc_id in range(8):
+        w, h = synth_jpeg_dims(doc_id)
+        gw, gh, mean = decode_jpeg(synth_jpeg_prog_arith_bytes(doc_id))
+        assert (gw, gh) == (w, h)
+        total = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                total += 64 * reconstructed_flat_value(
+                    synth_block_value(bx, by, doc_id)
+                )
+        assert mean == pytest.approx(total / (w * h), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
 # boundaries
 # ---------------------------------------------------------------------------
 
 
-def test_progressive_arithmetic_still_rejected():
+def test_sequential_stream_relabeled_sof10_rejected():
+    # a SEQUENTIAL arithmetic stream relabeled SOF10 is malformed
+    # progressive (its scan header Ss=0,Se=63 is not a legal DC scan)
+    # — rejected, never mis-decoded
     data = bytearray(encode_jpeg_gray_arith(16, 16, lambda x, y: x * 8))
     i = bytes(data).find(b"\xFF\xC9")
-    data[i + 1] = 0xCA  # SOF10: progressive arithmetic
-    with pytest.raises(ValueError):
+    data[i + 1] = 0xCA
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg(bytes(data))
+
+
+def test_arith_stream_relabeled_lossless_rejected():
+    data = bytearray(encode_jpeg_gray_arith(16, 16, lambda x, y: x * 8))
+    i = bytes(data).find(b"\xFF\xC9")
+    data[i + 1] = 0xCB  # SOF11: lossless arithmetic — out of scope
+    with pytest.raises(ValueError, match="non-DCT"):
         decode_jpeg(bytes(data))
 
 

@@ -221,3 +221,57 @@ def test_arith_random_content_differential_fuzz_under_libjpeg():
         ref_mean = sum(ref) / (w * h)
         _, _, mean = decode_jpeg(data)
         assert abs(mean - ref_mean) < 0.05, (w, h, mean, ref_mean)
+
+
+def test_prog_arith_fixtures_decode_exactly_under_libjpeg():
+    """SOF10 (progressive arithmetic) streams through the REFERENCE
+    decoder: the G.2 scan script (DC first/refine, banded AC
+    first/refine) must compose to the closed form byte-exactly."""
+    from embulk_spark.functions.jpeg import (
+        reconstructed_flat_value,
+        synth_block_value,
+        synth_jpeg_dims,
+    )
+    from embulk_spark.functions.jpeg_arith import synth_jpeg_prog_arith_bytes
+
+    for doc_id in (0, 2, 7, 33, 100):
+        data = synth_jpeg_prog_arith_bytes(doc_id)
+        w, h = synth_jpeg_dims(doc_id)
+        got = libjpeg_decode(data, w, h, 1)
+        want = bytes(
+            reconstructed_flat_value(synth_block_value(x // 8, y // 8, doc_id))
+            for y in range(h) for x in range(w)
+        )
+        assert got == want, doc_id
+
+
+def test_prog_arith_varying_content_tracks_libjpeg():
+    import random
+
+    from embulk_spark.functions.jpeg import decode_jpeg
+    from embulk_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_progressive_arith,
+    )
+
+    g = lambda x, y: (x * 7 + y * 13 + (x * y) % 31) % 256  # noqa: E731
+    cases = [
+        (40, 33, {}),
+        (57, 41, {"dc_al": 2, "ac_al": 2, "split": 10}),
+        (24, 16, {"split": 2}),
+    ]
+    for w, h, kw in cases:
+        data = encode_jpeg_gray_progressive_arith(w, h, g, **kw)
+        ref = libjpeg_decode(data, w, h, 1)
+        ref_mean = sum(ref) / (w * h)
+        gw, gh, mean = decode_jpeg(data)
+        assert (gw, gh) == (w, h)
+        assert abs(mean - ref_mean) < 0.05, (w, h, kw)
+
+    rng = random.Random(5)
+    for _ in range(3):
+        w, h = rng.randrange(8, 56), rng.randrange(8, 40)
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        data = encode_jpeg_gray_progressive_arith(w, h, lambda x, y: vals[y][x])
+        ref = libjpeg_decode(data, w, h, 1)
+        _, _, mean = decode_jpeg(data)
+        assert abs(mean - sum(ref) / (w * h)) < 0.05
