@@ -26,7 +26,7 @@ Two layers:
   ``functions/gif.py`` / ``functions/vp8l.py`` + ``vp8.py`` — the
   containers covering the overwhelming majority of web images); when a
   real decoder library (PIL) is importable it covers the rest; in this
-  container it is not, so the remaining profiles (AVIF, 16-bit PNG,
+  container it is not, so the remaining profiles (AVIF,
   lossless/hierarchical JPEG, VP8 interframes)
   take a clearly-marked DETERMINISTIC FAKE (pure function of the
   bytes: stable across partitioning/retries, so tests and exactly-once
@@ -233,21 +233,28 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixel, color_type: int = 2) -> bytes:
-    """Build a real PNG (8-bit, non-interlaced, all rows filter 0,
-    one zlib IDAT). ``pixel(x, y)`` returns a tuple with
-    ``_PNG_CHANNELS[color_type]`` components."""
+def encode_png(width: int, height: int, pixel, color_type: int = 2,
+               depth: int = 8) -> bytes:
+    """Build a real PNG (8- or 16-bit, non-interlaced, all rows filter
+    0, one zlib IDAT). ``pixel(x, y)`` returns a tuple with
+    ``_PNG_CHANNELS[color_type]`` components (16-bit values when
+    ``depth`` is 16, written big-endian per the spec)."""
     import struct
     import zlib
 
     ch = _PNG_CHANNELS[color_type]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
     raw = bytearray()
     for y in range(height):
         raw.append(0)  # filter type None
         for x in range(width):
             px = pixel(x, y)
-            raw += bytes(v & 0xFF for v in (px if isinstance(px, tuple) else (px,)))
+            vals = px if isinstance(px, tuple) else (px,)
+            if depth == 16:
+                for v in vals:
+                    raw += struct.pack(">H", v & 0xFFFF)
+            else:
+                raw += bytes(v & 0xFF for v in vals)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -272,14 +279,21 @@ def _png_unfilter_sum(raw, off, w_px, n_rows, ch, pal_sums, depth=8):
     contributes itself. ``depth`` < 8 (1/2/4-bit gray or palette,
     single channel): pixels pack MSB-first into bytes, scanlines
     byte-padded, and the filters' "corresponding byte" distance is ONE
-    BYTE (bpp rounds up to 1 per the spec)."""
+    BYTE (bpp rounds up to 1 per the spec). ``depth`` == 16: samples
+    are big-endian byte PAIRS, the filters still operate bytewise with
+    a TWO-bytes-per-sample distance, and the sum is over the 16-bit
+    sample VALUES (the caller scales by 1/257)."""
     import numpy as np
 
     if depth == 8:
+        bpp = ch
         stride = w_px * ch
+    elif depth == 16:
+        bpp = ch * 2
+        stride = w_px * bpp
     else:
         stride = (w_px * depth + 7) // 8
-        ch = 1  # filter byte-distance for sub-byte depths
+        bpp = 1  # filter byte-distance for sub-byte depths
     prev = np.zeros(stride, dtype=np.uint8)
     total = 0
     for _y in range(n_rows):
@@ -291,26 +305,31 @@ def _png_unfilter_sum(raw, off, w_px, n_rows, ch, pal_sums, depth=8):
         if f == 0:
             pass
         elif f == 1:  # Sub: per-lane cumulative sum, uint8 wrap
-            for lane in range(ch):
-                np.add.accumulate(cur[lane::ch], out=cur[lane::ch])
+            for lane in range(bpp):
+                np.add.accumulate(cur[lane::bpp], out=cur[lane::bpp])
         elif f == 2:  # Up
             cur += prev
         elif f == 3:  # Average (sequential left-dependency per lane)
             for i in range(stride):
-                left = int(cur[i - ch]) if i >= ch else 0
+                left = int(cur[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 cur[i] = (int(cur[i]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
-        if depth != 8:
+        if depth == 16:
+            total += int(
+                (cur[0::2].astype(np.int64) * 256
+                 + cur[1::2].astype(np.int64)).sum()
+            )
+        elif depth != 8:
             # unpack MSB-first sub-byte samples, dropping row padding
             bits = np.unpackbits(cur)
             n = w_px * depth
@@ -327,16 +346,19 @@ def _png_unfilter_sum(raw, off, w_px, n_rows, ch, pal_sums, depth=8):
 
 
 def decode_png(data: bytes) -> tuple[int, int, float]:
-    """REAL decode of an 8-bit PNG: gray / RGB / gray+alpha / RGBA /
-    PALETTE (PLTE lookup, indices expand to RGB), non-interlaced AND
-    Adam7-interlaced (each of the 7 passes unfiltered on its own
-    geometry; the feature stat needs only the value SUM, and every
-    pixel belongs to exactly one pass, so passes sum without spatial
-    reassembly). Chunk walk, zlib inflate across split IDATs, full
-    5-filter unfilter, then (width, height, mean over all channel
-    bytes — palette means the expanded R,G,B). Exact integer sum with
-    ONE double division. Raises ValueError outside the profile
-    (bit depths != 8 — the low-bit-depth palette tier — stay out)."""
+    """REAL decode of a PNG: gray / RGB / gray+alpha / RGBA at 8 AND
+    16 bits (16-bit big-endian samples, filters bytewise at the
+    2-bytes-per-sample distance, values scaled to the 0..255 range by
+    exactly 1/257), PALETTE (PLTE lookup, indices expand to RGB) and
+    1/2/4-bit gray/palette, non-interlaced AND Adam7-interlaced (each
+    of the 7 passes unfiltered on its own geometry; the feature stat
+    needs only the value SUM, and every pixel belongs to exactly one
+    pass, so passes sum without spatial reassembly). Chunk walk, zlib
+    inflate across split IDATs, full 5-filter unfilter, then (width,
+    height, mean over all channel samples — palette means the expanded
+    R,G,B). Exact integer sum with ONE double division. Raises
+    ValueError outside the profile (16-bit palette is not a legal PNG;
+    nothing real remains outside)."""
     import struct
     import zlib
 
@@ -357,8 +379,10 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            ok = (depth == 8 and (ctype in _PNG_CHANNELS or ctype == 3)) or (
-                depth in (1, 2, 4) and ctype in (0, 3)
+            ok = (
+                (depth == 8 and (ctype in _PNG_CHANNELS or ctype == 3))
+                or (depth in (1, 2, 4) and ctype in (0, 3))
+                or (depth == 16 and ctype in _PNG_CHANNELS)
             )
             if not ok:
                 raise ValueError(f"unsupported PNG (depth={depth} color={ctype})")
@@ -386,6 +410,9 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
         pal_sums[: len(sums)] = sums
         ch = 1
         denom = 3.0
+    elif depth == 16:  # 16-bit samples scale to 0..255 by exactly 1/257
+        ch = _PNG_CHANNELS[ctype]
+        denom = ch * 257.0
     elif depth != 8:  # sub-byte GRAYSCALE: samples scale to 0..255
         # (left-bit-replication per the spec: v * 255 / (2^d - 1))
         pal_sums = (
@@ -575,9 +602,9 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
         try:
             return decode_png(b)
         except ValueError:
-            # outside the vendored profile (palette/16-bit/interlaced) or
-            # PNG-magic synthetic bytes: fall to the deterministic fake
-            # tier, like every other container without a vendored codec
+            # malformed streams or PNG-magic synthetic bytes: fall to
+            # the deterministic fake tier (every legal PNG profile —
+            # 1/2/4/8/16-bit, palette, Adam7 — decodes for real)
             pass
     if b[:2] == b"\xFF\xD8":
         try:
@@ -617,7 +644,7 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
             # of round 5 — vp8.py / vp8l.py)
             pass
     if not HAVE_PIL:
-        # AVIF / non-baseline JPEG / VP8X: no vendored codec — fake tier
+        # AVIF / non-DCT JPEG: no vendored codec — fake tier
         return _fake_image_decode(b)
     raise NotImplementedError(  # pragma: no cover
         "real PIL decode path: Image.open(io.BytesIO(b)) → size + mean luma; "

@@ -313,3 +313,136 @@ def test_sub8bit_png_oracle_chain():
         assert abs(mean - sum(want_vals) / (denom * w * h)) < 1e-9, (
             depth, ctype,
         )
+
+
+FMT_LINEAR = 4  # PNG_FORMAT_FLAG_LINEAR: 16-bit components
+
+
+def png_read_linear(data: bytes, fmt: int, ch: int):
+    """Like png_read but for the 16-bit linear formats (2-byte
+    components, native-endian)."""
+    img = _PngImage()
+    img.version = PNG_IMAGE_VERSION
+    if not LIB.png_image_begin_read_from_memory(
+        ctypes.byref(img), data, len(data)
+    ):
+        raise ValueError(img.message.decode(errors="replace"))
+    img.format = fmt | FMT_LINEAR
+    n = img.width * img.height * ch * 2
+    buf = ctypes.create_string_buffer(n)
+    ok = LIB.png_image_finish_read(ctypes.byref(img), None, buf, 0, None)
+    w, h = img.width, img.height
+    LIB.png_image_free(ctypes.byref(img))
+    if not ok:
+        raise ValueError("libpng finish_read failed")
+    return w, h, buf.raw
+
+
+def test_16bit_libpng_written_files_through_vendored_decoder():
+    """libpng-WRITTEN 16-bit files (linear formats write the 16-bit
+    samples unchanged; the row filter heuristics pick Sub/Up/Average/
+    Paeth over 2-bytes-per-sample lanes) must decode under our
+    bytewise unfilter to the exact sample mean scaled by 1/257.
+    (No alpha case: libpng's linear-alpha buffer format is
+    premultiplied, so random component data is not representable.)"""
+    import random
+    import struct
+
+    from embulk_spark.functions.multimodal import decode_png
+
+    rng = random.Random(1616)
+    for fmt, ch in ((FMT_GRAY, 1), (FMT_RGB, 3), (FMT_RGB, 3)):
+        w, h = rng.randrange(4, 40), rng.randrange(4, 32)
+        vals = [rng.randrange(65536) for _ in range(w * h * ch)]
+        buf = struct.pack("<%dH" % len(vals), *vals)  # native-endian u16
+        data = png_write(w, h, fmt | FMT_LINEAR, buf)
+        gw, gh, mean = decode_png(data)
+        assert (gw, gh) == (w, h)
+        exp = sum(vals) / (257.0 * ch * w * h)
+        assert mean == pytest.approx(exp, abs=1e-9), (fmt, w, h)
+
+
+def test_16bit_encode_png_reads_back_exact_under_libpng():
+    """Our 16-bit fixture encoder's streams read back sample-exact
+    under libpng (linear read of a linear-tagged file)."""
+    import struct
+    import zlib
+
+    from embulk_spark.functions.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    f = lambda x, y: ((x * 2571 + y * 991) % 65536,)  # noqa: E731
+    data = encode_png(13, 9, lambda x, y: f(x, y)[0], color_type=0, depth=16)
+    # tag the file linear (gAMA 1.0) so the simplified API's linear
+    # read performs no gamma conversion
+    gama = struct.pack(">I", 100000)
+    chunk = (
+        struct.pack(">I", 4) + b"gAMA" + gama
+        + struct.pack(">I", zlib.crc32(b"gAMA" + gama) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 8 + 13 + 4
+    tagged = data[:ihdr_end] + chunk + data[ihdr_end:]
+    w, h, raw = png_read_linear(tagged, FMT_GRAY, 1)
+    got = struct.unpack("<%dH" % (w * h), raw)
+    want = tuple(f(x, y)[0] for y in range(h) for x in range(w))
+    assert got == want
+    # and our own decoder agrees on the tagged bytes too (gAMA ignored)
+    assert decode_png(tagged) == decode_png(data)
+
+
+def test_16bit_adam7_oracle_chain():
+    """Hand-built 16-bit Adam7 stream (per-pass scanlines, filter 0):
+    the interlace walk must sum passes at the 2-byte sample width."""
+    import struct
+    import zlib
+
+    from embulk_spark.functions.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    w, h, ch = 11, 7, 3
+    def px(x, y):
+        return ((x * 997 + y) % 65536, (y * 991) % 65536, (x ^ y) * 771 % 65536)
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for ry in range(ph):
+            raw.append(0)
+            for rx in range(pw):
+                for v in px(x0 + rx * dx, y0 + ry * dy):
+                    raw += struct.pack(">H", v)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1)
+    data = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, mean = decode_png(data)
+    assert (gw, gh) == (w, h)
+    exp = sum(sum(px(x, y)) for y in range(h) for x in range(w)) / (
+        257.0 * ch * w * h
+    )
+    assert mean == pytest.approx(exp, abs=1e-9)
+    # cross-check against libpng's read of the same interlaced stream
+    gama = struct.pack(">I", 100000)
+    ihdr_end = 8 + 8 + 13 + 4
+    tagged = data[:ihdr_end] + chunk(b"gAMA", gama) + data[ihdr_end:]
+    rw, rh, rraw = png_read_linear(tagged, FMT_RGB, 3)
+    vals = struct.unpack("<%dH" % (rw * rh * 3), rraw)
+    assert sum(vals) / (257.0 * ch * w * h) == pytest.approx(exp, abs=1e-9)

@@ -395,8 +395,14 @@ def test_png_rejects_out_of_profile():
 
     with pytest.raises(ValueError):
         decode_png(b"\x89PNGnope")
-    # 16-bit depth rejected
+    # 16-bit RGB decodes now (round 5) — an all-zero 2×2 is mean 0.0
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)
+    ) + _png_chunk(b"IEND", b"")
+    assert decode_png(deep) == (2, 2, 0.0)
+    # 16-bit PALETTE is not a legal PNG — rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
         b"IDAT", zlib.compress(b"\x00" * 26)
     ) + _png_chunk(b"IEND", b"")
