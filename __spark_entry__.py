@@ -1892,6 +1892,30 @@ def _q_multimodal_decode_prog_arith(
     )
 
 
+def _q_multimodal_decode_lossless(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image decode with the vendored LOSSLESS JPEG path (SOF3 — T.81
+    Annex H: seven-predictor prediction, modulo-65536 diffs, huffman
+    categories): decode reproduces the pixel function EXACTLY, so the
+    DuckDB oracle is a PLAIN pixel mean — zero codec arithmetic, the
+    strongest oracle shape of the whole image tier. Predictor rotates
+    with doc_id so all seven are driver-exercised."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_lossless_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_jpeg_lossless_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3494,9 +3518,10 @@ _DRIVER_ROTATION_FIRST = [
     "quality_classifier",
     # slot 21: the new real lossy-VP8 decode key (round 5)
     "multimodal_decode_vp8",
-    # slots 22-23: the new real arithmetic-JPEG decode keys (round 5:
-    # SOF9 sequential + SOF10 progressive)
+    # slots 22-24: the new real JPEG-family decode keys (round 5:
+    # SOF9 sequential-arith + SOF10 progressive-arith + SOF3 lossless)
     "multimodal_decode_arith", "multimodal_decode_prog_arith",
+    "multimodal_decode_lossless",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3603,6 +3628,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_progressive": _q_multimodal_decode_progressive,
         "multimodal_decode_arith": _q_multimodal_decode_arith,
         "multimodal_decode_prog_arith": _q_multimodal_decode_prog_arith,
+        "multimodal_decode_lossless": _q_multimodal_decode_lossless,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4767,6 +4793,28 @@ def oracle_sql() -> dict[str, str]:
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_decode_lossless: SOF3 is EXACT, so the oracle is
+        # the plain pixel mean of the synth function — no codec
+        # arithmetic at all.
+        "multimodal_decode_lossless": """
+        WITH g AS (
+          SELECT doc_id,
+                 8 * (1 + doc_id % 3) AS w,
+                 8 * (1 + (doc_id * 5) % 3) AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, w, h,
+                 (29 * x.range + 43 * y.range + doc_id) % 256 AS v
+          FROM g, range(24) x, range(24) y
+          WHERE x.range < w AND y.range < h
+        )
+        SELECT doc_id AS id, 'jpeg' AS container,
+               w::int AS width, h::int AS height,
+               sum(v) / (1.0 * w * h) AS mean_luma
+        FROM px
+        GROUP BY doc_id, w, h
         """,
         # multimodal_decode_prog_arith: the SAME closed form — the
         # SOF10 G.2 successive-approximation scans over the QM coder

@@ -684,8 +684,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                     raise ValueError("bad DHT")
                 (ac_tabs if cls else dc_tabs)[tid] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 baseline, SOF2 progressive, SOF9/SOF10 arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
+            # SOF9/SOF10 arithmetic
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -697,7 +698,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 })
             frame = {"w": w, "h": h, "comps": comps,
                      "progressive": marker in (0xC2, 0xCA),
-                     "arith": marker in (0xC9, 0xCA)}
+                     "arith": marker in (0xC9, 0xCA),
+                     "lossless": marker == 0xC3}
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             i = 0
             while i + 1 < len(body):
@@ -708,10 +710,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 else:
                     arith_cond[("ac", tb)] = val
                 i += 2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-DCT (lossless/hierarchical) JPEG "
-                             "unsupported")
+            raise ValueError("non-DCT (hierarchical/differential/"
+                             "lossless-arithmetic) JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -723,6 +725,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
+            if frame.get("lossless"):
+                ss = body[1 + 2 * ns]  # predictor selector
+                al = body[3 + 2 * ns] & 0x0F  # point transform
+                comp, td, ta = scan[0]
+                tab = dc_tabs.get(td)
+                if tab is None:
+                    raise ValueError("missing lossless DHT")
+                return _decode_scan_lossless(
+                    data, pos + 2 + seglen, frame,
+                    [(comp, td, ta, tab)], ss, al, restart_interval,
+                )
             if frame.get("arith") and not frame["progressive"]:
                 from embulk_spark.functions.jpeg_arith import (
                     _decode_scan_arith,
@@ -1130,3 +1143,174 @@ def reconstructed_flat_value(v: int) -> int:
     standard luminance table (Q00 = 16): what the decoder must produce."""
     dc = _round_half_away((v - 128) / 2.0)
     return max(0, min(255, 2 * dc + 128))
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, T.81 Annex H — huffman predictive)
+# ---------------------------------------------------------------------------
+
+#: flat canonical DHT for the 17 lossless diff categories (0..16): all
+#: codes length 5 (17 < 2^5, legal canonical table)
+_LL_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_DC_VALS = list(range(17))
+
+
+def _ll_predict(plane, x, y, sel, p, pt):
+    """T.81 H.1.2 sample prediction: spec-fixed edge rules (first
+    sample 2^(P-Pt-1), first row uses a, first column uses b), else the
+    selected predictor 1..7 over a=left, b=above, c=above-left."""
+    if y == 0 and x == 0:
+        return 1 << (p - pt - 1)
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"bad lossless predictor {sel}")
+
+
+def _decode_scan_lossless(
+    data, pos, frame, scan, sel, pt, restart_interval
+) -> tuple[int, int, float]:
+    """SOF3 scan decode (single component, 8-bit): huffman diff
+    categories + extend bits, prediction per H.1.2, arithmetic modulo
+    65536, output samples left-shifted by the point transform."""
+    import numpy as np
+
+    w, h = frame["w"], frame["h"]
+    if not w or not h:
+        raise ValueError("zero-dimension JPEG")
+    if len(scan) != 1:
+        raise ValueError("only single-component lossless supported")
+    comp, td, _ta, tab = scan[0]
+    plane = np.zeros((h, w), dtype=np.int64)
+    br = _BitReader(data, pos)
+    mcu = 0
+    next_rst = 0
+    restart_row = 0  # prediction restarts treat the next row as first
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                got = br.align_restart()
+                if got != next_rst:
+                    raise ValueError("restart marker out of sequence")
+                next_rst = (next_rst + 1) & 7
+                if x != 0:
+                    raise ValueError(
+                        "mid-row lossless restart unsupported"
+                    )
+                restart_row = y
+            cat = tab.decode(br)
+            if cat > 16:
+                raise ValueError("bad lossless category")
+            diff = 32768 if cat == 16 else br.receive_extend(cat)
+            view = plane[restart_row:, :]
+            pred = _ll_predict(view, x, y - restart_row, sel, 8, pt)
+            plane[y, x] = (pred + diff) & 0xFFFF
+            mcu += 1
+    vals = plane << pt
+    if int(vals.max()) > 255:
+        raise ValueError("lossless sample out of range")
+    total = int(vals.sum(dtype=np.int64))
+    return int(w), int(h), total / float(w * h)
+
+
+def encode_jpeg_gray_lossless(
+    width: int, height: int, pix_fn, predictor: int = 4, pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """SOF3 lossless JFIF fixture, one 8-bit grayscale component:
+    prediction per H.1.2 with the chosen ``predictor`` (1..7) and
+    point transform ``pt``, diffs coded with a flat 17-category DHT.
+    ``restart_interval`` is in samples and must divide the row length
+    (prediction restarts at a row boundary). The decode is EXACT
+    (pixels >> pt << pt), so oracles need no codec arithmetic."""
+    import numpy as np
+
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if restart_interval and restart_interval % width:
+        raise ValueError("restart interval must be whole rows")
+    img = np.zeros((height, width), dtype=np.int64)
+    for y in range(height):
+        for x in range(width):
+            img[y, x] = (int(pix_fn(x, y)) & 0xFF) >> pt
+    codes = _build_huff_codes(_LL_DC_BITS, _LL_DC_VALS)
+
+    out = bytearray(b"\xFF\xD8")
+    out += (
+        b"\xFF\xE0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xFF\xC3" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(_LL_DC_VALS))
+    out += bytes([0x00]) + bytes(_LL_DC_BITS) + bytes(_LL_DC_VALS)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00])
+    out += bytes([predictor, 0, pt])  # Ss=selector, Se=0, Ah=0, Al=Pt
+
+    bw = _BitWriter()
+    mcu = 0
+    rst = 0
+    restart_row = 0
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.buf
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                restart_row = y
+            pred = _ll_predict(
+                img[restart_row:, :], x, y - restart_row, predictor, 8, pt
+            )
+            diff = (int(img[y, x]) - pred) & 0xFFFF
+            if diff >= 32768:
+                diff -= 65536  # signed representative for category coding
+            if diff == -32768:  # category 16: no appended bits (H.1.2.3)
+                code, ln = codes[16]
+                bw.put(code, ln)
+            else:
+                cat, bits = _magnitude(diff)
+                code, ln = codes[cat]
+                bw.put(code, ln)
+                if cat:
+                    bw.put(bits, cat)
+            mcu += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def synth_jpeg_lossless_bytes(doc_id: int) -> bytes:
+    """Deterministic real SOF3 (lossless) JPEG: decode reproduces the
+    pixel function EXACTLY, so the oracle is the plain pixel mean —
+    no codec arithmetic at all. Predictor varies with doc_id to cover
+    all seven."""
+    w, h = synth_jpeg_dims(doc_id)
+    return encode_jpeg_gray_lossless(
+        w, h,
+        lambda x, y: (29 * x + 43 * y + doc_id) % 256,
+        predictor=1 + doc_id % 7,
+    )

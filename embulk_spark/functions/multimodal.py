@@ -27,7 +27,7 @@ Two layers:
   containers covering the overwhelming majority of web images); when a
   real decoder library (PIL) is importable it covers the rest; in this
   container it is not, so the remaining profiles (AVIF,
-  lossless/hierarchical JPEG, VP8 interframes)
+  hierarchical/12-bit JPEG, VP8 interframes)
   take a clearly-marked DETERMINISTIC FAKE (pure function of the
   bytes: stable across partitioning/retries, so tests and exactly-once
   replay semantics hold). Swapping backends changes no schema, no
@@ -552,6 +552,19 @@ def synth_jpeg_arith_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_jpeg_lossless_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real LOSSLESS JPEG bytes (SOF3 — T.81
+    Annex H predictive coding; decode reproduces the pixel function
+    EXACTLY, so the oracle is a plain pixel mean)."""
+    from .jpeg import synth_jpeg_lossless_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_lossless_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 def synth_jpeg_prog_arith_col(id_col: Column) -> Column:
     """Arrow-batched synth of real PROGRESSIVE-arithmetic JPEG bytes
     (SOF10 — G.2 successive-approximation scans over the QM coder;
@@ -611,15 +624,16 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
             # vendored real decoder (functions/jpeg.py + jpeg_arith.py):
             # the COMPLETE 8-bit DCT family — baseline (SOF0/1),
             # progressive (SOF2, Annex G), sequential- and progressive-
-            # arithmetic (SOF9/SOF10, Annex-D QM coder) — entropy
-            # decode + dequant + IDCT, grayscale/YCbCr, subsampling,
+            # arithmetic (SOF9/SOF10, Annex-D QM coder) — plus LOSSLESS
+            # (SOF3, Annex-H predictive): entropy decode + dequant +
+            # IDCT (or exact prediction), grayscale/YCbCr, subsampling,
             # restarts
             from .jpeg import decode_jpeg
 
             return decode_jpeg(b)
         except ValueError:
-            # lossless / hierarchical / 12-bit / JPEG-magic synthetic
-            # bytes: fake tier, same policy as the PNG profile boundary
+            # hierarchical / 12-bit / JPEG-magic synthetic bytes:
+            # fake tier, same policy as the PNG profile boundary
             pass
     if b[:6] in (b"GIF87a", b"GIF89a"):
         try:

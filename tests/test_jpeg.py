@@ -114,13 +114,20 @@ def test_non_baseline_and_garbage_raise():
         decode_jpeg(b"\xFF\xD8\xFF\xE0not a real stream")
     with pytest.raises(ValueError):
         decode_jpeg(b"GIF89a")
-    # LOSSLESS frames (SOF3) are detected and refused, not mis-decoded
-    # (the whole 8-bit DCT family SOF0/1/2/9/10 is REAL now —
-    # tests/test_jpeg_arith.py covers the arithmetic members)
+    # HIERARCHICAL frames (SOF5) are detected and refused, not
+    # mis-decoded (SOF0/1/2/3/9/10 are all REAL now)
+    blob = bytearray(synth_jpeg_bytes(1))
+    i = blob.find(b"\xFF\xC0")
+    blob[i + 1] = 0xC5
+    with pytest.raises(ValueError, match="non-DCT"):
+        decode_jpeg(bytes(blob))
+    # a BASELINE stream relabeled SOF3 is malformed lossless (its scan
+    # header Ss=0 is not a predictor selector; its DHT has DCT-sized
+    # codes) — rejected, never mis-decoded
     blob = bytearray(synth_jpeg_bytes(1))
     i = blob.find(b"\xFF\xC0")
     blob[i + 1] = 0xC3
-    with pytest.raises(ValueError, match="non-DCT"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(blob))
     # a BASELINE stream merely relabeled SOF2 is malformed progressive
     # (its sequential scan header Ss=0,Se=63 is not a legal DC scan) —
@@ -236,3 +243,59 @@ def test_progressive_backend_routes_real():
         24, 16, lambda x, y: (x * 5 + y * 3) % 256
     )
     assert _decode_backend(data) == decode_jpeg(data)
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3, Annex H)
+# ---------------------------------------------------------------------------
+
+
+def test_lossless_all_predictors_roundtrip_exactly():
+    import random
+
+    from embulk_spark.functions.jpeg import encode_jpeg_gray_lossless
+
+    f = lambda x, y: (29 * x + 43 * y + 7) % 256  # noqa: E731
+    exp = sum(f(x, y) for y in range(11) for x in range(19)) / (19 * 11)
+    for pred in range(1, 8):
+        d = encode_jpeg_gray_lossless(19, 11, f, predictor=pred)
+        assert decode_jpeg(d) == (19, 11, exp), pred
+    # random content is reproduced exactly (it IS lossless)
+    rng = random.Random(3)
+    for _ in range(3):
+        w, h = rng.randrange(1, 40), rng.randrange(1, 30)
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        d = encode_jpeg_gray_lossless(
+            w, h, lambda x, y: vals[y][x], predictor=rng.randrange(1, 8)
+        )
+        gw, gh, mean = decode_jpeg(d)
+        assert (gw, gh) == (w, h)
+        assert mean == pytest.approx(sum(map(sum, vals)) / (w * h), abs=1e-12)
+
+
+def test_lossless_point_transform_and_restart():
+    from embulk_spark.functions.jpeg import encode_jpeg_gray_lossless
+
+    f = lambda x, y: (29 * x + 43 * y + 7) % 256  # noqa: E731
+    for pt in (1, 3):
+        d = encode_jpeg_gray_lossless(9, 7, f, predictor=4, pt=pt)
+        exp = sum(
+            (f(x, y) >> pt) << pt for y in range(7) for x in range(9)
+        ) / (9 * 7)
+        assert decode_jpeg(d) == (9, 7, exp)
+    d = encode_jpeg_gray_lossless(16, 12, f, predictor=2, restart_interval=48)
+    exp = sum(f(x, y) for y in range(12) for x in range(16)) / (16 * 12)
+    assert decode_jpeg(d) == (16, 12, exp)
+
+
+def test_lossless_bad_predictor_and_sequence_rejected():
+    from embulk_spark.functions.jpeg import encode_jpeg_gray_lossless
+
+    with pytest.raises(ValueError):
+        encode_jpeg_gray_lossless(8, 8, lambda x, y: x, predictor=8)
+    d = bytearray(encode_jpeg_gray_lossless(8, 8, lambda x, y: x * 9))
+    i = bytes(d).find(b"\xFF\xDA")
+    # SOS layout: FF DA len2 Ns cid tdta Ss Se A — Ss at i+7
+    d[i + 7] = 0  # Ss=0: not a legal lossless predictor selector
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(d))
