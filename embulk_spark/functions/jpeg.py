@@ -688,15 +688,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
             # SOF9/SOF10 arithmetic
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+            if prec != 8 and not (marker == 0xC3 and 2 <= prec <= 16):
+                # DCT paths are 8-bit; LOSSLESS takes the spec's full
+                # 2..16-bit precision range (the DNG/raw-photo tier)
+                raise ValueError("unsupported sample precision")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({
                     "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
                 })
-            frame = {"w": w, "h": h, "comps": comps,
+            frame = {"w": w, "h": h, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xCA),
                      "arith": marker in (0xC9, 0xCA),
                      "lossless": marker == 0xC3}
@@ -1188,11 +1190,14 @@ def _ll_predict(plane, x, y, sel, p, pt):
 def _decode_scan_lossless(
     data, pos, frame, scan, sel, pt, restart_interval
 ) -> tuple[int, int, float]:
-    """SOF3 scan decode (single component, 8-bit): huffman diff
-    categories + extend bits, prediction per H.1.2, arithmetic modulo
-    65536, output samples left-shifted by the point transform."""
+    """SOF3 scan decode (single component, 2..16-bit precision —
+    12/14/16-bit is the DNG/raw tier): huffman diff categories +
+    extend bits, prediction per H.1.2, arithmetic modulo 65536,
+    output samples left-shifted by the point transform; the mean
+    scales to the 0..255 range by exactly 255/(2^P−1)."""
     import numpy as np
 
+    p = frame.get("prec", 8)
     w, h = frame["w"], frame["h"]
     if not w or not h:
         raise ValueError("zero-dimension JPEG")
@@ -1221,36 +1226,40 @@ def _decode_scan_lossless(
                 raise ValueError("bad lossless category")
             diff = 32768 if cat == 16 else br.receive_extend(cat)
             view = plane[restart_row:, :]
-            pred = _ll_predict(view, x, y - restart_row, sel, 8, pt)
+            pred = _ll_predict(view, x, y - restart_row, sel, p, pt)
             plane[y, x] = (pred + diff) & 0xFFFF
             mcu += 1
     vals = plane << pt
-    if int(vals.max()) > 255:
+    if int(vals.max()) > (1 << p) - 1:
         raise ValueError("lossless sample out of range")
     total = int(vals.sum(dtype=np.int64))
-    return int(w), int(h), total / float(w * h)
+    return int(w), int(h), total * 255 / float(((1 << p) - 1) * w * h)
 
 
 def encode_jpeg_gray_lossless(
     width: int, height: int, pix_fn, predictor: int = 4, pt: int = 0,
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
-    """SOF3 lossless JFIF fixture, one 8-bit grayscale component:
-    prediction per H.1.2 with the chosen ``predictor`` (1..7) and
-    point transform ``pt``, diffs coded with a flat 17-category DHT.
-    ``restart_interval`` is in samples and must divide the row length
-    (prediction restarts at a row boundary). The decode is EXACT
-    (pixels >> pt << pt), so oracles need no codec arithmetic."""
+    """SOF3 lossless JFIF fixture, one grayscale component at 2..16-bit
+    ``precision``: prediction per H.1.2 with the chosen ``predictor``
+    (1..7) and point transform ``pt``, diffs coded with a flat
+    17-category DHT. ``restart_interval`` is in samples and must
+    divide the row length (prediction restarts at a row boundary).
+    The decode is EXACT (pixels >> pt << pt), so oracles need no
+    codec arithmetic."""
     import numpy as np
 
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
     if restart_interval and restart_interval % width:
         raise ValueError("restart interval must be whole rows")
+    mask = (1 << precision) - 1
     img = np.zeros((height, width), dtype=np.int64)
     for y in range(height):
         for x in range(width):
-            img[y, x] = (int(pix_fn(x, y)) & 0xFF) >> pt
+            img[y, x] = (int(pix_fn(x, y)) & mask) >> pt
     codes = _build_huff_codes(_LL_DC_BITS, _LL_DC_VALS)
 
     out = bytearray(b"\xFF\xD8")
@@ -1258,7 +1267,9 @@ def encode_jpeg_gray_lossless(
         b"\xFF\xE0" + struct.pack(">H", 16)
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
-    out += b"\xFF\xC3" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += b"\xFF\xC3" + struct.pack(
+        ">HBHHB", 11, precision, height, width, 1
+    )
     out += bytes([1, 0x11, 0])
     out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(_LL_DC_VALS))
     out += bytes([0x00]) + bytes(_LL_DC_BITS) + bytes(_LL_DC_VALS)
@@ -1282,7 +1293,8 @@ def encode_jpeg_gray_lossless(
                 bw = _BitWriter()
                 restart_row = y
             pred = _ll_predict(
-                img[restart_row:, :], x, y - restart_row, predictor, 8, pt
+                img[restart_row:, :], x, y - restart_row, predictor,
+                precision, pt,
             )
             diff = (int(img[y, x]) - pred) & 0xFFFF
             if diff >= 32768:

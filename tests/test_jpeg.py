@@ -299,3 +299,41 @@ def test_lossless_bad_predictor_and_sequence_rejected():
     d[i + 7] = 0  # Ss=0: not a legal lossless predictor selector
     with pytest.raises(ValueError):
         decode_jpeg(bytes(d))
+
+
+def test_lossless_high_precision_roundtrip():
+    """2..16-bit lossless (the DNG/raw tier): exact reproduction at
+    every precision, incl. the category-16 (diff ≡ ±32768) edge that
+    only 16-bit streams can reach."""
+    import random
+
+    from embulk_spark.functions.jpeg import encode_jpeg_gray_lossless
+
+    rng = random.Random(14)
+    for p in (2, 4, 12, 14, 16):
+        mx = (1 << p) - 1
+        w, h = rng.randrange(2, 30), rng.randrange(2, 24)
+        vals = [[rng.randrange(mx + 1) for _ in range(w)] for _ in range(h)]
+        d = encode_jpeg_gray_lossless(
+            w, h, lambda x, y: vals[y][x],
+            predictor=rng.randrange(1, 8), precision=p,
+        )
+        gw, gh, mean = decode_jpeg(d)
+        assert (gw, gh) == (w, h)
+        assert mean == pytest.approx(
+            sum(map(sum, vals)) * 255 / (mx * w * h), abs=1e-9
+        ), p
+    # category 16: first-sample pred is 2^15, sample 0 → diff -32768
+    f = lambda x, y: [0, 32768][x % 2]  # noqa: E731
+    d = encode_jpeg_gray_lossless(8, 3, f, predictor=1, precision=16)
+    _, _, mean = decode_jpeg(d)
+    exp = sum(f(x, y) for y in range(3) for x in range(8)) * 255 / (
+        65535 * 8 * 3
+    )
+    assert mean == pytest.approx(exp, abs=1e-9)
+    # 12-bit DCT frames stay rejected (only LOSSLESS is multi-precision)
+    blob = bytearray(encode_jpeg_gray(16, 16, lambda x, y: x * 7))
+    i = bytes(blob).find(b"\xFF\xC0")
+    blob[i + 4] = 12  # SOF precision byte
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(blob))
