@@ -1916,6 +1916,28 @@ def _q_multimodal_decode_lossless(
     )
 
 
+def _q_multimodal_decode_12bit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image decode with the vendored 12-BIT extended-sequential JPEG
+    path (SOF1 — level shift 2048, DC categories to 15, means scaled
+    by exactly 255/4095): block-constant closed form
+    clamp(2·round_half_away((v−2048)/2) + 2048, 0, 4095)."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_12bit_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_jpeg_12bit_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3518,10 +3540,11 @@ _DRIVER_ROTATION_FIRST = [
     "quality_classifier",
     # slot 21: the new real lossy-VP8 decode key (round 5)
     "multimodal_decode_vp8",
-    # slots 22-24: the new real JPEG-family decode keys (round 5:
-    # SOF9 sequential-arith + SOF10 progressive-arith + SOF3 lossless)
+    # slots 22-25: the new real JPEG-family decode keys (round 5:
+    # SOF9 sequential-arith + SOF10 progressive-arith + SOF3 lossless
+    # + SOF1 12-bit)
     "multimodal_decode_arith", "multimodal_decode_prog_arith",
-    "multimodal_decode_lossless",
+    "multimodal_decode_lossless", "multimodal_decode_12bit",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3629,6 +3652,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_arith": _q_multimodal_decode_arith,
         "multimodal_decode_prog_arith": _q_multimodal_decode_prog_arith,
         "multimodal_decode_lossless": _q_multimodal_decode_lossless,
+        "multimodal_decode_12bit": _q_multimodal_decode_12bit,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4791,6 +4815,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, 'jpeg' AS container,
                (8 * bw)::int AS width, (8 * bh)::int AS height,
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
+        FROM recon
+        GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_decode_12bit: SOF1 extended-sequential closed
+        # form at 12-bit — recon = clamp(2·rha((v−2048)/2) + 2048,
+        # 0, 4095), mean scaled by 255/4095.
+        "multimodal_decode_12bit": """
+        WITH g AS (
+          SELECT doc_id,
+                 1 + doc_id % 3 AS bw,
+                 1 + (doc_id * 5) % 3 AS bh
+          FROM documents
+        ),
+        blocks AS (
+          SELECT doc_id, bw, bh,
+                 (661 * x.range + 997 * y.range + 37 * doc_id) % 4096 AS v
+          FROM g, range(3) x, range(3) y
+          WHERE x.range < bw AND y.range < bh
+        ),
+        recon AS (
+          SELECT doc_id, bw, bh,
+                 LEAST(4095, GREATEST(0,
+                   2 * (CASE WHEN v >= 2048
+                             THEN floor((v - 2048) / 2.0 + 0.5)
+                             ELSE -floor((2048 - v) / 2.0 + 0.5) END)
+                   + 2048)) AS pv
+          FROM blocks
+        )
+        SELECT doc_id AS id, 'jpeg' AS container,
+               (8 * bw)::int AS width, (8 * bh)::int AS height,
+               sum(pv) * 255 / (4095.0 * bw * bh * 64) * 64 AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
         """,

@@ -155,10 +155,12 @@ def _block_at(img: np.ndarray, bx: int, by: int) -> np.ndarray:
     return img[np.ix_(ys, xs)].astype(np.float64)
 
 
-def _quantize_block(blk: np.ndarray, qt: np.ndarray) -> np.ndarray:
+def _quantize_block(blk: np.ndarray, qt: np.ndarray,
+                    level: float = 128.0) -> np.ndarray:
     """DCT → round-half-away quantize one 8×8 block (shared by the
-    baseline and progressive encoders)."""
-    S = _A @ (blk - 128.0) @ _A.T
+    baseline and progressive encoders; ``level`` is the 2^(P-1) shift
+    — 2048 for 12-bit extended-sequential frames)."""
+    S = _A @ (blk - level) @ _A.T
     # snap float-DCT noise (±1e-12) so integer-valued coefficients
     # quantize deterministically at exact .5 boundaries — the
     # closed-form oracle depends on round-half-away of exact ratios
@@ -688,9 +690,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
             # SOF9/SOF10 arithmetic
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 and not (marker == 0xC3 and 2 <= prec <= 16):
-                # DCT paths are 8-bit; LOSSLESS takes the spec's full
-                # 2..16-bit precision range (the DNG/raw-photo tier)
+            ok_prec = (
+                prec == 8
+                or (marker == 0xC3 and 2 <= prec <= 16)
+                or (marker in (0xC1, 0xC9) and prec == 12)
+            )
+            if not ok_prec:
+                # B.2.2: baseline/progressive are 8-bit; EXTENDED
+                # sequential (huffman SOF1 / arithmetic SOF9) adds
+                # 12-bit; LOSSLESS takes the full 2..16-bit range
                 raise ValueError("unsupported sample precision")
             comps = []
             for c in range(nc):
@@ -780,6 +788,9 @@ def _decode_scan(
     data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
 ) -> tuple[int, int, float]:
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    p = frame.get("prec", 8)
+    level, vmaxv = 1 << (p - 1), (1 << p) - 1
+    dc_cat_max = 11 if p == 8 else 15  # F.1.2.1.2: 12-bit adds 4 cats
     if not w or not h:
         raise ValueError("zero-dimension JPEG")
     hmax = max(c["h"] for c in comps)
@@ -816,7 +827,7 @@ def _decode_scan(
                     for bxx in range(comp["h"]):
                         S = np.zeros((8, 8), dtype=np.float64)
                         cat = dct.decode(br)
-                        if cat > 11:
+                        if cat > dc_cat_max:
                             raise ValueError("bad DC category")
                         diff = br.receive_extend(cat)
                         preds[comp["id"]] += diff
@@ -837,9 +848,9 @@ def _decode_scan(
                             S[rr, cc] = br.receive_extend(s) * qt[rr, cc]
                             k += 1
                         blk = _A.T @ S @ _A
-                        px = np.clip(np.floor(blk + 128.5), 0, 255).astype(
-                            np.int64
-                        )
+                        px = np.clip(
+                            np.floor(blk + level + 0.5), 0, vmaxv
+                        ).astype(np.int64)
                         by0 = (my * comp["v"] + byy) * 8
                         bx0 = (mx * comp["h"] + bxx) * 8
                         planes[comp["id"]][by0 : by0 + 8, bx0 : bx0 + 8] = px
@@ -850,7 +861,7 @@ def _decode_scan(
     ch = (h * c0["v"] + vmax - 1) // vmax
     luma = planes[c0["id"]][:ch, :cw]
     total = int(luma.sum(dtype=np.int64))
-    return int(w), int(h), total / float(cw * ch)
+    return int(w), int(h), total * 255 / float(vmaxv * cw * ch)
 
 
 # ---------------------------------------------------------------------------
@@ -1325,4 +1336,110 @@ def synth_jpeg_lossless_bytes(doc_id: int) -> bytes:
         w, h,
         lambda x, y: (29 * x + 43 * y + doc_id) % 256,
         predictor=1 + doc_id % 7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1, huffman) — fixture encoder
+# ---------------------------------------------------------------------------
+
+#: flat DHTs for 12-bit frames: DC categories 0..15 (length 5), AC
+#: run/size symbols with sizes 1..14 + ZRL + EOB (length 9 — 226
+#: codes, canonically legal)
+_EXT_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_EXT_DC_VALS = list(range(16))
+_EXT_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 15)}
+    | {0xF0, 0x00}
+)
+_EXT_AC_BITS = [0] * 8 + [len(_EXT_AC_VALS)] + [0] * 7
+
+
+def encode_jpeg_gray12(width: int, height: int, pix_fn) -> bytes:
+    """EXTENDED-sequential JFIF fixture (SOF1, 12-bit precision, one
+    grayscale component, huffman): level shift 2048, Annex-K
+    luminance quant table, flat 12-bit-range DHTs.
+    ``pix_fn(x, y) -> 0..4095``."""
+    dc_codes = _build_huff_codes(_EXT_DC_BITS, _EXT_DC_VALS)
+    ac_codes = _build_huff_codes(_EXT_AC_BITS, _EXT_AC_VALS)
+    img = np.fromfunction(
+        np.vectorize(lambda y, x: pix_fn(int(x), int(y))), (height, width)
+    ).astype(np.float64)
+
+    out = bytearray(b"\xFF\xD8")
+    out += (
+        b"\xFF\xE0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zzq = bytes(int(STD_LUMA_QT[r, c]) for (r, c) in ZIGZAG)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + zzq
+    out += b"\xFF\xC1" + struct.pack(">HBHHB", 11, 12, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(_EXT_DC_VALS))
+    out += bytes([0x00]) + bytes(_EXT_DC_BITS) + bytes(_EXT_DC_VALS)
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(_EXT_AC_VALS))
+    out += bytes([0x10]) + bytes(_EXT_AC_BITS) + bytes(_EXT_AC_VALS)
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00])
+    out += b"\x00\x3F\x00"
+
+    bw = _BitWriter()
+    pred = 0
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            q = _quantize_block(
+                _block_at(img, bx, by), STD_LUMA_QT, level=2048.0
+            )
+            diff = int(q[0, 0]) - pred
+            pred = int(q[0, 0])
+            cat, bits = _magnitude(diff)
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(bits, cat)
+            zz = [int(q[r, c]) for (r, c) in ZIGZAG[1:]]
+            last_nz = -1
+            for i, v in enumerate(zz):
+                if v:
+                    last_nz = i
+            run = 0
+            for i, v in enumerate(zz):
+                if i > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(bits, cat)
+                run = 0
+            if last_nz < 62:
+                code, ln = ac_codes[0x00]
+                bw.put(code, ln)
+    bw.flush()
+    out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def reconstructed_flat_value12(v: int) -> int:
+    """Closed-form round trip of a constant 12-bit block value under
+    the standard luminance table (Q00 = 16)."""
+    dc = _round_half_away((v - 2048) / 2.0)
+    return max(0, min(4095, 2 * dc + 2048))
+
+
+def synth_jpeg_12bit_bytes(doc_id: int) -> bytes:
+    """Deterministic real 12-bit SOF1 JPEG: block-constant values in
+    the full 12-bit range, closed-form decode (reconstructed_flat_
+    value12, mean scaled by 255/4095)."""
+    w, h = synth_jpeg_dims(doc_id)
+    return encode_jpeg_gray12(
+        w, h,
+        lambda x, y: (661 * (x // 8) + 997 * (y // 8) + 37 * doc_id) % 4096,
     )

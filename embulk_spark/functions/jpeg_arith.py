@@ -565,8 +565,12 @@ def _decode_scan_arith(
     data, pos, frame, scan, qts, cond, restart_interval
 ) -> tuple[int, int, float]:
     """Sequential arithmetic scan → (width, height, luma mean); the
-    MCU walk / IDCT / crop discipline mirrors jpeg._decode_scan."""
+    MCU walk / IDCT / crop discipline mirrors jpeg._decode_scan
+    (incl. 12-bit extended-sequential level shift / clamp / mean
+    scale)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    p = frame.get("prec", 8)
+    level, vmaxv = 1 << (p - 1), (1 << p) - 1
     if not w or not h:
         raise ValueError("zero-dimension JPEG")
     hmax = max(c["h"] for c in comps)
@@ -622,7 +626,7 @@ def _decode_scan_arith(
                                 S[r, cc] = zz[k] * qt[r, cc]
                         blk = _A.T @ S @ _A
                         px = np.clip(
-                            np.floor(blk + 128.5), 0, 255
+                            np.floor(blk + level + 0.5), 0, vmaxv
                         ).astype(np.int64)
                         by0 = (my * comp["v"] + byy) * 8
                         bx0 = (mx * comp["h"] + bxx) * 8
@@ -633,7 +637,7 @@ def _decode_scan_arith(
     ch = (h * c0["v"] + vmax - 1) // vmax
     luma = planes[c0["id"]][:ch, :cw]
     total = int(luma.sum(dtype=np.int64))
-    return int(w), int(h), total / float(cw * ch)
+    return int(w), int(h), total * 255 / float(vmaxv * cw * ch)
 
 
 def _progressive_scan_arith(
@@ -755,7 +759,8 @@ def _progressive_scan_arith(
 def _arith_headers(width: int, height: int, comps,
                    restart_interval: int = 0,
                    dc_cond: tuple[int, int] = _DEFAULT_DC_COND,
-                   kx: int = _DEFAULT_AC_KX) -> bytes:
+                   kx: int = _DEFAULT_AC_KX,
+                   precision: int = 8) -> bytes:
     """SOI..SOS for an SOF9 stream: like jpeg._headers but no DHT (no
     huffman tables in arithmetic streams); a DAC marker (B.2.4.3) is
     emitted only when the conditioning differs from the spec defaults
@@ -768,7 +773,7 @@ def _arith_headers(width: int, height: int, comps,
     zzq = bytes(int(STD_LUMA_QT[r, c]) for (r, c) in ZIGZAG)
     out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + zzq
     out += b"\xFF\xC9" + struct.pack(
-        ">HBHHB", 8 + 3 * len(comps), 8, height, width, len(comps)
+        ">HBHHB", 8 + 3 * len(comps), precision, height, width, len(comps)
     )
     for cid, hf, vf in comps:
         out += bytes([cid, (hf << 4) | vf, 0])
@@ -798,8 +803,9 @@ class _ArithEncState:
         self.kx = kx
 
 
-def _encode_block_arith(st: _ArithEncState, ci: int, blk) -> None:
-    q = _quantize_block(blk, STD_LUMA_QT)
+def _encode_block_arith(st: _ArithEncState, ci: int, blk,
+                        level: float = 128.0) -> None:
+    q = _quantize_block(blk, STD_LUMA_QT, level=level)
     zz = [int(q[r, c]) for (r, c) in ZIGZAG]
     diff = zz[0] - st.preds[ci]
     st.preds[ci] = zz[0]
@@ -813,18 +819,23 @@ def _encode_block_arith(st: _ArithEncState, ci: int, blk) -> None:
 def encode_jpeg_gray_arith(
     width: int, height: int, pix_fn, restart_interval: int = 0,
     dc_cond: tuple[int, int] = _DEFAULT_DC_COND,
-    kx: int = _DEFAULT_AC_KX,
+    kx: int = _DEFAULT_AC_KX, precision: int = 8,
 ) -> bytes:
-    """SOF9 JFIF, one 8-bit grayscale component, Annex-K luminance
-    quant table. ``pix_fn(x, y) -> 0..255``; ``restart_interval``
-    emits DRI + RSTn with a full coder/stats re-init per segment —
-    the arithmetic analogue of jpeg.encode_jpeg_gray. Non-default
-    ``dc_cond``/``kx`` conditioning is declared via a DAC marker."""
+    """SOF9 JFIF, one grayscale component at 8- or 12-bit
+    ``precision``, Annex-K luminance quant table.
+    ``pix_fn(x, y) -> 0..2^P-1``; ``restart_interval`` emits DRI +
+    RSTn with a full coder/stats re-init per segment — the arithmetic
+    analogue of jpeg.encode_jpeg_gray. Non-default ``dc_cond``/``kx``
+    conditioning is declared via a DAC marker."""
+    if precision not in (8, 12):
+        raise ValueError("extended-sequential precision must be 8 or 12")
+    level = float(1 << (precision - 1))
     img = np.fromfunction(
         np.vectorize(lambda y, x: pix_fn(int(x), int(y))), (height, width)
     ).astype(np.float64)
     out = bytearray(_arith_headers(
         width, height, [(1, 1, 1)], restart_interval, dc_cond, kx,
+        precision,
     ))
     st = _ArithEncState(1, dc_cond, kx)
     mcu = 0
@@ -836,7 +847,7 @@ def encode_jpeg_gray_arith(
                 out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) & 7
                 st = _ArithEncState(1, dc_cond, kx)
-            _encode_block_arith(st, 0, _block_at(img, bx, by))
+            _encode_block_arith(st, 0, _block_at(img, bx, by), level)
             mcu += 1
     out += st.enc.flush()
     out += b"\xFF\xD9"

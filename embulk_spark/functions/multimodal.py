@@ -27,7 +27,7 @@ Two layers:
   containers covering the overwhelming majority of web images); when a
   real decoder library (PIL) is importable it covers the rest; in this
   container it is not, so the remaining profiles (AVIF,
-  hierarchical/12-bit JPEG, VP8 interframes)
+  hierarchical JPEG, VP8 interframes)
   take a clearly-marked DETERMINISTIC FAKE (pure function of the
   bytes: stable across partitioning/retries, so tests and exactly-once
   replay semantics hold). Swapping backends changes no schema, no
@@ -565,6 +565,19 @@ def synth_jpeg_lossless_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_jpeg_12bit_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real 12-BIT extended-sequential JPEG
+    bytes (SOF1 — level shift 2048, closed-form block-constant decode
+    scaled by 255/4095)."""
+    from .jpeg import synth_jpeg_12bit_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_12bit_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 def synth_jpeg_prog_arith_col(id_col: Column) -> Column:
     """Arrow-batched synth of real PROGRESSIVE-arithmetic JPEG bytes
     (SOF10 — G.2 successive-approximation scans over the QM coder;
@@ -632,8 +645,8 @@ def _decode_backend(b: bytes) -> tuple[int, int, float]:
 
             return decode_jpeg(b)
         except ValueError:
-            # hierarchical / 12-bit / JPEG-magic synthetic bytes:
-            # fake tier, same policy as the PNG profile boundary
+            # hierarchical / JPEG-magic synthetic bytes: fake tier,
+            # same policy as the PNG profile boundary
             pass
     if b[:6] in (b"GIF87a", b"GIF89a"):
         try:

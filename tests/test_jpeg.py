@@ -337,3 +337,61 @@ def test_lossless_high_precision_roundtrip():
     blob[i + 4] = 12  # SOF precision byte
     with pytest.raises(ValueError, match="precision"):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1 huffman / SOF9 arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def test_12bit_block_constant_closed_form():
+    from embulk_spark.functions.jpeg import (
+        encode_jpeg_gray12,
+        reconstructed_flat_value12,
+    )
+
+    f = lambda x, y: (661 * (x // 8) + 997 * (y // 8) + 37) % 4096  # noqa: E731
+    d = encode_jpeg_gray12(24, 16, f)
+    w, h, mean = decode_jpeg(d)
+    tot = sum(
+        64 * reconstructed_flat_value12(f(8 * bx, 8 * by))
+        for by in range(2) for bx in range(3)
+    )
+    assert (w, h) == (24, 16)
+    assert mean == pytest.approx(tot * 255 / (4095.0 * 24 * 16), abs=1e-12)
+    # clamp edges of the closed form
+    assert reconstructed_flat_value12(4095) == 4095
+    assert reconstructed_flat_value12(0) == 0
+
+
+def test_12bit_huffman_arith_parity():
+    """The SAME 12-bit image through SOF1 (huffman) and SOF9
+    (arithmetic) must decode identically — the 12-bit level shift,
+    clamp and 255/4095 scale sit above both entropy coders."""
+    import random
+
+    from embulk_spark.functions.jpeg import encode_jpeg_gray12
+    from embulk_spark.functions.jpeg_arith import encode_jpeg_gray_arith
+
+    g = lambda x, y: (x * 131 + y * 257) % 4096  # noqa: E731
+    assert decode_jpeg(
+        encode_jpeg_gray_arith(33, 21, g, precision=12)
+    ) == decode_jpeg(encode_jpeg_gray12(33, 21, g))
+    rng = random.Random(1212)
+    for _ in range(2):
+        w, h = rng.randrange(8, 48), rng.randrange(8, 40)
+        vals = [[rng.randrange(4096) for _ in range(w)] for _ in range(h)]
+        f = lambda x, y: vals[y][x]  # noqa: E731
+        assert decode_jpeg(
+            encode_jpeg_gray_arith(w, h, f, precision=12)
+        ) == decode_jpeg(encode_jpeg_gray12(w, h, f))
+
+
+def test_12bit_baseline_sof0_still_rejected():
+    from embulk_spark.functions.jpeg import encode_jpeg_gray12
+
+    d = bytearray(encode_jpeg_gray12(16, 16, lambda x, y: x * 16))
+    i = bytes(d).find(b"\xFF\xC1")
+    d[i + 1] = 0xC0  # BASELINE is 8-bit-only per B.2.2
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(d))
