@@ -1938,6 +1938,31 @@ def _q_multimodal_decode_12bit(
     )
 
 
+def _q_multimodal_avif_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AVIF metadata tier: REAL ISOBMFF box walk (meta → iprp → ipco →
+    ispe, ISO 14496-12 grammar incl. FullBox offsets) recovers the
+    image spatial extent from minimal-but-conformant AVIF skeletons;
+    mean_luma is honestly NULL — AV1 pixel decode is the one remaining
+    declared image-codec boundary, and a NULL never poses as a decoded
+    value. Dims are pure arithmetic in doc_id, so the oracle needs no
+    parser."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_avif_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_avif_col(F.col("doc_id")).alias("media"),
+    )
+    return decode_image_features(media).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3545,6 +3570,8 @@ _DRIVER_ROTATION_FIRST = [
     # + SOF1 12-bit)
     "multimodal_decode_arith", "multimodal_decode_prog_arith",
     "multimodal_decode_lossless", "multimodal_decode_12bit",
+    # slot 26: AVIF metadata tier (real ISOBMFF/ispe walk, NULL mean)
+    "multimodal_avif_meta",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3653,6 +3680,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_prog_arith": _q_multimodal_decode_prog_arith,
         "multimodal_decode_lossless": _q_multimodal_decode_lossless,
         "multimodal_decode_12bit": _q_multimodal_decode_12bit,
+        "multimodal_avif_meta": _q_multimodal_avif_meta,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4692,6 +4720,9 @@ def oracle_sql() -> dict[str, str]:
                     WHEN left(hex(media),8)  = '1A45DFA3' THEN 'mkv'
                     WHEN left(hex(media),8)  = '000001BA' THEN 'mpeg'
                     WHEN left(hex(media),4)  = '424D' THEN 'bmp'
+                    WHEN substr(hex(media),9,8) = '66747970'
+                         AND substr(hex(media),17,8)
+                             IN ('61766966','61766973') THEN 'avif'
                     WHEN substr(hex(media),9,8) = '66747970' THEN 'mp4'
                     ELSE 'bin' END AS container,
                CASE WHEN left(hex(media),8) = '52494646'
@@ -4705,6 +4736,9 @@ def oracle_sql() -> dict[str, str]:
                     WHEN left(hex(media),8)  = '1A45DFA3' THEN 'video'
                     WHEN left(hex(media),8)  = '000001BA' THEN 'video'
                     WHEN left(hex(media),4)  = '424D' THEN 'image'
+                    WHEN substr(hex(media),9,8) = '66747970'
+                         AND substr(hex(media),17,8)
+                             IN ('61766966','61766973') THEN 'image'
                     WHEN substr(hex(media),9,8) = '66747970' THEN 'video'
                     ELSE 'unknown' END AS modality,
                octet_length(media) AS n_bytes,
@@ -4817,6 +4851,15 @@ def oracle_sql() -> dict[str, str]:
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_avif_meta: the ispe dims are arithmetic in doc_id;
+        # mean_luma is NULL by design (no AV1 pixel decode).
+        "multimodal_avif_meta": """
+        SELECT doc_id AS id, 'avif' AS container,
+               (16 + (doc_id * 37) % 2048)::int AS width,
+               (16 + (doc_id * 53) % 1536)::int AS height,
+               NULL::double AS mean_luma
+        FROM documents
         """,
         # multimodal_decode_12bit: SOF1 extended-sequential closed
         # form at 12-bit — recon = clamp(2·rha((v−2048)/2) + 2048,

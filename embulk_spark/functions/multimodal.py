@@ -80,6 +80,10 @@ MAGIC_PREFIXES.append(("424D", "bmp", "image"))
 #: generic RIFF/audio bucket. Same trick as the 'ftyp' offset match.
 _WEBP_HEX = "57454250"
 
+#: ftyp-brand refinement: bytes 8-11 'avif'/'avis' → an AVIF image
+#: sequence in an ISOBMFF wrapper, not generic mp4/video
+_AVIF_BRAND_HEX = ("61766966", "61766973")
+
 
 def modality_of(b: Column) -> Column:
     """Container + modality from magic bytes; NULL input → NULL,
@@ -98,6 +102,13 @@ def modality_of(b: Column) -> Column:
             F.substring(h, 1, len(prefix)) == prefix,
             F.struct(F.lit(container).alias("container"), F.lit(modality).alias("modality")),
         )
+    expr = expr.when(
+        (F.substring(h, 9, 8) == _FTYP_HEX)
+        & (F.substring(h, 17, 8).isin(*_AVIF_BRAND_HEX)),
+        F.struct(
+            F.lit("avif").alias("container"), F.lit("image").alias("modality")
+        ),
+    )
     expr = expr.when(
         F.substring(h, 9, 8) == _FTYP_HEX,
         F.struct(F.lit("mp4").alias("container"), F.lit("video").alias("modality")),
@@ -565,6 +576,41 @@ def synth_jpeg_lossless_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_avif_bytes(doc_id: int) -> bytes:
+    """Deterministic minimal AVIF skeleton: ftyp(avif) + meta(hdlr
+    'pict' + iprp/ipco/ispe with arithmetic dims) + a small mdat. The
+    ispe extent is what parse_avif_dims must recover; dims are pure
+    arithmetic in doc_id so the oracle needs no parser."""
+    import struct
+
+    w = 16 + (doc_id * 37) % 2048
+    h = 16 + (doc_id * 53) % 1536
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1")
+    hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"pict"
+               + b"\x00" * 12 + b"\x00")
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+    ipco = box(b"ipco", ispe)
+    iprp = box(b"iprp", ipco)
+    meta = box(b"meta", b"\x00\x00\x00\x00" + hdlr + iprp)
+    mdat = box(b"mdat", bytes([doc_id % 256]) * 8)
+    return ftyp + meta + mdat
+
+
+def synth_avif_col(id_col: Column) -> Column:
+    """Arrow-batched synth of minimal real AVIF containers (fixture
+    source for the ISOBMFF metadata tier, parse_avif_dims)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_avif_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 def synth_jpeg_12bit_col(id_col: Column) -> Column:
     """Arrow-batched synth of real 12-BIT extended-sequential JPEG
     bytes (SOF1 — level shift 2048, closed-form block-constant decode
@@ -620,7 +666,58 @@ def _fake_image_decode(b: bytes) -> tuple[int, int, float]:
     return width, height, round(mean_luma, 4)
 
 
-def _decode_backend(b: bytes) -> tuple[int, int, float]:
+def parse_avif_dims(b: bytes) -> tuple[int, int] | None:
+    """REAL ISOBMFF box walk for an AVIF still: meta → iprp → ipco →
+    ispe (ISO 14496-12 box grammar: 32-bit size + fourcc, size 1 =
+    64-bit largesize, size 0 = to-end; 'meta' is a FullBox, so its
+    children start after a 4-byte version/flags). Returns the image
+    spatial extent, or None when the structure is absent/malformed —
+    the metadata tier is real even though AV1 pixel decode is not."""
+
+    def walk(start: int, end: int, path: list[bytes]):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(b[pos:pos + 4], "big")
+            typ = b[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return None
+                size = int.from_bytes(b[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return None
+            if typ == path[0]:
+                body = pos + hdr + (4 if typ == b"meta" else 0)
+                if len(path) == 1:
+                    return (body, pos + size)
+                found = walk(body, pos + size, path[1:])
+                if found:
+                    return found
+            pos += size
+        return None
+
+    span = walk(0, len(b), [b"meta", b"iprp", b"ipco", b"ispe"])
+    if span is None:
+        return None
+    s, e = span
+    if e - s < 12:  # version/flags + width + height
+        return None
+    w = int.from_bytes(b[s + 4:s + 8], "big")
+    h = int.from_bytes(b[s + 8:s + 12], "big")
+    return (w, h) if w and h else None
+
+
+def _decode_backend(b: bytes) -> tuple[int, int, float | None]:
+    if len(b) >= 12 and b[4:8] == b"ftyp" and b[8:12] in (b"avif", b"avis"):
+        dims = parse_avif_dims(b)
+        if dims is not None:
+            # metadata tier REAL (ispe box), pixel tier undecoded:
+            # mean_luma is NULL, never a fake number posing as real
+            return dims[0], dims[1], None
+        return _fake_image_decode(b)  # avif-magic synthetic bytes
     if b[:2] == b"BM":
         # vendored real codec — no library needed
         return decode_bmp24(b)

@@ -447,3 +447,59 @@ def test_png_magic_fake_bytes_fall_back_to_fake_tier():
 
     b = b"\x89PNG\r\n\x1a\x0a" + b"hello world, not chunks"
     assert _decode_backend(b) == _fake_image_decode(b)
+
+
+def test_avif_metadata_tier():
+    """Real ISOBMFF walk: ispe dims recovered from AVIF skeletons
+    (incl. a 64-bit largesize meta box), mean honestly NULL; malformed
+    avif-magic bytes fall to the fake tier; ftyp brand refines sniff
+    to ('avif', 'image') while plain mp4 stays video."""
+    import struct
+
+    from embulk_spark.functions.multimodal import (
+        _decode_backend,
+        parse_avif_dims,
+        synth_avif_bytes,
+    )
+
+    for i in (0, 3, 77, 499):
+        b = synth_avif_bytes(i)
+        w = 16 + (i * 37) % 2048
+        h = 16 + (i * 53) % 1536
+        assert parse_avif_dims(b) == (w, h)
+        assert _decode_backend(b) == (w, h, None)
+
+    # 64-bit largesize on the meta box: same walk, 16-byte header
+    b = synth_avif_bytes(5)
+    i = b.find(b"meta") - 4
+    (size,) = struct.unpack_from(">I", b, i)
+    big = (
+        b[:i]
+        + struct.pack(">I", 1) + b"meta" + struct.pack(">Q", size + 8)
+        + b[i + 8:]
+    )
+    assert parse_avif_dims(big) == parse_avif_dims(b)
+
+    # malformed avif-magic bytes: fake tier (mean is a number, not None)
+    junk = b"\x00\x00\x00\x14ftypavif" + b"garbage!" * 3
+    assert _decode_backend(junk)[2] is not None
+
+
+def test_avif_sniff_refinement(spark):
+    from pyspark.sql import functions as F
+
+    from embulk_spark.functions.multimodal import (
+        modality_of,
+        synth_avif_bytes,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, synth_avif_bytes(1)),
+            (2, b"\x00\x00\x00\x20ftypisom" + b"x" * 16),  # plain mp4
+        ],
+        "id long, media binary",
+    ).select("id", modality_of(F.col("media")).alias("m")).collect()
+    got = {r["id"]: (r["m"]["container"], r["m"]["modality"]) for r in rows}
+    assert got[1] == ("avif", "image")
+    assert got[2] == ("mp4", "video")
