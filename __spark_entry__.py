@@ -13,6 +13,34 @@ import shutil
 import tempfile
 from collections.abc import Callable
 
+
+def _scratch_root(kind: str, sf_dir: str) -> str:
+    """Fresh per-PROCESS scratch dir for a stateful query (lake build +
+    epoch folds): two concurrent runners (the oracle gate and
+    tools/explain_plans.py both execute queries()) must never rmtree /
+    fold the same root. Stale siblings from dead processes are swept so
+    repeated gate runs don't accumulate in tmp."""
+    import glob
+    import hashlib
+    import os
+
+    base = "embulk_spark_%s_%s" % (
+        kind, hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), base + "_p*")):
+        try:
+            pid = int(d.rsplit("_p", 1)[1])
+            os.kill(pid, 0)  # raises if that process is gone
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
+    root = os.path.join(
+        tempfile.gettempdir(), f"{base}_p{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -816,11 +844,7 @@ def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.operators.incremental import SignatureIndex
 
     docs = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "embulk_spark_sigidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_root("sigidx", sf_dir)
     idx = SignatureIndex(spark, path, k=16, bands=4)
     out = None
     for e in (0, 1):
@@ -843,11 +867,7 @@ def _q_incremental_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.operators.termindex import TermIndex
 
     docs = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "embulk_spark_termidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_root("termidx", sf_dir)
     idx = TermIndex(spark, path, id_col="doc_id", id_type="bigint")
     idx.update_epoch(docs, "text", 0)
     changed = docs.filter(
@@ -2714,11 +2734,7 @@ def _q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.sinks.corpus import row_fingerprint, write_corpus_shards
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "embulk_spark_corpus_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_root("corpus", sf_dir)
     write_corpus_shards(docs, path, n_shards=8)
     back = spark.read.parquet(path)
     return back.groupBy("shard").agg(
@@ -3126,11 +3142,7 @@ def _q_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_spark.streaming.replay import apply_epoch
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "embulk_spark_aggview_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_root("aggview", sf_dir)
     table = ParquetLakeTable(
         spark, os.path.join(root, "t"), n_buckets=8,
         compact_min_deltas=10_000,

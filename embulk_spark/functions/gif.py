@@ -293,3 +293,179 @@ def synth_gif_bytes(doc_id: int) -> bytes:
     return encode_gif(
         w, h, palette, lambda x, y: (2 * x + 3 * y + doc_id) % 256
     )
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: full frame iteration (round 5)
+# ---------------------------------------------------------------------------
+
+
+def gif_frames(data: bytes) -> list[tuple[int, int, int, int, float]]:
+    """REAL animated-GIF frame iteration: yields one entry per
+    displayed frame — ``(frame_idx, width, height, delay_cs, mean)``
+    with width/height the LOGICAL SCREEN (what a viewer shows) and
+    ``mean`` over the composed canvas's R,G,B after drawing the frame.
+
+    Implements the GIF89a animation model: Graphic Control Extension
+    (delay, transparency index, disposal method) per frame, frame
+    rectangles composed at (left, top), transparent pixels leaving the
+    prior canvas visible, and disposals 1 (leave), 2 (restore to the
+    logical-screen background color) and 3 (restore to previous).
+    The initial canvas is the background color when a global color
+    table exists, else black."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("bad GIF screen dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos:pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    # canvas holds r+g+b per pixel (the mean feature needs the sum)
+    if gct is not None and bg < len(gct) // 3:
+        bg_sum = gct[3 * bg] + gct[3 * bg + 1] + gct[3 * bg + 2]
+    else:
+        bg_sum = 0
+    canvas = np.full((sh, sw), bg_sum, dtype=np.int64)
+    frames: list[tuple[int, int, int, int, float]] = []
+    delay = 0
+    disposal = 0
+    transparent = -1
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if pos + 6 > len(data) or data[pos] != 4:
+                    raise ValueError("bad GIF graphic control block")
+                gpacked = data[pos + 1]
+                (delay,) = struct.unpack_from("<H", data, pos + 2)
+                transparent = data[pos + 4] if gpacked & 0x01 else -1
+                disposal = (gpacked >> 2) & 0x07
+                pos += 5
+            while True:  # drain sub-blocks (incl. the GCE terminator)
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                sz = data[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect outside the logical screen")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = data[pos:pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame with no color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF (no LZW min code size)")
+        min_code = data[pos]
+        pos += 1
+        sub = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF pixel sub-blocks")
+            sz = data[pos]
+            pos += 1
+            if sz == 0:
+                break
+            sub += data[pos:pos + sz]
+            if len(data) < pos + sz:
+                raise ValueError("truncated GIF pixel sub-block")
+            pos += sz
+        idx = np.frombuffer(
+            _lzw_decode(bytes(sub), min_code, w * h), dtype=np.uint8
+        ).reshape(h, w).astype(np.int64)
+        if ipacked & 0x40:  # interlaced: undo the four-pass row order
+            order = [r for (y0, dy) in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for r in range(y0, h, dy)]
+            deinter = np.empty_like(idx)
+            deinter[order, :] = idx
+            idx = deinter
+        npal = len(pal) // 3
+        if int(idx.max()) >= npal:
+            raise ValueError("palette index out of range")
+        psum = np.zeros(256, dtype=np.int64)
+        arr = np.frombuffer(pal, dtype=np.uint8).astype(np.int64)
+        psum[:npal] = arr[0::3] + arr[1::3] + arr[2::3]
+        region = canvas[top:top + h, left:left + w]
+        saved = region.copy() if disposal == 3 else None
+        drawn = psum[idx]
+        if transparent >= 0:
+            mask = idx != transparent
+            region[mask] = drawn[mask]
+        else:
+            region[:, :] = drawn
+        mean = float(canvas.sum(dtype=np.int64)) / (3.0 * sw * sh)
+        frames.append((len(frames), int(sw), int(sh), int(delay), mean))
+        if disposal == 2:
+            region[:, :] = bg_sum
+        elif disposal == 3:
+            region[:, :] = saved
+        delay, disposal, transparent = 0, 0, -1
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return frames
+
+
+def encode_gif_animated(
+    width: int, height: int, palette: bytes, frames,
+) -> bytes:
+    """Build a real multi-frame GIF89a: global 256-entry palette,
+    NETSCAPE2.0 loop extension, one GCE + image block per frame.
+    ``frames`` is a list of dicts: ``index_fn(x, y)``, optional
+    ``rect=(left, top, w, h)`` (defaults full screen), ``delay_cs``,
+    ``disposal``, ``transparent`` (palette index or None)."""
+    if len(palette) != 768:
+        raise ValueError("encode_gif_animated wants a 256-entry palette")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+    out += palette
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for f in frames:
+        left, top, w, h = f.get("rect", (0, 0, width, height))
+        transparent = f.get("transparent")
+        gpacked = ((f.get("disposal", 0) & 0x07) << 2) | (
+            1 if transparent is not None else 0
+        )
+        out += b"\x21\xF9\x04" + bytes([gpacked])
+        out += struct.pack("<H", f.get("delay_cs", 0))
+        out += bytes([transparent or 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        index_fn = f["index_fn"]
+        indices = bytes(
+            index_fn(x, y) & 0xFF for y in range(h) for x in range(w)
+        )
+        out.append(8)
+        stream = _lzw_encode(indices, 8)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
