@@ -1983,6 +1983,28 @@ def _q_multimodal_avif_meta(
     )
 
 
+def _q_multimodal_gif_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL animated-GIF frame iteration (functions/gif.py::gif_frames
+    — GCE delay/disposal/transparency, per-frame canvas composition)
+    as a flat-map: 3 deterministic full-screen frames per doc, so the
+    DuckDB oracle recomputes every frame's (delay, mean) from the
+    palette/index arithmetic — the frame-sampling pipeline stage made
+    real for the one animated container with a vendored codec."""
+    from embulk_spark.functions.multimodal import (
+        gif_frame_features,
+        synth_gif_animated_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_gif_animated_col(F.col("doc_id")).alias("media"),
+    )
+    return gif_frame_features(media)
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3584,6 +3606,8 @@ _DRIVER_ROTATION_FIRST = [
     "multimodal_decode_lossless", "multimodal_decode_12bit",
     # slot 26: AVIF metadata tier (real ISOBMFF/ispe walk, NULL mean)
     "multimodal_avif_meta",
+    # slot 27: real animated-GIF frame iteration (flat-map)
+    "multimodal_gif_frames",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3693,6 +3717,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_lossless": _q_multimodal_decode_lossless,
         "multimodal_decode_12bit": _q_multimodal_decode_12bit,
         "multimodal_avif_meta": _q_multimodal_avif_meta,
+        "multimodal_gif_frames": _q_multimodal_gif_frames,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4863,6 +4888,34 @@ def oracle_sql() -> dict[str, str]:
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_gif_frames: 3 full-screen disposal-1 frames — the
+        # composed canvas IS each frame, so per-frame means are the
+        # same palette/index arithmetic as multimodal_decode_gif with
+        # the per-frame index shift 17·k; delay = 4+k cs.
+        "multimodal_gif_frames": """
+        WITH g AS (
+          SELECT doc_id, 3 + doc_id % 13 AS w, 3 + (doc_id * 7) % 11 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, w, h, k.range AS k,
+                 (2 * x.range + 3 * y.range + doc_id + 17 * k.range)
+                   % 256 AS i
+          FROM g, range(15) x, range(13) y, range(3) k
+          WHERE x.range < w AND y.range < h
+        ),
+        sums AS (
+          SELECT doc_id, w, h, k,
+                 sum((3 * i + doc_id) % 256 + (5 * i + 2 * doc_id) % 256
+                     + (7 * i + 11 * doc_id) % 256) AS s
+          FROM px GROUP BY doc_id, w, h, k
+        )
+        SELECT doc_id AS id, k::int AS frame_idx,
+               w::int AS width, h::int AS height,
+               (4 + k)::int AS delay_cs,
+               s / (3.0 * w * h) AS mean_luma
+        FROM sums
         """,
         # multimodal_avif_meta: the ispe dims are arithmetic in doc_id;
         # mean_luma is NULL by design (no AV1 pixel decode).

@@ -469,3 +469,32 @@ def encode_gif_animated(
         out += b"\x00"
     out += b"\x3B"
     return bytes(out)
+
+
+def synth_gif_animated_bytes(doc_id: int) -> bytes:
+    """Deterministic real 3-frame animated GIF: same arithmetic palette
+    as synth_gif_bytes, full-screen frames with per-frame index shift
+    17·k and delay 4+k centiseconds (disposal 1 — each frame's
+    composed canvas IS the frame), so a SQL oracle recomputes every
+    frame's (delay, mean) without touching the binary."""
+    w, h = synth_gif_dims(doc_id)
+    palette = bytes(
+        c
+        for i in range(256)
+        for c in (
+            (3 * i + doc_id) % 256,
+            (5 * i + 2 * doc_id) % 256,
+            (7 * i + 11 * doc_id) % 256,
+        )
+    )
+    frames = [
+        {
+            "index_fn": (
+                lambda k: lambda x, y: (2 * x + 3 * y + doc_id + 17 * k) % 256
+            )(k),
+            "delay_cs": 4 + k,
+            "disposal": 1,
+        }
+        for k in range(3)
+    ]
+    return encode_gif_animated(w, h, palette, frames)

@@ -844,6 +844,66 @@ def resize_images(
     return joined.mapInPandas(_resize, schema=RESIZE_DDL)
 
 
+GIF_FRAMES_DDL = (
+    "id BIGINT, frame_idx INT, width INT, height INT, "
+    "delay_cs INT, mean_luma DOUBLE"
+)
+
+
+def gif_frame_features(
+    df: DataFrame, id_col: str = "id", bin_col: str = "media"
+) -> DataFrame:
+    """REAL animated-GIF frame iteration as a flat-map (one input row →
+    one row per displayed frame): functions/gif.py::gif_frames composes
+    each frame onto the logical-screen canvas (GCE delays,
+    transparency, disposal 1/2/3) and reports the composed mean.
+    Arrow-batched mapInPandas, same plumbing contract as
+    decode_image_features; undecodable bytes contribute no rows."""
+    from .gif import gif_frames
+
+    gifs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bin_col).alias("media"),
+        *media_meta_cols(F.col(bin_col)),
+    ).filter(F.col("container") == "gif")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, delays, means = [], [], [], [], [], []
+            for _id, b in zip(pdf["id"], pdf["media"]):
+                try:
+                    frames = gif_frames(bytes(b))
+                except ValueError:
+                    continue  # gif-magic synthetic / malformed bytes
+                for fi, w, h, d, m in frames:
+                    ids.append(_id)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    delays.append(d)
+                    means.append(m)
+            yield pd.DataFrame(
+                {
+                    "id": ids, "frame_idx": idxs, "width": ws,
+                    "height": hs, "delay_cs": delays, "mean_luma": means,
+                }
+            )
+
+    return gifs.mapInPandas(_frames, schema=GIF_FRAMES_DDL)
+
+
+def synth_gif_animated_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real 3-frame animated GIFs (fixture
+    source for gif_frame_features)."""
+    from .gif import synth_gif_animated_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_gif_animated_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 FRAME_SAMPLE_DDL = "id BIGINT, frame_idx INT, frame_ts_ms BIGINT, frame BINARY"
 
 

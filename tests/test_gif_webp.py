@@ -565,3 +565,131 @@ def test_vp8l_palette_encoder_agrees_with_handwritten_stream():
         lambda x, y: 0 if (x, y) == (0, 0) else 1,
     )
     assert decode_webp(data) == (2, 2, (60 + 3 * 150) / 12.0)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF frame iteration (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _psum(pal, i):
+    return pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2]
+
+
+def _anim_pal():
+    return bytes(c for i in range(256) for c in (i, (2 * i) % 256, (3 * i) % 256))
+
+
+def test_gif_frames_full_screen_sequence():
+    from embulk_spark.functions.gif import encode_gif_animated, gif_frames
+
+    pal = _anim_pal()
+    frames = [
+        {"index_fn": (lambda k: (lambda x, y: (x + y + k) % 256))(k),
+         "delay_cs": 10 * k, "disposal": 1}
+        for k in range(3)
+    ]
+    out = gif_frames(encode_gif_animated(7, 5, pal, frames))
+    assert len(out) == 3
+    for k, (fi, w, h, d, mean) in enumerate(out):
+        exp = sum(
+            _psum(pal, (x + y + k) % 256) for y in range(5) for x in range(7)
+        ) / (3.0 * 7 * 5)
+        assert (fi, w, h, d) == (k, 7, 5, 10 * k)
+        assert mean == pytest.approx(exp, abs=1e-12)
+
+
+def test_gif_frames_partial_rect_and_transparency():
+    from embulk_spark.functions.gif import encode_gif_animated, gif_frames
+
+    pal = _anim_pal()
+    out = gif_frames(encode_gif_animated(4, 4, pal, [
+        {"index_fn": lambda x, y: 5, "disposal": 1},
+        {"index_fn": lambda x, y: 9, "rect": (2, 1, 2, 2), "disposal": 1},
+    ]))
+    assert out[0][4] == pytest.approx(_psum(pal, 5) / 3.0, abs=1e-12)
+    assert out[1][4] == pytest.approx(
+        (_psum(pal, 5) * 12 + _psum(pal, 9) * 4) / (3.0 * 16), abs=1e-12
+    )
+    # transparent pixels leave the prior canvas visible
+    out = gif_frames(encode_gif_animated(3, 3, pal, [
+        {"index_fn": lambda x, y: 5, "disposal": 1},
+        {"index_fn": lambda x, y: 9 if (x, y) == (0, 0) else 0,
+         "transparent": 0},
+    ]))
+    assert out[1][4] == pytest.approx(
+        (_psum(pal, 5) * 8 + _psum(pal, 9)) / (3.0 * 9), abs=1e-12
+    )
+
+
+def test_gif_frames_disposal_background_and_previous():
+    from embulk_spark.functions.gif import encode_gif_animated, gif_frames
+
+    pal = _anim_pal()
+    out = gif_frames(encode_gif_animated(4, 4, pal, [
+        {"index_fn": lambda x, y: 5, "disposal": 1},
+        {"index_fn": lambda x, y: 9, "rect": (0, 0, 2, 2), "disposal": 3},
+        {"index_fn": lambda x, y: 7, "rect": (3, 3, 1, 1), "disposal": 2},
+        {"index_fn": lambda x, y: 1, "rect": (1, 1, 1, 1), "disposal": 1},
+    ]))
+    # disposal 3 restored frame 1's rect; disposal 2 reset (3,3) to the
+    # background color (index 0 of the GCT)
+    exp = (_psum(pal, 5) * 14 + _psum(pal, 0) + _psum(pal, 1)) / (3.0 * 16)
+    assert out[3][4] == pytest.approx(exp, abs=1e-12)
+
+
+def test_gif_frames_rejects_out_of_screen_rect():
+    from embulk_spark.functions.gif import encode_gif_animated, gif_frames
+
+    data = encode_gif_animated(4, 4, _anim_pal(), [
+        {"index_fn": lambda x, y: 1, "rect": (3, 3, 2, 2)},
+    ])
+    with pytest.raises(ValueError, match="outside"):
+        gif_frames(data)
+
+
+def test_gif_frames_synth_fixture_contract():
+    from embulk_spark.functions.gif import (
+        gif_frames,
+        synth_gif_animated_bytes,
+        synth_gif_dims,
+    )
+
+    for doc_id in (0, 3, 42):
+        out = gif_frames(synth_gif_animated_bytes(doc_id))
+        w, h = synth_gif_dims(doc_id)
+        assert [f[:4] for f in out] == [
+            (k, w, h, 4 + k) for k in range(3)
+        ]
+        for k, (_, _, _, _, mean) in enumerate(out):
+            exp = sum(
+                ((3 * i + doc_id) % 256 + (5 * i + 2 * doc_id) % 256
+                 + (7 * i + 11 * doc_id) % 256)
+                for i in (
+                    (2 * x + 3 * y + doc_id + 17 * k) % 256
+                    for y in range(h) for x in range(w)
+                )
+            ) / (3.0 * w * h)
+            assert mean == pytest.approx(exp, abs=1e-12)
+
+
+def test_gif_frame_features_flatmap(spark):
+    from pyspark.sql import functions as F
+
+    from embulk_spark.functions.gif import gif_frames, synth_gif_animated_bytes
+    from embulk_spark.functions.multimodal import (
+        gif_frame_features,
+        synth_gif_animated_col,
+    )
+
+    df = spark.range(0, 8).select(
+        F.col("id"), synth_gif_animated_col(F.col("id")).alias("media")
+    )
+    rows = gif_frame_features(df).collect()
+    assert len(rows) == 24  # 8 docs × 3 frames
+    by_key = {(r["id"], r["frame_idx"]): r for r in rows}
+    for i in range(8):
+        for fi, w, h, d, m in gif_frames(synth_gif_animated_bytes(i)):
+            r = by_key[(i, fi)]
+            assert (r["width"], r["height"], r["delay_cs"]) == (w, h, d)
+            assert r["mean_luma"] == pytest.approx(m, abs=1e-12)
