@@ -2005,6 +2005,28 @@ def _q_multimodal_gif_frames(
     return gif_frame_features(media)
 
 
+def _q_multimodal_webp_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL animated-WebP frame iteration (functions/vp8l.py::
+    webp_frames — VP8X canvas, ANIM background, ANMF blend/disposal,
+    VP8L pixel decode per frame) as a flat-map: 3 deterministic
+    full-canvas frames per doc; the DuckDB oracle recomputes every
+    frame's (duration, mean) from the per-frame-shifted
+    synth_webp_bytes pixel arithmetic."""
+    from embulk_spark.functions.multimodal import (
+        synth_webp_animated_col,
+        webp_frame_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_webp_animated_col(F.col("doc_id")).alias("media"),
+    )
+    return webp_frame_features(media)
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3606,8 +3628,8 @@ _DRIVER_ROTATION_FIRST = [
     "multimodal_decode_lossless", "multimodal_decode_12bit",
     # slot 26: AVIF metadata tier (real ISOBMFF/ispe walk, NULL mean)
     "multimodal_avif_meta",
-    # slot 27: real animated-GIF frame iteration (flat-map)
-    "multimodal_gif_frames",
+    # slots 27-28: real animated GIF / WebP frame iteration (flat-map)
+    "multimodal_gif_frames", "multimodal_webp_frames",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3718,6 +3740,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_12bit": _q_multimodal_decode_12bit,
         "multimodal_avif_meta": _q_multimodal_avif_meta,
         "multimodal_gif_frames": _q_multimodal_gif_frames,
+        "multimodal_webp_frames": _q_multimodal_webp_frames,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4888,6 +4911,33 @@ def oracle_sql() -> dict[str, str]:
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_webp_frames: 3 full-canvas no-blend frames — per-
+        # frame means are the synth_webp_bytes arithmetic (odd rows
+        # duplicate the row above, the encoder's LZ77 invariant) with
+        # the per-frame shift 17·k; duration = 40+k ms.
+        "multimodal_webp_frames": """
+        WITH g AS (
+          SELECT doc_id, 3 + doc_id % 12 AS w, 3 + (doc_id * 3) % 10 AS h
+          FROM documents
+        ),
+        sums AS (
+          SELECT doc_id, w, h, k.range AS k,
+                 sum((x.range + 2 * (y.range - y.range % 2) + doc_id
+                      + 17 * k.range) % 256
+                     + (2 * x.range + (y.range - y.range % 2)
+                        + 3 * doc_id + 17 * k.range) % 256
+                     + (x.range + (y.range - y.range % 2)
+                        + 5 * doc_id + 17 * k.range) % 256) AS s
+          FROM g, range(14) x, range(12) y, range(3) k
+          WHERE x.range < w AND y.range < h
+          GROUP BY doc_id, w, h, k.range
+        )
+        SELECT doc_id AS id, k::int AS frame_idx,
+               w::int AS width, h::int AS height,
+               (40 + k)::int AS duration_ms,
+               s / (3.0 * w * h) AS mean_luma
+        FROM sums
         """,
         # multimodal_gif_frames: 3 full-screen disposal-1 frames — the
         # composed canvas IS each frame, so per-frame means are the

@@ -904,6 +904,65 @@ def synth_gif_animated_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+WEBP_FRAMES_DDL = (
+    "id BIGINT, frame_idx INT, width INT, height INT, "
+    "duration_ms INT, mean_luma DOUBLE"
+)
+
+
+def webp_frame_features(
+    df: DataFrame, id_col: str = "id", bin_col: str = "media"
+) -> DataFrame:
+    """REAL animated-WebP frame iteration as a flat-map (one row per
+    ANMF frame): functions/vp8l.py::webp_frames composes VP8L frames
+    onto the VP8X canvas (ANIM background, per-frame blend/disposal).
+    Arrow-batched mapInPandas; non-animated or undecodable bytes
+    contribute no rows."""
+    from .vp8l import webp_frames
+
+    webps = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bin_col).alias("media"),
+        *media_meta_cols(F.col(bin_col)),
+    ).filter(F.col("container") == "webp")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, durs, means = [], [], [], [], [], []
+            for _id, b in zip(pdf["id"], pdf["media"]):
+                try:
+                    frames = webp_frames(bytes(b))
+                except ValueError:
+                    continue
+                for fi, w, h, d, m in frames:
+                    ids.append(_id)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    durs.append(d)
+                    means.append(m)
+            yield pd.DataFrame(
+                {
+                    "id": ids, "frame_idx": idxs, "width": ws,
+                    "height": hs, "duration_ms": durs, "mean_luma": means,
+                }
+            )
+
+    return webps.mapInPandas(_frames, schema=WEBP_FRAMES_DDL)
+
+
+def synth_webp_animated_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real 3-frame animated WebPs (fixture
+    source for webp_frame_features)."""
+    from .vp8l import synth_webp_animated_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_webp_animated_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 FRAME_SAMPLE_DDL = "id BIGINT, frame_idx INT, frame_ts_ms BIGINT, frame BINARY"
 
 

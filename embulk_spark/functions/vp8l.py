@@ -886,3 +886,183 @@ def synth_webp_bytes(doc_id: int) -> bytes:
         )
 
     return encode_vp8l(w, h, px)
+
+
+# ---------------------------------------------------------------------------
+# animated WebP: full frame iteration (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _blend_px(dst, src):
+    """Source-over alpha blend of two (a, r, g, b) pixels (container
+    spec 'blending method: alpha blending'), float-exact then rounded
+    half-up; binary alphas (0/255) compose exactly."""
+    sa = src[0] / 255.0
+    da = dst[0] / 255.0
+    oa = sa + da * (1.0 - sa)
+    if oa == 0.0:
+        return (0, 0, 0, 0)
+    out = [int(oa * 255.0 + 0.5)]
+    for c in range(1, 4):
+        v = (sa * src[c] + da * dst[c] * (1.0 - sa)) / oa
+        out.append(int(v + 0.5))
+    return tuple(out)
+
+
+def webp_frames(data: bytes) -> list[tuple[int, int, int, int, float]]:
+    """REAL animated-WebP frame iteration: one entry per ANMF frame —
+    ``(frame_idx, canvas_w, canvas_h, duration_ms, mean)`` with mean
+    over the composed canvas's R,G,B. Implements the container spec's
+    animation model: VP8X canvas, ANIM background color (the initial
+    canvas, and the fill for dispose-to-background), ANMF rectangles
+    at (2·x, 2·y), per-frame blending method (alpha-blend or replace)
+    and disposal. Frames must be LOSSLESS (VP8L) sub-bitstreams — the
+    vendored pixel decoder; lossy-frame animations raise (the VP8
+    decoder's feature tier is luma-only)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    pos = 12
+    canvas_w = canvas_h = None
+    bg = (255, 255, 255, 255)  # (a, r, g, b)
+    canvas = None
+    frames: list[tuple[int, int, int, int, float]] = []
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("bad VP8X chunk")
+            canvas_w = _u24(body, 4) + 1
+            canvas_h = _u24(body, 7) + 1
+        elif tag == b"ANIM":
+            if size < 6:
+                raise ValueError("bad ANIM chunk")
+            # background color rides BGRA
+            bg = (body[3], body[2], body[1], body[0])
+        elif tag == b"ANMF":
+            if canvas_w is None:
+                raise ValueError("ANMF before VP8X")
+            if size < 16:
+                raise ValueError("bad ANMF header")
+            fx = 2 * _u24(body, 0)
+            fy = 2 * _u24(body, 3)
+            fw = _u24(body, 6) + 1
+            fh = _u24(body, 9) + 1
+            dur = _u24(body, 12)
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("ANMF rect outside the canvas")
+            payload = None
+            fpos = 16
+            while fpos + 8 <= size:
+                ftag = body[fpos:fpos + 4]
+                (fsize,) = struct.unpack_from("<I", body, fpos + 4)
+                fbody = body[fpos + 8:fpos + 8 + fsize]
+                if len(fbody) != fsize:
+                    raise ValueError("truncated ANMF sub-chunk")
+                if ftag == b"VP8L":
+                    payload = fbody
+                    break
+                if ftag == b"VP8 ":
+                    raise ValueError(
+                        "lossy-frame animation unsupported (VP8L only)"
+                    )
+                fpos += 8 + fsize + (fsize & 1)
+            if payload is None:
+                raise ValueError("ANMF frame with no VP8L payload")
+            w, h, pixels = decode_vp8l_pixels(payload)
+            if (w, h) != (fw, fh):
+                raise ValueError("ANMF rect disagrees with frame dims")
+            if canvas is None:
+                canvas = [bg] * (canvas_w * canvas_h)
+            for yy in range(fh):
+                row = (fy + yy) * canvas_w + fx
+                src_row = yy * fw
+                for xx in range(fw):
+                    s = pixels[src_row + xx]
+                    canvas[row + xx] = (
+                        s if no_blend or s[0] == 255
+                        else _blend_px(canvas[row + xx], s)
+                    )
+            total = sum(r + g + b for _a, r, g, b in canvas)
+            frames.append((
+                len(frames), canvas_w, canvas_h, dur,
+                total / (3.0 * canvas_w * canvas_h),
+            ))
+            if dispose_bg:
+                for yy in range(fh):
+                    row = (fy + yy) * canvas_w + fx
+                    for xx in range(fw):
+                        canvas[row + xx] = bg
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("WebP with no ANMF frames")
+    return frames
+
+
+def encode_webp_animated(
+    canvas_w: int, canvas_h: int, frames, bg=(255, 255, 255, 255),
+) -> bytes:
+    """Build a real animated WebP: VP8X (animation flag) + ANIM + one
+    ANMF per frame wrapping a VP8L lossless sub-bitstream. ``frames``
+    is a list of dicts: ``pixel(x, y) -> (r, g, b)`` (encode_vp8l's
+    even-row contract applies), optional ``rect=(x, y, w, h)`` with x,
+    y EVEN (the spec stores them halved), ``duration_ms``,
+    ``no_blend``, ``dispose_bg``. ``bg`` is (a, r, g, b)."""
+    chunks = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0]) + struct.pack(
+        "<I", canvas_w - 1
+    )[:3] + struct.pack("<I", canvas_h - 1)[:3]
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = bytes([bg[3], bg[2], bg[1], bg[0]]) + struct.pack("<H", 0)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f in frames:
+        x, y, w, h = f.get("rect", (0, 0, canvas_w, canvas_h))
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        sub = encode_vp8l(w, h, f["pixel"])[12:]  # strip RIFF header
+        hdr = (
+            struct.pack("<I", x // 2)[:3]
+            + struct.pack("<I", y // 2)[:3]
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3]
+            + struct.pack("<I", f.get("duration_ms", 0))[:3]
+            + bytes([
+                (0x02 if f.get("no_blend", True) else 0)
+                | (0x01 if f.get("dispose_bg", False) else 0)
+            ])
+        )
+        body = hdr + sub
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + bytes(chunks)
+
+
+def synth_webp_animated_bytes(doc_id: int) -> bytes:
+    """Deterministic real 3-frame animated WebP: full-canvas VP8L
+    frames (no-blend, no disposal) whose pixels follow the
+    synth_webp_bytes arithmetic with a per-frame shift 17·k; duration
+    40+k ms — the SQL oracle recomputes every frame's (duration, mean)
+    without touching the binary."""
+    w, h = synth_webp_dims(doc_id)
+    frames = []
+    for k in range(3):
+        def px(x: int, y: int, k=k) -> tuple[int, int, int]:
+            ye = y - (y % 2)
+            return (
+                (x + 2 * ye + doc_id + 17 * k) % 256,
+                (2 * x + ye + 3 * doc_id + 17 * k) % 256,
+                (x + ye + 5 * doc_id + 17 * k) % 256,
+            )
+        frames.append({"pixel": px, "duration_ms": 40 + k, "no_blend": True})
+    return encode_webp_animated(w, h, frames)

@@ -693,3 +693,105 @@ def test_gif_frame_features_flatmap(spark):
             r = by_key[(i, fi)]
             assert (r["width"], r["height"], r["delay_cs"]) == (w, h, d)
             assert r["mean_luma"] == pytest.approx(m, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# animated WebP frame iteration (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_webp_frames_full_canvas_sequence():
+    from embulk_spark.functions.vp8l import (
+        synth_webp_animated_bytes,
+        synth_webp_dims,
+        webp_frames,
+    )
+
+    for doc_id in (0, 5, 42):
+        out = webp_frames(synth_webp_animated_bytes(doc_id))
+        w, h = synth_webp_dims(doc_id)
+        assert [f[:4] for f in out] == [(k, w, h, 40 + k) for k in range(3)]
+        for k, (_, _, _, _, mean) in enumerate(out):
+            t = 0
+            for y in range(h):
+                ye = y - (y % 2)
+                for x in range(w):
+                    t += (
+                        (x + 2 * ye + doc_id + 17 * k) % 256
+                        + (2 * x + ye + 3 * doc_id + 17 * k) % 256
+                        + (x + ye + 5 * doc_id + 17 * k) % 256
+                    )
+            assert mean == pytest.approx(t / (3.0 * w * h), abs=1e-12)
+
+
+def test_webp_frames_rect_dispose_and_background():
+    from embulk_spark.functions.vp8l import encode_webp_animated, webp_frames
+
+    frames = [
+        {"pixel": lambda x, y: (10, 20, 30), "no_blend": True},
+        {"pixel": lambda x, y: (200, 100, 50), "rect": (2, 2, 4, 2),
+         "no_blend": True, "dispose_bg": True},
+        {"pixel": lambda x, y: (10, 20, 30), "rect": (0, 0, 2, 2),
+         "no_blend": True},
+    ]
+    out = webp_frames(encode_webp_animated(8, 6, frames, bg=(255, 1, 2, 3)))
+    assert out[1][4] == pytest.approx(
+        (60 * 40 + 350 * 8) / (3.0 * 48), abs=1e-12
+    )
+    # dispose-to-background restored the rect to (1,2,3) before frame 2
+    assert out[2][4] == pytest.approx(
+        (60 * 40 + 6 * 8) / (3.0 * 48), abs=1e-12
+    )
+
+
+def test_webp_blend_pixel_math():
+    from embulk_spark.functions.vp8l import _blend_px
+
+    # binary alphas compose exactly
+    assert _blend_px((255, 9, 9, 9), (255, 1, 2, 3)) == (255, 1, 2, 3)
+    assert _blend_px((255, 9, 9, 9), (0, 1, 2, 3)) == (255, 9, 9, 9)
+    assert _blend_px((0, 0, 0, 0), (0, 0, 0, 0)) == (0, 0, 0, 0)
+    # 50% over opaque: out alpha stays opaque, channels midpoint
+    a, r, g, b = _blend_px((255, 100, 100, 100), (128, 0, 0, 0))
+    assert a == 255 and abs(r - 50) <= 1 and abs(g - 50) <= 1
+
+
+def test_webp_frames_boundaries():
+    from embulk_spark.functions.vp8l import encode_webp_animated, webp_frames
+
+    # rect outside the canvas
+    data = encode_webp_animated(
+        4, 4, [{"pixel": lambda x, y: (1, 2, 3), "rect": (2, 2, 4, 4)}]
+    )
+    with pytest.raises(ValueError, match="outside"):
+        webp_frames(data)
+    # a still (non-animated) webp has no ANMF frames
+    from embulk_spark.functions.vp8l import synth_webp_bytes
+
+    with pytest.raises(ValueError, match="no ANMF"):
+        webp_frames(synth_webp_bytes(1))
+
+
+def test_webp_frame_features_flatmap(spark):
+    from pyspark.sql import functions as F
+
+    from embulk_spark.functions.multimodal import (
+        synth_webp_animated_col,
+        webp_frame_features,
+    )
+    from embulk_spark.functions.vp8l import (
+        synth_webp_animated_bytes,
+        webp_frames,
+    )
+
+    df = spark.range(0, 6).select(
+        F.col("id"), synth_webp_animated_col(F.col("id")).alias("media")
+    )
+    rows = webp_frame_features(df).collect()
+    assert len(rows) == 18
+    by_key = {(r["id"], r["frame_idx"]): r for r in rows}
+    for i in range(6):
+        for fi, w, h, d, m in webp_frames(synth_webp_animated_bytes(i)):
+            r = by_key[(i, fi)]
+            assert (r["width"], r["height"], r["duration_ms"]) == (w, h, d)
+            assert r["mean_luma"] == pytest.approx(m, abs=1e-12)
