@@ -2027,6 +2027,28 @@ def _q_multimodal_webp_frames(
     return webp_frame_features(media)
 
 
+def _q_multimodal_webp_lossy_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Animated-WebP frame iteration over LOSSY (VP8 key-frame)
+    sub-bitstreams: each ANMF frame runs the vendored VP8 pipeline
+    (boolean coder, tokens, IDCT/WHT, prediction, loop filter) and
+    converts to RGB via full-range BT.601 — the fixtures' flat chroma
+    makes RGB == Y exactly, so the DuckDB oracle recomputes every
+    frame's mean as MB arithmetic despite the lossy codec."""
+    from embulk_spark.functions.multimodal import (
+        synth_webp_lossy_animated_col,
+        webp_frame_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_webp_lossy_animated_col(F.col("doc_id")).alias("media"),
+    )
+    return webp_frame_features(media)
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3628,8 +3650,10 @@ _DRIVER_ROTATION_FIRST = [
     "multimodal_decode_lossless", "multimodal_decode_12bit",
     # slot 26: AVIF metadata tier (real ISOBMFF/ispe walk, NULL mean)
     "multimodal_avif_meta",
-    # slots 27-28: real animated GIF / WebP frame iteration (flat-map)
+    # slots 27-29: real animated GIF / WebP frame iteration (flat-map;
+    # WebP in both lossless-VP8L and lossy-VP8 frame flavors)
     "multimodal_gif_frames", "multimodal_webp_frames",
+    "multimodal_webp_lossy_frames",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3741,6 +3765,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avif_meta": _q_multimodal_avif_meta,
         "multimodal_gif_frames": _q_multimodal_gif_frames,
         "multimodal_webp_frames": _q_multimodal_webp_frames,
+        "multimodal_webp_lossy_frames": _q_multimodal_webp_lossy_frames,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4911,6 +4936,32 @@ def oracle_sql() -> dict[str, str]:
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_webp_lossy_frames: 3 full-canvas VP8 key frames —
+        # MB-constant luma with flat chroma, so RGB == Y exactly and
+        # per-frame means are MB arithmetic with the shift 17·k inside
+        # the [40, 216) value band; duration = 25+k ms.
+        "multimodal_webp_lossy_frames": """
+        WITH g AS (
+          SELECT doc_id,
+                 (1 + doc_id % 3) AS mbw,
+                 (1 + (doc_id * 7) % 2) AS mbh
+          FROM documents
+        ),
+        sums AS (
+          SELECT doc_id, mbw, mbh, k.range AS k,
+                 sum(40 + (29 * x.range + 47 * y.range + doc_id
+                           + 17 * k.range) % 176) AS s,
+                 count(*) AS n
+          FROM g, range(3) x, range(2) y, range(3) k
+          WHERE x.range < mbw AND y.range < mbh
+          GROUP BY doc_id, mbw, mbh, k.range
+        )
+        SELECT doc_id AS id, k::int AS frame_idx,
+               (16 * mbw)::int AS width, (16 * mbh)::int AS height,
+               (25 + k)::int AS duration_ms,
+               s / (1.0 * n) AS mean_luma
+        FROM sums
         """,
         # multimodal_webp_frames: 3 full-canvas no-blend frames — per-
         # frame means are the synth_webp_bytes arithmetic (odd rows

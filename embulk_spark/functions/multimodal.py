@@ -963,6 +963,18 @@ def synth_webp_animated_col(id_col: Column) -> Column:
     return _mk(id_col)
 
 
+def synth_webp_lossy_animated_col(id_col: Column) -> Column:
+    """Arrow-batched synth of real 3-frame LOSSY (VP8 key-frame)
+    animated WebPs (fixture source for webp_frame_features)."""
+    from .vp8l import synth_webp_lossy_animated_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_webp_lossy_animated_bytes(int(i)))
+
+    return _mk(id_col)
+
+
 FRAME_SAMPLE_DDL = "id BIGINT, frame_idx INT, frame_ts_ms BIGINT, frame BINARY"
 
 

@@ -913,6 +913,37 @@ def _blend_px(dst, src):
     return tuple(out)
 
 
+def _vp8_rgba(payload: bytes):
+    """Lossy frame pixels: decode the VP8 key frame's Y/U/V planes
+    (functions/vp8.py, bit-exact) and convert to opaque (a, r, g, b)
+    via full-range BT.601 with NEAREST chroma upsampling (each 4:2:0
+    sample covers its 2×2 block) — flat-chroma (U=V=128) frames
+    convert to R=G=B=Y exactly, which is what keeps the lossy fixture
+    oracle closed-form."""
+    from .vp8 import decode_vp8_planes
+
+    w, h, y, u, v = decode_vp8_planes(payload)
+    cw = (w + 1) // 2
+    pixels = []
+    for yy in range(h):
+        crow = (yy // 2) * cw
+        yrow = yy * w
+        for xx in range(w):
+            Y = y[yrow + xx]
+            U = u[crow + xx // 2] - 128
+            V = v[crow + xx // 2] - 128
+            r = int(Y + 1.402 * V + 0.5)
+            g = int(Y - 0.344136 * U - 0.714136 * V + 0.5)
+            b = int(Y + 1.772 * U + 0.5)
+            pixels.append((
+                255,
+                0 if r < 0 else (255 if r > 255 else r),
+                0 if g < 0 else (255 if g > 255 else g),
+                0 if b < 0 else (255 if b > 255 else b),
+            ))
+    return w, h, pixels
+
+
 def webp_frames(data: bytes) -> list[tuple[int, int, int, int, float]]:
     """REAL animated-WebP frame iteration: one entry per ANMF frame —
     ``(frame_idx, canvas_w, canvas_h, duration_ms, mean)`` with mean
@@ -920,9 +951,10 @@ def webp_frames(data: bytes) -> list[tuple[int, int, int, int, float]]:
     animation model: VP8X canvas, ANIM background color (the initial
     canvas, and the fill for dispose-to-background), ANMF rectangles
     at (2·x, 2·y), per-frame blending method (alpha-blend or replace)
-    and disposal. Frames must be LOSSLESS (VP8L) sub-bitstreams — the
-    vendored pixel decoder; lossy-frame animations raise (the VP8
-    decoder's feature tier is luma-only)."""
+    and disposal. Frames may be LOSSLESS (VP8L) or LOSSY (VP8 key
+    frame, converted per _vp8_rgba) sub-bitstreams — both vendored
+    pixel decoders; lossy frames with an ALPH chunk raise (no alpha
+    plane decode)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP")
     pos = 12
@@ -962,6 +994,8 @@ def webp_frames(data: bytes) -> list[tuple[int, int, int, int, float]]:
             if fx + fw > canvas_w or fy + fh > canvas_h:
                 raise ValueError("ANMF rect outside the canvas")
             payload = None
+            lossy = False
+            saw_alph = False
             fpos = 16
             while fpos + 8 <= size:
                 ftag = body[fpos:fpos + 4]
@@ -973,13 +1007,21 @@ def webp_frames(data: bytes) -> list[tuple[int, int, int, int, float]]:
                     payload = fbody
                     break
                 if ftag == b"VP8 ":
-                    raise ValueError(
-                        "lossy-frame animation unsupported (VP8L only)"
-                    )
+                    if saw_alph:
+                        raise ValueError(
+                            "lossy frame with ALPH chunk unsupported"
+                        )
+                    payload, lossy = fbody, True
+                    break
+                if ftag == b"ALPH":
+                    saw_alph = True
                 fpos += 8 + fsize + (fsize & 1)
             if payload is None:
-                raise ValueError("ANMF frame with no VP8L payload")
-            w, h, pixels = decode_vp8l_pixels(payload)
+                raise ValueError("ANMF frame with no VP8/VP8L payload")
+            if lossy:
+                w, h, pixels = _vp8_rgba(payload)
+            else:
+                w, h, pixels = decode_vp8l_pixels(payload)
             if (w, h) != (fw, fh):
                 raise ValueError("ANMF rect disagrees with frame dims")
             if canvas is None:
@@ -1029,7 +1071,13 @@ def encode_webp_animated(
         x, y, w, h = f.get("rect", (0, 0, canvas_w, canvas_h))
         if x % 2 or y % 2:
             raise ValueError("ANMF offsets must be even")
-        sub = encode_vp8l(w, h, f["pixel"])[12:]  # strip RIFF header
+        if "vp8_payload" in f:  # lossy frame: raw VP8 key-frame bytes
+            p = f["vp8_payload"]
+            sub = b"VP8 " + struct.pack("<I", len(p)) + p
+            if len(p) & 1:
+                sub += b"\x00"
+        else:
+            sub = encode_vp8l(w, h, f["pixel"])[12:]  # strip RIFF header
         hdr = (
             struct.pack("<I", x // 2)[:3]
             + struct.pack("<I", y // 2)[:3]
@@ -1046,6 +1094,28 @@ def encode_webp_animated(
         if len(body) & 1:
             chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + bytes(chunks)
+
+
+def synth_webp_lossy_animated_bytes(doc_id: int) -> bytes:
+    """Deterministic real 3-frame LOSSY animated WebP: full-canvas VP8
+    key frames (flat MB luma per synth_vp8_mb_value with a per-frame
+    shift 17·k, flat chroma so RGB == Y exactly), duration 25+k ms —
+    the SQL oracle recomputes every frame's (duration, mean) as MB
+    arithmetic."""
+    from .vp8 import encode_vp8_flat_mbs, synth_vp8_dims, synth_vp8_mb_value
+
+    w, h = synth_vp8_dims(doc_id)
+    frames = []
+    for k in range(3):
+        payload = encode_vp8_flat_mbs(
+            w, h, 4,
+            lambda mx, my, k=k: 40
+            + (synth_vp8_mb_value(mx, my, doc_id) - 40 + 17 * k) % 176,
+        )
+        frames.append({
+            "vp8_payload": payload, "duration_ms": 25 + k, "no_blend": True,
+        })
+    return encode_webp_animated(w, h, frames)
 
 
 def synth_webp_animated_bytes(doc_id: int) -> bytes:

@@ -795,3 +795,49 @@ def test_webp_frame_features_flatmap(spark):
             r = by_key[(i, fi)]
             assert (r["width"], r["height"], r["duration_ms"]) == (w, h, d)
             assert r["mean_luma"] == pytest.approx(m, abs=1e-12)
+
+
+def test_webp_lossy_frames_closed_form():
+    """Lossy (VP8 key-frame) animated WebP: every frame runs the full
+    vendored VP8 pipeline; flat-chroma MB-constant fixtures convert to
+    RGB == Y exactly, so per-frame means are pure MB arithmetic."""
+    from embulk_spark.functions.vp8 import synth_vp8_dims, synth_vp8_mb_value
+    from embulk_spark.functions.vp8l import (
+        synth_webp_lossy_animated_bytes,
+        webp_frames,
+    )
+
+    for doc_id in (0, 3, 42):
+        out = webp_frames(synth_webp_lossy_animated_bytes(doc_id))
+        w, h = synth_vp8_dims(doc_id)
+        assert [f[:4] for f in out] == [(k, w, h, 25 + k) for k in range(3)]
+        mbw, mbh = w // 16, h // 16
+        for k in range(3):
+            exp = sum(
+                40 + (synth_vp8_mb_value(mx, my, doc_id) - 40 + 17 * k) % 176
+                for my in range(mbh) for mx in range(mbw)
+            ) / (mbw * mbh)
+            assert out[k][4] == pytest.approx(exp, abs=1e-12)
+
+
+def test_webp_lossy_frame_with_alph_rejected():
+    from embulk_spark.functions.vp8 import encode_vp8_flat_mbs
+    from embulk_spark.functions.vp8l import encode_webp_animated, webp_frames
+    import struct
+
+    payload = encode_vp8_flat_mbs(16, 16, 4, lambda mx, my: 100)
+    data = bytearray(encode_webp_animated(
+        16, 16, [{"vp8_payload": payload, "no_blend": True}]
+    ))
+    # splice an ALPH chunk ahead of the VP8 chunk inside the ANMF body
+    i = bytes(data).find(b"ANMF")
+    body_start = i + 8 + 16  # past tag+size+frame header
+    alph = b"ALPH" + struct.pack("<I", 2) + b"\x00\x00"
+    data = data[:body_start] + alph + data[body_start:]
+    # fix the ANMF and RIFF sizes
+    (anmf_size,) = struct.unpack_from("<I", data, i + 4)
+    struct.pack_into("<I", data, i + 4, anmf_size + len(alph))
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    struct.pack_into("<I", data, 4, riff_size + len(alph))
+    with pytest.raises(ValueError, match="ALPH"):
+        webp_frames(bytes(data))
