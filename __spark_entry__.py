@@ -2049,6 +2049,33 @@ def _q_multimodal_webp_lossy_frames(
     return webp_frame_features(media)
 
 
+def _q_multimodal_resize_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image resize end-to-end: synth real BMPs → resize_images
+    (integer aspect box to max_side=8, nearest-neighbor re-encode as
+    real BMP bytes) → decode_image_features over the RESIZED bytes.
+    The DuckDB oracle recomputes the target box with the same integer
+    arithmetic and the resized mean through the nearest source map
+    src = (dst·src_dim)//dst_dim — the resize pipeline stage made
+    real, adjudicated through a full decode of its output."""
+    from embulk_spark.functions.multimodal import (
+        decode_image_features,
+        resize_images,
+        synth_bmp_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_bmp_col(F.col("doc_id")).alias("media"),
+    )
+    resized = resize_images(media, max_side=8)
+    return decode_image_features(resized).select(
+        "id", "container", "width", "height", "mean_luma"
+    )
+
+
 def _q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/feature-extract with the REAL vendored GIF codec
     (functions/gif.py — header/LSD/palette walk, extension skip, full
@@ -3654,6 +3681,8 @@ _DRIVER_ROTATION_FIRST = [
     # WebP in both lossless-VP8L and lossy-VP8 frame flavors)
     "multimodal_gif_frames", "multimodal_webp_frames",
     "multimodal_webp_lossy_frames",
+    # slot 30: real resize (nearest re-encode, decode-adjudicated)
+    "multimodal_resize_real",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3766,6 +3795,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frames": _q_multimodal_gif_frames,
         "multimodal_webp_frames": _q_multimodal_webp_frames,
         "multimodal_webp_lossy_frames": _q_multimodal_webp_lossy_frames,
+        "multimodal_resize_real": _q_multimodal_resize_real,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_decode_webp": _q_multimodal_decode_webp,
         "multimodal_decode_vp8": _q_multimodal_decode_vp8,
@@ -4936,6 +4966,46 @@ def oracle_sql() -> dict[str, str]:
                sum(pv) * 64 / (64.0 * bw * bh) AS mean_luma
         FROM recon
         GROUP BY doc_id, bw, bh
+        """,
+        # multimodal_resize_real: the BMP ramp resized through the
+        # integer aspect box (max_side 8) and the nearest source map,
+        # then re-decoded — all arithmetic, incl. the identity path
+        # for images already inside the box.
+        "multimodal_resize_real": """
+        WITH g AS (
+          SELECT doc_id,
+                 4 + doc_id % 13 AS w,
+                 4 + (doc_id * 7) % 11 AS h
+          FROM documents
+        ),
+        box AS (
+          SELECT doc_id, w, h,
+                 CASE WHEN GREATEST(w, h) > 8
+                      THEN GREATEST(1, (w * 8) // GREATEST(w, h))
+                      ELSE w END AS ow,
+                 CASE WHEN GREATEST(w, h) > 8
+                      THEN GREATEST(1, (h * 8) // GREATEST(w, h))
+                      ELSE h END AS oh
+          FROM g
+        ),
+        px AS (
+          SELECT doc_id, ow, oh,
+                 (x.range * w) // ow AS sx,
+                 (y.range * h) // oh AS sy
+          FROM box, range(16) x, range(14) y
+          WHERE x.range < ow AND y.range < oh
+        ),
+        sums AS (
+          SELECT doc_id, ow, oh,
+                 sum((sx + sy + doc_id) % 256
+                     + (sx + 2 * sy + 2 * doc_id) % 256
+                     + (3 * sx + sy + 5 * doc_id) % 256) AS s
+          FROM px GROUP BY doc_id, ow, oh
+        )
+        SELECT doc_id AS id, 'bmp' AS container,
+               ow::int AS width, oh::int AS height,
+               s / (3.0 * ow * oh) AS mean_luma
+        FROM sums
         """,
         # multimodal_webp_lossy_frames: 3 full-canvas VP8 key frames —
         # MB-constant luma with flat chroma, so RGB == Y exactly and

@@ -189,6 +189,43 @@ def decode_bmp24(data: bytes) -> tuple[int, int, float]:
     return width, height, total / (3.0 * width * height)
 
 
+def decode_bmp24_pixels(data: bytes):
+    """Full-fidelity BMP decode: (width, height, top-down rows of
+    (r, g, b)) — the pixel source for the REAL resize path."""
+    import struct
+
+    w, h, _mean = decode_bmp24(data)  # header validation
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    height_raw = struct.unpack_from("<i", data, 22)[0]
+    row_stride = (3 * w + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        src_y = y if height_raw < 0 else h - 1 - y  # bottom-up default
+        row_start = pixel_off + src_y * row_stride
+        row = [
+            (
+                data[row_start + 3 * x + 2],
+                data[row_start + 3 * x + 1],
+                data[row_start + 3 * x],
+            )
+            for x in range(w)
+        ]
+        rows.append(row)
+    return w, h, rows
+
+
+def resize_bmp24_nearest(data: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL aspect-box resize of a 24-bpp BMP: nearest-neighbor with
+    the INTEGER source map src = (dst * src_dim) // dst_dim — exact,
+    engine-portable arithmetic (no float scale factors), re-encoded as
+    a real BMP."""
+    w, h, rows = decode_bmp24_pixels(data)
+    return encode_bmp24(
+        out_w, out_h,
+        lambda x, y: rows[(y * h) // out_h][(x * w) // out_w],
+    )
+
+
 def synth_bmp_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % 13, 4 + (doc_id * 7) % 11
 
@@ -823,22 +860,40 @@ def resize_images(
     id_col: str = "id",
     bin_col: str = "media",
 ) -> DataFrame:
-    """Resize plumbing: computes the target box (aspect-preserving,
-    longest side → ``max_side``) and re-emits the binary column. The fake
-    backend passes bytes through; the real one would re-encode. Shapes,
-    schema and batch flow are identical either way."""
+    """Resize: computes the target box (aspect-preserving, longest
+    side → ``max_side``) with INTEGER arithmetic — out = max(1,
+    (dim · max_side) // longest) when downscaling, identity otherwise
+    — so target dims are engine-portable (no float-scale truncation
+    edges). BMP bytes get a REAL resize (nearest-neighbor re-encode,
+    resize_bmp24_nearest); containers without a vendored re-encoder
+    pass their bytes through (the declared fake tier for this op).
+    Shapes, schema and batch flow are identical either way."""
     feats = decode_image_features(df, id_col, bin_col).select("id", "width", "height")
     src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("media"))
     joined = src.join(feats, "id")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
-            out_w = (pdf["width"] * scale).astype(int).clip(lower=1)
-            out_h = (pdf["height"] * scale).astype(int).clip(lower=1)
-            # real backend: PIL resize + re-encode; fake: passthrough bytes
+            w = pdf["width"].to_numpy()
+            h = pdf["height"].to_numpy()
+            mx = np.maximum(w, h)
+            down = mx > max_side
+            out_w = np.where(down, np.maximum(1, w * max_side // np.maximum(mx, 1)), w)
+            out_h = np.where(down, np.maximum(1, h * max_side // np.maximum(mx, 1)), h)
+            media = []
+            for b, ow, oh in zip(pdf["media"], out_w, out_h):
+                raw = bytes(b)
+                if raw[:2] == b"BM":
+                    try:
+                        media.append(resize_bmp24_nearest(raw, int(ow), int(oh)))
+                        continue
+                    except ValueError:
+                        pass  # malformed BMP: passthrough like other tiers
+                media.append(raw)
             yield pd.DataFrame(
-                {"id": pdf["id"], "width": out_w, "height": out_h, "media": pdf["media"]}
+                {"id": pdf["id"], "width": out_w, "height": out_h, "media": media}
             )
 
     return joined.mapInPandas(_resize, schema=RESIZE_DDL)

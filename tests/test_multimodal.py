@@ -503,3 +503,59 @@ def test_avif_sniff_refinement(spark):
     got = {r["id"]: (r["m"]["container"], r["m"]["modality"]) for r in rows}
     assert got[1] == ("avif", "image")
     assert got[2] == ("mp4", "video")
+
+
+def test_resize_bmp_real_nearest():
+    """The BMP resize path is REAL: nearest-neighbor with the integer
+    source map, re-encoded as a real BMP whose decode matches the
+    hand-computed resample; identity when already inside the box."""
+    from embulk_spark.functions.multimodal import (
+        decode_bmp24,
+        resize_bmp24_nearest,
+        synth_bmp_bytes,
+        synth_bmp_dims,
+    )
+
+    for i in (0, 7, 30):
+        w, h = synth_bmp_dims(i)
+        mx = max(w, h)
+        ow = max(1, w * 8 // mx) if mx > 8 else w
+        oh = max(1, h * 8 // mx) if mx > 8 else h
+        out = resize_bmp24_nearest(synth_bmp_bytes(i), ow, oh)
+        gw, gh, mean = decode_bmp24(out)
+        assert (gw, gh) == (ow, oh)
+        exp = sum(
+            (sx + sy + i) % 256
+            + (sx + 2 * sy + 2 * i) % 256
+            + (3 * sx + sy + 5 * i) % 256
+            for y in range(oh) for x in range(ow)
+            for sx, sy in [((x * w) // ow, (y * h) // oh)]
+        ) / (3.0 * ow * oh)
+        assert mean == pytest.approx(exp, abs=1e-12)
+
+
+def test_resize_images_real_bmp_end_to_end(spark):
+    from embulk_spark.functions.multimodal import (
+        decode_bmp24,
+        resize_bmp24_nearest,
+        resize_images,
+        synth_bmp_bytes,
+        synth_bmp_col,
+        synth_bmp_dims,
+    )
+
+    df = spark.range(0, 10).select(
+        F.col("id"), synth_bmp_col(F.col("id")).alias("media")
+    )
+    rows = {r["id"]: r for r in resize_images(df, max_side=8).collect()}
+    for i in range(10):
+        w, h = synth_bmp_dims(i)
+        mx = max(w, h)
+        ow = max(1, w * 8 // mx) if mx > 8 else w
+        oh = max(1, h * 8 // mx) if mx > 8 else h
+        r = rows[i]
+        assert (r["width"], r["height"]) == (ow, oh)
+        # the emitted bytes ARE the resized real BMP
+        assert decode_bmp24(bytes(r["media"])) == decode_bmp24(
+            resize_bmp24_nearest(synth_bmp_bytes(i), ow, oh)
+        )
