@@ -3156,6 +3156,28 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 12).alias("rank"))
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities (operators/graph.py::hits) over
+    the same customer→supplier link graph as pagerank: 4 rounds, each
+    two edge-shuffle joins + partial-sum hash aggs, the per-half-step
+    L2 norm a broadcast 1-row frame. The oracle unrolls the rounds as
+    chained CTEs with the identical operation order."""
+    from embulk_spark.operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    state = hits(edges, iters=4)
+    return state.select(
+        "node",
+        F.round("hub", 12).alias("hub"),
+        F.round("auth", 12).alias("auth"),
+    )
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe (operators/bloom.py): docs with
     doc_id%4≠0 build an m=2^20-bit corpus fingerprint (bit_or-packed
@@ -3683,6 +3705,8 @@ _DRIVER_ROTATION_FIRST = [
     "multimodal_webp_lossy_frames",
     # slot 30: real resize (nearest re-encode, decode-adjudicated)
     "multimodal_resize_real",
+    # slot 31+: round-5 late additions (this session)
+    "hits_scores",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3832,6 +3856,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "scd2_join_asof": _q_scd2_join_asof,
         "pagerank": _q_pagerank,
+        "hits_scores": _q_hits,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -4015,6 +4040,57 @@ r{i} AS (
   ) c ON c.node = no.node
 )""")
     return head + "," + ",".join(steps)
+
+
+def _hits_oracle_sql(iters: int = 4) -> str:
+    """Unroll ``iters`` HITS rounds as chained CTEs over the same
+    customer→supplier edge list as the pagerank oracle; identical
+    operation order (in/out sum → L2 normalize per half-step) to
+    operators/graph.py::hits so the doubles agree well past the
+    12-decimal rounding."""
+    head = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, 1.0::double AS hub FROM nodes)
+"""
+    # DuckDB inlines plain CTEs, so every reference re-expands its whole
+    # upstream chain: keep each CTE referenced ONCE downstream (norm as
+    # its own 1-row CTE entering via cross join), giving ~4^iters base
+    # expansions — the same budget class as the driver-proven pagerank
+    # unroll (3^5). Scalar-subquery norms (3 refs/step) blow up to
+    # 9^iters and exhaust file handles.
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+a{i}r AS (
+  SELECT e.dst AS node, sum(h.hub) AS x
+  FROM h{i - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+),
+a{i}n AS (SELECT sqrt(sum(x * x)) AS nrm FROM a{i}r),
+a{i} AS (
+  SELECT no.node,
+         CASE WHEN n.nrm > 0 THEN COALESCE(r.x, 0) / n.nrm
+              ELSE 0.0 END AS auth
+  FROM nodes no LEFT JOIN a{i}r r ON r.node = no.node CROSS JOIN a{i}n n
+),
+h{i}r AS (
+  SELECT e.src AS node, sum(a.auth) AS x
+  FROM a{i} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+),
+h{i}n AS (SELECT sqrt(sum(x * x)) AS nrm FROM h{i}r),
+h{i} AS (
+  SELECT no.node,
+         CASE WHEN n.nrm > 0 THEN COALESCE(r.x, 0) / n.nrm
+              ELSE 0.0 END AS hub
+  FROM nodes no LEFT JOIN h{i}r r ON r.node = no.node CROSS JOIN h{i}n n
+)""")
+    return head + "," + ",".join(steps) + f"""
+SELECT h.node, round(h.hub, 12) AS hub, round(a.auth, 12) AS auth
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+"""
 
 
 #: per-event session assignment: lag + running sum, inclusive gap boundary
@@ -6151,6 +6227,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(5, 0.85) + """
         SELECT node, round(rank, 12) AS rank FROM r5
         """,
+        "hits_scores": _hits_oracle_sql(4),
         "bloom_dedup": """
         WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
         batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),

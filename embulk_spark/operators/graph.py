@@ -127,6 +127,116 @@ def last_completed_round(ckpt_dir: str | None, upto: int) -> int | None:
     return best
 
 
+def hits(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, hub, auth) after ``iters`` rounds of Kleinberg's HITS
+    over the distinct directed edge list — the complement to
+    :func:`pagerank` for web-corpus curation (hubs = link pages /
+    directories, authorities = canonical content; a quality prior that
+    separates the two roles PageRank blends).
+
+    Fixed iteration count (deterministic, oracle-friendly), L2
+    normalization after each half-step — the textbook formulation:
+
+        hub₀(v)  = 1
+        authᵢ(v) = Σ_{u→v} hubᵢ₋₁(u)    then auth ← auth / ‖auth‖₂
+        hubᵢ(v)  = Σ_{v→u} authᵢ(u)     then hub ← hub / ‖hub‖₂
+
+    Nodes with no in-edges have auth 0; no out-edges → hub 0.
+
+    Scale shape per round: exactly two shuffle joins of the per-node
+    frame against the hash-partitioned edge list (one on src, one on
+    dst) + two partial-sum hash aggs; each L2 norm is a 1-row aggregate
+    that re-enters via broadcast (never a driver collect). Lineage is
+    truncated per round like pagerank, and the same
+    ``reliable_checkpoint_dir`` manifest gate + ``round=K`` layout give
+    restart-level resume for long runs (the per-round state frame is
+    (node, hub, auth))."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    start = 0
+    state = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")
+    )
+    resume_ok = reliable_checkpoint_dir is not None and checkpoint_manifest_gate(
+        reliable_checkpoint_dir,
+        {"kind": "hits", **edge_fingerprint(e, "src", "dst")},
+    )
+    done = (
+        last_completed_round(reliable_checkpoint_dir, iters)
+        if resume_ok
+        else None
+    )
+    if done is not None:
+        spark = edges.sparkSession
+        state = spark.read.parquet(
+            os.path.join(reliable_checkpoint_dir, f"round={done}")
+        )
+        if done == iters:
+            return state
+        start = done
+    for _round in range(start, iters):
+        auth_raw = (
+            state.select("node", "hub")
+            .join(e, state["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("x"))
+        )
+        anorm = auth_raw.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("x") * F.col("x"))), F.lit(0.0))
+            .alias("nrm")
+        )
+        auth = (
+            nodes.join(auth_raw, "node", "left")
+            .crossJoin(F.broadcast(anorm))
+            .select(
+                "node",
+                F.when(F.col("nrm") > 0.0, F.coalesce(F.col("x"), F.lit(0.0)) / F.col("nrm"))
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            )
+        )
+        hub_raw = (
+            auth.join(e, auth["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("x"))
+        )
+        hnorm = hub_raw.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("x") * F.col("x"))), F.lit(0.0))
+            .alias("nrm")
+        )
+        state = (
+            nodes.join(hub_raw, "node", "left")
+            .join(auth, "node")
+            .crossJoin(F.broadcast(hnorm))
+            .select(
+                "node",
+                F.when(F.col("nrm") > 0.0, F.coalesce(F.col("x"), F.lit(0.0)) / F.col("nrm"))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+                "auth",
+            )
+        )
+        state = checkpoint_round(state, reliable_checkpoint_dir, _round + 1)
+    return state
+
+
 def pagerank(
     edges: DataFrame,
     *,
