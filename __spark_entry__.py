@@ -3156,6 +3156,20 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 12).alias("rank"))
 
 
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup rollup
+    (operators/cdchunk.py): md5-window cut rule (window 16, divisor
+    64), keeper = corpus-wide min doc_id·1e5+idx per chunk hash.
+    Chunking is a narrow codegen projection; dedup is one shuffle on
+    the uniform chunk-md5 key + a partial-agg rollup to doc_id. The
+    oracle recomputes the identical cut set via lateral
+    generate_series + the same md5 windows."""
+    from embulk_spark.operators.cdchunk import chunk_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_dedup_stats(docs)
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS hubs/authorities (operators/graph.py::hits) over
     the same customer→supplier link graph as pagerank: 4 rounds, each
@@ -3706,7 +3720,7 @@ _DRIVER_ROTATION_FIRST = [
     # slot 30: real resize (nearest re-encode, decode-adjudicated)
     "multimodal_resize_real",
     # slot 31+: round-5 late additions (this session)
-    "hits_scores",
+    "hits_scores", "chunk_dedup",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3857,6 +3871,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_join_asof": _q_scd2_join_asof,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
+        "chunk_dedup": _q_chunk_dedup,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6228,6 +6243,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, round(rank, 12) AS rank FROM r5
         """,
         "hits_scores": _hits_oracle_sql(4),
+        # content-defined chunking: identical md5-window cut rule
+        # (window 16, divisor 64, salt 'cdcc:') recomputed via lateral
+        # generate_series; keeper = min(doc_id*1e5+idx) per chunk md5
+        "chunk_dedup": """
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS L FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 1
+        ),
+        cut AS (
+          SELECT d.doc_id, t.i AS e
+          FROM d, UNNEST(generate_series(16, d.L - 1)) AS t(i)
+          WHERE ('0x' || substr(md5('cdcc:' || substr(d.text, t.i - 15, 16)), 1, 8))::bigint % 64 = 0
+        ),
+        ends AS (
+          SELECT doc_id, e FROM cut
+          UNION ALL
+          SELECT doc_id, L FROM d
+        ),
+        ch AS (
+          SELECT doc_id, e,
+                 lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx
+          FROM ends
+        ),
+        occ AS (
+          SELECT c.doc_id,
+                 md5(substr(d.text, c.s + 1, c.e - c.s)) AS h,
+                 c.doc_id * 100000 + c.chunk_idx AS okey,
+                 c.e - c.s AS chunk_len
+          FROM ch c JOIN d ON d.doc_id = c.doc_id
+        ),
+        keep AS (SELECT h, min(okey) AS keeper FROM occ GROUP BY h)
+        SELECT o.doc_id,
+               count(*)::bigint AS n_chunks,
+               sum(CASE WHEN o.okey <> k.keeper THEN 1 ELSE 0 END)::bigint AS dup_chunks,
+               sum(CASE WHEN o.okey <> k.keeper THEN o.chunk_len ELSE 0 END)::bigint AS dup_chars
+        FROM occ o JOIN keep k ON k.h = o.h
+        GROUP BY o.doc_id
+        """,
         "bloom_dedup": """
         WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
         batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
