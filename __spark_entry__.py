@@ -3156,6 +3156,32 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 12).alias("rank"))
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling + Horvitz–Thompson factors
+    (operators/sample.py::weighted_sample): inclusion probability ∝
+    doc length (n_chars over its corpus mean — the length prior corpus
+    builders weight by), exact cross-engine parity (integer-derived
+    uniform, one IEEE multiply — no ln/pow keys). Narrow codegen
+    filter; the 1-row mean enters via broadcast."""
+    from embulk_spark.operators.sample import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    stats = docs.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avgc")
+    )
+    weighted = docs.crossJoin(F.broadcast(stats)).withColumn(
+        "w", F.col("n_chars") / F.col("avgc")
+    )
+    out = weighted_sample(weighted, 0.25, "w", "doc_id")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round("incl_p", 12).alias("incl_p"),
+        F.round("ht_factor", 12).alias("ht_factor"),
+    )
+
+
 def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + chunk-level dedup rollup
     (operators/cdchunk.py): md5-window cut rule (window 16, divisor
@@ -3720,7 +3746,7 @@ _DRIVER_ROTATION_FIRST = [
     # slot 30: real resize (nearest re-encode, decode-adjudicated)
     "multimodal_resize_real",
     # slot 31+: round-5 late additions (this session)
-    "hits_scores", "chunk_dedup",
+    "hits_scores", "chunk_dedup", "weighted_sample",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3872,6 +3898,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
         "chunk_dedup": _q_chunk_dedup,
+        "weighted_sample": _q_weighted_sample,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6243,6 +6270,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, round(rank, 12) AS rank FROM r5
         """,
         "hits_scores": _hits_oracle_sql(4),
+        # weighted Poisson sampling: p = min(1, 0.25·n_chars/mean),
+        # u = exact md5-prefix scaling — no libm in the decision path
+        "weighted_sample": """
+        WITH s AS (SELECT sum(n_chars)::double / count(*) AS avgc FROM documents)
+        SELECT doc_id, lang, n_chars,
+               round(least(1.0, 0.25 * (n_chars / avgc)), 12) AS incl_p,
+               round(1.0 / least(1.0, 0.25 * (n_chars / avgc)), 12) AS ht_factor
+        FROM documents, s
+        WHERE ('0x' || left(md5('wps1:' || doc_id), 8))::bigint / 4294967296.0
+              < least(1.0, 0.25 * (n_chars / avgc))
+        """,
         # content-defined chunking: identical md5-window cut rule
         # (window 16, divisor 64, salt 'cdcc:') recomputed via lateral
         # generate_series; keeper = min(doc_id*1e5+idx) per chunk md5

@@ -125,6 +125,39 @@ def sample_exact_k(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    rate: float,
+    weight_col: str,
+    id_col: str,
+    *,
+    salt: str = "wps1",
+) -> DataFrame:
+    """Weighted Poisson sampling with Horvitz–Thompson factors: keep a
+    row iff ``hash_uniform(id) < p`` where ``p = min(1, rate·weight)``
+    — inclusion probability proportional to the row's weight (an
+    importance/quality score, a DSIR weight, a length prior). The
+    estimator contract: summing ``ht_factor`` (= 1/p) over the sample
+    unbiasedly estimates the population row count; summing
+    ``x·ht_factor`` estimates any population total.
+
+    Deterministic across runs/partitionings/engines with NO float-
+    parity caveats: ``u`` is an exact binary scaling of a 32-bit md5
+    prefix and ``p`` is one IEEE multiply — both engines round
+    identically, unlike ln/pow-keyed A-ES ordering. Same rows forever;
+    a narrow codegen'd filter, no shuffle, no state.
+
+    Returns ``df`` + ``incl_p`` / ``ht_factor`` columns."""
+    p = F.least(
+        F.lit(1.0), F.lit(float(rate)) * F.col(weight_col).cast("double")
+    )
+    return (
+        df.withColumn("incl_p", p)
+        .filter(hash_uniform(F.col(id_col), salt) < F.col("incl_p"))
+        .withColumn("ht_factor", F.lit(1.0) / F.col("incl_p"))
+    )
+
+
 def split_by_group(
     df: DataFrame,
     group_col: str,

@@ -200,3 +200,38 @@ def test_sample_exact_k_count_determinism_and_stability(spark):
     # a stratum smaller than k returns all of it
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
     assert sample_exact_k(tiny, ["grp"], 7, "id").count() == 2
+
+
+def test_weighted_sample_ht_estimator_and_determinism(spark):
+    from embulk_spark.operators.sample import hash_uniform, weighted_sample
+
+    # weights 1..4: heavier rows must be included proportionally more
+    rows = [(i, float(1 + i % 4)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, 0.1, "w", "id")
+    pdf = got.toPandas()
+    # inclusion probability column matches the rule exactly
+    assert (pdf["incl_p"] == (0.1 * pdf["w"]).clip(upper=1.0)).all()
+    assert (pdf["ht_factor"] == 1.0 / pdf["incl_p"]).all()
+    # Horvitz–Thompson: sum of 1/p estimates the population size
+    est = pdf["ht_factor"].sum()
+    assert abs(est - 2000) / 2000 < 0.15
+    # deterministic under repartitioning
+    again = weighted_sample(df.repartition(17), 0.1, "w", "id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # weight-monotone inclusion frequency: w=4 rows ~4x the w=1 rows
+    by_w = pdf.groupby("w")["id"].count()
+    assert by_w[4.0] > 2.5 * by_w[1.0]
+
+
+def test_weighted_sample_p_capped_at_one(spark):
+    from embulk_spark.operators.sample import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1000.0) for i in range(50)], "id long, w double"
+    )
+    got = weighted_sample(df, 0.1, "w", "id")
+    assert got.count() == 50  # p = min(1, 100) = 1 → everything kept
+    assert {r.ht_factor for r in got.collect()} == {1.0}
