@@ -3156,6 +3156,82 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 12).alias("rank"))
 
 
+def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (sources/feeds.py): render each user's
+    events as one multi-item feed document (even users RSS 2.0 with
+    RFC-822 pubDates, odd users Atom with link-href + ISO updated),
+    parse back to the normalized (kind, guid, title, link, pub_ts)
+    record — regexp explode + per-field extract, all codegen. The
+    oracle rebuilds the expected records straight from events;
+    timestamps compare as epoch micros (second precision survives the
+    round-trip)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("ts2"),
+    )
+    rss_item = F.concat(
+        F.lit("<item><guid>evt:"), F.col("event_id"),
+        F.lit("</guid><title>"), F.col("event_type"),
+        F.lit(" #"), F.col("event_id"),
+        F.lit("</title><link>https://example.com/u/"), F.col("user_id"),
+        F.lit("/e/"), F.col("event_id"),
+        F.lit("</link><pubDate>"),
+        F.date_format("ts2", "EEE, dd MMM yyyy HH:mm:ss"),
+        F.lit(" GMT</pubDate></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><id>evt:"), F.col("event_id"),
+        F.lit("</id><title>"), F.col("event_type"),
+        F.lit(" #"), F.col("event_id"),
+        F.lit('</title><link href="https://example.com/u/'),
+        F.col("user_id"), F.lit("/e/"), F.col("event_id"),
+        F.lit('"/><updated>'),
+        F.date_format("ts2", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("Z</updated></entry>"),
+    )
+    body = F.when(F.col("user_id") % 2 == 0, rss_item).otherwise(atom_entry)
+    docs = (
+        ev.select("user_id", "event_id", body.alias("_s"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "_s"))),
+                    lambda x: x["_s"],
+                ),
+            ).alias("_items")
+        )
+        .select(
+            F.when(
+                F.col("user_id") % 2 == 0,
+                F.concat(
+                    F.lit('<rss version="2.0"><channel><title>u'),
+                    F.col("user_id"), F.lit("</title>"),
+                    F.col("_items"), F.lit("</channel></rss>"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>u'),
+                    F.col("user_id"), F.lit("</title>"),
+                    F.col("_items"), F.lit("</feed>"),
+                )
+            )
+            .alias("doc")
+        )
+    )
+    from embulk_spark.sources.feeds import parse_feed_column
+
+    parsed = parse_feed_column(docs, F.col("doc"))
+    return parsed.select(
+        "kind", "guid", "title", "link",
+        F.unix_micros("pub_ts").alias("pub_us"),
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Poisson sampling + Horvitz–Thompson factors
     (operators/sample.py::weighted_sample): inclusion probability ∝
@@ -3746,7 +3822,7 @@ _DRIVER_ROTATION_FIRST = [
     # slot 30: real resize (nearest re-encode, decode-adjudicated)
     "multimodal_resize_real",
     # slot 31+: round-5 late additions (this session)
-    "hits_scores", "chunk_dedup", "weighted_sample",
+    "hits_scores", "chunk_dedup", "weighted_sample", "feed_parse",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3899,6 +3975,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "chunk_dedup": _q_chunk_dedup,
         "weighted_sample": _q_weighted_sample,
+        "feed_parse": _q_feed_parse,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6270,6 +6347,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, round(rank, 12) AS rank FROM r5
         """,
         "hits_scores": _hits_oracle_sql(4),
+        # feed round-trip: expected records rebuilt straight from
+        # events; pub_us = second-truncated ts as epoch micros
+        "feed_parse": """
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+               'evt:' || event_id AS guid,
+               event_type || ' #' || event_id AS title,
+               'https://example.com/u/' || user_id || '/e/' || event_id AS link,
+               epoch_us(date_trunc('second', ts)) AS pub_us
+        FROM events
+        """,
         # weighted Poisson sampling: p = min(1, 0.25·n_chars/mean),
         # u = exact md5-prefix scaling — no libm in the decision path
         "weighted_sample": """
