@@ -590,3 +590,17 @@ def test_text_normalize_matches_oracle_on_random_unicode(spark, docs):
     """Normalization (whitespace folding etc.) and the changed-flag
     agree cross-engine on exotic unicode."""
     _cross_check(spark, docs, "text_normalize")
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_lists)
+def test_chunk_dedup_matches_oracle_on_random_unicode(spark, docs):
+    """Content-defined chunking: the md5-window cut set, chunk substr
+    slicing, and min-okey keeper accounting agree cross-engine for
+    arbitrary unicode corpora (exotic whitespace, astral plane), incl.
+    docs shorter than the hash window and forced duplicate runs."""
+    _cross_check(spark, docs, "chunk_dedup")
