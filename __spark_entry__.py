@@ -3232,6 +3232,35 @@ def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_change_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot change magnitude (operators/cdchunk.py::
+    chunk_change_stats) — the recrawl-scheduler input: chunk two
+    snapshots, multiset-intersect per (key, chunk-md5), classify on
+    integer char counts (unchanged / minor ≥70% retained / major).
+    Snapshot fixture: documents vs a deterministic edit — doc_id%3==0
+    unchanged, ==1 a 5-char insertion at offset 40, ==2 a
+    vowel-translate rewrite. The oracle re-runs the identical chunk
+    pipeline over both sides."""
+    from embulk_spark.operators.cdchunk import chunk_change_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    edited = (
+        F.when(F.col("doc_id") % 3 == 0, t)
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                t.substr(F.lit(1), F.lit(40)),
+                F.lit("[rev]"),
+                t.substr(F.lit(41), F.length(t)),
+            ),
+        )
+        .otherwise(F.translate(t, "aeiou", "01234"))
+    )
+    new = docs.select("doc_id", edited.alias("text"))
+    return chunk_change_stats(docs, new)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Poisson sampling + Horvitz–Thompson factors
     (operators/sample.py::weighted_sample): inclusion probability ∝
@@ -3823,6 +3852,7 @@ _DRIVER_ROTATION_FIRST = [
     "multimodal_resize_real",
     # slot 31+: round-5 late additions (this session)
     "hits_scores", "chunk_dedup", "weighted_sample", "feed_parse",
+    "page_change_classify",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -3976,6 +4006,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "weighted_sample": _q_weighted_sample,
         "feed_parse": _q_feed_parse,
+        "page_change_classify": _q_page_change_classify,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -4159,6 +4190,80 @@ r{i} AS (
   ) c ON c.node = no.node
 )""")
     return head + "," + ",".join(steps)
+
+
+def _chunk_side_sql(tag: str, src: str) -> str:
+    """One snapshot side of the page-change oracle: the chunk pipeline
+    from the chunk_dedup oracle (same cut rule, window 16 / divisor 64
+    / salt 'cdcc:'), rolled up to per-(doc, chunk-md5) counts."""
+    return f"""
+d{tag} AS (
+  SELECT doc_id, text, length(text) AS L FROM {src}
+  WHERE text IS NOT NULL AND length(text) >= 1
+),
+cut{tag} AS (
+  SELECT d.doc_id, t.i AS e
+  FROM d{tag} d, UNNEST(generate_series(16, d.L - 1)) AS t(i)
+  WHERE ('0x' || substr(md5('cdcc:' || substr(d.text, t.i - 15, 16)), 1, 8))::bigint % 64 = 0
+),
+end{tag} AS (
+  SELECT doc_id, e FROM cut{tag}
+  UNION ALL SELECT doc_id, L FROM d{tag}
+),
+ch{tag} AS (
+  SELECT doc_id, e, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s
+  FROM end{tag}
+),
+grp{tag} AS (
+  SELECT c.doc_id, md5(substr(d.text, c.s + 1, c.e - c.s)) AS h,
+         count(*)::bigint AS cnt, max(c.e - c.s) AS ln
+  FROM ch{tag} c JOIN d{tag} d ON d.doc_id = c.doc_id
+  GROUP BY c.doc_id, md5(substr(d.text, c.s + 1, c.e - c.s))
+)"""
+
+
+def _page_change_oracle_sql() -> str:
+    return (
+        """
+WITH newt AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN text
+           WHEN 1 THEN substr(text, 1, 40) || '[rev]' || substr(text, 41)
+           ELSE translate(text, 'aeiou', '01234')
+         END AS text
+  FROM documents
+),"""
+        + _chunk_side_sql("_o", "documents")
+        + ","
+        + _chunk_side_sql("_n", "newt")
+        + """,
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         COALESCE(o.cnt, 0) AS c_old, COALESCE(n.cnt, 0) AS c_new,
+         COALESCE(o.ln, n.ln) AS ln
+  FROM grp_o o FULL OUTER JOIN grp_n n
+    ON n.doc_id = o.doc_id AND n.h = o.h
+),
+pk AS (
+  SELECT doc_id,
+         sum(c_old * ln)::bigint AS old_chars,
+         sum(c_new * ln)::bigint AS new_chars,
+         sum(least(c_old, c_new) * ln)::bigint AS shared_chars
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, old_chars, new_chars, shared_chars,
+       CASE WHEN new_chars > 0
+            THEN round(1.0 - shared_chars::double / new_chars::double, 12)
+            ELSE 1.0 END AS change_ratio,
+       CASE WHEN shared_chars = old_chars AND shared_chars = new_chars
+              THEN 'unchanged'
+            WHEN new_chars = 0 THEN 'major'
+            WHEN shared_chars * 10 >= new_chars * 7 THEN 'minor'
+            ELSE 'major' END AS change_class
+FROM pk
+"""
+    )
 
 
 def _hits_oracle_sql(iters: int = 4) -> str:
@@ -6357,6 +6462,10 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(date_trunc('second', ts)) AS pub_us
         FROM events
         """,
+        # cross-snapshot change classification: the chunk pipeline
+        # (identical to chunk_dedup's) runs over BOTH snapshots; the
+        # class is decided on integer char counts
+        "page_change_classify": _page_change_oracle_sql(),
         # weighted Poisson sampling: p = min(1, 0.25·n_chars/mean),
         # u = exact md5-prefix scaling — no libm in the decision path
         "weighted_sample": """

@@ -87,6 +87,97 @@ def chunk_documents(
     return out
 
 
+def chunk_change_stats(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    divisor: int = 64,
+    salt: str = "cdcc:",
+) -> DataFrame:
+    """Per-key change magnitude between two snapshots of the same
+    corpus — the recrawl-scheduler's input: how much of each page
+    actually changed since the last crawl. Chunk both versions, then
+    per (key, chunk-md5) take the MULTISET intersection (min of the
+    two occurrence counts); shared characters are what a chunk store
+    would not re-transfer.
+
+    Output: (key, old_chars, new_chars, shared_chars, change_ratio,
+    change_class) where change_ratio = 1 − shared/new and the class is
+    decided on INTEGERS (no float-boundary flake):
+
+    - ``unchanged``: shared == old == new (chunk multisets identical)
+    - ``minor``:     shared_chars·10 ≥ new_chars·7  (≥70 % retained)
+    - ``major``:     otherwise (incl. new/emptied pages)
+
+    Scale shape: two narrow chunking projections, one shuffle each to
+    the per-(key, md5) counts, a full-outer join on that same
+    (key, md5) key (co-partitioned — no extra exchange), and one
+    partial-agg rollup to the key. Keys absent from one side roll up
+    with that side's totals at 0 (page created / page emptied)."""
+    def side(df, a):
+        return (
+            chunk_documents(
+                df,
+                id_col=key_col,
+                text_col=text_col,
+                window=window,
+                divisor=divisor,
+                salt=salt,
+            )
+            .groupBy(key_col, "chunk_md5")
+            .agg(
+                F.count(F.lit(1)).alias(f"c_{a}"),
+                F.max(F.length("chunk")).alias(f"len_{a}"),
+            )
+        )
+
+    o, n = side(old_df, "old"), side(new_df, "new")
+    j = o.join(n, [key_col, "chunk_md5"], "full_outer").select(
+        key_col,
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        F.coalesce("len_old", "len_new").alias("ln"),
+    )
+    per_key = j.groupBy(key_col).agg(
+        F.sum(F.col("c_old") * F.col("ln")).alias("old_chars"),
+        F.sum(F.col("c_new") * F.col("ln")).alias("new_chars"),
+        F.sum(F.least("c_old", "c_new") * F.col("ln")).alias("shared_chars"),
+    )
+    ratio = F.when(
+        F.col("new_chars") > 0,
+        F.round(
+            F.lit(1.0)
+            - F.col("shared_chars").cast("double")
+            / F.col("new_chars").cast("double"),
+            12,
+        ),
+    ).otherwise(F.lit(1.0))
+    cls = (
+        F.when(
+            (F.col("shared_chars") == F.col("old_chars"))
+            & (F.col("shared_chars") == F.col("new_chars")),
+            F.lit("unchanged"),
+        )
+        .when(F.col("new_chars") == 0, F.lit("major"))  # page emptied
+        .when(
+            F.col("shared_chars") * 10 >= F.col("new_chars") * 7,
+            F.lit("minor"),
+        )
+        .otherwise(F.lit("major"))
+    )
+    return per_key.select(
+        key_col,
+        "old_chars",
+        "new_chars",
+        "shared_chars",
+        ratio.alias("change_ratio"),
+        cls.alias("change_class"),
+    )
+
+
 def chunk_dedup_stats(
     df: DataFrame,
     *,

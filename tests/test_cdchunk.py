@@ -108,3 +108,54 @@ def test_repeated_content_within_one_doc(spark):
     assert row.dup_chars > len(block) // 2
     # keeper key stays in range
     assert row.n_chunks < KEY_BASE
+
+
+def test_change_stats_classes(spark):
+    import random
+
+    rng = random.Random(9)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(3000))
+    minor = base[:100] + "EDIT" + base[100:]  # small insertion
+    major = "".join(rng.choice("zyxwvu") for _ in range(3000))
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (4, base)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (2, minor), (3, major), (5, base)],
+        "doc_id long, text string",
+    )
+    from embulk_spark.operators.cdchunk import chunk_change_stats
+
+    got = {r.doc_id: r for r in chunk_change_stats(old, new).collect()}
+    assert got[1].change_class == "unchanged"
+    assert got[1].change_ratio == 0.0
+    assert got[1].shared_chars == len(base)
+    assert got[2].change_class == "minor"
+    assert 0 < got[2].change_ratio < 0.3
+    assert got[3].change_class == "major"
+    assert got[4].change_class == "major"  # page emptied (absent new)
+    assert got[4].new_chars == 0 and got[4].change_ratio == 1.0
+    assert got[5].change_class == "major"  # page created (absent old)
+    assert got[5].old_chars == 0
+
+
+def test_change_stats_repeated_chunk_multiset(spark):
+    # multiset semantics: old has a block twice, new has it once — the
+    # shared count is min(2, 1), not set-intersection
+    import random
+
+    rng = random.Random(13)
+    block = "".join(rng.choice("abcdefgh") for _ in range(800))
+    old = spark.createDataFrame(
+        [(1, block + block)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(1, block)], "doc_id long, text string")
+    from embulk_spark.operators.cdchunk import chunk_change_stats
+
+    row = chunk_change_stats(old, new).collect()[0]
+    assert row.old_chars == 2 * len(block)
+    assert row.new_chars == len(block)
+    # the shared multiset is about one block's worth, never two
+    assert row.shared_chars <= len(block)
+    assert row.shared_chars >= len(block) // 2
