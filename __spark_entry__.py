@@ -3232,6 +3232,30 @@ def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental content-addressed chunk store (operators/
+    chunkstore.py): 4 epochs (doc_id%4) ingest in order, each chunking
+    only its Δ and committing only store-novel hashes. Output = the
+    per-epoch dedup metrics; the oracle partitions the batch chunking
+    by first-seen epoch, certifying incremental == batch."""
+    from embulk_spark.operators.chunkstore import ChunkStore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = ChunkStore(spark, _scratch_root("chunkstore", sf_dir))
+    rows = []
+    for e in range(4):
+        m = store.ingest_epoch(docs.filter(F.col("doc_id") % 4 == e), e)
+        rows.append(
+            (e, m["chunks_seen"], m["new_chunks"], m["dup_chunks"],
+             m["new_chars"])
+        )
+    return spark.createDataFrame(
+        rows,
+        "epoch long, chunks_seen long, new_chunks long, dup_chunks long, "
+        "new_chars long",
+    )
+
+
 def _q_page_change_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot change magnitude (operators/cdchunk.py::
     chunk_change_stats) — the recrawl-scheduler input: chunk two
@@ -3852,7 +3876,7 @@ _DRIVER_ROTATION_FIRST = [
     "multimodal_resize_real",
     # slot 31+: round-5 late additions (this session)
     "hits_scores", "chunk_dedup", "weighted_sample", "feed_parse",
-    "page_change_classify",
+    "page_change_classify", "incremental_chunk_store",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -4007,6 +4031,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "feed_parse": _q_feed_parse,
         "page_change_classify": _q_page_change_classify,
+        "incremental_chunk_store": _q_incremental_chunk_store,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6466,6 +6491,46 @@ def oracle_sql() -> dict[str, str]:
         # (identical to chunk_dedup's) runs over BOTH snapshots; the
         # class is decided on integer char counts
         "page_change_classify": _page_change_oracle_sql(),
+        # incremental == batch: partition the batch chunking's distinct
+        # hash set by first-seen epoch (doc_id%4); dup = occurrences
+        # answered by content stored earlier (incl. same-epoch repeats)
+        "incremental_chunk_store": """
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS L, doc_id % 4 AS epoch
+          FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+        ),
+        cut AS (
+          SELECT d.doc_id, t.i AS e
+          FROM d, UNNEST(generate_series(16, d.L - 1)) AS t(i)
+          WHERE ('0x' || substr(md5('cdcc:' || substr(d.text, t.i - 15, 16)), 1, 8))::bigint % 64 = 0
+        ),
+        ends AS (
+          SELECT doc_id, e FROM cut UNION ALL SELECT doc_id, L FROM d
+        ),
+        ch AS (
+          SELECT doc_id, e, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s
+          FROM ends
+        ),
+        occ AS (
+          SELECT d.epoch, md5(substr(d.text, c.s + 1, c.e - c.s)) AS h,
+                 c.e - c.s AS ln
+          FROM ch c JOIN d ON d.doc_id = c.doc_id
+        ),
+        first_seen AS (
+          SELECT h, min(epoch) AS fe, max(ln) AS ln FROM occ GROUP BY h
+        ),
+        seen AS (SELECT epoch, count(*)::bigint AS chunks_seen FROM occ GROUP BY epoch),
+        novel AS (
+          SELECT fe AS epoch, count(*)::bigint AS new_chunks,
+                 sum(ln)::bigint AS new_chars
+          FROM first_seen GROUP BY fe
+        )
+        SELECT s.epoch::bigint AS epoch, s.chunks_seen,
+               COALESCE(n.new_chunks, 0)::bigint AS new_chunks,
+               (s.chunks_seen - COALESCE(n.new_chunks, 0))::bigint AS dup_chunks,
+               COALESCE(n.new_chars, 0)::bigint AS new_chars
+        FROM seen s LEFT JOIN novel n ON n.epoch = s.epoch
+        """,
         # weighted Poisson sampling: p = min(1, 0.25·n_chars/mean),
         # u = exact md5-prefix scaling — no libm in the decision path
         "weighted_sample": """

@@ -241,6 +241,11 @@ def main() -> None:
         "bpe_merges",
         "bpe_encode",
         "incremental_agg_view",
+        "hits_scores",
+        "chunk_dedup",
+        "page_change_classify",
+        "weighted_sample",
+        "feed_parse",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -159,6 +159,44 @@ CHECKS = {
         "must_not": [r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython",
                      r"CartesianProduct"],
     },
+    "chunk_dedup": {
+        "why": "content-defined chunking is a narrow codegen projection "
+               "(sequence→filter→zip_with→posexplode, no Python); dedup is "
+               "one shuffle on the uniform chunk-md5 key + an equi-join "
+               "against the keeper frame — no window, no sort, no cartesian",
+        "must": [r"Generate", r"HashAggregate",
+                 r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct", r"\bWindow\b"],
+    },
+    "page_change_classify": {
+        "why": "both snapshots chunk as narrow projections; the multiset "
+               "intersection is a full-outer equi-join on the same "
+               "(key, chunk-md5) grouping key — co-partitioned, no window, "
+               "no cartesian",
+        "must": [r"Generate", r"HashAggregate",
+                 r"SortMergeJoin|ShuffledHashJoin"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct", r"\bWindow\b"],
+    },
+    "weighted_sample": {
+        "why": "the 1-row corpus mean enters via broadcast and Catalyst "
+               "folds the weight-threshold predicate INTO the broadcast "
+               "join condition (no separate filter pass) — the corpus "
+               "never shuffles, no Python",
+        "must": [r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+                 r"Join condition: [^\n]*least\(1\.0"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"SortMergeJoin"],
+    },
+    "feed_parse": {
+        "why": "feed explode is a same-stage generator over JVM regexp "
+               "(items/entries → rows), per-field extraction is codegen "
+               "regexp_extract — no XML library, no Python in the data path",
+        "must": [r"Generate"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct"],
+    },
     # audio_meta: the parse is pure JVM (pinned by
     # tests/test_multimodal.py::test_wav_header_parse_is_jvm_only on the
     # expression itself); the driver query's plan still shows one
