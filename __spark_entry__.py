@@ -3232,6 +3232,36 @@ def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_replica_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle anti-entropy (operators/merkle.py::replica_diff): replica
+    A = documents; replica B drops doc_id%97==3, rewrites lang to 'xx'
+    on doc_id%83==0, and adds one extra row — the diff localizes every
+    corruption to its leaf bucket (4096 leaves) with digest+count
+    channels, ONE corpus shuffle per side. Oracle recomputes the same
+    md5/bit_xor digest algebra at leaf level."""
+    from embulk_spark.operators.merkle import replica_diff
+
+    a = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    b = (
+        a.filter(F.col("doc_id") % 97 != 3)
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 83 == 0, F.lit("xx"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(999999).cast("long").alias("doc_id"),
+                F.lit("extra row").alias("text"),
+                F.lit("en").alias("lang"),
+            )
+        )
+    )
+    return replica_diff(a, b, "doc_id", ["text", "lang"])
+
+
 def _q_incremental_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental content-addressed chunk store (operators/
     chunkstore.py): 4 epochs (doc_id%4) ingest in order, each chunking
@@ -3877,6 +3907,7 @@ _DRIVER_ROTATION_FIRST = [
     # slot 31+: round-5 late additions (this session)
     "hits_scores", "chunk_dedup", "weighted_sample", "feed_parse",
     "page_change_classify", "incremental_chunk_store",
+    "replica_merkle_diff",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -4032,6 +4063,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": _q_feed_parse,
         "page_change_classify": _q_page_change_classify,
         "incremental_chunk_store": _q_incremental_chunk_store,
+        "replica_merkle_diff": _q_replica_merkle_diff,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6491,6 +6523,36 @@ def oracle_sql() -> dict[str, str]:
         # (identical to chunk_dedup's) runs over BOTH snapshots; the
         # class is decided on integer char counts
         "page_change_classify": _page_change_oracle_sql(),
+        # Merkle anti-entropy: identical md5/bit_xor digest algebra at
+        # leaf level; digest-or-count mismatch = divergent bucket
+        "replica_merkle_diff": """
+        WITH a AS (SELECT doc_id, text, lang FROM documents),
+        b AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 83 = 0 THEN 'xx' ELSE lang END AS lang
+          FROM documents WHERE doc_id % 97 <> 3
+          UNION ALL SELECT 999999, 'extra row', 'en'
+        ),
+        da AS (
+          SELECT ('0x' || substr(md5('mrkb:' || doc_id), 1, 15))::bigint % 4096 AS leaf,
+                 bit_xor(('0x' || substr(md5('mrk1:' || doc_id || '|' || text || chr(1) || lang), 1, 15))::bigint) AS digest,
+                 count(*)::bigint AS n
+          FROM a GROUP BY 1
+        ),
+        db AS (
+          SELECT ('0x' || substr(md5('mrkb:' || doc_id), 1, 15))::bigint % 4096 AS leaf,
+                 bit_xor(('0x' || substr(md5('mrk1:' || doc_id || '|' || text || chr(1) || lang), 1, 15))::bigint) AS digest,
+                 count(*)::bigint AS n
+          FROM b GROUP BY 1
+        )
+        SELECT COALESCE(da.leaf, db.leaf) AS leaf,
+               COALESCE(da.n, 0) AS n_a, COALESCE(db.n, 0) AS n_b,
+               COALESCE(da.digest, 0) AS digest_a,
+               COALESCE(db.digest, 0) AS digest_b
+        FROM da FULL OUTER JOIN db ON db.leaf = da.leaf
+        WHERE COALESCE(da.digest, 0) <> COALESCE(db.digest, 0)
+           OR COALESCE(da.n, 0) <> COALESCE(db.n, 0)
+        """,
         # incremental == batch: partition the batch chunking's distinct
         # hash set by first-seen epoch (doc_id%4); dup = occurrences
         # answered by content stored earlier (incl. same-epoch repeats)
