@@ -3232,6 +3232,21 @@ def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k set-overlap estimation (operators/kmv.py):
+    distinct-user overlap between every event-type pair — union /
+    jaccard / intersection estimates from k=64 sketches built on the
+    exact md5-prefix uniform (bit-identical cross-engine; the oracle
+    recomputes sketches and estimators verbatim). One exchange on the
+    group key; pair algebra touches only ≤k-element arrays."""
+    from embulk_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    out = kmv_overlap(sk, ["event_type"], k=64)
+    return out.withColumn("shared", F.col("shared").cast("long"))
+
+
 def _q_replica_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle anti-entropy (operators/merkle.py::replica_diff): replica
     A = documents; replica B drops doc_id%97==3, rewrites lang to 'xx'
@@ -3907,7 +3922,7 @@ _DRIVER_ROTATION_FIRST = [
     # slot 31+: round-5 late additions (this session)
     "hits_scores", "chunk_dedup", "weighted_sample", "feed_parse",
     "page_change_classify", "incremental_chunk_store",
-    "replica_merkle_diff",
+    "replica_merkle_diff", "kmv_overlap",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -4064,6 +4079,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_change_classify": _q_page_change_classify,
         "incremental_chunk_store": _q_incremental_chunk_store,
         "replica_merkle_diff": _q_replica_merkle_diff,
+        "kmv_overlap": _q_kmv_overlap,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6523,6 +6539,44 @@ def oracle_sql() -> dict[str, str]:
         # (identical to chunk_dedup's) runs over BOTH snapshots; the
         # class is decided on integer char counts
         "page_change_classify": _page_change_oracle_sql(),
+        # KMV bottom-k sketches: identical md5-prefix uniform, k-min
+        # via row_number, estimators recomputed with the same exact
+        # IEEE arithmetic ((k-1)/u_k, shared/|merged|)
+        "kmv_overlap": """
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        u AS (
+          SELECT event_type, user_id,
+                 ('0x' || left(md5('kmv1:' || user_id), 8))::bigint / 4294967296.0 AS u
+          FROM d
+        ),
+        r AS (
+          SELECT event_type, u,
+                 row_number() OVER (PARTITION BY event_type ORDER BY u, user_id) AS rn
+          FROM u
+        ),
+        sk AS (
+          SELECT event_type, list(u ORDER BY u) AS sk
+          FROM r WHERE rn <= 64 GROUP BY event_type
+        ),
+        p AS (
+          SELECT a.event_type AS event_type_1, b.event_type AS event_type_2,
+                 a.sk AS sk1, b.sk AS sk2,
+                 list_slice(list_sort(list_distinct(list_concat(a.sk, b.sk))), 1, 64) AS m
+          FROM sk a JOIN sk b ON a.event_type < b.event_type
+        ),
+        q AS (
+          SELECT event_type_1, event_type_2,
+                 len(list_filter(m, x -> list_contains(sk1, x) AND list_contains(sk2, x)))::bigint AS shared,
+                 CASE WHEN len(m) < 64 THEN len(m)::double ELSE 63.0 / m[64] END AS ue,
+                 len(m)::double AS lm
+          FROM p
+        )
+        SELECT event_type_1, event_type_2, shared,
+               round(ue, 12) AS union_est,
+               round(shared / lm, 12) AS jaccard_est,
+               round((shared / lm) * ue, 12) AS intersect_est
+        FROM q
+        """,
         # Merkle anti-entropy: identical md5/bit_xor digest algebra at
         # leaf level; digest-or-count mismatch = divergent bucket
         "replica_merkle_diff": """
