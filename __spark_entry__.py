@@ -3232,6 +3232,55 @@ def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dynamodb_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynamoDB Streams wire parser (sources/debezium.py::
+    parse_dynamodb_stream): render the public Kinesis-adapter record
+    shape from events with pure JVM concat — INSERTs with full typed
+    images (S/N/BOOL attribute values), MODIFYs, key-only REMOVE
+    tombstones — parse back through the one-pass from_json path. The
+    oracle rebuilds every typed field straight from events."""
+    from embulk_spark.sources.debezium import parse_dynamodb_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_seconds(F.date_trunc("second", F.col("ts"))).alias("ats"),
+    )
+    sid = F.col("event_id")
+    bool_s = F.when(sid % 2 == 0, F.lit("true")).otherwise(F.lit("false"))
+    image = lambda n_expr: F.concat(  # noqa: E731
+        F.lit('{"pk":{"S":"e'), sid, F.lit('"},"etype":{"S":"'),
+        F.col("event_type"), F.lit('"},"n":{"N":"'), n_expr,
+        F.lit('"},"ok":{"BOOL":'), bool_s, F.lit("}}"),
+    )
+    head = F.concat(
+        F.lit('{"eventName":"'),
+        F.when(sid % 5 == 0, F.lit("REMOVE"))
+        .when(sid % 5 == 1, F.lit("MODIFY"))
+        .otherwise(F.lit("INSERT")),
+        F.lit('","dynamodb":{"ApproximateCreationDateTime":'),
+        F.col("ats"),
+        F.lit(',"Keys":{"pk":{"S":"e'), sid, F.lit('"}}'),
+    )
+    tail = F.concat(
+        F.lit(',"SequenceNumber":"'), sid, F.lit('"}}')
+    )
+    rec = F.concat(
+        head,
+        F.when(sid % 5 == 0, F.lit(""))
+        .when(
+            sid % 5 == 1,
+            F.concat(F.lit(',"NewImage":'), image(sid * 3 + 1)),
+        )
+        .otherwise(F.concat(F.lit(',"NewImage":'), image(sid * 3))),
+        tail,
+    )
+    return parse_dynamodb_stream(
+        ev.select(rec.alias("value")),
+        "pk string, etype string, n bigint, ok boolean",
+    )
+
+
 def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k set-overlap estimation (operators/kmv.py):
     distinct-user overlap between every event-type pair — union /
@@ -3922,7 +3971,7 @@ _DRIVER_ROTATION_FIRST = [
     # slot 31+: round-5 late additions (this session)
     "hits_scores", "chunk_dedup", "weighted_sample", "feed_parse",
     "page_change_classify", "incremental_chunk_store",
-    "replica_merkle_diff", "kmv_overlap",
+    "replica_merkle_diff", "kmv_overlap", "dynamodb_stream_parse",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -4080,6 +4129,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_chunk_store": _q_incremental_chunk_store,
         "replica_merkle_diff": _q_replica_merkle_diff,
         "kmv_overlap": _q_kmv_overlap,
+        "dynamodb_stream_parse": _q_dynamodb_stream_parse,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6539,6 +6589,23 @@ def oracle_sql() -> dict[str, str]:
         # (identical to chunk_dedup's) runs over BOTH snapshots; the
         # class is decided on integer char counts
         "page_change_classify": _page_change_oracle_sql(),
+        # DynamoDB Streams: expected typed rows rebuilt straight from
+        # events (REMOVE = key-only tombstone, MODIFY = n*3+1 image)
+        "dynamodb_stream_parse": """
+        SELECT CASE event_id % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+               event_id AS seq,
+               event_id::varchar AS seq_str,
+               epoch_ms(date_trunc('second', ts)) AS src_ts_ms,
+               false AS is_snapshot, false AS is_partial,
+               'e' || event_id AS pk,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS etype,
+               CASE event_id % 5 WHEN 0 THEN NULL
+                    WHEN 1 THEN event_id * 3 + 1
+                    ELSE event_id * 3 END AS n,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE event_id % 2 = 0 END AS ok
+        FROM events
+        """,
         # KMV bottom-k sketches: identical md5-prefix uniform, k-min
         # via row_number, estimators recomputed with the same exact
         # IEEE arithmetic ((k-1)/u_k, shared/|merged|)

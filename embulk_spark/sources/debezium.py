@@ -624,6 +624,120 @@ def parse_mongo_oplog(
     )
 
 
+def parse_dynamodb_stream(
+    df: DataFrame,
+    row_ddl: str,
+    value_col: str = "value",
+    *,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """DynamoDB Streams records (the public Kinesis-adapter/Lambda
+    shape: ``eventName`` INSERT/MODIFY/REMOVE, ``dynamodb.Keys`` /
+    ``NewImage`` / ``OldImage`` as typed attribute-value maps
+    ``{"S":…,"N":"…","BOOL":…,"NULL":true,"B":base64}``) → the same
+    typed change-row contract as the other wire parsers.
+
+    Typed decode per declared engine type: string←S, long/double←N
+    (DynamoDB numbers travel as strings), boolean←BOOL, binary←B
+    (base64), timestamp←S ISO or N epoch-ms; an attribute carrying
+    ``NULL:true`` — or absent from the image — lands as NULL. REMOVE
+    rows are tombstones: key fields from ``Keys``, payload NULL.
+
+    ``seq``: SequenceNumber try-cast to bigint. The production caveat:
+    real stream sequence numbers are up to 40 decimal digits — beyond
+    bigint, order by (src_ts_ms, lexicographic zero-padded
+    SequenceNumber) instead; ``seq_str`` carries the raw value for
+    exactly that."""
+    row = T.StructType.fromDDL(row_ddl)
+    av = T.StructType(
+        [
+            T.StructField("S", T.StringType()),
+            T.StructField("N", T.StringType()),
+            T.StructField("BOOL", T.BooleanType()),
+            T.StructField("NULL", T.BooleanType()),
+            T.StructField("B", T.StringType()),
+        ]
+    )
+    avmap = T.MapType(T.StringType(), av)
+    env_s = T.StructType(
+        [
+            T.StructField("eventName", T.StringType()),
+            T.StructField(
+                "dynamodb",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "ApproximateCreationDateTime", T.DoubleType()
+                        ),
+                        T.StructField("Keys", avmap),
+                        T.StructField("NewImage", avmap),
+                        T.StructField("OldImage", avmap),
+                        T.StructField("SequenceNumber", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    v = F.col(value_col)
+    env = F.from_json(v, env_s)
+    parsed = (
+        df.filter(v.isNotNull() & (F.trim(v) != ""))
+        .select(*[F.col(c) for c in (keep_cols or [])], env.alias("e"))
+        .filter(
+            F.col("e.eventName").isin("INSERT", "MODIFY", "REMOVE")
+        )
+    )
+    op = F.col("e.eventName")
+    keys = F.col("e.dynamodb.Keys")
+    img = F.when(op == "REMOVE", keys).otherwise(
+        F.col("e.dynamodb.NewImage")
+    )
+
+    def cell(f):
+        a = img.getItem(f.name)
+        # coalesce the marker: an absent NULL field must read as False,
+        # not SQL-null (which would null the whole when() branch)
+        null_marked = a.isNull() | F.coalesce(
+            a.getField("NULL"), F.lit(False)
+        )
+        t = f.dataType.simpleString()
+        if t == "boolean":
+            out = a.getField("BOOL")
+        elif t in ("bigint", "int"):
+            out = a.getField("N").cast(f.dataType)
+        elif t == "double":
+            out = a.getField("N").cast("double")
+        elif t == "binary":
+            out = F.unbase64(a.getField("B"))
+        elif t == "timestamp":
+            out = F.coalesce(
+                F.to_timestamp(a.getField("S")),
+                F.timestamp_millis(a.getField("N").cast("long")),
+            )
+        else:
+            out = a.getField("S")
+        return F.when(~null_marked, out).alias(f.name)
+
+    op_out = (
+        F.when(op == "INSERT", F.lit("I"))
+        .when(op == "MODIFY", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    seq_str = F.col("e.dynamodb.SequenceNumber")
+    return parsed.select(
+        *(keep_cols or []),
+        op_out.alias("op"),
+        seq_str.try_cast("long").alias("seq"),
+        seq_str.alias("seq_str"),
+        (F.col("e.dynamodb.ApproximateCreationDateTime") * 1000)
+        .cast("long")
+        .alias("src_ts_ms"),
+        F.lit(False).alias("is_snapshot"),
+        F.lit(False).alias("is_partial"),
+        *[cell(f) for f in row.fields],
+    )
+
+
 #: MySQL → engine type lattice for DDL-driven evolution (the engine's
 #: six-type model, reference spi/type — everything maps into it).
 _MYSQL_TYPE_MAP = [

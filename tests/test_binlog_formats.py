@@ -345,3 +345,63 @@ def test_mongo_oplog_set_stream_through_patch_merge(spark):
     assert got["u1"] == (99, "de", False)
     # u2: delete fences the insert; the later $set rebuilds lang only
     assert got["u2"] == (None, "it", False)
+
+
+# ---------------------------------------------------------------------------
+# DynamoDB Streams
+# ---------------------------------------------------------------------------
+
+def test_dynamodb_stream_typed_decode(spark):
+    from embulk_spark.sources.debezium import parse_dynamodb_stream
+
+    recs = [
+        # INSERT: full typed image
+        '{"eventName":"INSERT","dynamodb":{"ApproximateCreationDateTime":1700000000.5,'
+        '"Keys":{"pk":{"S":"u1"}},'
+        '"NewImage":{"pk":{"S":"u1"},"n":{"N":"42"},"score":{"N":"1.5"},'
+        '"ok":{"BOOL":true},"blob":{"B":"aGk="},"gone":{"NULL":true}},'
+        '"SequenceNumber":"101"}}',
+        # MODIFY: new image wins
+        '{"eventName":"MODIFY","dynamodb":{"ApproximateCreationDateTime":1700000001,'
+        '"Keys":{"pk":{"S":"u1"}},'
+        '"NewImage":{"pk":{"S":"u1"},"n":{"N":"43"},"ok":{"BOOL":false}},'
+        '"OldImage":{"pk":{"S":"u1"},"n":{"N":"42"}},'
+        '"SequenceNumber":"102"}}',
+        # REMOVE: tombstone, key only
+        '{"eventName":"REMOVE","dynamodb":{"ApproximateCreationDateTime":1700000002,'
+        '"Keys":{"pk":{"S":"u2"}},"OldImage":{"pk":{"S":"u2"}},'
+        '"SequenceNumber":"103"}}',
+        # control-record noise a parser must drop
+        '{"eventName":"ENABLE","dynamodb":{}}',
+        "",
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], "value string")
+    rows = parse_dynamodb_stream(
+        df,
+        "pk string, n bigint, score double, ok boolean, blob binary, gone string",
+    ).collect()
+    assert [r.op for r in rows] == ["I", "U", "D"]
+    ins, mod, rem = rows
+    assert ins.pk == "u1" and ins.n == 42 and ins.score == 1.5
+    assert ins.ok is True and bytes(ins.blob) == b"hi"
+    assert ins.gone is None  # NULL:true marker
+    assert ins.seq == 101 and ins.seq_str == "101"
+    assert ins.src_ts_ms == 1700000000500
+    assert mod.n == 43 and mod.ok is False
+    assert mod.score is None  # absent from image → NULL
+    assert rem.pk == "u2" and rem.n is None  # tombstone: keys only
+    assert not ins.is_partial and not ins.is_snapshot
+
+
+def test_dynamodb_stream_oversize_seq_falls_to_str(spark):
+    from embulk_spark.sources.debezium import parse_dynamodb_stream
+
+    rec = (
+        '{"eventName":"INSERT","dynamodb":{"ApproximateCreationDateTime":1,'
+        '"Keys":{"pk":{"S":"x"}},"NewImage":{"pk":{"S":"x"}},'
+        '"SequenceNumber":"4950011926370664446942202864401"}}'
+    )
+    df = spark.createDataFrame([(rec,)], "value string")
+    row = parse_dynamodb_stream(df, "pk string").collect()[0]
+    assert row.seq is None  # beyond bigint — cast nulls out
+    assert row.seq_str == "4950011926370664446942202864401"
