@@ -3165,6 +3165,19 @@ def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds the expected records straight from events;
     timestamps compare as epoch micros (second precision survives the
     round-trip)."""
+    from embulk_spark.sources.feeds import parse_feed_column
+
+    parsed = parse_feed_column(_feed_docs_fixture(spark, sf_dir), F.col("doc"))
+    return parsed.select(
+        "kind", "guid", "title", "link",
+        F.unix_micros("pub_ts").alias("pub_us"),
+    )
+
+
+def _feed_docs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user multi-item feed documents rendered from events (even
+    users RSS 2.0, odd users Atom) — shared by feed_parse and
+    feed_refresh_candidates."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -3223,12 +3236,41 @@ def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("doc")
         )
     )
-    from embulk_spark.sources.feeds import parse_feed_column
+    return docs
 
-    parsed = parse_feed_column(docs, F.col("doc"))
-    return parsed.select(
-        "kind", "guid", "title", "link",
-        F.unix_micros("pub_ts").alias("pub_us"),
+
+def _q_feed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven staleness detection (sources/feeds.py::
+    feed_refresh_candidates): parse the feed fixture, join the freshest
+    per-link claim against a published lake state derived from the same
+    events (event_id%3==0 current, ==1 one hour behind the feed, ==2
+    never crawled) — emit exactly the stale+new fetch set. One
+    map-side max per link, one equi-join on url."""
+    from embulk_spark.sources.feeds import (
+        feed_refresh_candidates,
+        parse_feed_column,
+    )
+
+    entries = parse_feed_column(
+        _feed_docs_fixture(spark, sf_dir), F.col("doc")
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts2"),
+    )
+    published = ev.filter(F.col("event_id") % 3 != 2).select(
+        F.concat(
+            F.lit("https://example.com/u/"), F.col("user_id"),
+            F.lit("/e/"), F.col("event_id"),
+        ).alias("url"),
+        F.when(F.col("event_id") % 3 == 0, F.col("ts2"))
+        .otherwise(F.col("ts2") - F.expr("INTERVAL 1 HOUR"))
+        .alias("warc_ts"),
+    )
+    out = feed_refresh_candidates(entries, published)
+    return out.select(
+        "url", F.unix_micros("feed_ts").alias("feed_us"), "status"
     )
 
 
@@ -3972,6 +4014,7 @@ _DRIVER_ROTATION_FIRST = [
     "hits_scores", "chunk_dedup", "weighted_sample", "feed_parse",
     "page_change_classify", "incremental_chunk_store",
     "replica_merkle_diff", "kmv_overlap", "dynamodb_stream_parse",
+    "feed_refresh_candidates",
     # the rest of the r04 rotation, unchanged order
     "script_id", "corpus_mixture", "stratified_sample", "sample_exact_k",
     "boilerplate_lines", "paragraph_dedup", "benchmark_overlap",
@@ -4130,6 +4173,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replica_merkle_diff": _q_replica_merkle_diff,
         "kmv_overlap": _q_kmv_overlap,
         "dynamodb_stream_parse": _q_dynamodb_stream_parse,
+        "feed_refresh_candidates": _q_feed_refresh,
         "bloom_dedup": _q_bloom_dedup,
         "metrics_rollup": _q_metrics_rollup,
         "hll_distinct": _q_hll_distinct,
@@ -6589,6 +6633,14 @@ def oracle_sql() -> dict[str, str]:
         # (identical to chunk_dedup's) runs over BOTH snapshots; the
         # class is decided on integer char counts
         "page_change_classify": _page_change_oracle_sql(),
+        # feed-driven staleness: the stale+new fetch set rebuilt from
+        # events (%3==0 current → drop, ==1 stale, ==2 new)
+        "feed_refresh_candidates": """
+        SELECT 'https://example.com/u/' || user_id || '/e/' || event_id AS url,
+               epoch_us(date_trunc('second', ts)) AS feed_us,
+               CASE WHEN event_id % 3 = 2 THEN 'new' ELSE 'stale' END AS status
+        FROM events WHERE event_id % 3 <> 0
+        """,
         # DynamoDB Streams: expected typed rows rebuilt straight from
         # events (REMOVE = key-only tombstone, MODIFY = n*3+1 image)
         "dynamodb_stream_parse": """

@@ -113,3 +113,48 @@ def parse_feed_column(df: DataFrame, col: Column) -> DataFrame:
         ).alias("pub_ts"),
     )
     return rss.unionByName(atom)
+
+
+def feed_refresh_candidates(
+    entries: DataFrame,
+    published: DataFrame,
+    *,
+    link_col: str = "link",
+    ts_col: str = "pub_ts",
+    url_col: str = "url",
+    published_ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Close the discovery loop: feed entries assert "page at ``link``
+    changed at ``pub_ts``" but carry no content — the CDC-correct
+    reading is a FETCH CANDIDATE, not an upsert. Join the freshest
+    per-link feed claim against the lake's published (url, warc_ts)
+    and emit what the crawler must fetch:
+
+    - ``new``:   the lake has never seen the url;
+    - ``stale``: the feed claims a change newer than the stored
+      version.
+
+    Links the lake already holds at feed freshness (or newer) emit
+    nothing — a feed poll over an up-to-date lake is free. One
+    map-side-combinable max per link, then one equi-join on the url
+    key; output feeds ``operators/frontier.py`` / ``recrawl.py``."""
+    latest = (
+        entries.filter(
+            F.col(link_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(link_col).alias("url"))
+        .agg(F.max(ts_col).alias("feed_ts"))
+    )
+    pub = published.select(
+        F.col(url_col).alias("_purl"),
+        F.col(published_ts_col).alias("_pts"),
+    )
+    status = (
+        F.when(F.col("_pts").isNull(), F.lit("new"))
+        .when(F.col("feed_ts") > F.col("_pts"), F.lit("stale"))
+    )
+    return (
+        latest.join(pub, latest["url"] == pub["_purl"], "left")
+        .select("url", "feed_ts", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

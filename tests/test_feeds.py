@@ -64,3 +64,35 @@ def test_multi_item_order_independent(spark):
     )
     got = parse_feed_column(df, F.col("doc")).collect()
     assert {r.guid for r in got} == {f"g{i}" for i in range(20)}
+
+
+def test_feed_refresh_candidates(spark):
+    import datetime as dt
+
+    from embulk_spark.sources.feeds import feed_refresh_candidates
+
+    t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+    entries = spark.createDataFrame(
+        [
+            ("rss", "g1", "t", "https://x.com/fresh", t0),
+            ("rss", "g2", "t", "https://x.com/stale", t0),
+            ("atom", "g3", "t", "https://x.com/new", t0),
+            # two claims for one link: the freshest wins
+            ("rss", "g4", "t", "https://x.com/stale", t0 - dt.timedelta(hours=2)),
+            # unparseable date → ignored
+            ("rss", "g5", "t", "https://x.com/nodate", None),
+        ],
+        "kind string, guid string, title string, link string, pub_ts timestamp",
+    )
+    published = spark.createDataFrame(
+        [
+            ("https://x.com/fresh", t0),  # lake at feed freshness → drop
+            ("https://x.com/stale", t0 - dt.timedelta(hours=1)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    got = {r.url: r for r in feed_refresh_candidates(entries, published).collect()}
+    assert set(got) == {"https://x.com/stale", "https://x.com/new"}
+    assert got["https://x.com/stale"].status == "stale"
+    assert got["https://x.com/stale"].feed_ts == t0  # freshest claim won
+    assert got["https://x.com/new"].status == "new"

@@ -189,6 +189,30 @@ CHECKS = {
         "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
                      r"SortMergeJoin"],
     },
+    "dynamodb_stream_parse": {
+        "why": "the wire decode is ONE from_json projection over the "
+               "record scan — per-row, no explode, no shuffle, no Python",
+        "must": [r"Project"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"\bExchange\b", r"Generate"],
+    },
+    "replica_merkle_diff": {
+        "why": "leaf digests are one partial-combine hash agg per "
+               "replica; the tree compare is an equi-join on the node id "
+               "— never a cartesian, no Python",
+        "must": [r"HashAggregate",
+                 r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython",
+                     r"CartesianProduct"],
+    },
+    "kmv_overlap": {
+        "why": "sketches take one exchange on the group key with a "
+               "bounded rank; the pair comparison is array algebra over "
+               "≤k-element sketches on a tiny frame (the non-equi pair "
+               "join broadcasts that frame) — no Python anywhere",
+        "must": [r"HashAggregate"],
+        "must_not": [r"ArrowEvalPython", r"BatchEvalPython"],
+    },
     "feed_parse": {
         "why": "feed explode is a same-stage generator over JVM regexp "
                "(items/entries → rows), per-field extraction is codegen "
