@@ -155,3 +155,46 @@ class ChunkStore:
             with open(mpath) as f:  # lost a benign concurrent commit
                 return {**json.load(f), "skipped_duplicate_epoch": True}
         return {**metrics, "skipped_duplicate_epoch": False}
+
+    def ingest_from_lake_epoch(
+        self, table, epoch: int, *, delta_dir: str | None = None
+    ) -> dict:
+        """Ingest a committed lake epoch's delta files — the same O(Δ)
+        column-pruned re-read contract as SignatureIndex/TermIndex
+        (incremental.py:216): live rows chunk, tombstones are ignored
+        (a content-addressed store keeps chunks other documents may
+        share; document deletion is the lake's concern, byte
+        reclamation is refcount-GC's). On resume (store behind the
+        table after a crash between the two commits) files recover
+        from the snapshot's delta groups until compaction folds the
+        epoch — attach the store from the first epoch and resume
+        promptly, or rebuild with a batch pass."""
+        if epoch in self.committed_epochs():
+            mpath = os.path.join(
+                self._deltas, f"epoch={epoch}", "_metrics.json"
+            )
+            with open(mpath) as f:
+                return {**json.load(f), "skipped_duplicate_epoch": True}
+        if delta_dir is not None:
+            paths = [os.path.join(table.path, delta_dir)]
+        else:
+            snap = table.current_snapshot()
+            files = [
+                f
+                for g in snap["deltas"]
+                if g.get("epoch_id") == epoch
+                for f in g["files"]
+            ]
+            if not files:
+                # commit an empty epoch so committed_epochs stays a
+                # contiguous replay cursor
+                empty = self.spark.createDataFrame(
+                    [], "doc_id string, text string"
+                )
+                return self.ingest_epoch(empty, epoch, id_col="doc_id")
+            paths = [os.path.join(table.path, f) for f in files]
+        df = table.spark.read.parquet(*paths)
+        live = df.filter(~F.col("is_deleted")).select(
+            F.col("url").alias("doc_id"), "text"
+        )
+        return self.ingest_epoch(live, epoch, id_col="doc_id")

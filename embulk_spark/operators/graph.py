@@ -211,6 +211,10 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("auth"),
             )
+            # auth feeds BOTH the hub update and the round's output
+            # state — materialize the half-step once instead of
+            # re-running its edge join per consumer
+            .localCheckpoint(eager=True)
         )
         hub_raw = (
             auth.join(e, auth["node"] == e["dst"])

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from embulk_spark.operators.chunkstore import ChunkStore
 from embulk_spark.operators.cdchunk import chunk_documents
 
@@ -97,3 +99,82 @@ def test_as_of_epoch_read(spark, tmp_path):
     e0 = store.chunks(as_of_epoch=0)
     assert set(r.epoch for r in e0.collect()) == {0}
     assert e0.count() < store.chunks().count()
+
+
+def test_ingest_from_lake_epochs(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import apply_epoch
+
+    ddl = ("seq long, op string, url string, warc_ts timestamp, "
+           "html binary, text string, lang string, schema_change string")
+
+    def ev(seq, op, url, text, s):
+        return (seq, op, url,
+                datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc),
+                None if op == "D" else f"<p>{text}</p>".encode(),
+                None if op == "D" else text,
+                None if op == "D" else "en", None)
+
+    import random
+    rng = random.Random(31)
+    blk = "".join(rng.choice("abcdefgh ") for _ in range(900))
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=2,
+                             compact_min_deltas=10_000)
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+
+    e0 = spark.createDataFrame(
+        [ev(1, "I", "u://a", blk + "one", 1),
+         ev(2, "I", "u://b", blk + "two", 2)], ddl)
+    m0 = apply_epoch(table, e0, 0)
+    r0 = store.ingest_from_lake_epoch(table, 0, delta_dir=m0["delta_dir"])
+    assert r0["new_chunks"] > 0 and r0["dup_chunks"] > 0  # shared blk dedups
+
+    # epoch 1: update a (mostly same bytes) + delete b (ignored by store)
+    e1 = spark.createDataFrame(
+        [ev(3, "U", "u://a", blk + "one EDIT", 3),
+         ev(4, "D", "u://b", None, 4)], ddl)
+    m1 = apply_epoch(table, e1, 1)
+    r1 = store.ingest_from_lake_epoch(table, 1, delta_dir=m1["delta_dir"])
+    assert r1["dup_chunks"] > r1["new_chunks"]  # re-crawl mostly dedups
+
+    # duplicate delivery of epoch 1 is a recorded no-op
+    r1b = store.ingest_from_lake_epoch(table, 1, delta_dir=m1["delta_dir"])
+    assert r1b["skipped_duplicate_epoch"]
+    assert r1b["new_chunks"] == r1["new_chunks"]
+
+    # store == union of the deltas' LIVE text chunks (the lake
+    # re-extracts text from html at apply time, so read what the
+    # deltas actually carry rather than the fixture's input text)
+    import os
+    live = None
+    for m in (m0, m1):
+        d = (spark.read.parquet(os.path.join(table.path, m["delta_dir"]))
+             .filter(~F.col("is_deleted"))
+             .select(F.col("url").alias("doc_id"), "text"))
+        live = d if live is None else live.unionByName(d)
+    want = {r.chunk_md5 for r in chunk_documents(live).collect()}
+    assert {r.chunk_md5 for r in store.chunks().collect()} == want
+
+
+def test_ingest_from_lake_snapshot_recovery(spark, tmp_path):
+    # no delta_dir passed: files recover from the snapshot's delta groups
+    from datetime import datetime, timezone
+
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import apply_epoch
+
+    ddl = ("seq long, op string, url string, warc_ts timestamp, "
+           "html binary, text string, lang string, schema_change string")
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=2,
+                             compact_min_deltas=10_000)
+    e0 = spark.createDataFrame(
+        [(1, "I", "u://a",
+          datetime(2024, 1, 1, tzinfo=timezone.utc), b"x", "hello world " * 30,
+          "en", None)], ddl)
+    apply_epoch(table, e0, 0)
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    r = store.ingest_from_lake_epoch(table, 0)
+    assert r["new_chunks"] >= 1
+    assert store.committed_epochs() == {0}
