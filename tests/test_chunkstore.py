@@ -178,3 +178,50 @@ def test_ingest_from_lake_snapshot_recovery(spark, tmp_path):
     r = store.ingest_from_lake_epoch(table, 0)
     assert r["new_chunks"] >= 1
     assert store.committed_epochs() == {0}
+
+
+def test_crash_sweep_ingest_commits(spark, tmp_path):
+    """Sweep a hard crash through every python-level fs mutation of a
+    2-epoch ingest (parquet-write/metrics/rename lattice): after any
+    crash, a FRESH handle re-running the same sequence reaches the
+    uninterrupted run's exact chunk set and metrics."""
+    from test_crash_fuzz import FsCrashInjector, InjectedCrash
+
+    rows = _mk_corpus(16, seed=41)
+    halves = [
+        [r for r in rows if r[0] % 2 == 0],
+        [r for r in rows if r[0] % 2 == 1],
+    ]
+
+    def run(store):
+        out = []
+        for e in (0, 1):
+            out.append(store.ingest_epoch(_docs(spark, halves[e]), e))
+        return out
+
+    ref_store = ChunkStore(spark, str(tmp_path / "ref"))
+    ref_metrics = run(ref_store)
+    ref_set = {r.chunk_md5 for r in ref_store.chunks().collect()}
+
+    k = 0
+    exercised = 0
+    while True:
+        p = str(tmp_path / f"cs_k{k}")
+        crashed = False
+        with FsCrashInjector(k):
+            try:
+                run(ChunkStore(spark, p))
+            except InjectedCrash:
+                crashed = True
+        if not crashed:
+            break  # k beyond the sequence's fs ops: clean run
+        exercised += 1
+        # recovery: fresh handle, full redelivery
+        store2 = ChunkStore(spark, p)
+        got_metrics = run(store2)
+        assert {r.chunk_md5 for r in store2.chunks().collect()} == ref_set, k
+        for g, r in zip(got_metrics, ref_metrics):
+            assert g["new_chunks"] == r["new_chunks"], k
+            assert g["chunks_seen"] == r["chunks_seen"], k
+        k += 1
+    assert exercised >= 3  # the commit lattice was actually swept
