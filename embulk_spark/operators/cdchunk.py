@@ -74,14 +74,24 @@ def chunk_documents(
             lambda i: _window_cut(text, i, window, divisor, salt),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    ends = F.concat(cuts, F.array(ln))
-    starts = F.concat(F.array(F.lit(0)), cuts)
+    # materialize the cut set under a name BEFORE fanning it into
+    # starts/ends: inlined, the O(len·window) md5 filter is duplicated
+    # into both consumers (CollapseProject keeps the two projections
+    # apart only when the shared alias is non-cheap and multiply
+    # referenced — which this arrangement guarantees)
+    based = df.filter(ln >= 1).select(
+        F.col(id_col), text.alias("_t"), ln.alias("_ln"), cuts.alias("_cuts")
+    )
+    t = F.col("_t")
+    ends = F.concat(F.col("_cuts"), F.array(F.col("_ln")))
+    starts = F.concat(F.array(F.lit(0)), F.col("_cuts"))
     chunks = F.zip_with(
-        starts, ends, lambda s, e: F.substr(text, s + 1, e - s)
+        starts, ends, lambda s, e: F.substr(t, s + 1, e - s)
     )
     out = (
-        df.filter(ln >= 1)
-        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        based.select(
+            F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+        )
         .withColumn("chunk_md5", F.md5("chunk"))
     )
     return out
