@@ -49,8 +49,10 @@ def kmv_sketch(
     ascending, n_exact = distinct count when it fit under k else k)."""
     u = hash_uniform(F.col(key_col), salt)
     distinct = df.select(*group_cols, key_col).distinct()
+    # rank over the NAMED column so the md5 evaluates once per row,
+    # not once more inside the window's sort key
     w = Window.partitionBy(*group_cols).orderBy(
-        u.asc(), F.col(key_col).asc()
+        F.col("_u").asc(), F.col(key_col).asc()
     )
     return (
         distinct.withColumn("_u", u)
