@@ -156,6 +156,20 @@ class ChunkStore:
                 return {**json.load(f), "skipped_duplicate_epoch": True}
         return {**metrics, "skipped_duplicate_epoch": False}
 
+    def commit_empty_epoch(self, epoch: int) -> dict:
+        """Record an epoch that carried no change events, keeping
+        ``committed_epochs`` a contiguous replay cursor (the lockstep
+        protocol shared with SignatureIndex/BloomIndex/TermIndex)."""
+        empty = self.spark.createDataFrame([], "doc_id string, text string")
+        return self.ingest_epoch(empty, epoch)
+
+    def update_from_lake_epoch(
+        self, table, epoch: int, *, delta_dir: str | None = None
+    ) -> dict:
+        """Protocol alias — replay_batches syncs every side index
+        through this name (streaming/replay.py::_sync_signature_index)."""
+        return self.ingest_from_lake_epoch(table, epoch, delta_dir=delta_dir)
+
     def ingest_from_lake_epoch(
         self, table, epoch: int, *, delta_dir: str | None = None
     ) -> dict:
@@ -186,12 +200,7 @@ class ChunkStore:
                 for f in g["files"]
             ]
             if not files:
-                # commit an empty epoch so committed_epochs stays a
-                # contiguous replay cursor
-                empty = self.spark.createDataFrame(
-                    [], "doc_id string, text string"
-                )
-                return self.ingest_epoch(empty, epoch, id_col="doc_id")
+                return self.commit_empty_epoch(epoch)
             paths = [os.path.join(table.path, f) for f in files]
         df = table.spark.read.parquet(*paths)
         live = df.filter(~F.col("is_deleted")).select(

@@ -499,6 +499,7 @@ def replay_batches(
     bloom_index=None,
     term_index=None,
     agg_view=None,
+    chunk_store=None,
     export_path: str | None = None,
     quarantine_rules: list[dict] | None = None,
     wap_rules: list[dict] | None = None,
@@ -545,6 +546,11 @@ def replay_batches(
     group deltas (pre/post winner rows of only the changed urls), keeping
     a materialized grouped aggregate — retractions included — equal to
     the batch aggregate of the published state at every epoch.
+
+    ``chunk_store`` (an operators.chunkstore.ChunkStore) is the
+    storage-dedup leg: each committed epoch's live texts chunk into the
+    content-addressed store (O(Δ) hashing + one anti-join against the
+    as-of store), so per-epoch transfer-savings metrics track the WAL.
 
     ``export_path`` (a corpus export created by
     ``sinks.corpus.export_from_lake``) is likewise kept in lockstep:
@@ -594,6 +600,8 @@ def replay_batches(
         done = done & {int(e) for e in term_index.committed_epochs()}
     if agg_view is not None:
         done = done & {int(e) for e in agg_view.committed_epochs()}
+    if chunk_store is not None:
+        done = done & {int(e) for e in chunk_store.committed_epochs()}
     if export_path is not None:
         done = done & _export_synced_epochs(export_path)
     pending: list[int] = []
@@ -629,6 +637,8 @@ def replay_batches(
             _sync_signature_index(table, term_index, e, m)
         if agg_view is not None:
             _sync_signature_index(table, agg_view, e, m)
+        if chunk_store is not None:
+            _sync_signature_index(table, chunk_store, e, m)
         if export_path is not None:
             _sync_export(table, export_path, e, m, export_lock)
         return m
@@ -730,6 +740,7 @@ def stream_events(
     bloom_index=None,
     term_index=None,
     agg_view=None,
+    chunk_store=None,
     quarantine_rules: list[dict] | None = None,
     wap_rules: list[dict] | None = None,
 ) -> None:

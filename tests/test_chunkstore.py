@@ -225,3 +225,34 @@ def test_crash_sweep_ingest_commits(spark, tmp_path):
             assert g["chunks_seen"] == r["chunks_seen"], k
         k += 1
     assert exercised >= 3  # the commit lattice was actually swept
+
+
+def test_replay_lockstep_and_self_heal(spark, tmp_path):
+    """replay_batches(chunk_store=...) keeps the store in epoch
+    lockstep with the table, and a store that fell behind (crash
+    between the two commits) self-heals on the next replay."""
+    from embulk_spark.sources.events import change_stream
+    from embulk_spark.streaming.lake import ParquetLakeTable
+    from embulk_spark.streaming.replay import replay_batches
+
+    events = change_stream(spark, 400, 80, 3, num_partitions=4)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), n_buckets=4,
+                             compact_min_deltas=10_000)
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    replay_batches(table, events, pipeline_depth=1, chunk_store=store)
+    assert store.committed_epochs() == {0, 1, 2}
+    n_before = store.chunks().count()
+    assert n_before > 0
+
+    # simulate the crash window: drop the store's last epoch — the
+    # table is ahead; replay must revisit epoch 2 for the store only
+    import shutil as sh
+    sh.rmtree(str(tmp_path / "cs" / "deltas" / "epoch=2"))
+    assert store.committed_epochs() == {0, 1}
+    replay_batches(table, events, pipeline_depth=1, chunk_store=store)
+    assert store.committed_epochs() == {0, 1, 2}
+    assert store.chunks().count() == n_before
+
+    # full redelivery is a no-op
+    replay_batches(table, events, pipeline_depth=1, chunk_store=store)
+    assert store.chunks().count() == n_before
