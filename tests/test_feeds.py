@@ -96,3 +96,46 @@ def test_feed_refresh_candidates(spark):
     assert got["https://x.com/stale"].status == "stale"
     assert got["https://x.com/stale"].feed_ts == t0  # freshest claim won
     assert got["https://x.com/new"].status == "new"
+
+
+def test_feed_roundtrip_fuzz_unicode_titles(spark):
+    """Entity-escaped arbitrary unicode titles survive the render→parse
+    round trip (batched into ONE job; surrogates excluded — Spark
+    strings are UTF-8)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from embulk_spark.sources.feeds import parse_feed_column
+
+    rng = random.Random(17)
+    pool = (
+        "ab&<>\"' \té中\U0001f600Δ​;!&amp;&lt;x"
+    )
+    titles = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 25)))
+        for _ in range(60)
+    ]
+
+    def esc(s):
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;")
+            .replace("'", "&apos;")
+        )
+
+    docs = [
+        (
+            i,
+            "<rss><channel>"
+            f"<item><guid>g{i}</guid><title>{esc(t)}</title></item>"
+            "</channel></rss>",
+        )
+        for i, t in enumerate(titles)
+    ]
+    df = spark.createDataFrame(docs, "i long, doc string")
+    got = {
+        r.guid: r.title
+        for r in parse_feed_column(df, F.col("doc")).collect()
+    }
+    for i, t in enumerate(titles):
+        assert got[f"g{i}"] == t, (i, t)
